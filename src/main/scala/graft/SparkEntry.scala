@@ -1,13 +1,380 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 with a SQL-expressible semantics has
+  * both a `queries` entry (Spark implementation) and an `oracleSql`
+  * entry (DuckDB equivalent over the same parquet tables). Non-SQL-
+  * expressible operators (MinHash-LSH, SimHash, hyperplane-LSH ANN, the
+  * mapPartitions decode stub) have queries entries only → rows-only
+  * check.
+  *
+  * Cross-engine determinism rules used throughout the operators package:
+  *  - double measures go through fixed-scale decimal sums, one final
+  *    cast to double (order-independent, bit-identical);
+  *  - divisions happen on doubles, never on decimals (scale rules
+  *    differ between engines);
+  *  - integer outputs are always BIGINT/long on both sides;
+  *  - top-k always tie-breaks on a unique key.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.aggPricing(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- scans / projections / filters (SURVEY §2.1, §2.2)
+    "q_project" -> (Relational.project _),
+    "q_filter_in" -> (Relational.filterIn _),
+    // --- aggregations (SURVEY §2.6)
+    "q_agg_pricing" -> (Relational.aggPricing _),
+    "q_distinct" -> (Relational.distinctSeg _),
+    "q_mode_agg" -> (Relational.modeAgg _),
+    "q_stats_agg" -> (Relational.statsAgg _),
+    "q_rollup" -> (Relational.rollupAgg _),
+    "q_monthly_orders" -> (Relational.monthlyOrders _),
+    // --- joins (SURVEY §2.5)
+    "q_join_region" -> (Relational.joinRevenueByRegion _),
+    "q_semi_join" -> (Relational.semiJoin _),
+    "q_anti_join" -> (Relational.antiJoin _),
+    "q_above_avg" -> (Relational.aboveAvgOrders _),
+    // --- set ops / sort / limit (SURVEY §2.5)
+    "q_union_order" -> (Relational.unionOrder _),
+    "q_intersect" -> (Relational.intersectNations _),
+    "q_except" -> (Relational.exceptNations _),
+    "q_topk" -> (Relational.topK _),
+    // --- windows (SURVEY §2.7)
+    "q_window_rank" -> (Relational.windowRank _),
+    "q_pct_share" -> (Relational.pctShare _),
+    "q_running_sum" -> (Relational.runningSum _),
+    "q_order_gaps" -> (Relational.orderGaps _),
+    // --- generators
+    "q_explode_words" -> (Relational.explodeWords _),
+    // --- events / time (SURVEY §2.8, §2.10)
+    "q_hourly_events" -> (Events.hourlyStats _),
+    "q_sessionize" -> (Events.sessionize _),
+    "q_regex_extract" -> (Text.regexExtract _),
+    // --- text analysis (north-star training-data ops)
+    "q_fingerprint" -> (Text.fingerprint _),
+    "q_token_count" -> (Text.tokenCount _),
+    "q_langid" -> (Text.langId _),
+    "q_quality" -> (Text.quality _),
+    // --- dedup
+    "q_dedup_exact" -> (Dedup.exact _),
+    "q_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
+    "q_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
+    "q_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    // --- similarity search
+    "q_embed_norms" -> (Similarity.norms _),
+    "q_knn_brute" -> ((s: SparkSession, d: String) => Similarity.knnBruteForce(s, d)),
+    "q_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
+    "q_cosine_near_dup" -> ((s: SparkSession, d: String) => Similarity.cosineNearDup(s, d)),
+    // --- multimodal binary plumbing
+    "q_binary_meta" -> (Multimodal.binaryMeta _),
+    "q_decode_features" -> (Multimodal.decodeFeatures _),
+    "q_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
+    // --- job engine end-to-end (SURVEY §2.1, §2.3, §2.4)
+    "q_roundtrip" -> (JobQueries.roundtrip _),
+    "q_table_exists_append" -> (JobQueries.appendSemantics _),
+    "q_table_exists_skip" -> (JobQueries.skipSemantics _),
+    "q_estimate_only" -> (JobQueries.estimateOnly _),
+    "q_remap_data" -> (JobQueries.remapData _)
+  )
+
+  // Shared SQL fragment: text normalization identical to
+  // Text.normalized (DuckDB needs the 'g' flag to replace all).
+  private val Norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_project" ->
+      "SELECT l_orderkey, l_extendedprice FROM lineitem",
+
+    "q_filter_in" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         l_returnflag, l_quantity
+         FROM lineitem WHERE l_returnflag IN ('A','N') AND l_quantity > 30""",
+
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+         COUNT(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "q_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer",
+
+    "q_mode_agg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+         GROUP BY o_orderpriority ORDER BY n DESC, o_orderpriority LIMIT 1""",
+
+    "q_stats_agg" ->
+      """SELECT l_returnflag, MIN(l_quantity) AS min_qty,
+         MAX(l_quantity) AS max_qty,
+         COUNT(DISTINCT l_orderkey) AS n_orders, COUNT(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         COUNT(*) AS n
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+
+    "q_monthly_orders" ->
+      """SELECT date_trunc('month', o_orderdate) AS month,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY 1""",
+
+    "q_join_region" ->
+      """SELECT r_name,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_lines
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 100000)""",
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+
+    "q_above_avg" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) >
+           (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders)""",
+
+    "q_union_order" ->
+      """SELECT name, kind FROM (
+           SELECT c_name AS name, 'CUSTOMER' AS kind FROM customer
+           UNION ALL
+           SELECT s_name AS name, 'SUPPLIER' AS kind FROM supplier)
+         WHERE name IS NOT NULL""",
+
+    "q_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         INTERSECT
+         SELECT s_nationkey AS nationkey FROM supplier""",
+
+    "q_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         EXCEPT
+         SELECT s_nationkey AS nationkey FROM supplier""",
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rk
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rk
+               FROM orders) WHERE rk <= 3""",
+
+    "q_pct_share" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) /
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY l_orderkey) AS DOUBLE) AS price_share
+         FROM lineitem""",
+
+    "q_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+              OVER (PARTITION BY l_suppkey
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty
+         FROM lineitem""",
+
+    "q_order_gaps" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(date_diff('day',
+           CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS DATE),
+           CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
+         FROM orders""",
+
+    "q_explode_words" ->
+      """SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS word
+         FROM (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents WHERE doc_id < 10) t,
+              LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g""",
+
+    "q_hourly_events" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         w AS (SELECT user_id, event_id, ts,
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+               FROM e),
+         s AS (SELECT *, CASE WHEN prev_ts IS NULL
+                 OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                 THEN 1 ELSE 0 END AS new_session FROM w),
+         c AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+               FROM s)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+         FROM c GROUP BY 1, 2""",
+
+    "q_regex_extract" ->
+      """SELECT event_id, event_type,
+         CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+         FROM events WHERE event_type = 'error'""",
+
+    "q_fingerprint" ->
+      s"""SELECT doc_id, md5($Norm) AS fingerprint,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+         FROM documents""",
+
+    "q_token_count" ->
+      """SELECT doc_id,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_ws_tokens,
+         CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT) AS n_distinct,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_alpha_runs,
+         CAST(length(text) AS BIGINT) AS n_chars_measured
+         FROM documents""",
+
+    "q_langid" ->
+      """SELECT doc_id, lang AS lang_label,
+         CASE WHEN en >= es AND en >= de AND en > 0 THEN 'en'
+              WHEN es >= de AND es > 0 THEN 'es'
+              WHEN de > 0 THEN 'de'
+              ELSE 'unknown' END AS lang_pred
+         FROM (SELECT doc_id, lang,
+           len(list_filter(string_split(lower(text), ' '),
+             t -> t IN ('the','a','of','and','to'))) AS en,
+           len(list_filter(string_split(lower(text), ' '),
+             t -> t IN ('el','la','de','y','que'))) AS es,
+           len(list_filter(string_split(lower(text), ' '),
+             t -> t IN ('der','die','das','und','ist'))) AS de
+           FROM documents)""",
+
+    "q_quality" ->
+      """SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS distinct_ratio,
+         CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE) AS punct_ratio,
+         CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+           / CAST(len(t) AS DOUBLE) AS stopword_ratio,
+         (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+           + (CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+              / CAST(len(t) AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+           - (CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+              / CAST(length(text) AS DOUBLE)) * CAST(0.2 AS DOUBLE) AS quality_score
+         FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents)""",
+
+    "q_dedup_exact" ->
+      s"""WITH d AS (SELECT doc_id, md5($Norm) AS fingerprint FROM documents),
+         c AS (SELECT fingerprint, MIN(doc_id) AS canonical_id,
+                 COUNT(*) AS group_size FROM d GROUP BY fingerprint)
+         SELECT doc_id, canonical_id, group_size,
+           doc_id <> canonical_id AS is_dup
+         FROM d JOIN c USING (fingerprint)""",
+
+    "q_ngram_jaccard" ->
+      s"""WITH docs AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(ws) - 2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+           FROM (SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents) t
+           WHERE len(ws) >= 3),
+         expl AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+         sizes AS (SELECT doc_id, len(sh) AS n_sh FROM docs),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     COUNT(*) AS common
+                   FROM expl a JOIN expl b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+           CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
+         FROM pairs
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5""",
+
+    // Embedding numerics: floats quantized by floor(x * 2^26) (exact in
+    // every engine), then exact BIGINT dot products — see Similarity.Q.
+    "q_embed_norms" ->
+      """SELECT vec_id, CAST(label AS BIGINT) AS label,
+         CAST(len(embedding) AS BIGINT) AS dim,
+         CAST(list_sum(list_transform(generate_series(1, len(embedding)),
+           i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 67108864.0) AS BIGINT)
+              * CAST(floor(CAST(embedding[i] AS DOUBLE) * 67108864.0) AS BIGINT))) AS BIGINT) AS norm_sq
+         FROM embeddings""",
+
+    "q_knn_brute" ->
+      """WITH q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 67108864.0) AS BIGINT)) AS iv
+           FROM embeddings),
+         p AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(CAST(list_sum(list_transform(generate_series(1, len(a.iv)),
+               i -> a.iv[i] * b.iv[i])) AS BIGINT) AS DOUBLE)
+             / (sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(a.iv)),
+                 i -> a.iv[i] * a.iv[i])) AS BIGINT) AS DOUBLE))
+                * sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(b.iv)),
+                 i -> b.iv[i] * b.iv[i])) AS BIGINT) AS DOUBLE))) AS cosine
+           FROM q a, q b WHERE a.vec_id <> b.vec_id)
+         SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, cosine
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rk FROM p)
+         WHERE rk <= 5""",
+
+    // documents.text is pure ASCII, so DuckDB's VARCHAR md5/substring
+    // operate on the same bytes Spark's binary md5/substr see.
+    "q_binary_meta" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         md5(text) AS digest,
+         substring(text, 1, 4) AS magic
+         FROM documents""",
+
+    "q_frame_sample" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+         md5(substring(text, CAST(i AS INT) * 64 + 1, 64)) AS frame_digest
+         FROM (SELECT doc_id, text,
+                 octet_length(encode(text)) AS nb FROM documents) t,
+              LATERAL (SELECT unnest(generate_series(0,
+                CAST(floor((nb - 1) / 64) AS BIGINT))) AS i) g""",
+
+    "q_roundtrip" ->
+      "SELECT * FROM lineitem",
+
+    "q_table_exists_append" ->
+      "SELECT * FROM nation UNION ALL SELECT * FROM nation",
+
+    "q_table_exists_skip" ->
+      "SELECT * FROM nation",
+
+    "q_estimate_only" ->
+      "SELECT COUNT(*) AS n_rows FROM lineitem",
+
+    "q_remap_data" ->
+      """SELECT c_custkey,
+         'ANON-' || CAST(c_custkey AS VARCHAR) AS c_name, c_mktsegment
+         FROM customer"""
+  )
 }

@@ -1,0 +1,374 @@
+package graft.directives
+
+import graft.model.{Stage, Util}
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Declarative job directives — the reference's central extension point
+  * (/root/reference/src/oracledb_datapump/directives.py:31-691). There,
+  * each directive issues a PL/SQL call (METADATA_FILTER / SET_PARAMETER /
+  * METADATA_REMAP / METADATA_TRANSFORM); here each *compiles* to a pure
+  * description of how it alters the Spark job plan: which tables are
+  * selected, how each DataFrame is transformed, reader/writer options,
+  * save mode, output identity remaps, or post-commit actions.
+  *
+  * Five families, mirroring directives.py:
+  *   Filter (88-184), Parameter (186-409), Remap (412-458),
+  *   Transform (461-553), Extra (556-587).
+  */
+sealed trait Directive {
+  def name: String
+  def stage: Stage
+  /** Human-readable value for metadata sidecars / logs. */
+  def valueRepr: String
+}
+
+/** What a directive contributes to the compiled job plan. A single
+  * directive may contribute several effects.
+  */
+sealed trait Effect
+object Effect {
+  /** Restrict/transform the set of selected table names. */
+  case class ObjectSelection(f: Seq[String] => Seq[String]) extends Effect
+  /** Per-table DataFrame rewrite applied before the sink. */
+  case class PlanTransform(f: DataFrame => DataFrame) extends Effect
+  /** Option passed to every reader. */
+  case class ReaderOption(key: String, value: String) extends Effect
+  /** Option passed to every writer (e.g. compression codec). */
+  case class WriterOption(key: String, value: String) extends Effect
+  /** Save-mode override (TABLE_EXISTS_ACTION). */
+  case class SetSaveMode(mode: SaveMode, truncate: Boolean) extends Effect
+  /** Output parallelism → number of part files per table (%U set). */
+  case class SetParallel(n: Int) extends Effect
+  /** Rename output identity: (kind, from, to), kind ∈ SCHEMA/TABLESPACE/
+    * DATAFILE/TABLE. */
+  case class IdentityRemap(kind: String, from: String, to: String) extends Effect
+  /** Snapshot pin: resolve reads against a fixed version/timestamp. */
+  case class SnapshotPin(asOf: String) extends Effect
+  /** Dry-run: estimate sizes, move no data. */
+  case object EstimateOnly extends Effect
+  /** Skip data movement, emit DDL/metadata only — or the inverse. */
+  case class ContentSelection(data: Boolean, metadata: Boolean) extends Effect
+  /** Runs after a successful job with the final metadata. */
+  case class PostAction(run: graft.job.JobContext => Unit) extends Effect
+  /** Accepted for API parity; no Spark analog. Logged, never fails. */
+  case class Ignored(reason: String) extends Effect
+}
+
+// ---------------------------------------------------------------- filters
+
+/** METADATA_FILTER analogs (directives.py:88-184): object-set predicates
+  * evaluated before any data moves — i.e. driver-side enumeration
+  * filters, the analog of pushing predicates below the scan.
+  */
+final case class IncludeSchema(schema: String) extends Directive {
+  val name = "INCLUDE_SCHEMA"; val stage = Stage.DataPump
+  def valueRepr = schema
+}
+final case class IncludeTable(tables: Seq[String]) extends Directive {
+  val name = "INCLUDE_TABLE"; val stage = Stage.DataPump
+  def valueRepr = tables.mkString(",")
+}
+final case class ExcludeObjectType(objectType: String) extends Directive {
+  val name = "EXCLUDE_OBJECT_TYPE"; val stage = Stage.DataPump
+  def valueRepr = objectType
+}
+
+// ------------------------------------------------------------- parameters
+
+final case class Compression(value: String) extends Directive {
+  val name = "COMPRESSION"; val stage = Stage.DataPump
+  def valueRepr = value
+  require(Compression.valid(value.toUpperCase),
+    s"COMPRESSION must be one of ${Compression.domain}; got $value")
+}
+object Compression {
+  val domain = Seq("DATA_ONLY", "METADATA_ONLY", "ALL", "NONE")
+  def valid(v: String): Boolean = domain.contains(v)
+}
+
+final case class CompressionAlgorithm(value: String) extends Directive {
+  val name = "COMPRESSION_ALGORITHM"; val stage = Stage.DataPump
+  def valueRepr = value
+  require(CompressionAlgorithm.codec.contains(value.toUpperCase),
+    s"COMPRESSION_ALGORITHM must be one of ${CompressionAlgorithm.codec.keys}")
+}
+object CompressionAlgorithm {
+  /** BASIC/LOW/MEDIUM/HIGH (directives.py:252-258) → parquet codecs. */
+  val codec: Map[String, String] = Map(
+    "BASIC" -> "snappy", "LOW" -> "lz4", "MEDIUM" -> "snappy", "HIGH" -> "zstd")
+}
+
+final case class Parallel(degree: Int) extends Directive {
+  val name = "PARALLEL"; val stage = Stage.DataPump
+  def valueRepr = degree.toString
+  require(degree >= 1, s"PARALLEL must be >= 1; got $degree")
+}
+
+final case class FlashbackScn(scn: Long) extends Directive {
+  val name = "FLASHBACK_SCN"; val stage = Stage.DataPump
+  def valueRepr = scn.toString
+}
+final case class FlashbackTime(iso: String) extends Directive {
+  val name = "FLASHBACK_TIME"; val stage = Stage.DataPump
+  def valueRepr = iso
+  Util.parseDt(iso) // validate eagerly, like pydantic did
+}
+
+final case class Estimate(value: String) extends Directive {
+  val name = "ESTIMATE"; val stage = Stage.DataPump
+  def valueRepr = value
+  require(Seq("BLOCKS", "STATISTICS").contains(value.toUpperCase))
+}
+final case class EstimateOnly(on: Boolean) extends Directive {
+  val name = "ESTIMATE_ONLY"; val stage = Stage.DataPump
+  def valueRepr = if (on) "1" else "0"
+}
+
+/** TRUNCATE/REPLACE/APPEND/SKIP → SaveMode (directives.py:372-376). */
+final case class TableExistsAction(action: String) extends Directive {
+  val name = "TABLE_EXISTS_ACTION"; val stage = Stage.DataPump
+  def valueRepr = action
+  require(TableExistsAction.modes.contains(action.toUpperCase),
+    s"TABLE_EXISTS_ACTION must be one of ${TableExistsAction.modes.keys}")
+}
+object TableExistsAction {
+  /** TRUNCATE keeps schema and overwrites rows; REPLACE drops+recreates;
+    * APPEND appends; SKIP ignores when target exists. */
+  val modes: Map[String, (SaveMode, Boolean)] = Map(
+    "TRUNCATE" -> (SaveMode.Overwrite, true),
+    "REPLACE" -> (SaveMode.Overwrite, false),
+    "APPEND" -> (SaveMode.Append, false),
+    "SKIP" -> (SaveMode.Ignore, false))
+}
+
+final case class PartitionOptions(value: String) extends Directive {
+  val name = "PARTITION_OPTIONS"; val stage = Stage.DataPump
+  def valueRepr = value
+  require(Seq("NONE", "DEPARTITION", "MERGE").contains(value.toUpperCase))
+}
+
+final case class IncludeMetadata(on: Boolean) extends Directive {
+  val name = "INCLUDE_METADATA"; val stage = Stage.DataPump
+  def valueRepr = if (on) "1" else "0"
+}
+final case class Metrics(on: Boolean) extends Directive {
+  val name = "METRICS"; val stage = Stage.DataPump
+  def valueRepr = if (on) "1" else "0"
+}
+final case class Logtime(value: String) extends Directive {
+  val name = "LOGTIME"; val stage = Stage.DataPump
+  def valueRepr = value
+  require(Seq("NONE", "STATUS", "LOGFILE", "ALL").contains(value.toUpperCase))
+}
+final case class KeepMaster(on: Boolean) extends Directive {
+  val name = "KEEP_MASTER"; val stage = Stage.DataPump
+  def valueRepr = if (on) "1" else "0"
+}
+final case class MasterOnly(on: Boolean) extends Directive {
+  val name = "MASTER_ONLY"; val stage = Stage.DataPump
+  def valueRepr = if (on) "1" else "0"
+}
+
+/** 11-bit flag set (directives.py:227-238) → permissive/failfast options. */
+final case class DataOptions(flags: Set[String]) extends Directive {
+  val name = "DATA_OPTIONS"; val stage = Stage.DataPump
+  def valueRepr = flags.mkString("|")
+}
+object DataOptions {
+  val domain = Set(
+    "SKIP_CONST_ERR", "XMLTYPE_CLOB", "NO_TYPE_EVOL", "DISABL_APPEND_HINT",
+    "REJECT_ROWS_REPCHR", "ENABLE_NETWORK_COMP", "GRP_PART_TAB",
+    "TRUST_EXIST_TB_PAR", "VALIDATE_TBL_DATA", "VERIFY_STREAM_FORMAT",
+    "CONT_LD_ON_FMT_ERR")
+}
+
+final case class DataAccessMethod(value: String) extends Directive {
+  val name = "DATA_ACCESS_METHOD"; val stage = Stage.DataPump
+  def valueRepr = value
+  require(Seq("AUTOMATIC", "DIRECT_PATH", "EXTERNAL_TABLE")
+    .contains(value.toUpperCase))
+}
+
+/** Oracle-physical switches accepted-and-ignored for API parity
+  * (directives.py:241-242,274-296,352-397 — encryption, editions,
+  * tablespace physics, streams config).
+  */
+final case class PhysicalSwitch(name: String, value: String) extends Directive {
+  val stage = Stage.DataPump
+  def valueRepr = value
+}
+object PhysicalSwitch {
+  val names = Set(
+    "ENCRYPTION", "ENCRYPTION_ALGORITHM", "ENCRYPTION_MODE",
+    "ENCRYPTION_PASSWORD", "SKIP_UNUSABLE_INDEXES", "REUSE_DATAFILES",
+    "STREAMS_CONFIGURATION", "SOURCE_EDITION", "TARGET_EDITION",
+    "TRANSPORTABLE", "TTS_FULL_CHECK", "TABLESPACE_DATAFILE",
+    "USER_METADATA", "CLIENT_COMMAND")
+}
+
+// ----------------------------------------------------------------- remaps
+
+/** METADATA_REMAP analogs (directives.py:412-458): identifier rewrites
+  * applied on import.
+  */
+final case class RemapSchema(from: String, to: String) extends Directive {
+  val name = "REMAP_SCHEMA"; val stage = Stage.DataPump
+  def valueRepr = s"$from:$to"
+}
+final case class RemapTablespace(from: String, to: String) extends Directive {
+  val name = "REMAP_TABLESPACE"; val stage = Stage.DataPump
+  def valueRepr = s"$from:$to"
+}
+final case class RemapDatafile(from: String, to: String) extends Directive {
+  val name = "REMAP_DATAFILE"; val stage = Stage.DataPump
+  def valueRepr = s"$from:$to"
+}
+/** Native extension: REMAP_TABLE (Data Pump supports it; the wrapper does
+  * not expose it — directives.py:641-691 registry). */
+final case class RemapTable(from: String, to: String) extends Directive {
+  val name = "REMAP_TABLE"; val stage = Stage.DataPump
+  def valueRepr = s"$from:$to"
+}
+
+// -------------------------------------------------------------- transforms
+
+/** METADATA_TRANSFORM analogs (directives.py:461-553): DDL-shaping on
+  * import. OID(false) drops surrogate object-identifier columns; the
+  * rest become table-properties or no-ops on a columnar store.
+  */
+final case class TransformDirective(name: String, value: String)
+    extends Directive {
+  val stage = Stage.DataPump
+  def valueRepr = value
+  require(TransformDirective.names.contains(name),
+    s"Unknown transform $name; valid: ${TransformDirective.names}")
+}
+object TransformDirective {
+  val names = Set(
+    "SEGMENT_ATTRIBUTES", "STORAGE", "SEGMENT_CREATION", "PCTSPACE",
+    "INMEMORY", "INMEMORY_CLAUSE", "LOB_STORAGE",
+    "TABLE_COMPRESSION_CLAUSE", "DISABLE_ARCHIVE_LOGGING", "OID")
+}
+
+// ------------------------------------------------------------------ extra
+
+/** POST-stage: delete source dump files after a synchronous import
+  * (directives.py:556-587, applied job.py:291-295).
+  */
+final case class DeleteFiles() extends Directive {
+  val name = "DELETE_FILES"; val stage = Stage.Post
+  def valueRepr = "1"
+}
+
+// --------------------------------------------------------------- compiler
+
+object DirectiveCompiler {
+  import Effect._
+
+  /** Compile one directive into its plan effects. Pure. */
+  def compile(d: Directive): Seq[Effect] = d match {
+    case IncludeSchema(_) => Seq.empty // schema scoping handled by job source
+    case IncludeTable(ts) =>
+      val wanted = ts.map(_.toLowerCase).toSet
+      Seq(ObjectSelection(names => names.filter(n => wanted(n.toLowerCase))))
+    case ExcludeObjectType(t) =>
+      // Data-vs-metadata object classes; TABLE excl. removes everything.
+      if (t.equalsIgnoreCase("TABLE")) Seq(ObjectSelection(_ => Nil))
+      else Seq(Ignored(s"object type $t not materialized in columnar store"))
+    case Compression(v) => v.toUpperCase match {
+      case "NONE" | "METADATA_ONLY" =>
+        Seq(WriterOption("compression", "none"))
+      case _ => Seq(WriterOption("compression", "snappy"))
+    }
+    case CompressionAlgorithm(v) =>
+      Seq(WriterOption("compression", CompressionAlgorithm.codec(v.toUpperCase)))
+    case Parallel(n) => Seq(SetParallel(n))
+    case FlashbackScn(scn) => Seq(SnapshotPin(scn.toString))
+    case FlashbackTime(iso) => Seq(SnapshotPin(iso))
+    case Estimate(_) => Seq.empty // estimation source hint; stats-based either way
+    case graft.directives.EstimateOnly(on) =>
+      if (on) Seq(Effect.EstimateOnly) else Seq.empty
+    case TableExistsAction(a) =>
+      val (mode, truncate) = TableExistsAction.modes(a.toUpperCase)
+      Seq(SetSaveMode(mode, truncate))
+    case PartitionOptions(v) => v.toUpperCase match {
+      case "MERGE" => Seq(PlanTransform(df => df.coalesce(1)))
+      case _ => Seq.empty // NONE/DEPARTITION: layout preserved / per-partition
+    }
+    case IncludeMetadata(on) => Seq(ContentSelection(data = true, metadata = on))
+    case Metrics(_) | Logtime(_) => Seq.empty // log-shaping only
+    case KeepMaster(on) =>
+      if (on) Seq(Ignored("job checkpoint retained")) else Seq.empty
+    case MasterOnly(on) => if (on) Seq(Effect.EstimateOnly) else Seq.empty
+    case DataOptions(flags) =>
+      if (flags.contains("SKIP_CONST_ERR") || flags.contains("CONT_LD_ON_FMT_ERR"))
+        Seq(ReaderOption("mode", "PERMISSIVE"))
+      else if (flags.contains("VALIDATE_TBL_DATA"))
+        Seq(ReaderOption("mode", "FAILFAST"))
+      else Seq.empty
+    case DataAccessMethod(_) => Seq.empty // Spark picks vectorized reader
+    case PhysicalSwitch(n, _) => Seq(Ignored(s"$n has no Spark analog"))
+    case RemapSchema(f, t) => Seq(IdentityRemap("SCHEMA", f, t))
+    case RemapTablespace(f, t) => Seq(IdentityRemap("TABLESPACE", f, t))
+    case RemapDatafile(f, t) => Seq(IdentityRemap("DATAFILE", f, t))
+    case RemapTable(f, t) => Seq(IdentityRemap("TABLE", f, t))
+    case TransformDirective(n, v) => n match {
+      case "OID" if v == "0" || v.equalsIgnoreCase("false") =>
+        // Drop surrogate object-identifier columns on import
+        Seq(PlanTransform(df =>
+          df.columns.find(_.equalsIgnoreCase("oid"))
+            .map(df.drop).getOrElse(df)))
+      case "INMEMORY" if v == "1" || v.equalsIgnoreCase("true") =>
+        Seq(PlanTransform(df => df.cache()))
+      case _ => Seq(Ignored(s"transform $n=$v recorded as table property"))
+    }
+    case DeleteFiles() =>
+      Seq(PostAction(ctx => ctx.deleteSourceFiles()))
+  }
+
+  /** Registry for JSON-name instantiation — parity with the reflective
+    * DirectiveBase.registry (directives.py:37-49, request.py:163-169).
+    * Values arrive as strings; old_value for remaps.
+    */
+  def fromJson(
+      name: String,
+      value: Option[String],
+      oldValue: Option[String]): Directive = {
+    val n = name.toUpperCase
+    def v = value.getOrElse(
+      throw new IllegalArgumentException(s"Directive $n requires a value"))
+    def ov = oldValue.getOrElse(
+      throw new IllegalArgumentException(s"Directive $n requires old_value"))
+    def bool = Seq("1", "TRUE", "Y", "YES").contains(v.toUpperCase)
+    n match {
+      case "INCLUDE_SCHEMA" => IncludeSchema(v)
+      case "INCLUDE_TABLE" => IncludeTable(v.split(",").toSeq)
+      case "EXCLUDE_OBJECT_TYPE" => ExcludeObjectType(v)
+      case "COMPRESSION" => Compression(v)
+      case "COMPRESSION_ALGORITHM" => CompressionAlgorithm(v)
+      case "PARALLEL" => Parallel(v.toInt)
+      case "FLASHBACK_SCN" => FlashbackScn(v.toLong)
+      case "FLASHBACK_TIME" => FlashbackTime(v)
+      case "ESTIMATE" => Estimate(v)
+      case "ESTIMATE_ONLY" => graft.directives.EstimateOnly(bool)
+      case "TABLE_EXISTS_ACTION" => TableExistsAction(v)
+      case "PARTITION_OPTIONS" => PartitionOptions(v)
+      case "INCLUDE_METADATA" => IncludeMetadata(bool)
+      case "METRICS" => Metrics(bool)
+      case "LOGTIME" => Logtime(v)
+      case "KEEP_MASTER" => KeepMaster(bool)
+      case "MASTER_ONLY" => MasterOnly(bool)
+      case "DATA_OPTIONS" => DataOptions(v.split("\\|").map(_.trim).toSet)
+      case "DATA_ACCESS_METHOD" => DataAccessMethod(v)
+      case "REMAP_SCHEMA" => RemapSchema(ov, v)
+      case "REMAP_TABLESPACE" => RemapTablespace(ov, v)
+      case "REMAP_DATAFILE" => RemapDatafile(ov, v)
+      case "REMAP_TABLE" => RemapTable(ov, v)
+      case "DELETE_FILES" => DeleteFiles()
+      case t if TransformDirective.names.contains(t) => TransformDirective(t, v)
+      case p if PhysicalSwitch.names.contains(p) => PhysicalSwitch(p, v)
+      case other => throw new IllegalArgumentException(
+        s"Unknown directive '$other'")
+    }
+  }
+}

@@ -1,0 +1,191 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Deduplication operators for training-data pipelines over
+  * `documents`: exact (hash-groupBy), n-gram Jaccard (exact set
+  * similarity), MinHash+LSH (the 100 TB-scale near-dup path), and
+  * SimHash banding.
+  *
+  * Scale design: the exact-Jaccard pair join is the *oracle baseline* —
+  * it shuffles on shingle and explodes candidate pairs, fine at
+  * verification scale. The production path is MinHash/LSH: per-doc
+  * signature is one narrow codegen'd map (no shuffle), banding emits
+  * `bands` rows/doc, and the only join is bucket-equality on
+  * (band, band_key) — candidates are O(collisions), not O(n²).
+  */
+object Dedup {
+
+  /** 3-word shingles of the normalized text, distinct per doc. */
+  /** Docs shorter than k words are excluded by callers (Spark's
+    * sequence() auto-reverses on negative ranges, DuckDB's
+    * generate_series returns empty — guard instead of diverge). */
+  private def shingles(text: Column, k: Int = 3): Column = {
+    val ws = split(Text.normalized(text), " ")
+    array_distinct(
+      transform(sequence(lit(0), size(ws) - k),
+        i => concat_ws(" ", slice(ws, i + 1, lit(k)))))
+  }
+
+  private def wordCount(text: Column): Column =
+    size(split(Text.normalized(text), " "))
+
+  /** Exact dedup via content hash: every doc mapped to the canonical
+    * (minimum) doc_id sharing its fingerprint. Single hash-groupBy on
+    * the digest — the standard exact-dedup shape at any scale. */
+  def exact(spark: SparkSession, sf: String): DataFrame = {
+    val d = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), md5(Text.normalized(col("text"))).as("fingerprint"))
+    val canon = d.groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("group_size"))
+    d.join(canon, "fingerprint")
+      .select(col("doc_id"), col("canonical_id"), col("group_size"),
+        (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.5): explode
+    * distinct shingles, self-join on shingle, count common, compute
+    * |A∩B| / (|A|+|B|−|A∩B|). The shuffle key is the shingle — skew
+    * on ultra-common shingles is the known hazard; the LSH variant
+    * below is the scale answer. */
+  def ngramJaccard(spark: SparkSession, sf: String, threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.load(spark, sf, "documents")
+      .filter(wordCount(col("text")) >= 3)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val exploded = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val pairs = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- MinHash + LSH ------------------------------------------------
+
+  /** Number of minhash components and LSH layout (16 bands × 4 rows). */
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** Mersenne-ish prime > 2^32 for the universal-hash family. */
+  private val P = 4294967311L
+  /** Deterministic coefficient families (odd multipliers, fixed seed —
+    * Date/Random-free so replans are stable). */
+  private val As: Seq[Long] =
+    (1 to NumHashes).map(i => 2L * scala.util.hashing.byteswap32(i * 2654435761L.toInt).toLong.abs % (P - 2) + 1)
+  private val Bs: Seq[Long] =
+    (1 to NumHashes).map(i => scala.util.hashing.byteswap32((i + 977) * 40503).toLong.abs % P)
+
+  /** Per-doc MinHash signature: shingle → 31-bit base hash →
+    * (aᵢ·h+bᵢ) mod P per component, min over shingles. Pure column
+    * HOFs — one codegen'd projection, no shuffle, no UDF. */
+  def minhashSignature(docs: DataFrame): DataFrame = {
+    val base = transform(col("sh"), s => pmod(xxhash64(s), lit(1L << 31)))
+    // Fold the constant hash families into one signature column:
+    val comps: Seq[Column] = (0 until NumHashes).map { i =>
+      array_min(transform(col("hashes"),
+        h => pmod(h * lit(As(i)) + lit(Bs(i)), lit(P))))
+    }
+    docs
+      .withColumn("hashes", base)
+      .withColumn("minhash", array(comps: _*))
+      .drop("hashes")
+  }
+
+  /** MinHash-LSH near-dup candidate pairs with signature-estimated
+    * Jaccard (fraction of agreeing components) ≥ threshold.
+    * Plan: map (signature) → explode bands (×16) → shuffle on
+    * (band, key) → per-bucket pairs → distinct → estimate.
+    */
+  def minhashLsh(spark: SparkSession, sf: String, threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.load(spark, sf, "documents")
+      .filter(wordCount(col("text")) >= 3)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val signed = minhashSignature(docs).select(col("doc_id"), col("minhash"))
+
+    val banded = signed.select(
+      col("doc_id"), col("minhash"),
+      posexplode(
+        transform(sequence(lit(0), lit(Bands - 1)),
+          b => xxhash64(concat_ws("_",
+            b.cast("string"),
+            concat_ws(",", transform(
+              slice(col("minhash"), b * RowsPerBand + 1, lit(RowsPerBand)),
+              x => x.cast("string")))))))
+        .as(Seq("band", "band_key")))
+
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.minhash").as("mh_a"), col("b.minhash").as("mh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+
+    candidates
+      .withColumn("est_jaccard",
+        (size(filter(zip_with(col("mh_a"), col("mh_b"), (x, y) => x === y),
+          b => b)).cast(DecimalType(18, 6)) / lit(NumHashes))
+          .cast(DecimalType(18, 6)).cast("double"))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- SimHash ------------------------------------------------------
+
+  /** 64-bit SimHash per doc: per-bit weighted vote over token hashes,
+    * assembled into a long. Banding on 16-bit chunks finds candidates;
+    * hamming distance ≤ 3 confirms. */
+  def simhash(tokens: Column): Column = {
+    val hashes = transform(tokens, t => xxhash64(t))
+    val bits: Seq[Column] = (0 until 64).map { i =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(votes > 0, lit(1L)).otherwise(lit(0L))
+    }
+    bits.zipWithIndex.map { case (b, i) => shiftleft(b, i) }
+      .reduce(_.bitwiseOR(_))
+  }
+
+  def simhashPairs(spark: SparkSession, sf: String, maxHamming: Int = 3): DataFrame = {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        simhash(array_distinct(split(Text.normalized(col("text")), " ")))
+          .as("simhash"))
+    // 4 bands of 16 bits: near-identical docs agree on ≥1 band.
+    val banded = docs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("band", "band_key")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

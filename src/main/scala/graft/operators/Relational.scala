@@ -1,0 +1,266 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational analytics surface — the SQL patterns the reference leans on
+  * for its dictionary queries (SURVEY.md §2.5-2.7; reference sql.py:7-90,
+  * files.py:922-968, status.py:265) promoted to first-class, scale-ready
+  * operators.
+  *
+  * Determinism/oracle-parity conventions:
+  *  - Double measures are cast to fixed-scale decimals *before*
+  *    arithmetic, summed exactly, and cast back to double at the end —
+  *    bit-identical across Spark and DuckDB regardless of partial-agg
+  *    order (shuffle-safe at any scale).
+  *  - Top-k queries always break ties on a unique key.
+  *
+  * Scale notes: every aggregation here is a hash partial-agg + final agg
+  * (map-side combine); joins against the small dimension tables
+  * (region/nation/supplier) are explicitly broadcast; the fact-fact join
+  * (lineitem ⋈ orders) shuffles on the join key, which is the partition
+  * key a real deployment would bucket both tables by.
+  */
+object Relational {
+
+  /** Exact-decimal view of a 2-decimal double column. */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  // ---- scans / projections / filters -------------------------------
+
+  /** Column pruning — a 2-col projection must read 2 columns
+    * (SURVEY.md §2.2 "Projection"). */
+  def project(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+
+  /** IN-list row predicate — Data Pump filter-expression semantics
+    * (`IN ('A','N')`, directives.py:140-143) applied to rows; pushed to
+    * the parquet scan. */
+  def filterIn(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "lineitem")
+      .filter(col("l_returnflag").isin("A", "N") && col("l_quantity") > 30)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"))
+
+  // ---- aggregations ------------------------------------------------
+
+  /** Flagship pricing-summary aggregation (TPC-H Q1 shape): the
+    * hash-agg capability the status engine's percent-done math implies
+    * (status.py:265). Partial aggregation happens map-side; one shuffle
+    * on the 2-col group key. */
+  def aggPricing(spark: SparkSession, sf: String): DataFrame = {
+    val li = Tables.load(spark, sf, "lineitem")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** DISTINCT projection (sql.py:7-11: distinct tablespaces per owner). */
+  def distinctSeg(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "customer")
+      .select(col("c_mktsegment")).distinct().orderBy(col("c_mktsegment"))
+
+  /** Most-frequent-value (mode) aggregation — Counter.most_common(1)
+    * over directories (files.py:922-968). Tie-broken on the value. */
+  def modeAgg(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "orders")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("o_orderpriority")).limit(1)
+
+  /** Multi-stat aggregation with exact measures: min/max/counts. */
+  def statsAgg(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** ROLLUP hierarchy totals — subtotal/grand-total in one pass. */
+  def rollupAgg(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Time-bucketed aggregation: orders per month (epoch-aligned
+    * date_trunc matches DuckDB time_bucket). */
+  def monthlyOrders(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy(col("month"))
+
+  // ---- joins -------------------------------------------------------
+
+  /** Multi-way star join: revenue by region. Dimensions (customer→
+    * nation→region) are broadcast — no shuffle for them even at 100 TB
+    * of fact data; the lineitem⋈orders fact join shuffles on orderkey.
+    */
+  def joinRevenueByRegion(spark: SparkSession, sf: String): DataFrame = {
+    val li = Tables.load(spark, sf, "lineitem")
+    val o = Tables.load(spark, sf, "orders")
+    val c = Tables.load(spark, sf, "customer")
+    val n = Tables.load(spark, sf, "nation")
+    val r = Tables.load(spark, sf, "region")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("r_name"))
+  }
+
+  /** Left-semi join — the EXISTS probe pattern (sql.py:51-60). */
+  def semiJoin(spark: SparkSession, sf: String): DataFrame = {
+    val c = Tables.load(spark, sf, "customer")
+    val o = Tables.load(spark, sf, "orders")
+      .filter(col("o_totalprice") > 100000)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name")).orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti join — NOT EXISTS. */
+  def antiJoin(spark: SparkSession, sf: String): DataFrame = {
+    val c = Tables.load(spark, sf, "customer")
+    val o = Tables.load(spark, sf, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name")).orderBy(col("c_custkey"))
+  }
+
+  // ---- set operations ---------------------------------------------
+
+  /** UNION + filter + order — the 4-way dictionary-view union shape
+    * (sql.py:19-37). */
+  def unionOrder(spark: SparkSession, sf: String): DataFrame = {
+    val c = Tables.load(spark, sf, "customer")
+      .select(col("c_name").as("name"), lit("CUSTOMER").as("kind"))
+    val s = Tables.load(spark, sf, "supplier")
+      .select(col("s_name").as("name"), lit("SUPPLIER").as("kind"))
+    c.union(s).filter(col("name").isNotNull)
+      .orderBy(col("kind"), col("name"))
+  }
+
+  /** INTERSECT: nations present among both customers and suppliers. */
+  def intersectNations(spark: SparkSession, sf: String): DataFrame = {
+    val c = Tables.load(spark, sf, "customer").select(col("c_nationkey").as("nationkey"))
+    val s = Tables.load(spark, sf, "supplier").select(col("s_nationkey").as("nationkey"))
+    c.intersect(s).orderBy(col("nationkey"))
+  }
+
+  /** EXCEPT: nations with customers but no suppliers. */
+  def exceptNations(spark: SparkSession, sf: String): DataFrame = {
+    val c = Tables.load(spark, sf, "customer").select(col("c_nationkey").as("nationkey"))
+    val s = Tables.load(spark, sf, "supplier").select(col("s_nationkey").as("nationkey"))
+    c.except(s).orderBy(col("nationkey"))
+  }
+
+  // ---- sorts / limits ---------------------------------------------
+
+  /** Top-k with unique tie-break — `order by 1 desc fetch first 1 rows
+    * only` (sql.py:81-86) generalized. Spark's takeOrdered path makes
+    * this a per-partition top-k + driver merge: no full sort at scale.
+    */
+  def topK(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .limit(10)
+
+  // ---- window functions -------------------------------------------
+
+  /** Ranking window: each customer's 3 biggest orders. */
+  def windowRank(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.load(spark, sf, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** Percent-of-total window — the percent-done computation
+    * (status.py:265,238): bytes_processed/total_bytes per job ⇒ line
+    * revenue share per order. Exact decimal ratio, final double. */
+  def pctShare(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+    Tables.load(spark, sf, "lineitem")
+      .withColumn("order_total",
+        sum(dec(col("l_extendedprice"))).over(w))
+      // exact decimal numerator/denominator, one double division at the
+      // end — decimal-division scale rules differ across engines, double
+      // division does not
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (dec(col("l_extendedprice")).cast("double") /
+          col("order_total").cast("double")).as("price_share"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Running-sum window: cumulative quantity per supplier over time. */
+  def runningSum(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, sf, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(dec(col("l_quantity"))).over(w).cast("double").as("running_qty"))
+      .orderBy(col("l_suppkey"), col("running_qty"), col("l_orderkey"),
+        col("l_linenumber"))
+  }
+
+  /** Lag/lead window: per-customer gap in days between consecutive
+    * orders. */
+  def orderGaps(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.load(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"),
+          lag(col("o_orderdate"), 1).over(w)).cast("long").as("days_since_prev"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  // ---- generators / nested data -----------------------------------
+
+  /** Explode/unnest — worker_status_list decode (status.py:272,
+    * util.py:40-57): split document text and unnest words with
+    * position. */
+  def explodeWords(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"))
+      .orderBy(col("doc_id"), col("pos"))
+
+  /** Scalar-subquery/aggregate-probe: orders above the global average
+    * price. Average as exact decimal against every row. */
+  def aboveAvgOrders(spark: SparkSession, sf: String): DataFrame = {
+    val o = Tables.load(spark, sf, "orders")
+    val stats = o.agg(
+      (sum(dec(col("o_totalprice"))).cast("double") / count(lit(1)))
+        .as("avg_price"))
+    o.crossJoin(broadcast(stats))
+      .filter(dec(col("o_totalprice")).cast("double") > col("avg_price"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+}

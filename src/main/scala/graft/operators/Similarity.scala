@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast-able n×m pair
+  * scan; exact, O(n·m·d). Scale path: random-hyperplane LSH
+  * bucketing — signature is a narrow map, candidates share a bucket
+  * key, so the join is equality-partitioned instead of a cross
+  * product (this is what survives 100 TB; brute force is the oracle).
+  *
+  * Numeric determinism: floats are quantized onto an exact power-of-
+  * two integer grid and dot products/norms computed in exact long
+  * arithmetic; the single long→double conversion at the end is
+  * correctly rounded everywhere, so Spark and DuckDB agree bit-for-bit
+  * and ranks are stable.
+  */
+object Similarity {
+
+  private val Dim = 64
+
+  /** Quantization grid 2²⁶: multiplying a double by a power of two is
+    * exact (exponent shift), floor is exact, so `floor(x·2²⁶)` is
+    * bit-identical in every engine — unlike float→decimal casts, whose
+    * rounding paths differ between engines. Products are ≤ 2⁵⁴ and
+    * 64-element sums ≤ 2⁶⁰: everything stays in exact long arithmetic.
+    */
+  val Q: Double = 67108864.0 // 2^26
+
+  private def iq(x: Column): Column = floor(x.cast("double") * Q).cast("long")
+
+  /** Exact integer dot product of two quantized float-array columns. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => iq(x) * iq(y)), lit(0L), _ + _)
+
+  /** Exact integer squared L2 norm (quantized). */
+  def normSqQ(a: Column): Column = dotQ(a, a)
+
+  /** Per-vector quantized norms & dimension — the sanity projection.
+    * norm_sq is on the Q² grid (divide by 2⁵² for the real value). */
+  def norms(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        size(col("embedding")).cast("long").as("dim"),
+        normSqQ(col("embedding")).as("norm_sq"))
+      .orderBy(col("vec_id"))
+
+  /** Brute-force cosine top-k neighbors per vector (k=5, excluding
+    * self). The probe side is broadcast when small; at scale this is
+    * the per-query-batch scoring kernel LSH/IVF feed. */
+  def knnBruteForce(spark: SparkSession, sf: String, k: Int = 5): DataFrame = {
+    val e = Tables.load(spark, sf, "embeddings")
+    val a = e.select(col("vec_id").as("query_id"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"))
+    val pairs = a.crossJoin(b).filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", dotQ(col("ea"), col("eb")))
+      .withColumn("na", normSqQ(col("ea")))
+      .withColumn("nb", normSqQ(col("eb")))
+      .withColumn("cosine",
+        col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rk"),
+        col("cosine"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  // ---- random-hyperplane LSH ---------------------------------------
+
+  /** Number of hyperplane sign bits per bucket key. */
+  val SignBits = 12
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1):
+    * hash-derived, no RNG state, identical on every executor. */
+  private def planeComponent(plane: Int, i: Int): Double = {
+    val h = scala.util.hashing.byteswap64(plane.toLong * 1315423911L + i * 2654435761L)
+    (h & 0xFFFFFFFFL).toDouble / 2147483648.0 - 1.0
+  }
+
+  private def planeLit(plane: Int): Column =
+    array((0 until Dim).map(i => lit(planeComponent(plane, i))): _*)
+
+  /** Sign-bit bucket key: 12 hyperplane dot-product signs packed into
+    * a long. Vectors in the same bucket are cosine-close with high
+    * probability; the candidate join is a plain equality shuffle. */
+  def lshBucket(emb: Column): Column =
+    (0 until SignBits).map { p =>
+      val dot = aggregate(
+        zip_with(emb, planeLit(p), (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x)
+      shiftleft(when(dot >= 0, 1L).otherwise(0L), p)
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** LSH-bucketed ANN: exact cosine, but only within buckets —
+    * the recall/cost dial is SignBits. Returns each vector's best
+    * in-bucket neighbors (k=3). */
+  def annLsh(spark: SparkSession, sf: String, k: Int = 3): DataFrame = {
+    val e = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        lshBucket(col("embedding")).as("bucket"))
+    val a = e.select(col("vec_id").as("query_id"), col("embedding").as("ea"),
+      col("bucket"))
+    val b = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"),
+      col("bucket"))
+    val pairs = a.join(b, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        dotQ(col("ea"), col("eb")).cast("double") /
+          (sqrt(normSqQ(col("ea")).cast("double")) *
+            sqrt(normSqQ(col("eb")).cast("double"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rk"), col("cosine"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (cosine ≥ threshold) via
+    * LSH buckets — the embedding-space analog of MinHash dedup. */
+  def cosineNearDup(spark: SparkSession, sf: String, threshold: Double = 0.95): DataFrame = {
+    val e = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        lshBucket(col("embedding")).as("bucket"))
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine",
+        dotQ(col("a.embedding"), col("b.embedding")).cast("double") /
+          (sqrt(normSqQ(col("a.embedding")).cast("double")) *
+            sqrt(normSqQ(col("b.embedding")).cast("double"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+}

