@@ -60,6 +60,12 @@ def main():
             failures.append((name, f"columns differ: spark={list(g.columns)} "
                                    f"oracle={list(w.columns)}"))
             continue
+        gd = {c: str(t) for c, t in zip(g.columns, g.dtypes)}
+        wd = {c: str(t) for c, t in zip(w.columns, w.dtypes)}
+        if gd != wd:
+            mism = {c: (gd[c], wd[c]) for c in gd if gd[c] != wd[c]}
+            failures.append((name, f"dtypes differ (spark, oracle): {mism}"))
+            continue
         if len(g) != len(w):
             failures.append((name, f"row count: spark={len(g)} oracle={len(w)}"))
             continue

@@ -85,28 +85,34 @@ object Dedup {
   val Bands = 16
   val RowsPerBand: Int = NumHashes / Bands
 
-  /** Mersenne-ish prime > 2^32 for the universal-hash family. */
+  /** Prime > 2^32 for the universal-hash family. */
   private val P = 4294967311L
-  /** Deterministic coefficient families (odd multipliers, fixed seed —
-    * Date/Random-free so replans are stable). */
+  /** Deterministic coefficient families (fixed seed — RNG-free so
+    * replans are stable). aᵢ < 2³¹ keeps aᵢ·h + bᵢ < 2⁶² — no ANSI
+    * long-overflow at runtime. */
   private val As: Seq[Long] =
-    (1 to NumHashes).map(i => 2L * scala.util.hashing.byteswap32(i * 2654435761L.toInt).toLong.abs % (P - 2) + 1)
+    (1 to NumHashes).map(i =>
+      scala.util.hashing.byteswap32(i * 2654435761L.toInt).toLong.abs % (1L << 31) + 1)
   private val Bs: Seq[Long] =
-    (1 to NumHashes).map(i => scala.util.hashing.byteswap32((i + 977) * 40503).toLong.abs % P)
+    (1 to NumHashes).map(i =>
+      scala.util.hashing.byteswap32((i + 977) * 40503).toLong.abs % P)
+  private val AbPairs: Seq[(Long, Long)] = As.zip(Bs)
 
   /** Per-doc MinHash signature: shingle → 31-bit base hash →
-    * (aᵢ·h+bᵢ) mod P per component, min over shingles. Pure column
-    * HOFs — one codegen'd projection, no shuffle, no UDF. */
+    * (aᵢ·h+bᵢ) mod P per component, min over shingles. ONE pass over
+    * the shingle hashes with a 64-slot accumulator (single codegen'd
+    * aggregate) — no shuffle, no UDF. */
   def minhashSignature(docs: DataFrame): DataFrame = {
     val base = transform(col("sh"), s => pmod(xxhash64(s), lit(1L << 31)))
-    // Fold the constant hash families into one signature column:
-    val comps: Seq[Column] = (0 until NumHashes).map { i =>
-      array_min(transform(col("hashes"),
-        h => pmod(h * lit(As(i)) + lit(Bs(i)), lit(P))))
-    }
+    val sig = aggregate(
+      col("hashes"),
+      array_repeat(lit(Long.MaxValue), NumHashes),
+      (acc, h) => zip_with(acc, typedLit(AbPairs),
+        (a, ab) => least(a,
+          pmod(h * ab.getField("_1") + ab.getField("_2"), lit(P)))))
     docs
       .withColumn("hashes", base)
-      .withColumn("minhash", array(comps: _*))
+      .withColumn("minhash", sig)
       .drop("hashes")
   }
 
@@ -154,17 +160,23 @@ object Dedup {
   // ---- SimHash ------------------------------------------------------
 
   /** 64-bit SimHash per doc: per-bit weighted vote over token hashes,
-    * assembled into a long. Banding on 16-bit chunks finds candidates;
+    * assembled into a long. One pass over the token hashes with a
+    * 64-slot vote-array accumulator (a single codegen'd aggregate, not
+    * 64 separate scans). Banding on 16-bit chunks finds candidates;
     * hamming distance ≤ 3 confirms. */
+  private val BitMasks: Seq[Long] = (0 until 64).map(i => 1L << i)
+
   def simhash(tokens: Column): Column = {
     val hashes = transform(tokens, t => xxhash64(t))
-    val bits: Seq[Column] = (0 until 64).map { i =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(votes > 0, lit(1L)).otherwise(lit(0L))
-    }
-    bits.zipWithIndex.map { case (b, i) => shiftleft(b, i) }
-      .reduce(_.bitwiseOR(_))
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, typedLit(BitMasks),
+        (a, m) => a + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(votes, typedLit(BitMasks),
+        (v, m) => when(v > 0, m).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
   def simhashPairs(spark: SparkSession, sf: String, maxHamming: Int = 3): DataFrame = {

@@ -32,7 +32,7 @@ object Multimodal {
   def binaryMeta(spark: SparkSession, sf: String): DataFrame =
     binarized(spark, sf)
       .select(col("doc_id"),
-        octet_length(col("payload")).as("n_bytes"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
         md5(col("payload")).as("digest"),
         substring(col("payload"), 1, 4).cast("string").as("magic"))
       .orderBy(col("doc_id"))
@@ -88,5 +88,7 @@ object Multimodal {
                 floor((octet_length(col("payload")) - 1) / stride).cast("int"))),
             i => md5(col("payload").substr(i * stride + 1, lit(stride)))))
         .as(Seq("frame_idx", "frame_digest")))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("frame_digest"))
       .orderBy(col("doc_id"), col("frame_idx"))
 }

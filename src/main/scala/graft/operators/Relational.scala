@@ -43,8 +43,8 @@ object Relational {
   def filterIn(spark: SparkSession, sf: String): DataFrame =
     Tables.load(spark, sf, "lineitem")
       .filter(col("l_returnflag").isin("A", "N") && col("l_quantity") > 30)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-        col("l_quantity"))
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_returnflag"), col("l_quantity"))
 
   // ---- aggregations ------------------------------------------------
 
@@ -191,7 +191,7 @@ object Relational {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables.load(spark, sf, "orders")
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
       .orderBy(col("o_custkey"), col("rk"))
@@ -208,7 +208,7 @@ object Relational {
       // exact decimal numerator/denominator, one double division at the
       // end — decimal-division scale rules differ across engines, double
       // division does not
-      .select(col("l_orderkey"), col("l_linenumber"),
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
         (dec(col("l_extendedprice")).cast("double") /
           col("order_total").cast("double")).as("price_share"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
@@ -220,7 +220,8 @@ object Relational {
       .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.load(spark, sf, "lineitem")
-      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+      .select(col("l_suppkey"), col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
         sum(dec(col("l_quantity"))).over(w).cast("double").as("running_qty"))
       .orderBy(col("l_suppkey"), col("running_qty"), col("l_orderkey"),
         col("l_linenumber"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.ArrayOps.dot_long
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -54,20 +55,30 @@ object Similarity {
   /** Brute-force cosine top-k neighbors per vector (k=5, excluding
     * self). The probe side is broadcast when small; at scale this is
     * the per-query-batch scoring kernel LSH/IVF feed. */
+  /** Quantized int vector + inverse norm, computed ONCE per vector —
+    * the n·m pair scan then does a single integer dot per pair
+    * (3× fewer array passes than naively recomputing norms per pair,
+    * and quantization happens n times, not n·m). */
+  private def quantized(e: DataFrame, idCol: String): DataFrame =
+    e.select(col("vec_id").as(idCol),
+      transform(col("embedding"), x => iq(x)).as(s"iv_$idCol"))
+      .withColumn(s"norm_$idCol",
+        sqrt(dot_long(col(s"iv_$idCol"), col(s"iv_$idCol")).cast("double")))
+
   def knnBruteForce(spark: SparkSession, sf: String, k: Int = 5): DataFrame = {
     val e = Tables.load(spark, sf, "embeddings")
-    val a = e.select(col("vec_id").as("query_id"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"))
-    val pairs = a.crossJoin(b).filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("dot", dotQ(col("ea"), col("eb")))
-      .withColumn("na", normSqQ(col("ea")))
-      .withColumn("nb", normSqQ(col("eb")))
+    val a = quantized(e, "query_id")
+    val b = quantized(e, "neighbor_id")
+    // broadcast the probe side: every partition of `a` scores against
+    // an in-memory copy of `b` — no shuffle of the big side at scale
+    val pairs = a.crossJoin(broadcast(b))
+      .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
-        col("dot").cast("double") /
-          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+        dot_long(col("iv_query_id"), col("iv_neighbor_id")).cast("double") /
+          (col("norm_query_id") * col("norm_neighbor_id")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    pairs.withColumn("rk", row_number().over(w))
+    pairs.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rk"),
         col("cosine"))
@@ -105,21 +116,18 @@ object Similarity {
     * in-bucket neighbors (k=3). */
   def annLsh(spark: SparkSession, sf: String, k: Int = 3): DataFrame = {
     val e = Tables.load(spark, sf, "embeddings")
-      .select(col("vec_id"), col("embedding"),
-        lshBucket(col("embedding")).as("bucket"))
-    val a = e.select(col("vec_id").as("query_id"), col("embedding").as("ea"),
-      col("bucket"))
-    val b = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"),
-      col("bucket"))
-    val pairs = a.join(b, Seq("bucket"))
+    def side(idCol: String): DataFrame =
+      quantized(e, idCol).join(
+        e.select(col("vec_id").as(idCol),
+          lshBucket(col("embedding")).as("bucket")), idCol)
+    val pairs = side("query_id").join(side("neighbor_id"), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
-        dotQ(col("ea"), col("eb")).cast("double") /
-          (sqrt(normSqQ(col("ea")).cast("double")) *
-            sqrt(normSqQ(col("eb")).cast("double"))))
+        dot_long(col("iv_query_id"), col("iv_neighbor_id")).cast("double") /
+          (col("norm_query_id") * col("norm_neighbor_id")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    pairs.withColumn("rk", row_number().over(w))
+    pairs.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rk"), col("cosine"))
       .orderBy(col("query_id"), col("rk"))
@@ -129,18 +137,17 @@ object Similarity {
     * LSH buckets — the embedding-space analog of MinHash dedup. */
   def cosineNearDup(spark: SparkSession, sf: String, threshold: Double = 0.95): DataFrame = {
     val e = Tables.load(spark, sf, "embeddings")
-      .select(col("vec_id"), col("embedding"),
-        lshBucket(col("embedding")).as("bucket"))
-    e.as("a").join(e.as("b"),
-        col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
+    def side(idCol: String): DataFrame =
+      quantized(e, idCol).join(
+        e.select(col("vec_id").as(idCol),
+          lshBucket(col("embedding")).as("bucket")), idCol)
+    side("vec_a").join(side("vec_b"), Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
       .withColumn("cosine",
-        dotQ(col("a.embedding"), col("b.embedding")).cast("double") /
-          (sqrt(normSqQ(col("a.embedding")).cast("double")) *
-            sqrt(normSqQ(col("b.embedding")).cast("double"))))
+        dot_long(col("iv_vec_a"), col("iv_vec_b")).cast("double") /
+          (col("norm_vec_a") * col("norm_vec_b")))
       .filter(col("cosine") >= threshold)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("cosine"))
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 }

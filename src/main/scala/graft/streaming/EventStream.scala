@@ -1,0 +1,95 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import java.sql.Timestamp
+
+/** Structured Streaming surface over the `events` table.
+  *
+  * The reference's asynchrony is job-level polling (job.py:317-320);
+  * the engine's native stream path uses readStream → watermarked
+  * windowed aggregation → sink, plus mapGroupsWithState for the
+  * session semantics the batch `Events.sessionize` mirrors.
+  *
+  * At scale: state is partitioned by user_id (the group key), the
+  * watermark bounds state size, and the windowed agg is an
+  * incremental partial aggregation — the same shapes hold on a
+  * 1000-executor cluster with a Kafka source swapped in for parquet.
+  */
+object EventStream {
+
+  /** Streaming view of the events table. Parquet nanos are read as
+    * longs (Spark 4 has no nanosecond TimestampType) and converted to
+    * microsecond timestamps. */
+  def readEvents(spark: SparkSession, sf: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(Tables.path(sf, "events")).schema
+    // FileStreamSource needs a directory: stream the sf dir filtered
+    // to the events file (a real deployment points at a landing dir)
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(if (sf.endsWith("/")) sf.dropRight(1) else sf)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windowed counts with a 2-hour watermark —
+    * the streaming twin of Events.hourlyStats. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Run a streaming query into an in-memory sink until all available
+    * input is processed (batch-driven smoke for local verification). */
+  def runToMemory(df: DataFrame, name: String): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(name)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  // ---- stateful sessionization (mapGroupsWithState) ----------------
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(sessionId: Long, lastTs: Long, count: Long)
+  case class SessionUpdate(user_id: Long, session_id: Long, n_events: Long)
+
+  val GapMicros: Long = 30L * 60 * 1000000
+
+  /** Per-user session assignment with explicit state — the streaming
+    * form of the 30-minute-gap rule. Events within a micro-batch are
+    * sorted per user; state carries (session counter, last ts) across
+    * batches. */
+  def sessionizeStateful(events: Dataset[Ev])(
+      implicit spark: SparkSession): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionUpdate](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+          var emitted = 0L
+          sorted.foreach { e =>
+            val tsMicros = e.ts.getTime * 1000
+            st =
+              if (st.lastTs == Long.MinValue || tsMicros - st.lastTs > GapMicros)
+                SessionState(st.sessionId + 1, tsMicros, 1)
+              else st.copy(lastTs = tsMicros, count = st.count + 1)
+            emitted = st.count
+          }
+          state.update(st)
+          SessionUpdate(userId, st.sessionId, emitted)
+      }
+  }
+}

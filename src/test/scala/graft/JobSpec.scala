@@ -1,0 +1,130 @@
+package graft
+
+import graft.directives._
+import graft.job.DataPumpJob
+import graft.model.{JobMode, JobState, Operation}
+import graft.status.{JobRegistry, LogParser}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+class JobSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sf = SparkTestBase.sf
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  test("export writes a parallel dump set + metadata sidecar") {
+    val out = tmp("jobspec-exp")
+    val info = DataPumpJob(Operation.Export, JobMode.Table,
+      sourceDir = sf, targetDir = out,
+      directives = Seq(IncludeTable(Seq("nation", "region")), Parallel(3)))
+      .run(spark)
+    assert(info.state == JobState.Completed)
+    assert(info.objects.map(_.objectName).toSet == Set("nation", "region"))
+    assert(info.totalRows == 25 + 5)
+    // %U layout: PARALLEL=3 ⇒ 3 part files per table
+    val parts = new java.io.File(s"$out/main/nation").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(parts == 3)
+    assert(new java.io.File(s"$out/_metadata.json").exists())
+    assert(info.jobName.startsWith("EXP-MAIN-"))
+  }
+
+  test("import applies REMAP_SCHEMA and DELETE_FILES post-action") {
+    val dump = tmp("jobspec-dump"); val tgt = tmp("jobspec-tgt")
+    DataPumpJob(Operation.Export, JobMode.Table, sf, dump,
+      directives = Seq(IncludeTable(Seq("region")))).run(spark)
+    val imp = DataPumpJob(Operation.Import, JobMode.Full, dump, tgt,
+      directives = Seq(RemapSchema("main", "warehouse"), DeleteFiles()))
+      .run(spark)
+    assert(imp.state == JobState.Completed)
+    assert(spark.read.parquet(s"$tgt/warehouse/region").count() == 5)
+    // DELETE_FILES removed the consumed dump set
+    assert(!new java.io.File(s"$dump/main/region").exists())
+  }
+
+  test("TRUNCATE validates schema equality before overwrite") {
+    val out = tmp("jobspec-trunc")
+    val j1 = DataPumpJob(Operation.Export, JobMode.Table, sf, out,
+      directives = Seq(IncludeTable(Seq("region")), TableExistsAction("TRUNCATE")))
+    assert(j1.run(spark).state == JobState.Completed)
+    // same schema: truncate-overwrite succeeds
+    assert(j1.run(spark).state == JobState.Completed)
+    assert(spark.read.parquet(s"$out/main/region").count() == 5)
+  }
+
+  test("failed object yields COMPLETED_WITH_ERRORS, not total failure") {
+    val out = tmp("jobspec-err")
+    val info = DataPumpJob(Operation.Export, JobMode.Table, sf, out,
+      directives = Seq(IncludeTable(Seq("region", "nation")),
+        TableExistsAction("TRUNCATE"))).run(spark)
+    assert(info.state == JobState.Completed)
+    // poison the nation target with a different schema, then re-run:
+    spark.read.parquet(s"$out/main/region")
+      .write.mode("overwrite").parquet(s"$out/main/nation")
+    val second = DataPumpJob(Operation.Export, JobMode.Table, sf, out,
+      directives = Seq(IncludeTable(Seq("region", "nation")),
+        TableExistsAction("TRUNCATE"))).run(spark)
+    assert(second.state == JobState.CompletedWithErrors)
+    assert(second.objects.count(_.state == "FAILED") == 1)
+    assert(second.errors.head.contains("TRUNCATE"))
+  }
+
+  test("ESTIMATE_ONLY moves nothing but reports stats") {
+    val out = tmp("jobspec-est")
+    val info = DataPumpJob(Operation.Export, JobMode.Table, sf, out,
+      directives = Seq(IncludeTable(Seq("lineitem")), EstimateOnly(true)))
+      .run(spark)
+    assert(info.state == JobState.Completed)
+    assert(info.objects.head.state == "ESTIMATED")
+    assert(info.objects.head.bytes > 0)
+    assert(!new java.io.File(s"$out/main/lineitem").exists())
+  }
+
+  test("SQL_FILE emits CREATE TABLE DDL instead of data") {
+    val out = tmp("jobspec-sql")
+    val info = DataPumpJob(Operation.SqlFile, JobMode.Table, sf, out,
+      directives = Seq(IncludeTable(Seq("nation")))).run(spark)
+    assert(info.state == JobState.Completed)
+    val ddl = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/main/nation.sql")), "UTF-8")
+    assert(ddl.startsWith("CREATE TABLE main.nation"))
+    assert(ddl.contains("n_nationkey"))
+  }
+
+  test("attach recovers a finished job from registry and sidecar") {
+    val out = tmp("jobspec-attach")
+    val info = DataPumpJob(Operation.Export, JobMode.Table, sf, out,
+      directives = Seq(IncludeTable(Seq("region")))).run(spark)
+    assert(DataPumpJob.attach(spark, info.jobName).exists(
+      _.state == JobState.Completed))
+    // simulate a fresh process: registry cleared, sidecar survives
+    JobRegistry.clear()
+    assert(DataPumpJob.attach(spark, info.jobName, Some(out)).exists(
+      _.state == JobState.Completed))
+    assert(DataPumpJob.attach(spark, "NO-SUCH-JOB", Some(out)).isEmpty)
+  }
+
+  test("async run + pollForCompletion reaches a terminal state") {
+    val out = tmp("jobspec-async")
+    val pending = DataPumpJob(Operation.Export, JobMode.Table, sf, out,
+      directives = Seq(IncludeTable(Seq("region")))).run(spark, wait = false)
+    val state = DataPumpJob.pollForCompletion(pending.jobName,
+      pollIntervalMs = 100, timeoutMs = 60000)
+    assert(state == JobState.Completed)
+  }
+
+  test("log parser extracts ORA codes and final state (status.py:458-521)") {
+    val lines = Seq(
+      "Processing object type TABLE_DATA",
+      "ORA-31693: Table data object failed to load",
+      "ORA-00001: unique constraint violated",
+      """Job "HR"."EXP-1" successfully completed at 10:00""")
+    assert(LogParser.errorCodes(lines) == Seq("ORA-31693", "ORA-00001"))
+    assert(LogParser.finalState(lines) == JobState.Completed)
+    assert(LogParser.finalState(Seq(
+      """Job "HR"."IMP-1" completed with 2 error(s) at 11:00""")) ==
+      JobState.CompletedWithErrors)
+  }
+}

@@ -1,0 +1,146 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant checks per operator family. (Value-exactness against
+  * DuckDB is covered by Verify + the driver's oracle; these cover the
+  * semantic shape of each result.)
+  */
+class OperatorSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sf = SparkTestBase.sf
+
+  test("every SparkEntry query runs and every oracle key has a query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
+      s"orphan oracle keys: ${SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet}")
+  }
+
+  test("entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("agg_pricing groups are complete and counts add up") {
+    val df = Relational.aggPricing(spark, sf).collect()
+    assert(df.map(_.getLong(df.head.fieldIndex("count_order"))).sum == 6000)
+  }
+
+  test("topk is ordered desc and unique") {
+    val rows = Relational.topK(spark, sf).collect()
+    assert(rows.length == 10)
+    val prices = rows.map(_.getDouble(2))
+    assert(prices.sameElements(prices.sortBy(-(_: Double))))
+    assert(rows.map(_.getLong(0)).distinct.length == 10)
+  }
+
+  test("semi/anti joins partition the customer set") {
+    val all = Tables.load(spark, sf, "customer").count()
+    val withBig = Relational.semiJoin(spark, sf).count()
+    val without = Relational.antiJoin(spark, sf).count()
+    assert(withBig <= all && without <= all)
+    // anti(no orders at all) + customers-with-orders == all
+    val withAny = Tables.load(spark, sf, "customer")
+      .join(Tables.load(spark, sf, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_semi").count()
+    assert(withAny + without == all)
+  }
+
+  test("pct shares sum to 1 per order") {
+    val sums = Relational.pctShare(spark, sf)
+      .groupBy(col("l_orderkey")).agg(sum(col("price_share")).as("s"))
+      .collect()
+    sums.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9,
+      s"order ${r.get(0)} sums to ${r.getDouble(1)}"))
+  }
+
+  test("dedup exact: canonical id is minimal and groups cover all docs") {
+    val rows = Dedup.exact(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (doc, canon) = (r.getLong(0), r.getLong(1))
+      assert(canon <= doc)
+      assert(r.getBoolean(3) == (doc != canon))
+    }
+  }
+
+  test("ngram jaccard pairs are valid and within [0.5, 1]") {
+    Dedup.ngramJaccard(spark, sf).collect().foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val j = r.getDouble(2)
+      assert(j >= 0.5 && j <= 1.0)
+    }
+  }
+
+  test("minhash-LSH candidates approximate true jaccard pairs") {
+    val estPairs = Dedup.minhashLsh(spark, sf, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truePairs = Dedup.ngramJaccard(spark, sf, threshold = 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // high-similarity true pairs should be recalled by LSH
+    val recalled = truePairs.intersect(estPairs)
+    assert(truePairs.isEmpty || recalled.size.toDouble / truePairs.size >= 0.8,
+      s"LSH recall too low: ${recalled.size}/${truePairs.size}")
+  }
+
+  test("simhash pairs have hamming <= 3") {
+    Dedup.simhashPairs(spark, sf).collect().foreach { r =>
+      assert(r.getInt(2) <= 3 || r.getLong(2) <= 3)
+    }
+  }
+
+  test("knn: k neighbors per query, no self, ranks contiguous") {
+    val rows = Similarity.knnBruteForce(spark, sf, k = 5).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.length == 5)
+      assert(rs.forall(_.getLong(1) != q))
+      assert(rs.map(_.getLong(2)).sorted.sameElements(1L to 5L))
+      val cos = rs.sortBy(_.getLong(2)).map(_.getDouble(3))
+      assert(cos.sameElements(cos.sortBy(-(_: Double))))
+      cos.foreach(c => assert(c >= -1.0001 && c <= 1.0001))
+    }
+  }
+
+  test("ann-lsh neighbors are a subset of plausible cosine range") {
+    val rows = Similarity.annLsh(spark, sf, k = 3).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) != r.getLong(1))
+      assert(r.getDouble(3) >= -1.0001 && r.getDouble(3) <= 1.0001)
+    }
+  }
+
+  test("langid predictions come from the closed label set") {
+    val preds = Text.langId(spark, sf).select(col("lang_pred"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(Set("en", "es", "de", "unknown")))
+  }
+
+  test("quality score components are in range") {
+    Text.quality(spark, sf).collect().foreach { r =>
+      assert(r.getDouble(r.fieldIndex("distinct_ratio")) > 0)
+      assert(r.getDouble(r.fieldIndex("distinct_ratio")) <= 1.0)
+      assert(r.getDouble(r.fieldIndex("stopword_ratio")) >= 0)
+      assert(r.getDouble(r.fieldIndex("stopword_ratio")) <= 1.0)
+    }
+  }
+
+  test("multimodal decode produces fixed-shape feature vectors") {
+    val rows = Multimodal.decodeFeatures(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val feats = r.getSeq[Double](r.fieldIndex("features"))
+      assert(feats.length == 16)
+      assert(math.abs(feats.sum - 1.0) < 1e-9) // normalized histogram
+    }
+  }
+
+  test("sessionize: batch session ids are contiguous per user") {
+    val rows = Events.sessionize(spark, sf).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ids = rs.map(_.getLong(1)).sorted
+      assert(ids.head == 1 && ids.last == ids.length)
+    }
+  }
+}
