@@ -73,4 +73,180 @@ object ArrayOps {
   /** Column wrapper: exact integer dot product. */
   def dot_long(a: Column, b: Column): Column =
     Bridge.column(DotLong(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column wrapper: k-component MinHash signature. */
+  def minhash_sig(hashes: Column, as: Seq[Long], bs: Seq[Long], p: Long): Column =
+    Bridge.column(MinHashSig(Bridge.expression(hashes),
+      as.toArray, bs.toArray, p))
+
+  /** Column wrapper: 64-bit SimHash. */
+  def simhash_sig(hashes: Column): Column =
+    Bridge.column(SimHashSig(Bridge.expression(hashes)))
+
+  /** Column wrapper: distinct k-word shingles of a word array. */
+  def shingles(ws: Column, k: Int): Column =
+    Bridge.column(Shingles(Bridge.expression(ws), k))
+}
+
+/** MinHash signature of an array of non-negative base hashes:
+  * `out[i] = min over h of (as(i)*h + bs(i)) mod p`. One primitive
+  * double loop in codegen instead of k interpreted lambda passes.
+  * Inputs must satisfy as(i) < 2³¹ and h < 2³¹ so products stay in
+  * long range.
+  */
+case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long],
+    p: Long) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckSuccess
+      case other => TypeCheckFailure(
+        s"minhash_sig requires array<bigint>, got ${other.simpleString}")
+    }
+  }
+
+  private def compute(hs: ArrayData): Array[Long] = {
+    val k = as.length
+    val out = Array.fill(k)(Long.MaxValue)
+    val n = hs.numElements()
+    var j = 0
+    while (j < n) {
+      val h = hs.getLong(j)
+      var i = 0
+      while (i < k) {
+        val v = (as(i) * h + bs(i)) % p
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("minhashSelf", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, hs => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $self.computePublic($hs));
+       """.stripMargin
+    })
+  }
+
+  /** Codegen entry point (doGenCode calls back into the JVM loop —
+    * the loop itself is primitive and JIT-friendly either way). */
+  def computePublic(hs: ArrayData): Array[Long] = compute(hs)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash from an array of token hashes: per-bit ±1 votes,
+  * positive-vote bits set. Single primitive loop.
+  */
+case class SimHashSig(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_sig"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckSuccess
+      case other => TypeCheckFailure(
+        s"simhash_sig requires array<bigint>, got ${other.simpleString}")
+    }
+  }
+
+  def computePublic(hs: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = hs.numElements()
+    var j = 0
+    while (j < n) {
+      val h = hs.getLong(j)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computePublic(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("simhashSelf", this, classOf[SimHashSig].getName)
+    nullSafeCodeGen(ctx, ev, hs => s"${ev.value} = $self.computePublic($hs);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+}
+
+/** Distinct k-word shingles of a word array: one primitive loop with a
+  * hash set, replacing array_distinct(transform(sequence, slice,
+  * concat_ws)) whose interpreted lambda re-evaluates per element (and
+  * gets duplicated into optimizer-inferred generate filters).
+  * First-occurrence order; set semantics downstream.
+  */
+case class Shingles(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "shingles"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckSuccess
+      case other => TypeCheckFailure(
+        s"shingles requires array<string>, got ${other.simpleString}")
+    }
+  }
+
+  def computePublic(ws: ArrayData): ArrayData = {
+    val n = ws.numElements()
+    val out = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    var i = 0
+    while (i + k <= n) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = ws.getUTF8String(i + j); j += 1 }
+      out.add(org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computePublic(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("shinglesSelf", this, classOf[Shingles].getName)
+    nullSafeCodeGen(ctx, ev, ws => s"${ev.value} = $self.computePublic($ws);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles =
+    copy(child = newChild)
 }

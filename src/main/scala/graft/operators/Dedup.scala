@@ -20,18 +20,22 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
 object Dedup {
 
   /** 3-word shingles of the normalized text, distinct per doc. */
-  /** Docs shorter than k words are excluded by callers (Spark's
-    * sequence() auto-reverses on negative ranges, DuckDB's
-    * generate_series returns empty — guard instead of diverge). */
-  private def shingles(text: Column, k: Int = 3): Column = {
-    val ws = split(Text.normalized(text), " ")
-    array_distinct(
-      transform(sequence(lit(0), size(ws) - k),
-        i => concat_ws(" ", slice(ws, i + 1, lit(k)))))
-  }
-
-  private def wordCount(text: Column): Column =
-    size(split(Text.normalized(text), " "))
+  /** doc_id + distinct 3-word shingle array. The word array is
+    * materialized in its own projection first: HOF lambdas evaluate
+    * interpreted with NO common-subexpression elimination, so an
+    * inline `split(regexp_replace(...))` would re-run per shingle.
+    * (CollapseProject keeps the split separate because it is non-cheap
+    * and multiply-referenced.)
+    *
+    * Docs shorter than k words are excluded (Spark's sequence()
+    * auto-reverses on negative ranges, DuckDB's generate_series
+    * returns empty — guard instead of diverge). */
+  private def shingled(docs: DataFrame, k: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), split(Text.normalized(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"),
+        graft.functions.ArrayOps.shingles(col("ws"), k).as("sh"))
 
   /** Exact dedup via content hash: every doc mapped to the canonical
     * (minimum) doc_id sharing its fingerprint. Single hash-groupBy on
@@ -54,9 +58,7 @@ object Dedup {
     * on ultra-common shingles is the known hazard; the LSH variant
     * below is the scale answer. */
   def ngramJaccard(spark: SparkSession, sf: String, threshold: Double = 0.5): DataFrame = {
-    val docs = Tables.load(spark, sf, "documents")
-      .filter(wordCount(col("text")) >= 3)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val docs = shingled(Tables.load(spark, sf, "documents"))
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
     val exploded = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val pairs = exploded.as("a")
@@ -102,19 +104,13 @@ object Dedup {
     * (aᵢ·h+bᵢ) mod P per component, min over shingles. ONE pass over
     * the shingle hashes with a 64-slot accumulator (single codegen'd
     * aggregate) — no shuffle, no UDF. */
-  def minhashSignature(docs: DataFrame): DataFrame = {
-    val base = transform(col("sh"), s => pmod(xxhash64(s), lit(1L << 31)))
-    val sig = aggregate(
-      col("hashes"),
-      array_repeat(lit(Long.MaxValue), NumHashes),
-      (acc, h) => zip_with(acc, typedLit(AbPairs),
-        (a, ab) => least(a,
-          pmod(h * ab.getField("_1") + ab.getField("_2"), lit(P)))))
+  def minhashSignature(docs: DataFrame): DataFrame =
     docs
-      .withColumn("hashes", base)
-      .withColumn("minhash", sig)
+      .withColumn("hashes",
+        transform(col("sh"), s => pmod(xxhash64(s), lit(1L << 31))))
+      .withColumn("minhash",
+        graft.functions.ArrayOps.minhash_sig(col("hashes"), As, Bs, P))
       .drop("hashes")
-  }
 
   /** MinHash-LSH near-dup candidate pairs with signature-estimated
     * Jaccard (fraction of agreeing components) ≥ threshold.
@@ -122,9 +118,7 @@ object Dedup {
     * (band, key) → per-bucket pairs → distinct → estimate.
     */
   def minhashLsh(spark: SparkSession, sf: String, threshold: Double = 0.5): DataFrame = {
-    val docs = Tables.load(spark, sf, "documents")
-      .filter(wordCount(col("text")) >= 3)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val docs = shingled(Tables.load(spark, sf, "documents"))
     val signed = minhashSignature(docs).select(col("doc_id"), col("minhash"))
 
     val banded = signed.select(
@@ -164,20 +158,8 @@ object Dedup {
     * 64-slot vote-array accumulator (a single codegen'd aggregate, not
     * 64 separate scans). Banding on 16-bit chunks finds candidates;
     * hamming distance ≤ 3 confirms. */
-  private val BitMasks: Seq[Long] = (0 until 64).map(i => 1L << i)
-
-  def simhash(tokens: Column): Column = {
-    val hashes = transform(tokens, t => xxhash64(t))
-    val votes = aggregate(
-      hashes,
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc, typedLit(BitMasks),
-        (a, m) => a + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(votes, typedLit(BitMasks),
-        (v, m) => when(v > 0, m).otherwise(0L)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  def simhash(tokens: Column): Column =
+    graft.functions.ArrayOps.simhash_sig(transform(tokens, t => xxhash64(t)))
 
   def simhashPairs(spark: SparkSession, sf: String, maxHamming: Int = 3): DataFrame = {
     val docs = Tables.load(spark, sf, "documents")

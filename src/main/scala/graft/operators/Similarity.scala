@@ -97,18 +97,19 @@ object Similarity {
     (h & 0xFFFFFFFFL).toDouble / 2147483648.0 - 1.0
   }
 
-  private def planeLit(plane: Int): Column =
-    array((0 until Dim).map(i => lit(planeComponent(plane, i))): _*)
+  /** Hyperplanes quantized onto the 2²⁰ grid: the sign of
+    * Σ iv[i]·planeQ[i] (exact longs, ≤ 2⁵³) decides each bucket bit —
+    * 12 codegen'd dot_long calls per vector, no interpreted lambdas. */
+  private def planeQ(plane: Int): Seq[Long] =
+    (0 until Dim).map(i => math.floor(planeComponent(plane, i) * 1048576.0).toLong)
 
   /** Sign-bit bucket key: 12 hyperplane dot-product signs packed into
     * a long. Vectors in the same bucket are cosine-close with high
     * probability; the candidate join is a plain equality shuffle. */
-  def lshBucket(emb: Column): Column =
+  def lshBucket(iv: Column): Column =
     (0 until SignBits).map { p =>
-      val dot = aggregate(
-        zip_with(emb, planeLit(p), (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, x) => acc + x)
-      shiftleft(when(dot >= 0, 1L).otherwise(0L), p)
+      shiftleft(when(dot_long(iv, typedLit(planeQ(p))) >= 0, 1L)
+        .otherwise(0L), p)
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /** LSH-bucketed ANN: exact cosine, but only within buckets —
@@ -117,9 +118,8 @@ object Similarity {
   def annLsh(spark: SparkSession, sf: String, k: Int = 3): DataFrame = {
     val e = Tables.load(spark, sf, "embeddings")
     def side(idCol: String): DataFrame =
-      quantized(e, idCol).join(
-        e.select(col("vec_id").as(idCol),
-          lshBucket(col("embedding")).as("bucket")), idCol)
+      quantized(e, idCol)
+        .withColumn("bucket", lshBucket(col(s"iv_$idCol")))
     val pairs = side("query_id").join(side("neighbor_id"), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
@@ -138,9 +138,8 @@ object Similarity {
   def cosineNearDup(spark: SparkSession, sf: String, threshold: Double = 0.95): DataFrame = {
     val e = Tables.load(spark, sf, "embeddings")
     def side(idCol: String): DataFrame =
-      quantized(e, idCol).join(
-        e.select(col("vec_id").as(idCol),
-          lshBucket(col("embedding")).as("bucket")), idCol)
+      quantized(e, idCol)
+        .withColumn("bucket", lshBucket(col(s"iv_$idCol")))
     side("vec_a").join(side("vec_b"), Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cosine",
