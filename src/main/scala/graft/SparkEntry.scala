@@ -59,6 +59,9 @@ object SparkEntry {
     "q_hourly_events" -> (Events.hourlyStats _),
     "q_sessionize" -> (Events.sessionize _),
     "q_regex_extract" -> (Text.regexExtract _),
+    "q_asof_join" -> (AsOf.eventAttribution _),
+    "q_date_format" -> (Scalar.jobDateFormat _),
+    "q_base64" -> (Scalar.base64Envelope _),
     // --- text analysis (north-star training-data ops)
     "q_fingerprint" -> (Text.fingerprint _),
     "q_token_count" -> (Text.tokenCount _),
@@ -241,6 +244,28 @@ object SparkEntry {
       """SELECT event_id, event_type,
          CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
          FROM events WHERE event_type = 'error'""",
+
+    "q_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                     event_type, value FROM events),
+         rights AS (SELECT user_id, ts, arg_max(value, event_id) AS ref_value,
+                      MAX(event_id) AS ref_event_id
+                    FROM e WHERE event_type = 'signup' GROUP BY 1, 2),
+         lefts AS (SELECT * FROM e WHERE event_type <> 'signup')
+         SELECT l.event_id, l.user_id, l.event_type,
+           r.ref_event_id, r.ts AS ref_ts, r.ref_value
+         FROM lefts l ASOF LEFT JOIN rights r
+           ON l.user_id = r.user_id AND l.ts >= r.ts""",
+
+    "q_date_format" ->
+      """SELECT o_orderkey,
+         strftime(o_orderdate, '%Y%m%d%H%M%S%f') AS job_date_str
+         FROM orders""",
+
+    "q_base64" ->
+      """SELECT event_id, base64(encode(props)) AS props_b64,
+         decode(from_base64(base64(encode(props)))) AS props_roundtrip
+         FROM events""",
 
     "q_fingerprint" ->
       s"""SELECT doc_id, md5($Norm) AS fingerprint,

@@ -161,3 +161,28 @@ object Events {
       .orderBy(col("user_id"), col("session_id"))
   }
 }
+
+/** Client-side scalar/serialization functions from the reference
+  * surfaced as columnar operators (SURVEY.md §2.8). */
+object Scalar {
+  import org.apache.spark.sql.functions._
+
+  /** Metadata-JSON date serialization — `%Y%m%d%H%M%S%f`
+    * (util.py:98-102, constants.py:4) as a columnar op. */
+  def jobDateFormat(spark: SparkSession, sf: String): DataFrame =
+    graft.Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyyMMddHHmmssSSSSSS")
+          .as("job_date_str"))
+      .orderBy(col("o_orderkey"))
+
+  /** Base64 envelope encode/decode — the Lambda body handling
+    * (aws_lambda.py:141-148) as a columnar op. */
+  def base64Envelope(spark: SparkSession, sf: String): DataFrame =
+    Events.load(spark, sf)
+      .select(col("event_id"),
+        base64(encode(col("props"), "UTF-8")).as("props_b64"),
+        decode(unbase64(base64(encode(col("props"), "UTF-8"))), "UTF-8")
+          .as("props_roundtrip"))
+      .orderBy(col("event_id"))
+}

@@ -1,0 +1,154 @@
+package graft
+
+import graft.model.JobState
+import graft.request.Protocol
+import graft.sources.DumpFileSet
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+import java.time.LocalDate
+
+class ProtocolSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sf = SparkTestBase.sf
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  test("SUBMIT export -> STATUS -> import round-trip over the JSON protocol") {
+    val dump = tmp("proto-dump"); val tgt = tmp("proto-tgt")
+    val submit =
+      s"""{"connection": {"source_dir": "$sf", "target_dir": "$dump", "schema": "hr"},
+          "request": "SUBMIT",
+          "payload": {"operation": "EXPORT", "mode": "TABLE", "wait": true,
+            "directives": [
+              {"name": "INCLUDE_TABLE", "value": "region,nation"},
+              {"name": "PARALLEL", "value": "2"}]}}"""
+    val r1 = Protocol.handle(spark, submit)
+    assert(r1.error.isEmpty, r1.error)
+    assert(r1.state == "COMPLETED")
+    assert(r1.jobName.exists(_.startsWith("EXP-HR-")))
+    assert(r1.detail.exists(_.totalRows == 30))
+
+    val status =
+      s"""{"connection": {"source_dir": "$sf"}, "request": "STATUS",
+          "payload": {"job_name": "${r1.jobName.get}"}}"""
+    val r2 = Protocol.handle(spark, status)
+    assert(r2.state == "COMPLETED" && r2.detail.nonEmpty)
+
+    val imp =
+      s"""{"connection": {"source_dir": "$dump", "target_dir": "$tgt", "schema": "hr"},
+          "request": "SUBMIT",
+          "payload": {"operation": "IMPORT", "mode": "FULL", "wait": true,
+            "directives": [
+              {"name": "REMAP_SCHEMA", "old_value": "hr", "value": "hr2"},
+              {"name": "TABLE_EXISTS_ACTION", "value": "REPLACE"}]}}"""
+    val r3 = Protocol.handle(spark, imp)
+    assert(r3.state == "COMPLETED", r3.toJson)
+    assert(spark.read.parquet(s"$tgt/hr2/region").count() == 5)
+    // response JSON is parseable and carries detail
+    assert(r3.toJson.contains("\"state\":\"COMPLETED\""))
+  }
+
+  test("async SUBMIT returns EXECUTING; POLL reaches terminal state") {
+    val dump = tmp("proto-async")
+    val submit =
+      s"""{"connection": {"source_dir": "$sf", "target_dir": "$dump"},
+          "request": "SUBMIT",
+          "payload": {"operation": "EXPORT", "mode": "TABLE", "wait": false,
+            "directives": [{"name": "INCLUDE_TABLE", "value": "region"}]}}"""
+    val r = Protocol.handle(spark, submit)
+    assert(r.state == "EXECUTING")
+    val poll =
+      s"""{"connection": {"source_dir": "$sf"}, "request": "POLL",
+          "payload": {"job_name": "${r.jobName.get}", "job_owner": "spark", "rate": 1}}"""
+    val r2 = Protocol.handle(spark, poll)
+    assert(r2.state == "COMPLETED")
+  }
+
+  test("malformed requests produce error responses, not exceptions") {
+    assert(Protocol.handle(spark, "{}").error.nonEmpty)
+    assert(Protocol.handle(spark,
+      """{"connection": {"source_dir": "/x"}, "request": "FROB",
+         "payload": {}}""").error.exists(_.contains("FROB")))
+    assert(Protocol.handle(spark,
+      """{"connection": {"source_dir": "/x"}, "request": "SUBMIT",
+         "payload": {"operation": "EXPORT", "mode": "TABLE",
+           "directives": [{"name": "NO_SUCH_DIRECTIVE", "value": "1"}]}}""")
+      .error.exists(_.contains("NO_SUCH_DIRECTIVE")))
+    // STATUS for unknown job: NOT_RUNNING, matching attach-fallback
+    assert(Protocol.handle(spark,
+      """{"connection": {"source_dir": "/x"}, "request": "STATUS",
+         "payload": {"job_name": "NOPE"}}""").state == "NOT_RUNNING")
+  }
+
+  test("base64-enveloped requests decode (Lambda body parity)") {
+    val dump = tmp("proto-b64")
+    val raw =
+      s"""{"connection": {"source_dir": "$sf", "target_dir": "$dump"},
+          "request": "SUBMIT",
+          "payload": {"operation": "EXPORT", "mode": "TABLE", "wait": true,
+            "directives": [{"name": "INCLUDE_TABLE", "value": "region"}]}}"""
+    val b64 = java.util.Base64.getEncoder.encodeToString(raw.getBytes("UTF-8"))
+    assert(Protocol.handleBase64(spark, b64).state == "COMPLETED")
+  }
+
+  test("CLI flags flatten to protocol directives (cli.py:152-226 parity)") {
+    val (op, opts, dirs, wait) = Main.parseArgs(Array(
+      "export", "--source-dir", sf, "--target-dir", "/tmp/x",
+      "--table", "lineitem", "--parallel", "4",
+      "--remap-schema", "a:b", "--estimate-only", "--no-wait"))
+    assert(op == "export" && !wait)
+    assert(opts("mode") == "TABLE")
+    assert(dirs.contains(Map("name" -> "PARALLEL", "value" -> "4")))
+    assert(dirs.contains(Map("name" -> "REMAP_SCHEMA", "old_value" -> "a",
+      "value" -> "b")))
+    assert(dirs.contains(Map("name" -> "ESTIMATE_ONLY", "value" -> "1")))
+    val json = Main.buildRequestJson(op, opts, dirs, wait)
+    val parsed = Protocol.parse(json)
+    assert(parsed.requestType == "SUBMIT")
+  }
+
+  // ---- dump-file-set name algebra (files.py:982-1063) ----
+
+  test("%U expands to the parallel degree with 2-digit sequences") {
+    assert(DumpFileSet.resolveForExport(Seq("exp_%U.dmp"), 3) ==
+      Seq("exp_01.dmp", "exp_02.dmp", "exp_03.dmp"))
+    // no %U and fewer names than parallel: the concrete file is kept
+    // and a _%U member is appended to fill the set (files.py:794-808)
+    assert(DumpFileSet.resolveForExport(Seq("exp.dmp"), 2) ==
+      Seq("exp.dmp", "exp_01.dmp"))
+    // enough fixed names: kept as-is
+    assert(DumpFileSet.resolveForExport(Seq("a.dmp", "b.dmp"), 2) ==
+      Seq("a.dmp", "b.dmp"))
+    intercept[IllegalArgumentException](
+      DumpFileSet.resolveForExport(Seq("x_%U.dmp"), 100))
+  }
+
+  test("date substitution variables expand (%D %M %Y %T)") {
+    val d = LocalDate.of(2023, 7, 4)
+    assert(DumpFileSet.substituteDateVars("exp_%T.dmp", d) == "exp_20230704.dmp")
+    assert(DumpFileSet.substituteDateVars("e_%Y-%M-%D.dmp", d) ==
+      "e_2023-07-04.dmp")
+  }
+
+  test("getInfo reads parquet footer as dump-file header info") {
+    val info = DumpFileSet.getInfo(spark,
+      graft.Tables.path(sf, "nation"))
+    assert(info.numRows == 25)
+    assert(info.numRowGroups >= 1)
+    assert(info.schemaDdl.contains("n_nationkey"))
+    assert(info.fileSizeBytes > 0)
+  }
+
+  test("resolveForImport lists dump members via glob") {
+    val dump = tmp("proto-glob")
+    val job = graft.job.DataPumpJob(graft.model.Operation.Export,
+      graft.model.JobMode.Table, sf, dump,
+      directives = Seq(graft.directives.IncludeTable(Seq("region")),
+        graft.directives.Parallel(2)))
+    assert(job.run(spark).state == JobState.Completed)
+    val members = DumpFileSet.resolveForImport(spark, s"$dump/main/region",
+      "part-*")
+    assert(members.size == 2)
+  }
+}
