@@ -58,7 +58,8 @@ case class DataPumpJob(
     schema: String = "main",
     tag: Option[String] = None,
     jobOwner: String = "spark",
-    explicitJobName: Option[String] = None) {
+    explicitJobName: Option[String] = None,
+    versioned: Boolean = false) {
 
   private val mapper =
     new ObjectMapper().registerModule(DefaultScalaModule)
@@ -114,9 +115,28 @@ case class DataPumpJob(
     val effects = directives.flatMap(DirectiveCompiler.compile)
     spark.sparkContext.setJobGroup(name, s"${operation.name} ${mode.name}")
 
+    // ---- snapshot resolution (FLASHBACK_SCN/TIME -> version dir) ----
+    val explicitPin = effects.collectFirst { case Effect.SnapshotPin(v) => v }
+    val importSource: String = operation match {
+      case Operation.Import
+          if graft.sources.SnapshotStore.isVersioned(spark, sourceDir) =>
+        val v = graft.sources.SnapshotStore
+          .resolvePin(spark, sourceDir, explicitPin).get
+        graft.sources.SnapshotStore.versionDir(sourceDir, v)
+      case _ => sourceDir
+    }
+    val exportVersion: Option[Long] =
+      if (versioned && operation != Operation.Import)
+        Some(graft.sources.SnapshotStore.readLedger(spark, targetDir)
+          .map(_.version).maxOption.getOrElse(0L) + 1)
+      else None
+    val effTarget = exportVersion
+      .map(v => graft.sources.SnapshotStore.versionDir(targetDir, v))
+      .getOrElse(targetDir)
+
     // ---- object enumeration (mode scoping + metadata filters) ----
     val available: Seq[String] = operation match {
-      case Operation.Import => listDumpTables(spark, sourceDir)
+      case Operation.Import => listDumpTables(spark, importSource)
       case _ => Tables.all.filter(t =>
         exists(spark, Tables.path(sourceDir, t)))
     }
@@ -168,16 +188,27 @@ case class DataPumpJob(
 
     // ---- per-object movement with error accumulation (tolerates
     //      partial failure → COMPLETED_WITH_ERRORS, status.py:38) ----
+    // Registry gets a refreshed EXECUTING snapshot after every object —
+    // what a concurrent STATUS/POLL request observes mid-job (the
+    // reference's per-worker status rows, status.py:240-318).
     val results = ArrayBuffer.empty[ObjectStatus]
+    def publishProgress(): Unit = JobRegistry.register(
+      JobStatusInfo(name, jobOwner, operation.name, mode.name,
+        JobState.Executing,
+        percentDone =
+          if (selected.isEmpty) 100.0
+          else 100.0 * results.size / selected.size,
+        objects = results.toSeq, logEntries = Nil,
+        startedAt = started, finishedAt = None))
     selected.foreach { table =>
       val t0 = System.nanoTime()
       val targetTable = tableRemaps.getOrElse(table, table)
-      val outPath = s"$targetDir/$targetSchema/$targetTable"
+      val outPath = s"$effTarget/$targetSchema/$targetTable"
       try {
         val df0 = operation match {
           case Operation.Import =>
             spark.read.options(readerOpts)
-              .parquet(s"$sourceDir/${dumpSubdir(table)}")
+              .parquet(s"$importSource/${dumpSubdir(table)}")
           case _ =>
             spark.read.options(readerOpts)
               .parquet(Tables.path(sourceDir, table))
@@ -187,7 +218,7 @@ case class DataPumpJob(
           // ESTIMATE_ONLY (directives.py:304-305): stats, no movement.
           val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
           if (operation == Operation.SqlFile)
-            writeString(spark, s"$targetDir/$targetSchema/$targetTable.sql",
+            writeString(spark, s"$effTarget/$targetSchema/$targetTable.sql",
               s"CREATE TABLE $targetSchema.$targetTable (${df.schema.toDDL});\n")
           results += ObjectStatus(table, "ESTIMATED", -1L,
             bytes.longValue, secsSince(t0), None)
@@ -215,25 +246,35 @@ case class DataPumpJob(
           results += ObjectStatus(table, "FAILED", 0, 0, secsSince(t0),
             Some(e.toString))
       }
+      publishProgress()
     }
     spark.sparkContext.clearJobGroup()
 
     // ---- metadata sidecar (commands.py:234-244) ----
     val dumpFiles = results.filter(_.state == "COMPLETED")
-      .map(r => s"$targetDir/$targetSchema/${tableRemaps.getOrElse(r.objectName, r.objectName)}").toSeq
+      .map(r => s"$effTarget/$targetSchema/${tableRemaps.getOrElse(r.objectName, r.objectName)}").toSeq
     if (includeMetadata && !estimateOnly) {
       val meta = JobMetaData(name, jobOwner, operation.name, mode.name,
         Util.formatJobDate(date), selected,
         directives.map(d => Map("name" -> d.name, "value" -> d.valueRepr)),
         dumpFiles, Some(asOf), tag)
-      writeString(spark, s"$targetDir/_metadata.json",
+      writeString(spark, s"$effTarget/_metadata.json",
         mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta))
     }
 
+    // ---- version ledger (snapshot-consistent export, job.py:261-269
+    //      auto-pin parity: the committed version IS the snapshot) ----
+    val anyCompleted = results.exists(r =>
+      r.state == "COMPLETED" || r.state == "ESTIMATED")
+    exportVersion.foreach { v =>
+      if (anyCompleted)
+        graft.sources.SnapshotStore.appendVersion(spark, targetDir, name, date)
+    }
+
     // ---- POST-stage directives ----
-    val ctx = JobContext(spark, name, sourceDir, targetDir,
+    val ctx = JobContext(spark, name, importSource, effTarget,
       sourceFiles = if (operation == Operation.Import)
-        selected.map(t => s"$sourceDir/${dumpSubdir(t)}") else Nil)
+        selected.map(t => s"$importSource/${dumpSubdir(t)}") else Nil)
     effects.foreach {
       case Effect.PostAction(runPost) => runPost(ctx)
       case _ => ()

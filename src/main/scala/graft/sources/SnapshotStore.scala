@@ -1,0 +1,104 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import graft.model.Util
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import java.time.Instant
+import scala.util.control.NonFatal
+
+/** Snapshot-versioned dump store — the engine's answer to Oracle's
+  * SCN semantics (SURVEY.md §4 "hard parts").
+  *
+  * Every versioned export appends a `_versions.json` ledger entry
+  * `{version, timestamp, jobName}` and lands its data under
+  * `root/v=<n>/…`. FLASHBACK_SCN(n) pins an exact version;
+  * FLASHBACK_TIME(iso) resolves through `timestampToVersion` — the
+  * analog of `dt_to_scn` (reference database.py:177-181, sql.py:90):
+  * the greatest version whose commit timestamp is ≤ the requested
+  * time. Immutable version dirs give snapshot-consistent reads
+  * without coordination — the same contract Delta/Iceberg time travel
+  * provides, expressed on plain parquet.
+  */
+object SnapshotStore {
+  private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+  private val LedgerFile = "_versions.json"
+
+  case class VersionEntry(version: Long, timestamp: String, jobName: String)
+  case class Ledger(versions: Seq[VersionEntry])
+
+  def versionDir(root: String, v: Long): String = s"$root/v=$v"
+
+  def ledgerPath(root: String) = new Path(s"$root/$LedgerFile")
+
+  def isVersioned(spark: SparkSession, root: String): Boolean = {
+    val p = ledgerPath(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  def readLedger(spark: SparkSession, root: String): Seq[VersionEntry] = {
+    val p = ledgerPath(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else {
+      val in = fs.open(p)
+      try mapper.readValue(in: java.io.InputStream, classOf[Ledger]).versions
+      catch { case NonFatal(_) => Nil }
+      finally in.close()
+    }
+  }
+
+  /** Register a new version; returns its number (monotone). */
+  def appendVersion(spark: SparkSession, root: String, jobName: String,
+      at: Instant): Long = {
+    val existing = readLedger(spark, root)
+    val next = existing.map(_.version).maxOption.getOrElse(0L) + 1
+    val updated = Ledger(existing :+
+      VersionEntry(next, Util.formatJobDate(at), jobName))
+    val p = ledgerPath(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(mapper.writeValueAsBytes(updated)) finally out.close()
+    next
+  }
+
+  /** dt→SCN analog: greatest version committed at or before `asOf`. */
+  def timestampToVersion(spark: SparkSession, root: String,
+      asOf: Instant): Option[Long] = {
+    val cutoff = Util.formatJobDate(asOf)
+    readLedger(spark, root)
+      .filter(_.timestamp <= cutoff) // lexicographic == chronological
+      .map(_.version).maxOption
+  }
+
+  /** Resolve a snapshot pin against a versioned root:
+    * all-digits pin = explicit version (FLASHBACK_SCN); ISO datetime
+    * pin = timestamp resolution (FLASHBACK_TIME); yyyyMMdd…-format
+    * pin (the auto job-date pin) likewise resolves by timestamp.
+    */
+  def resolvePin(spark: SparkSession, root: String,
+      pin: Option[String]): Option[Long] = {
+    if (!isVersioned(spark, root)) return None
+    val ledger = readLedger(spark, root)
+    if (ledger.isEmpty) return None
+    pin match {
+      case Some(v) if v.nonEmpty && v.length < 10 && v.forall(_.isDigit) =>
+        val n = v.toLong
+        require(ledger.exists(_.version == n),
+          s"version $n not in ledger (have ${ledger.map(_.version)})")
+        Some(n)
+      case Some(v) if v.length == 20 && v.forall(_.isDigit) =>
+        // auto job-date pin in ledger timestamp format
+        Some(ledger.filter(_.timestamp <= v).map(_.version).maxOption
+          .getOrElse(throw new IllegalArgumentException(
+            s"no version at or before $v")))
+      case Some(iso) =>
+        Some(timestampToVersion(spark, root, Util.parseDt(iso))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no version at or before $iso")))
+      case None => ledger.map(_.version).maxOption
+    }
+  }
+}

@@ -127,4 +127,45 @@ class JobSpec extends AnyFunSuite {
       """Job "HR"."IMP-1" completed with 2 error(s) at 11:00""")) ==
       JobState.CompletedWithErrors)
   }
+
+  test("versioned exports build a ledger; FLASHBACK pins time-travel imports") {
+    val store = tmp("jobspec-ver"); val tgt = tmp("jobspec-ver-tgt")
+    // v1: region only
+    val j1 = DataPumpJob(Operation.Export, JobMode.Table, sf, store,
+      directives = Seq(IncludeTable(Seq("region"))), versioned = true)
+    assert(j1.run(spark).state == JobState.Completed)
+    val ledger1 = graft.sources.SnapshotStore.readLedger(spark, store)
+    assert(ledger1.map(_.version) == Seq(1L))
+    Thread.sleep(5)
+    val betweenVersions = java.time.Instant.now()
+    Thread.sleep(5)
+    // v2: region AND nation
+    val j2 = DataPumpJob(Operation.Export, JobMode.Table, sf, store,
+      directives = Seq(IncludeTable(Seq("region", "nation"))), versioned = true)
+    assert(j2.run(spark).state == JobState.Completed)
+    assert(graft.sources.SnapshotStore.readLedger(spark, store)
+      .map(_.version) == Seq(1L, 2L))
+
+    // FLASHBACK_SCN=1 sees only v1's object set
+    val imp1 = DataPumpJob(Operation.Import, JobMode.Full, store, s"$tgt/a",
+      directives = Seq(FlashbackScn(1))).run(spark)
+    assert(imp1.state == JobState.Completed)
+    assert(imp1.objects.map(_.objectName) == Seq("region"))
+
+    // FLASHBACK_TIME between v1 and v2 resolves to v1 (dt_to_scn analog)
+    val isoBetween = betweenVersions.toString
+    val imp2 = DataPumpJob(Operation.Import, JobMode.Full, store, s"$tgt/b",
+      directives = Seq(FlashbackTime(isoBetween))).run(spark)
+    assert(imp2.objects.map(_.objectName) == Seq("region"), imp2.objects)
+
+    // no pin: latest version (both tables)
+    val imp3 = DataPumpJob(Operation.Import, JobMode.Full, store, s"$tgt/c")
+      .run(spark)
+    assert(imp3.objects.map(_.objectName).toSet == Set("region", "nation"))
+
+    // pinning a nonexistent version fails loudly
+    val imp4 = DataPumpJob(Operation.Import, JobMode.Full, store, s"$tgt/d",
+      directives = Seq(FlashbackScn(9))).run(spark)
+    assert(imp4.state == JobState.Stopped)
+  }
 }
