@@ -37,12 +37,15 @@ object SparkEntry {
     "q_mode_agg" -> (Relational.modeAgg _),
     "q_stats_agg" -> (Relational.statsAgg _),
     "q_rollup" -> (Relational.rollupAgg _),
+    "q_cube" -> (Relational.cubeAgg _),
+    "q_percentiles" -> (Relational.percentiles _),
     "q_monthly_orders" -> (Relational.monthlyOrders _),
     // --- joins (SURVEY §2.5)
     "q_join_region" -> (Relational.joinRevenueByRegion _),
     "q_semi_join" -> (Relational.semiJoin _),
     "q_anti_join" -> (Relational.antiJoin _),
     "q_above_avg" -> (Relational.aboveAvgOrders _),
+    "q_salted_join" -> ((s: SparkSession, d: String) => Relational.saltedRevenuePerOrder(s, d)),
     // --- set ops / sort / limit (SURVEY §2.5)
     "q_union_order" -> (Relational.unionOrder _),
     "q_intersect" -> (Relational.intersectNations _),
@@ -77,6 +80,8 @@ object SparkEntry {
     "q_knn_brute" -> ((s: SparkSession, d: String) => Similarity.knnBruteForce(s, d)),
     "q_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "q_cosine_near_dup" -> ((s: SparkSession, d: String) => Similarity.cosineNearDup(s, d)),
+    "q_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
+    "q_cosine_pairs" -> ((s: SparkSession, d: String) => Similarity.cosinePairsExact(s, d)),
     // --- multimodal binary plumbing
     "q_binary_meta" -> (Multimodal.binaryMeta _),
     "q_decode_features" -> (Multimodal.decodeFeatures _),
@@ -130,6 +135,82 @@ object SparkEntry {
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
          COUNT(*) AS n
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         COUNT(*) AS n
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+         quantile_cont(l_quantity, 0.5) AS p50,
+         quantile_cont(l_quantity, 0.25) AS p25,
+         quantile_cont(l_quantity, 0.75) AS p75,
+         quantile_cont(l_extendedprice, 0.9) AS price_p90
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q_salted_join" ->
+      """SELECT l_orderkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY l_orderkey""",
+
+    "q_cosine_pairs" ->
+      """WITH q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 67108864.0) AS BIGINT)) AS iv
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, iv,
+             sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(iv)),
+               i -> iv[i] * iv[i])) AS BIGINT) AS DOUBLE)) AS nrm
+           FROM q)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(CAST(list_sum(list_transform(generate_series(1, len(a.iv)),
+             i -> a.iv[i] * b.iv[i])) AS BIGINT) AS DOUBLE) / (a.nrm * b.nrm) AS cosine
+         FROM n a, n b
+         WHERE a.vec_id < b.vec_id
+           AND CAST(CAST(list_sum(list_transform(generate_series(1, len(a.iv)),
+             i -> a.iv[i] * b.iv[i])) AS BIGINT) AS DOUBLE) / (a.nrm * b.nrm) >= 0.25""",
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         COUNT(*) AS n
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+         quantile_cont(l_quantity, 0.5) AS p50,
+         quantile_cont(l_quantity, 0.25) AS p25,
+         quantile_cont(l_quantity, 0.75) AS p75,
+         quantile_cont(l_extendedprice, 0.9) AS price_p90
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q_salted_join" ->
+      """SELECT l_orderkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY l_orderkey""",
+
+    "q_cosine_pairs" ->
+      """WITH q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 67108864.0) AS BIGINT)) AS iv
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, iv,
+             sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(iv)),
+               i -> iv[i] * iv[i])) AS BIGINT) AS DOUBLE)) AS nrm
+           FROM q)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(CAST(list_sum(list_transform(generate_series(1, len(a.iv)),
+             i -> a.iv[i] * b.iv[i])) AS BIGINT) AS DOUBLE) / (a.nrm * b.nrm) AS cosine
+         FROM n a, n b
+         WHERE a.vec_id < b.vec_id
+           AND CAST(CAST(list_sum(list_transform(generate_series(1, len(a.iv)),
+             i -> a.iv[i] * b.iv[i])) AS BIGINT) AS DOUBLE) / (a.nrm * b.nrm) >= 0.25""",
 
     "q_monthly_orders" ->
       """SELECT date_trunc('month', o_orderdate) AS month,

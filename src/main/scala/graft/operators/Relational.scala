@@ -264,4 +264,48 @@ object Relational {
       .select(col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
   }
+
+  /** CUBE: all grouping-set combinations in one pass. */
+  def cubeAgg(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Exact interpolated percentiles (Spark `percentile` ==
+    * DuckDB `quantile_cont`: sort + linear interpolation — identical
+    * arithmetic on identical sorted inputs). */
+  def percentiles(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        expr("percentile(l_extendedprice, 0.9)").as("price_p90"))
+      .orderBy(col("l_returnflag"))
+
+  /** Salted join: prepends a deterministic salt to the build-side key
+    * to spread a skewed probe key across `buckets` reducers, then
+    * aggregates the partials. Result is identical to the unsalted
+    * join — only the shuffle distribution changes (the manual fallback
+    * when AQE skew-join can't see the skew, e.g. pre-agg). Salt is
+    * hash-derived, not random: replans are stable. */
+  def saltedRevenuePerOrder(spark: SparkSession, sf: String,
+      buckets: Int = 8): DataFrame = {
+    val li = Tables.load(spark, sf, "lineitem")
+      .withColumn("l_salt", pmod(xxhash64(col("l_linenumber")), lit(buckets)))
+    val o = Tables.load(spark, sf, "orders")
+      .withColumn("o_salt", explode(sequence(lit(0), lit(buckets - 1))))
+    li.join(o,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_salt") === col("o_salt"))
+      .groupBy(col("l_orderkey"), col("l_salt"))
+      .agg(sum(dec(col("l_extendedprice"))).as("partial"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("partial")).cast("double").as("revenue"))
+      .orderBy(col("l_orderkey"))
+  }
 }

@@ -149,4 +149,67 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  // ---- IVF (inverted-file) ANN -------------------------------------
+
+  /** Number of IVF cells and probed cells per query. */
+  val IvfCells = 16
+  val NProbe = 2
+
+  /** Deterministic pseudo-random centroid (unit-free; nearest-dot
+    * assignment). A production build replaces these with k-means
+    * centroids — the plan shape (assign → cell-equality join) is the
+    * part that matters at scale. */
+  private def centroidQ(c: Int): Seq[Long] =
+    (0 until Dim).map(i => math.floor(
+      (planeComponent(c * 131 + 7, i)) * 1048576.0).toLong)
+
+  /** Cell ids of the `n` nearest centroids by integer dot product. */
+  private def ivfCells(iv: Column, n: Int): Column = {
+    val scored = array((0 until IvfCells).map(c =>
+      struct(dot_long(iv, typedLit(centroidQ(c))).as("score"),
+        lit(c).as("cell"))): _*)
+    slice(transform(reverse(array_sort(scored)), s => s.getField("cell")),
+      1, n)
+  }
+
+  /** IVF ANN: vectors index into their nearest cell; queries probe the
+    * NProbe nearest cells. Join is cell-equality (shuffle on a
+    * 16-value key); per-cell candidate lists stay small. */
+  def annIvf(spark: SparkSession, sf: String, k: Int = 3): DataFrame = {
+    val e = Tables.load(spark, sf, "embeddings")
+    val indexed = quantized(e, "neighbor_id")
+      .withColumn("cell",
+        element_at(ivfCells(col("iv_neighbor_id"), 1), 1))
+    val probes = quantized(e, "query_id")
+      .withColumn("cell", explode(ivfCells(col("iv_query_id"), NProbe)))
+    val pairs = probes.join(indexed, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        dot_long(col("iv_query_id"), col("iv_neighbor_id")).cast("double") /
+          (col("norm_query_id") * col("norm_neighbor_id")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    pairs.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rk"), col("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Exact brute-force cosine pairs over a threshold — the
+    * oracle-checkable twin of the LSH near-dup path. */
+  def cosinePairsExact(spark: SparkSession, sf: String,
+      threshold: Double = 0.25): DataFrame = {
+    val a = quantized(Tables.load(spark, sf, "embeddings"), "vec_a")
+    val b = quantized(Tables.load(spark, sf, "embeddings"), "vec_b")
+    a.crossJoin(broadcast(b))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        dot_long(col("iv_vec_a"), col("iv_vec_b")).cast("double") /
+          (col("norm_vec_a") * col("norm_vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
 }

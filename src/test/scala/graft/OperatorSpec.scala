@@ -143,4 +143,29 @@ class OperatorSpec extends AnyFunSuite {
       assert(ids.head == 1 && ids.last == ids.length)
     }
   }
+
+  test("ivf ann returns in-cell neighbors with valid cosines") {
+    val rows = Similarity.annIvf(spark, sf, k = 3).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) != r.getLong(1))
+      assert(r.getDouble(3) >= -1.0001 && r.getDouble(3) <= 1.0001)
+    }
+  }
+
+  test("salted join equals the unsalted aggregation") {
+    val salted = Relational.saltedRevenuePerOrder(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val plain = {
+      import org.apache.spark.sql.types.DecimalType
+      val li = Tables.load(spark, sf, "lineitem")
+      val o = Tables.load(spark, sf, "orders")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast("double").as("revenue"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    assert(salted == plain)
+  }
 }
