@@ -62,6 +62,7 @@ object SparkEntry {
     "q_hourly_events" -> (Events.hourlyStats _),
     "q_sessionize" -> (Events.sessionize _),
     "q_regex_extract" -> (Text.regexExtract _),
+    "q_json_extract" -> (Text.jsonExtract _),
     "q_asof_join" -> (AsOf.eventAttribution _),
     "q_date_format" -> (Scalar.jobDateFormat _),
     "q_base64" -> (Scalar.base64Envelope _),
@@ -325,6 +326,11 @@ object SparkEntry {
       """SELECT event_id, event_type,
          CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
          FROM events WHERE event_type = 'error'""",
+
+    "q_json_extract" ->
+      """SELECT event_id, event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events""",
 
     "q_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -101,6 +101,14 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Nested-object decode — the `object_loads` analog (util.py:40-57):
+    * structured extraction from the JSON props payload via JSON-path. */
+  def jsonExtract(spark: SparkSession, sf: String): DataFrame =
+    Events.load(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy(col("event_id"))
+
   /** Log-line regex extraction (status.py:458-521): pull structured
     * fields out of the events table's JSON-ish props payload — the
     * `ORA-(\d+)` / completion-sentinel parsing pattern. */

@@ -1,0 +1,77 @@
+package graft
+
+import graft.directives.ObjectTypeValidator
+import graft.functions.GraftExtensions
+import graft.model.{JobMode, JobState}
+import graft.sources.RemoteFile
+import graft.status.JobRegistry
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.time.Instant
+
+class ExtensionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("custom expressions are callable from SQL after registration") {
+    GraftExtensions.registerAll(spark)
+    val dot = spark.sql(
+      "SELECT dot_long(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+      .collect()(0).getLong(0)
+    assert(dot == 4 + 10 + 18)
+    val sh = spark.sql(
+      "SELECT shingles(array('a','b','c','d'), 3) AS s")
+      .collect()(0).getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+    val sim = spark.sql(
+      "SELECT simhash_sig(array(7L)) AS s").collect()(0).getLong(0)
+    assert(sim == 7L) // single hash: its own bits win every vote
+  }
+
+  test("whole-stage codegen keeps dot_long inline (no fallback)") {
+    GraftExtensions.registerAll(spark)
+    val plan = spark.sql(
+      """SELECT dot_long(array(l_orderkey, l_partkey),
+                         array(l_partkey, l_orderkey)) AS d
+         FROM parquet.`/root/testdata/sf0.001/lineitem.parquet`""")
+      .queryExecution.executedPlan.toString
+    // `*(n)` prefixes mark operators inside a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project [dot_long"), plan.take(500))
+  }
+
+  test("object-type validation fails fast with the valid list") {
+    assert(ObjectTypeValidator.validate(JobMode.Table, "index") == "INDEX")
+    val e = intercept[IllegalArgumentException](
+      ObjectTypeValidator.validate(JobMode.Table, "TABLESPACE"))
+    assert(e.getMessage.contains("Valid types:"))
+    // mode-specific: USER is valid for SCHEMA jobs, not TABLE jobs
+    assert(ObjectTypeValidator.validate(JobMode.Schema, "USER") == "USER")
+    intercept[IllegalArgumentException](
+      ObjectTypeValidator.validate(JobMode.Table, "USER"))
+  }
+
+  test("remote file wrappers round-trip text and binary") {
+    val dir = java.nio.file.Files.createTempDirectory("remotefile").toString
+    val w = RemoteFile.createText(spark, s"$dir/log.txt")
+    w.write("line one\nORA-12345: boom\n"); w.close()
+    assert(RemoteFile.readLines(spark, s"$dir/log.txt") ==
+      Seq("line one", "ORA-12345: boom"))
+    assert(RemoteFile.readAllText(spark, s"$dir/log.txt")
+      .startsWith("line one"))
+    val out = RemoteFile.createBinary(spark, s"$dir/raw.bin")
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    val in = RemoteFile.openBinary(spark, s"$dir/raw.bin")
+    try assert(in.readAllBytes().toSeq == Seq[Byte](1, 2, 3))
+    finally in.close()
+  }
+
+  test("orphan cleanup drops terminal jobs from the registry") {
+    JobRegistry.clear()
+    JobRegistry.register(graft.status.JobStatusInfo("J1", "o", "EXPORT",
+      "TABLE", JobState.Completed, 100, Nil, Nil, Instant.now(), None))
+    JobRegistry.register(graft.status.JobStatusInfo("J2", "o", "EXPORT",
+      "TABLE", JobState.Executing, 50, Nil, Nil, Instant.now(), None))
+    val dropped = JobRegistry.cleanupOrphans()
+    assert(dropped == Seq("J1"))
+    assert(JobRegistry.get("J1").isEmpty && JobRegistry.get("J2").nonEmpty)
+  }
+}
