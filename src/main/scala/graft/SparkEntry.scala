@@ -56,6 +56,10 @@ object SparkEntry {
     "q_pct_share" -> (Relational.pctShare _),
     "q_running_sum" -> (Relational.runningSum _),
     "q_order_gaps" -> (Relational.orderGaps _),
+    "q_window_frames" -> (Relational.windowFrames _),
+    "q_string_ops" -> (Relational.stringOps _),
+    "q_conditional_agg" -> (Relational.conditionalAgg _),
+    "q_correlated_subquery" -> (Relational.correlatedSubquery _),
     // --- generators
     "q_explode_words" -> (Relational.explodeWords _),
     // --- events / time (SURVEY §2.8, §2.10)
@@ -294,6 +298,42 @@ object SparkEntry {
              ORDER BY o_orderdate, o_orderkey) AS DATE),
            CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
          FROM orders""",
+
+    "q_window_frames" ->
+      """SELECT l_returnflag, l_orderkey,
+         CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+         FIRST_VALUE(l_extendedprice) OVER wf AS flag_min_price,
+         LAST_VALUE(l_extendedprice) OVER wf AS flag_max_price
+         FROM lineitem
+         WINDOW w AS (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice, l_orderkey, l_linenumber),
+           wf AS (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+
+    "q_string_ops" ->
+      """SELECT c_custkey, upper(c_name) AS upper_name,
+         lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+         substring(c_name, 1, 8) AS prefix8,
+         CAST(levenshtein(c_mktsegment, 'BUILDING') AS BIGINT) AS seg_dist,
+         reverse(c_mktsegment) AS seg_rev,
+         CAST(instr(c_name, '#') AS BIGINT) AS hash_pos
+         FROM customer""",
+
+    "q_conditional_agg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+         CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished,
+         CAST(SUM(CASE WHEN o_totalprice > 100000
+           THEN CAST(o_totalprice AS DECIMAL(18,2))
+           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS big_order_revenue
+         FROM orders GROUP BY o_orderpriority""",
+
+    "q_correlated_subquery" ->
+      """SELECT c_custkey, c_name,
+         (SELECT MAX(o_totalprice) FROM orders
+          WHERE o_custkey = c_custkey) AS max_order
+         FROM customer""",
 
     "q_explode_words" ->
       """SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS word

@@ -41,12 +41,13 @@ object Dedup {
     * (minimum) doc_id sharing its fingerprint. Single hash-groupBy on
     * the digest — the standard exact-dedup shape at any scale. */
   def exact(spark: SparkSession, sf: String): DataFrame = {
-    val d = Tables.load(spark, sf, "documents")
+    // window instead of groupBy+self-join: ONE shuffle on the digest
+    val byFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fingerprint"))
+    Tables.load(spark, sf, "documents")
       .select(col("doc_id"), md5(Text.normalized(col("text"))).as("fingerprint"))
-    val canon = d.groupBy(col("fingerprint"))
-      .agg(min(col("doc_id")).as("canonical_id"),
-        count(lit(1)).as("group_size"))
-    d.join(canon, "fingerprint")
+      .withColumn("canonical_id", min(col("doc_id")).over(byFp))
+      .withColumn("group_size", count(lit(1)).over(byFp))
       .select(col("doc_id"), col("canonical_id"), col("group_size"),
         (col("doc_id") =!= col("canonical_id")).as("is_dup"))
       .orderBy(col("doc_id"))

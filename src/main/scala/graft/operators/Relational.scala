@@ -308,4 +308,59 @@ object Relational {
       .agg(sum(col("partial")).cast("double").as("revenue"))
       .orderBy(col("l_orderkey"))
   }
+
+  /** NTILE + FIRST/LAST window frame functions: price quartiles and
+    * per-flag extremes. */
+  def windowFrames(spark: SparkSession, sf: String): DataFrame = {
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val full = byFlag.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Tables.load(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        ntile(4).over(byFlag).cast("long").as("quartile"),
+        first(col("l_extendedprice")).over(full).as("flag_min_price"),
+        last(col("l_extendedprice")).over(full).as("flag_max_price"))
+      .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** String-function battery: case, pad, substring, edit distance,
+    * reverse, position — all integer/string exact cross-engine. */
+  def stringOps(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("upper_name"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("padded_key"),
+        substring(col("c_name"), 1, 8).as("prefix8"),
+        levenshtein(col("c_mktsegment"), lit("BUILDING")).cast("long")
+          .as("seg_dist"),
+        reverse(col("c_mktsegment")).as("seg_rev"),
+        instr(col("c_name"), "#").cast("long").as("hash_pos"))
+      .orderBy(col("c_custkey"))
+
+  /** Conditional aggregation: count_if / filtered sums in one pass. */
+  def conditionalAgg(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        count_if(col("o_orderstatus") === "F").as("n_finished"),
+        sum(when(col("o_totalprice") > 100000, dec(col("o_totalprice")))
+          .otherwise(lit(0).cast(DecimalType(18, 2))))
+          .cast("double").as("big_order_revenue"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Correlated scalar subquery through the SQL surface: each
+    * customer's max order price. (Catalyst de-correlates this into a
+    * left outer aggregate join.) */
+  def correlatedSubquery(spark: SparkSession, sf: String): DataFrame = {
+    Tables.load(spark, sf, "customer").createOrReplaceTempView("g_customer")
+    Tables.load(spark, sf, "orders").createOrReplaceTempView("g_orders")
+    spark.sql(
+      """SELECT c_custkey, c_name,
+           (SELECT MAX(o_totalprice) FROM g_orders
+            WHERE o_custkey = c_custkey) AS max_order
+         FROM g_customer ORDER BY c_custkey""")
+  }
 }
