@@ -10,11 +10,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Untimed warmup: the first shuffle/broadcast/window query in a
+    // fresh JVM pays JIT + codegen + FS-metadata costs that would land
+    // on whichever query happens to run first.
+    try {
+      SparkEntry.queries.get("q_agg_pricing").foreach(_(spark, sfDir).count())
+      SparkEntry.queries.get("q_join_region").foreach(_(spark, sfDir).count())
+      SparkEntry.queries.get("q_window_rank").foreach(_(spark, sfDir).count())
+    } catch { case _: Throwable => () }
+
+    // Deterministic order + cache hygiene between queries: Map order
+    // shifts as queries are added, which lets one query's leftover
+    // blocks/GC pressure land on a different victim each build.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -64,6 +64,9 @@ object SparkEntry {
     "q_explode_words" -> (Relational.explodeWords _),
     // --- events / time (SURVEY §2.8, §2.10)
     "q_hourly_events" -> (Events.hourlyStats _),
+    "q_stream_hourly" -> (graft.streaming.EventStream.hourlyViaStream _),
+    "q_pivot" -> (Relational.pivotStatus _),
+    "q_approx_distinct" -> (Relational.approxDistinct _),
     "q_sessionize" -> (Events.sessionize _),
     "q_regex_extract" -> (Text.regexExtract _),
     "q_json_extract" -> (Text.jsonExtract _),
@@ -346,6 +349,19 @@ object SparkEntry {
          COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    "q_stream_hourly" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+         CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_f,
+         CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS n_o,
+         CAST(count_if(o_orderstatus = 'P') AS BIGINT) AS n_p
+         FROM orders GROUP BY o_orderpriority""",
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

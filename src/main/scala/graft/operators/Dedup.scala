@@ -122,15 +122,15 @@ object Dedup {
     val docs = shingled(Tables.load(spark, sf, "documents"))
     val signed = minhashSignature(docs).select(col("doc_id"), col("minhash"))
 
+    // band key = xxhash64 over (band index, 4-component slice) — hash
+    // consumes the array directly; no per-band string building (which
+    // bloated generated code 16x and dominated Janino compile time)
     val banded = signed.select(
       col("doc_id"), col("minhash"),
       posexplode(
         transform(sequence(lit(0), lit(Bands - 1)),
-          b => xxhash64(concat_ws("_",
-            b.cast("string"),
-            concat_ws(",", transform(
-              slice(col("minhash"), b * RowsPerBand + 1, lit(RowsPerBand)),
-              x => x.cast("string")))))))
+          b => xxhash64(b,
+            slice(col("minhash"), b * RowsPerBand + 1, lit(RowsPerBand)))))
         .as(Seq("band", "band_key")))
 
     val candidates = banded.as("a")

@@ -363,4 +363,26 @@ object Relational {
             WHERE o_custkey = c_custkey) AS max_order
          FROM g_customer ORDER BY c_custkey""")
   }
+
+  /** PIVOT: order counts by status across priorities — expressed as
+    * the conditional-sum expansion both engines agree on. */
+  def pivotStatus(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderpriority"), col("F").cast("long").as("n_f"),
+        col("O").cast("long").as("n_o"), col("P").cast("long").as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Approximate distinct (HLL++) — the sketch path for cardinalities
+    * too large to count exactly; rows-only check (sketches are not
+    * cross-engine comparable), exact twin lives in q_stats_agg. */
+  def approxDistinct(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
 }

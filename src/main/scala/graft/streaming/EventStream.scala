@@ -36,14 +36,40 @@ object EventStream {
   }
 
   /** Tumbling 1-hour windowed counts with a 2-hour watermark —
-    * the streaming twin of Events.hourlyStats. */
+    * the streaming twin of Events.hourlyStats (decimal sums for
+    * order-independent exactness). */
   def hourlyCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("sum_value"))
+
+  /** Run the full streaming hourly aggregation to completion over the
+    * batch-bounded source and return the materialized result — a
+    * queries() entry whose values are produced BY the streaming
+    * engine and checked against the same DuckDB oracle as the batch
+    * twin. */
+  def hourlyViaStream(spark: SparkSession, sf: String): DataFrame = {
+    val name = "graft_stream_hourly_" + java.util.UUID.randomUUID()
+      .toString.replace("-", "")
+    val q = hourlyCounts(readEvents(spark, sf)).writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    val out = spark.table(name).orderBy(col("hour"), col("event_type"))
+    // detach from the memory sink before the table is dropped
+    val rows = out.collect().toSeq
+    val materialized = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
+    spark.catalog.dropTempView(name)
+    materialized
+  }
 
   /** Run a streaming query into an in-memory sink until all available
     * input is processed (batch-driven smoke for local verification). */
