@@ -114,6 +114,9 @@ case class DataPumpJob(
       started: Instant): JobStatusInfo = {
     val effects = directives.flatMap(DirectiveCompiler.compile)
     spark.sparkContext.setJobGroup(name, s"${operation.name} ${mode.name}")
+    // events.parquet carries nanosecond timestamps (Spark 4 refuses
+    // them natively); read as long nanos so FULL jobs can move them
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     // ---- snapshot resolution (FLASHBACK_SCN/TIME -> version dir) ----
     val explicitPin = effects.collectFirst { case Effect.SnapshotPin(v) => v }

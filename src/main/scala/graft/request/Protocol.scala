@@ -164,8 +164,18 @@ object Protocol {
   private def handleStatus(p: StatusPayload): Response =
     JobRegistry.get(p.jobName) match {
       case Some(info) =>
-        Response(Some(info.jobName), info.state.name,
-          if (p.includeDetail) Some(info) else None, None)
+        // status-type mask (status.py:276-293): ERROR restricts the
+        // detail to failed objects, LOG_STATUS/STATUS to the headline,
+        // ALL/DESC return everything
+        val detail = p.statusType.toUpperCase match {
+          case _ if !p.includeDetail => None
+          case "ERROR" =>
+            Some(info.copy(objects = info.objects.filter(_.error.nonEmpty)))
+          case "STATUS" | "LOG_STATUS" =>
+            Some(info.copy(objects = Nil))
+          case _ => Some(info) // ALL / DESC
+        }
+        Response(Some(info.jobName), info.state.name, detail, None)
       case None =>
         Response(Some(p.jobName), JobState.NotRunning.name, None,
           Some(s"Job ${p.jobName} not found"))

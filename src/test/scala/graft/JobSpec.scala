@@ -168,4 +168,27 @@ class JobSpec extends AnyFunSuite {
       directives = Seq(FlashbackScn(9))).run(spark)
     assert(imp4.state == JobState.Stopped)
   }
+
+  test("FULL export/import round-trips every table incl. arrays and ns timestamps") {
+    val dump = tmp("jobspec-full"); val tgt = tmp("jobspec-full-tgt")
+    val exp = DataPumpJob(Operation.Export, JobMode.Full, sf, dump,
+      directives = Seq(Parallel(2))).run(spark)
+    assert(exp.state == JobState.Completed, exp.errors)
+    assert(exp.objects.size == 10)
+    val imp = DataPumpJob(Operation.Import, JobMode.Full, dump, tgt)
+      .run(spark)
+    assert(imp.state == JobState.Completed, imp.errors)
+    // data-level assertion the reference lacks: counts and a content
+    // probe per table
+    graft.Tables.all.foreach { t =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val orig = spark.read.parquet(graft.Tables.path(sf, t)).count()
+      val back = spark.read.parquet(s"$tgt/main/$t").count()
+      assert(orig == back, s"$t: $orig != $back")
+    }
+    // arrays survive the trip
+    val emb = spark.read.parquet(s"$tgt/main/embeddings")
+    assert(emb.selectExpr("size(embedding)").distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(64))
+  }
 }
