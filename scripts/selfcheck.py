@@ -18,20 +18,24 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+STRICT = "--strict" in sys.argv  # row-ORDER-sensitive compare
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].map(
                 lambda v: tuple(v) if isinstance(v, (list,)) else v)
-    df = df.sort_values(by=list(df.columns), kind="mergesort",
-                        na_position="first").reset_index(drop=True)
-    return df
+    if not STRICT:
+        df = df.sort_values(by=list(df.columns), kind="mergesort",
+                            na_position="first")
+    return df.reset_index(drop=True)
 
 
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    only = set(a for a in sys.argv[3:] if not a.startswith("--"))
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

@@ -110,12 +110,13 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q_project" ->
-      "SELECT l_orderkey, l_extendedprice FROM lineitem",
+      "SELECT l_orderkey, l_extendedprice FROM lineitem ORDER BY l_orderkey, l_extendedprice",
 
     "q_filter_in" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
          l_returnflag, l_quantity
-         FROM lineitem WHERE l_returnflag IN ('A','N') AND l_quantity > 30""",
+         FROM lineitem WHERE l_returnflag IN ('A','N') AND l_quantity > 30
+         ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity""",
 
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
@@ -123,10 +124,11 @@ object SparkEntry {
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
          COUNT(*) AS count_order
-         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
 
     "q_distinct" ->
-      "SELECT DISTINCT c_mktsegment FROM customer",
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
 
     "q_mode_agg" ->
       """SELECT o_orderpriority, COUNT(*) AS n FROM orders
@@ -136,19 +138,22 @@ object SparkEntry {
       """SELECT l_returnflag, MIN(l_quantity) AS min_qty,
          MAX(l_quantity) AS max_qty,
          COUNT(DISTINCT l_orderkey) AS n_orders, COUNT(*) AS n_rows
-         FROM lineitem GROUP BY l_returnflag""",
+         FROM lineitem GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
          COUNT(*) AS n
-         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
 
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
          COUNT(*) AS n
-         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
 
     "q_percentiles" ->
       """SELECT l_returnflag,
@@ -156,13 +161,15 @@ object SparkEntry {
          quantile_cont(l_quantity, 0.25) AS p25,
          quantile_cont(l_quantity, 0.75) AS p75,
          quantile_cont(l_extendedprice, 0.9) AS price_p90
-         FROM lineitem GROUP BY l_returnflag""",
+         FROM lineitem GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
 
     "q_salted_join" ->
       """SELECT l_orderkey,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY l_orderkey""",
+         GROUP BY l_orderkey
+         ORDER BY l_orderkey""",
 
     "q_cosine_pairs" ->
       """WITH q AS (
@@ -180,51 +187,15 @@ object SparkEntry {
          FROM n a, n b
          WHERE a.vec_id < b.vec_id
            AND CAST(CAST(list_sum(list_transform(generate_series(1, len(a.iv)),
-             i -> a.iv[i] * b.iv[i])) AS BIGINT) AS DOUBLE) / (a.nrm * b.nrm) >= 0.25""",
-
-    "q_cube" ->
-      """SELECT l_returnflag, l_linestatus,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-         COUNT(*) AS n
-         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
-
-    "q_percentiles" ->
-      """SELECT l_returnflag,
-         quantile_cont(l_quantity, 0.5) AS p50,
-         quantile_cont(l_quantity, 0.25) AS p25,
-         quantile_cont(l_quantity, 0.75) AS p75,
-         quantile_cont(l_extendedprice, 0.9) AS price_p90
-         FROM lineitem GROUP BY l_returnflag""",
-
-    "q_salted_join" ->
-      """SELECT l_orderkey,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY l_orderkey""",
-
-    "q_cosine_pairs" ->
-      """WITH q AS (
-           SELECT vec_id, list_transform(embedding,
-             x -> CAST(floor(CAST(x AS DOUBLE) * 67108864.0) AS BIGINT)) AS iv
-           FROM embeddings),
-         n AS (
-           SELECT vec_id, iv,
-             sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(iv)),
-               i -> iv[i] * iv[i])) AS BIGINT) AS DOUBLE)) AS nrm
-           FROM q)
-         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           CAST(CAST(list_sum(list_transform(generate_series(1, len(a.iv)),
-             i -> a.iv[i] * b.iv[i])) AS BIGINT) AS DOUBLE) / (a.nrm * b.nrm) AS cosine
-         FROM n a, n b
-         WHERE a.vec_id < b.vec_id
-           AND CAST(CAST(list_sum(list_transform(generate_series(1, len(a.iv)),
-             i -> a.iv[i] * b.iv[i])) AS BIGINT) AS DOUBLE) / (a.nrm * b.nrm) >= 0.25""",
+             i -> a.iv[i] * b.iv[i])) AS BIGINT) AS DOUBLE) / (a.nrm * b.nrm) >= 0.25
+         ORDER BY vec_a, vec_b""",
 
     "q_monthly_orders" ->
       """SELECT date_trunc('month', o_orderdate) AS month,
          COUNT(*) AS n_orders,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-         FROM orders GROUP BY 1""",
+         FROM orders GROUP BY 1
+         ORDER BY month""",
 
     "q_join_region" ->
       """SELECT r_name,
@@ -235,38 +206,45 @@ object SparkEntry {
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
-         GROUP BY r_name""",
+         GROUP BY r_name
+         ORDER BY r_name""",
 
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE EXISTS (SELECT 1 FROM orders
-                       WHERE o_custkey = c_custkey AND o_totalprice > 100000)""",
+                       WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+         ORDER BY c_custkey""",
 
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
 
     "q_above_avg" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) >
-           (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders)""",
+           (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders)
+         ORDER BY o_orderkey""",
 
     "q_union_order" ->
       """SELECT name, kind FROM (
            SELECT c_name AS name, 'CUSTOMER' AS kind FROM customer
            UNION ALL
            SELECT s_name AS name, 'SUPPLIER' AS kind FROM supplier)
-         WHERE name IS NOT NULL""",
+         WHERE name IS NOT NULL
+         ORDER BY kind, name""",
 
     "q_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
          INTERSECT
-         SELECT s_nationkey AS nationkey FROM supplier""",
+         SELECT s_nationkey AS nationkey FROM supplier
+         ORDER BY nationkey""",
 
     "q_except" ->
       """SELECT c_nationkey AS nationkey FROM customer
          EXCEPT
-         SELECT s_nationkey AS nationkey FROM supplier""",
+         SELECT s_nationkey AS nationkey FROM supplier
+         ORDER BY nationkey""",
 
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
@@ -277,22 +255,25 @@ object SparkEntry {
          FROM (SELECT o_custkey, o_orderkey, o_totalprice,
                  ROW_NUMBER() OVER (PARTITION BY o_custkey
                    ORDER BY o_totalprice DESC, o_orderkey) AS rk
-               FROM orders) WHERE rk <= 3""",
+               FROM orders) WHERE rk <= 3
+         ORDER BY o_custkey, rk""",
 
     "q_pct_share" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) /
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
                 OVER (PARTITION BY l_orderkey) AS DOUBLE) AS price_share
-         FROM lineitem""",
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, price_share""",
 
     "q_running_sum" ->
       """SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
               OVER (PARTITION BY l_suppkey
-                    ORDER BY l_shipdate, l_orderkey, l_linenumber
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                     ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty
-         FROM lineitem""",
+         FROM lineitem
+         ORDER BY l_suppkey, running_qty, l_orderkey, l_linenumber""",
 
     "q_order_gaps" ->
       """SELECT o_custkey, o_orderkey,
@@ -300,7 +281,7 @@ object SparkEntry {
            CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey
              ORDER BY o_orderdate, o_orderkey) AS DATE),
            CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
-         FROM orders""",
+         FROM orders ORDER BY o_custkey, o_orderkey""",
 
     "q_window_frames" ->
       """SELECT l_returnflag, l_orderkey,
@@ -313,7 +294,8 @@ object SparkEntry {
              ORDER BY l_extendedprice, l_orderkey, l_linenumber),
            wf AS (PARTITION BY l_returnflag
              ORDER BY l_extendedprice, l_orderkey, l_linenumber
-             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY l_returnflag, l_orderkey, l_linenumber, quartile""",
 
     "q_string_ops" ->
       """SELECT c_custkey, upper(c_name) AS upper_name,
@@ -322,7 +304,8 @@ object SparkEntry {
          CAST(levenshtein(c_mktsegment, 'BUILDING') AS BIGINT) AS seg_dist,
          reverse(c_mktsegment) AS seg_rev,
          CAST(instr(c_name, '#') AS BIGINT) AS hash_pos
-         FROM customer""",
+         FROM customer
+         ORDER BY c_custkey""",
 
     "q_conditional_agg" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
@@ -330,38 +313,44 @@ object SparkEntry {
          CAST(SUM(CASE WHEN o_totalprice > 100000
            THEN CAST(o_totalprice AS DECIMAL(18,2))
            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS big_order_revenue
-         FROM orders GROUP BY o_orderpriority""",
+         FROM orders GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
 
     "q_correlated_subquery" ->
       """SELECT c_custkey, c_name,
          (SELECT MAX(o_totalprice) FROM orders
           WHERE o_custkey = c_custkey) AS max_order
-         FROM customer""",
+         FROM customer
+         ORDER BY c_custkey""",
 
     "q_explode_words" ->
       """SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS word
          FROM (SELECT doc_id, string_split(text, ' ') AS ws
                FROM documents WHERE doc_id < 10) t,
-              LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g""",
+              LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g
+         ORDER BY doc_id, pos""",
 
     "q_hourly_events" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
          COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM events GROUP BY 1, 2""",
+         FROM events GROUP BY 1, 2
+         ORDER BY hour, event_type""",
 
     "q_stream_hourly" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
          COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM events GROUP BY 1, 2""",
+         FROM events GROUP BY 1, 2
+         ORDER BY hour, event_type""",
 
     "q_pivot" ->
       """SELECT o_orderpriority,
          CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_f,
          CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS n_o,
          CAST(count_if(o_orderstatus = 'P') AS BIGINT) AS n_p
-         FROM orders GROUP BY o_orderpriority""",
+         FROM orders GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
@@ -376,17 +365,19 @@ object SparkEntry {
                FROM s)
          SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
-         FROM c GROUP BY 1, 2""",
+         FROM c GROUP BY 1, 2 ORDER BY user_id, session_id""",
 
     "q_regex_extract" ->
       """SELECT event_id, event_type,
          CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
-         FROM events WHERE event_type = 'error'""",
+         FROM events WHERE event_type = 'error'
+         ORDER BY event_id""",
 
     "q_json_extract" ->
       """SELECT event_id, event_type,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-         FROM events""",
+         FROM events
+         ORDER BY event_id""",
 
     "q_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
@@ -398,22 +389,26 @@ object SparkEntry {
          SELECT l.event_id, l.user_id, l.event_type,
            r.ref_event_id, r.ts AS ref_ts, r.ref_value
          FROM lefts l ASOF LEFT JOIN rights r
-           ON l.user_id = r.user_id AND l.ts >= r.ts""",
+           ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY event_id""",
 
     "q_date_format" ->
       """SELECT o_orderkey,
          strftime(o_orderdate, '%Y%m%d%H%M%S%f') AS job_date_str
-         FROM orders""",
+         FROM orders
+         ORDER BY o_orderkey""",
 
     "q_base64" ->
       """SELECT event_id, base64(encode(props)) AS props_b64,
          decode(from_base64(base64(encode(props)))) AS props_roundtrip
-         FROM events""",
+         FROM events
+         ORDER BY event_id""",
 
     "q_fingerprint" ->
       s"""SELECT doc_id, md5($Norm) AS fingerprint,
          CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
-         FROM documents""",
+         FROM documents
+         ORDER BY doc_id""",
 
     "q_token_count" ->
       """SELECT doc_id,
@@ -421,7 +416,8 @@ object SparkEntry {
          CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT) AS n_distinct,
          CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_alpha_runs,
          CAST(length(text) AS BIGINT) AS n_chars_measured
-         FROM documents""",
+         FROM documents
+         ORDER BY doc_id""",
 
     "q_langid" ->
       """SELECT doc_id, lang AS lang_label,
@@ -436,7 +432,8 @@ object SparkEntry {
              t -> t IN ('el','la','de','y','que'))) AS es,
            len(list_filter(string_split(lower(text), ' '),
              t -> t IN ('der','die','das','und','ist'))) AS de
-           FROM documents)""",
+           FROM documents)
+         ORDER BY doc_id""",
 
     "q_quality" ->
       """SELECT doc_id,
@@ -451,7 +448,8 @@ object SparkEntry {
               / CAST(len(t) AS DOUBLE)) * CAST(0.3 AS DOUBLE)
            - (CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
               / CAST(length(text) AS DOUBLE)) * CAST(0.2 AS DOUBLE) AS quality_score
-         FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents)""",
+         FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents)
+         ORDER BY doc_id""",
 
     "q_dedup_exact" ->
       s"""WITH d AS (SELECT doc_id, md5($Norm) AS fingerprint FROM documents),
@@ -459,7 +457,8 @@ object SparkEntry {
                  COUNT(*) AS group_size FROM d GROUP BY fingerprint)
          SELECT doc_id, canonical_id, group_size,
            doc_id <> canonical_id AS is_dup
-         FROM d JOIN c USING (fingerprint)""",
+         FROM d JOIN c USING (fingerprint)
+         ORDER BY doc_id""",
 
     "q_ngram_jaccard" ->
       s"""WITH docs AS (
@@ -480,7 +479,8 @@ object SparkEntry {
          FROM pairs
          JOIN sizes sa ON sa.doc_id = doc_a
          JOIN sizes sb ON sb.doc_id = doc_b
-         WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5""",
+         WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5
+         ORDER BY doc_a, doc_b""",
 
     // Embedding numerics: floats quantized by floor(x * 2^26) (exact in
     // every engine), then exact BIGINT dot products — see Similarity.Q.
@@ -490,7 +490,8 @@ object SparkEntry {
          CAST(list_sum(list_transform(generate_series(1, len(embedding)),
            i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 67108864.0) AS BIGINT)
               * CAST(floor(CAST(embedding[i] AS DOUBLE) * 67108864.0) AS BIGINT))) AS BIGINT) AS norm_sq
-         FROM embeddings""",
+         FROM embeddings
+         ORDER BY vec_id""",
 
     "q_knn_brute" ->
       """WITH q AS (
@@ -509,7 +510,7 @@ object SparkEntry {
          SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, cosine
          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                  ORDER BY cosine DESC, neighbor_id) AS rk FROM p)
-         WHERE rk <= 5""",
+         WHERE rk <= 5 ORDER BY query_id, rk""",
 
     // documents.text is pure ASCII, so DuckDB's VARCHAR md5/substring
     // operate on the same bytes Spark's binary md5/substr see.
@@ -518,7 +519,8 @@ object SparkEntry {
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          md5(text) AS digest,
          substring(text, 1, 4) AS magic
-         FROM documents""",
+         FROM documents
+         ORDER BY doc_id""",
 
     "q_frame_sample" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
@@ -526,16 +528,17 @@ object SparkEntry {
          FROM (SELECT doc_id, text,
                  octet_length(encode(text)) AS nb FROM documents) t,
               LATERAL (SELECT unnest(generate_series(0,
-                CAST(floor((nb - 1) / 64) AS BIGINT))) AS i) g""",
+                CAST(floor((nb - 1) / 64) AS BIGINT))) AS i) g
+         ORDER BY doc_id, frame_idx""",
 
     "q_roundtrip" ->
-      "SELECT * FROM lineitem",
+      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate",
 
     "q_table_exists_append" ->
-      "SELECT * FROM nation UNION ALL SELECT * FROM nation",
+      "SELECT * FROM nation UNION ALL SELECT * FROM nation ORDER BY n_nationkey",
 
     "q_table_exists_skip" ->
-      "SELECT * FROM nation",
+      "SELECT * FROM nation ORDER BY n_nationkey",
 
     "q_estimate_only" ->
       "SELECT COUNT(*) AS n_rows FROM lineitem",
@@ -543,6 +546,7 @@ object SparkEntry {
     "q_remap_data" ->
       """SELECT c_custkey,
          'ANON-' || CAST(c_custkey AS VARCHAR) AS c_name, c_mktsegment
-         FROM customer"""
+         FROM customer
+         ORDER BY c_custkey"""
   )
 }

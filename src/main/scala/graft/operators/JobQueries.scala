@@ -40,6 +40,10 @@ object JobQueries {
       .run(spark)
     require(imp.state == JobState.Completed, s"import failed: ${imp.errors}")
     spark.read.parquet(s"$tgt/stage/lineitem")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
   }
 
   /** TABLE_EXISTS_ACTION=APPEND: two export passes into one target ⇒
@@ -51,7 +55,7 @@ object JobQueries {
       sourceDir = sf, targetDir = tgt, directives = dirs)
     require(job.run(spark).state == JobState.Completed)
     require(job.run(spark).state == JobState.Completed)
-    spark.read.parquet(s"$tgt/main/nation")
+    spark.read.parquet(s"$tgt/main/nation").orderBy(col("n_nationkey"))
   }
 
   /** TABLE_EXISTS_ACTION=SKIP (SaveMode.Ignore): second pass is a
@@ -65,7 +69,7 @@ object JobQueries {
     val second = job.run(spark)
     require(second.objects.forall(_.state == "SKIPPED"),
       s"expected SKIPPED, got ${second.objects}")
-    spark.read.parquet(s"$tgt/main/nation")
+    spark.read.parquet(s"$tgt/main/nation").orderBy(col("n_nationkey"))
   }
 
   /** ESTIMATE_ONLY (directives.py:304-305): move nothing, report

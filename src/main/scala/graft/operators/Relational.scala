@@ -36,6 +36,7 @@ object Relational {
   def project(spark: SparkSession, sf: String): DataFrame =
     Tables.load(spark, sf, "lineitem")
       .select(col("l_orderkey"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_extendedprice"))
 
   /** IN-list row predicate — Data Pump filter-expression semantics
     * (`IN ('A','N')`, directives.py:140-143) applied to rows; pushed to
@@ -45,6 +46,10 @@ object Relational {
       .filter(col("l_returnflag").isin("A", "N") && col("l_quantity") > 30)
       .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
         col("l_returnflag"), col("l_quantity"))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data:
+      // totalize the ordering over every output column
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"))
 
   // ---- aggregations ------------------------------------------------
 
@@ -211,13 +216,14 @@ object Relational {
       .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
         (dec(col("l_extendedprice")).cast("double") /
           col("order_total").cast("double")).as("price_share"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("price_share"))
   }
 
   /** Running-sum window: cumulative quantity per supplier over time. */
   def runningSum(spark: SparkSession, sf: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.load(spark, sf, "lineitem")
       .select(col("l_suppkey"), col("l_orderkey"),
@@ -322,7 +328,8 @@ object Relational {
         ntile(4).over(byFlag).cast("long").as("quartile"),
         first(col("l_extendedprice")).over(full).as("flag_min_price"),
         last(col("l_extendedprice")).over(full).as("flag_max_price"))
-      .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("quartile"))
   }
 
   /** String-function battery: case, pad, substring, edit distance,
