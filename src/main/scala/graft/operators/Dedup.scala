@@ -19,7 +19,6 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   */
 object Dedup {
 
-  /** 3-word shingles of the normalized text, distinct per doc. */
   /** doc_id + distinct 3-word shingle array. The word array is
     * materialized in its own projection first: HOF lambdas evaluate
     * interpreted with NO common-subexpression elimination, so an

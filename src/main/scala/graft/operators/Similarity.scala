@@ -52,10 +52,7 @@ object Similarity {
         normSqQ(col("embedding")).as("norm_sq"))
       .orderBy(col("vec_id"))
 
-  /** Brute-force cosine top-k neighbors per vector (k=5, excluding
-    * self). The probe side is broadcast when small; at scale this is
-    * the per-query-batch scoring kernel LSH/IVF feed. */
-  /** Quantized int vector + inverse norm, computed ONCE per vector —
+  /** Quantized int vector + norm, computed ONCE per vector —
     * the n·m pair scan then does a single integer dot per pair
     * (3× fewer array passes than naively recomputing norms per pair,
     * and quantization happens n times, not n·m). */
@@ -65,6 +62,9 @@ object Similarity {
       .withColumn(s"norm_$idCol",
         sqrt(dot_long(col(s"iv_$idCol"), col(s"iv_$idCol")).cast("double")))
 
+  /** Brute-force cosine top-k neighbors per vector (k=5, excluding
+    * self). The probe side is broadcast; at scale this is the
+    * per-query-batch scoring kernel that LSH/IVF candidate sets feed. */
   def knnBruteForce(spark: SparkSession, sf: String, k: Int = 5): DataFrame = {
     val e = Tables.load(spark, sf, "embeddings")
     val a = quantized(e, "query_id")

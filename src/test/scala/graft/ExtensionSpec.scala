@@ -74,4 +74,26 @@ class ExtensionSpec extends AnyFunSuite {
     assert(dropped == Seq("J1"))
     assert(JobRegistry.get("J1").isEmpty && JobRegistry.get("J2").nonEmpty)
   }
+
+  test("custom expressions handle edge inputs") {
+    GraftExtensions.registerAll(spark)
+    // empty arrays (typed — array() alone is array<void>)
+    assert(spark.sql(
+      "SELECT dot_long(CAST(array() AS ARRAY<BIGINT>), CAST(array() AS ARRAY<BIGINT>))")
+      .collect()(0).getLong(0) == 0L)
+    // mismatched lengths: dot over common prefix
+    assert(spark.sql("SELECT dot_long(array(2L, 3L), array(10L))")
+      .collect()(0).getLong(0) == 20L)
+    // nulls propagate
+    assert(spark.sql(
+      "SELECT dot_long(CAST(NULL AS ARRAY<BIGINT>), array(1L))")
+      .collect()(0).isNullAt(0))
+    // shingles shorter than k: empty result
+    assert(spark.sql("SELECT shingles(array('a','b'), 3)")
+      .collect()(0).getSeq[String](0).isEmpty)
+    // simhash of empty tokens: all votes -1 => zero bits? votes start 0,
+    // no tokens => votes all 0 => no bits set
+    assert(spark.sql("SELECT simhash_sig(CAST(array() AS ARRAY<BIGINT>))")
+      .collect()(0).getLong(0) == 0L)
+  }
 }
