@@ -151,4 +151,22 @@ class ProtocolSpec extends AnyFunSuite {
       "part-*")
     assert(members.size == 2)
   }
+
+  test("JDBC option building injects AS OF SCN and parallel bounds") {
+    import graft.sources.Jdbc
+    assert(Jdbc.dbtableFor("HR.EMPLOYEES") == "HR.EMPLOYEES")
+    assert(Jdbc.dbtableFor("HR.EMPLOYEES", asOfScn = Some(12345L)) ==
+      "(SELECT * FROM HR.EMPLOYEES AS OF SCN 12345)")
+    assert(Jdbc.dbtableFor("T", asOfTimestampIso = Some("2023-06-01T12:00:00Z"))
+      .contains("AS OF TIMESTAMP TO_TIMESTAMP('2023-06-01 12:00:00'"))
+    val opts = Jdbc.readOptions("jdbc:oracle:thin:@db:1521/svc", "HR.EMP",
+      parallel = 4, partitionColumn = Some("EMPLOYEE_ID"),
+      lowerBound = Some(1), upperBound = Some(10000),
+      asOfScn = Some(777))
+    assert(opts("numPartitions") == "4")
+    assert(opts("partitionColumn") == "EMPLOYEE_ID")
+    assert(opts("dbtable").contains("AS OF SCN 777"))
+    intercept[IllegalArgumentException](
+      Jdbc.readOptions("jdbc:x", "T", parallel = 2))
+  }
 }
