@@ -118,4 +118,29 @@ object EventStream {
           SessionUpdate(userId, st.sessionId, emitted)
       }
   }
+
+  /** flatMapGroupsWithState twin: emits one record PER EVENT with its
+    * assigned session id (mapGroupsWithState can only emit one record
+    * per group per batch; flatMap streams the full assignment). */
+  def assignSessions(events: Dataset[Ev])(
+      implicit spark: SparkSession): Dataset[(Long, Long, Long)] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+          val out = sorted.map { e =>
+            val tsMicros = e.ts.getTime * 1000
+            st =
+              if (st.lastTs == Long.MinValue || tsMicros - st.lastTs > GapMicros)
+                SessionState(st.sessionId + 1, tsMicros, 1)
+              else st.copy(lastTs = tsMicros, count = st.count + 1)
+            (e.event_id, userId, st.sessionId)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

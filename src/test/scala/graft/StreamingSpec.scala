@@ -44,4 +44,42 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(stateful == batch)
   }
+
+  test("flatMapGroupsWithState per-event session assignment matches batch") {
+    import spark.implicits._
+    implicit val s = spark
+    val evs = Events.load(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventStream.Ev]
+    val assigned = EventStream.assignSessions(evs).collect()
+      .map { case (eid, uid, sid) => (uid, sid) }
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val batch = Events.sessionize(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2).toInt))
+      .toMap
+    assert(assigned == batch)
+  }
+
+  test("bucketed tables co-locate the join (no Exchange in the plan)") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    Tables.load(spark, sf, "orders")
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("b_orders")
+    Tables.load(spark, sf, "lineitem")
+      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("b_lineitem")
+    val joined = spark.table("b_lineitem").join(spark.table("b_orders"),
+      col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // both sides pre-bucketed on the join key: no shuffle exchange
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(800))
+    assert(joined.count() ==
+      Tables.load(spark, sf, "lineitem")
+        .join(Tables.load(spark, sf, "orders"),
+          col("l_orderkey") === col("o_orderkey")).count())
+    spark.sql("DROP TABLE b_orders")
+    spark.sql("DROP TABLE b_lineitem")
+  }
 }
