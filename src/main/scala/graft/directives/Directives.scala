@@ -48,6 +48,9 @@ object Effect {
   case object EstimateOnly extends Effect
   /** Skip data movement, emit DDL/metadata only — or the inverse. */
   case class ContentSelection(data: Boolean, metadata: Boolean) extends Effect
+  /** Promote each source partition to its own output table
+    * (PARTITION_OPTIONS=DEPARTITION, directives.py:346-349). */
+  case object Departition extends Effect
   /** Runs after a successful job with the final metadata. */
   case class PostAction(run: graft.job.JobContext => Unit) extends Effect
   /** Accepted for API parity; no Spark analog. Logged, never fails. */
@@ -293,7 +296,8 @@ object DirectiveCompiler {
       Seq(SetSaveMode(mode, truncate))
     case PartitionOptions(v) => v.toUpperCase match {
       case "MERGE" => Seq(PlanTransform(df => df.coalesce(1)))
-      case _ => Seq.empty // NONE/DEPARTITION: layout preserved / per-partition
+      case "DEPARTITION" => Seq(Departition)
+      case _ => Seq.empty // NONE: layout preserved
     }
     case IncludeMetadata(on) => Seq(ContentSelection(data = true, metadata = on))
     case Metrics(_) | Logtime(_) => Seq.empty // log-shaping only

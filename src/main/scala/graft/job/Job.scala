@@ -165,6 +165,7 @@ case class DataPumpJob(
     val readerOpts = effects.collect { case Effect.ReaderOption(k, v) => k -> v }.toMap
     val transforms = effects.collect { case Effect.PlanTransform(f) => f }
     val estimateOnly = effects.contains(Effect.EstimateOnly)
+    val departition = effects.contains(Effect.Departition)
     val schemaRemap = effects.collectFirst {
       case Effect.IdentityRemap("SCHEMA", f, t) => (f, t)
     }
@@ -226,7 +227,29 @@ case class DataPumpJob(
           results += ObjectStatus(table, "ESTIMATED", -1L,
             bytes.longValue, secsSince(t0), None)
         } else {
-          if (saveMode == SaveMode.Ignore && exists(spark, outPath)) {
+          if (departition && partitionColumnsOf(df).nonEmpty) {
+            // DEPARTITION (directives.py:346-349): each source partition
+            // becomes its own table `<table>_<col>_<value>`; values are
+            // enumerated from the partition spec (small by definition)
+            val pcols = partitionColumnsOf(df)
+            val combos = df.select(pcols.map(
+              org.apache.spark.sql.functions.col): _*).distinct().collect()
+            combos.foreach { row =>
+              val suffix = pcols.zipWithIndex
+                .map { case (c, i) => s"${c}_${row.get(i)}" }.mkString("_")
+              val part = pcols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+                d.filter(org.apache.spark.sql.functions.col(c) ===
+                  org.apache.spark.sql.functions.lit(row.get(i)))
+              }.drop(pcols: _*)
+              part.repartition(parallel).write.mode(saveMode)
+                .options(writerOpts)
+                .parquet(s"$effTarget/$targetSchema/${targetTable}_$suffix")
+            }
+            val rows = df.count()
+            results += ObjectStatus(table, "COMPLETED", rows,
+              pathBytes(spark, s"$effTarget/$targetSchema"),
+              secsSince(t0), None)
+          } else if (saveMode == SaveMode.Ignore && exists(spark, outPath)) {
             results += ObjectStatus(table, "SKIPPED", 0, 0, secsSince(t0), None)
           } else {
             if (truncate && exists(spark, outPath)) {
@@ -328,6 +351,15 @@ case class DataPumpJob(
       catch { case NonFatal(_) => None }
       finally in.close()
     }
+  }
+
+  /** Hive-style partition columns of a parquet-backed DataFrame,
+    * discovered from its input paths (`k=v` segments). */
+  private def partitionColumnsOf(df: DataFrame): Seq[String] = {
+    val re = "/([A-Za-z_][A-Za-z0-9_]*)=[^/]+".r
+    df.inputFiles.headOption.toSeq.flatMap(f =>
+      re.findAllMatchIn(f).map(_.group(1)).toSeq).distinct
+      .filter(c => df.columns.contains(c))
   }
 
   private def exists(spark: SparkSession, path: String): Boolean = {

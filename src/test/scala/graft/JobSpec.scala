@@ -191,4 +191,27 @@ class JobSpec extends AnyFunSuite {
     assert(emb.selectExpr("size(embedding)").distinct().collect()
       .map(_.getInt(0)).toSeq == Seq(64))
   }
+
+  test("DEPARTITION promotes each source partition to its own table") {
+    // build a partitioned source: events partitioned by event_type
+    val srcRoot = tmp("jobspec-departition-src")
+    graft.operators.Events.load(spark, sf)
+      .write.partitionBy("event_type").parquet(s"$srcRoot/events.parquet")
+    val out = tmp("jobspec-departition-out")
+    val info = DataPumpJob(Operation.Export, JobMode.Table, srcRoot, out,
+      directives = Seq(IncludeTable(Seq("events")),
+        PartitionOptions("DEPARTITION"), TableExistsAction("REPLACE")))
+      .run(spark)
+    assert(info.state == JobState.Completed, info.errors)
+    val tables = new java.io.File(s"$out/main").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(tables.length == 5, tables.toSeq) // one per event_type
+    assert(tables.forall(_.startsWith("events_event_type_")))
+    val total = tables.map(t =>
+      spark.read.parquet(s"$out/main/$t").count()).sum
+    assert(total == 1000)
+    // departitioned tables no longer carry the partition column
+    val cols = spark.read.parquet(s"$out/main/${tables.head}").columns
+    assert(!cols.contains("event_type"))
+  }
 }
