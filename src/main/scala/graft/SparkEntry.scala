@@ -526,10 +526,27 @@ object SparkEntry {
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
          md5(substring(text, CAST(i AS INT) * 64 + 1, 64)) AS frame_digest
          FROM (SELECT doc_id, text,
-                 octet_length(encode(text)) AS nb FROM documents) t,
+                 octet_length(encode(text)) AS nb FROM documents
+               WHERE octet_length(encode(text)) > 0) t,
               LATERAL (SELECT unnest(generate_series(0,
                 CAST(floor((nb - 1) / 64) AS BIGINT))) AS i) g
          ORDER BY doc_id, frame_idx""",
+
+    // Stub decoder twin: 16-bin byte histogram over the UTF-8 payload
+    // (documents.text is pure ASCII ⇒ chars == bytes, so per-char
+    // unicode()//16 in DuckDB bins identically to Spark's byte>>4).
+    "q_decode_features" ->
+      """SELECT doc_id,
+         CAST(64 + (doc_id % 8) * 16 AS INTEGER) AS width,
+         CAST(64 + (doc_id % 5) * 16 AS INTEGER) AS height,
+         CAST(b AS BIGINT) AS bin_idx,
+         CAST(len(list_filter(bins, x -> x = b)) AS BIGINT) AS n_in_bin
+         FROM (SELECT doc_id,
+                 list_transform(string_split(text, ''),
+                   c -> unicode(c) // 16) AS bins
+               FROM documents) t,
+              LATERAL (SELECT unnest(generate_series(0, 15)) AS b) g
+         ORDER BY doc_id, bin_idx""",
 
     "q_roundtrip" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate",

@@ -39,12 +39,14 @@ object Multimodal {
 
   /** Output schema of the fake decoder: fixed-size feature vector +
     * dimensions — the shape a real image decode/resize/embed stage
-    * produces. */
+    * produces. Features are exact integer counts (a 16-bin byte
+    * histogram) so the downstream exploded form is oracle-checkable
+    * bit-for-bit. */
   val featureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
-    StructField("features", ArrayType(DoubleType))))
+    StructField("features", ArrayType(LongType))))
 
   /** STUB DECODER — deterministic fake standing in for
     * image/audio decode (no codec libs in this container). Derives a
@@ -53,16 +55,17 @@ object Multimodal {
     * the mapPartitions batch shape stays.
     */
   private def fakeDecode(docId: Long, payload: Array[Byte]): Row = {
-    val hist = new Array[Double](16)
-    payload.foreach(b => hist((b & 0xFF) / 16) += 1.0)
-    val n = math.max(payload.length, 1)
+    val hist = new Array[Long](16)
+    payload.foreach(b => hist((b & 0xFF) / 16) += 1L)
     Row(docId, 64 + (docId % 8).toInt * 16, 64 + (docId % 5).toInt * 16,
-      hist.map(_ / n).toSeq)
+      hist.toSeq)
   }
 
   /** Partition-parallel decode/feature-extract: mapPartitions keeps
     * per-partition batch semantics (a real decoder amortizes codec
-    * init per partition, exactly here). */
+    * init per partition, exactly here). The feature vector is exploded
+    * to scalar (doc_id, bin_idx, n_in_bin) rows so the result is
+    * sortable/hashable by any downstream comparator. */
   def decodeFeatures(spark: SparkSession, sf: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(featureSchema)
@@ -72,7 +75,11 @@ object Multimodal {
         // real pipeline: init codec once per partition here
         rows.map(r => fakeDecode(r.getLong(0), r.getAs[Array[Byte]](1)))
       }(enc)
-      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("width"), col("height"),
+        posexplode(col("features")).as(Seq("bin_idx", "n_in_bin")))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("bin_idx").cast("long").as("bin_idx"), col("n_in_bin"))
+      .orderBy(col("doc_id"), col("bin_idx"))
   }
 
   /** Frame sampling over a binary "video" payload: take every k-th
@@ -80,12 +87,15 @@ object Multimodal {
     * real frame extraction, column-only. */
   def frameSample(spark: SparkSession, sf: String, stride: Int = 64): DataFrame =
     binarized(spark, sf)
+      // empty payloads have no frames — filtered on BOTH sides (the
+      // DuckDB oracle's generate_series is empty for them; an unguarded
+      // greatest(0, …) here would emit a phantom frame 0)
+      .filter(octet_length(col("payload")) > 0)
       .select(col("doc_id"),
         posexplode(
           transform(
             sequence(lit(0),
-              greatest(lit(0),
-                floor((octet_length(col("payload")) - 1) / stride).cast("int"))),
+              floor((octet_length(col("payload")) - 1) / stride).cast("int")),
             i => md5(col("payload").substr(i * stride + 1, lit(stride)))))
         .as(Seq("frame_idx", "frame_digest")))
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),

@@ -12,6 +12,13 @@ import java.nio.charset.Charset
   * 32 KB RPC chunks over UTL_FILE; the Hadoop FS API already streams
   * and buffers, so these wrappers only add the mode × text/binary
   * surface and encoding handling.
+  *
+  * Paths are dispatched by URI scheme through a pluggable handler
+  * registry — the analog of the reference's scheme→FileHandler map
+  * (handlers.py:114-135): `file:`/schemeless/anything-Hadoop-mounted
+  * hits the default Hadoop handler; deployments register custom
+  * schemes (e.g. an object-store SDK that bypasses Hadoop) without
+  * touching call sites.
   */
 object RemoteFile {
 
@@ -19,17 +26,62 @@ object RemoteFile {
   case object Read extends Mode
   case object Write extends Mode
 
-  def openBinary(spark: SparkSession, path: String): java.io.InputStream = {
-    val p = new Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+  /** One scheme's byte-level open/create surface. */
+  trait FileHandler {
+    def openBinary(spark: SparkSession, path: String): java.io.InputStream
+    def createBinary(spark: SparkSession, path: String,
+        overwrite: Boolean): java.io.OutputStream
   }
 
-  def createBinary(spark: SparkSession, path: String,
-      overwrite: Boolean = true): java.io.OutputStream = {
-    val p = new Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .create(p, overwrite)
+  /** Default: whatever filesystem Hadoop resolves for the path
+    * (local, hdfs, s3a, …) — the registry's fallback. */
+  object HadoopHandler extends FileHandler {
+    def openBinary(spark: SparkSession, path: String): java.io.InputStream = {
+      val p = new Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+    }
+    def createBinary(spark: SparkSession, path: String,
+        overwrite: Boolean): java.io.OutputStream = {
+      val p = new Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(p, overwrite)
+    }
   }
+
+  private val handlers =
+    scala.collection.concurrent.TrieMap.empty[String, FileHandler]
+
+  /** Register a handler for a URI scheme (case-insensitive). Returns
+    * any handler it displaced. */
+  def register(scheme: String, handler: FileHandler): Option[FileHandler] =
+    handlers.put(scheme.toLowerCase, handler)
+
+  def unregister(scheme: String): Option[FileHandler] =
+    handlers.remove(scheme.toLowerCase)
+
+  /** Scheme of a path string, if it has one (`s3a://x/y` → s3a). */
+  def schemeOf(path: String): Option[String] = {
+    val i = path.indexOf("://")
+    if (i <= 0) None
+    else {
+      val s = path.substring(0, i)
+      if (s.forall(c => c.isLetterOrDigit || c == '+' || c == '-' || c == '.'))
+        Some(s.toLowerCase)
+      else None
+    }
+  }
+
+  /** Resolve the handler for a path: registered scheme first, Hadoop
+    * fallback otherwise. */
+  def handlerFor(path: String): FileHandler =
+    schemeOf(path).flatMap(handlers.get).getOrElse(HadoopHandler)
+
+  def openBinary(spark: SparkSession, path: String): java.io.InputStream =
+    handlerFor(path).openBinary(spark, path)
+
+  def createBinary(spark: SparkSession, path: String,
+      overwrite: Boolean = true): java.io.OutputStream =
+    handlerFor(path).createBinary(spark, path, overwrite)
 
   def openText(spark: SparkSession, path: String,
       encoding: String = "UTF-8"): BufferedReader =

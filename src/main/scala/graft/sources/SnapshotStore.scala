@@ -50,17 +50,29 @@ object SnapshotStore {
     }
   }
 
-  /** Register a new version; returns its number (monotone). */
+  /** Register a new version; returns its number (monotone).
+    *
+    * Atomicity: the read-modify-write is serialized JVM-wide (two
+    * concurrent versioned exports in one process cannot drop each
+    * other's entry), and the file itself is published via
+    * write-to-temp + rename so a crashed writer can never leave a
+    * torn ledger behind. Cross-process writers on an object store
+    * would swap this for a conditional-put/ETag loop.
+    */
   def appendVersion(spark: SparkSession, root: String, jobName: String,
-      at: Instant): Long = {
+      at: Instant): Long = synchronized {
     val existing = readLedger(spark, root)
     val next = existing.map(_.version).maxOption.getOrElse(0L) + 1
     val updated = Ledger(existing :+
       VersionEntry(next, Util.formatJobDate(at), jobName))
     val p = ledgerPath(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    val tmp = new Path(
+      s"$root/.$LedgerFile.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
     try out.write(mapper.writeValueAsBytes(updated)) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p), s"ledger publish failed: $tmp -> $p")
     next
   }
 

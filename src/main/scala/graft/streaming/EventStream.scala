@@ -92,6 +92,13 @@ object EventStream {
 
   val GapMicros: Long = 30L * 60 * 1000000
 
+  /** Microsecond instant of a Timestamp. getTime alone is millisecond-
+    * precision (sub-ms components zeroed); the nanos field carries the
+    * full sub-second part, so micros = whole-seconds + nanos/1000 —
+    * keeping gap comparisons identical to the batch twin's unix_micros. */
+  private def micros(ts: Timestamp): Long =
+    math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
   /** Per-user session assignment with explicit state — the streaming
     * form of the 30-minute-gap rule. Events within a micro-batch are
     * sorted per user; state carries (session counter, last ts) across
@@ -103,11 +110,11 @@ object EventStream {
       .mapGroupsWithState[SessionState, SessionUpdate](
         GroupStateTimeout.NoTimeout) {
         (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
           var emitted = 0L
           sorted.foreach { e =>
-            val tsMicros = e.ts.getTime * 1000
+            val tsMicros = micros(e.ts)
             st =
               if (st.lastTs == Long.MinValue || tsMicros - st.lastTs > GapMicros)
                 SessionState(st.sessionId + 1, tsMicros, 1)
@@ -129,10 +136,10 @@ object EventStream {
       .flatMapGroupsWithState[SessionState, (Long, Long, Long)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
           val out = sorted.map { e =>
-            val tsMicros = e.ts.getTime * 1000
+            val tsMicros = micros(e.ts)
             st =
               if (st.lastTs == Long.MinValue || tsMicros - st.lastTs > GapMicros)
                 SessionState(st.sessionId + 1, tsMicros, 1)

@@ -64,6 +64,53 @@ class ExtensionSpec extends AnyFunSuite {
     finally in.close()
   }
 
+  test("URI-scheme handler registry dispatches by scheme with Hadoop fallback") {
+    // fake in-memory scheme (handlers.py:114-135 parity)
+    val store = scala.collection.concurrent.TrieMap.empty[String, Array[Byte]]
+    object MemHandler extends RemoteFile.FileHandler {
+      def openBinary(s: org.apache.spark.sql.SparkSession, path: String) =
+        new java.io.ByteArrayInputStream(
+          store.getOrElse(path, sys.error(s"no such mem file $path")))
+      def createBinary(s: org.apache.spark.sql.SparkSession, path: String,
+          overwrite: Boolean) =
+        new java.io.ByteArrayOutputStream() {
+          override def close(): Unit = { super.close(); store(path) = toByteArray }
+        }
+    }
+    try {
+      assert(RemoteFile.register("mem", MemHandler).isEmpty)
+      val w = RemoteFile.createText(spark, "mem://bucket/hello.txt")
+      w.write("via mem scheme"); w.close()
+      assert(RemoteFile.readAllText(spark, "mem://bucket/hello.txt") ==
+        "via mem scheme")
+      // schemeless paths still hit the Hadoop handler
+      val dir = java.nio.file.Files.createTempDirectory("schemereg").toString
+      val w2 = RemoteFile.createText(spark, s"$dir/plain.txt")
+      w2.write("hadoop"); w2.close()
+      assert(RemoteFile.readAllText(spark, s"$dir/plain.txt") == "hadoop")
+      assert(RemoteFile.schemeOf(s"$dir/plain.txt").isEmpty)
+      assert(RemoteFile.schemeOf("s3a://b/k").contains("s3a"))
+      // unregistered scheme falls back to Hadoop (and fails on a bogus FS)
+      assert(RemoteFile.handlerFor("mem://x") eq MemHandler)
+      assert(RemoteFile.handlerFor("/tmp/x") eq RemoteFile.HadoopHandler)
+    } finally RemoteFile.unregister("mem")
+  }
+
+  test("concurrent versioned appends both land in the ledger") {
+    val root = java.nio.file.Files.createTempDirectory("ledger").toString
+    val threads = (1 to 4).map { i =>
+      new Thread(() => {
+        graft.sources.SnapshotStore.appendVersion(
+          spark, root, s"JOB-$i", Instant.now())
+        ()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val ledger = graft.sources.SnapshotStore.readLedger(spark, root)
+    assert(ledger.map(_.version).sorted == Seq(1L, 2L, 3L, 4L))
+    assert(ledger.map(_.jobName).toSet.size == 4)
+  }
+
   test("orphan cleanup drops terminal jobs from the registry") {
     JobRegistry.clear()
     JobRegistry.register(graft.status.JobStatusInfo("J1", "o", "EXPORT",

