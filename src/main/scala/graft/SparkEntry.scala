@@ -535,6 +535,10 @@ object SparkEntry {
     // Stub decoder twin: 16-bin byte histogram over the UTF-8 payload
     // (documents.text is pure ASCII ⇒ chars == bytes, so per-char
     // unicode()//16 in DuckDB bins identically to Spark's byte>>4).
+    // Empty-doc guard: DuckDB string_split('','') yields [''] and
+    // unicode('') = -1, which truncating // would bin at 0 as a phantom
+    // count — negative code points are filtered before binning so an
+    // empty payload histograms to all-zero bins, matching fakeDecode.
     "q_decode_features" ->
       """SELECT doc_id,
          CAST(64 + (doc_id % 8) * 16 AS INTEGER) AS width,
@@ -542,8 +546,11 @@ object SparkEntry {
          CAST(b AS BIGINT) AS bin_idx,
          CAST(len(list_filter(bins, x -> x = b)) AS BIGINT) AS n_in_bin
          FROM (SELECT doc_id,
-                 list_transform(string_split(text, ''),
-                   c -> unicode(c) // 16) AS bins
+                 list_transform(
+                   list_filter(
+                     list_transform(string_split(text, ''), c -> unicode(c)),
+                     x -> x >= 0),
+                   x -> x // 16) AS bins
                FROM documents) t,
               LATERAL (SELECT unnest(generate_series(0, 15)) AS b) g
          ORDER BY doc_id, bin_idx""",

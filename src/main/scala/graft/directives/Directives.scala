@@ -53,6 +53,8 @@ object Effect {
   case object Departition extends Effect
   /** Runs after a successful job with the final metadata. */
   case class PostAction(run: graft.job.JobContext => Unit) extends Effect
+  /** KEEP_MASTER: retain the job's registry entry past orphan GC. */
+  case object RetainMaster extends Effect
   /** Accepted for API parity; no Spark analog. Logged, never fails. */
   case class Ignored(reason: String) extends Effect
 }
@@ -302,7 +304,7 @@ object DirectiveCompiler {
     case IncludeMetadata(on) => Seq(ContentSelection(data = true, metadata = on))
     case Metrics(_) | Logtime(_) => Seq.empty // log-shaping only
     case KeepMaster(on) =>
-      if (on) Seq(Ignored("job checkpoint retained")) else Seq.empty
+      if (on) Seq(RetainMaster) else Seq.empty
     case MasterOnly(on) => if (on) Seq(Effect.EstimateOnly) else Seq.empty
     case DataOptions(flags) =>
       if (flags.contains("SKIP_CONST_ERR") || flags.contains("CONT_LD_ON_FMT_ERR"))

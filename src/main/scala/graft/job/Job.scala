@@ -7,7 +7,8 @@ import graft.directives.{Directive, DirectiveCompiler, Effect}
 import graft.model._
 import graft.status.{JobRegistry, JobStatusInfo, ObjectStatus}
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
 
 import java.time.Instant
 import scala.collection.mutable.ArrayBuffer
@@ -73,9 +74,14 @@ case class DataPumpJob(
   def run(spark: SparkSession, wait: Boolean = true): JobStatusInfo = {
     val date = jobDate
     val remap = directives.collectFirst { case graft.directives.RemapSchema(f, t) => (f, t) }
+    val included = directives.collect {
+      case graft.directives.IncludeSchema(s) => s.toUpperCase }
     val name = explicitJobName.getOrElse(Util.jobName(
       operation, date,
-      schemas = if (operation == Operation.Export) Seq(schema.toUpperCase) else Nil,
+      schemas =
+        if (operation != Operation.Export) Nil
+        else if (included.nonEmpty) included
+        else Seq(schema.toUpperCase),
       remapSchema = remap.map { case (f, t) => (f.toUpperCase, t.toUpperCase) },
       jobOwner = Some(jobOwner), tag = tag))
 
@@ -113,6 +119,7 @@ case class DataPumpJob(
       date: Instant,
       started: Instant): JobStatusInfo = {
     val effects = directives.flatMap(DirectiveCompiler.compile)
+    if (effects.contains(Effect.RetainMaster)) JobRegistry.retain(name)
     spark.sparkContext.setJobGroup(name, s"${operation.name} ${mode.name}")
     // events.parquet carries nanosecond timestamps (Spark 4 refuses
     // them natively); read as long nanos so FULL jobs can move them
@@ -138,22 +145,41 @@ case class DataPumpJob(
       .getOrElse(targetDir)
 
     // ---- object enumeration (mode scoping + metadata filters) ----
-    val available: Seq[String] = operation match {
+    // (schema, table) pairs. Source layouts: flat `dir/<table>.parquet`
+    // under the job's constructor schema, nested `dir/<schema>/<table>
+    // .parquet` for multi-schema sources, and import dump sets
+    // `dir/<schema>/<table>/part-*`.
+    val available: Seq[(String, String)] = operation match {
       case Operation.Import => listDumpTables(spark, importSource)
-      case _ => Tables.all.filter(t =>
-        exists(spark, Tables.path(sourceDir, t)))
+      case _ => listSourceTables(spark, sourceDir)
     }
+    // SCHEMA-mode scoping (job.py:142-158; INCLUDE_SCHEMA restricts the
+    // job to the named schemas, directives.py:148-164). An explicit
+    // INCLUDE_SCHEMA scopes any mode; bare SCHEMA mode scopes to the
+    // job's own schema.
+    val includedSchemas = directives.collect {
+      case graft.directives.IncludeSchema(s) => s.toLowerCase }.toSet
+    val schemaScoped =
+      if (includedSchemas.nonEmpty)
+        available.filter(p => includedSchemas(p._1.toLowerCase))
+      else mode match {
+        case JobMode.Schema => available.filter(_._1.equalsIgnoreCase(schema))
+        case _ => available
+      }
     val modeScoped = mode match {
       case JobMode.Table =>
         val wanted = directives.collect {
           case graft.directives.IncludeTable(ts) => ts.map(_.toLowerCase)
         }.flatten.toSet
-        if (wanted.isEmpty) available else available.filter(wanted)
-      case _ => available
+        if (wanted.isEmpty) schemaScoped
+        else schemaScoped.filter(p => wanted(p._2.toLowerCase))
+      case _ => schemaScoped
     }
     val selected = effects.foldLeft(modeScoped) {
-      case (names, Effect.ObjectSelection(f)) => f(names)
-      case (names, _) => names
+      case (pairs, Effect.ObjectSelection(f)) =>
+        val keep = f(pairs.map(_._2)).toSet
+        pairs.filter(p => keep(p._2))
+      case (pairs, _) => pairs
     }
 
     // ---- effect resolution ----
@@ -166,29 +192,41 @@ case class DataPumpJob(
     val transforms = effects.collect { case Effect.PlanTransform(f) => f }
     val estimateOnly = effects.contains(Effect.EstimateOnly)
     val departition = effects.contains(Effect.Departition)
-    val schemaRemap = effects.collectFirst {
-      case Effect.IdentityRemap("SCHEMA", f, t) => (f, t)
-    }
+    val schemaRemaps = effects.collect {
+      case Effect.IdentityRemap("SCHEMA", f, t) => f.toLowerCase -> t
+    }.toMap
     val tableRemaps = effects.collect {
       case Effect.IdentityRemap("TABLE", f, t) => f.toLowerCase -> t.toLowerCase
     }.toMap
+    // REMAP_TABLESPACE (directives.py:453-454): a tablespace is physical
+    // placement; on a file store that's the output root, so the remap
+    // rewrites matching path SEGMENTS of the target root. REMAP_DATAFILE
+    // (directives.py:457-458) rewrites a full path PREFIX (a datafile is
+    // a concrete file path). Exercised like tests/test_import.py:48-51.
+    val tablespaceRemaps = effects.collect {
+      case Effect.IdentityRemap("TABLESPACE", f, t) => f -> t }.toMap
+    val datafileRemaps = effects.collect {
+      case Effect.IdentityRemap("DATAFILE", f, t) => (f, t) }
+    def remapStorage(root: String): String = {
+      val bySegment =
+        if (tablespaceRemaps.isEmpty) root
+        else root.split('/')
+          .map(s => tablespaceRemaps.getOrElse(s, s)).mkString("/")
+      datafileRemaps.foldLeft(bySegment) { case (r, (f, t)) =>
+        if (r == f || r.startsWith(f + "/")) t + r.drop(f.length) else r
+      }
+    }
+    val storageTarget = remapStorage(effTarget)
     val asOf = effects.collectFirst { case Effect.SnapshotPin(v) => v }
       .getOrElse(Util.formatJobDate(date)) // auto snapshot pin, job.py:261-269
     val includeMetadata = effects.collectFirst {
       case Effect.ContentSelection(_, md) => md
     }.getOrElse(true)
 
-    val sourceSchema = operation match {
-      case Operation.Import =>
-        readSidecar(spark, sourceDir).map(_.jobName).flatMap(_ => None)
-          .getOrElse(schema) // schema identity travels via constructor
-      case _ => schema
-    }
-    val targetSchema = schemaRemap match {
-      case Some((from, to)) if from.equalsIgnoreCase(sourceSchema) => to
-      case Some((_, to)) => to
-      case None => sourceSchema
-    }
+    // REMAP_SCHEMA applies per source schema, exact-match semantics
+    // (directives.py:449-450): only objects OF the remapped schema move.
+    def targetSchemaOf(srcSchema: String): String =
+      schemaRemaps.getOrElse(srcSchema.toLowerCase, srcSchema)
 
     // ---- per-object movement with error accumulation (tolerates
     //      partial failure → COMPLETED_WITH_ERRORS, status.py:38) ----
@@ -204,50 +242,59 @@ case class DataPumpJob(
           else 100.0 * results.size / selected.size,
         objects = results.toSeq, logEntries = Nil,
         startedAt = started, finishedAt = None))
-    selected.foreach { table =>
+    selected.foreach { case (srcSchema, table) =>
       val t0 = System.nanoTime()
       val targetTable = tableRemaps.getOrElse(table, table)
-      val outPath = s"$effTarget/$targetSchema/$targetTable"
+      val targetSchema = targetSchemaOf(srcSchema)
+      val outPath = s"$storageTarget/$targetSchema/$targetTable"
+      val srcPath = operation match {
+        case Operation.Import => s"$importSource/$srcSchema/$table"
+        case _ => sourceTablePath(spark, sourceDir, srcSchema, table)
+      }
       try {
-        val df0 = operation match {
-          case Operation.Import =>
-            spark.read.options(readerOpts)
-              .parquet(s"$importSource/${dumpSubdir(table)}")
-          case _ =>
-            spark.read.options(readerOpts)
-              .parquet(Tables.path(sourceDir, table))
-        }
+        val df0 = spark.read.options(readerOpts).parquet(srcPath)
         val df = transforms.foldLeft(df0)((d, f) => f(d))
         if (estimateOnly || operation == Operation.SqlFile) {
           // ESTIMATE_ONLY (directives.py:304-305): stats, no movement.
           val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
           if (operation == Operation.SqlFile)
-            writeString(spark, s"$effTarget/$targetSchema/$targetTable.sql",
+            writeString(spark, s"$storageTarget/$targetSchema/$targetTable.sql",
               s"CREATE TABLE $targetSchema.$targetTable (${df.schema.toDDL});\n")
           results += ObjectStatus(table, "ESTIMATED", -1L,
             bytes.longValue, secsSince(t0), None)
         } else {
-          if (departition && partitionColumnsOf(df).nonEmpty) {
+          if (departition && partitionColumnsOf(df0).nonEmpty) {
             // DEPARTITION (directives.py:346-349): each source partition
-            // becomes its own table `<table>_<col>_<value>`; values are
-            // enumerated from the partition spec (small by definition)
-            val pcols = partitionColumnsOf(df)
-            val combos = df.select(pcols.map(
-              org.apache.spark.sql.functions.col): _*).distinct().collect()
-            combos.foreach { row =>
-              val suffix = pcols.zipWithIndex
-                .map { case (c, i) => s"${c}_${row.get(i)}" }.mkString("_")
-              val part = pcols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
-                d.filter(org.apache.spark.sql.functions.col(c) ===
-                  org.apache.spark.sql.functions.lit(row.get(i)))
-              }.drop(pcols: _*)
-              part.repartition(parallel).write.mode(saveMode)
-                .options(writerOpts)
-                .parquet(s"$effTarget/$targetSchema/${targetTable}_$suffix")
+            // becomes its own table `<table>_<col>_<value>`. Partition
+            // combos come from the FILE INDEX (the `k=v` path segments
+            // Spark already discovered) — no distinct().collect() scan —
+            // and each combo is read from its own partition directory,
+            // so the source is scanned exactly once in total. Row counts
+            // ride the writes via Observation (no re-scan).
+            val pcols = partitionColumnsOf(df0)
+            val seg = "([A-Za-z_][A-Za-z0-9_]*)=(.+)".r
+            val combos: Seq[Seq[(String, String)]] = df0.inputFiles.toSeq
+              .map(_.split('/').toSeq.collect {
+                case seg(k, v) if pcols.contains(k) => (k, v)
+              })
+              .filter(_.nonEmpty).distinct.sortBy(_.map(_._2).mkString("/"))
+            var rows = 0L; var bytes = 0L
+            combos.foreach { combo =>
+              val sub = srcPath +
+                combo.map { case (k, v) => s"/$k=$v" }.mkString
+              val suffix =
+                combo.map { case (k, v) => s"${k}_$v" }.mkString("_")
+              val obs = Observation()
+              val part = transforms.foldLeft(
+                spark.read.options(readerOpts).parquet(sub))((d, f) => f(d))
+              val comboOut = s"$storageTarget/$targetSchema/${targetTable}_$suffix"
+              part.observe(obs, count(lit(1)).as("rows"))
+                .repartition(parallel).write.mode(saveMode)
+                .options(writerOpts).parquet(comboOut)
+              rows += obs.get("rows").asInstanceOf[Long]
+              bytes += pathBytes(spark, comboOut)
             }
-            val rows = df.count()
-            results += ObjectStatus(table, "COMPLETED", rows,
-              pathBytes(spark, s"$effTarget/$targetSchema"),
+            results += ObjectStatus(table, "COMPLETED", rows, bytes,
               secsSince(t0), None)
           } else if (saveMode == SaveMode.Ignore && exists(spark, outPath)) {
             results += ObjectStatus(table, "SKIPPED", 0, 0, secsSince(t0), None)
@@ -260,10 +307,15 @@ case class DataPumpJob(
                 s"TRUNCATE requires identical schema for $table: " +
                   s"existing ${existing.simpleString} vs ${df.schema.simpleString}")
             }
-            df.repartition(parallel) // %U dump-set layout: n part files
+            // Row count observed ON the write itself — a second full
+            // scan of what was just written would double read I/O
+            // (tens of redundant TB at the 100 TB design point).
+            val obs = Observation()
+            df.observe(obs, count(lit(1)).as("rows"))
+              .repartition(parallel) // %U dump-set layout: n part files
               .write.mode(saveMode).options(writerOpts).parquet(outPath)
-            val written = spark.read.parquet(outPath)
-            results += ObjectStatus(table, "COMPLETED", written.count(),
+            results += ObjectStatus(table, "COMPLETED",
+              obs.get("rows").asInstanceOf[Long],
               pathBytes(spark, outPath), secsSince(t0), None)
           }
         }
@@ -277,14 +329,23 @@ case class DataPumpJob(
     spark.sparkContext.clearJobGroup()
 
     // ---- metadata sidecar (commands.py:234-244) ----
-    val dumpFiles = results.filter(_.state == "COMPLETED")
-      .map(r => s"$effTarget/$targetSchema/${tableRemaps.getOrElse(r.objectName, r.objectName)}").toSeq
+    val completedTables = results.filter(_.state == "COMPLETED")
+      .map(_.objectName).toSet
+    val dumpFiles = selected.collect { case (s, t) if completedTables(t) =>
+      s"$storageTarget/${targetSchemaOf(s)}/${tableRemaps.getOrElse(t, t)}"
+    }
     if (includeMetadata && !estimateOnly) {
+      // Per-schema metadata entries — parity with the reference's
+      // SchemaHandler assembly (job.py:142-158,235-250): each schema
+      // lists its tables and its storage root (tablespace analog).
+      val schemaMetas = selected.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (s, ps) =>
+          SchemaMeta(s, ps.map(_._2), tablespace = storageTarget) }
       val meta = JobMetaData(name, jobOwner, operation.name, mode.name,
-        Util.formatJobDate(date), selected,
+        Util.formatJobDate(date), selected.map(_._2),
         directives.map(d => Map("name" -> d.name, "value" -> d.valueRepr)),
-        dumpFiles, Some(asOf), tag)
-      writeString(spark, s"$effTarget/_metadata.json",
+        dumpFiles, Some(asOf), tag, schemaMetas)
+      writeString(spark, s"$storageTarget/_metadata.json",
         mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta))
     }
 
@@ -298,9 +359,9 @@ case class DataPumpJob(
     }
 
     // ---- POST-stage directives ----
-    val ctx = JobContext(spark, name, importSource, effTarget,
+    val ctx = JobContext(spark, name, importSource, storageTarget,
       sourceFiles = if (operation == Operation.Import)
-        selected.map(t => s"$importSource/${dumpSubdir(t)}") else Nil)
+        selected.map { case (s, t) => s"$importSource/$s/$t" } else Nil)
     effects.foreach {
       case Effect.PostAction(runPost) => runPost(ctx)
       case _ => ()
@@ -325,32 +386,57 @@ case class DataPumpJob(
 
   /** Import-side dump enumeration: a real FS can list directories, so
     * the reference's brute-force `%U` probing (files.py:810-857)
-    * becomes a glob/listing.
+    * becomes a listing of `dir/<schema>/<table>/` pairs.
     */
-  private def listDumpTables(spark: SparkSession, dir: String): Seq[String] = {
+  private def listDumpTables(
+      spark: SparkSession, dir: String): Seq[(String, String)] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Nil
-    // layout: dir/<schema>/<table>/part-*.parquet
-    fs.listStatus(p).filter(_.isDirectory).flatMap { schemaDir =>
-      fs.listStatus(schemaDir.getPath).filter(_.isDirectory).map { td =>
-        s"${schemaDir.getPath.getName}/${td.getPath.getName}"
-      }
-    }.toSeq.sorted.map(_.split("/").last).distinct
+    fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && isSchemaDirName(s.getPath.getName))
+      .flatMap { schemaDir =>
+        fs.listStatus(schemaDir.getPath).filter(_.isDirectory).map { td =>
+          schemaDir.getPath.getName -> td.getPath.getName
+        }
+      }.sorted
   }
 
-  private def dumpSubdir(table: String): String = s"$schema/$table"
-
-  private def readSidecar(spark: SparkSession, dir: String): Option[JobMetaData] = {
-    val p = new Path(s"$dir/_metadata.json")
+  /** Export-side enumeration across both source layouts: flat
+    * `dir/<table>.parquet` (tables belong to the job's constructor
+    * schema) and nested `dir/<schema>/<table>.parquet` (multi-schema
+    * source).
+    */
+  private def listSourceTables(
+      spark: SparkSession, dir: String): Seq[(String, String)] = {
+    val flat = Tables.all.filter(t => exists(spark, Tables.path(dir, t)))
+      .map(t => schema -> t)
+    val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(mapper.readValue(in: java.io.InputStream, classOf[JobMetaData]))
-      catch { case NonFatal(_) => None }
-      finally in.close()
-    }
+    val nested: Seq[(String, String)] =
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && isSchemaDirName(s.getPath.getName))
+        .flatMap { sd =>
+          fs.listStatus(sd.getPath).toSeq
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .map(f => sd.getPath.getName ->
+              f.getPath.getName.stripSuffix(".parquet"))
+        }
+    (flat ++ nested).distinct.sorted
+  }
+
+  /** Not a schema dir: parquet table dirs, hidden/meta dirs, and
+    * `k=v` partition or version (`v=N`) dirs. */
+  private def isSchemaDirName(n: String): Boolean =
+    !n.endsWith(".parquet") && !n.startsWith(".") &&
+      !n.startsWith("_") && !n.contains("=")
+
+  private def sourceTablePath(spark: SparkSession, dir: String,
+      srcSchema: String, table: String): String = {
+    val flat = Tables.path(dir, table)
+    if (srcSchema.equalsIgnoreCase(schema) && exists(spark, flat)) flat
+    else s"$dir/$srcSchema/$table.parquet"
   }
 
   /** Hive-style partition columns of a parquet-backed DataFrame,

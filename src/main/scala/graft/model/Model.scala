@@ -92,7 +92,15 @@ case class JobMetaData(
     directives: Seq[Map[String, String]],
     dumpFiles: Seq[String],
     asOf: Option[String],                // snapshot pin (FLASHBACK analog)
-    tag: Option[String])
+    tag: Option[String],
+    schemas: Seq[SchemaMeta] = Nil)      // per-schema entries (job.py:235-250)
+
+/** Per-schema sidecar entry — the reference's SchemaHandler collects a
+  * schema's tablespaces (+ migration version) into job metadata
+  * (job.py:142-158, database.py:118-138); here the storage root plays
+  * the tablespace role.
+  */
+case class SchemaMeta(name: String, tables: Seq[String], tablespace: String)
 
 /** One log line of job progress (status.py:162-168). */
 case class JobLogEntry(logLineNumber: Long, logText: String)

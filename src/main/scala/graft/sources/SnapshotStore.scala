@@ -38,26 +38,29 @@ object SnapshotStore {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  def readLedger(spark: SparkSession, root: String): Seq[VersionEntry] = {
-    val p = ledgerPath(root)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Nil
-    else {
-      val in = fs.open(p)
-      try mapper.readValue(in: java.io.InputStream, classOf[Ledger]).versions
-      catch { case NonFatal(_) => Nil }
-      finally in.close()
+  def readLedger(spark: SparkSession, root: String): Seq[VersionEntry] =
+    synchronized {
+      val p = ledgerPath(root)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Nil
+      else {
+        val in = fs.open(p)
+        try mapper.readValue(in: java.io.InputStream, classOf[Ledger]).versions
+        catch { case NonFatal(_) => Nil }
+        finally in.close()
+      }
     }
-  }
 
   /** Register a new version; returns its number (monotone).
     *
-    * Atomicity: the read-modify-write is serialized JVM-wide (two
-    * concurrent versioned exports in one process cannot drop each
-    * other's entry), and the file itself is published via
-    * write-to-temp + rename so a crashed writer can never leave a
-    * torn ledger behind. Cross-process writers on an object store
-    * would swap this for a conditional-put/ETag loop.
+    * Atomicity: the read-modify-write is serialized JVM-wide on this
+    * object's monitor (shared with `readLedger`, so in-JVM readers can
+    * never observe a mid-publish state), and the file is published via
+    * write-to-temp + overwriting FileContext rename — a single atomic
+    * step on a POSIX/HDFS filesystem, so a crashed writer leaves either
+    * the old ledger or the new one, never a torn or missing file.
+    * Cross-process writers on an object store would swap this for a
+    * conditional-put/ETag loop.
     */
   def appendVersion(spark: SparkSession, root: String, jobName: String,
       at: Instant): Long = synchronized {
@@ -66,13 +69,15 @@ object SnapshotStore {
     val updated = Ledger(existing :+
       VersionEntry(next, Util.formatJobDate(at), jobName))
     val p = ledgerPath(root)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
     val tmp = new Path(
       s"$root/.$LedgerFile.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     try out.write(mapper.writeValueAsBytes(updated)) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    require(fs.rename(tmp, p), s"ledger publish failed: $tmp -> $p")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(p),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     next
   }
 

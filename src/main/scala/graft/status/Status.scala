@@ -44,17 +44,24 @@ case class JobStatusInfo(
   */
 object JobRegistry {
   private val jobs = new ConcurrentHashMap[String, JobStatusInfo]()
+  private val retained = ConcurrentHashMap.newKeySet[String]()
 
   def register(info: JobStatusInfo): Unit = jobs.put(info.jobName, info)
   def get(jobName: String): Option[JobStatusInfo] = Option(jobs.get(jobName))
   def list(): Seq[JobStatusInfo] = jobs.values().asScala.toSeq
-  def clear(): Unit = jobs.clear()
+  def clear(): Unit = { jobs.clear(); retained.clear() }
+
+  /** KEEP_MASTER analog: mark a job's registry entry as retained so the
+    * orphan GC leaves it (the reference only drops NOT_RUNNING masters
+    * with no attached sessions — a KEEP_MASTER master survives). */
+  def retain(jobName: String): Unit = retained.add(jobName)
 
   /** Drop terminal jobs with no retained checkpoint — analog of the
     * orphan master-table GC (sql.py:92-105). Returns names dropped. */
   def cleanupOrphans(): Seq[String] = {
     val orphans = jobs.asScala.collect {
-      case (name, info) if info.state.isTerminal => name
+      case (name, info)
+          if info.state.isTerminal && !retained.contains(name) => name
     }.toSeq
     orphans.foreach(jobs.remove)
     orphans

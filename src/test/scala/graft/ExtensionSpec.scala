@@ -111,15 +111,36 @@ class ExtensionSpec extends AnyFunSuite {
     assert(ledger.map(_.jobName).toSet.size == 4)
   }
 
-  test("orphan cleanup drops terminal jobs from the registry") {
+  test("orphan cleanup drops terminal jobs but spares KEEP_MASTER retainees") {
     JobRegistry.clear()
     JobRegistry.register(graft.status.JobStatusInfo("J1", "o", "EXPORT",
       "TABLE", JobState.Completed, 100, Nil, Nil, Instant.now(), None))
     JobRegistry.register(graft.status.JobStatusInfo("J2", "o", "EXPORT",
       "TABLE", JobState.Executing, 50, Nil, Nil, Instant.now(), None))
+    JobRegistry.register(graft.status.JobStatusInfo("J3", "o", "EXPORT",
+      "TABLE", JobState.Completed, 100, Nil, Nil, Instant.now(), None))
+    JobRegistry.retain("J3") // KEEP_MASTER analog
     val dropped = JobRegistry.cleanupOrphans()
     assert(dropped == Seq("J1"))
     assert(JobRegistry.get("J1").isEmpty && JobRegistry.get("J2").nonEmpty)
+    assert(JobRegistry.get("J3").nonEmpty)
+  }
+
+  test("KEEP_MASTER directive retains the finished job through orphan GC") {
+    JobRegistry.clear()
+    val out = java.nio.file.Files.createTempDirectory("keepmaster").toString
+    val sf = SparkTestBase.sf
+    val kept = graft.job.DataPumpJob(
+      graft.model.Operation.Export, graft.model.JobMode.Table, sf, s"$out/a",
+      directives = Seq(graft.directives.IncludeTable(Seq("region")),
+        graft.directives.KeepMaster(true))).run(spark)
+    val plain = graft.job.DataPumpJob(
+      graft.model.Operation.Export, graft.model.JobMode.Table, sf, s"$out/b",
+      directives = Seq(graft.directives.IncludeTable(Seq("region"))),
+      tag = Some("plain")).run(spark)
+    JobRegistry.cleanupOrphans()
+    assert(JobRegistry.get(kept.jobName).nonEmpty)
+    assert(JobRegistry.get(plain.jobName).isEmpty)
   }
 
   test("custom expressions handle edge inputs") {

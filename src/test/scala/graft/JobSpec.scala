@@ -192,17 +192,128 @@ class JobSpec extends AnyFunSuite {
       .map(_.getInt(0)).toSeq == Seq(64))
   }
 
+  test("SCHEMA mode + INCLUDE_SCHEMA scope a multi-schema source") {
+    val srcRoot = tmp("jobspec-ms")
+    // nested multi-schema layout: <schema>/<table>.parquet
+    spark.read.parquet(graft.Tables.path(sf, "region"))
+      .write.parquet(s"$srcRoot/hr/staff.parquet")
+    spark.read.parquet(graft.Tables.path(sf, "nation"))
+      .write.parquet(s"$srcRoot/fin/accounts.parquet")
+
+    // INCLUDE_SCHEMA restricts the job to the named schema
+    val out = tmp("jobspec-ms-out")
+    val info = DataPumpJob(Operation.Export, JobMode.Schema, srcRoot, out,
+      directives = Seq(IncludeSchema("hr"))).run(spark)
+    assert(info.state == JobState.Completed, info.errors)
+    assert(info.objects.map(_.objectName) == Seq("staff"))
+    assert(new java.io.File(s"$out/hr/staff").exists())
+    assert(!new java.io.File(s"$out/fin").exists())
+    // sidecar carries per-schema entries (job.py:235-250 parity)
+    val metaJson = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/_metadata.json")), "UTF-8")
+    assert(metaJson.contains("\"schemas\""))
+    assert(metaJson.contains("\"hr\""))
+
+    // bare SCHEMA mode scopes to the job's own schema field
+    val out2 = tmp("jobspec-ms-out2")
+    val info2 = DataPumpJob(Operation.Export, JobMode.Schema, srcRoot, out2,
+      schema = "fin").run(spark)
+    assert(info2.objects.map(_.objectName) == Seq("accounts"))
+
+    // FULL mode moves both schemas
+    val out3 = tmp("jobspec-ms-out3")
+    val info3 = DataPumpJob(Operation.Export, JobMode.Full, srcRoot, out3)
+      .run(spark)
+    assert(info3.objects.map(_.objectName).toSet == Set("accounts", "staff"))
+
+    // multi-schema import: REMAP_SCHEMA remaps only its exact schema
+    val tgt = tmp("jobspec-ms-tgt")
+    val imp = DataPumpJob(Operation.Import, JobMode.Full, out3, tgt,
+      directives = Seq(RemapSchema("hr", "people"))).run(spark)
+    assert(imp.state == JobState.Completed, imp.errors)
+    assert(new java.io.File(s"$tgt/people/staff").exists())
+    assert(new java.io.File(s"$tgt/fin/accounts").exists())
+    assert(!new java.io.File(s"$tgt/hr").exists())
+    assert(spark.read.parquet(s"$tgt/people/staff").count() == 5)
+  }
+
+  test("REMAP_TABLESPACE rewrites the storage-root segment; REMAP_DATAFILE the path prefix") {
+    val dump = tmp("jobspec-ts-dump")
+    DataPumpJob(Operation.Export, JobMode.Table, sf, dump,
+      directives = Seq(IncludeTable(Seq("region")))).run(spark)
+    // tablespace = path segment of the storage root (users -> users2),
+    // reference semantics tests/test_import.py:48-51
+    val root = tmp("jobspec-ts-root")
+    val imp = DataPumpJob(Operation.Import, JobMode.Full, dump, s"$root/users",
+      directives = Seq(RemapTablespace("users", "users2"))).run(spark)
+    assert(imp.state == JobState.Completed, imp.errors)
+    assert(new java.io.File(s"$root/users2/main/region").exists())
+    assert(!new java.io.File(s"$root/users/main/region").exists())
+    // datafile = concrete path: full-prefix rewrite
+    val dfA = tmp("jobspec-df-a"); val dfB = tmp("jobspec-df-b")
+    val imp2 = DataPumpJob(Operation.Import, JobMode.Full, dump, dfA,
+      directives = Seq(RemapDatafile(dfA, dfB))).run(spark)
+    assert(imp2.state == JobState.Completed, imp2.errors)
+    assert(new java.io.File(s"$dfB/main/region").exists())
+    assert(!new java.io.File(s"$dfA/main/region").exists())
+  }
+
+  test("row counts ride the write: export reads each source row exactly once") {
+    val out = tmp("jobspec-once")
+    val read = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        read.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val info = DataPumpJob(Operation.Export, JobMode.Table, sf, out,
+        directives = Seq(IncludeTable(Seq("nation", "region")))).run(spark)
+      assert(info.state == JobState.Completed)
+      assert(info.totalRows == 30) // counts observed on the write itself
+      // listener events drain asynchronously; poll until stable
+      val deadline = System.currentTimeMillis() + 10000
+      while (read.get() < 30 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      Thread.sleep(300)
+      // a post-write verification re-read would double this to 60
+      assert(read.get() == 30,
+        s"expected exactly 30 source rows read, saw ${read.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("DEPARTITION promotes each source partition to its own table") {
     // build a partitioned source: events partitioned by event_type
     val srcRoot = tmp("jobspec-departition-src")
     graft.operators.Events.load(spark, sf)
       .write.partitionBy("event_type").parquet(s"$srcRoot/events.parquet")
     val out = tmp("jobspec-departition-out")
-    val info = DataPumpJob(Operation.Export, JobMode.Table, srcRoot, out,
-      directives = Seq(IncludeTable(Seq("events")),
-        PartitionOptions("DEPARTITION"), TableExistsAction("REPLACE")))
-      .run(spark)
+    val read = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        read.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val info =
+      try DataPumpJob(Operation.Export, JobMode.Table, srcRoot, out,
+        directives = Seq(IncludeTable(Seq("events")),
+          PartitionOptions("DEPARTITION"), TableExistsAction("REPLACE")))
+        .run(spark)
+      finally {
+        val deadline = System.currentTimeMillis() + 10000
+        while (read.get() < 1000 && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+        Thread.sleep(300)
+        spark.sparkContext.removeSparkListener(listener)
+      }
     assert(info.state == JobState.Completed, info.errors)
+    assert(info.totalRows == 1000)
+    // single source scan in total: partition combos come from the file
+    // index and row counts from Observations, never a second pass
+    assert(read.get() == 1000,
+      s"expected exactly 1000 source rows read, saw ${read.get()}")
     val tables = new java.io.File(s"$out/main").listFiles()
       .filter(_.isDirectory).map(_.getName).sorted
     assert(tables.length == 5, tables.toSeq) // one per event_type
