@@ -82,6 +82,7 @@ object SparkEntry {
     "q_dedup_exact" -> (Dedup.exact _),
     "q_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "q_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
+    "q_minhash_recall" -> (Dedup.minhashRecall _),
     "q_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     // --- similarity search
     "q_embed_norms" -> (Similarity.norms _),
@@ -89,6 +90,7 @@ object SparkEntry {
     "q_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "q_cosine_near_dup" -> ((s: SparkSession, d: String) => Similarity.cosineNearDup(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
+    "q_ann_recall" -> (Similarity.annPlantedRecall _),
     "q_cosine_pairs" -> ((s: SparkSession, d: String) => Similarity.cosinePairsExact(s, d)),
     // --- multimodal binary plumbing
     "q_binary_meta" -> (Multimodal.binaryMeta _),
@@ -481,6 +483,37 @@ object SparkEntry {
          JOIN sizes sb ON sb.doc_id = doc_b
          WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5
          ORDER BY doc_a, doc_b""",
+
+    // Recall pin: Spark emits the exact pairs RECOVERED by MinHash-LSH;
+    // the oracle is the full exact-pair set, so any LSH miss = red row.
+    "q_minhash_recall" ->
+      s"""WITH docs AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(ws) - 2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+           FROM (SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents) t
+           WHERE len(ws) >= 3),
+         expl AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+         sizes AS (SELECT doc_id, len(sh) AS n_sh FROM docs),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     COUNT(*) AS common
+                   FROM expl a JOIN expl b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+           CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
+         FROM pairs
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5
+         ORDER BY doc_a, doc_b""",
+
+    // Recall pin: every planted near-identical twin (id+1e6) the
+    // multi-probe LSH index recovered; oracle = the full planted list.
+    "q_ann_recall" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id,
+         CAST(vec_id + 1000000 AS BIGINT) AS neighbor_id
+         FROM embeddings ORDER BY query_id""",
 
     // Embedding numerics: floats quantized by floor(x * 2^26) (exact in
     // every engine), then exact BIGINT dot products — see Similarity.Q.

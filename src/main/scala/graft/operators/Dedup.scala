@@ -151,6 +151,22 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Driver-visible LSH recall pin: the exact near-dup pairs
+    * (n-gram Jaccard ≥ 0.5) that the MinHash-LSH candidate pass
+    * recovers. The DuckDB oracle is the EXACT-pair query, so this row
+    * is green iff LSH recall on the exact set is 100% — any banding
+    * miss drops a row and fails the hash check. Statistically pinned:
+    * the fixture's exact pairs all sit at j ≥ 0.9, where the 16×4
+    * banding miss probability is (1−0.9⁴)¹⁶ ≈ 4·10⁻⁸ per pair.
+    */
+  def minhashRecall(spark: SparkSession, sf: String): DataFrame = {
+    val exact = ngramJaccard(spark, sf)
+    val candidates = minhashLsh(spark, sf, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    exact.join(candidates, Seq("doc_a", "doc_b"), "left_semi")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // ---- SimHash ------------------------------------------------------
 
   /** 64-bit SimHash per doc: per-bit weighted vote over token hashes,

@@ -133,6 +133,43 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Multi-probe LSH: a query probes its own bucket plus every
+    * Hamming-distance-1 neighbor bucket — recovering near-dups that
+    * straddle a single hyperplane boundary for a 13× probe fan-out
+    * instead of 13 independent hash tables (the standard multi-probe
+    * trade: fan-out is cheap rows, tables are whole extra indexes). */
+  def multiProbeBuckets(iv: Column): Column = {
+    val base = lshBucket(iv)
+    array((base +: (0 until SignBits).map(p =>
+      base.bitwiseXOR(lit(1L << p)))): _*)
+  }
+
+  /** Driver-visible ANN recall pin. The natural embeddings have no
+    * near-dup pairs (max pairwise cosine ≈ 0.51 in the fixtures), so
+    * the recall statement is made on PLANTED ground truth: every
+    * vector gets a deterministic near-identical twin (id + 1e6, first
+    * component ×1.01, cosine ≥ 0.999), the twins are indexed by LSH
+    * bucket, and the originals probe with Hamming≤1 multi-probe. The
+    * output is every (query, twin) pair the index recovered; the
+    * DuckDB oracle is the full planted list — green iff recall = 100%.
+    */
+  def annPlantedRecall(spark: SparkSession, sf: String): DataFrame = {
+    val e = Tables.load(spark, sf, "embeddings")
+    val index = e.select((col("vec_id") + 1000000L).as("neighbor_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x * lit(1.01)).otherwise(x)).as("twin"))
+      .select(col("neighbor_id"),
+        transform(col("twin"), x => iq(x)).as("iv_n"))
+      .withColumn("bucket", lshBucket(col("iv_n")))
+    val probes = quantized(e, "query_id")
+      .select(col("query_id"),
+        explode(multiProbeBuckets(col("iv_query_id"))).as("bucket"))
+    probes.join(index, Seq("bucket"))
+      .filter(col("neighbor_id") === col("query_id") + 1000000L)
+      .select(col("query_id"), col("neighbor_id")).distinct()
+      .orderBy(col("query_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (cosine ≥ threshold) via
     * LSH buckets — the embedding-space analog of MinHash dedup. */
   def cosineNearDup(spark: SparkSession, sf: String, threshold: Double = 0.95): DataFrame = {
