@@ -77,6 +77,16 @@ final case class ExcludeObjectType(objectType: String) extends Directive {
   val name = "EXCLUDE_OBJECT_TYPE"; val stage = Stage.DataPump
   def valueRepr = objectType
 }
+/** Row-level subset — Data Pump's QUERY parameter
+  * (DBMS_DATAPUMP.DATA_FILTER name=SUBQUERY; the reference wrapper does
+  * not expose it, like REMAP_TABLE). The predicate is ANSI SQL over each
+  * selected table's columns; Spark-first it compiles to a Catalyst
+  * filter, so it PUSHES DOWN to the parquet scan — rows outside the
+  * subset are never read at scale. */
+final case class Query(predicate: String) extends Directive {
+  val name = "QUERY"; val stage = Stage.DataPump
+  def valueRepr = predicate
+}
 
 // ------------------------------------------------------------- parameters
 
@@ -276,6 +286,8 @@ object DirectiveCompiler {
     case IncludeTable(ts) =>
       val wanted = ts.map(_.toLowerCase).toSet
       Seq(ObjectSelection(names => names.filter(n => wanted(n.toLowerCase))))
+    case Query(p) =>
+      Seq(PlanTransform(df => df.filter(org.apache.spark.sql.functions.expr(p))))
     case ExcludeObjectType(t) =>
       // Data-vs-metadata object classes; TABLE excl. removes everything.
       if (t.equalsIgnoreCase("TABLE")) Seq(ObjectSelection(_ => Nil))
@@ -297,7 +309,13 @@ object DirectiveCompiler {
       val (mode, truncate) = TableExistsAction.modes(a.toUpperCase)
       Seq(SetSaveMode(mode, truncate))
     case PartitionOptions(v) => v.toUpperCase match {
-      case "MERGE" => Seq(PlanTransform(df => df.coalesce(1)))
+      // MERGE ("combine all partitions into one table", directives.py:
+      // 346-349) needs no plan transform: the job's non-partitionBy write
+      // already folds every source partition into a single table, with
+      // the partition columns materialized as data columns. A coalesce(1)
+      // here would force the entire upstream scan into ONE task — a
+      // single-threaded read of the whole source at scale.
+      case "MERGE" => Seq.empty
       case "DEPARTITION" => Seq(Departition)
       case _ => Seq.empty // NONE: layout preserved
     }
@@ -350,6 +368,7 @@ object DirectiveCompiler {
       case "INCLUDE_SCHEMA" => IncludeSchema(v)
       case "INCLUDE_TABLE" => IncludeTable(v.split(",").toSeq)
       case "EXCLUDE_OBJECT_TYPE" => ExcludeObjectType(v)
+      case "QUERY" => Query(v)
       case "COMPRESSION" => Compression(v)
       case "COMPRESSION_ALGORITHM" => CompressionAlgorithm(v)
       case "PARALLEL" => Parallel(v.toInt)

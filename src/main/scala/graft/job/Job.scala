@@ -11,7 +11,6 @@ import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{count, lit}
 
 import java.time.Instant
-import scala.collection.mutable.ArrayBuffer
 import scala.util.control.NonFatal
 
 /** Execution-time context handed to POST-stage directives
@@ -232,25 +231,35 @@ case class DataPumpJob(
     //      partial failure → COMPLETED_WITH_ERRORS, status.py:38) ----
     // Registry gets a refreshed EXECUTING snapshot after every object —
     // what a concurrent STATUS/POLL request observes mid-job (the
-    // reference's per-worker status rows, status.py:240-318).
-    val results = ArrayBuffer.empty[ObjectStatus]
-    def publishProgress(): Unit = JobRegistry.register(
-      JobStatusInfo(name, jobOwner, operation.name, mode.name,
-        JobState.Executing,
-        percentDone =
-          if (selected.isEmpty) 100.0
-          else 100.0 * results.size / selected.size,
-        objects = results.toSeq, logEntries = Nil,
-        startedAt = started, finishedAt = None))
-    selected.foreach { case (srcSchema, table) =>
+    // reference's per-worker status rows, status.py:240-318). Within an
+    // object, a LiveProgress listener (strategy 3, status.py:334-399)
+    // folds task-level input metrics into the percent a live STATUS sees.
+    val resultByIdx =
+      new java.util.concurrent.ConcurrentHashMap[Int, ObjectStatus]()
+    def orderedResults: Seq[ObjectStatus] =
+      selected.indices.flatMap(i => Option(resultByIdx.get(i)))
+    def publishProgress(): Unit = synchronized {
+      JobRegistry.register(
+        JobStatusInfo(name, jobOwner, operation.name, mode.name,
+          JobState.Executing,
+          percentDone =
+            if (selected.isEmpty) 100.0
+            else 100.0 * resultByIdx.size / selected.size,
+          objects = orderedResults, logEntries = Nil,
+          startedAt = started, finishedAt = None))
+    }
+
+    def srcPathOf(srcSchema: String, table: String): String = operation match {
+      case Operation.Import => s"$importSource/$srcSchema/$table"
+      case _ => sourceTablePath(spark, sourceDir, srcSchema, table)
+    }
+
+    def moveOne(srcSchema: String, table: String): ObjectStatus = {
       val t0 = System.nanoTime()
       val targetTable = tableRemaps.getOrElse(table, table)
       val targetSchema = targetSchemaOf(srcSchema)
       val outPath = s"$storageTarget/$targetSchema/$targetTable"
-      val srcPath = operation match {
-        case Operation.Import => s"$importSource/$srcSchema/$table"
-        case _ => sourceTablePath(spark, sourceDir, srcSchema, table)
-      }
+      val srcPath = srcPathOf(srcSchema, table)
       try {
         val df0 = spark.read.options(readerOpts).parquet(srcPath)
         val df = transforms.foldLeft(df0)((d, f) => f(d))
@@ -260,8 +269,8 @@ case class DataPumpJob(
           if (operation == Operation.SqlFile)
             writeString(spark, s"$storageTarget/$targetSchema/$targetTable.sql",
               s"CREATE TABLE $targetSchema.$targetTable (${df.schema.toDDL});\n")
-          results += ObjectStatus(table, "ESTIMATED", -1L,
-            bytes.longValue, secsSince(t0), None)
+          ObjectStatus(table, "ESTIMATED", -1L,
+            bytes.longValue, secsSince(t0), None, srcSchema)
         } else {
           if (departition && partitionColumnsOf(df0).nonEmpty) {
             // DEPARTITION (directives.py:346-349): each source partition
@@ -273,20 +282,32 @@ case class DataPumpJob(
             // ride the writes via Observation (no re-scan).
             val pcols = partitionColumnsOf(df0)
             val seg = "([A-Za-z_][A-Za-z0-9_]*)=(.+)".r
+            // Combo values are unescaped to the ACTUAL partition values
+            // (path segments are Hive/URL-escaped, %XX).
+            // inputFiles are URIs (their own %-encoding on top of the
+            // Hive escaping): strip the URI layer first, then Hive-decode.
             val combos: Seq[Seq[(String, String)]] = df0.inputFiles.toSeq
-              .map(_.split('/').toSeq.collect {
-                case seg(k, v) if pcols.contains(k) => (k, v)
+              .map(f => new java.net.URI(f).getPath.split('/').toSeq.collect {
+                case seg(k, v) if pcols.contains(k) =>
+                  (k, unescapePathValue(v))
               })
               .filter(_.nonEmpty).distinct.sortBy(_.map(_._2).mkString("/"))
             var rows = 0L; var bytes = 0L
             combos.foreach { combo =>
-              val sub = srcPath +
-                combo.map { case (k, v) => s"/$k=$v" }.mkString
-              val suffix =
-                combo.map { case (k, v) => s"${k}_$v" }.mkString("_")
+              // Select the combo by FILTERING on the partition columns:
+              // Catalyst partition pruning reduces each job to exactly
+              // that combo's directory, so the source is still read
+              // exactly once in total — and no escaped-path juggling.
+              val part0 = combo.foldLeft(df) { case (d, (k, v)) =>
+                d.filter(
+                  if (v == "__HIVE_DEFAULT_PARTITION__")
+                    org.apache.spark.sql.functions.col(k).isNull
+                  else org.apache.spark.sql.functions.col(k) === lit(v))
+              }
+              val part = part0.drop(pcols: _*)
+              val suffix = combo.map { case (k, v) =>
+                s"${k}_${sanitizeName(v)}" }.mkString("_")
               val obs = Observation()
-              val part = transforms.foldLeft(
-                spark.read.options(readerOpts).parquet(sub))((d, f) => f(d))
               val comboOut = s"$storageTarget/$targetSchema/${targetTable}_$suffix"
               part.observe(obs, count(lit(1)).as("rows"))
                 .repartition(parallel).write.mode(saveMode)
@@ -294,10 +315,10 @@ case class DataPumpJob(
               rows += obs.get("rows").asInstanceOf[Long]
               bytes += pathBytes(spark, comboOut)
             }
-            results += ObjectStatus(table, "COMPLETED", rows, bytes,
-              secsSince(t0), None)
+            ObjectStatus(table, "COMPLETED", rows, bytes,
+              secsSince(t0), None, srcSchema)
           } else if (saveMode == SaveMode.Ignore && exists(spark, outPath)) {
-            results += ObjectStatus(table, "SKIPPED", 0, 0, secsSince(t0), None)
+            ObjectStatus(table, "SKIPPED", 0, 0, secsSince(t0), None, srcSchema)
           } else {
             if (truncate && exists(spark, outPath)) {
               // TABLE_EXISTS_ACTION=TRUNCATE preserves target schema:
@@ -314,25 +335,71 @@ case class DataPumpJob(
             df.observe(obs, count(lit(1)).as("rows"))
               .repartition(parallel) // %U dump-set layout: n part files
               .write.mode(saveMode).options(writerOpts).parquet(outPath)
-            results += ObjectStatus(table, "COMPLETED",
+            ObjectStatus(table, "COMPLETED",
               obs.get("rows").asInstanceOf[Long],
-              pathBytes(spark, outPath), secsSince(t0), None)
+              pathBytes(spark, outPath), secsSince(t0), None, srcSchema)
           }
         }
       } catch {
         case NonFatal(e) =>
-          results += ObjectStatus(table, "FAILED", 0, 0, secsSince(t0),
-            Some(e.toString))
+          ObjectStatus(table, "FAILED", 0, 0, secsSince(t0),
+            Some(e.toString), srcSchema)
       }
-      publishProgress()
     }
+
+    // Live within-object progress: expected input volume is the sum of
+    // the selected sources' on-disk bytes (driver-side FS metadata, no
+    // scan); the listener accumulates task-level bytesRead for this
+    // job group only.
+    val expectedBytes =
+      if (estimateOnly) 0L
+      else selected.map { case (s, t) =>
+        try pathBytes(spark, srcPathOf(s, t)) catch { case NonFatal(_) => 0L }
+      }.sum
+    val liveTier = new graft.status.LiveProgress(name, expectedBytes)
+    spark.sparkContext.addSparkListener(liveTier)
+    JobRegistry.attachLive(name, liveTier)
+    try {
+      // Tables move CONCURRENTLY on a bounded driver pool — the analog
+      // of the reference's PARALLEL worker processes (directives.py:
+      // 400-409): a schema export of many small tables must not
+      // serialize one Spark write job per table. Spark schedules
+      // concurrent actions from separate driver threads; parallelism
+      // INSIDE each action is still the cluster scheduler's job.
+      val workers = math.max(1, math.min(parallel, math.max(1, selected.size)))
+      if (workers <= 1 || selected.size <= 1) {
+        selected.zipWithIndex.foreach { case ((s, t), i) =>
+          resultByIdx.put(i, moveOne(s, t)); publishProgress()
+        }
+      } else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(workers)
+        try {
+          val futures = selected.zipWithIndex.map { case ((s, t), i) =>
+            pool.submit(new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = {
+                resultByIdx.put(i, moveOne(s, t)); publishProgress()
+              }
+            })
+          }
+          futures.foreach(_.get()) // moveOne never throws; .get re-raises bugs
+        } finally pool.shutdown()
+      }
+    } finally {
+      JobRegistry.detachLive(name)
+      spark.sparkContext.removeSparkListener(liveTier)
+    }
+    val results = orderedResults
     spark.sparkContext.clearJobGroup()
 
     // ---- metadata sidecar (commands.py:234-244) ----
-    val completedTables = results.filter(_.state == "COMPLETED")
-      .map(_.objectName).toSet
-    val dumpFiles = selected.collect { case (s, t) if completedTables(t) =>
-      s"$storageTarget/${targetSchemaOf(s)}/${tableRemaps.getOrElse(t, t)}"
+    // Completion is tracked per (schema, table) pair — two schemas may
+    // contain the same table name, and only the successful copy's target
+    // path belongs in dumpFiles.
+    val pairOutcomes: Seq[((String, String), ObjectStatus)] =
+      selected.zip(results)
+    val dumpFiles = pairOutcomes.collect {
+      case ((s, t), r) if r.state == "COMPLETED" =>
+        s"$storageTarget/${targetSchemaOf(s)}/${tableRemaps.getOrElse(t, t)}"
     }
     if (includeMetadata && !estimateOnly) {
       // Per-schema metadata entries — parity with the reference's
@@ -409,20 +476,25 @@ case class DataPumpJob(
     */
   private def listSourceTables(
       spark: SparkSession, dir: String): Seq[(String, String)] = {
-    val flat = Tables.all.filter(t => exists(spark, Tables.path(dir, t)))
-      .map(t => schema -> t)
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val nested: Seq[(String, String)] =
-      if (!fs.exists(p)) Nil
-      else fs.listStatus(p).toSeq
-        .filter(s => s.isDirectory && isSchemaDirName(s.getPath.getName))
-        .flatMap { sd =>
-          fs.listStatus(sd.getPath).toSeq
-            .filter(_.getPath.getName.endsWith(".parquet"))
-            .map(f => sd.getPath.getName ->
-              f.getPath.getName.stripSuffix(".parquet"))
-        }
+    if (!fs.exists(p)) return Nil
+    val entries = fs.listStatus(p).toSeq
+    // Flat layout is enumerated from the directory itself — the analog
+    // of the reference's dictionary-view enumeration (database.py:93-115).
+    // A static table list here would silently drop any table it doesn't
+    // know about: data loss on the flagship EXPORT path.
+    val flat = entries
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(f => schema -> f.getPath.getName.stripSuffix(".parquet"))
+    val nested: Seq[(String, String)] = entries
+      .filter(s => s.isDirectory && isSchemaDirName(s.getPath.getName))
+      .flatMap { sd =>
+        fs.listStatus(sd.getPath).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(f => sd.getPath.getName ->
+            f.getPath.getName.stripSuffix(".parquet"))
+      }
     (flat ++ nested).distinct.sorted
   }
 
@@ -438,6 +510,30 @@ case class DataPumpJob(
     if (srcSchema.equalsIgnoreCase(schema) && exists(spark, flat)) flat
     else s"$dir/$srcSchema/$table.parquet"
   }
+
+  /** Reverse Hive path escaping (`%XX`) so DEPARTITION sees the actual
+    * partition values, not the escaped path segments; the Hive null
+    * sentinel stays verbatim.
+    */
+  private def unescapePathValue(v: String): String = {
+    val sb = new StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '%' && i + 2 < v.length &&
+          Character.digit(v.charAt(i + 1), 16) >= 0 &&
+          Character.digit(v.charAt(i + 2), 16) >= 0) {
+        sb.append((Character.digit(v.charAt(i + 1), 16) * 16 +
+          Character.digit(v.charAt(i + 2), 16)).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Neutralize path-hostile characters for use in an output table name. */
+  private def sanitizeName(v: String): String = v.map(ch =>
+    if (ch == '/' || ch == '\\' || Character.isISOControl(ch)) '_' else ch)
 
   /** Hive-style partition columns of a parquet-backed DataFrame,
     * discovered from its input paths (`k=v` segments). */

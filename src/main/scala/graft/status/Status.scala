@@ -14,7 +14,10 @@ case class ObjectStatus(
     rows: Long,
     bytes: Long,
     elapsedSec: Double,
-    error: Option[String])
+    error: Option[String],
+    // Owning schema — (schema, table) is the object identity: two
+    // schemas may carry the same table name in one multi-schema job.
+    objectSchema: String = "")
 
 /** Snapshot of a job's observable state — analog of JobStatusInfo
   * (status.py:240-318): state, percent done, per-worker detail, log.
@@ -45,11 +48,29 @@ case class JobStatusInfo(
 object JobRegistry {
   private val jobs = new ConcurrentHashMap[String, JobStatusInfo]()
   private val retained = ConcurrentHashMap.newKeySet[String]()
+  private val live = new ConcurrentHashMap[String, LiveProgress]()
 
   def register(info: JobStatusInfo): Unit = jobs.put(info.jobName, info)
-  def get(jobName: String): Option[JobStatusInfo] = Option(jobs.get(jobName))
+
+  /** Status fetch. While a job is EXECUTING with a live tier attached,
+    * the returned percentDone is the max of the coarse objects-complete
+    * snapshot and the listener's within-object bytes fraction — both
+    * monotone, so a poller never sees progress move backwards.
+    */
+  def get(jobName: String): Option[JobStatusInfo] =
+    Option(jobs.get(jobName)).map { info =>
+      val lp = live.get(jobName)
+      if (lp != null && info.state == JobState.Executing)
+        info.copy(percentDone = math.max(info.percentDone, lp.percent))
+      else info
+    }
   def list(): Seq[JobStatusInfo] = jobs.values().asScala.toSeq
-  def clear(): Unit = { jobs.clear(); retained.clear() }
+  def clear(): Unit = { jobs.clear(); retained.clear(); live.clear() }
+
+  /** Wire the live-listener tier for an executing job. */
+  def attachLive(jobName: String, lp: LiveProgress): Unit =
+    live.put(jobName, lp)
+  def detachLive(jobName: String): Unit = live.remove(jobName)
 
   /** KEEP_MASTER analog: mark a job's registry entry as retained so the
     * orphan GC leaves it (the reference only drops NOT_RUNNING masters
@@ -66,6 +87,46 @@ object JobRegistry {
     orphans.foreach(jobs.remove)
     orphans
   }
+}
+
+/** The live-listener status tier — the reference's expensive-but-live
+  * strategy 3 (status.py:334-350,391-399): while a job's Spark actions
+  * run, task-level input metrics stream into a per-job accumulator so a
+  * concurrent STATUS request sees progress move WITHIN an object, not
+  * just at object boundaries. Scoped to one job group: only tasks whose
+  * stage belongs to a Spark job submitted under `jobGroup` count.
+  *
+  * Percent is `bytesRead / expectedBytes` where expectedBytes is the
+  * on-disk size of the selected sources (FS metadata, no scan). It is
+  * capped below 100: the terminal snapshot, not the estimate, declares
+  * completion. Monotone by construction (bytes only accumulate).
+  */
+final class LiveProgress(jobGroup: String, expectedBytes: Long)
+    extends org.apache.spark.scheduler.SparkListener {
+  import org.apache.spark.scheduler.{SparkListenerJobStart, SparkListenerTaskEnd}
+  private val groupStages = ConcurrentHashMap.newKeySet[Int]()
+  private val bytes = new java.util.concurrent.atomic.AtomicLong()
+  private val rows = new java.util.concurrent.atomic.AtomicLong()
+
+  override def onJobStart(js: SparkListenerJobStart): Unit = {
+    // SparkContext.SPARK_JOB_GROUP_ID is private[spark]; its stable
+    // public-facing value (set by setJobGroup) is this property key.
+    val grp = Option(js.properties)
+      .map(_.getProperty("spark.jobGroup.id")).orNull
+    if (grp == jobGroup)
+      js.stageInfos.foreach(si => groupStages.add(si.stageId))
+  }
+  override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+    if (groupStages.contains(te.stageId) && te.taskMetrics != null) {
+      bytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+      rows.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+
+  def bytesRead: Long = bytes.get
+  def recordsRead: Long = rows.get
+  def percent: Double =
+    if (expectedBytes <= 0L) 0.0
+    else math.min(99.0, 100.0 * bytes.get / expectedBytes)
 }
 
 /** Log-parsing status fallback (status.py:458-521): extract ORA-style

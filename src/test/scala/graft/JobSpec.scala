@@ -283,6 +283,169 @@ class JobSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("flat FULL export enumerates the directory, not a static table list") {
+    // A flat source with a table name the engine has never heard of:
+    // enumeration must come from the filesystem (the reference's
+    // dictionary views, database.py:93-115), or the table is silently
+    // lost — the worst failure mode for a backup tool.
+    val src = tmp("jobspec-flatfull-src")
+    spark.read.parquet(graft.Tables.path(sf, "region"))
+      .write.parquet(s"$src/region.parquet")
+    spark.read.parquet(graft.Tables.path(sf, "nation"))
+      .write.parquet(s"$src/mystery_ledger.parquet")
+    val out = tmp("jobspec-flatfull-out")
+    val info = DataPumpJob(Operation.Export, JobMode.Full, src, out).run(spark)
+    assert(info.state == JobState.Completed, info.errors)
+    assert(info.objects.map(_.objectName).toSet ==
+      Set("region", "mystery_ledger"))
+    assert(spark.read.parquet(s"$out/main/mystery_ledger").count() == 25)
+  }
+
+  test("PARTITION_OPTIONS=MERGE folds partitions into one table without a single-task scan") {
+    val srcRoot = tmp("jobspec-merge-src")
+    graft.operators.Events.load(spark, sf)
+      .write.partitionBy("event_type").parquet(s"$srcRoot/events.parquet")
+    val out = tmp("jobspec-merge-out")
+    val scanTasks = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null &&
+            te.taskMetrics.inputMetrics.recordsRead > 0)
+          scanTasks.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val info =
+      try DataPumpJob(Operation.Export, JobMode.Table, srcRoot, out,
+        directives = Seq(IncludeTable(Seq("events")),
+          PartitionOptions("MERGE"), Parallel(3))).run(spark)
+      finally {
+        Thread.sleep(500) // drain listener bus
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    assert(info.state == JobState.Completed, info.errors)
+    assert(info.totalRows == 1000)
+    // one merged table, partition column materialized as a data column
+    val merged = spark.read.parquet(s"$out/main/events")
+    assert(merged.count() == 1000)
+    assert(merged.columns.contains("event_type"))
+    // %U layout still honored: PARALLEL=3 part files
+    val parts = new java.io.File(s"$out/main/events").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(parts == 3)
+    // the merge must NOT serialize the scan into one task (coalesce(1)
+    // would): the 5 partition dirs scan with multiple tasks
+    assert(scanTasks.get() > 1, s"scan ran in ${scanTasks.get()} task(s)")
+  }
+
+  test("QUERY directive subsets rows and pushes the predicate to the scan") {
+    val out = tmp("jobspec-query")
+    val info = DataPumpJob(Operation.Export, JobMode.Table, sf, out,
+      directives = Seq(IncludeTable(Seq("region")),
+        Query("r_regionkey < 2"))).run(spark)
+    assert(info.state == JobState.Completed, info.errors)
+    assert(info.totalRows == 2)
+    assert(spark.read.parquet(s"$out/main/region").count() == 2)
+  }
+
+  test("live status tier: percentDone advances WITHIN a single-object write") {
+    // Source: one table, several parquet files of increasing row count.
+    // A per-row sleep makes scan tasks finish staggered, so a STATUS
+    // poller must observe intermediate percent — the reference's
+    // expensive-but-live strategy (status.py:334-350,391-399).
+    val src = tmp("jobspec-live-src")
+    (1 to 6).foreach { i =>
+      spark.range(i * 2L).selectExpr("id", "repeat('x', 64) as pad")
+        .coalesce(1).write.mode("append").parquet(s"$src/big.parquet")
+    }
+    spark.udf.register("graft_sleep",
+      (ms: Int) => { Thread.sleep(ms.toLong); ms })
+    val out = tmp("jobspec-live-out")
+    val pending = DataPumpJob(Operation.Export, JobMode.Table, src, out,
+      directives = Seq(IncludeTable(Seq("big")),
+        Query("graft_sleep(120) >= 0"))) // ≥120ms per row, per task
+      .run(spark, wait = false)
+    val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val deadline = System.currentTimeMillis() + 60000
+    var terminal = false
+    while (!terminal && System.currentTimeMillis() < deadline) {
+      graft.status.JobRegistry.get(pending.jobName).foreach { s =>
+        if (s.state == JobState.Executing) samples += s.percentDone
+        terminal = s.state.isTerminal
+      }
+      Thread.sleep(5)
+    }
+    assert(terminal, "job did not finish")
+    val fin = graft.status.JobRegistry.get(pending.jobName).get
+    assert(fin.state == JobState.Completed, fin.errors)
+    // monotone non-decreasing…
+    samples.toSeq.sliding(2).foreach { w =>
+      if (w.size == 2)
+        assert(w(0) <= w(1), s"progress went backwards: ${w(0)} -> ${w(1)}")
+    }
+    // …with at least one live sample strictly inside (0, 100)
+    assert(samples.exists(p => p > 0.0 && p < 100.0),
+      s"no intermediate progress observed: ${samples.distinct}")
+  }
+
+  test("PARALLEL moves tables concurrently on a bounded pool") {
+    spark.udf.register("graft_sleep",
+      (ms: Int) => { Thread.sleep(ms.toLong); ms })
+    val cur = new java.util.concurrent.atomic.AtomicInteger()
+    val max = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val c = cur.incrementAndGet()
+        max.getAndUpdate(m => math.max(m, c))
+      }
+      override def onJobEnd(
+          je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        cur.decrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val out = tmp("jobspec-conc")
+    val info =
+      try DataPumpJob(Operation.Export, JobMode.Table, sf, out,
+        directives = Seq(IncludeTable(Seq("region", "nation")), Parallel(2),
+          Query("graft_sleep(40) >= 0"))) // region ≈200ms, nation ≈1s
+        .run(spark)
+      finally {
+        Thread.sleep(500)
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    assert(info.state == JobState.Completed, info.errors)
+    assert(info.objects.map(_.objectName).toSet == Set("nation", "region"))
+    assert(info.totalRows == 30)
+    // the two tables' Spark write jobs overlapped in time
+    assert(max.get() >= 2, s"max concurrent jobs = ${max.get()}")
+  }
+
+  test("multi-schema completion is tracked per (schema, table) pair") {
+    // two schemas with the SAME table name; one copy is poisoned so it
+    // fails — the sidecar must list exactly the successful copy's path.
+    val src = tmp("jobspec-pair-src")
+    spark.read.parquet(graft.Tables.path(sf, "region"))
+      .write.parquet(s"$src/hr/t.parquet")
+    spark.read.parquet(graft.Tables.path(sf, "nation"))
+      .write.parquet(s"$src/fin/t.parquet")
+    val out = tmp("jobspec-pair-out")
+    // poison fin/t's target with a conflicting schema + TRUNCATE guard
+    spark.read.parquet(graft.Tables.path(sf, "orders"))
+      .write.parquet(s"$out/fin/t")
+    val info = DataPumpJob(Operation.Export, JobMode.Full, src, out,
+      directives = Seq(TableExistsAction("TRUNCATE"))).run(spark)
+    assert(info.state == JobState.CompletedWithErrors, info.errors)
+    val byPair = info.objects.map(o => (o.objectSchema, o.objectName) -> o.state).toMap
+    assert(byPair(("hr", "t")) == "COMPLETED")
+    assert(byPair(("fin", "t")) == "FAILED")
+    val metaJson = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/_metadata.json")), "UTF-8")
+    // dumpFiles lists hr/t (completed) and not fin/t (failed)
+    assert(metaJson.contains("hr/t"))
+    assert(!metaJson.contains("fin/t"))
+  }
+
   test("DEPARTITION promotes each source partition to its own table") {
     // build a partitioned source: events partitioned by event_type
     val srcRoot = tmp("jobspec-departition-src")
@@ -324,5 +487,22 @@ class JobSpec extends AnyFunSuite {
     // departitioned tables no longer carry the partition column
     val cols = spark.read.parquet(s"$out/main/${tables.head}").columns
     assert(!cols.contains("event_type"))
+  }
+
+  test("DEPARTITION names use actual partition values, not Hive-escaped segments") {
+    val src = tmp("jobspec-unesc-src")
+    spark.range(10)
+      .selectExpr("id", "case when id < 5 then 'a:1' else 'b c' end as grp")
+      .write.partitionBy("grp").parquet(s"$src/t.parquet")
+    val out = tmp("jobspec-unesc-out")
+    val info = DataPumpJob(Operation.Export, JobMode.Table, src, out,
+      directives = Seq(IncludeTable(Seq("t")),
+        PartitionOptions("DEPARTITION"))).run(spark)
+    assert(info.state == JobState.Completed, info.errors)
+    val tables = new java.io.File(s"$out/main").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    // ':' is Hive-escaped to %3A in the path; the output name must carry
+    // the real value (space is not escaped and passes through)
+    assert(tables.toSeq == Seq("t_grp_a:1", "t_grp_b c"), tables.toSeq)
   }
 }
