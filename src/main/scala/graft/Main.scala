@@ -112,6 +112,7 @@ object Main {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(graft.Sessions.NanosAsLongKey, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {

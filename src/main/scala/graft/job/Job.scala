@@ -122,7 +122,7 @@ case class DataPumpJob(
     spark.sparkContext.setJobGroup(name, s"${operation.name} ${mode.name}")
     // events.parquet carries nanosecond timestamps (Spark 4 refuses
     // them natively); read as long nanos so FULL jobs can move them
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Sessions.ensureEventTimestampCompat(spark)
 
     // ---- snapshot resolution (FLASHBACK_SCN/TIME -> version dir) ----
     val explicitPin = effects.collectFirst { case Effect.SnapshotPin(v) => v }

@@ -57,8 +57,10 @@ object Dedup {
     * |A∩B| / (|A|+|B|−|A∩B|). The shuffle key is the shingle — skew
     * on ultra-common shingles is the known hazard; the LSH variant
     * below is the scale answer. */
-  def ngramJaccard(spark: SparkSession, sf: String, threshold: Double = 0.5): DataFrame = {
-    val docs = shingled(Tables.load(spark, sf, "documents"))
+  def ngramJaccard(spark: SparkSession, sf: String, threshold: Double = 0.5): DataFrame =
+    ngramJaccardFrom(shingled(Tables.load(spark, sf, "documents")), threshold)
+
+  private def ngramJaccardFrom(docs: DataFrame, threshold: Double): DataFrame = {
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
     val exploded = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val pairs = exploded.as("a")
@@ -117,8 +119,10 @@ object Dedup {
     * Plan: map (signature) → explode bands (×16) → shuffle on
     * (band, key) → per-bucket pairs → distinct → estimate.
     */
-  def minhashLsh(spark: SparkSession, sf: String, threshold: Double = 0.5): DataFrame = {
-    val docs = shingled(Tables.load(spark, sf, "documents"))
+  def minhashLsh(spark: SparkSession, sf: String, threshold: Double = 0.5): DataFrame =
+    minhashLshFrom(shingled(Tables.load(spark, sf, "documents")), threshold)
+
+  private def minhashLshFrom(docs: DataFrame, threshold: Double): DataFrame = {
     val signed = minhashSignature(docs).select(col("doc_id"), col("minhash"))
 
     // band key = xxhash64 over (band index, 4-component slice) — hash
@@ -160,8 +164,16 @@ object Dedup {
     * banding miss probability is (1−0.9⁴)¹⁶ ≈ 4·10⁻⁸ per pair.
     */
   def minhashRecall(spark: SparkSession, sf: String): DataFrame = {
-    val exact = ngramJaccard(spark, sf)
-    val candidates = minhashLsh(spark, sf, threshold = 0.5)
+    // The exact and LSH sides both start from the shingled projection;
+    // persist it so documents are scanned/normalized/shingled ONCE (the
+    // LSH self-join alone would re-derive it twice). Spark's cache
+    // manager matches by logical plan, so the standalone q_ngram_jaccard
+    // / q_minhash_lsh queries reuse this cache too. At 100 TB the same
+    // sharing is a checkpoint to the job's scratch storage, not memory.
+    val sh = shingled(Tables.load(spark, sf, "documents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = ngramJaccardFrom(sh, threshold = 0.5)
+    val candidates = minhashLshFrom(sh, threshold = 0.5)
       .select(col("doc_a"), col("doc_b"))
     exact.join(candidates, Seq("doc_a", "doc_b"), "left_semi")
       .orderBy(col("doc_a"), col("doc_b"))

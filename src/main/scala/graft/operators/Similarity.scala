@@ -36,20 +36,17 @@ object Similarity {
 
   private def iq(x: Column): Column = floor(x.cast("double") * Q).cast("long")
 
-  /** Exact integer dot product of two quantized float-array columns. */
-  def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => iq(x) * iq(y)), lit(0L), _ + _)
-
-  /** Exact integer squared L2 norm (quantized). */
-  def normSqQ(a: Column): Column = dotQ(a, a)
-
   /** Per-vector quantized norms & dimension — the sanity projection.
-    * norm_sq is on the Q² grid (divide by 2⁵² for the real value). */
+    * norm_sq is on the Q² grid (divide by 2⁵² for the real value).
+    * Quantize once, then one codegen'd `dot_long` — the interpreted
+    * `aggregate(zip_with(...))` HOF form costs 5-35× at scale. */
   def norms(spark: SparkSession, sf: String): DataFrame =
     Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), col("label").cast("long").as("label"),
         size(col("embedding")).cast("long").as("dim"),
-        normSqQ(col("embedding")).as("norm_sq"))
+        transform(col("embedding"), x => iq(x)).as("iv"))
+      .select(col("vec_id"), col("label"), col("dim"),
+        dot_long(col("iv"), col("iv")).as("norm_sq"))
       .orderBy(col("vec_id"))
 
   /** Quantized int vector + norm, computed ONCE per vector —

@@ -127,7 +127,7 @@ object Text {
   */
 object Events {
   def load(spark: SparkSession, sf: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Sessions.ensureEventTimestampCompat(spark)
     spark.read.parquet(Tables.path(sf, "events"))
       // integer division — double division loses µs precision on
       // epoch-nano magnitudes

@@ -25,7 +25,7 @@ object EventStream {
     * longs (Spark 4 has no nanosecond TimestampType) and converted to
     * microsecond timestamps. */
   def readEvents(spark: SparkSession, sf: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Sessions.ensureEventTimestampCompat(spark)
     val schema = spark.read.parquet(Tables.path(sf, "events")).schema
     // FileStreamSource needs a directory: stream the sf dir filtered
     // to the events file (a real deployment points at a landing dir)
