@@ -40,13 +40,17 @@ object Bench {
               .takeWhile(_ != '\n').take(200)) }
         ((System.nanoTime() - t0) / 1e9, err)
       }
+      // Symmetric retry: a transient FIRST-run failure gets the same
+      // second chance a transient slowdown does — an error is recorded
+      // only when both runs fail.
       val first = once()
-      val best =
-        if (first._2.isDefined) first
-        else {
-          val second = once()
-          if (second._2.isEmpty && second._1 < first._1) second else first
-        }
+      val second = once()
+      val best = (first, second) match {
+        case ((_, None), (t2, None)) => (math.min(first._1, t2), None)
+        case ((_, None), _) => first
+        case (_, (_, None)) => second
+        case _ => first
+      }
       (name, best._1, best._2)
     }
     def esc(s: String): String =

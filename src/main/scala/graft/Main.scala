@@ -22,11 +22,16 @@ object Main {
     System.err.println(
       """usage: graft <export|import|sql_file> --source-dir DIR --target-dir DIR
         |  mode (one of):  --schema NAME | --full | --table NAME[,NAME...]
+        |                  --tablespace PREFIX[,PREFIX...]
         |  directives:     --parallel N  --compression-algorithm BASIC|LOW|MEDIUM|HIGH
+        |                  --compression DATA_ONLY|METADATA_ONLY|ALL|NONE
         |                  --table-exists-action TRUNCATE|REPLACE|APPEND|SKIP
         |                  --remap-schema OLD:NEW  --remap-tablespace OLD:NEW
         |                  --exclude OBJECT_TYPE  --estimate-only  --delete-files
-        |                  --flashback-time ISO  --tag TAG  --no-wait
+        |                  --estimate BLOCKS|STATISTICS  --keep-master
+        |                  --include-metadata 0|1  --query PREDICATE
+        |                  --flashback-time ISO  --flashback-scn N
+        |                  --tag TAG  --no-wait
         |""".stripMargin)
     sys.exit(2)
   }
@@ -55,8 +60,24 @@ object Main {
           opts += "mode" -> "TABLE"
           directives :+= Map("name" -> "INCLUDE_TABLE", "value" -> args(i + 1))
           i += 2
+        case "--tablespace" =>
+          opts += "mode" -> "TABLESPACE"
+          directives :+= Map("name" -> "INCLUDE_TABLESPACE", "value" -> args(i + 1))
+          i += 2
         case "--parallel" =>
           directives :+= Map("name" -> "PARALLEL", "value" -> args(i + 1)); i += 2
+        case "--compression" =>
+          directives :+= Map("name" -> "COMPRESSION", "value" -> args(i + 1)); i += 2
+        case "--estimate" =>
+          directives :+= Map("name" -> "ESTIMATE", "value" -> args(i + 1)); i += 2
+        case "--keep-master" =>
+          directives :+= Map("name" -> "KEEP_MASTER", "value" -> "1"); i += 1
+        case "--include-metadata" =>
+          directives :+= Map("name" -> "INCLUDE_METADATA", "value" -> args(i + 1)); i += 2
+        case "--query" =>
+          directives :+= Map("name" -> "QUERY", "value" -> args(i + 1)); i += 2
+        case "--flashback-scn" =>
+          directives :+= Map("name" -> "FLASHBACK_SCN", "value" -> args(i + 1)); i += 2
         case "--compression-algorithm" =>
           directives :+= Map("name" -> "COMPRESSION_ALGORITHM", "value" -> args(i + 1)); i += 2
         case "--table-exists-action" =>

@@ -73,6 +73,14 @@ final case class IncludeTable(tables: Seq[String]) extends Directive {
   val name = "INCLUDE_TABLE"; val stage = Stage.DataPump
   def valueRepr = tables.mkString(",")
 }
+/** TABLESPACE_LIST filter analog (directives.py:66-86): a tablespace on
+  * a file store is a storage root, so TABLESPACE/TRANSPORTABLE-mode
+  * selection is a PATH-PREFIX match on each table's resolved source
+  * path (SURVEY §1.1). Prefixes may be absolute or source-dir-relative. */
+final case class IncludeTablespace(prefixes: Seq[String]) extends Directive {
+  val name = "INCLUDE_TABLESPACE"; val stage = Stage.DataPump
+  def valueRepr = prefixes.mkString(",")
+}
 final case class ExcludeObjectType(objectType: String) extends Directive {
   val name = "EXCLUDE_OBJECT_TYPE"; val stage = Stage.DataPump
   def valueRepr = objectType
@@ -283,6 +291,7 @@ object DirectiveCompiler {
   /** Compile one directive into its plan effects. Pure. */
   def compile(d: Directive): Seq[Effect] = d match {
     case IncludeSchema(_) => Seq.empty // schema scoping handled by job source
+    case IncludeTablespace(_) => Seq.empty // path-prefix scoping in job source
     case IncludeTable(ts) =>
       val wanted = ts.map(_.toLowerCase).toSet
       Seq(ObjectSelection(names => names.filter(n => wanted(n.toLowerCase))))
@@ -367,6 +376,7 @@ object DirectiveCompiler {
     n match {
       case "INCLUDE_SCHEMA" => IncludeSchema(v)
       case "INCLUDE_TABLE" => IncludeTable(v.split(",").toSeq)
+      case "INCLUDE_TABLESPACE" => IncludeTablespace(v.split(",").toSeq)
       case "EXCLUDE_OBJECT_TYPE" => ExcludeObjectType(v)
       case "QUERY" => Query(v)
       case "COMPRESSION" => Compression(v)

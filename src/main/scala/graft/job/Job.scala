@@ -172,6 +172,32 @@ case class DataPumpJob(
         }.flatten.toSet
         if (wanted.isEmpty) schemaScoped
         else schemaScoped.filter(p => wanted(p._2.toLowerCase))
+      case JobMode.Tablespace | JobMode.Transportable =>
+        // Path-prefix selection (SURVEY §1.1): a tablespace on a file
+        // store is a storage root, so the mode keeps the tables whose
+        // resolved source path sits under one of the INCLUDE_TABLESPACE
+        // prefixes (absolute, or relative to the source dir).
+        val prefixes = directives.collect {
+          case graft.directives.IncludeTablespace(ps) => ps }.flatten
+        if (prefixes.isEmpty) schemaScoped
+        else {
+          val srcRoot = operation match {
+            case Operation.Import => importSource
+            case _ => sourceDir
+          }
+          def pathOf(s: String, t: String): String = operation match {
+            case Operation.Import => s"$importSource/$s/$t"
+            case _ => sourceTablePath(spark, sourceDir, s, t)
+          }
+          def under(path: String, prefix: String): Boolean = {
+            val abs = if (prefix.startsWith("/")) prefix
+              else s"$srcRoot/$prefix"
+            path == abs || path.startsWith(abs + "/") ||
+              path.startsWith(abs + ".") // flat `<prefix>.parquet`
+          }
+          schemaScoped.filter { case (s, t) =>
+            prefixes.exists(p => under(pathOf(s, t), p)) }
+        }
       case _ => schemaScoped
     }
     val selected = effects.foldLeft(modeScoped) {

@@ -149,6 +149,16 @@ object Similarity {
     * bucket, and the originals probe with Hamming≤1 multi-probe. The
     * output is every (query, twin) pair the index recovered; the
     * DuckDB oracle is the full planted list — green iff recall = 100%.
+    *
+    * FIXTURE COUPLING (like the minhash pin's miss-probability note):
+    * Hamming≤1 multi-probe structurally covers single-bit bucket
+    * flips. The ×1.01 first-component perturbation rotates each twin
+    * by ≤ 0.57°, so a two-plane flip needs the vector within that
+    * angle of TWO of the 12 hyperplanes at once — zero pairs in the
+    * current fixtures and ~10⁻⁴-scale probability per vector under
+    * regenerated random embeddings. If a future fixture regen turns
+    * this row red with no code change, check for a two-flip twin
+    * before debugging the index.
     */
   def annPlantedRecall(spark: SparkSession, sf: String): DataFrame = {
     val e = Tables.load(spark, sf, "embeddings")

@@ -42,8 +42,23 @@ object SnapshotStore {
     synchronized {
       val p = ledgerPath(root)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) Nil
-      else {
+      if (!fs.exists(p)) {
+        // Local-FS rename is delete-then-rename (no atomic overwrite):
+        // a crash in that window leaves only the temp file. Temps are
+        // complete ledger copies, so recover the newest one rather than
+        // silently restarting version numbering at 1.
+        val tmps = try fs.globStatus(new Path(s"$root/.$LedgerFile.tmp-*"))
+          catch { case NonFatal(_) => null }
+        Option(tmps).filter(_.nonEmpty)
+          .map(_.maxBy(_.getModificationTime).getPath)
+          .map { t =>
+            val in = fs.open(t)
+            try mapper.readValue(
+              in: java.io.InputStream, classOf[Ledger]).versions
+            catch { case NonFatal(_) => Seq.empty[VersionEntry] }
+            finally in.close()
+          }.getOrElse(Nil)
+      } else {
         val in = fs.open(p)
         try mapper.readValue(in: java.io.InputStream, classOf[Ledger]).versions
         catch { case NonFatal(_) => Nil }
@@ -56,9 +71,10 @@ object SnapshotStore {
     * Atomicity: the read-modify-write is serialized JVM-wide on this
     * object's monitor (shared with `readLedger`, so in-JVM readers can
     * never observe a mid-publish state), and the file is published via
-    * write-to-temp + overwriting FileContext rename — a single atomic
-    * step on a POSIX/HDFS filesystem, so a crashed writer leaves either
-    * the old ledger or the new one, never a torn or missing file.
+    * write-to-temp + overwriting FileContext rename. On HDFS that
+    * rename is one atomic step; on the local FS it delegates to
+    * delete-then-rename, leaving a crash window with no ledger —
+    * `readLedger` covers it by recovering the newest temp copy.
     * Cross-process writers on an object store would swap this for a
     * conditional-put/ETag loop.
     */
@@ -78,6 +94,11 @@ object SnapshotStore {
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
     fc.rename(fc.makeQualified(tmp), fc.makeQualified(p),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // drop stale temps from crashed writers so they can never shadow a
+    // deliberately removed ledger in the recovery path above
+    try fs.globStatus(new Path(s"$root/.$LedgerFile.tmp-*"))
+      .foreach(s => fs.delete(s.getPath, false))
+    catch { case NonFatal(_) => () }
     next
   }
 

@@ -489,6 +489,27 @@ class JobSpec extends AnyFunSuite {
     assert(!cols.contains("event_type"))
   }
 
+  test("TABLESPACE mode selects by path prefix (SURVEY §1.1 mapping)") {
+    val src = tmp("jobspec-ts-mode")
+    // two "tablespaces" = two storage roots holding schema trees
+    spark.read.parquet(graft.Tables.path(sf, "region"))
+      .write.parquet(s"$src/hr/staff.parquet")
+    spark.read.parquet(graft.Tables.path(sf, "nation"))
+      .write.parquet(s"$src/fin/accounts.parquet")
+    val out = tmp("jobspec-ts-mode-out")
+    val info = DataPumpJob(Operation.Export, JobMode.Tablespace, src, out,
+      directives = Seq(IncludeTablespace(Seq("hr")))).run(spark)
+    assert(info.state == JobState.Completed, info.errors)
+    assert(info.objects.map(_.objectName) == Seq("staff"))
+    assert(new java.io.File(s"$out/hr/staff").exists())
+    assert(!new java.io.File(s"$out/fin").exists())
+    // absolute prefixes work too, and TRANSPORTABLE shares the path
+    val out2 = tmp("jobspec-ts-mode-out2")
+    val info2 = DataPumpJob(Operation.Export, JobMode.Transportable, src, out2,
+      directives = Seq(IncludeTablespace(Seq(s"$src/fin")))).run(spark)
+    assert(info2.objects.map(_.objectName) == Seq("accounts"))
+  }
+
   test("DEPARTITION names use actual partition values, not Hive-escaped segments") {
     val src = tmp("jobspec-unesc-src")
     spark.range(10)

@@ -108,6 +108,32 @@ class ProtocolSpec extends AnyFunSuite {
     assert(parsed.requestType == "SUBMIT")
   }
 
+  test("extended CLI flags reach the directive registry (cli.py:152-226 sweep)") {
+    val (op, opts, dirs, wait) = Main.parseArgs(Array(
+      "export", "--source-dir", sf, "--target-dir", "/tmp/x",
+      "--full", "--flashback-scn", "7", "--compression", "NONE",
+      "--keep-master", "--estimate", "BLOCKS", "--include-metadata", "0",
+      "--query", "l_quantity > 10"))
+    assert(op == "export" && wait)
+    assert(dirs.contains(Map("name" -> "FLASHBACK_SCN", "value" -> "7")))
+    assert(dirs.contains(Map("name" -> "COMPRESSION", "value" -> "NONE")))
+    assert(dirs.contains(Map("name" -> "KEEP_MASTER", "value" -> "1")))
+    assert(dirs.contains(Map("name" -> "ESTIMATE", "value" -> "BLOCKS")))
+    assert(dirs.contains(Map("name" -> "INCLUDE_METADATA", "value" -> "0")))
+    assert(dirs.contains(Map("name" -> "QUERY", "value" -> "l_quantity > 10")))
+    // every flag round-trips through the JSON protocol's registry
+    dirs.foreach { d =>
+      graft.directives.DirectiveCompiler.fromJson(
+        d("name"), d.get("value"), d.get("old_value"))
+    }
+    // --tablespace selects TABLESPACE mode + prefix directive
+    val (_, opts2, dirs2, _) = Main.parseArgs(Array(
+      "export", "--source-dir", sf, "--tablespace", "warm/hr"))
+    assert(opts2("mode") == "TABLESPACE")
+    assert(dirs2.contains(
+      Map("name" -> "INCLUDE_TABLESPACE", "value" -> "warm/hr")))
+  }
+
   // ---- dump-file-set name algebra (files.py:982-1063) ----
 
   test("%U expands to the parallel degree with 2-digit sequences") {
