@@ -91,6 +91,7 @@ object SparkEntry {
     "q_cosine_near_dup" -> ((s: SparkSession, d: String) => Similarity.cosineNearDup(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "q_ann_recall" -> (Similarity.annPlantedRecall _),
+    "q_ivf_recall" -> (Similarity.ivfPlantedRecall _),
     "q_cosine_pairs" -> ((s: SparkSession, d: String) => Similarity.cosinePairsExact(s, d)),
     // --- multimodal binary plumbing
     "q_binary_meta" -> (Multimodal.binaryMeta _),
@@ -511,6 +512,13 @@ object SparkEntry {
     // Recall pin: every planted near-identical twin (id+1e6) the
     // multi-probe LSH index recovered; oracle = the full planted list.
     "q_ann_recall" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id,
+         CAST(vec_id + 1000000 AS BIGINT) AS neighbor_id
+         FROM embeddings ORDER BY query_id""",
+
+    // Same planted ground truth pins the k-means IVF index: green iff
+    // NProbe=2 cell probing recovers every twin.
+    "q_ivf_recall" ->
       """SELECT CAST(vec_id AS BIGINT) AS query_id,
          CAST(vec_id + 1000000 AS BIGINT) AS neighbor_id
          FROM embeddings ORDER BY query_id""",

@@ -196,37 +196,75 @@ object Similarity {
 
   // ---- IVF (inverted-file) ANN -------------------------------------
 
-  /** Number of IVF cells and probed cells per query. */
+  /** Number of IVF cells, probed cells per query, Lloyd iterations. */
   val IvfCells = 16
   val NProbe = 2
+  val KmeansIters = 3
 
-  /** Deterministic pseudo-random centroid (unit-free; nearest-dot
-    * assignment). A production build replaces these with k-means
-    * centroids — the plan shape (assign → cell-equality join) is the
-    * part that matters at scale. */
-  private def centroidQ(c: Int): Seq[Long] =
-    (0 until Dim).map(i => math.floor(
-      (planeComponent(c * 131 + 7, i)) * 1048576.0).toLong)
-
-  /** Cell ids of the `n` nearest centroids by integer dot product. */
-  private def ivfCells(iv: Column, n: Int): Column = {
-    val scored = array((0 until IvfCells).map(c =>
-      struct(dot_long(iv, typedLit(centroidQ(c))).as("score"),
-        lit(c).as("cell"))): _*)
-    slice(transform(reverse(array_sort(scored)), s => s.getField("cell")),
-      1, n)
+  /** Distributed Lloyd's k-means over the quantized vectors — the real
+    * IVF training step. All arithmetic is exact longs: per-cell
+    * per-dimension sums are exact and the centroid update is floor
+    * division, so the trained centroids are bit-identical regardless
+    * of partitioning — a replan can never move a vector across cells.
+    * Each iteration is one explode-by-dimension shuffle; the driver
+    * receives k×d aggregate rows (16×64), never data. At 100 TB the
+    * training input is a bounded TABLESAMPLE; assignment (below) stays
+    * full-scale either way.
+    */
+  def kmeansCentroidsQ(e: DataFrame, k: Int = IvfCells,
+      iters: Int = KmeansIters): Seq[Seq[Long]] = {
+    val iv = e.select(col("vec_id"),
+      transform(col("embedding"), x => iq(x)).as("iv"))
+    // deterministic spread init: the k first vectors in hash order
+    var centroids: Seq[Seq[Long]] =
+      iv.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+        .collect().map(_.getSeq[Long](1).toSeq).toSeq
+    for (_ <- 1 to iters) {
+      val stats = iv
+        .withColumn("cell",
+          element_at(nearestCellsQ(col("iv"), centroids, 1), 1))
+        .select(col("cell"), posexplode(col("iv")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getInt(0))
+      centroids = centroids.indices.map { c =>
+        stats.get(c).map { rows =>
+          val byPos = rows.map(r =>
+            r.getInt(1) -> r.getLong(2) / r.getLong(3)).toMap
+          (0 until Dim).map(byPos): Seq[Long]
+        }.getOrElse(centroids(c)) // an emptied cell keeps its centroid
+      }
+    }
+    centroids
   }
 
-  /** IVF ANN: vectors index into their nearest cell; queries probe the
-    * NProbe nearest cells. Join is cell-equality (shuffle on a
-    * 16-value key); per-cell candidate lists stay small. */
+  /** Cell ids of the `n` nearest centroids by exact squared L2
+    * distance: argmin ‖v−c‖² = argmin (c·c − 2 v·c), the v·v term is
+    * constant per vector. Ties break on cell id — fully deterministic. */
+  private def nearestCellsQ(iv: Column, centroids: Seq[Seq[Long]],
+      n: Int): Column = {
+    val scored = array(centroids.zipWithIndex.map { case (cq, c) =>
+      struct(
+        (lit(cq.map(x => x * x).sum) - lit(2L) * dot_long(iv, typedLit(cq)))
+          .as("d2"),
+        lit(c).as("cell"))
+    }: _*)
+    slice(transform(array_sort(scored), s => s.getField("cell")), 1, n)
+  }
+
+  /** IVF ANN: vectors index into their nearest k-means cell; queries
+    * probe the NProbe nearest cells. Join is cell-equality (shuffle on
+    * a 16-value key); per-cell candidate lists stay small. */
   def annIvf(spark: SparkSession, sf: String, k: Int = 3): DataFrame = {
     val e = Tables.load(spark, sf, "embeddings")
+    val cents = kmeansCentroidsQ(e)
     val indexed = quantized(e, "neighbor_id")
       .withColumn("cell",
-        element_at(ivfCells(col("iv_neighbor_id"), 1), 1))
+        element_at(nearestCellsQ(col("iv_neighbor_id"), cents, 1), 1))
     val probes = quantized(e, "query_id")
-      .withColumn("cell", explode(ivfCells(col("iv_query_id"), NProbe)))
+      .withColumn("cell",
+        explode(nearestCellsQ(col("iv_query_id"), cents, NProbe)))
     val pairs = probes.join(indexed, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
@@ -239,6 +277,36 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rk"), col("cosine"))
       .dropDuplicates("query_id", "neighbor_id")
       .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Driver-visible IVF recall pin — q_ann_recall's twin for the
+    * k-means index: every vector's planted near-identical twin
+    * (id + 1e6, first component ×1.01) is indexed into its nearest
+    * cell; originals probe their NProbe nearest cells; the DuckDB
+    * oracle is the full planted list — green iff recall = 100%.
+    *
+    * FIXTURE COUPLING: a miss requires the twin's nearest centroid to
+    * be NEITHER of the query's two nearest — the ≤0.57° twin rotation
+    * must flip the argmin while the runner-up also loses, i.e. the
+    * vector sits that close to a two-boundary corner. Zero fixtures
+    * hit this; a regenerated-embeddings red here means check the
+    * corner case before debugging the index. */
+  def ivfPlantedRecall(spark: SparkSession, sf: String): DataFrame = {
+    val e = Tables.load(spark, sf, "embeddings")
+    val cents = kmeansCentroidsQ(e)
+    val index = e.select((col("vec_id") + 1000000L).as("neighbor_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x * lit(1.01)).otherwise(x)).as("twin"))
+      .select(col("neighbor_id"),
+        transform(col("twin"), x => iq(x)).as("iv_n"))
+      .withColumn("cell", element_at(nearestCellsQ(col("iv_n"), cents, 1), 1))
+    val probes = quantized(e, "query_id")
+      .select(col("query_id"),
+        explode(nearestCellsQ(col("iv_query_id"), cents, NProbe)).as("cell"))
+    probes.join(index, Seq("cell"))
+      .filter(col("neighbor_id") === col("query_id") + 1000000L)
+      .select(col("query_id"), col("neighbor_id")).distinct()
+      .orderBy(col("query_id"))
   }
 
   /** Exact brute-force cosine pairs over a threshold — the

@@ -65,4 +65,40 @@ object Jdbc {
 
   def read(spark: SparkSession, opts: Map[String, String]): DataFrame =
     spark.read.format("jdbc").options(opts).load()
+
+  /** Oracle's DB-timezone probe (database.py:141-174). */
+  val OracleDbTimezoneSql = "SELECT DBTIMEZONE FROM DUAL"
+
+  /** Live DB timezone lookup (`get_db_timezone`): run the vendor's
+    * timezone query over a JDBC connection and parse the result, which
+    * may be a region name ("America/New_York") or a `±HH:MM` offset —
+    * both resolved to the zone's CURRENT utc offset, matching the
+    * reference's `ZoneInfo(...).utcoffset(now)` collapse. */
+  def dbTimezone(conn: java.sql.Connection,
+      sql: String = OracleDbTimezoneSql): java.time.ZoneOffset = {
+    val st = conn.createStatement()
+    val tzData =
+      try {
+        val rs = st.executeQuery(sql)
+        require(rs.next(), s"timezone query returned no rows: $sql")
+        rs.getString(1).trim
+      } finally st.close()
+    try java.time.ZoneId.of(tzData).getRules
+      .getOffset(java.time.Instant.now())
+    catch {
+      case scala.util.control.NonFatal(_) =>
+        // bare ±H:MM forms ZoneId rejects (e.g. "+5:30")
+        val neg = tzData.startsWith("-")
+        val Array(h, m) = tzData.dropWhile(c => c == '+' || c == '-')
+          .split(':')
+        val secs = (h.trim.toInt * 3600 + m.trim.toInt * 60) *
+          (if (neg) -1 else 1)
+        java.time.ZoneOffset.ofTotalSeconds(secs)
+    }
+  }
+
+  /** `to_db_timezone` analog: render an instant in the DB's zone. */
+  def toDbTimezone(at: java.time.Instant, conn: java.sql.Connection,
+      sql: String = OracleDbTimezoneSql): java.time.OffsetDateTime =
+    at.atOffset(dbTimezone(conn, sql))
 }

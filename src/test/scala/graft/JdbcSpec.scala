@@ -93,6 +93,27 @@ class JdbcSpec extends AnyFunSuite {
     assert(df.columns.toSeq.map(_.toLowerCase) == Seq("id", "sal"))
   }
 
+  test("get_db_timezone parses region names and offsets from a live connection") {
+    conn
+    // Derby stands in for Oracle's `SELECT DBTIMEZONE FROM DUAL`; the
+    // VALUES form returns the same single-cell shape
+    val off = Jdbc.dbTimezone(conn, "VALUES '+05:30'")
+    assert(off == java.time.ZoneOffset.ofHoursMinutes(5, 30))
+    val neg = Jdbc.dbTimezone(conn, "VALUES '-08:00'")
+    assert(neg == java.time.ZoneOffset.ofHours(-8))
+    val utc = Jdbc.dbTimezone(conn, "VALUES 'UTC'")
+    assert(utc == java.time.ZoneOffset.UTC)
+    // region names collapse to their current offset (reference parity)
+    val regional = Jdbc.dbTimezone(conn, "VALUES 'America/New_York'")
+    assert(regional.getTotalSeconds == java.time.ZoneId
+      .of("America/New_York").getRules
+      .getOffset(java.time.Instant.now()).getTotalSeconds)
+    // to_db_timezone renders an instant in the DB zone
+    val at = java.time.Instant.parse("2026-01-15T12:00:00Z")
+    val dt = Jdbc.toDbTimezone(at, conn, "VALUES '+05:30'")
+    assert(dt.toString == "2026-01-15T17:30+05:30")
+  }
+
   test("chunked LOB stream round-trips a multi-MB payload in bounded chunks") {
     val dir = java.nio.file.Files.createTempDirectory("lobstream").toString
     val payload = Array.tabulate[Byte](3 * 1024 * 1024 + 123)(i =>

@@ -156,6 +156,21 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("k-means centroids are deterministic and IVF recall on planted twins is total") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val c1 = Similarity.kmeansCentroidsQ(e)
+    val c2 = Similarity.kmeansCentroidsQ(e.repartition(7))
+    // exact-long training: partitioning cannot move a centroid
+    assert(c1 == c2)
+    assert(c1.size == Similarity.IvfCells)
+    assert(c1.forall(_.size == 64))
+    assert(c1.distinct.size > 1) // training actually spread the cells
+    // every planted twin is recovered through NProbe cell probing
+    val n = e.count()
+    val recovered = Similarity.ivfPlantedRecall(spark, sf).count()
+    assert(recovered == n, s"IVF recall $recovered/$n")
+  }
+
   test("salted join equals the unsalted aggregation") {
     val salted = Relational.saltedRevenuePerOrder(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap

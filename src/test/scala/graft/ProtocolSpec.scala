@@ -134,6 +134,70 @@ class ProtocolSpec extends AnyFunSuite {
       Map("name" -> "INCLUDE_TABLESPACE", "value" -> "warm/hr")))
   }
 
+  // ---- service envelope (entrypoints/aws_lambda.py analog) ----
+
+  test("envelope handler unwraps base64 bodies and shapes HTTP responses") {
+    val dump = tmp("env-sub")
+    val raw =
+      s"""{"connection": {"source_dir": "$sf", "target_dir": "$dump"},
+          "request": "SUBMIT",
+          "payload": {"operation": "EXPORT", "mode": "TABLE", "wait": true,
+            "directives": [{"name": "INCLUDE_TABLE", "value": "region"}]}}"""
+    val b64 = java.util.Base64.getEncoder.encodeToString(raw.getBytes("UTF-8"))
+    val event = s"""{"isBase64Encoded": true, "body": ${
+      new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(b64)}}"""
+    val resp = graft.request.Envelope.handle(spark, event)
+    assert(resp.statusCode == 200, resp.body)
+    assert(resp.headers("Content-Type") == "application/json")
+    assert(resp.body.contains("\"state\":\"COMPLETED\""))
+    // raw (un-enveloped) requests fall through to direct validation
+    val resp2 = graft.request.Envelope.handle(spark, raw)
+    assert(resp2.statusCode == 200, resp2.body)
+    // garbage → 400 carrying both validation error keys
+    val bad = graft.request.Envelope.handle(spark, "{nope")
+    assert(bad.statusCode == 400)
+    assert(bad.body.contains("RawValidationException") &&
+      bad.body.contains("EnvelopeValidationException"))
+    // unknown job → 404; unknown directive → 400
+    val status = graft.request.Envelope.handle(spark,
+      s"""{"connection": {"source_dir": "$sf"}, "request": "STATUS",
+           "payload": {"job_name": "NO-SUCH"}}""")
+    assert(status.statusCode == 404, status.body)
+    val badDir = graft.request.Envelope.handle(spark,
+      s"""{"connection": {"source_dir": "$sf", "target_dir": "$dump"},
+           "request": "SUBMIT",
+           "payload": {"operation": "EXPORT", "mode": "TABLE",
+             "directives": [{"name": "NOT_A_DIRECTIVE", "value": "x"}]}}""")
+    assert(badDir.statusCode == 400, badDir.body)
+  }
+
+  test("connection secrets resolve through the pluggable registry") {
+    val dump = tmp("env-secret")
+    val withSecret =
+      s"""{"connection": {"secret": "prod/graft", "target_dir": "$dump"},
+          "request": "SUBMIT",
+          "payload": {"operation": "EXPORT", "mode": "TABLE", "wait": true,
+            "directives": [{"name": "INCLUDE_TABLE", "value": "region"}]}}"""
+    // no resolver installed: the RESOLVE_SECRETS gate rejects it
+    graft.request.Envelope.setSecretResolver(None)
+    val rejected = graft.request.Envelope.handle(spark, withSecret)
+    assert(rejected.statusCode == 400)
+    assert(rejected.body.contains("no secret resolver"))
+    // resolver installed: secret fields merge into the connection
+    graft.request.Envelope.setSecretResolver(Some(
+      new graft.request.Envelope.SecretResolver {
+        def resolve(name: String): Map[String, String] = {
+          assert(name == "prod/graft")
+          Map("source_dir" -> sf)
+        }
+      }))
+    try {
+      val ok = graft.request.Envelope.handle(spark, withSecret)
+      assert(ok.statusCode == 200, ok.body)
+      assert(ok.body.contains("\"state\":\"COMPLETED\""))
+    } finally graft.request.Envelope.setSecretResolver(None)
+  }
+
   // ---- dump-file-set name algebra (files.py:982-1063) ----
 
   test("%U expands to the parallel degree with 2-digit sequences") {
