@@ -253,12 +253,25 @@ object Similarity {
     slice(transform(array_sort(scored), s => s.getField("cell")), 1, n)
   }
 
+  /** Trained-centroid memo keyed by dataset path: k-means output is a
+    * persistent index artifact (deterministic per dataset), so the
+    * index and its recall gate — and repeated queries — share one
+    * training run instead of re-training per query. A changed dataset
+    * under the same path needs `clearCentroidCache()` (at 100 TB the
+    * artifact would live next to the data with its snapshot version). */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Long]]]
+  def clearCentroidCache(): Unit = centroidCache.clear()
+  private def centroidsFor(spark: SparkSession, sf: String): Seq[Seq[Long]] =
+    centroidCache.getOrElseUpdate(sf,
+      kmeansCentroidsQ(Tables.load(spark, sf, "embeddings")))
+
   /** IVF ANN: vectors index into their nearest k-means cell; queries
     * probe the NProbe nearest cells. Join is cell-equality (shuffle on
     * a 16-value key); per-cell candidate lists stay small. */
   def annIvf(spark: SparkSession, sf: String, k: Int = 3): DataFrame = {
     val e = Tables.load(spark, sf, "embeddings")
-    val cents = kmeansCentroidsQ(e)
+    val cents = centroidsFor(spark, sf)
     val indexed = quantized(e, "neighbor_id")
       .withColumn("cell",
         element_at(nearestCellsQ(col("iv_neighbor_id"), cents, 1), 1))
@@ -293,7 +306,7 @@ object Similarity {
     * corner case before debugging the index. */
   def ivfPlantedRecall(spark: SparkSession, sf: String): DataFrame = {
     val e = Tables.load(spark, sf, "embeddings")
-    val cents = kmeansCentroidsQ(e)
+    val cents = centroidsFor(spark, sf)
     val index = e.select((col("vec_id") + 1000000L).as("neighbor_id"),
         transform(col("embedding"),
           (x, i) => when(i === 0, x * lit(1.01)).otherwise(x)).as("twin"))
