@@ -65,6 +65,7 @@ object SparkEntry {
     // --- events / time (SURVEY §2.8, §2.10)
     "q_hourly_events" -> (Events.hourlyStats _),
     "q_stream_hourly" -> (graft.streaming.EventStream.hourlyViaStream _),
+    "q_stream_dedup" -> (graft.streaming.EventStream.dedupViaStream _),
     "q_pivot" -> (Relational.pivotStatus _),
     "q_approx_distinct" -> (Relational.approxDistinct _),
     "q_sessionize" -> (Events.sessionize _),
@@ -346,6 +347,13 @@ object SparkEntry {
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2
          ORDER BY hour, event_type""",
+
+    // Streaming ingest dedup: the engine emits the distinct key set
+    // (which duplicate row survives is arrival-order-dependent; the key
+    // set is deterministic and hash-checkable).
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
 
     "q_pivot" ->
       """SELECT o_orderpriority,

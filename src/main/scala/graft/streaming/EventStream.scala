@@ -71,6 +71,36 @@ object EventStream {
     materialized
   }
 
+  /** Streaming ingest-time dedup — the pipeline's first line of defense
+    * against re-delivered input (at-least-once sources re-send; exact
+    * dedup at ingest is cheaper than anything downstream). Watermarked
+    * `dropDuplicates` keeps per-key state bounded: keys older than the
+    * watermark are dropped from the state store, the standard
+    * unbounded-stream shape. The OUTPUT is the distinct key set — which
+    * row of a duplicate group survives is arrival-order-dependent, the
+    * set of keys is not, so this materialization stays deterministic
+    * and DuckDB-checkable (`SELECT DISTINCT user_id, event_type`). */
+  def dedupViaStream(spark: SparkSession, sf: String): DataFrame = {
+    val name = "graft_stream_dedup_" + java.util.UUID.randomUUID()
+      .toString.replace("-", "")
+    val deduped = readEvents(spark, sf)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    val q = deduped.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    val out = spark.table(name).orderBy(col("user_id"), col("event_type"))
+    val rows = out.collect().toSeq
+    val materialized = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
+    spark.catalog.dropTempView(name)
+    materialized
+  }
+
   /** Run a streaming query into an in-memory sink until all available
     * input is processed (batch-driven smoke for local verification). */
   def runToMemory(df: DataFrame, name: String): StreamingQuery = {

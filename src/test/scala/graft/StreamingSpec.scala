@@ -27,6 +27,19 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming watermarked dedup emits exactly the distinct key set") {
+    val streamed = EventStream.dedupViaStream(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val batch = Events.load(spark, sf)
+      .select(col("user_id"), col("event_type")).distinct()
+      .orderBy(col("user_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.nonEmpty)
+    // it actually deduplicated (events >> distinct keys)
+    assert(streamed.length < Events.load(spark, sf).count())
+  }
+
   test("stateful sessionization matches the batch session count per user") {
     import spark.implicits._
     implicit val s = spark
