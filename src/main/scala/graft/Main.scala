@@ -30,6 +30,7 @@ object Main {
         |                  --exclude OBJECT_TYPE  --estimate-only  --delete-files
         |                  --estimate BLOCKS|STATISTICS  --keep-master
         |                  --include-metadata 0|1  --query PREDICATE
+        |                  --dump-format parquet|orc|json|csv
         |                  --flashback-time ISO  --flashback-scn N
         |                  --tag TAG  --no-wait
         |""".stripMargin)
@@ -76,6 +77,8 @@ object Main {
           directives :+= Map("name" -> "INCLUDE_METADATA", "value" -> args(i + 1)); i += 2
         case "--query" =>
           directives :+= Map("name" -> "QUERY", "value" -> args(i + 1)); i += 2
+        case "--dump-format" =>
+          directives :+= Map("name" -> "DUMP_FORMAT", "value" -> args(i + 1)); i += 2
         case "--flashback-scn" =>
           directives :+= Map("name" -> "FLASHBACK_SCN", "value" -> args(i + 1)); i += 2
         case "--compression-algorithm" =>

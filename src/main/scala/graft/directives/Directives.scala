@@ -39,6 +39,8 @@ object Effect {
   case class SetSaveMode(mode: SaveMode, truncate: Boolean) extends Effect
   /** Output parallelism → number of part files per table (%U set). */
   case class SetParallel(n: Int) extends Effect
+  /** Dump-set file format (EXPORT side): parquet/orc/json/csv. */
+  case class SetFormat(format: String) extends Effect
   /** Rename output identity: (kind, from, to), kind ∈ SCHEMA/TABLESPACE/
     * DATAFILE/TABLE. */
   case class IdentityRemap(kind: String, from: String, to: String) extends Effect
@@ -125,6 +127,22 @@ final case class Parallel(degree: Int) extends Directive {
   val name = "PARALLEL"; val stage = Stage.DataPump
   def valueRepr = degree.toString
   require(degree >= 1, s"PARALLEL must be >= 1; got $degree")
+}
+
+/** Native extension: dump-set file format. Oracle Data Pump has exactly
+  * one (.dmp); a columnar engine can emit its dump sets as parquet
+  * (default, lossless), orc (lossless columnar alt), json or csv
+  * (lossy interchange: csv re-infers types on import — documented, for
+  * handoff to non-columnar consumers). IMPORT sniffs the format from
+  * the part files, so mixed-format dump roots just work. */
+final case class DumpFormat(format: String) extends Directive {
+  val name = "DUMP_FORMAT"; val stage = Stage.DataPump
+  def valueRepr = format
+  require(DumpFormat.domain.contains(format.toLowerCase),
+    s"DUMP_FORMAT must be one of ${DumpFormat.domain}; got $format")
+}
+object DumpFormat {
+  val domain = Seq("parquet", "orc", "json", "csv")
 }
 
 final case class FlashbackScn(scn: Long) extends Directive {
@@ -309,6 +327,7 @@ object DirectiveCompiler {
     case CompressionAlgorithm(v) =>
       Seq(WriterOption("compression", CompressionAlgorithm.codec(v.toUpperCase)))
     case Parallel(n) => Seq(SetParallel(n))
+    case DumpFormat(f) => Seq(SetFormat(f.toLowerCase))
     case FlashbackScn(scn) => Seq(SnapshotPin(scn.toString))
     case FlashbackTime(iso) => Seq(SnapshotPin(iso))
     case Estimate(_) => Seq.empty // estimation source hint; stats-based either way
@@ -382,6 +401,7 @@ object DirectiveCompiler {
       case "COMPRESSION" => Compression(v)
       case "COMPRESSION_ALGORITHM" => CompressionAlgorithm(v)
       case "PARALLEL" => Parallel(v.toInt)
+      case "DUMP_FORMAT" => DumpFormat(v)
       case "FLASHBACK_SCN" => FlashbackScn(v.toLong)
       case "FLASHBACK_TIME" => FlashbackTime(v)
       case "ESTIMATE" => Estimate(v)

@@ -209,6 +209,14 @@ case class DataPumpJob(
 
     // ---- effect resolution ----
     val parallel = effects.collectFirst { case Effect.SetParallel(n) => n }.getOrElse(1)
+    // DUMP_FORMAT governs the dump-set side: what an EXPORT writes.
+    // IMPORT always lands in the engine's native parquet store and
+    // SNIFFS the dump's format from its part files, so any-format dump
+    // roots import without configuration.
+    val dumpFormat = effects.collectFirst {
+      case Effect.SetFormat(f) => f }.getOrElse("parquet")
+    val writeFormat =
+      if (operation == Operation.Import) "parquet" else dumpFormat
     val (saveMode, truncate) = effects.collectFirst {
       case Effect.SetSaveMode(m, t) => (m, t)
     }.getOrElse((SaveMode.ErrorIfExists, false))
@@ -287,7 +295,11 @@ case class DataPumpJob(
       val outPath = s"$storageTarget/$targetSchema/$targetTable"
       val srcPath = srcPathOf(srcSchema, table)
       try {
-        val df0 = spark.read.options(readerOpts).parquet(srcPath)
+        val srcFormat = operation match {
+          case Operation.Import => detectFormat(spark, srcPath)
+          case _ => "parquet"
+        }
+        val df0 = readTable(spark, srcPath, readerOpts, srcFormat)
         val df = transforms.foldLeft(df0)((d, f) => f(d))
         if (estimateOnly || operation == Operation.SqlFile) {
           // ESTIMATE_ONLY (directives.py:304-305): stats, no movement.
@@ -335,9 +347,9 @@ case class DataPumpJob(
                 s"${k}_${sanitizeName(v)}" }.mkString("_")
               val obs = Observation()
               val comboOut = s"$storageTarget/$targetSchema/${targetTable}_$suffix"
-              part.observe(obs, count(lit(1)).as("rows"))
-                .repartition(parallel).write.mode(saveMode)
-                .options(writerOpts).parquet(comboOut)
+              writeTable(part.observe(obs, count(lit(1)).as("rows"))
+                .repartition(parallel), comboOut, saveMode, writerOpts,
+                writeFormat)
               rows += obs.get("rows").asInstanceOf[Long]
               bytes += pathBytes(spark, comboOut)
             }
@@ -349,7 +361,8 @@ case class DataPumpJob(
             if (truncate && exists(spark, outPath)) {
               // TABLE_EXISTS_ACTION=TRUNCATE preserves target schema:
               // validate incoming schema equality before overwrite.
-              val existing = spark.read.parquet(outPath).schema
+              val existing = readTable(spark, outPath, Map.empty,
+                detectFormat(spark, outPath)).schema
               require(existing == df.schema,
                 s"TRUNCATE requires identical schema for $table: " +
                   s"existing ${existing.simpleString} vs ${df.schema.simpleString}")
@@ -358,9 +371,9 @@ case class DataPumpJob(
             // scan of what was just written would double read I/O
             // (tens of redundant TB at the 100 TB design point).
             val obs = Observation()
-            df.observe(obs, count(lit(1)).as("rows"))
-              .repartition(parallel) // %U dump-set layout: n part files
-              .write.mode(saveMode).options(writerOpts).parquet(outPath)
+            writeTable(df.observe(obs, count(lit(1)).as("rows"))
+              .repartition(parallel), // %U dump-set layout: n part files
+              outPath, saveMode, writerOpts, writeFormat)
             ObjectStatus(table, "COMPLETED",
               obs.get("rows").asInstanceOf[Long],
               pathBytes(spark, outPath), secsSince(t0), None, srcSchema)
@@ -535,6 +548,46 @@ case class DataPumpJob(
     val flat = Tables.path(dir, table)
     if (srcSchema.equalsIgnoreCase(schema) && exists(spark, flat)) flat
     else s"$dir/$srcSchema/$table.parquet"
+  }
+
+  /** Sniff a dump dir's file format from its part files — keeps IMPORT
+    * configuration-free across DUMP_FORMAT variants. */
+  private def detectFormat(spark: SparkSession, path: String): String = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part =
+      if (!fs.exists(p)) None
+      else fs.listStatus(p).map(_.getPath.getName).find(_.startsWith("part-"))
+    part match {
+      case Some(n) if n.contains(".csv") => "csv"
+      case Some(n) if n.contains(".json") => "json"
+      case Some(n) if n.contains(".orc") => "orc"
+      case _ => "parquet"
+    }
+  }
+
+  private def readTable(spark: SparkSession, path: String,
+      readerOpts: Map[String, String], format: String): DataFrame = {
+    val r = spark.read.options(readerOpts)
+    format match {
+      // csv re-infers types: lossy interchange, documented on DumpFormat
+      case "csv" => r.option("header", "true")
+        .option("inferSchema", "true").csv(path)
+      case "json" => r.json(path)
+      case "orc" => r.orc(path)
+      case _ => r.parquet(path)
+    }
+  }
+
+  private def writeTable(df: DataFrame, path: String, mode: SaveMode,
+      writerOpts: Map[String, String], format: String): Unit = {
+    val w = df.write.mode(mode).options(writerOpts)
+    format match {
+      case "csv" => w.option("header", "true").csv(path)
+      case "json" => w.json(path)
+      case "orc" => w.orc(path)
+      case _ => w.parquet(path)
+    }
   }
 
   /** Reverse Hive path escaping (`%XX`) so DEPARTITION sees the actual

@@ -489,6 +489,52 @@ class JobSpec extends AnyFunSuite {
     assert(!cols.contains("event_type"))
   }
 
+  test("DUMP_FORMAT exports orc/json/csv dump sets; import sniffs the format") {
+    // ORC: lossless columnar alternative — exact round trip
+    val orcDump = tmp("jobspec-fmt-orc"); val orcTgt = tmp("jobspec-fmt-orc-t")
+    val exp = DataPumpJob(Operation.Export, JobMode.Table, sf, orcDump,
+      directives = Seq(IncludeTable(Seq("nation")), DumpFormat("orc"),
+        Parallel(2))).run(spark)
+    assert(exp.state == JobState.Completed, exp.errors)
+    val orcParts = new java.io.File(s"$orcDump/main/nation").listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getName)
+    assert(orcParts.length == 2 && orcParts.forall(_.contains(".orc")),
+      orcParts.toSeq)
+    val imp = DataPumpJob(Operation.Import, JobMode.Full, orcDump, orcTgt)
+      .run(spark)
+    assert(imp.state == JobState.Completed, imp.errors)
+    val back = spark.read.parquet(s"$orcTgt/main/nation")
+    val orig = spark.read.parquet(graft.Tables.path(sf, "nation"))
+    assert(back.schema == orig.schema)
+    assert(back.count() == 25)
+
+    // CSV: lossy interchange — counts and values survive, types re-infer
+    val csvDump = tmp("jobspec-fmt-csv"); val csvTgt = tmp("jobspec-fmt-csv-t")
+    DataPumpJob(Operation.Export, JobMode.Table, sf, csvDump,
+      directives = Seq(IncludeTable(Seq("region")), DumpFormat("csv")))
+      .run(spark)
+    assert(new java.io.File(s"$csvDump/main/region").listFiles()
+      .exists(_.getName.contains(".csv")))
+    val impCsv = DataPumpJob(Operation.Import, JobMode.Full, csvDump, csvTgt)
+      .run(spark)
+    assert(impCsv.state == JobState.Completed, impCsv.errors)
+    val csvBack = spark.read.parquet(s"$csvTgt/main/region")
+    assert(csvBack.count() == 5)
+    assert(csvBack.filter("r_regionkey = 0").select("r_name")
+      .collect().head.getString(0) == "AFRICA")
+
+    // JSON import sniffs too
+    val jsonDump = tmp("jobspec-fmt-json")
+    DataPumpJob(Operation.Export, JobMode.Table, sf, jsonDump,
+      directives = Seq(IncludeTable(Seq("region")), DumpFormat("json")))
+      .run(spark)
+    val jTgt = tmp("jobspec-fmt-json-t")
+    val impJ = DataPumpJob(Operation.Import, JobMode.Full, jsonDump, jTgt)
+      .run(spark)
+    assert(impJ.state == JobState.Completed, impJ.errors)
+    assert(spark.read.parquet(s"$jTgt/main/region").count() == 5)
+  }
+
   test("TABLESPACE mode selects by path prefix (SURVEY §1.1 mapping)") {
     val src = tmp("jobspec-ts-mode")
     // two "tablespaces" = two storage roots holding schema trees
