@@ -478,6 +478,36 @@ case class DataPumpJob(
       if (failed == 0) JobState.Completed
       else if (failed < results.size) JobState.CompletedWithErrors
       else JobState.Stopped
+
+    // ---- job logfile (get_logfile, job.py:322-329) ----
+    // Written in the reference's dump-log line shapes, so the engine's
+    // OWN LogParser (the strategy-2 status fallback) round-trips it:
+    // finalState(readLines(log)) == this job's state.
+    if (includeMetadata && !estimateOnly) {
+      val verb = operation match {
+        case Operation.Import => "imported"
+        case _ => "exported"
+      }
+      val lines = results.map { r =>
+        r.state match {
+          case "COMPLETED" =>
+            f""". . $verb "${r.objectSchema}"."${r.objectName}" ${r.rows} rows in ${r.elapsedSec}%.1f s"""
+          case "FAILED" =>
+            s"""ORA-31693: Table data object "${r.objectSchema}"."${r.objectName}" failed to load/unload: ${r.error.getOrElse("")}"""
+          case "SKIPPED" =>
+            s"""Table "${r.objectSchema}"."${r.objectName}" exists. skipping (TABLE_EXISTS_ACTION=SKIP)"""
+          case other => s". . $other ${r.objectName}"
+        }
+      }
+      val finalLine =
+        if (failed == 0)
+          s"""Job "$jobOwner"."$name" successfully completed at ${Instant.now}"""
+        else
+          s"""Job "$jobOwner"."$name" completed with $failed error(s) at ${Instant.now}"""
+      try writeString(spark, s"$storageTarget/_joblog.txt",
+        (lines :+ finalLine).mkString("", "\n", "\n"))
+      catch { case NonFatal(_) => () } // log write must not fail the job
+    }
     JobStatusInfo(name, jobOwner, operation.name, mode.name, state,
       percentDone = if (results.isEmpty) 100.0
         else 100.0 * (results.size - failed) / results.size,
@@ -664,12 +694,30 @@ object DataPumpJob {
             try mapper.readValue(in: java.io.InputStream, classOf[JobMetaData])
             finally in.close()
           if (meta.jobName != jobName) None
-          else Some(JobStatusInfo(meta.jobName, meta.jobOwner, meta.operation,
-            meta.mode, JobState.Completed, 100.0, Nil, Nil,
-            Instant.now(), Some(Instant.now())))
+          else {
+            // strategy-2 state recovery: the logfile's completion line
+            // distinguishes COMPLETED from COMPLETED_WITH_ERRORS
+            val state = getLogfile(spark, dir)
+              .map(l => graft.status.LogParser
+                .finalState(l.linesIterator.toSeq))
+              .filter(_ != JobState.Unknown)
+              .getOrElse(JobState.Completed)
+            Some(JobStatusInfo(meta.jobName, meta.jobOwner, meta.operation,
+              meta.mode, state, 100.0, Nil, Nil,
+              Instant.now(), Some(Instant.now())))
+          }
         }
       }
     }
+
+  /** Retrieve a finished job's logfile text from its dump dir
+    * (get_logfile, job.py:322-329); None when no log was written. */
+  def getLogfile(spark: SparkSession, dumpDir: String): Option[String] = {
+    val p = new Path(s"$dumpDir/_joblog.txt")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(graft.sources.RemoteFile.readAllText(spark, p.toString))
+  }
 
   /** Sleep-loop completion poll (job.py:317-320,390-409). */
   def pollForCompletion(

@@ -115,6 +115,38 @@ class JobSpec extends AnyFunSuite {
     assert(state == JobState.Completed)
   }
 
+  test("job logfile round-trips through the engine's own log parser") {
+    // clean job → "successfully completed"
+    val out = tmp("jobspec-log")
+    val info = DataPumpJob(Operation.Export, JobMode.Table, sf, out,
+      directives = Seq(IncludeTable(Seq("region", "nation")))).run(spark)
+    assert(info.state == JobState.Completed)
+    val log = DataPumpJob.getLogfile(spark, out).get
+    val lines = log.linesIterator.toSeq
+    assert(LogParser.finalState(lines) == JobState.Completed)
+    assert(lines.exists(_.contains("\"main\".\"region\" 5 rows")))
+    assert(LogParser.errorCodes(lines).isEmpty)
+    // failing object → ORA code + "completed with N error(s)"
+    spark.read.parquet(s"$out/main/region")
+      .write.mode("overwrite").parquet(s"$out/main/nation")
+    val out2 = tmp("jobspec-log2")
+    DataPumpJob(Operation.Export, JobMode.Table, out, out2,
+      directives = Seq(IncludeTable(Seq("nation")))).run(spark) // seed target
+    val second = DataPumpJob(Operation.Export, JobMode.Table, sf, out,
+      directives = Seq(IncludeTable(Seq("region", "nation")),
+        TableExistsAction("TRUNCATE"))).run(spark)
+    assert(second.state == JobState.CompletedWithErrors)
+    val log2 = DataPumpJob.getLogfile(spark, out).get.linesIterator.toSeq
+    assert(LogParser.finalState(log2) == JobState.CompletedWithErrors)
+    assert(LogParser.errorCodes(log2) == Seq("ORA-31693"))
+    // no log for a dir that never ran a job
+    assert(DataPumpJob.getLogfile(spark, tmp("jobspec-log-none")).isEmpty)
+    // cross-process attach recovers the errored state from the logfile
+    JobRegistry.clear()
+    assert(DataPumpJob.attach(spark, second.jobName, Some(out)).exists(
+      _.state == JobState.CompletedWithErrors))
+  }
+
   test("log parser extracts ORA codes and final state (status.py:458-521)") {
     val lines = Seq(
       "Processing object type TABLE_DATA",
