@@ -474,8 +474,11 @@ case class DataPumpJob(
     }
 
     val failed = results.count(_.state == "FAILED")
+    val stopped = JobRegistry.stopRequested(name)
+    if (stopped) JobRegistry.clearStop(name)
     val state =
-      if (failed == 0) JobState.Completed
+      if (stopped) JobState.Stopped
+      else if (failed == 0) JobState.Completed
       else if (failed < results.size) JobState.CompletedWithErrors
       else JobState.Stopped
 
@@ -500,7 +503,9 @@ case class DataPumpJob(
         }
       }
       val finalLine =
-        if (failed == 0)
+        if (stopped)
+          s"""Job "$jobOwner"."$name" stopped by user request at ${Instant.now}"""
+        else if (failed == 0)
           s"""Job "$jobOwner"."$name" successfully completed at ${Instant.now}"""
         else
           s"""Job "$jobOwner"."$name" completed with $failed error(s) at ${Instant.now}"""
@@ -708,6 +713,19 @@ object DataPumpJob {
           }
         }
       }
+    }
+
+  /** STOP_JOB analog (DBMS_DATAPUMP.STOP_JOB; states STOP_PENDING →
+    * STOPPING → STOPPED, status.py:32-47): flag the registry and cancel
+    * the job group — active Spark actions abort, queued ones fail fast
+    * — and the finishing job records STOPPED. Returns false when the
+    * job is unknown or already terminal. */
+  def stop(spark: SparkSession, jobName: String,
+      reason: String = "stop requested"): Boolean =
+    JobRegistry.get(jobName).filter(!_.state.isTerminal).exists { _ =>
+      JobRegistry.requestStop(jobName)
+      spark.sparkContext.cancelJobGroupAndFutureJobs(jobName, reason)
+      true
     }
 
   /** Retrieve a finished job's logfile text from its dump dir

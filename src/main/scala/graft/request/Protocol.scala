@@ -45,6 +45,7 @@ object Protocol {
       statusType: String, includeDetail: Boolean) extends Payload
   case class PollPayload(jobName: String, jobOwner: String, rate: Int)
     extends Payload
+  case class StopPayload(jobName: String, jobOwner: String) extends Payload
 
   case class Request(connection: Connection, requestType: String,
       payload: Payload)
@@ -126,9 +127,13 @@ object Protocol {
           jobName = req(payloadNode, "job_name", "POLL payload").asText,
           jobOwner = textOpt(payloadNode, "job_owner").getOrElse("spark"),
           rate = Option(payloadNode.get("rate")).map(_.asInt(1)).getOrElse(1))
+      case "STOP" =>
+        StopPayload(
+          jobName = req(payloadNode, "job_name", "STOP payload").asText,
+          jobOwner = textOpt(payloadNode, "job_owner").getOrElse("spark"))
       case other =>
         throw new IllegalArgumentException(
-          s"Unknown request type '$other'; valid: SUBMIT, STATUS, POLL")
+          s"Unknown request type '$other'; valid: SUBMIT, STATUS, POLL, STOP")
     }
     Request(conn, requestType, payload)
   }
@@ -142,6 +147,7 @@ object Protocol {
         case p: SubmitPayload => handleSubmit(spark, r.connection, p)
         case p: StatusPayload => handleStatus(p)
         case p: PollPayload => handlePoll(p)
+        case p: StopPayload => handleStop(spark, p)
       }
     } catch {
       case NonFatal(e) =>
@@ -176,6 +182,23 @@ object Protocol {
           case _ => Some(info) // ALL / DESC
         }
         Response(Some(info.jobName), info.state.name, detail, None)
+      case None =>
+        Response(Some(p.jobName), JobState.NotRunning.name, None,
+          Some(s"Job ${p.jobName} not found"))
+    }
+
+  /** STOP_JOB: flag + cancel; the response reflects the post-request
+    * view (STOP_PENDING while the job unwinds, the job's final state
+    * once it is already terminal, NOT_RUNNING when unknown). */
+  private def handleStop(spark: SparkSession, p: StopPayload): Response =
+    JobRegistry.get(p.jobName) match {
+      case Some(info) if !info.state.isTerminal =>
+        DataPumpJob.stop(spark, p.jobName)
+        val now = JobRegistry.get(p.jobName).map(_.state)
+          .getOrElse(JobState.StopPending)
+        Response(Some(p.jobName), now.name, None, None)
+      case Some(info) =>
+        Response(Some(p.jobName), info.state.name, None, None)
       case None =>
         Response(Some(p.jobName), JobState.NotRunning.name, None,
           Some(s"Job ${p.jobName} not found"))

@@ -49,23 +49,37 @@ object JobRegistry {
   private val jobs = new ConcurrentHashMap[String, JobStatusInfo]()
   private val retained = ConcurrentHashMap.newKeySet[String]()
   private val live = new ConcurrentHashMap[String, LiveProgress]()
+  private val stops = ConcurrentHashMap.newKeySet[String]()
 
   def register(info: JobStatusInfo): Unit = jobs.put(info.jobName, info)
 
   /** Status fetch. While a job is EXECUTING with a live tier attached,
     * the returned percentDone is the max of the coarse objects-complete
     * snapshot and the listener's within-object bytes fraction — both
-    * monotone, so a poller never sees progress move backwards.
+    * monotone, so a poller never sees progress move backwards. A job
+    * with a pending stop request reports STOP_PENDING until terminal.
     */
   def get(jobName: String): Option[JobStatusInfo] =
     Option(jobs.get(jobName)).map { info =>
       val lp = live.get(jobName)
-      if (lp != null && info.state == JobState.Executing)
-        info.copy(percentDone = math.max(info.percentDone, lp.percent))
-      else info
+      val withLive =
+        if (lp != null && info.state == JobState.Executing)
+          info.copy(percentDone = math.max(info.percentDone, lp.percent))
+        else info
+      if (!withLive.state.isTerminal && stops.contains(jobName))
+        withLive.copy(state = JobState.StopPending)
+      else withLive
     }
   def list(): Seq[JobStatusInfo] = jobs.values().asScala.toSeq
-  def clear(): Unit = { jobs.clear(); retained.clear(); live.clear() }
+  def clear(): Unit =
+    { jobs.clear(); retained.clear(); live.clear(); stops.clear() }
+
+  /** STOP_JOB bookkeeping: the flag survives progress re-registration
+    * (which always writes EXECUTING) so the finishing job can tell it
+    * was stopped rather than failed. */
+  def requestStop(jobName: String): Unit = stops.add(jobName)
+  def stopRequested(jobName: String): Boolean = stops.contains(jobName)
+  def clearStop(jobName: String): Unit = stops.remove(jobName)
 
   /** Wire the live-listener tier for an executing job. */
   def attachLive(jobName: String, lp: LiveProgress): Unit =
@@ -138,6 +152,8 @@ object LogParser {
     raw"""Job "([^"]+)"\."([^"]+)" successfully completed""".r.unanchored
   private val CompletedWithErrorsRe =
     raw"""Job "([^"]+)"\."([^"]+)" completed with (\d+) error""".r.unanchored
+  private val StoppedRe =
+    raw"""Job "([^"]+)"\."([^"]+)" stopped""".r.unanchored
 
   def errorCodes(lines: Seq[String]): Seq[String] =
     lines.collect { case ErrorRe(code, _) => s"ORA-$code" }
@@ -146,5 +162,6 @@ object LogParser {
     lines.reverseIterator.collectFirst {
       case CompletedWithErrorsRe(_, _, _) => JobState.CompletedWithErrors
       case CompletedRe(_, _) => JobState.Completed
+      case StoppedRe(_, _) => JobState.Stopped
     }.getOrElse(JobState.Unknown)
 }

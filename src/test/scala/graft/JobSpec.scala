@@ -115,6 +115,31 @@ class JobSpec extends AnyFunSuite {
     assert(state == JobState.Completed)
   }
 
+  test("STOP_JOB cancels a running job: STOP_PENDING then STOPPED") {
+    spark.udf.register("graft_sleep",
+      (ms: Int) => { Thread.sleep(ms.toLong); ms })
+    val out = tmp("jobspec-stop")
+    val pending = DataPumpJob(Operation.Export, JobMode.Table, sf, out,
+      directives = Seq(IncludeTable(Seq("lineitem")),
+        Query("graft_sleep(5) >= 0"))) // ~6k rows ⇒ ~30s unstopped
+      .run(spark, wait = false)
+    // wait until it is visibly executing, then stop it
+    Thread.sleep(300)
+    assert(DataPumpJob.stop(spark, pending.jobName))
+    val seen = graft.status.JobRegistry.get(pending.jobName).get.state
+    assert(seen == JobState.StopPending || seen == JobState.Stopped, seen)
+    val fin = DataPumpJob.pollForCompletion(pending.jobName,
+      pollIntervalMs = 100, timeoutMs = 60000)
+    assert(fin == JobState.Stopped)
+    // stopping a terminal job is a no-op returning false
+    assert(!DataPumpJob.stop(spark, pending.jobName))
+    // and the protocol exposes it
+    val resp = graft.request.Protocol.handle(spark,
+      s"""{"connection": {"source_dir": "$sf"}, "request": "STOP",
+           "payload": {"job_name": "${pending.jobName}"}}""")
+    assert(resp.state == "STOPPED")
+  }
+
   test("job logfile round-trips through the engine's own log parser") {
     // clean job → "successfully completed"
     val out = tmp("jobspec-log")
