@@ -97,6 +97,7 @@ object SparkEntry {
     // --- multimodal binary plumbing
     "q_binary_meta" -> (Multimodal.binaryMeta _),
     "q_decode_features" -> (Multimodal.decodeFeatures _),
+    "q_resize_pool" -> ((s: SparkSession, d: String) => Multimodal.resizePool(s, d)),
     "q_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     // --- job engine end-to-end (SURVEY §2.1, §2.3, §2.4)
     "q_roundtrip" -> (JobQueries.roundtrip _),
@@ -603,6 +604,25 @@ object SparkEntry {
                FROM documents) t,
               LATERAL (SELECT unnest(generate_series(0, 15)) AS b) g
          ORDER BY doc_id, bin_idx""",
+
+    // Resize = exact integer area-pooling of the decoded histogram
+    // (16 bins → 4) with halved dimensions.
+    "q_resize_pool" ->
+      """SELECT doc_id,
+         CAST((64 + (doc_id % 8) * 16) // 2 AS INTEGER) AS out_width,
+         CAST((64 + (doc_id % 5) * 16) // 2 AS INTEGER) AS out_height,
+         CAST(b // 4 AS BIGINT) AS pool_idx,
+         CAST(SUM(len(list_filter(bins, x -> x = b))) AS BIGINT) AS n_pooled
+         FROM (SELECT doc_id,
+                 list_transform(
+                   list_filter(
+                     list_transform(string_split(text, ''), c -> unicode(c)),
+                     x -> x >= 0),
+                   x -> x // 16) AS bins
+               FROM documents) t,
+              LATERAL (SELECT unnest(generate_series(0, 15)) AS b) g
+         GROUP BY doc_id, b // 4
+         ORDER BY doc_id, pool_idx""",
 
     "q_roundtrip" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate",

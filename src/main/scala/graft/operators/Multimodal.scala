@@ -82,6 +82,23 @@ object Multimodal {
       .orderBy(col("doc_id"), col("bin_idx"))
   }
 
+  /** Resize stage: area-pooling on the decoded features — the 16-bin
+    * histogram downsamples to 4 coarse bins by EXACT integer summation
+    * and the frame dimensions halve, the arithmetic shape of an image
+    * resize. Runs on the decode output (kernel-swap point untouched)
+    * and stays oracle-checkable bit-for-bit because pooling is integer
+    * addition, not float interpolation. */
+  def resizePool(spark: SparkSession, sf: String, factor: Int = 4): DataFrame =
+    decodeFeatures(spark, sf)
+      .groupBy(col("doc_id"), col("width"), col("height"),
+        floor(col("bin_idx") / factor).cast("long").as("pool_idx"))
+      .agg(sum(col("n_in_bin")).as("n_pooled"))
+      .select(col("doc_id"),
+        (col("width") / 2).cast("int").as("out_width"),
+        (col("height") / 2).cast("int").as("out_height"),
+        col("pool_idx"), col("n_pooled"))
+      .orderBy(col("doc_id"), col("pool_idx"))
+
   /** Frame sampling over a binary "video" payload: take every k-th
     * byte window as a frame digest — the stride/window plumbing of
     * real frame extraction, column-only. */

@@ -171,6 +171,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(recovered == n, s"IVF recall $recovered/$n")
   }
 
+  test("resize pooling conserves mass and halves dimensions") {
+    import graft.operators.Multimodal
+    val pooled = Multimodal.resizePool(spark, sf)
+    // 4 pools per doc, total count per doc == payload bytes
+    val perDoc = pooled.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pools"), sum("n_pooled").as("total"))
+    val joined = perDoc.join(
+      Multimodal.binaryMeta(spark, sf).select(col("doc_id"), col("n_bytes")),
+      "doc_id")
+    assert(joined.filter(col("n_pools") =!= 4).count() == 0)
+    assert(joined.filter(col("total") =!= col("n_bytes")).count() == 0)
+    // dims are the decode dims halved
+    val bad = Multimodal.resizePool(spark, sf)
+      .join(Multimodal.decodeFeatures(spark, sf)
+        .select(col("doc_id"), col("width"), col("height")).distinct(), "doc_id")
+      .filter(col("out_width") * 2 =!= col("width") ||
+        col("out_height") * 2 =!= col("height"))
+    assert(bad.count() == 0)
+  }
+
   test("salted join equals the unsalted aggregation") {
     val salted = Relational.saltedRevenuePerOrder(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
