@@ -86,6 +86,10 @@ object ArrayOps {
   /** Column wrapper: distinct k-word shingles of a word array. */
   def shingles(ws: Column, k: Int): Column =
     Bridge.column(Shingles(Bridge.expression(ws), k))
+
+  /** Column wrapper: power-of-two grid quantization to array<bigint>. */
+  def quantize_q(xs: Column, scale: Double): Column =
+    Bridge.column(QuantizeQ(Bridge.expression(xs), scale))
 }
 
 /** MinHash signature of an array of non-negative base hashes:
@@ -197,6 +201,62 @@ case class SimHashSig(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+}
+
+/** Power-of-two grid quantization of a float/double array:
+  * `out[i] = floor(x[i] * scale)` as longs, one primitive loop. The
+  * HOF form (`transform(arr, x -> ...)`) evaluates an interpreted boxed
+  * lambda per element — this appears on EVERY similarity-query input
+  * row, so it codegens. Multiplying by a power of two is an exponent
+  * shift (exact) and floor is exact, preserving the cross-engine
+  * bit-for-bit contract of `Similarity.Q`.
+  */
+case class QuantizeQ(child: Expression, scale: Double)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "quantize_q"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.FloatType, _) |
+           ArrayType(org.apache.spark.sql.types.DoubleType, _) =>
+        TypeCheckSuccess
+      case other => TypeCheckFailure(
+        s"quantize_q requires array<float|double>, got ${other.simpleString}")
+    }
+  }
+
+  // lazy: child.dataType is unavailable until the child resolves
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
+  def computePublic(xs: ArrayData): ArrayData = {
+    val n = xs.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val d = if (isFloat) xs.getFloat(i).toDouble else xs.getDouble(i)
+      out(i) = math.floor(d * scale).toLong
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computePublic(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("quantizeSelf", this, classOf[QuantizeQ].getName)
+    nullSafeCodeGen(ctx, ev, xs => s"${ev.value} = $self.computePublic($xs);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeQ =
     copy(child = newChild)
 }
 

@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("shingles", "shingles(words, k) - distinct k-word shingles"),
       (es: Seq[Expression]) => Shingles(es(0),
         es(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("quantize_q"),
+      info("quantize_q", "quantize_q(xs, scale) - floor(x*scale) as bigints"),
+      (es: Seq[Expression]) => QuantizeQ(es(0),
+        es(1).eval().toString.toDouble)))
   }
 }
 
@@ -52,5 +56,8 @@ object GraftExtensions {
           case other => throw new IllegalArgumentException(
             s"shingles k must be an integer literal, got $other")
         }), "scala_udf")
+    reg.createOrReplaceTempFunction("quantize_q",
+      (es: Seq[Expression]) => QuantizeQ(es(0),
+        es(1).eval().toString.toDouble), "scala_udf")
   }
 }

@@ -44,7 +44,7 @@ object Similarity {
     Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), col("label").cast("long").as("label"),
         size(col("embedding")).cast("long").as("dim"),
-        transform(col("embedding"), x => iq(x)).as("iv"))
+        graft.functions.ArrayOps.quantize_q(col("embedding"), Q).as("iv"))
       .select(col("vec_id"), col("label"), col("dim"),
         dot_long(col("iv"), col("iv")).as("norm_sq"))
       .orderBy(col("vec_id"))
@@ -55,7 +55,7 @@ object Similarity {
     * and quantization happens n times, not n·m). */
   private def quantized(e: DataFrame, idCol: String): DataFrame =
     e.select(col("vec_id").as(idCol),
-      transform(col("embedding"), x => iq(x)).as(s"iv_$idCol"))
+      graft.functions.ArrayOps.quantize_q(col("embedding"), Q).as(s"iv_$idCol"))
       .withColumn(s"norm_$idCol",
         sqrt(dot_long(col(s"iv_$idCol"), col(s"iv_$idCol")).cast("double")))
 
@@ -166,7 +166,7 @@ object Similarity {
         transform(col("embedding"),
           (x, i) => when(i === 0, x * lit(1.01)).otherwise(x)).as("twin"))
       .select(col("neighbor_id"),
-        transform(col("twin"), x => iq(x)).as("iv_n"))
+        graft.functions.ArrayOps.quantize_q(col("twin"), Q).as("iv_n"))
       .withColumn("bucket", lshBucket(col("iv_n")))
     val probes = quantized(e, "query_id")
       .select(col("query_id"),
@@ -214,7 +214,7 @@ object Similarity {
   def kmeansCentroidsQ(e: DataFrame, k: Int = IvfCells,
       iters: Int = KmeansIters): Seq[Seq[Long]] = {
     val iv = e.select(col("vec_id"),
-      transform(col("embedding"), x => iq(x)).as("iv"))
+      graft.functions.ArrayOps.quantize_q(col("embedding"), Q).as("iv"))
     // deterministic spread init: the k first vectors in hash order
     var centroids: Seq[Seq[Long]] =
       iv.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
@@ -311,7 +311,7 @@ object Similarity {
         transform(col("embedding"),
           (x, i) => when(i === 0, x * lit(1.01)).otherwise(x)).as("twin"))
       .select(col("neighbor_id"),
-        transform(col("twin"), x => iq(x)).as("iv_n"))
+        graft.functions.ArrayOps.quantize_q(col("twin"), Q).as("iv_n"))
       .withColumn("cell", element_at(nearestCellsQ(col("iv_n"), cents, 1), 1))
     val probes = quantized(e, "query_id")
       .select(col("query_id"),
