@@ -90,6 +90,15 @@ object ArrayOps {
   /** Column wrapper: power-of-two grid quantization to array<bigint>. */
   def quantize_q(xs: Column, scale: Double): Column =
     Bridge.column(QuantizeQ(Bridge.expression(xs), scale))
+
+  /** Column wrapper: fused hash+MinHash signature from shingle strings. */
+  def minhash_sig_str(ss: Column, as: Seq[Long], bs: Seq[Long], p: Long): Column =
+    Bridge.column(MinHashSigStr(Bridge.expression(ss),
+      as.toArray, bs.toArray, p))
+
+  /** Column wrapper: fused hash+SimHash from token strings. */
+  def simhash_sig_str(ss: Column): Column =
+    Bridge.column(SimHashSigStr(Bridge.expression(ss)))
 }
 
 /** MinHash signature of an array of non-negative base hashes:
@@ -201,6 +210,119 @@ case class SimHashSig(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+}
+
+/** MinHash signature computed DIRECTLY from the shingle strings: fuses
+  * the per-shingle base hash (Spark's xxhash64, seed 42 — bit-identical
+  * to the `xxhash64()` builtin on strings), the positive mod-2³¹, and
+  * the k-component running min into one primitive double loop. The
+  * unfused form paid an interpreted `transform()` lambda per shingle
+  * before the signature aggregate even started.
+  */
+case class MinHashSigStr(child: Expression, as: Array[Long], bs: Array[Long],
+    p: Long) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig_str"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckSuccess
+      case other => TypeCheckFailure(
+        s"minhash_sig_str requires array<string>, got ${other.simpleString}")
+    }
+  }
+
+  private val M31 = 1L << 31
+
+  def computePublic(ss: ArrayData): ArrayData = {
+    val k = as.length
+    val out = Array.fill(k)(Long.MaxValue)
+    val n = ss.numElements()
+    var j = 0
+    while (j < n) {
+      val s = ss.getUTF8String(j)
+      val h0 = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(s, org.apache.spark.sql.types.StringType, 42L)
+      val h = ((h0 % M31) + M31) % M31 // pmod: same as pmod(xxhash64(s), 2^31)
+      var i = 0
+      while (i < k) {
+        val v = (as(i) * h + bs(i)) % p
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computePublic(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("minhashStrSelf", this,
+      classOf[MinHashSigStr].getName)
+    nullSafeCodeGen(ctx, ev, ss => s"${ev.value} = $self.computePublic($ss);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigStr =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash computed directly from the token strings — same
+  * fusion as [[MinHashSigStr]]: xxhash64 (seed 42) per token feeds the
+  * per-bit vote loop without an interpreted hashing pass.
+  */
+case class SimHashSigStr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_sig_str"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckSuccess
+      case other => TypeCheckFailure(
+        s"simhash_sig_str requires array<string>, got ${other.simpleString}")
+    }
+  }
+
+  def computePublic(ss: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = ss.numElements()
+    var j = 0
+    while (j < n) {
+      val s = ss.getUTF8String(j)
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(s, org.apache.spark.sql.types.StringType, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computePublic(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("simhashStrSelf", this,
+      classOf[SimHashSigStr].getName)
+    nullSafeCodeGen(ctx, ev, ss => s"${ev.value} = $self.computePublic($ss);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSigStr =
     copy(child = newChild)
 }
 

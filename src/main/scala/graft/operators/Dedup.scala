@@ -103,16 +103,13 @@ object Dedup {
   private val AbPairs: Seq[(Long, Long)] = As.zip(Bs)
 
   /** Per-doc MinHash signature: shingle → 31-bit base hash →
-    * (aᵢ·h+bᵢ) mod P per component, min over shingles. ONE pass over
-    * the shingle hashes with a 64-slot accumulator (single codegen'd
-    * aggregate) — no shuffle, no UDF. */
+    * (aᵢ·h+bᵢ) mod P per component, min over shingles. The base hash
+    * and the 64-slot min accumulator are FUSED in one codegen'd loop
+    * (`minhash_sig_str`) — no interpreted transform() pass, no
+    * intermediate hash array, no shuffle, no UDF. */
   def minhashSignature(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("hashes",
-        transform(col("sh"), s => pmod(xxhash64(s), lit(1L << 31))))
-      .withColumn("minhash",
-        graft.functions.ArrayOps.minhash_sig(col("hashes"), As, Bs, P))
-      .drop("hashes")
+    docs.withColumn("minhash",
+      graft.functions.ArrayOps.minhash_sig_str(col("sh"), As, Bs, P))
 
   /** MinHash-LSH near-dup candidate pairs with signature-estimated
     * Jaccard (fraction of agreeing components) ≥ threshold.
@@ -182,12 +179,12 @@ object Dedup {
   // ---- SimHash ------------------------------------------------------
 
   /** 64-bit SimHash per doc: per-bit weighted vote over token hashes,
-    * assembled into a long. One pass over the token hashes with a
-    * 64-slot vote-array accumulator (a single codegen'd aggregate, not
-    * 64 separate scans). Banding on 16-bit chunks finds candidates;
-    * hamming distance ≤ 3 confirms. */
+    * assembled into a long. Hashing and the 64-slot vote accumulator
+    * run fused in one codegen'd loop (`simhash_sig_str`) — not an
+    * interpreted hashing pass feeding a separate aggregate. Banding on
+    * 16-bit chunks finds candidates; hamming distance ≤ 3 confirms. */
   def simhash(tokens: Column): Column =
-    graft.functions.ArrayOps.simhash_sig(transform(tokens, t => xxhash64(t)))
+    graft.functions.ArrayOps.simhash_sig_str(tokens)
 
   def simhashPairs(spark: SparkSession, sf: String, maxHamming: Int = 3): DataFrame = {
     val docs = Tables.load(spark, sf, "documents")

@@ -27,6 +27,27 @@ class ExtensionSpec extends AnyFunSuite {
     assert(sim == 7L) // single hash: its own bits win every vote
   }
 
+  test("fused string-hash signatures equal the unfused hash-array forms") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.ArrayOps
+    val as = Seq(3L, 5L, 97L); val bs = Seq(7L, 11L, 13L)
+    val p = 4294967311L
+    val toks = Tables.load(spark, SparkTestBase.sf, "documents")
+      .select(col("doc_id"), array_distinct(
+        split(graft.operators.Text.normalized(col("text")), " ")).as("toks"))
+    val both = toks.select(
+      ArrayOps.minhash_sig_str(col("toks"), as, bs, p).as("fused_mh"),
+      ArrayOps.minhash_sig(
+        transform(col("toks"), t => pmod(xxhash64(t), lit(1L << 31))),
+        as, bs, p).as("plain_mh"),
+      ArrayOps.simhash_sig_str(col("toks")).as("fused_sh"),
+      ArrayOps.simhash_sig(
+        transform(col("toks"), t => xxhash64(t))).as("plain_sh"))
+    assert(both.filter(col("fused_mh") =!= col("plain_mh") ||
+      col("fused_sh") =!= col("plain_sh")).count() == 0)
+    assert(both.count() > 0)
+  }
+
   test("whole-stage codegen keeps dot_long inline (no fallback)") {
     GraftExtensions.registerAll(spark)
     val plan = spark.sql(
