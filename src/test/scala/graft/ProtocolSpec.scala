@@ -198,6 +198,36 @@ class ProtocolSpec extends AnyFunSuite {
     } finally graft.request.Envelope.setSecretResolver(None)
   }
 
+  test("DataPump client facade mirrors the reference's public API") {
+    import graft.client.DataPump
+    val dump = tmp("client-facade")
+    // submit an async export, poll it to completion via the protocol
+    val sub = DataPump.submit(spark,
+      s"""{"connection": {"source_dir": "$sf", "target_dir": "$dump"},
+           "request": "SUBMIT",
+           "payload": {"operation": "EXPORT", "mode": "TABLE", "wait": false,
+             "directives": [{"name": "INCLUDE_TABLE", "value": "region"}]}}""")
+    assert(sub.jobName.nonEmpty)
+    val polled = DataPump.pollForCompletion(spark, sf, sub.jobName.get)
+    assert(polled.state == "COMPLETED")
+    // logfile + dumpfile info through the same facade
+    val log = DataPump.getLogfile(spark, dump).get
+    assert(log.contains("successfully completed"))
+    val info = DataPump.getDumpfileInfo(spark, s"$dump/main/region")
+    assert(info.numRows == 5)
+    // text file round-trip (ora_open analog)
+    val w = DataPump.openFileWrite(spark, s"$dump/note.txt")
+    w.write("hello graft\n"); w.close()
+    val r = DataPump.openFileRead(spark, s"$dump/note.txt")
+    try assert(r.readLine() == "hello graft") finally r.close()
+    // chunked binary open
+    val st = DataPump.openFileChunked(spark, s"$dump/note.txt", chunkSize = 4)
+    try {
+      val chunks = st.chunks().toSeq
+      assert(chunks.map(_.length).sum == 12 && chunks.forall(_.length <= 4))
+    } finally st.close()
+  }
+
   // ---- dump-file-set name algebra (files.py:982-1063) ----
 
   test("%U expands to the parallel degree with 2-digit sequences") {
