@@ -48,6 +48,54 @@ class ExtensionSpec extends AnyFunSuite {
     assert(both.count() > 0)
   }
 
+  test("quantize_q equals the HOF form and JVM math across a seeded sweep") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val arrays: Seq[Seq[Float]] = (1 to 200).map { _ =>
+      Seq.fill(rnd.nextInt(8) + 1)(
+        (rnd.nextDouble() * 4 - 2).toFloat) // [-2, 2), incl. negatives
+    }
+    val q = graft.operators.Similarity.Q
+    val df = arrays.toDF("xs")
+      .select(col("xs"),
+        graft.functions.ArrayOps.quantize_q(col("xs"), q).as("fused"),
+        transform(col("xs"),
+          x => floor(x.cast("double") * q).cast("long")).as("hof"))
+    val rows = df.collect()
+    assert(rows.length == 200)
+    rows.foreach { r =>
+      val xs = r.getSeq[Float](0)
+      val fused = r.getSeq[Long](1)
+      val hof = r.getSeq[Long](2)
+      assert(fused == hof)
+      assert(fused == xs.map(x => math.floor(x.toDouble * q).toLong))
+    }
+  }
+
+  test("LobStream invariants hold across payload/chunk-size sweep") {
+    val dir = java.nio.file.Files.createTempDirectory("lobsweep").toString
+    val rnd = new scala.util.Random(11)
+    val cases = Seq(0, 1, 31, 32, 33, 64, 1000) ++ Seq.fill(5)(rnd.nextInt(5000))
+    cases.zipWithIndex.foreach { case (n, i) =>
+      val payload = Array.fill[Byte](n)(rnd.nextInt().toByte)
+      val chunk = 1 + rnd.nextInt(64)
+      val path = s"$dir/p$i.bin"
+      RemoteFile.writeChunks(spark, path,
+        payload.grouped(math.max(1, chunk)).map(identity))
+      val st = RemoteFile.openChunked(spark, path, chunk)
+      try {
+        val got = st.chunks().toArray
+        assert(got.forall(_.length <= chunk), s"case $n/$chunk")
+        assert(got.map(_.length).sum == n)
+        assert(java.util.Arrays.equals(got.flatten, payload))
+        assert(st.complete && st.position == n.toLong)
+        // one more read after completion stays None
+        assert(st.read().isEmpty)
+      } finally st.close()
+    }
+  }
+
   test("whole-stage codegen keeps dot_long inline (no fallback)") {
     GraftExtensions.registerAll(spark)
     val plan = spark.sql(
