@@ -99,6 +99,10 @@ object ArrayOps {
   /** Column wrapper: fused hash+SimHash from token strings. */
   def simhash_sig_str(ss: Column): Column =
     Bridge.column(SimHashSigStr(Bridge.expression(ss)))
+
+  /** Column wrapper: per-band LSH bucket keys of a signature array. */
+  def band_keys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    Bridge.column(BandKeys(Bridge.expression(sig), bands, rowsPerBand))
 }
 
 /** MinHash signature of an array of non-negative base hashes:
@@ -323,6 +327,59 @@ case class SimHashSigStr(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHashSigStr =
+    copy(child = newChild)
+}
+
+/** LSH band keys of a signature: `out[b] = xxhash64(b, sig[b*r .. b*r+r))`
+  * for each of `bands` bands — bit-identical to the builtin
+  * `xxhash64(b, slice(sig, b*r+1, r))` (seed 42; int seed-fold then
+  * per-element long fold, matching Spark's multi-arg hash semantics),
+  * but one primitive loop instead of an interpreted transform+slice
+  * lambda allocating a sub-array per band per row.
+  */
+case class BandKeys(child: Expression, bands: Int, rowsPerBand: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_keys"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckSuccess
+      case other => TypeCheckFailure(
+        s"band_keys requires array<bigint>, got ${other.simpleString}")
+    }
+  }
+
+  def computePublic(sig: ArrayData): ArrayData = {
+    val fn = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    val n = sig.numElements()
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = fn.hash(b, org.apache.spark.sql.types.IntegerType, 42L)
+      var i = b * rowsPerBand
+      val end = math.min(i + rowsPerBand, n)
+      while (i < end) {
+        h = fn.hash(sig.getLong(i), LongType, h); i += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computePublic(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bandKeysSelf", this, classOf[BandKeys].getName)
+    nullSafeCodeGen(ctx, ev, sig => s"${ev.value} = $self.computePublic($sig);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BandKeys =
     copy(child = newChild)
 }
 

@@ -122,15 +122,15 @@ object Dedup {
   private def minhashLshFrom(docs: DataFrame, threshold: Double): DataFrame = {
     val signed = minhashSignature(docs).select(col("doc_id"), col("minhash"))
 
-    // band key = xxhash64 over (band index, 4-component slice) — hash
-    // consumes the array directly; no per-band string building (which
-    // bloated generated code 16x and dominated Janino compile time)
+    // band key = xxhash64 over (band index, 4-component slice), fused
+    // into one codegen'd loop (`band_keys`) — no interpreted
+    // transform+slice lambda allocating a sub-array per band per row,
+    // and no per-band string building (which bloated generated code
+    // 16x and dominated Janino compile time)
     val banded = signed.select(
       col("doc_id"), col("minhash"),
-      posexplode(
-        transform(sequence(lit(0), lit(Bands - 1)),
-          b => xxhash64(b,
-            slice(col("minhash"), b * RowsPerBand + 1, lit(RowsPerBand)))))
+      posexplode(graft.functions.ArrayOps
+        .band_keys(col("minhash"), Bands, RowsPerBand))
         .as(Seq("band", "band_key")))
 
     val candidates = banded.as("a")

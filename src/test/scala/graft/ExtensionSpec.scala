@@ -96,6 +96,20 @@ class ExtensionSpec extends AnyFunSuite {
     }
   }
 
+  test("band_keys equals the builtin xxhash64-over-slice form") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val sigs: Seq[Seq[Long]] = (1 to 100).map(_ => Seq.fill(64)(rnd.nextLong()))
+    val bands = 16; val rpb = 4
+    val df = sigs.toDF("sig").select(
+      graft.functions.ArrayOps.band_keys(col("sig"), bands, rpb).as("fused"),
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * rpb + 1, lit(rpb)))).as("hof"))
+    assert(df.filter(col("fused") =!= col("hof")).count() == 0)
+    assert(df.count() == 100)
+  }
+
   test("whole-stage codegen keeps dot_long inline (no fallback)") {
     GraftExtensions.registerAll(spark)
     val plan = spark.sql(
