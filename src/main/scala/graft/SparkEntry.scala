@@ -66,6 +66,7 @@ object SparkEntry {
     "q_hourly_events" -> (Events.hourlyStats _),
     "q_stream_hourly" -> (graft.streaming.EventStream.hourlyViaStream _),
     "q_stream_dedup" -> (graft.streaming.EventStream.dedupViaStream _),
+    "q_stream_enrich" -> (graft.streaming.EventStream.enrichViaStream _),
     "q_pivot" -> (Relational.pivotStatus _),
     "q_approx_distinct" -> (Relational.approxDistinct _),
     "q_sessionize" -> (Events.sessionize _),
@@ -355,6 +356,14 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
+
+    // Stream-static enrichment join (events stream × customer dim)
+    // aggregated per segment.
+    "q_stream_enrich" ->
+      """SELECT c.c_mktsegment, COUNT(*) AS n,
+         CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY 1 ORDER BY 1""",
 
     "q_pivot" ->
       """SELECT o_orderpriority,

@@ -53,22 +53,48 @@ object EventStream {
     * queries() entry whose values are produced BY the streaming
     * engine and checked against the same DuckDB oracle as the batch
     * twin. */
-  def hourlyViaStream(spark: SparkSession, sf: String): DataFrame = {
-    val name = "graft_stream_hourly_" + java.util.UUID.randomUUID()
+  def hourlyViaStream(spark: SparkSession, sf: String): DataFrame =
+    runToCompletion(spark, hourlyCounts(readEvents(spark, sf)),
+      OutputMode.Complete(), Seq("hour", "event_type"))
+
+  /** Drive a bounded streaming query to completion through a memory
+    * sink and hand back its materialized, deterministically-ordered
+    * result (detached from the temp view). Shared by every
+    * streaming-twin queries() entry. */
+  private def runToCompletion(spark: SparkSession, stream: DataFrame,
+      mode: OutputMode, sortCols: Seq[String]): DataFrame = {
+    val name = "graft_stream_" + java.util.UUID.randomUUID()
       .toString.replace("-", "")
-    val q = hourlyCounts(readEvents(spark, sf)).writeStream
-      .outputMode(OutputMode.Complete())
+    val q = stream.writeStream
+      .outputMode(mode)
       .format("memory").queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
     try { q.processAllAvailable() } finally q.stop()
-    val out = spark.table(name).orderBy(col("hour"), col("event_type"))
+    val out = spark.table(name).orderBy(sortCols.map(col): _*)
     // detach from the memory sink before the table is dropped
     val rows = out.collect().toSeq
     val materialized = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), out.schema)
     spark.catalog.dropTempView(name)
     materialized
+  }
+
+  /** Stream-static enrichment: the event stream joins a broadcast
+    * static dimension (customer) and aggregates per segment — the
+    * standard streaming-ingest enrichment shape (the static side is
+    * re-read per micro-batch by the engine; broadcast keeps it off the
+    * shuffle path). Deterministic aggregate output, DuckDB-checkable. */
+  def enrichViaStream(spark: SparkSession, sf: String): DataFrame = {
+    val customers = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = readEvents(spark, sf)
+      .join(broadcast(customers), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+    runToCompletion(spark, agg, OutputMode.Complete(), Seq("c_mktsegment"))
   }
 
   /** Streaming ingest-time dedup — the pipeline's first line of defense
@@ -81,24 +107,12 @@ object EventStream {
     * set of keys is not, so this materialization stays deterministic
     * and DuckDB-checkable (`SELECT DISTINCT user_id, event_type`). */
   def dedupViaStream(spark: SparkSession, sf: String): DataFrame = {
-    val name = "graft_stream_dedup_" + java.util.UUID.randomUUID()
-      .toString.replace("-", "")
     val deduped = readEvents(spark, sf)
       .withWatermark("ts", "2 hours")
       .dropDuplicates("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
-    val q = deduped.writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try { q.processAllAvailable() } finally q.stop()
-    val out = spark.table(name).orderBy(col("user_id"), col("event_type"))
-    val rows = out.collect().toSeq
-    val materialized = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), out.schema)
-    spark.catalog.dropTempView(name)
-    materialized
+    runToCompletion(spark, deduped, OutputMode.Append(),
+      Seq("user_id", "event_type"))
   }
 
   /** Run a streaming query into an in-memory sink until all available

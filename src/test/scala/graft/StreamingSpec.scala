@@ -40,6 +40,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.length < Events.load(spark, sf).count())
   }
 
+  test("stream-static enrichment equals the batch join aggregate") {
+    val streamed = EventStream.enrichViaStream(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val batch = Events.load(spark, sf)
+      .join(Tables.load(spark, sf, "customer"),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stateful sessionization matches the batch session count per user") {
     import spark.implicits._
     implicit val s = spark
