@@ -41,7 +41,12 @@ object Main {
   private[graft] def parseArgs(args: Array[String])
       : (String, Map[String, String], Seq[Map[String, String]], Boolean) = {
     if (args.isEmpty) usage()
-    val op = args.head.toLowerCase
+    // impdp/expdp aliases, cli.py:36,83-88
+    val op = args.head.toLowerCase match {
+      case "expdp" => "export"
+      case "impdp" => "import"
+      case other => other
+    }
     if (!Seq("export", "import", "sql_file").contains(op)) usage()
     var opts = Map.empty[String, String]
     var directives = Seq.empty[Map[String, String]]
@@ -97,6 +102,19 @@ object Main {
           directives :+= Map("name" -> "FLASHBACK_TIME", "value" -> args(i + 1)); i += 2
         case "--tag" => opts += "tag" -> args(i + 1); i += 2
         case "--no-wait" => wait = false; i += 1
+        // generic escape hatch (cli.py:77-79): NAME:VALUE, or
+        // NAME:OLD:NEW for remap-style directives
+        case "--directive" =>
+          args(i + 1).split(":", 3) match {
+            case Array(n, ov, v) if n.toUpperCase.startsWith("REMAP") =>
+              directives :+= Map("name" -> n, "old_value" -> ov, "value" -> v)
+            case Array(n, v) => directives :+= Map("name" -> n, "value" -> v)
+            case Array(n, ov, v) =>
+              directives :+= Map("name" -> n, "old_value" -> ov, "value" -> v)
+            case _ => System.err.println(
+              s"--directive expects NAME:VALUE, got ${args(i + 1)}"); usage()
+          }
+          i += 2
         case other => System.err.println(s"unknown flag: $other"); usage()
       }
     }
@@ -143,6 +161,12 @@ object Main {
       val response = Protocol.handle(spark,
         buildRequestJson(op, opts, directives, wait))
       println(response.toJson)
+      // print the job logfile to stderr on completion (cli.py:136-148)
+      if (wait)
+        opts.get("target_dir").filter(_.nonEmpty).foreach { tgt =>
+          graft.job.DataPumpJob.getLogfile(spark, tgt)
+            .foreach(System.err.print)
+        }
       val exit = JobState.fromString(response.state) match {
         case JobState.Completed => 0
         case JobState.CompletedWithErrors => 0 // import tolerance, test_import.py:179

@@ -132,6 +132,19 @@ class ProtocolSpec extends AnyFunSuite {
     assert(opts2("mode") == "TABLESPACE")
     assert(dirs2.contains(
       Map("name" -> "INCLUDE_TABLESPACE", "value" -> "warm/hr")))
+    // expdp alias + generic --directive escape hatch
+    val (op3, _, dirs3, _) = Main.parseArgs(Array(
+      "expdp", "--source-dir", sf, "--full",
+      "--directive", "DUMP_FORMAT:orc",
+      "--directive", "REMAP_TABLE:old_t:new_t"))
+    assert(op3 == "export")
+    assert(dirs3.contains(Map("name" -> "DUMP_FORMAT", "value" -> "orc")))
+    assert(dirs3.contains(Map("name" -> "REMAP_TABLE",
+      "old_value" -> "old_t", "value" -> "new_t")))
+    dirs3.foreach { d =>
+      graft.directives.DirectiveCompiler.fromJson(
+        d("name"), d.get("value"), d.get("old_value"))
+    }
   }
 
   // ---- service envelope (entrypoints/aws_lambda.py analog) ----
