@@ -62,15 +62,27 @@ object EventStream {
     * result (detached from the temp view). Shared by every
     * streaming-twin queries() entry. */
   private def runToCompletion(spark: SparkSession, stream: DataFrame,
-      mode: OutputMode, sortCols: Seq[String]): DataFrame = {
+      mode: OutputMode, sortCols: Seq[String],
+      statePartitions: Int = 4): DataFrame = {
     val name = "graft_stream_" + java.util.UUID.randomUUID()
       .toString.replace("-", "")
-    val q = stream.writeStream
-      .outputMode(mode)
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try { q.processAllAvailable() } finally q.stop()
+    // Stateful-operator partition count should track KEY CARDINALITY,
+    // not input parallelism: these aggregations group over handfuls of
+    // keys, and 32 state-store partitions cost ~1 s of setup per query
+    // for nothing. The conf is captured by the query at start and
+    // restored after — at production keyspaces, size this up.
+    // (Held until the bounded run completes: the stream-execution
+    // thread reads the conf asynchronously while planning batch 0.)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = stream.writeStream
+        .outputMode(mode)
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     val out = spark.table(name).orderBy(sortCols.map(col): _*)
     // detach from the memory sink before the table is dropped
     val rows = out.collect().toSeq
