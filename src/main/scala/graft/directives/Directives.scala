@@ -422,7 +422,7 @@ object DirectiveCompiler {
       case "DELETE_FILES" => DeleteFiles()
       case t if TransformDirective.names.contains(t) => TransformDirective(t, v)
       case p if PhysicalSwitch.names.contains(p) => PhysicalSwitch(p, v)
-      case other => throw new IllegalArgumentException(
+      case other => throw new graft.model.Exceptions.BadRequest(
         s"Unknown directive '$other'")
     }
   }

@@ -33,7 +33,7 @@ object ObjectTypeValidator {
     val t = objectType.toUpperCase
     val valid = validTypes(mode)
     if (!valid.contains(t))
-      throw new IllegalArgumentException(
+      throw new graft.model.Exceptions.InvalidObjectType(
         s"Invalid object type '$objectType' for mode ${mode.name}. " +
           s"Valid types: ${valid.toSeq.sorted.mkString(", ")}")
     t

@@ -123,11 +123,12 @@ object Envelope {
             val resp = Protocol.handle(spark, json)
             // HTTPException mapping (aws_lambda.py:96-106): bad requests
             // 400, unknown jobs 404, engine failures 500, handled 200.
+            val badReq = Seq("BadRequest", "UsageError", "InvalidObjectType",
+              "IllegalArgumentException")
             val status =
               if (resp.error.isEmpty) 200
               else if (resp.state == JobState.NotRunning.name) 404
-              else if (resp.error.exists(_.contains("IllegalArgumentException")))
-                400
+              else if (resp.error.exists(e => badReq.exists(e.contains))) 400
               else 500
             respond(status, resp.toJson)
         }

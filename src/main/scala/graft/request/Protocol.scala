@@ -84,7 +84,8 @@ object Protocol {
 
   private def req(n: JsonNode, field: String, ctx: String): JsonNode =
     Option(n.get(field)).filterNot(_.isNull).getOrElse(
-      throw new IllegalArgumentException(s"$ctx requires field '$field'"))
+      throw new graft.model.Exceptions.BadRequest(
+        s"$ctx requires field '$field'"))
 
   def parse(json: String): Request = {
     val root = mapper.readTree(json)
@@ -132,7 +133,7 @@ object Protocol {
           jobName = req(payloadNode, "job_name", "STOP payload").asText,
           jobOwner = textOpt(payloadNode, "job_owner").getOrElse("spark"))
       case other =>
-        throw new IllegalArgumentException(
+        throw new graft.model.Exceptions.BadRequest(
           s"Unknown request type '$other'; valid: SUBMIT, STATUS, POLL, STOP")
     }
     Request(conn, requestType, payload)
