@@ -68,6 +68,7 @@ object Protocol {
         d.objects.foreach { o =>
           val n = objs.addObject()
           n.put("name", o.objectName); n.put("state", o.state)
+          if (o.objectSchema.nonEmpty) n.put("schema", o.objectSchema)
           n.put("rows", o.rows); n.put("bytes", o.bytes)
           o.error.foreach(n.put("error", _))
         }
@@ -146,7 +147,7 @@ object Protocol {
       val r = parse(json)
       r.payload match {
         case p: SubmitPayload => handleSubmit(spark, r.connection, p)
-        case p: StatusPayload => handleStatus(p)
+        case p: StatusPayload => handleStatus(spark, r.connection, p)
         case p: PollPayload => handlePoll(p)
         case p: StopPayload => handleStop(spark, p)
       }
@@ -168,8 +169,14 @@ object Protocol {
       if (p.waitDone) Some(info) else None, None)
   }
 
-  private def handleStatus(p: StatusPayload): Response =
-    JobRegistry.get(p.jobName) match {
+  private def handleStatus(spark: SparkSession, conn: Connection,
+      p: StatusPayload): Response =
+    // registry probe first; cross-process attach recovers from the
+    // metadata sidecar + logfile under the connection's source dir
+    // (strategy 2 — the wire form of job.attach, job.py:330-349)
+    JobRegistry.get(p.jobName)
+      .orElse(DataPumpJob.attach(spark, p.jobName,
+        Some(conn.sourceDir).filter(_.nonEmpty))) match {
       case Some(info) =>
         // status-type mask (status.py:276-293): ERROR restricts the
         // detail to failed objects, LOG_STATUS/STATUS to the headline,

@@ -211,6 +211,28 @@ class ProtocolSpec extends AnyFunSuite {
     } finally graft.request.Envelope.setSecretResolver(None)
   }
 
+  test("STATUS recovers a finished job cross-process via the sidecar") {
+    val dump = tmp("proto-status-attach")
+    val sub = Protocol.handle(spark,
+      s"""{"connection": {"source_dir": "$sf", "target_dir": "$dump"},
+           "request": "SUBMIT",
+           "payload": {"operation": "EXPORT", "mode": "TABLE", "wait": true,
+             "directives": [{"name": "INCLUDE_TABLE", "value": "region"}]}}""")
+    assert(sub.state == "COMPLETED")
+    // simulate a fresh process: registry gone, sidecar+logfile survive
+    graft.status.JobRegistry.clear()
+    val status = Protocol.handle(spark,
+      s"""{"connection": {"source_dir": "$dump"},
+           "request": "STATUS",
+           "payload": {"job_name": "${sub.jobName.get}"}}""")
+    assert(status.state == "COMPLETED", status.error)
+    // unknown job still reports NOT_RUNNING
+    val missing = Protocol.handle(spark,
+      s"""{"connection": {"source_dir": "$dump"},
+           "request": "STATUS", "payload": {"job_name": "NOPE"}}""")
+    assert(missing.state == "NOT_RUNNING")
+  }
+
   test("DataPump client facade mirrors the reference's public API") {
     import graft.client.DataPump
     val dump = tmp("client-facade")
