@@ -80,6 +80,14 @@ object SparkEntry {
     "q_token_count" -> (Text.tokenCount _),
     "q_langid" -> (Text.langId _),
     "q_quality" -> (Text.quality _),
+    // --- corpus preparation (split/sample/pack/stats)
+    "q_split_assign" -> (Corpus.splitAssign _),
+    "q_domain_cap" -> ((s: SparkSession, d: String) => Corpus.domainCap(s, d)),
+    "q_pack_chunks" -> ((s: SparkSession, d: String) => Corpus.packChunks(s, d)),
+    "q_tfidf_top" -> ((s: SparkSession, d: String) => Corpus.tfidfTop(s, d)),
+    "q_bigram_top" -> ((s: SparkSession, d: String) => Corpus.bigramTop(s, d)),
+    "q_pii_scrub" -> (Corpus.piiScrub _),
+    "q_repetition" -> (Corpus.repetition _),
     // --- dedup
     "q_dedup_exact" -> (Dedup.exact _),
     "q_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -470,6 +478,90 @@ object SparkEntry {
            - (CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
               / CAST(length(text) AS DOUBLE)) * CAST(0.2 AS DOUBLE) AS quality_score
          FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents)
+         ORDER BY doc_id""",
+
+    "q_split_assign" ->
+      """SELECT doc_id,
+         CAST(('0x' || substring(md5(text), 1, 8))::BIGINT % 1000 AS BIGINT) AS bucket,
+         CASE WHEN ('0x' || substring(md5(text), 1, 8))::BIGINT % 1000 < 800 THEN 'train'
+              WHEN ('0x' || substring(md5(text), 1, 8))::BIGINT % 1000 < 900 THEN 'val'
+              ELSE 'test' END AS split
+         FROM documents
+         ORDER BY doc_id""",
+
+    "q_domain_cap" ->
+      """SELECT doc_id, source, rn FROM (
+           SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rn
+           FROM documents)
+         WHERE rn <= 50
+         ORDER BY source, rn""",
+
+    "q_pack_chunks" ->
+      """SELECT doc_id,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(SUM(CAST(len(string_split(lower(text), ' ')) AS BIGINT))
+             OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS BIGINT) // 512 AS chunk
+         FROM documents
+         ORDER BY doc_id""",
+
+    "q_tfidf_top" ->
+      """WITH w AS (
+           SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+           FROM documents),
+         tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM w GROUP BY doc_id, word),
+         dfreq AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                   FROM w GROUP BY word),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+         SELECT doc_id, word, tf, score, rk FROM (
+           SELECT doc_id, word, tf,
+             CAST(tf * ((n_docs * 1000) // df) AS BIGINT) AS score,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY tf * ((n_docs * 1000) // df) DESC, word) AS BIGINT) AS rk
+           FROM tf JOIN dfreq USING (word) CROSS JOIN n)
+         WHERE rk <= 3
+         ORDER BY doc_id, rk""",
+
+    "q_bigram_top" ->
+      """WITH b AS (
+           SELECT unnest(CASE WHEN len(ws) >= 2
+             THEN list_transform(generate_series(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i + 1])
+             ELSE [] END) AS bigram
+           FROM (SELECT regexp_extract_all(lower(text), '[a-z]+') AS ws
+                 FROM documents))
+         SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+         FROM b GROUP BY bigram
+         ORDER BY n DESC, bigram
+         LIMIT 20""",
+
+    "q_pii_scrub" ->
+      """SELECT doc_id,
+         md5(regexp_replace(
+           regexp_replace(text,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+           '[0-9]+', '<NUM>', 'g')) AS scrub_md5,
+         CAST(len(regexp_extract_all(text,
+           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers
+         FROM documents
+         ORDER BY doc_id""",
+
+    "q_repetition" ->
+      """WITH tf AS (
+           SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+                 FROM documents)
+           GROUP BY doc_id, word)
+         SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(MAX(tf) AS BIGINT) AS top_tf,
+           CAST(MAX(tf) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) AS rep_ratio
+         FROM tf GROUP BY doc_id
          ORDER BY doc_id""",
 
     "q_dedup_exact" ->

@@ -1,0 +1,204 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus preparation operators over the `documents` table —
+  * the sampling/splitting/packing/statistics layer a large-scale
+  * LLM-data pipeline runs after filtering and dedup (complements
+  * [[Text]] quality signals and [[Dedup]]).
+  *
+  * Scale notes (100 TB design points):
+  *  - [[splitAssign]] is a narrow map (no shuffle): the split is a pure
+  *    function of document CONTENT, so re-sharding, re-partitioning, or
+  *    re-running never migrates a document across splits, and byte-equal
+  *    duplicates land in the same split (no train/test leakage).
+  *  - [[domainCap]] is the skew case by construction (one domain can be
+  *    half the corpus); it pre-caps on a salted key first so no single
+  *    reducer ever sees more than `salts × k` rows of one domain.
+  *  - [[packChunks]] needs a GLOBAL running sum — a bare
+  *    `Window.orderBy` collapses to one partition at scale, so it uses
+  *    the two-phase distributed prefix-sum: per-range partial sums
+  *    (tiny) are offset-joined back and the long window runs only
+  *    WITHIN each range.
+  */
+object Corpus {
+
+  private def toks(c: Column): Column = split(lower(c), " ")
+
+  /** Alpha-run words — the tokenizer shared with the oracle
+    * (`regexp_extract_all` exists verbatim in both engines). The Column
+    * form takes the pattern verbatim — no SQL-literal backslash
+    * escaping layer between us and the regex engine. */
+  private def words(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z]+"), lit(0))
+
+  /** Deterministic train/val/test assignment by content hash
+    * (md5 → first 8 hex digits → bucket in [0,1000)): 80/10/10.
+    * The industry-standard leakage-safe split: assignment depends only
+    * on the text bytes, never on row order, file layout, or partition
+    * count. Pure projection — zero shuffle at any scale.
+    */
+  def splitAssign(spark: SparkSession, sf: String): DataFrame = {
+    val bucket =
+      expr("cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint) % 1000")
+    Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), bucket.as("bucket"),
+        when(bucket < 800, lit("train"))
+          .when(bucket < 900, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-domain quota: keep the `k` lowest-doc_id documents of each
+    * source domain (dataset balancing / domain capping).
+    *
+    * Skew-aware two-phase top-k: a web corpus's biggest domain can be a
+    * double-digit fraction of all rows, which would funnel into a
+    * single reducer under a naive `Window.partitionBy(source)`. Phase 1
+    * caps each (source, doc_id % salts) subgroup to k — correct because
+    * every globally-kept row is also among the k smallest of its own
+    * salt subgroup — bounding any reducer's input; phase 2 ranks the
+    * ≤ salts×k survivors per domain exactly.
+    */
+  def domainCap(spark: SparkSession, sf: String,
+      k: Int = 50, salts: Int = 16): DataFrame = {
+    val salted = Window.partitionBy(col("source"), col("doc_id") % salts)
+      .orderBy(col("doc_id"))
+    val byDomain = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.load(spark, sf, "documents")
+      .withColumn("rn1", row_number().over(salted))
+      .filter(col("rn1") <= k)
+      .withColumn("rn", row_number().over(byDomain).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("source"), col("rn"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  /** Greedy contiguous sequence packing: walk documents in doc_id
+    * order, accumulate whitespace-token counts, and assign each doc to
+    * training chunk `floor(exclusive_running_tokens / budget)` — the
+    * shard layout step before tokenize-and-concat.
+    *
+    * Distributed prefix sum: doc_ids are range-bucketed into `buckets`
+    * deterministic equal-width ranges (no sampling — the same doc
+    * always lands in the same bucket), per-bucket token totals (tiny:
+    * `buckets` rows) are exclusive-cumsum'd on the driver-sized side
+    * and broadcast-joined back as offsets, and the unbounded-preceding
+    * window runs only within a bucket. No stage ever holds the corpus
+    * in one partition, unlike a bare `Window.orderBy(doc_id)`.
+    */
+  def packChunks(spark: SparkSession, sf: String,
+      budget: Int = 512, buckets: Int = 32): DataFrame = {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tokens"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val ranged = docs.crossJoin(broadcast(n))
+      .withColumn("bucket",
+        expr(s"doc_id div cast(ceil(n_docs / $buckets.0) as bigint)"))
+    val totals = ranged.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+    val offsets = totals.withColumn("offset",
+      coalesce(sum(col("bucket_tokens")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val inBucket = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offsets), "bucket")
+      .withColumn("excl",
+        col("offset") + sum(col("n_tokens")).over(inBucket) - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"excl div $budget").as("chunk"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Top-3 TF-IDF terms per document, ALL-INTEGER scoring so the rank
+    * is bit-identical cross-engine: score = tf × ((n_docs × 1000) div
+    * document_frequency) — a fixed-point idf with three decimal digits.
+    * tf benefits from map-side partial aggregation; the word→df side is
+    * vocabulary-sized and broadcast.
+    */
+  def tfidfTop(spark: SparkSession, sf: String, k: Int = 3): DataFrame = {
+    val docs = Tables.load(spark, sf, "documents")
+    val w = docs.select(col("doc_id"),
+      explode(words(col("text"))).as("word"))
+    val tf = w.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = w.groupBy(col("word"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val rk = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word"))
+    tf.join(broadcast(dfreq), "word").crossJoin(broadcast(n))
+      .withColumn("score", expr("tf * ((n_docs * 1000) div df)"))
+      .withColumn("rk", row_number().over(rk).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("word"), col("tf"), col("score"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** Corpus-wide top-20 word bigrams — the n-gram statistics pass
+    * (contamination screens, boilerplate discovery). Explode is linear,
+    * the count agg partial-aggregates map-side, and the final top-20 is
+    * a TakeOrdered (no global sort shuffle).
+    */
+  def bigramTop(spark: SparkSession, sf: String, k: Int = 20): DataFrame =
+    Tables.load(spark, sf, "documents")
+      .select(words(col("text")).as("ws"))
+      .select(explode(
+        when(size(col("ws")) >= 2,
+          transform(sequence(lit(0), size(col("ws")) - 2),
+            i => concat(element_at(col("ws"), i + 1), lit(" "),
+              element_at(col("ws"), i + 2))))
+          .otherwise(array().cast("array<string>"))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
+
+  /** PII-style scrubbing: redact email-shaped spans then digit runs,
+    * emitting the scrubbed-content hash and per-kind redaction counts.
+    * Patterns are RE2-safe (no backrefs/lookaround) so Java and DuckDB
+    * regex engines agree byte-for-byte. Narrow map, no shuffle.
+    */
+  def piiScrub(spark: SparkSession, sf: String): DataFrame =
+    piiScrubDf(Tables.load(spark, sf, "documents"))
+
+  /** [[piiScrub]] over any (doc_id, text) frame — split out so the
+    * redaction path is testable on text that actually contains
+    * redactable spans (the synthetic corpus is pure lowercase prose).
+    */
+  def piiScrubDf(docs: DataFrame): DataFrame = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    docs
+      .select(col("doc_id"),
+        md5(regexp_replace(
+          regexp_replace(col("text"), email, "<EMAIL>"),
+          "[0-9]+", "<NUM>")).as("scrub_md5"),
+        size(regexp_extract_all(col("text"), lit(email), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+          .cast("long").as("n_numbers"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Within-document repetition score (Gopher-style quality signal):
+    * the most-frequent word's share of all words. Boilerplate and
+    * keyword-stuffed spam score high; prose scores low. One shuffle on
+    * (doc_id, word) with map-side combine, then a per-doc rollup.
+    */
+  def repetition(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("tf")).as("top_tf"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"), col("top_tf"),
+        (col("top_tf").cast("double") / col("n_words").cast("double"))
+          .as("rep_ratio"))
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.Corpus
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the corpus-preparation operators — in particular
+  * that each scale-path formulation (salted pre-cap, distributed
+  * prefix sum) is EXACTLY equivalent to its naive single-partition
+  * form. (Value-exactness vs DuckDB is covered by Verify.)
+  */
+class CorpusSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sf = SparkTestBase.sf
+
+  test("split assignment partitions the corpus deterministically ~80/10/10") {
+    val rows = Corpus.splitAssign(spark, sf).collect()
+    val n = rows.length.toDouble
+    val frac = rows.groupBy(_.getString(2)).view.mapValues(_.length / n).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.06, frac)
+    assert(math.abs(frac("val") - 0.1) < 0.04, frac)
+    assert(math.abs(frac("test") - 0.1) < 0.04, frac)
+    // content-hashed: a second run is bit-identical
+    assert(Corpus.splitAssign(spark, sf).collect().sameElements(rows))
+  }
+
+  test("salted domain cap equals the naive single-window cap") {
+    val capped = Corpus.domainCap(spark, sf, k = 7, salts = 4)
+    val naive = graft.Tables.load(spark, sf, "documents")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))).cast("long"))
+      .filter(col("rn") <= 7)
+      .select(col("doc_id"), col("source"), col("rn"))
+    assert(capped.exceptAll(naive).isEmpty && naive.exceptAll(capped).isEmpty)
+    val perSource = capped.groupBy("source").count().collect()
+    assert(perSource.forall(_.getLong(1) <= 7))
+  }
+
+  test("distributed prefix-sum packing equals the bare-window form") {
+    val packed = Corpus.packChunks(spark, sf, budget = 256, buckets = 5)
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+    val naive = docs.withColumn("chunk",
+      expr("coalesce(sum(n_tokens) over (order by doc_id rows between unbounded preceding and 1 preceding), 0) div 256"))
+    assert(packed.exceptAll(naive).isEmpty && naive.exceptAll(packed).isEmpty)
+    // chunks are contiguous and non-decreasing in doc order
+    val chunks = packed.orderBy("doc_id").select("chunk").collect().map(_.getLong(0))
+    assert(chunks.sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+  }
+
+  test("tfidf ranks are 1..3 with non-increasing scores per doc") {
+    val rows = Corpus.tfidfTop(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(4))
+      assert(sorted.map(_.getLong(4)).toSeq == (1L to sorted.length))
+      val scores = sorted.map(_.getLong(3))
+      assert(scores.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    }
+  }
+
+  test("bigram top-20 is count-ordered") {
+    val rows = Corpus.bigramTop(spark, sf).collect()
+    assert(rows.length == 20)
+    val ns = rows.map(_.getLong(1))
+    assert(ns.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    assert(rows.forall(_.getString(0).split(" ").length == 2))
+  }
+
+  test("pii scrub changes the hash exactly when something was redacted") {
+    import spark.implicits._
+    // the synthetic corpus is pure lowercase prose (zero digits), so
+    // the redaction path needs planted spans
+    val docs = Seq(
+      (1L, "contact bob.smith+spam@mail.example.org for details"),
+      (2L, "order 12345 shipped 2026 units to 99 clients"),
+      (3L, "clean prose with nothing to redact"),
+      (4L, "a@b.io and 7")).toDF("doc_id", "text")
+    val scrubbed = Corpus.piiScrubDf(docs)
+      .join(docs, "doc_id")
+      .select(col("doc_id"), col("scrub_md5"), md5(col("text")).as("orig_md5"),
+        col("n_emails"), col("n_numbers"))
+      .collect().sortBy(_.getLong(0))
+    assert(scrubbed.map(r => (r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((1L, 0L), (0L, 3L), (0L, 0L), (1L, 1L)))
+    scrubbed.foreach { r =>
+      val changed = r.getString(1) != r.getString(2)
+      assert(changed == (r.getLong(3) + r.getLong(4) > 0), s"doc ${r.getLong(0)}")
+    }
+    // corpus form still runs (identity scrub on the digit-free fixture)
+    assert(Corpus.piiScrub(spark, sf).count() > 0)
+  }
+
+  test("repetition ratio is (0,1] and top_tf <= n_words") {
+    val rows = Corpus.repetition(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1) && r.getLong(2) <= r.getLong(1))
+      val ratio = r.getDouble(4)
+      assert(ratio > 0.0 && ratio <= 1.0)
+    }
+  }
+}
