@@ -93,6 +93,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "q_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "q_minhash_recall" -> (Dedup.minhashRecall _),
+    "q_dup_clusters" -> (Dedup.nearDupClusters _),
     "q_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     // --- similarity search
     "q_embed_norms" -> (Similarity.norms _),
@@ -594,6 +595,45 @@ object SparkEntry {
          JOIN sizes sb ON sb.doc_id = doc_b
          WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5
          ORDER BY doc_a, doc_b""",
+
+    // Connected components: DuckDB computes the transitive closure of
+    // the near-dup edge set by recursive CTE; Spark's min-label
+    // propagation must agree on every component assignment.
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE
+         docs AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(ws) - 2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+           FROM (SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents) t
+           WHERE len(ws) >= 3),
+         expl AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+         sizes AS (SELECT doc_id, len(sh) AS n_sh FROM docs),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     COUNT(*) AS common
+                   FROM expl a JOIN expl b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         jp AS (SELECT doc_a, doc_b
+                FROM pairs
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5),
+         e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+               UNION SELECT doc_b, doc_a FROM jp),
+         reach(a, b) AS (
+           SELECT a, b FROM e
+           UNION
+           SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+         lab AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+                 FROM reach GROUP BY a),
+         labeled AS (SELECT d.doc_id,
+                       COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+                     FROM documents d LEFT JOIN lab l USING (doc_id))
+         SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+         FROM labeled
+         ORDER BY doc_id""",
 
     // Recall pin: Spark emits the exact pairs RECOVERED by MinHash-LSH;
     // the oracle is the full exact-pair set, so any LSH miss = red row.

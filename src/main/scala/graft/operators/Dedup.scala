@@ -82,6 +82,75 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ---- near-dup clustering (connected components) -------------------
+
+  /** Near-duplicate CLUSTERS: connected components over the similarity
+    * graph, each doc labeled with its component's minimum doc_id (the
+    * canonical representative) — the step that turns pairwise
+    * candidates into "keep one per cluster" decisions. Verification
+    * edges are the exact n-gram Jaccard pairs (oracle-checkable); at
+    * 100 TB the same [[clustersFrom]] runs off [[minhashLsh]]
+    * candidates instead — the algorithm is edge-source-agnostic.
+    */
+  def nearDupClusters(spark: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.load(spark, sf, "documents").select(col("doc_id"))
+    val pairs = ngramJaccard(spark, sf).select(col("doc_a"), col("doc_b"))
+    clustersFrom(docs, pairs)
+  }
+
+  /** Distributed connected components by iterative min-label
+    * propagation (Pregel shape): each round every vertex takes the min
+    * of its own label and its neighbors' labels; converges to the
+    * component minimum in O(diameter) rounds. Each round is one
+    * shuffle-join + partial-aggregated groupBy; the driver loop only
+    * orchestrates and checks convergence (a count per round — the
+    * standard Pregel halting test, not a data collect). Near-dup
+    * graphs are dense blobs with tiny diameter, so rounds stay single
+    * digits at any corpus size; for adversarial long-chain graphs the
+    * known upgrade is large-star/small-star alternation (O(log n)
+    * rounds), noted here and not needed for this workload.
+    */
+  def clustersFrom(docs: DataFrame, pairs: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Each round MUST truncate lineage (localCheckpoint), not merely
+    // cache: an iterative plan built on the previous round's plan grows
+    // exponentially and OOMs the driver compiling/printing it long
+    // before any data moves. (On a fault-tolerance-critical cluster,
+    // swap for reliable checkpoint() to a scratch dir.)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val prev = labels
+      val neighborMin = edges
+        .join(prev.withColumnRenamed("doc_id", "dst")
+          .withColumnRenamed("label", "dst_label"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("dst_label")).as("nmin"))
+      val next = prev.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(prev.withColumnRenamed("label", "prev_label"), "doc_id")
+        .filter(col("label") < col("prev_label")).count()
+      labels = next
+      iter += 1
+    }
+    val byCluster = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+    val out = labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(byCluster).cast("long"))
+      .orderBy(col("doc_id"))
+    edges.unpersist()
+    out
+  }
+
   // ---- MinHash + LSH ------------------------------------------------
 
   /** Number of minhash components and LSH layout (16 bands × 4 rows). */

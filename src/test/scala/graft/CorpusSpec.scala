@@ -93,6 +93,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(Corpus.piiScrub(spark, sf).count() > 0)
   }
 
+  test("near-dup clusters: consistent with pair graph; chain graph converges") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // fixture graph: every near-dup pair must land in one cluster, and
+    // every cluster label must be its own canonical member
+    val clusters = Dedup.nearDupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    clusters.foreach { case (doc, (cl, _)) =>
+      assert(cl <= doc && clusters(cl)._1 == cl, s"doc $doc cluster $cl")
+    }
+    val pairs = Dedup.ngramJaccard(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { p =>
+      assert(clusters(p.getLong(0))._1 == clusters(p.getLong(1))._1)
+    }
+    val sizes = clusters.values.groupBy(_._1).view.mapValues(_.size)
+    clusters.values.foreach { case (cl, n) => assert(sizes(cl) == n) }
+    // 9-hop path graph: label must propagate the full diameter
+    val docs = (1L to 10L).toDF("doc_id")
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Dedup.clustersFrom(docs, chain).collect()
+    assert(cc.forall(_.getLong(1) == 1L) && cc.forall(_.getLong(2) == 10L))
+  }
+
   test("repetition ratio is (0,1] and top_tf <= n_words") {
     val rows = Corpus.repetition(spark, sf).collect()
     rows.foreach { r =>
