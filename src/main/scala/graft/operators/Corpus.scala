@@ -55,22 +55,19 @@ object Corpus {
   /** Per-domain quota: keep the `k` lowest-doc_id documents of each
     * source domain (dataset balancing / domain capping).
     *
-    * Skew-aware two-phase top-k: a web corpus's biggest domain can be a
-    * double-digit fraction of all rows, which would funnel into a
-    * single reducer under a naive `Window.partitionBy(source)`. Phase 1
-    * caps each (source, doc_id % salts) subgroup to k — correct because
-    * every globally-kept row is also among the k smallest of its own
-    * salt subgroup — bounding any reducer's input; phase 2 ranks the
-    * ≤ salts×k survivors per domain exactly.
+    * Skew note: a web corpus's biggest domain can be a double-digit
+    * fraction of all rows, but the declarative `row_number() <= k`
+    * filter is exactly what Catalyst's rank-limit pushdown
+    * (SPARK-37099) optimizes: a partial `WindowGroupLimit` caps every
+    * map partition to k rows per domain BEFORE the shuffle, so no
+    * reducer sees more than k × mapPartitions rows of one domain. A
+    * hand-rolled salted pre-cap achieves the same bound with one extra
+    * full shuffle — CorpusSpec pins the optimized plan so a regression
+    * to the unbounded form fails loudly.
     */
-  def domainCap(spark: SparkSession, sf: String,
-      k: Int = 50, salts: Int = 16): DataFrame = {
-    val salted = Window.partitionBy(col("source"), col("doc_id") % salts)
-      .orderBy(col("doc_id"))
+  def domainCap(spark: SparkSession, sf: String, k: Int = 50): DataFrame = {
     val byDomain = Window.partitionBy(col("source")).orderBy(col("doc_id"))
     Tables.load(spark, sf, "documents")
-      .withColumn("rn1", row_number().over(salted))
-      .filter(col("rn1") <= k)
       .withColumn("rn", row_number().over(byDomain).cast("long"))
       .filter(col("rn") <= k)
       .select(col("doc_id"), col("source"), col("rn"))
