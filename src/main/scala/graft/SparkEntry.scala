@@ -94,6 +94,8 @@ object SparkEntry {
     "q_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "q_minhash_recall" -> (Dedup.minhashRecall _),
     "q_dup_clusters" -> (Dedup.nearDupClusters _),
+    "q_delta_dedup" -> (Dedup.deltaDedup _),
+    "q_label_centroids" -> (Similarity.labelCentroids _),
     "q_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     // --- similarity search
     "q_embed_norms" -> (Similarity.norms _),
@@ -595,6 +597,30 @@ object SparkEntry {
          JOIN sizes sb ON sb.doc_id = doc_b
          WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5
          ORDER BY doc_a, doc_b""",
+
+    "q_delta_dedup" ->
+      s"""WITH d AS (SELECT doc_id, md5($Norm) AS fp FROM documents),
+         w AS (SELECT CAST(floor((MAX(doc_id) + 1) * 0.8) AS BIGINT) AS w FROM d),
+         corpus AS (SELECT DISTINCT fp FROM d, w WHERE doc_id < w),
+         batch AS (SELECT doc_id, fp FROM d, w WHERE doc_id >= w)
+         SELECT doc_id, fp AS fingerprint,
+           CASE WHEN fp IN (SELECT fp FROM corpus) THEN 'dup_of_corpus'
+                WHEN MIN(doc_id) OVER (PARTITION BY fp) < doc_id THEN 'dup_in_batch'
+                ELSE 'new' END AS status
+         FROM batch
+         ORDER BY doc_id""",
+
+    "q_label_centroids" ->
+      """SELECT label, pos, n_vecs,
+         CAST(q_sum AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * 67108864.0) AS centroid
+         FROM (
+           SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS pos,
+             CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 67108864.0) AS BIGINT)) AS BIGINT) AS q_sum
+           FROM embeddings,
+                LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+           GROUP BY 1, 2)
+         ORDER BY label, pos""",
 
     // Connected components: DuckDB computes the transitive closure of
     // the near-dup edge set by recursive CTE; Spark's min-label

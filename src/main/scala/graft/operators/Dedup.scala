@@ -82,6 +82,37 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ---- incremental (delta) dedup ------------------------------------
+
+  /** Incremental ingest dedup: the last 20% of doc_ids play the "new
+    * batch" arriving against the already-ingested corpus (first 80%).
+    * Each batch doc is classified `dup_of_corpus` (content hash already
+    * ingested), `dup_in_batch` (first seen earlier IN this batch), or
+    * `new` — the decision a continuously-fed training pipeline makes
+    * per delivery. One shuffle on the fingerprint for the corpus
+    * membership join (the corpus side is digest-distinct — at 100 TB
+    * that's the fingerprint index, orders of magnitude smaller than the
+    * corpus) and one window for within-batch firsts.
+    */
+  def deltaDedup(spark: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), md5(Text.normalized(col("text"))).as("fp"))
+    val w = docs.agg(
+      floor((max(col("doc_id")) + 1) * 0.8).cast("long").as("w"))
+    val all = docs.crossJoin(broadcast(w))
+    val corpusFp = all.filter(col("doc_id") < col("w"))
+      .select(col("fp")).distinct().withColumn("in_corpus", lit(true))
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    all.filter(col("doc_id") >= col("w"))
+      .join(corpusFp, Seq("fp"), "left")
+      .withColumn("batch_first", min(col("doc_id")).over(byFp))
+      .select(col("doc_id"), col("fp").as("fingerprint"),
+        when(col("in_corpus"), lit("dup_of_corpus"))
+          .when(col("batch_first") < col("doc_id"), lit("dup_in_batch"))
+          .otherwise(lit("new")).as("status"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- near-dup clustering (connected components) -------------------
 
   /** Near-duplicate CLUSTERS: connected components over the similarity

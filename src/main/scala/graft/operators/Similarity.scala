@@ -49,6 +49,25 @@ object Similarity {
         dot_long(col("iv"), col("iv")).as("norm_sq"))
       .orderBy(col("vec_id"))
 
+  /** Per-label mean embedding (class centroids) — the vector-mean
+    * primitive behind classifier heads, cluster seeding, and
+    * class-balanced curation. Exact cross-engine: components are
+    * summed on the 2²⁶ integer grid (posexplode → partial-aggregated
+    * groupBy on (label, pos) — one shuffle of scalar rows, never a
+    * whole-vector reduce), with the single grid→double division at
+    * the end. */
+  def labelCentroids(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "embeddings")
+      .select(col("label").cast("long").as("label"),
+        posexplode(graft.functions.ArrayOps.quantize_q(col("embedding"), Q))
+          .as(Seq("pos", "q")))
+      .groupBy(col("label"), col("pos").cast("long").as("pos"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("q_sum"))
+      .select(col("label"), col("pos"), col("n_vecs"),
+        (col("q_sum").cast("double") / (col("n_vecs").cast("double") * lit(Q)))
+          .as("centroid"))
+      .orderBy(col("label"), col("pos"))
+
   /** Quantized int vector + norm, computed ONCE per vector —
     * the n·m pair scan then does a single integer dot per pair
     * (3× fewer array passes than naively recomputing norms per pair,

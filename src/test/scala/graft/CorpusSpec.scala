@@ -116,6 +116,43 @@ class CorpusSpec extends AnyFunSuite {
     assert(cc.forall(_.getLong(1) == 1L) && cc.forall(_.getLong(2) == 10L))
   }
 
+  test("delta dedup classifies the batch consistently with the corpus split") {
+    import graft.operators.{Dedup, Text}
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), md5(Text.normalized(col("text"))).as("fp"))
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    val w = ((maxId + 1) * 0.8).floor.toLong
+    val corpusFps = docs.filter(col("doc_id") < w)
+      .select("fp").distinct().collect().map(_.getString(0)).toSet
+    val rows = Dedup.deltaDedup(spark, sf).collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(0) >= w))
+    val batchFirst = rows.groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getLong(0)).min).toMap
+    rows.foreach { r =>
+      val expected =
+        if (corpusFps(r.getString(1))) "dup_of_corpus"
+        else if (batchFirst(r.getString(1)) < r.getLong(0)) "dup_in_batch"
+        else "new"
+      assert(r.getString(2) == expected, s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("label centroids: one row per (label, dim), componentwise in range") {
+    import graft.operators.Similarity
+    val rows = Similarity.labelCentroids(spark, sf).collect()
+    val labels = rows.map(_.getLong(0)).distinct
+    assert(rows.length == labels.length * 64)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) < 64 && r.getLong(2) > 0)
+      assert(math.abs(r.getDouble(3)) <= 1.5, s"centroid out of range: $r")
+    }
+    // per-label n_vecs is constant across dims and sums to the table size
+    val byLabel = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).distinct)
+    assert(byLabel.values.forall(_.size == 1))
+    val total = graft.Tables.load(spark, sf, "embeddings").count()
+    assert(byLabel.values.map(_.head).sum == total)
+  }
+
   test("repetition ratio is (0,1] and top_tf <= n_words") {
     val rows = Corpus.repetition(spark, sf).collect()
     rows.foreach { r =>
