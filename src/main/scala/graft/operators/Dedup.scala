@@ -147,35 +147,51 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Propagation state is the GRAPH's nodes, not the corpus: docs
+    // with no near-dup edge can never change label, so they sit out of
+    // the loop entirely and union back as singletons at the end. On a
+    // real corpus the similarity graph is a tiny fraction of the data —
+    // iterating over all documents would shuffle dead weight every
+    // round. (edges is symmetric, so `src` alone covers every node.)
+    // checkpointed: the singleton anti-join below runs AFTER edges is
+    // unpersisted — an un-materialized `nodes` would silently recompute
+    // the whole pair join there
+    val nodes = edges.select(col("src").as("doc_id")).distinct()
+      .localCheckpoint()
     // Each round MUST truncate lineage (localCheckpoint), not merely
     // cache: an iterative plan built on the previous round's plan grows
     // exponentially and OOMs the driver compiling/printing it long
     // before any data moves. (On a fault-tolerance-critical cluster,
     // swap for reliable checkpoint() to a scratch dir.)
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint()
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      val prev = labels
       val neighborMin = edges
-        .join(prev.withColumnRenamed("doc_id", "dst")
+        .join(labels.withColumnRenamed("doc_id", "dst")
           .withColumnRenamed("label", "dst_label"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("dst_label")).as("nmin"))
-      val next = prev.join(neighborMin, Seq("doc_id"), "left")
+      // fold the convergence flag into the round's own projection: the
+      // change count then reads the just-checkpointed partitions
+      // instead of re-joining next against prev
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (coalesce(col("nmin"), col("label")) < col("label")).as("chg"))
         .localCheckpoint()
-      changed = next
-        .join(prev.withColumnRenamed("label", "prev_label"), "doc_id")
-        .filter(col("label") < col("prev_label")).count()
-      labels = next
+      changed = next.filter(col("chg")).count()
+      labels = next.select(col("doc_id"), col("label"))
       iter += 1
     }
+    val singletons = docs
+      .join(nodes, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("label"))
     val byCluster = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
-    val out = labels.select(col("doc_id"), col("label").as("cluster_id"))
+    val out = labels.union(singletons)
+      .select(col("doc_id"), col("label").as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(byCluster).cast("long"))
       .orderBy(col("doc_id"))
     edges.unpersist()
