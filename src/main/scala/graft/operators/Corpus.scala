@@ -88,9 +88,17 @@ object Corpus {
     * in one partition, unlike a bare `Window.orderBy(doc_id)`.
     */
   def packChunks(spark: SparkSession, sf: String,
-      budget: Int = 512, buckets: Int = 32): DataFrame = {
-    val docs = Tables.load(spark, sf, "documents")
-      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tokens"))
+      budget: Int = 512, buckets: Int = 32): DataFrame =
+    packChunksDf(
+      Tables.load(spark, sf, "documents")
+        .select(col("doc_id"),
+          size(toks(col("text"))).cast("long").as("n_tokens")),
+      budget, buckets)
+
+  /** [[packChunks]] over any (doc_id, n_tokens) frame — split out so
+    * the prefix-sum machinery is property-testable on arbitrary
+    * token distributions and bucket counts. */
+  def packChunksDf(docs: DataFrame, budget: Int, buckets: Int): DataFrame = {
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val ranged = docs.crossJoin(broadcast(n))
       .withColumn("bucket",

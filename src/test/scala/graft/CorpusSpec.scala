@@ -116,6 +116,55 @@ class CorpusSpec extends AnyFunSuite {
     assert(cc.forall(_.getLong(1) == 1L) && cc.forall(_.getLong(2) == 10L))
   }
 
+  test("clusters match a reference union-find across seeded random graphs") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 10 + rnd.nextInt(30)
+      val pairs = Seq.fill(rnd.nextInt(2 * n)) {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        if (a < b) (a, b) else (b, a)
+      }.filter(p => p._1 != p._2).distinct
+      // reference union-find with union-by-min: the root of every tree
+      // is its component minimum
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x
+        else { parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val docs = (0L until n.toLong).toDF("doc_id")
+      val got = Dedup.clustersFrom(docs, pairs.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial n=$n edges=$pairs")
+    }
+  }
+
+  test("pack chunks equal the sequential reference across seeded distributions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 4) {
+      val n = 50 + rnd.nextInt(200)
+      val budget = 64 + rnd.nextInt(512)
+      val buckets = 1 + rnd.nextInt(8)
+      val docs = (0L until n.toLong).map(i => (i, 1L + rnd.nextInt(40)))
+        .toDF("doc_id", "n_tokens")
+      val rows = Corpus.packChunksDf(docs, budget, buckets)
+        .orderBy("doc_id").collect()
+      assert(rows.length == n)
+      var cum = 0L
+      rows.foreach { r =>
+        assert(r.getLong(2) == cum / budget,
+          s"doc ${r.getLong(0)} trial $trial budget=$budget buckets=$buckets")
+        cum += r.getLong(1)
+      }
+    }
+  }
+
   test("delta dedup classifies the batch consistently with the corpus split") {
     import graft.operators.{Dedup, Text}
     val docs = graft.Tables.load(spark, sf, "documents")
