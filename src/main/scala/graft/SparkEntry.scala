@@ -69,6 +69,7 @@ object SparkEntry {
     "q_stream_enrich" -> (graft.streaming.EventStream.enrichViaStream _),
     "q_pivot" -> (Relational.pivotStatus _),
     "q_approx_distinct" -> (Relational.approxDistinct _),
+    "q_profile" -> (Relational.profile _),
     "q_sessionize" -> (Events.sessionize _),
     "q_regex_extract" -> (Text.regexExtract _),
     "q_json_extract" -> (Text.jsonExtract _),
@@ -157,6 +158,34 @@ object SparkEntry {
          COUNT(DISTINCT l_orderkey) AS n_orders, COUNT(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag
          ORDER BY l_returnflag""",
+
+    "q_profile" ->
+      """SELECT 'doc_id' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_nulls,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+         CAST(MIN(doc_id) AS VARCHAR) AS min_repr,
+         CAST(MAX(doc_id) AS VARCHAR) AS max_repr FROM documents
+         UNION ALL
+         SELECT 'lang', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(lang) AS BIGINT),
+         CAST(COUNT(DISTINCT lang) AS BIGINT),
+         CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR) FROM documents
+         UNION ALL
+         SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),
+         CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+         CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents
+         UNION ALL
+         SELECT 'source', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(source) AS BIGINT),
+         CAST(COUNT(DISTINCT source) AS BIGINT),
+         CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR) FROM documents
+         UNION ALL
+         SELECT 'text', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(text) AS BIGINT),
+         CAST(COUNT(DISTINCT text) AS BIGINT),
+         CAST(MIN(text) AS VARCHAR), CAST(MAX(text) AS VARCHAR) FROM documents
+         ORDER BY column_name""",
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,

@@ -392,4 +392,34 @@ object Relational {
       .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
       .orderBy(col("l_returnflag"))
+
+  /** Column profile of `documents` — the ANALYZE/data-quality pass a
+    * pipeline runs before training: per column, row/null/distinct
+    * counts and min/max. ONE scan: all per-column aggregates ride a
+    * single agg (multiple exact distincts compile to Catalyst's Expand
+    * — still one pass over the data), then one row per column is
+    * unfolded from the flat result. At 100 TB the exact distincts
+    * downgrade to `approx_count_distinct` — same shape, no Expand.
+    * min/max are taken in the column's own type and cast to string
+    * only for display (numeric-vs-lexicographic ordering stays
+    * correct). */
+  def profile(spark: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.load(spark, sf, "documents")
+    val cols = docs.columns.toSeq
+    val aggs = count(lit(1)).cast("long").as("n_rows") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long").as(s"${c}__nulls"),
+      countDistinct(col(c)).cast("long").as(s"${c}__distinct"),
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max")))
+    docs.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column_name"),
+        col("n_rows"),
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__min").as("min_repr"),
+        col(s"${c}__max").as("max_repr"))): _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("column_name"))
+  }
 }

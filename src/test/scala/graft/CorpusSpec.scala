@@ -202,6 +202,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(byLabel.values.map(_.head).sum == total)
   }
 
+  test("profile covers every column in one scan with consistent counts") {
+    import graft.operators.Relational
+    val prof = Relational.profile(spark, sf)
+    val rows = prof.collect()
+    val docs = graft.Tables.load(spark, sf, "documents")
+    assert(rows.map(_.getString(0)).sorted.toSeq == docs.columns.sorted.toSeq)
+    val n = docs.count()
+    rows.foreach { r =>
+      assert(r.getLong(1) == n && r.getLong(2) >= 0 && r.getLong(3) <= n)
+    }
+    // single scan: exactly one source relation in the optimized plan
+    // (executedPlan under AQE prints current+initial and double-counts)
+    val scans = prof.queryExecution.optimizedPlan.collectLeaves().size
+    assert(scans == 1, s"expected 1 scan, got $scans")
+  }
+
   test("repetition ratio is (0,1] and top_tf <= n_words") {
     val rows = Corpus.repetition(spark, sf).collect()
     rows.foreach { r =>
