@@ -71,6 +71,8 @@ object SparkEntry {
     "q_approx_distinct" -> (Relational.approxDistinct _),
     "q_profile" -> (Relational.profile _),
     "q_sessionize" -> (Events.sessionize _),
+    "q_funnel" -> (Events.funnel _),
+    "q_retention" -> (Events.retention _),
     "q_regex_extract" -> (Text.regexExtract _),
     "q_json_extract" -> (Text.jsonExtract _),
     "q_asof_join" -> (AsOf.eventAttribution _),
@@ -427,6 +429,41 @@ object SparkEntry {
          SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
          FROM c GROUP BY 1, 2 ORDER BY user_id, session_id""",
+
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         v AS (SELECT user_id, MIN(ts) AS t_view FROM e
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM e
+               JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts > v.t_view
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase FROM e
+               JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+               GROUP BY e.user_id)
+         SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+           CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                WHEN c.t_click IS NOT NULL THEN 2
+                WHEN v.t_view IS NOT NULL THEN 1
+                ELSE 0 END AS BIGINT) AS stage
+         FROM (SELECT DISTINCT user_id FROM e) u
+         LEFT JOIN v USING (user_id)
+         LEFT JOIN c USING (user_id)
+         LEFT JOIN p USING (user_id)
+         ORDER BY user_id""",
+
+    "q_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+             FROM events),
+         f AS (SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id)
+         SELECT cohort_day,
+           CAST(date_diff('day', cohort_day, d) AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+         FROM e JOIN f USING (user_id)
+         GROUP BY 1, 2
+         ORDER BY 1, 2""",
 
     "q_regex_extract" ->
       """SELECT event_id, event_type,

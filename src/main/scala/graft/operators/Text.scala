@@ -144,6 +144,54 @@ object Events {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** Conversion funnel view→click→purchase: per user, the first view,
+    * the first click strictly after it, the first purchase strictly
+    * after that, and the furthest stage reached. Cascaded
+    * min-aggregations all keyed on user_id — the three shuffles share
+    * one partitioning, so the stage joins are co-partitioned (no
+    * re-exchange), which is the property that matters when user_id
+    * cardinality is billions. */
+  def funnel(spark: SparkSession, sf: String): DataFrame = {
+    val e = load(spark, sf).select(col("user_id"), col("event_type"), col("ts"))
+    val users = e.select(col("user_id")).distinct()
+    val tView = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val tClick = e.filter(col("event_type") === "click")
+      .join(tView, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val tBuy = e.filter(col("event_type") === "purchase")
+      .join(tClick, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    users
+      .join(tView, Seq("user_id"), "left")
+      .join(tClick, Seq("user_id"), "left")
+      .join(tBuy, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        when(col("t_purchase").isNotNull, 3L)
+          .when(col("t_click").isNotNull, 2L)
+          .when(col("t_view").isNotNull, 1L)
+          .otherwise(0L).as("stage"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Cohort retention: users grouped by first-seen day, counted on
+    * each subsequent day they return. Two aggregations on user_id /
+    * (user_id, day) plus one broadcast-able join of the (tiny) cohort
+    * map. */
+  def retention(spark: SparkSession, sf: String): DataFrame = {
+    val e = load(spark, sf)
+      .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("d"))
+    val cohorts = e.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+    e.distinct()
+      .join(cohorts, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** Sessionization: 30-minute-gap sessions per user via lag + running
     * session counter — the batch equivalent of
     * mapGroupsWithState-based session windows. One shuffle on user_id.

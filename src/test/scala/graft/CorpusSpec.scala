@@ -218,6 +218,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 scan, got $scans")
   }
 
+  test("funnel stages are time-ordered and consistent") {
+    import graft.operators.Events
+    val rows = Events.funnel(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tv, tc, tp) = (r.get(1), r.get(2), r.get(3))
+      val stage = r.getLong(4)
+      assert(stage == Seq(tv, tc, tp).takeWhile(_ != null).length)
+      if (tc != null) assert(tv != null &&
+        r.getTimestamp(2).after(r.getTimestamp(1)))
+      if (tp != null) assert(tc != null &&
+        r.getTimestamp(3).after(r.getTimestamp(2)))
+    }
+  }
+
+  test("retention: offsets non-negative and day-0 covers every user") {
+    import graft.operators.Events
+    val rows = Events.retention(spark, sf).collect()
+    assert(rows.forall(_.getLong(1) >= 0))
+    val day0 = rows.filter(_.getLong(1) == 0).map(_.getLong(2)).sum
+    val users = Events.load(spark, sf).select("user_id").distinct().count()
+    assert(day0 == users, s"day-0 sum $day0 != $users users")
+  }
+
   test("repetition ratio is (0,1] and top_tf <= n_words") {
     val rows = Corpus.repetition(spark, sf).collect()
     rows.foreach { r =>
