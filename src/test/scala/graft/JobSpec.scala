@@ -71,6 +71,33 @@ class JobSpec extends AnyFunSuite {
     assert(second.errors.head.contains("TRUNCATE"))
   }
 
+  test("resume semantics: SKIP re-run completes only the missing objects") {
+    // the reference's restart story (ATTACH + START_JOB after a failure)
+    // maps to re-submitting with TABLE_EXISTS_ACTION=SKIP: finished
+    // objects are skipped, missing ones move — an idempotent resume.
+    val dump = tmp("jobspec-resume-dump")
+    val out = tmp("jobspec-resume-out")
+    assert(DataPumpJob(Operation.Export, JobMode.Table, sf, dump,
+      directives = Seq(IncludeTable(Seq("region", "nation", "supplier"))))
+      .run(spark).state == JobState.Completed)
+    // simulate a partial first import: two tables landed, one didn't
+    assert(DataPumpJob(Operation.Import, JobMode.Table, dump, out,
+      directives = Seq(IncludeTable(Seq("region", "nation"))))
+      .run(spark).state == JobState.Completed)
+    val resume = DataPumpJob(Operation.Import, JobMode.Full, dump, out,
+      directives = Seq(TableExistsAction("SKIP"))).run(spark)
+    assert(resume.state == JobState.Completed)
+    val byName = resume.objects.map(o => o.objectName -> o.state).toMap
+    assert(byName("region") == "SKIPPED" && byName("nation") == "SKIPPED")
+    assert(byName("supplier") == "COMPLETED")
+    assert(spark.read.parquet(s"$out/main/supplier").count() ==
+      spark.read.parquet(graft.Tables.path(sf, "supplier")).count())
+    // a second resume is a no-op: everything skips
+    val again = DataPumpJob(Operation.Import, JobMode.Full, dump, out,
+      directives = Seq(TableExistsAction("SKIP"))).run(spark)
+    assert(again.objects.forall(_.state == "SKIPPED"))
+  }
+
   test("ESTIMATE_ONLY moves nothing but reports stats") {
     val out = tmp("jobspec-est")
     val info = DataPumpJob(Operation.Export, JobMode.Table, sf, out,
