@@ -91,6 +91,7 @@ object SparkEntry {
     "q_bigram_top" -> ((s: SparkSession, d: String) => Corpus.bigramTop(s, d)),
     "q_pii_scrub" -> (Corpus.piiScrub _),
     "q_repetition" -> (Corpus.repetition _),
+    "q_curate" -> (Corpus.curate _),
     // --- dedup
     "q_dedup_exact" -> (Dedup.exact _),
     "q_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -663,6 +664,26 @@ object SparkEntry {
          JOIN sizes sb ON sb.doc_id = doc_b
          WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5
          ORDER BY doc_a, doc_b""",
+
+    "q_curate" ->
+      s"""WITH q AS (
+           SELECT doc_id, text, lang,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT) AS n_distinct
+           FROM documents),
+         f AS (SELECT doc_id, text, lang, n_tokens, md5($Norm) AS fp
+               FROM q
+               WHERE n_tokens >= 10
+                 AND CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.3),
+         c AS (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS canonical FROM f)
+         SELECT CASE WHEN ('0x' || substring(md5(text), 1, 8))::BIGINT % 1000 < 800 THEN 'train'
+                WHEN ('0x' || substring(md5(text), 1, 8))::BIGINT % 1000 < 900 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         FROM c WHERE doc_id = canonical
+         GROUP BY 1, 2
+         ORDER BY split, lang""",
 
     "q_delta_dedup" ->
       s"""WITH d AS (SELECT doc_id, md5($Norm) AS fp FROM documents),

@@ -189,6 +189,35 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** End-to-end curation pipeline — the composition the individual
+    * operators exist for: quality gate (length + lexical diversity) →
+    * exact dedup keeping the canonical copy → content-hash split →
+    * per-(split, lang) corpus accounting. One narrow filter, one
+    * digest shuffle, one final aggregation; every stage is the same
+    * code path the standalone q_* operators verify.
+    */
+  def curate(spark: SparkSession, sf: String): DataFrame = {
+    val t = toks(col("text"))
+    val byFp = Window.partitionBy(col("fp"))
+    val bucket =
+      expr("cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint) % 1000")
+    Tables.load(spark, sf, "documents")
+      .withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(t)).cast("long"))
+      .filter(col("n_tokens") >= 10 &&
+        col("n_distinct").cast("double") / col("n_tokens").cast("double") >= 0.3)
+      .withColumn("fp", md5(Text.normalized(col("text"))))
+      .withColumn("canonical", min(col("doc_id")).over(byFp))
+      .filter(col("doc_id") === col("canonical"))
+      .withColumn("split",
+        when(bucket < 800, lit("train"))
+          .when(bucket < 900, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("split"), col("lang"))
+  }
+
   /** Within-document repetition score (Gopher-style quality signal):
     * the most-frequent word's share of all words. Boilerplate and
     * keyword-stuffed spam score high; prose scores low. One shuffle on
