@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   *    re-running never migrates a document across splits, and byte-equal
   *    duplicates land in the same split (no train/test leakage).
   *  - [[domainCap]] is the skew case by construction (one domain can be
-  *    half the corpus); it pre-caps on a salted key first so no single
-  *    reducer ever sees more than `salts × k` rows of one domain.
+  *    half the corpus); Catalyst's rank-limit pushdown caps every map
+  *    partition to k rows per domain before the shuffle, so no reducer
+  *    sees more than `k × mapPartitions` rows of one domain.
   *  - [[packChunks]] needs a GLOBAL running sum — a bare
   *    `Window.orderBy` collapses to one partition at scale, so it uses
   *    the two-phase distributed prefix-sum: per-range partial sums
@@ -35,22 +36,28 @@ object Corpus {
   private def words(c: Column): Column =
     regexp_extract_all(lower(c), lit("[a-z]+"), lit(0))
 
-  /** Deterministic train/val/test assignment by content hash
-    * (md5 → first 8 hex digits → bucket in [0,1000)): 80/10/10.
+  /** Content-hash bucket in [0,1000): md5 → first 8 hex digits →
+    * uniform integer. The single split policy shared by [[splitAssign]]
+    * and [[curate]] — one definition so the two can never drift. */
+  private def splitBucket: Column =
+    expr("cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint) % 1000")
+
+  /** 80/10/10 split label over [[splitBucket]]. */
+  private def splitLabel: Column =
+    when(splitBucket < 800, lit("train"))
+      .when(splitBucket < 900, lit("val"))
+      .otherwise(lit("test"))
+
+  /** Deterministic train/val/test assignment by content hash: 80/10/10.
     * The industry-standard leakage-safe split: assignment depends only
     * on the text bytes, never on row order, file layout, or partition
     * count. Pure projection — zero shuffle at any scale.
     */
-  def splitAssign(spark: SparkSession, sf: String): DataFrame = {
-    val bucket =
-      expr("cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint) % 1000")
+  def splitAssign(spark: SparkSession, sf: String): DataFrame =
     Tables.load(spark, sf, "documents")
-      .select(col("doc_id"), bucket.as("bucket"),
-        when(bucket < 800, lit("train"))
-          .when(bucket < 900, lit("val"))
-          .otherwise(lit("test")).as("split"))
+      .select(col("doc_id"), splitBucket.as("bucket"),
+        splitLabel.as("split"))
       .orderBy(col("doc_id"))
-  }
 
   /** Per-domain quota: keep the `k` lowest-doc_id documents of each
     * source domain (dataset balancing / domain capping).
@@ -99,10 +106,17 @@ object Corpus {
     * the prefix-sum machinery is property-testable on arbitrary
     * token distributions and bucket counts. */
   def packChunksDf(docs: DataFrame, budget: Int, buckets: Int): DataFrame = {
-    val n = docs.agg(count(lit(1)).as("n_docs"))
+    // bucket width spans the actual ID RANGE, not the row count: with
+    // sparse ids (snowflake-style) a count-based width would give
+    // nearly every doc its own bucket and collapse the totals side
+    // into the single-partition global window this design exists to
+    // avoid
+    val n = docs.agg(min(col("doc_id")).as("min_id"),
+      max(col("doc_id")).as("max_id"))
     val ranged = docs.crossJoin(broadcast(n))
-      .withColumn("bucket",
-        expr(s"doc_id div cast(ceil(n_docs / $buckets.0) as bigint)"))
+      .withColumn("bucket", expr(
+        s"(doc_id - min_id) div " +
+          s"cast(ceil((max_id - min_id + 1) / $buckets.0) as bigint)"))
     val totals = ranged.groupBy(col("bucket"))
       .agg(sum(col("n_tokens")).as("bucket_tokens"))
     val offsets = totals.withColumn("offset",
@@ -199,8 +213,6 @@ object Corpus {
   def curate(spark: SparkSession, sf: String): DataFrame = {
     val t = toks(col("text"))
     val byFp = Window.partitionBy(col("fp"))
-    val bucket =
-      expr("cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint) % 1000")
     Tables.load(spark, sf, "documents")
       .withColumn("n_tokens", size(t).cast("long"))
       .withColumn("n_distinct", size(array_distinct(t)).cast("long"))
@@ -209,10 +221,7 @@ object Corpus {
       .withColumn("fp", md5(Text.normalized(col("text"))))
       .withColumn("canonical", min(col("doc_id")).over(byFp))
       .filter(col("doc_id") === col("canonical"))
-      .withColumn("split",
-        when(bucket < 800, lit("train"))
-          .when(bucket < 900, lit("val"))
-          .otherwise(lit("test")))
+      .withColumn("split", splitLabel)
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
       .orderBy(col("split"), col("lang"))

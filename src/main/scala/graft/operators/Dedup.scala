@@ -182,9 +182,18 @@ object Dedup {
           (coalesce(col("nmin"), col("label")) < col("label")).as("chg"))
         .localCheckpoint()
       changed = next.filter(col("chg")).count()
+      // the previous round's checkpoint blocks are released by the
+      // ContextCleaner once this reassignment drops the last reference;
+      // peak storage is bounded by two label tables (graph-node-sized)
       labels = next.select(col("doc_id"), col("label"))
       iter += 1
     }
+    // a silently-unconverged result would emit wrong keep-one-per-
+    // cluster decisions downstream — fail loudly instead (only an
+    // adversarial >maxIter-diameter chain can trigger this; real
+    // near-dup components are low-diameter blobs)
+    require(changed == 0,
+      s"connected components did not converge within $maxIter rounds")
     val singletons = docs
       .join(nodes, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("label"))

@@ -407,7 +407,9 @@ object Relational {
     val docs = Tables.load(spark, sf, "documents")
     val cols = docs.columns.toSeq
     val aggs = count(lit(1)).cast("long").as("n_rows") +: cols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long").as(s"${c}__nulls"),
+      // count(1) - count(col): 0 (not the sum-aggregate's NULL) on an
+      // empty relation — matching the oracle's COUNT(*) - COUNT(c)
+      (count(lit(1)) - count(col(c))).cast("long").as(s"${c}__nulls"),
       countDistinct(col(c)).cast("long").as(s"${c}__distinct"),
       min(col(c)).cast("string").as(s"${c}__min"),
       max(col(c)).cast("string").as(s"${c}__max")))

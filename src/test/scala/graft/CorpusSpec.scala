@@ -163,6 +163,26 @@ class CorpusSpec extends AnyFunSuite {
         cum += r.getLong(1)
       }
     }
+    // sparse snowflake-style ids: range-based bucketing must stay
+    // correct (and not collapse the totals side)
+    val sparse = (0L until 100L).map(i => (i * 1000003L + 17L, 5L + i % 9))
+      .toDF("doc_id", "n_tokens")
+    val got = Corpus.packChunksDf(sparse, 128, 8).orderBy("doc_id").collect()
+    var cum = 0L
+    got.foreach { r =>
+      assert(r.getLong(2) == cum / 128); cum += r.getLong(1)
+    }
+  }
+
+  test("clusters refuse to return a non-converged labeling") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = (1L to 12L).toDF("doc_id")
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.clustersFrom(docs, chain, maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("converge"))
   }
 
   test("delta dedup classifies the batch consistently with the corpus split") {
