@@ -12,6 +12,8 @@ object SparkTestBase {
       .config("spark.ui.enabled", "false")
       .config(graft.Sessions.NanosAsLongKey, "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
