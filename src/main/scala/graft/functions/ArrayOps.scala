@@ -87,6 +87,11 @@ object ArrayOps {
   def shingles(ws: Column, k: Int): Column =
     Bridge.column(Shingles(Bridge.expression(ws), k))
 
+  /** Non-distinct shingles — every occurrence, document order (corpus
+    * n-gram counting). */
+  def shinglesAll(ws: Column, k: Int): Column =
+    Bridge.column(Shingles(Bridge.expression(ws), k, distinct = false))
+
   /** Column wrapper: power-of-two grid quantization to array<bigint>. */
   def quantize_q(xs: Column, scale: Double): Column =
     Bridge.column(QuantizeQ(Bridge.expression(xs), scale))
@@ -439,13 +444,15 @@ case class QuantizeQ(child: Expression, scale: Double)
     copy(child = newChild)
 }
 
-/** Distinct k-word shingles of a word array: one primitive loop with a
-  * hash set, replacing array_distinct(transform(sequence, slice,
-  * concat_ws)) whose interpreted lambda re-evaluates per element (and
-  * gets duplicated into optimizer-inferred generate filters).
-  * First-occurrence order; set semantics downstream.
+/** k-word shingles of a word array: one primitive loop, replacing
+  * array_distinct(transform(sequence, slice, concat_ws)) whose
+  * interpreted lambda re-evaluates per element (and gets duplicated
+  * into optimizer-inferred generate filters).
+  * `distinct=true` (dedup paths): first-occurrence order, set
+  * semantics. `distinct=false` (corpus n-gram counting): every
+  * occurrence, document order.
   */
-case class Shingles(child: Expression, k: Int)
+case class Shingles(child: Expression, k: Int, distinct: Boolean = true)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType =
@@ -464,7 +471,12 @@ case class Shingles(child: Expression, k: Int)
 
   def computePublic(ws: ArrayData): ArrayData = {
     val n = ws.numElements()
-    val out = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val out: java.util.Collection[org.apache.spark.unsafe.types.UTF8String] =
+      if (distinct)
+        new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+      else
+        new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String](
+          math.max(0, n - k + 1))
     val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
     var i = 0
     while (i + k <= n) {

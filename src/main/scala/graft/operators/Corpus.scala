@@ -166,13 +166,10 @@ object Corpus {
     */
   def bigramTop(spark: SparkSession, sf: String, k: Int = 20): DataFrame =
     Tables.load(spark, sf, "documents")
-      .select(words(col("text")).as("ws"))
-      .select(explode(
-        when(size(col("ws")) >= 2,
-          transform(sequence(lit(0), size(col("ws")) - 2),
-            i => concat(element_at(col("ws"), i + 1), lit(" "),
-              element_at(col("ws"), i + 2))))
-          .otherwise(array().cast("array<string>"))).as("bigram"))
+      // codegen'd non-distinct shingle loop — the transform(sequence)
+      // HOF form evaluates an interpreted lambda per bigram
+      .select(explode(graft.functions.ArrayOps
+        .shinglesAll(words(col("text")), 2)).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(k)
