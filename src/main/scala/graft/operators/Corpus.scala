@@ -200,6 +200,27 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Train/test contamination audit: near-duplicate pairs whose two
+    * documents landed in DIFFERENT splits — the leakage screen run
+    * before any eval is trusted. Composes the exact near-dup pair set
+    * with the content-hash split; at scale the pair source swaps to
+    * the LSH candidates like every other dedup consumer. (The
+    * content-hash split already sends byte-EQUAL texts to one split;
+    * this audits the near-but-not-identical tail.)
+    */
+  def contamination(spark: SparkSession, sf: String): DataFrame = {
+    val splits = splitAssign(spark, sf).select(col("doc_id"), col("split"))
+    Dedup.ngramJaccard(spark, sf)
+      .join(splits.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "split_a"), "doc_a")
+      .join(splits.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "split_b"), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        col("split_a"), col("split_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** End-to-end curation pipeline — the composition the individual
     * operators exist for: quality gate (length + lexical diversity) →
     * exact dedup keeping the canonical copy → content-hash split →
