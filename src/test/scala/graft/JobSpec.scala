@@ -98,6 +98,47 @@ class JobSpec extends AnyFunSuite {
     assert(again.objects.forall(_.state == "SKIPPED"))
   }
 
+  test("directive interactions: parallel+compressed export, remapped+filtered double-append import") {
+    import org.apache.spark.sql.functions.col
+    val dump = tmp("jobspec-interact-dump")
+    val out = tmp("jobspec-interact-out")
+    // export: 2 tables, PARALLEL=2, zstd compression
+    val exp = DataPumpJob(Operation.Export, JobMode.Table, sf, dump,
+      directives = Seq(IncludeTable(Seq("region", "nation")),
+        Parallel(2), Compression("ALL"), CompressionAlgorithm("HIGH")))
+      .run(spark)
+    assert(exp.state == JobState.Completed)
+    // %U coupling: 2 part files per table; codec actually applied
+    val parts = new java.io.File(s"$dump/main/nation").listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(parts.length == 2, parts.mkString(","))
+    assert(parts.forall(_.getName.contains(".zstd")), parts.mkString(","))
+    // import: REMAP_SCHEMA + REMAP_TABLE + row-level QUERY, run TWICE
+    // with APPEND — remaps and filter compose and appends stack on
+    // nation; region (no n_regionkey column) FAILS per-object, exactly
+    // Oracle's ORA-00904 behavior for an unscoped QUERY — the job
+    // continues and reports COMPLETED_WITH_ERRORS
+    val dirs = Seq(RemapSchema("main", "warehouse"),
+      RemapTable("nation", "nations"),
+      Query("n_regionkey < 2"),
+      TableExistsAction("APPEND"))
+    (1 to 2).foreach { _ =>
+      val imp = DataPumpJob(Operation.Import, JobMode.Full, dump, out,
+        directives = dirs).run(spark)
+      assert(imp.state == JobState.CompletedWithErrors)
+      val byName = imp.objects.map(o => o.objectName -> o.state).toMap
+      assert(byName("nation") == "COMPLETED" && byName("region") == "FAILED")
+    }
+    val nations = spark.read.parquet(s"$out/warehouse/nations")
+    val srcMatching = spark.read.parquet(graft.Tables.path(sf, "nation"))
+      .filter(col("n_regionkey") < 2).count()
+    assert(srcMatching > 0 && nations.count() == 2 * srcMatching)
+    assert(nations.select("n_regionkey").distinct().collect()
+      .forall(_.getAs[Number](0).longValue < 2))
+    assert(!new java.io.File(s"$out/warehouse/region").exists())
+    assert(!new java.io.File(s"$out/main").exists())
+  }
+
   test("ESTIMATE_ONLY moves nothing but reports stats") {
     val out = tmp("jobspec-est")
     val info = DataPumpJob(Operation.Export, JobMode.Table, sf, out,
