@@ -89,6 +89,25 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash banding recall is structurally total (pigeonhole)") {
+    // hamming <= 3 over 4 disjoint 16-bit bands forces >= 1 identical
+    // band, so the banded candidate set must contain EVERY brute-force
+    // pair — completeness, not just the soundness test above
+    import graft.operators.Text
+    val sigs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), Dedup.simhash(
+        array_distinct(split(Text.normalized(col("text")), " "))).as("sig"))
+    val brute = sigs.as("a").join(sigs.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("h"))
+      .filter(col("h") <= 3)
+      .select("doc_a", "doc_b")
+    val banded = Dedup.simhashPairs(spark, sf).select("doc_a", "doc_b")
+    assert(brute.exceptAll(banded).isEmpty, "banding missed a true pair")
+    assert(banded.exceptAll(brute).isEmpty, "banding emitted a false pair")
+  }
+
   test("knn: k neighbors per query, no self, ranks contiguous") {
     val rows = Similarity.knnBruteForce(spark, sf, k = 5).collect()
     val byQuery = rows.groupBy(_.getLong(0))
