@@ -54,10 +54,16 @@ object Corpus {
     * count. Pure projection — zero shuffle at any scale.
     */
   def splitAssign(spark: SparkSession, sf: String): DataFrame =
-    Tables.load(spark, sf, "documents")
-      .select(col("doc_id"), splitBucket.as("bucket"),
-        splitLabel.as("split"))
+    splitAssignDf(Tables.load(spark, sf, "documents"))
       .orderBy(col("doc_id"))
+
+  /** [[splitAssign]] over any (doc_id, text) frame — batch or
+    * STREAMING: the projection is stateless row-wise column algebra,
+    * so the same code path assigns splits on a live ingest stream
+    * (StreamingSpec proves stream/batch parity). */
+  def splitAssignDf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), splitBucket.as("bucket"),
+      splitLabel.as("split"))
 
   /** Per-domain quota: keep the `k` lowest-doc_id documents of each
     * source domain (dataset balancing / domain capping).

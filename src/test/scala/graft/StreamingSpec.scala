@@ -86,25 +86,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(assigned == batch)
   }
 
-  test("bucketed tables co-locate the join (no Exchange in the plan)") {
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_lineitem")
-    Tables.load(spark, sf, "orders")
-      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("b_orders")
-    Tables.load(spark, sf, "lineitem")
-      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("b_lineitem")
-    val joined = spark.table("b_lineitem").join(spark.table("b_orders"),
-      col("l_orderkey") === col("o_orderkey"))
-    val plan = joined.queryExecution.executedPlan.toString
-    // both sides pre-bucketed on the join key: no shuffle exchange
-    assert(!plan.contains("Exchange hashpartitioning"), plan.take(800))
-    assert(joined.count() ==
-      Tables.load(spark, sf, "lineitem")
-        .join(Tables.load(spark, sf, "orders"),
-          col("l_orderkey") === col("o_orderkey")).count())
-    spark.sql("DROP TABLE b_orders")
-    spark.sql("DROP TABLE b_lineitem")
+  // (the bucketed co-located join plan test lives in OperatorSpec,
+  // which disables auto-broadcast so the SortMergeJoin path — the one
+  // bucketing actually optimizes — is the plan under assertion)
+
+  test("streaming split assignment equals the batch split (stateless corpus ops)") {
+    // the corpus-prep projections are pure row-wise column algebra, so
+    // they run UNCHANGED on a stream — demonstrated end-to-end: the
+    // same splitAssignDf over a memory stream emits exactly the batch
+    // assignment
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batchDocs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(batchDocs.toIndexedSeq)
+    val q = graft.operators.Corpus
+      .splitAssignDf(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("split_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("split_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val batch = graft.operators.Corpus.splitAssign(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
   }
 }
