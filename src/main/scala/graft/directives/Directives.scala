@@ -98,6 +98,20 @@ final case class Query(predicate: String) extends Directive {
   def valueRepr = predicate
 }
 
+/** Native extension: SAMPLE (Data Pump supports a block-sample
+  * percentage; the wrapper does not expose it). Data Pump's block
+  * sampling is nondeterministic; here the sample is a DETERMINISTIC
+  * content-hash predicate over the whole row (md5 of the JSON-encoded
+  * struct), so re-running a sampled export reproduces the exact same
+  * rows — the property a verifiable pipeline actually wants. Pure
+  * per-row predicate: no shuffle, any scale. */
+final case class Sample(percent: Double) extends Directive {
+  val name = "SAMPLE"; val stage = Stage.DataPump
+  def valueRepr = percent.toString
+  require(percent > 0 && percent <= 100,
+    s"SAMPLE percent must be in (0, 100]; got $percent")
+}
+
 // ------------------------------------------------------------- parameters
 
 final case class Compression(value: String) extends Directive {
@@ -315,6 +329,16 @@ object DirectiveCompiler {
       Seq(ObjectSelection(names => names.filter(n => wanted(n.toLowerCase))))
     case Query(p) =>
       Seq(PlanTransform(df => df.filter(org.apache.spark.sql.functions.expr(p))))
+    case Sample(pct) =>
+      // bucket = first 8 md5 hex digits of the row's JSON encoding →
+      // uniform in [0, 2^32); keep the low pct fraction
+      val cut = (pct / 100.0 * 4294967296.0).toLong
+      Seq(PlanTransform { df =>
+        import org.apache.spark.sql.functions._
+        df.filter(
+          expr("cast(conv(substring(md5(to_json(struct(*))), 1, 8), 16, 10) as bigint)")
+            < lit(cut))
+      })
     case ExcludeObjectType(t) =>
       // Data-vs-metadata object classes; TABLE excl. removes everything.
       if (t.equalsIgnoreCase("TABLE")) Seq(ObjectSelection(_ => Nil))
@@ -398,6 +422,7 @@ object DirectiveCompiler {
       case "INCLUDE_TABLESPACE" => IncludeTablespace(v.split(",").toSeq)
       case "EXCLUDE_OBJECT_TYPE" => ExcludeObjectType(v)
       case "QUERY" => Query(v)
+      case "SAMPLE" => Sample(v.toDouble)
       case "COMPRESSION" => Compression(v)
       case "COMPRESSION_ALGORITHM" => CompressionAlgorithm(v)
       case "PARALLEL" => Parallel(v.toInt)

@@ -139,6 +139,21 @@ class JobSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$out/main").exists())
   }
 
+  test("SAMPLE exports a deterministic content-hash subset") {
+    val out1 = tmp("jobspec-sample1"); val out2 = tmp("jobspec-sample2")
+    def run(out: String) = DataPumpJob(Operation.Export, JobMode.Table, sf, out,
+      directives = Seq(IncludeTable(Seq("orders")), Sample(25.0))).run(spark)
+    assert(run(out1).state == JobState.Completed)
+    assert(run(out2).state == JobState.Completed)
+    val a = spark.read.parquet(s"$out1/main/orders")
+    val b = spark.read.parquet(s"$out2/main/orders")
+    val total = spark.read.parquet(graft.Tables.path(sf, "orders")).count()
+    val n = a.count()
+    // roughly a quarter (binomial bounds, wide), exactly reproducible
+    assert(n > total / 5 && n < total / 3, s"$n of $total")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("ESTIMATE_ONLY moves nothing but reports stats") {
     val out = tmp("jobspec-est")
     val info = DataPumpJob(Operation.Export, JobMode.Table, sf, out,
