@@ -14,6 +14,31 @@ class JobSpec extends AnyFunSuite {
 
   private def tmp(p: String) = Files.createTempDirectory(p).toString
 
+  /** Task metrics scoped to ONE job group: suites share the session
+    * and run concurrently, so a global recordsRead counter picks up
+    * other suites' tasks — the source of rare exact-count flakes.
+    * Jobs under test run with an explicitJobName (= the group Spark
+    * stamps on every job it submits) and only matching stages count.
+    */
+  private class GroupMetrics(group: String)
+      extends org.apache.spark.scheduler.SparkListener {
+    private val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong()
+    val scanTasks = new java.util.concurrent.atomic.AtomicInteger()
+    override def onJobStart(
+        js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      if (js.properties != null &&
+          group == js.properties.getProperty("spark.jobGroup.id"))
+        js.stageIds.foreach(id => stages.add(id))
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (stages.contains(te.stageId) && te.taskMetrics != null) {
+        recordsRead.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+        if (te.taskMetrics.inputMetrics.recordsRead > 0)
+          scanTasks.incrementAndGet()
+      }
+  }
+
   test("export writes a parallel dump set + metadata sidecar") {
     val out = tmp("jobspec-exp")
     val info = DataPumpJob(Operation.Export, JobMode.Table,
@@ -400,26 +425,23 @@ class JobSpec extends AnyFunSuite {
 
   test("row counts ride the write: export reads each source row exactly once") {
     val out = tmp("jobspec-once")
-    val read = new java.util.concurrent.atomic.AtomicLong()
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(
-          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        read.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
-    }
+    val listener = new GroupMetrics("JOBSPEC-ONCE")
     spark.sparkContext.addSparkListener(listener)
     try {
       val info = DataPumpJob(Operation.Export, JobMode.Table, sf, out,
-        directives = Seq(IncludeTable(Seq("nation", "region")))).run(spark)
+        directives = Seq(IncludeTable(Seq("nation", "region"))),
+        explicitJobName = Some("JOBSPEC-ONCE")).run(spark)
       assert(info.state == JobState.Completed)
       assert(info.totalRows == 30) // counts observed on the write itself
       // listener events drain asynchronously; poll until stable
       val deadline = System.currentTimeMillis() + 10000
-      while (read.get() < 30 && System.currentTimeMillis() < deadline)
+      while (listener.recordsRead.get() < 30 &&
+          System.currentTimeMillis() < deadline)
         Thread.sleep(100)
       Thread.sleep(300)
       // a post-write verification re-read would double this to 60
-      assert(read.get() == 30,
-        s"expected exactly 30 source rows read, saw ${read.get()}")
+      assert(listener.recordsRead.get() == 30,
+        s"expected exactly 30 source rows read, saw ${listener.recordsRead.get()}")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
@@ -446,19 +468,13 @@ class JobSpec extends AnyFunSuite {
     graft.operators.Events.load(spark, sf)
       .write.partitionBy("event_type").parquet(s"$srcRoot/events.parquet")
     val out = tmp("jobspec-merge-out")
-    val scanTasks = new java.util.concurrent.atomic.AtomicInteger()
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(
-          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (te.taskMetrics != null &&
-            te.taskMetrics.inputMetrics.recordsRead > 0)
-          scanTasks.incrementAndGet()
-    }
+    val listener = new GroupMetrics("JOBSPEC-MERGE")
     spark.sparkContext.addSparkListener(listener)
     val info =
       try DataPumpJob(Operation.Export, JobMode.Table, srcRoot, out,
         directives = Seq(IncludeTable(Seq("events")),
-          PartitionOptions("MERGE"), Parallel(3))).run(spark)
+          PartitionOptions("MERGE"), Parallel(3)),
+        explicitJobName = Some("JOBSPEC-MERGE")).run(spark)
       finally {
         Thread.sleep(500) // drain listener bus
         spark.sparkContext.removeSparkListener(listener)
@@ -475,7 +491,8 @@ class JobSpec extends AnyFunSuite {
     assert(parts == 3)
     // the merge must NOT serialize the scan into one task (coalesce(1)
     // would): the 5 partition dirs scan with multiple tasks
-    assert(scanTasks.get() > 1, s"scan ran in ${scanTasks.get()} task(s)")
+    assert(listener.scanTasks.get() > 1,
+      s"scan ran in ${listener.scanTasks.get()} task(s)")
   }
 
   test("QUERY directive subsets rows and pushes the predicate to the scan") {
@@ -592,21 +609,18 @@ class JobSpec extends AnyFunSuite {
     graft.operators.Events.load(spark, sf)
       .write.partitionBy("event_type").parquet(s"$srcRoot/events.parquet")
     val out = tmp("jobspec-departition-out")
-    val read = new java.util.concurrent.atomic.AtomicLong()
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(
-          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        read.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
-    }
+    val listener = new GroupMetrics("JOBSPEC-DEPART")
     spark.sparkContext.addSparkListener(listener)
     val info =
       try DataPumpJob(Operation.Export, JobMode.Table, srcRoot, out,
         directives = Seq(IncludeTable(Seq("events")),
-          PartitionOptions("DEPARTITION"), TableExistsAction("REPLACE")))
+          PartitionOptions("DEPARTITION"), TableExistsAction("REPLACE")),
+        explicitJobName = Some("JOBSPEC-DEPART"))
         .run(spark)
       finally {
         val deadline = System.currentTimeMillis() + 10000
-        while (read.get() < 1000 && System.currentTimeMillis() < deadline)
+        while (listener.recordsRead.get() < 1000 &&
+            System.currentTimeMillis() < deadline)
           Thread.sleep(100)
         Thread.sleep(300)
         spark.sparkContext.removeSparkListener(listener)
@@ -615,8 +629,8 @@ class JobSpec extends AnyFunSuite {
     assert(info.totalRows == 1000)
     // single source scan in total: partition combos come from the file
     // index and row counts from Observations, never a second pass
-    assert(read.get() == 1000,
-      s"expected exactly 1000 source rows read, saw ${read.get()}")
+    assert(listener.recordsRead.get() == 1000,
+      s"expected exactly 1000 source rows read, saw ${listener.recordsRead.get()}")
     val tables = new java.io.File(s"$out/main").listFiles()
       .filter(_.isDirectory).map(_.getName).sorted
     assert(tables.length == 5, tables.toSeq) // one per event_type
