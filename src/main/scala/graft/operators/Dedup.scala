@@ -36,6 +36,39 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.ArrayOps.shingles(col("ws"), k).as("sh"))
 
+  /** Shared, persisted shingled projection. Four operators
+    * (ngramJaccard, nearDupClusters, contamination, minhashRecall —
+    * plus both sides of every self-join inside them) start from the
+    * same scan→normalize→split→shingle derivation; without sharing,
+    * the clustering query alone pays it ~4×. Single-entry memo:
+    * requesting a different dataset unpersists the previous one, so a
+    * long-lived session sweeping datasets never accumulates cached
+    * blocks (the r4 leak). Re-persists if an external
+    * `catalog.clearCache()` dropped the blocks. At 100 TB the same
+    * sharing is a checkpoint to the job's scratch storage, not memory.
+    */
+  private var shingleMemo: Option[(String, DataFrame)] = None
+  private[graft] def shingledCached(spark: SparkSession, sf: String): DataFrame =
+    synchronized {
+      val df = shingleMemo match {
+        case Some((k, cached)) if k == sf => cached
+        case prev =>
+          prev.foreach(_._2.unpersist())
+          val fresh = shingled(Tables.load(spark, sf, "documents"))
+          shingleMemo = Some(sf -> fresh)
+          fresh
+      }
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
+    }
+
+  /** Drop the shared shingle cache (test/session hygiene). */
+  def clearShingleCache(): Unit = synchronized {
+    shingleMemo.foreach(_._2.unpersist())
+    shingleMemo = None
+  }
+
   /** Exact dedup via content hash: every doc mapped to the canonical
     * (minimum) doc_id sharing its fingerprint. Single hash-groupBy on
     * the digest — the standard exact-dedup shape at any scale. */
@@ -58,7 +91,7 @@ object Dedup {
     * on ultra-common shingles is the known hazard; the LSH variant
     * below is the scale answer. */
   def ngramJaccard(spark: SparkSession, sf: String, threshold: Double = 0.5): DataFrame =
-    ngramJaccardFrom(shingled(Tables.load(spark, sf, "documents")), threshold)
+    ngramJaccardFrom(shingledCached(spark, sf), threshold)
 
   private def ngramJaccardFrom(docs: DataFrame, threshold: Double): DataFrame = {
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
