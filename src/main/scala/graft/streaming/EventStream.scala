@@ -111,21 +111,48 @@ object EventStream {
 
   /** Streaming ingest-time dedup — the pipeline's first line of defense
     * against re-delivered input (at-least-once sources re-send; exact
-    * dedup at ingest is cheaper than anything downstream). Watermarked
-    * `dropDuplicates` keeps per-key state bounded: keys older than the
-    * watermark are dropped from the state store, the standard
-    * unbounded-stream shape. The OUTPUT is the distinct key set — which
-    * row of a duplicate group survives is arrival-order-dependent, the
-    * set of keys is not, so this materialization stays deterministic
-    * and DuckDB-checkable (`SELECT DISTINCT user_id, event_type`). */
-  def dedupViaStream(spark: SparkSession, sf: String): DataFrame = {
-    val deduped = readEvents(spark, sf)
-      .withWatermark("ts", "2 hours")
+    * dedup at ingest is cheaper than anything downstream). EXACT
+    * distinct semantics: NO watermark, so no input is ever dropped as
+    * late and each key emits exactly once regardless of how the input
+    * splits into micro-batches. State is KEY-SET-sized (bounded by key
+    * cardinality, not input volume) — the right trade for a bounded
+    * materialization or a corpus-scale keyspace.
+    *
+    * A watermark here would be a wrong answer, not an optimization:
+    * with no event-time column in the dedup keys Spark keeps the state
+    * forever ANYWAY, while the watermark still silently drops a key
+    * whose only arrivals are late (StreamingSpec pins the multi-batch
+    * late-key case). For unbounded keyspaces with time-bounded
+    * re-delivery, use [[dedupWithinWatermark]].
+    *
+    * The OUTPUT is the distinct key set — which row of a duplicate
+    * group survives is arrival-order-dependent, the set of keys is not,
+    * so this materialization stays deterministic and DuckDB-checkable
+    * (`SELECT DISTINCT user_id, event_type`). */
+  def dedupExact(events: DataFrame): DataFrame =
+    events
       .dropDuplicates("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
-    runToCompletion(spark, deduped, OutputMode.Append(),
-      Seq("user_id", "event_type"))
-  }
+
+  def dedupViaStream(spark: SparkSession, sf: String): DataFrame =
+    runToCompletion(spark, dedupExact(readEvents(spark, sf)),
+      OutputMode.Append(), Seq("user_id", "event_type"))
+
+  /** Bounded-state ingest dedup for UNBOUNDED keyspaces:
+    * `dropDuplicatesWithinWatermark` suppresses re-deliveries arriving
+    * within `delay` of a key's first occurrence and EVICTS the key's
+    * state once the watermark passes first-seen + delay — state is
+    * bounded by the keys active inside one watermark window, the shape
+    * that survives an unbounded ingest stream where at-least-once
+    * re-sends happen within minutes. A key recurring after eviction
+    * re-emits (time-windowed dedup, not global DISTINCT), so this
+    * variant is pinned by the multi-batch suppress/evict/re-emit
+    * StreamingSpec case rather than a SQL oracle. */
+  def dedupWithinWatermark(events: DataFrame,
+      delay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("ts"))
 
   /** Run a streaming query into an in-memory sink until all available
     * input is processed (batch-driven smoke for local verification). */

@@ -40,6 +40,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.length < Events.load(spark, sf).count())
   }
 
+  test("exact dedup keeps a key arriving only behind the watermark, across micro-batches") {
+    // Regression pin for the watermarked-dropDuplicates wrong-answer:
+    // `withWatermark + dropDuplicates(keys-without-event-time)` does NOT
+    // bound state but DOES drop late input, so a key whose only arrivals
+    // are behind the watermark silently vanishes in any multi-batch run.
+    // dedupExact (no watermark) must emit every distinct key exactly
+    // once regardless of batch boundaries — the old form fails this test
+    // (key 2 below never surfaces).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val h = 3600L
+    val stream = MemoryStream[(Long, String, Long)]
+    val events = stream.toDF().toDF("user_id", "event_type", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val q = EventStream.dedupExact(events)
+      .writeStream.format("memory").queryName("dedup_exact_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: in-batch duplicate; max ts 10h (a 2h watermark would sit at 8h)
+      stream.addData((1L, "view", 10 * h), (1L, "view", 10 * h + 300))
+      q.processAllAvailable()
+      // batch 2: cross-batch duplicate of key 1, plus key 2 whose ONLY
+      // arrival is far behind batch 1's high-water mark
+      stream.addData((1L, "view", 11 * h), (2L, "click", 1 * h))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_exact_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.length == 2, s"expected one row per distinct key, got ${rows.toSeq}")
+      assert(rows.toSet == Set((1L, "view"), (2L, "click")))
+    } finally q.stop()
+  }
+
+  test("within-watermark dedup suppresses near re-deliveries, evicts state, re-emits after") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val h = 3600L; val day = 24 * h
+    val stream = MemoryStream[(Long, String, Long)]
+    val events = stream.toDF().toDF("user_id", "event_type", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val q = EventStream.dedupWithinWatermark(events, "2 hours")
+      .writeStream.format("memory").queryName("dedup_wm_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, "view", 10 * h)) // first occurrence → emits
+      q.processAllAvailable()
+      stream.addData((1L, "view", 10 * h + 1800)) // re-delivery within delay → suppressed
+      q.processAllAvailable()
+      // unrelated key a day later advances the watermark past key 1's
+      // expiry (first-seen 10h + 2h), evicting its state
+      stream.addData((9L, "advance", day + 10 * h))
+      q.processAllAvailable()
+      stream.addData((1L, "view", day + 9 * h)) // state evicted → re-emits
+      q.processAllAvailable()
+      val rows = spark.table("dedup_wm_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.count(_ == (1L, "view")) == 2,
+        s"expected suppress-then-re-emit for key 1, got ${rows.toSeq}")
+      assert(rows.count(_ == (9L, "advance")) == 1)
+      assert(rows.length == 3)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment equals the batch join aggregate") {
     val streamed = EventStream.enrichViaStream(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
