@@ -51,18 +51,29 @@ object Bench {
         case (_, (_, None)) => second
         case _ => first
       }
-      (name, best._1, best._2)
+      (name, best._1, best._2, Seq(first, second))
     }
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
                   case c if c < ' ' => " "; case c => c.toString }
     val ok = outcomes.filter(_._3.isEmpty)
-    val qs = ok.map { case (k, v, _) => s"\"${esc(k)}\":" + v }
+    val qs = ok.map { case (k, v, _, _) => s"\"${esc(k)}\":" + v }
       .mkString("{", ",", "}")
-    val errs = outcomes.collect { case (k, _, Some(e)) =>
+    val errs = outcomes.collect { case (k, _, Some(e), _) =>
       s"\"${esc(k)}\":\"${esc(e)}\"" }.mkString("{", ",", "}")
+    // Both raw run timings per query (errored runs as -1): best-of-2
+    // absorbs transient host load, but ONLY the run pair lets a reader
+    // tell "slow host that minute" (one bad run) from a genuine plan/IO
+    // regression (both runs slow) — the r4/r5 drift queries were
+    // undiagnosable without this.
+    val runs = outcomes.map { case (k, _, _, rs) =>
+      s"\"${esc(k)}\":" + rs.map {
+        case (t, None) => f"$t%.3f"
+        case _ => "-1"
+      }.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (outcomes.exists(_._3.nonEmpty)) sys.exit(1)
   }

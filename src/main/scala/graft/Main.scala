@@ -103,14 +103,17 @@ object Main {
         case "--tag" => opts += "tag" -> args(i + 1); i += 2
         case "--no-wait" => wait = false; i += 1
         // generic escape hatch (cli.py:77-79): NAME:VALUE, or
-        // NAME:OLD:NEW for remap-style directives
+        // NAME:OLD:NEW for remap-style directives. Only REMAP_* names
+        // take the 3-way split — any other value keeps its colons
+        // verbatim (QUERY predicates contain timestamps, remap targets
+        // contain schema-qualified names)
         case "--directive" =>
-          args(i + 1).split(":", 3) match {
-            case Array(n, ov, v) if n.toUpperCase.startsWith("REMAP") =>
+          args(i + 1).split(":", 2) match {
+            case Array(n, rest) if n.toUpperCase.startsWith("REMAP") &&
+                rest.contains(":") =>
+              val Array(ov, v) = rest.split(":", 2)
               directives :+= Map("name" -> n, "old_value" -> ov, "value" -> v)
             case Array(n, v) => directives :+= Map("name" -> n, "value" -> v)
-            case Array(n, ov, v) =>
-              directives :+= Map("name" -> n, "old_value" -> ov, "value" -> v)
             case _ => System.err.println(
               s"--directive expects NAME:VALUE, got ${args(i + 1)}"); usage()
           }

@@ -99,6 +99,8 @@ object SparkEntry {
     "q_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "q_minhash_recall" -> (Dedup.minhashRecall _),
     "q_dup_clusters" -> (Dedup.nearDupClusters _),
+    "q_dup_clusters_lsh" -> (Dedup.nearDupClustersLsh _),
+    "q_contamination_lsh" -> (Corpus.contaminationLsh _),
     "q_delta_dedup" -> (Dedup.deltaDedup _),
     "q_label_centroids" -> (Similarity.labelCentroids _),
     "q_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
@@ -127,6 +129,45 @@ object SparkEntry {
   // Shared SQL fragment: text normalization identical to
   // Text.normalized (DuckDB needs the 'g' flag to replace all).
   private val Norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+  /** Exact-edge connected-components oracle (recursive CTE transitive
+    * closure) — shared by q_dup_clusters and q_dup_clusters_lsh, whose
+    * Spark sides differ only in how the edge set is derived. */
+  private val DupClustersSql: String =
+    s"""WITH RECURSIVE
+         docs AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(ws) - 2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+           FROM (SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents) t
+           WHERE len(ws) >= 3),
+         expl AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+         sizes AS (SELECT doc_id, len(sh) AS n_sh FROM docs),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     COUNT(*) AS common
+                   FROM expl a JOIN expl b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         jp AS (SELECT doc_a, doc_b
+                FROM pairs
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5),
+         e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+               UNION SELECT doc_b, doc_a FROM jp),
+         reach(a, b) AS (
+           SELECT a, b FROM e
+           UNION
+           SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+         lab AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+                 FROM reach GROUP BY a),
+         labeled AS (SELECT d.doc_id,
+                       COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+                     FROM documents d LEFT JOIN lab l USING (doc_id))
+         SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+         FROM labeled
+         ORDER BY doc_id"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -745,9 +786,20 @@ object SparkEntry {
     // Connected components: DuckDB computes the transitive closure of
     // the near-dup edge set by recursive CTE; Spark's min-label
     // propagation must agree on every component assignment.
-    "q_dup_clusters" ->
-      s"""WITH RECURSIVE
-         docs AS (
+    "q_dup_clusters" -> DupClustersSql,
+
+    // The LSH-fed clustering runs off MinHash candidate edges; at the
+    // fixtures' similarity levels (all exact pairs at j >= 0.9) the
+    // candidate edge set equals the exact set, so the SAME exact-edge
+    // recursive-CTE oracle pins the assignment — an LSH miss or a
+    // spurious candidate flips a cluster id and fails the hash.
+    "q_dup_clusters_lsh" -> DupClustersSql,
+
+    // LSH-fed leakage screen: pair SET must equal the exact-edge
+    // contamination audit (no similarity column — the signature
+    // estimate is not the exact Jaccard).
+    "q_contamination_lsh" ->
+      s"""WITH docs AS (
            SELECT doc_id,
              list_distinct(list_transform(generate_series(1, len(ws) - 2),
                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
@@ -765,22 +817,17 @@ object SparkEntry {
                 JOIN sizes sa ON sa.doc_id = doc_a
                 JOIN sizes sb ON sb.doc_id = doc_b
                 WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5),
-         e AS (SELECT doc_a AS a, doc_b AS b FROM jp
-               UNION SELECT doc_b, doc_a FROM jp),
-         reach(a, b) AS (
-           SELECT a, b FROM e
-           UNION
-           SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
-         lab AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
-                 FROM reach GROUP BY a),
-         labeled AS (SELECT d.doc_id,
-                       COALESCE(l.cluster_id, d.doc_id) AS cluster_id
-                     FROM documents d LEFT JOIN lab l USING (doc_id))
-         SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
-           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
-         FROM labeled
-         ORDER BY doc_id""",
-
+         sp AS (SELECT doc_id,
+                  CASE WHEN ('0x' || substring(md5(text), 1, 8))::BIGINT % 1000 < 800 THEN 'train'
+                       WHEN ('0x' || substring(md5(text), 1, 8))::BIGINT % 1000 < 900 THEN 'val'
+                       ELSE 'test' END AS split
+                FROM documents)
+         SELECT doc_a, doc_b, sa.split AS split_a, sb.split AS split_b
+         FROM jp
+         JOIN sp sa ON sa.doc_id = doc_a
+         JOIN sp sb ON sb.doc_id = doc_b
+         WHERE sa.split <> sb.split
+         ORDER BY doc_a, doc_b""",
     // Recall pin: Spark emits the exact pairs RECOVERED by MinHash-LSH;
     // the oracle is the full exact-pair set, so any LSH miss = red row.
     "q_minhash_recall" ->

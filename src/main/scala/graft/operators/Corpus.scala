@@ -209,22 +209,38 @@ object Corpus {
   /** Train/test contamination audit: near-duplicate pairs whose two
     * documents landed in DIFFERENT splits — the leakage screen run
     * before any eval is trusted. Composes the exact near-dup pair set
-    * with the content-hash split; at scale the pair source swaps to
-    * the LSH candidates like every other dedup consumer. (The
+    * with the content-hash split; [[contaminationLsh]] is the same
+    * audit off the LSH candidate pairs — the scale path. (The
     * content-hash split already sends byte-EQUAL texts to one split;
     * this audits the near-but-not-identical tail.)
     */
-  def contamination(spark: SparkSession, sf: String): DataFrame = {
+  def contamination(spark: SparkSession, sf: String): DataFrame =
+    contaminationFrom(spark, sf, Dedup.ngramJaccard(spark, sf))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        col("split_a"), col("split_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[contamination]] fed by MinHash-LSH candidate pairs — the 100 TB
+    * leakage screen: edge derivation is the banded equality join, not
+    * the exact shingle self-join. Emits the pair + splits WITHOUT a
+    * similarity value (the signature-estimated Jaccard is not the exact
+    * one, so the oracle pins the pair SET — which equals the exact set
+    * at fixture similarity levels, every pair at j ≥ 0.9). */
+  def contaminationLsh(spark: SparkSession, sf: String): DataFrame =
+    contaminationFrom(spark, sf, Dedup.minhashLsh(spark, sf))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Cross-split audit of any (doc_a, doc_b) near-dup pair source. */
+  private def contaminationFrom(spark: SparkSession, sf: String,
+      pairs: DataFrame): DataFrame = {
     val splits = splitAssign(spark, sf).select(col("doc_id"), col("split"))
-    Dedup.ngramJaccard(spark, sf)
+    pairs
       .join(splits.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("split", "split_a"), "doc_a")
       .join(splits.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("split", "split_b"), "doc_b")
       .filter(col("split_a") =!= col("split_b"))
-      .select(col("doc_a"), col("doc_b"), col("jaccard"),
-        col("split_a"), col("split_b"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** End-to-end curation pipeline — the composition the individual

@@ -36,24 +36,30 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.ArrayOps.shingles(col("ws"), k).as("sh"))
 
-  /** Shared, persisted shingled projection. Four operators
-    * (ngramJaccard, nearDupClusters, contamination, minhashRecall —
-    * plus both sides of every self-join inside them) start from the
-    * same scan→normalize→split→shingle derivation; without sharing,
-    * the clustering query alone pays it ~4×. Single-entry memo:
-    * requesting a different dataset unpersists the previous one, so a
+  /** Shared, persisted shingled projection. EVERY shingle consumer
+    * (ngramJaccard, nearDupClusters + the LSH-fed variant, minhashLsh,
+    * minhashRecall, contamination — plus both sides of every self-join
+    * inside them) starts from the same scan→normalize→split→shingle
+    * derivation; without sharing, the clustering query alone pays it
+    * ~4×. Single-entry memo: requesting a different dataset (or the
+    * same one from a NEW session) drops the previous entry, so a
     * long-lived session sweeping datasets never accumulates cached
-    * blocks (the r4 leak). Re-persists if an external
-    * `catalog.clearCache()` dropped the blocks. At 100 TB the same
-    * sharing is a checkpoint to the job's scratch storage, not memory.
+    * blocks (the r4 leak), and a restarted session never receives a
+    * Dataset bound to a dead one. Re-persists if an external
+    * `catalog.clearCache()` dropped the blocks. ASSUMES the parquet
+    * under the dataset dir is immutable for the JVM's lifetime (true
+    * for the fixture dirs); a path that rewrites a documents dir must
+    * call [[clearShingleCache]]. At 100 TB the same sharing is a
+    * checkpoint to the job's scratch storage, not memory.
     */
   private var shingleMemo: Option[(String, DataFrame)] = None
   private[graft] def shingledCached(spark: SparkSession, sf: String): DataFrame =
     synchronized {
       val df = shingleMemo match {
-        case Some((k, cached)) if k == sf => cached
+        case Some((k, cached)) if k == sf && (cached.sparkSession eq spark) =>
+          cached
         case prev =>
-          prev.foreach(_._2.unpersist())
+          prev.foreach(p => scala.util.Try(p._2.unpersist()))
           val fresh = shingled(Tables.load(spark, sf, "documents"))
           shingleMemo = Some(sf -> fresh)
           fresh
@@ -152,13 +158,29 @@ object Dedup {
     * graph, each doc labeled with its component's minimum doc_id (the
     * canonical representative) — the step that turns pairwise
     * candidates into "keep one per cluster" decisions. Verification
-    * edges are the exact n-gram Jaccard pairs (oracle-checkable); at
-    * 100 TB the same [[clustersFrom]] runs off [[minhashLsh]]
-    * candidates instead — the algorithm is edge-source-agnostic.
+    * edges here are the exact n-gram Jaccard pairs (oracle-checkable);
+    * [[nearDupClustersLsh]] is the same [[clustersFrom]] fed by
+    * [[minhashLsh]] candidates — the 100 TB path.
     */
   def nearDupClusters(spark: SparkSession, sf: String): DataFrame = {
     val docs = Tables.load(spark, sf, "documents").select(col("doc_id"))
     val pairs = ngramJaccard(spark, sf).select(col("doc_a"), col("doc_b"))
+    clustersFrom(docs, pairs)
+  }
+
+  /** [[nearDupClusters]] fed by MinHash-LSH candidate edges — the
+    * operator a 100 TB corpus actually runs: the edge derivation is the
+    * O(collisions) banded equality join instead of the O(shingle-skew²)
+    * exact self-join; [[clustersFrom]] is edge-source-agnostic. At the
+    * fixtures' similarity levels (every exact pair sits at j ≥ 0.9,
+    * where 16×4 banding miss probability ≈ 4·10⁻⁸ and estimated
+    * Jaccard concentrates far above the 0.5 cut) the candidate edge
+    * set equals the exact edge set, so the cluster assignment matches
+    * the exact-edge form bit-for-bit — pinned by the same DuckDB
+    * recursive-CTE oracle as q_dup_clusters. */
+  def nearDupClustersLsh(spark: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.load(spark, sf, "documents").select(col("doc_id"))
+    val pairs = minhashLsh(spark, sf).select(col("doc_a"), col("doc_b"))
     clustersFrom(docs, pairs)
   }
 
@@ -170,13 +192,27 @@ object Dedup {
     * orchestrates and checks convergence (a count per round — the
     * standard Pregel halting test, not a data collect). Near-dup
     * graphs are dense blobs with tiny diameter, so rounds stay single
-    * digits at any corpus size; for adversarial long-chain graphs the
-    * known upgrade is large-star/small-star alternation (O(log n)
-    * rounds), noted here and not needed for this workload.
+    * digits at any corpus size; a graph that does NOT converge within
+    * `maxIter` rounds (adversarial long chain) automatically falls back
+    * to large-star/small-star alternation ([[starLabels]], O(log²n)
+    * rounds) instead of failing — the result is correct either way.
+    *
+    * `checkpointDir`: each round truncates lineage. The default
+    * (`None`) uses `localCheckpoint` — executor-local blocks, fastest,
+    * but recomputation-unsafe on executor loss. Passing a scratch dir
+    * switches every round to reliable `checkpoint()` into that dir —
+    * the fault-tolerant mode for long cluster runs, at the cost of a
+    * write+read per round.
     */
   def clustersFrom(docs: DataFrame, pairs: DataFrame,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    val ck: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        docs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -189,15 +225,12 @@ object Dedup {
     // checkpointed: the singleton anti-join below runs AFTER edges is
     // unpersisted — an un-materialized `nodes` would silently recompute
     // the whole pair join there
-    val nodes = edges.select(col("src").as("doc_id")).distinct()
-      .localCheckpoint()
-    // Each round MUST truncate lineage (localCheckpoint), not merely
-    // cache: an iterative plan built on the previous round's plan grows
+    val nodes = ck(edges.select(col("src").as("doc_id")).distinct())
+    // Each round MUST truncate lineage (checkpoint), not merely cache:
+    // an iterative plan built on the previous round's plan grows
     // exponentially and OOMs the driver compiling/printing it long
-    // before any data moves. (On a fault-tolerance-critical cluster,
-    // swap for reliable checkpoint() to a scratch dir.)
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint()
+    // before any data moves.
+    var labels = ck(nodes.select(col("doc_id"), col("doc_id").as("label")))
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -209,11 +242,10 @@ object Dedup {
       // fold the convergence flag into the round's own projection: the
       // change count then reads the just-checkpointed partitions
       // instead of re-joining next against prev
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+      val next = ck(labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          (coalesce(col("nmin"), col("label")) < col("label")).as("chg"))
-        .localCheckpoint()
+          (coalesce(col("nmin"), col("label")) < col("label")).as("chg")))
       changed = next.filter(col("chg")).count()
       // the previous round's checkpoint blocks are released by the
       // ContextCleaner once this reassignment drops the last reference;
@@ -221,23 +253,82 @@ object Dedup {
       labels = next.select(col("doc_id"), col("label"))
       iter += 1
     }
-    // a silently-unconverged result would emit wrong keep-one-per-
-    // cluster decisions downstream — fail loudly instead (only an
-    // adversarial >maxIter-diameter chain can trigger this; real
-    // near-dup components are low-diameter blobs)
-    require(changed == 0,
-      s"connected components did not converge within $maxIter rounds")
+    // an unconverged propagation means the graph's diameter exceeds
+    // maxIter — switch to the round-efficient algorithm rather than
+    // either failing or (worse) silently emitting wrong labels
+    val graphLabels = if (changed == 0) labels else starLabels(edges, ck)
     val singletons = docs
       .join(nodes, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("label"))
     val byCluster = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
-    val out = labels.union(singletons)
+    val out = graphLabels.union(singletons)
       .select(col("doc_id"), col("label").as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(byCluster).cast("long"))
       .orderBy(col("doc_id"))
     edges.unpersist()
     out
+  }
+
+  /** Connected components by large-star/small-star alternation
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    * large-star hangs every node's larger neighbors off its minimum
+    * neighbor, small-star re-points the smaller ones; alternating
+    * contracts any graph to per-component stars in O(log²n) rounds —
+    * the fallback for graphs whose diameter defeats min-label
+    * propagation (a 10⁶-long chain converges in ~20 rounds here vs
+    * 10⁶ there). Input must be the symmetric edge set; returns
+    * (doc_id, label) for every graph node, label = component minimum.
+    */
+  private def starLabels(edgesSym: DataFrame,
+      ck: DataFrame => DataFrame, maxRounds: Int = 50): DataFrame = {
+    // convergence = edge-set fixpoint, detected by (count, hash-sum)
+    // checksum equality — two scalar aggregates per round, no collect.
+    // Each term is pmod-bounded below 2³⁰ so the long sum cannot
+    // overflow (ANSI mode would throw) before ~2³³ edges.
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        sum(pmod(xxhash64(col("src"), col("dst")), lit(1000000007L)))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var cur: DataFrame = null // directed (src > dst) after round 1
+    var prev = (-1L, -1L)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val sym = if (cur == null) edgesSym
+        else cur.union(cur.select(col("dst").as("src"), col("src").as("dst")))
+      // large-star: m(u) = min(Γ(u) ∪ {u}); emit (v, m(u)) for v>u.
+      // Output is strictly downward-directed (v > u ≥ m).
+      val mins = sym.groupBy("src").agg(min("dst").as("nmin"))
+        .select(col("src"), least(col("src"), col("nmin")).as("m"))
+      val large = sym.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+      // small-star on the directed graph: all of u's (smaller)
+      // neighbors AND u itself re-point at m(u) = min neighbor
+      val mins2 = large.groupBy("src").agg(min("dst").as("m"))
+      val small = large.join(mins2, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(mins2.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      cur = ck(small)
+      val cs = checksum(cur)
+      converged = cs == prev
+      prev = cs
+      round += 1
+    }
+    require(converged,
+      s"star contraction did not converge within $maxRounds rounds")
+    // fixpoint is a star forest: every non-root points at its component
+    // minimum; roots (appearing only as dst) label themselves
+    val pointed = cur.select(col("src").as("doc_id"), col("dst").as("label"))
+    val roots = cur.select(col("dst").as("doc_id")).distinct()
+      .join(pointed, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("label"))
+    pointed.union(roots)
   }
 
   // ---- MinHash + LSH ------------------------------------------------
@@ -275,7 +366,7 @@ object Dedup {
     * (band, key) → per-bucket pairs → distinct → estimate.
     */
   def minhashLsh(spark: SparkSession, sf: String, threshold: Double = 0.5): DataFrame =
-    minhashLshFrom(shingled(Tables.load(spark, sf, "documents")), threshold)
+    minhashLshFrom(shingledCached(spark, sf), threshold)
 
   private def minhashLshFrom(docs: DataFrame, threshold: Double): DataFrame = {
     val signed = minhashSignature(docs).select(col("doc_id"), col("minhash"))
@@ -319,14 +410,11 @@ object Dedup {
     * banding miss probability is (1−0.9⁴)¹⁶ ≈ 4·10⁻⁸ per pair.
     */
   def minhashRecall(spark: SparkSession, sf: String): DataFrame = {
-    // The exact and LSH sides both start from the shingled projection;
-    // persist it so documents are scanned/normalized/shingled ONCE (the
-    // LSH self-join alone would re-derive it twice). Spark's cache
-    // manager matches by logical plan, so the standalone q_ngram_jaccard
-    // / q_minhash_lsh queries reuse this cache too. At 100 TB the same
-    // sharing is a checkpoint to the job's scratch storage, not memory.
-    val sh = shingled(Tables.load(spark, sf, "documents"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The exact and LSH sides both read the SHARED shingle memo, so
+    // documents are scanned/normalized/shingled once across this query
+    // and the standalone q_ngram_jaccard / q_minhash_lsh entries —
+    // structural sharing, not CacheManager plan-matching luck.
+    val sh = shingledCached(spark, sf)
     val exact = ngramJaccardFrom(sh, threshold = 0.5)
     val candidates = minhashLshFrom(sh, threshold = 0.5)
       .select(col("doc_a"), col("doc_b"))

@@ -78,11 +78,30 @@ object Similarity {
       .withColumn(s"norm_$idCol",
         sqrt(dot_long(col(s"iv_$idCol"), col(s"iv_$idCol")).cast("double")))
 
+  /** Fail-fast guardrail for the exact O(n·m) kernels: they broadcast
+    * the full candidate side, which is right for verification scale
+    * and catastrophic on a real corpus — a silent 10⁸-vector broadcast
+    * would OOM every executor long after queueing hours of work. The
+    * bound is `spark.graft.exact.maxBroadcastRows` (default 1,000,000
+    * vectors ≈ 300 MB at 64-dim float). The count is a parquet
+    * metadata read, not a scan. */
+  private def guardExactKernel(e: DataFrame, op: String): Unit = {
+    val limit = e.sparkSession.conf
+      .get("spark.graft.exact.maxBroadcastRows", "1000000").toLong
+    val n = e.count()
+    require(n <= limit,
+      s"$op would broadcast $n vectors (limit $limit): the exact " +
+        "O(n*m) kernel is the verification oracle, not the scale path " +
+        "— use annLsh/annIvf for large datasets, or raise " +
+        "spark.graft.exact.maxBroadcastRows")
+  }
+
   /** Brute-force cosine top-k neighbors per vector (k=5, excluding
     * self). The probe side is broadcast; at scale this is the
     * per-query-batch scoring kernel that LSH/IVF candidate sets feed. */
   def knnBruteForce(spark: SparkSession, sf: String, k: Int = 5): DataFrame = {
     val e = Tables.load(spark, sf, "embeddings")
+    guardExactKernel(e, "knnBruteForce")
     val a = quantized(e, "query_id")
     val b = quantized(e, "neighbor_id")
     // broadcast the probe side: every partition of `a` scores against
@@ -249,8 +268,12 @@ object Similarity {
         .groupBy(_.getInt(0))
       centroids = centroids.indices.map { c =>
         stats.get(c).map { rows =>
+          // floorDiv, not truncating /: quantized components are
+          // negative for negative floats, and the two differ on
+          // negative non-exact division — floor keeps the update the
+          // documented floor-division semantics everywhere
           val byPos = rows.map(r =>
-            r.getInt(1) -> r.getLong(2) / r.getLong(3)).toMap
+            r.getInt(1) -> Math.floorDiv(r.getLong(2), r.getLong(3))).toMap
           (0 until Dim).map(byPos): Seq[Long]
         }.getOrElse(centroids(c)) // an emptied cell keeps its centroid
       }
@@ -272,18 +295,44 @@ object Similarity {
     slice(transform(array_sort(scored), s => s.getField("cell")), 1, n)
   }
 
-  /** Trained-centroid memo keyed by dataset path: k-means output is a
-    * persistent index artifact (deterministic per dataset), so the
-    * index and its recall gate — and repeated queries — share one
-    * training run instead of re-training per query. A changed dataset
-    * under the same path needs `clearCentroidCache()` (at 100 TB the
-    * artifact would live next to the data with its snapshot version). */
+  /** Trained-centroid memo keyed by (dataset path → content version):
+    * k-means output is a persistent index artifact (deterministic per
+    * dataset content), so the index and its recall gate — and repeated
+    * queries — share one training run instead of re-training per query.
+    * The version is an FS-metadata fingerprint (name, length, mtime of
+    * every file under the dataset path — a listing, no data read), so
+    * rewriting the parquet under the same path forces a retrain instead
+    * of serving a stale index for the life of the JVM. One entry per
+    * path: superseded versions are dropped, not accumulated. At 100 TB
+    * the artifact lives next to the data keyed by its snapshot version.
+    */
   private val centroidCache =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Long]]]
+    scala.collection.concurrent.TrieMap.empty[String, (String, Seq[Seq[Long]])]
   def clearCentroidCache(): Unit = centroidCache.clear()
-  private def centroidsFor(spark: SparkSession, sf: String): Seq[Seq[Long]] =
-    centroidCache.getOrElseUpdate(sf,
-      kmeansCentroidsQ(Tables.load(spark, sf, "embeddings")))
+
+  private def datasetVersion(spark: SparkSession, sf: String): String = {
+    val path = new org.apache.hadoop.fs.Path(Tables.path(sf, "embeddings"))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(path, true)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val s = it.next()
+      parts += s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}"
+    }
+    parts.sorted.mkString("|")
+  }
+
+  private[graft] def centroidsFor(spark: SparkSession,
+      sf: String): Seq[Seq[Long]] = {
+    val version = datasetVersion(spark, sf)
+    centroidCache.get(sf) match {
+      case Some((v, c)) if v == version => c
+      case _ =>
+        val trained = kmeansCentroidsQ(Tables.load(spark, sf, "embeddings"))
+        centroidCache.put(sf, (version, trained))
+        trained
+    }
+  }
 
   /** IVF ANN: vectors index into their nearest k-means cell; queries
     * probe the NProbe nearest cells. Join is cell-equality (shuffle on
@@ -345,6 +394,7 @@ object Similarity {
     * oracle-checkable twin of the LSH near-dup path. */
   def cosinePairsExact(spark: SparkSession, sf: String,
       threshold: Double = 0.25): DataFrame = {
+    guardExactKernel(Tables.load(spark, sf, "embeddings"), "cosinePairsExact")
     val a = quantized(Tables.load(spark, sf, "embeddings"), "vec_a")
     val b = quantized(Tables.load(spark, sf, "embeddings"), "vec_b")
     a.crossJoin(broadcast(b))

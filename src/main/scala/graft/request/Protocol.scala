@@ -50,8 +50,19 @@ object Protocol {
   case class Request(connection: Connection, requestType: String,
       payload: Payload)
 
+  /** Status-verbosity bitmask — JobStatusMask (status.py:276-281):
+    * each bit gates one section of the STATUS response. */
+  object StatusMask {
+    val Wip = 1     // work-in-progress log lines
+    val Desc = 2    // job description (operation, mode)
+    val Status = 4  // numeric status + per-object detail
+    val Error = 8   // error log lines / failed objects
+    val All: Int = Wip | Desc | Status | Error
+  }
+
   case class Response(jobName: Option[String], state: String,
-      detail: Option[JobStatusInfo], error: Option[String]) {
+      detail: Option[JobStatusInfo], error: Option[String],
+      mask: Int = StatusMask.All) {
     def toJson: String = {
       val root = mapper.createObjectNode()
       jobName.foreach(root.put("job_name", _))
@@ -59,18 +70,33 @@ object Protocol {
       detail.foreach { d =>
         val det = root.putObject("detail")
         det.put("job_name", d.jobName)
-        det.put("operation", d.operation)
-        det.put("mode", d.mode)
-        det.put("percent_done", d.percentDone)
-        det.put("rows", d.totalRows)
-        det.put("bytes", d.totalBytes)
-        val objs = det.putArray("objects")
-        d.objects.foreach { o =>
-          val n = objs.addObject()
-          n.put("name", o.objectName); n.put("state", o.state)
-          if (o.objectSchema.nonEmpty) n.put("schema", o.objectSchema)
-          n.put("rows", o.rows); n.put("bytes", o.bytes)
-          o.error.foreach(n.put("error", _))
+        det.put("mask", mask)
+        if ((mask & StatusMask.Desc) != 0) {
+          det.put("operation", d.operation)
+          det.put("mode", d.mode)
+        }
+        if ((mask & StatusMask.Status) != 0) {
+          det.put("percent_done", d.percentDone)
+          det.put("rows", d.totalRows)
+          det.put("bytes", d.totalBytes)
+        }
+        if ((mask & (StatusMask.Status | StatusMask.Error)) != 0) {
+          val objs = det.putArray("objects")
+          d.objects.foreach { o =>
+            val n = objs.addObject()
+            n.put("name", o.objectName); n.put("state", o.state)
+            if (o.objectSchema.nonEmpty) n.put("schema", o.objectSchema)
+            n.put("rows", o.rows); n.put("bytes", o.bytes)
+            o.error.foreach(n.put("error", _))
+          }
+        }
+        if ((mask & StatusMask.Wip) != 0) {
+          val wip = det.putArray("wip")
+          d.logEntries.foreach(e => wip.add(e.logText))
+        }
+        if ((mask & StatusMask.Error) != 0) {
+          val errs = det.putArray("errors")
+          d.errors.foreach(errs.add)
         }
       }
       error.foreach(root.put("error", _))
@@ -178,18 +204,45 @@ object Protocol {
       .orElse(DataPumpJob.attach(spark, p.jobName,
         Some(conn.sourceDir).filter(_.nonEmpty))) match {
       case Some(info) =>
-        // status-type mask (status.py:276-293): ERROR restricts the
-        // detail to failed objects, LOG_STATUS/STATUS to the headline,
-        // ALL/DESC return everything
-        val detail = p.statusType.toUpperCase match {
-          case _ if !p.includeDetail => None
-          case "ERROR" =>
-            Some(info.copy(objects = info.objects.filter(_.error.nonEmpty)))
-          case "STATUS" | "LOG_STATUS" =>
-            Some(info.copy(objects = Nil))
-          case _ => Some(info) // ALL / DESC
+        // Status-type → verbosity bitmask, exactly the reference's
+        // JobStatusRequestType values (status.py:283-293): ALL=15,
+        // STATUS=WIP|STATUS|ERROR=13, DESC=2, ERROR=8, LOG_STATUS=0
+        // (state-only, the log-derived probe). A numeric type passes
+        // the raw mask through — the DBMS_DATAPUMP.GET_STATUS `mask`
+        // parameter on the wire.
+        val mask = p.statusType.toUpperCase.trim match {
+          case m if m.nonEmpty && m.forall(_.isDigit) =>
+            m.toInt & StatusMask.All
+          case "ALL" => StatusMask.All
+          case "STATUS" =>
+            StatusMask.Wip | StatusMask.Status | StatusMask.Error
+          case "DESC" => StatusMask.Desc
+          case "ERROR" => StatusMask.Error
+          case "LOG_STATUS" => 0
+          case other =>
+            throw new graft.model.Exceptions.BadRequest(
+              s"Unknown STATUS type '$other'; valid: ALL, STATUS, DESC, " +
+                "ERROR, LOG_STATUS, or a numeric mask")
         }
-        Response(Some(info.jobName), info.state.name, detail, None)
+        // The detail payload itself is filtered per bit so programmatic
+        // clients see exactly what the JSON carries: STATUS keeps all
+        // objects, ERROR alone keeps only failed ones, WIP keeps the
+        // log lines, DESC the description.
+        val masked = info.copy(
+          operation = if ((mask & StatusMask.Desc) != 0) info.operation else "",
+          mode = if ((mask & StatusMask.Desc) != 0) info.mode else "",
+          percentDone =
+            if ((mask & StatusMask.Status) != 0) info.percentDone else 0.0,
+          objects =
+            if ((mask & StatusMask.Status) != 0) info.objects
+            else if ((mask & StatusMask.Error) != 0)
+              info.objects.filter(_.error.nonEmpty)
+            else Nil,
+          logEntries =
+            if ((mask & StatusMask.Wip) != 0) info.logEntries else Nil)
+        val detail =
+          if (!p.includeDetail || mask == 0) None else Some(masked)
+        Response(Some(info.jobName), info.state.name, detail, None, mask)
       case None =>
         Response(Some(p.jobName), JobState.NotRunning.name, None,
           Some(s"Job ${p.jobName} not found"))

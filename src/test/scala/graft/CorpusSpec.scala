@@ -116,6 +116,52 @@ class CorpusSpec extends AnyFunSuite {
     assert(cc.forall(_.getLong(1) == 1L) && cc.forall(_.getLong(2) == 10L))
   }
 
+  test("LSH-fed clustering matches the exact-edge clustering assignment") {
+    import graft.operators.Dedup
+    // every fixture pair sits at j >= 0.9 where banding recall ~ 1 and
+    // the estimated Jaccard clears the 0.5 cut, so the LSH candidate
+    // edge set equals the exact edge set and the cluster assignment
+    // must agree bit-for-bit
+    val exact = Dedup.nearDupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lsh = Dedup.nearDupClustersLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(lsh.toSeq == exact.toSeq)
+    // non-degenerate: the LSH edge derivation actually produced clusters
+    assert(lsh.exists(_._3 > 1L))
+  }
+
+  test("LSH-fed contamination audits the same pair set as the exact audit") {
+    val exact = Corpus.contamination(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3), r.getString(4)))
+    val lsh = Corpus.contaminationLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(lsh.toSeq == exact.toSeq)
+  }
+
+  test("shingle memo: reuse within a dataset, eviction on switch, re-persist after clearCache") {
+    import graft.operators.Dedup
+    import org.apache.spark.storage.StorageLevel
+    try {
+      Dedup.clearShingleCache()
+      val a = Dedup.shingledCached(spark, sf)
+      assert(a.storageLevel != StorageLevel.NONE)
+      // same dataset → the same cached instance (structural sharing —
+      // every consumer sees one scan→normalize→shingle derivation)
+      assert(Dedup.shingledCached(spark, sf) eq a)
+      // an external cache sweep must not leave consumers uncached
+      spark.catalog.clearCache()
+      val b = Dedup.shingledCached(spark, sf)
+      assert(b.storageLevel != StorageLevel.NONE)
+      // switching datasets evicts the previous entry (the r4 leak):
+      // single-entry memo, so a session sweeping datasets never
+      // accumulates cached blocks
+      val other = Dedup.shingledCached(spark, "/root/testdata/sf0.01")
+      assert(other.storageLevel != StorageLevel.NONE)
+      assert(b.storageLevel == StorageLevel.NONE)
+    } finally Dedup.clearShingleCache()
+  }
+
   test("clusters match a reference union-find across seeded random graphs") {
     import spark.implicits._
     import graft.operators.Dedup
@@ -174,15 +220,71 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
-  test("clusters refuse to return a non-converged labeling") {
+  test("over-diameter chain falls back to star contraction and still labels correctly") {
     import spark.implicits._
     import graft.operators.Dedup
+    // diameter 11 >> maxIter 2: min-label propagation cannot converge,
+    // so clustersFrom must hand the ORIGINAL edges to large-star/
+    // small-star alternation and return the correct labeling anyway
+    // (previously this was a hard failure)
     val docs = (1L to 12L).toDF("doc_id")
     val chain = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val e = intercept[IllegalArgumentException] {
-      Dedup.clustersFrom(docs, chain, maxIter = 2).collect()
+    val cc = Dedup.clustersFrom(docs, chain, maxIter = 2).collect()
+    assert(cc.length == 12)
+    assert(cc.forall(_.getLong(1) == 1L) && cc.forall(_.getLong(2) == 12L))
+    // 120-node path (diameter 119 >> default maxIter 25) through the
+    // DEFAULT entry point: green without raising maxIter
+    val docsL = (1L to 120L).toDF("doc_id")
+    val chainL = (1L until 120L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ccL = Dedup.clustersFrom(docsL, chainL).collect()
+    assert(ccL.length == 120 && ccL.forall(_.getLong(1) == 1L))
+  }
+
+  test("star contraction matches union-find across seeded random graphs") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // maxIter = 0 forces the star-contraction path on every graph shape
+    // (blobs, forests, isolated chains), checked against union-find
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 4) {
+      val n = 10 + rnd.nextInt(30)
+      val pairs = Seq.fill(rnd.nextInt(2 * n)) {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        if (a < b) (a, b) else (b, a)
+      }.filter(p => p._1 != p._2).distinct
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x
+        else { parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val docs = (0L until n.toLong).toDF("doc_id")
+      val got = Dedup.clustersFrom(docs, pairs.toDF("doc_a", "doc_b"),
+          maxIter = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial n=$n edges=$pairs")
     }
-    assert(e.getMessage.contains("converge"))
+  }
+
+  test("reliable-checkpoint mode produces the same labeling and writes checkpoints") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val docs = (1L to 30L).toDF("doc_id")
+    val pairs = (1L until 30L by 3).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val local = Dedup.clustersFrom(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val reliable = Dedup.clustersFrom(docs, pairs,
+        checkpointDir = Some(dir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(reliable == local)
+    // the reliable path actually wrote RDD checkpoints into the dir
+    def anyFile(f: java.io.File): Boolean =
+      f.isFile || Option(f.listFiles).exists(_.exists(anyFile))
+    assert(anyFile(new java.io.File(dir)), s"no checkpoint data under $dir")
   }
 
   test("delta dedup classifies the batch consistently with the corpus split") {

@@ -190,6 +190,45 @@ class OperatorSpec extends AnyFunSuite {
     assert(recovered == n, s"IVF recall $recovered/$n")
   }
 
+  test("exact kernels fail fast when the broadcast side exceeds the configured bound") {
+    val key = "spark.graft.exact.maxBroadcastRows"
+    spark.conf.set(key, "10") // fixture has 50+ vectors
+    try {
+      val e1 = intercept[IllegalArgumentException] {
+        Similarity.knnBruteForce(spark, sf)
+      }
+      assert(e1.getMessage.contains("annLsh") &&
+        e1.getMessage.contains("maxBroadcastRows"))
+      val e2 = intercept[IllegalArgumentException] {
+        Similarity.cosinePairsExact(spark, sf)
+      }
+      assert(e2.getMessage.contains("annIvf"))
+    } finally spark.conf.unset(key)
+    // back under the default bound the kernel runs
+    assert(Similarity.knnBruteForce(spark, sf, k = 1).count() > 0)
+  }
+
+  test("IVF centroid memo retrains when the dataset content changes under one path") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    def write(seed: Int): Unit = {
+      val rnd = new scala.util.Random(seed)
+      (0 until 64).map(i =>
+          (i.toLong, i % 4, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+        .toDF("vec_id", "label", "embedding")
+        .write.mode("overwrite")
+        .parquet(graft.Tables.path(dir, "embeddings"))
+    }
+    write(1)
+    val c1 = Similarity.centroidsFor(spark, dir)
+    // unchanged content → memo hit (the SAME trained artifact)
+    assert(Similarity.centroidsFor(spark, dir) eq c1)
+    // rewritten content under the SAME path → version changes → retrain
+    write(2)
+    val c2 = Similarity.centroidsFor(spark, dir)
+    assert(c2 != c1, "stale centroids served after dataset rewrite")
+  }
+
   test("resize pooling conserves mass and halves dimensions") {
     import graft.operators.Multimodal
     val pooled = Multimodal.resizePool(spark, sf)

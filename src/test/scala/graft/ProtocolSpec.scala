@@ -81,6 +81,61 @@ class ProtocolSpec extends AnyFunSuite {
          "payload": {"job_name": "NOPE"}}""").state == "NOT_RUNNING")
   }
 
+  test("STATUS verbosity mask gates each response section per bit (status.py:276-293)") {
+    val dump = tmp("proto-mask")
+    val submit =
+      s"""{"connection": {"source_dir": "$sf", "target_dir": "$dump"},
+          "request": "SUBMIT",
+          "payload": {"operation": "EXPORT", "mode": "TABLE", "wait": true,
+            "directives": [{"name": "INCLUDE_TABLE", "value": "region"}]}}"""
+    val job = Protocol.handle(spark, submit).jobName.get
+    def status(tpe: String) = Protocol.handle(spark,
+      s"""{"connection": {"source_dir": "$sf"}, "request": "STATUS",
+          "payload": {"job_name": "$job", "type": "$tpe"}}""")
+
+    // ALL = 15: every section present
+    val all = status("ALL")
+    assert(all.mask == 15 && all.detail.exists(_.objects.nonEmpty))
+    assert(all.detail.exists(_.operation == "EXPORT"))
+    val allJson = all.toJson
+    assert(allJson.contains("\"wip\"") && allJson.contains("\"errors\"") &&
+      allJson.contains("\"percent_done\"") && allJson.contains("\"mask\":15"))
+
+    // DESC = 2: description only — no objects, no numeric status, no wip
+    val desc = status("DESC")
+    assert(desc.mask == 2)
+    assert(desc.detail.exists(d => d.operation == "EXPORT" && d.objects.isEmpty
+      && d.percentDone == 0.0 && d.logEntries.isEmpty))
+    val descJson = desc.toJson
+    assert(descJson.contains("\"operation\"") &&
+      !descJson.contains("\"percent_done\"") && !descJson.contains("\"wip\""))
+
+    // ERROR = 8: only failed objects + error lines (clean job → empty)
+    val err = status("ERROR")
+    assert(err.mask == 8)
+    assert(err.detail.exists(d => d.operation.isEmpty && d.objects.isEmpty))
+    assert(err.toJson.contains("\"errors\"") && !err.toJson.contains("\"wip\""))
+
+    // STATUS = WIP|STATUS|ERROR = 13: numbers + objects, no description
+    val st = status("STATUS")
+    assert(st.mask == 13)
+    assert(st.detail.exists(d => d.operation.isEmpty && d.objects.nonEmpty &&
+      d.percentDone == 100.0))
+
+    // LOG_STATUS = 0: state only, no detail payload
+    val log = status("LOG_STATUS")
+    assert(log.mask == 0 && log.detail.isEmpty && log.state == "COMPLETED")
+
+    // raw numeric mask on the wire (GET_STATUS mask param): 4 = STATUS
+    val raw = status("4")
+    assert(raw.mask == 4)
+    assert(raw.detail.exists(d => d.objects.nonEmpty && d.operation.isEmpty &&
+      d.logEntries.isEmpty))
+
+    // unknown type → error response, not an exception
+    assert(status("FROBNICATE").error.exists(_.contains("FROBNICATE")))
+  }
+
   test("base64-enveloped requests decode (Lambda body parity)") {
     val dump = tmp("proto-b64")
     val raw =
@@ -145,6 +200,14 @@ class ProtocolSpec extends AnyFunSuite {
       graft.directives.DirectiveCompiler.fromJson(
         d("name"), d.get("value"), d.get("old_value"))
     }
+    // a non-REMAP --directive value keeps its colons verbatim: only
+    // REMAP_* names take the OLD:NEW split (the old 3-way split chopped
+    // timestamp-bearing QUERY predicates apart)
+    val (_, _, dirs4, _) = Main.parseArgs(Array(
+      "export", "--source-dir", sf, "--full",
+      "--directive", "QUERY:ts >= '2020-01-01 00:30:00'"))
+    assert(dirs4.contains(
+      Map("name" -> "QUERY", "value" -> "ts >= '2020-01-01 00:30:00'")))
   }
 
   // ---- service envelope (entrypoints/aws_lambda.py analog) ----
