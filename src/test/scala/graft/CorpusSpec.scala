@@ -162,6 +162,26 @@ class CorpusSpec extends AnyFunSuite {
     } finally Dedup.clearShingleCache()
   }
 
+  test("every dedup consumer reads the shared shingle cache in its physical plan") {
+    import graft.operators.Dedup
+    try {
+      Dedup.clearShingleCache()
+      Dedup.shingledCached(spark, sf) // populate
+      // structural sharing, not CacheManager plan-matching luck: each
+      // consumer's executed plan must scan the in-memory relation, not
+      // re-derive scan→normalize→split→shingle from parquet
+      Seq(
+        "ngramJaccard" -> Dedup.ngramJaccard(spark, sf),
+        "minhashLsh" -> Dedup.minhashLsh(spark, sf),
+        "minhashRecall" -> Dedup.minhashRecall(spark, sf)
+      ).foreach { case (name, df) =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("InMemoryTableScan"),
+          s"$name does not read the shingle cache")
+      }
+    } finally Dedup.clearShingleCache()
+  }
+
   test("clusters match a reference union-find across seeded random graphs") {
     import spark.implicits._
     import graft.operators.Dedup
