@@ -90,6 +90,8 @@ object SparkEntry {
     "q_tfidf_top" -> ((s: SparkSession, d: String) => Corpus.tfidfTop(s, d)),
     "q_bigram_top" -> ((s: SparkSession, d: String) => Corpus.bigramTop(s, d)),
     "q_pii_scrub" -> (Corpus.piiScrub _),
+    "q_stratified_sample" -> ((s: SparkSession, d: String) => Corpus.stratifiedSample(s, d)),
+    "q_quality_gate" -> ((s: SparkSession, d: String) => Corpus.qualityGate(s, d)),
     "q_repetition" -> (Corpus.repetition _),
     "q_curate" -> (Corpus.curate _),
     "q_contamination" -> (Corpus.contamination _),
@@ -590,6 +592,33 @@ object SparkEntry {
            - (CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
               / CAST(length(text) AS DOUBLE)) * CAST(0.2 AS DOUBLE) AS quality_score
          FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents)
+         ORDER BY doc_id""",
+
+    // Stratified sampling: same content-hash bucket as q_split_assign,
+    // per-language keep rate (en downsampled to 500‰).
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang,
+         CAST(('0x' || substring(md5(text), 1, 8))::BIGINT % 1000 AS BIGINT) AS bucket,
+         CAST(CASE WHEN lang = 'en' THEN 500 ELSE 1000 END AS BIGINT) AS rate_permille
+         FROM documents
+         WHERE ('0x' || substring(md5(text), 1, 8))::BIGINT % 1000 <
+               CASE WHEN lang = 'en' THEN 500 ELSE 1000 END
+         ORDER BY doc_id""",
+
+    // Quality gate: drop the worst quartile by the composite score
+    // (Spark exact `percentile` ↔ DuckDB `quantile_cont` — the
+    // interpolation parity q_percentiles already pins).
+    "q_quality_gate" ->
+      """WITH s AS (
+           SELECT doc_id,
+             (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+             + (CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                / CAST(len(t) AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+             - (CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                / CAST(length(text) AS DOUBLE)) * CAST(0.2 AS DOUBLE) AS quality_score
+           FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents))
+         SELECT doc_id, quality_score FROM s
+         WHERE quality_score > (SELECT quantile_cont(quality_score, 0.25) FROM s)
          ORDER BY doc_id""",
 
     "q_split_assign" ->

@@ -267,6 +267,50 @@ object Corpus {
       .orderBy(col("split"), col("lang"))
   }
 
+  /** Deterministic per-language stratified sampling — the corpus
+    * rebalancing step (downsample a dominant language, keep the tail
+    * whole). The keep decision is `content-hash bucket < rate‰` per
+    * stratum: reproducible, order- and partitioning-independent, and
+    * coherent with [[splitAssign]] (same bucket function, so resampled
+    * corpora keep their split assignments). Pure projection + filter —
+    * zero shuffle at any scale; changing a stratum's rate yields a
+    * strict subset/superset (nested samples), the property that makes
+    * ablation corpora comparable.
+    */
+  def stratifiedSample(spark: SparkSession, sf: String,
+      permilleByLang: Map[String, Int] = Map("en" -> 500),
+      defaultPermille: Int = 1000): DataFrame = {
+    val rate = permilleByLang.foldLeft(lit(defaultPermille)) {
+      case (acc, (lang, r)) => when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+    Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), splitBucket.as("bucket"),
+        rate.cast("long").as("rate_permille"))
+      .filter(col("bucket") < col("rate_permille"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-relative quality gate: keep documents whose composite
+    * [[Text.quality]] score clears the corpus q-quantile — the "drop
+    * the worst quartile" curation cut, made against the corpus's own
+    * distribution rather than a magic constant. The threshold is one
+    * scalar aggregate broadcast over a narrow filter; at 100 TB the
+    * quantile comes from `approx_percentile` (or an exact pass over a
+    * sample) and the gate itself stays a map — no shuffle of the
+    * corpus either way.
+    */
+  def qualityGate(spark: SparkSession, sf: String,
+      q: Double = 0.25): DataFrame = {
+    val scored = Text.quality(spark, sf)
+      .select(col("doc_id"), col("quality_score"))
+    val cut = scored.agg(
+      expr(s"percentile(quality_score, $q)").as("cut"))
+    scored.crossJoin(broadcast(cut))
+      .filter(col("quality_score") > col("cut"))
+      .select(col("doc_id"), col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Within-document repetition score (Gopher-style quality signal):
     * the most-frequent word's share of all words. Boilerplate and
     * keyword-stuffed spam score high; prose scores low. One shuffle on

@@ -92,6 +92,41 @@ class CorpusSpec extends AnyFunSuite {
     assert(Corpus.piiScrub(spark, sf).count() > 0)
   }
 
+  test("stratified sampling: deterministic, nested across rates, caps only the target stratum") {
+    val s500 = Corpus.stratifiedSample(spark, sf).collect()
+    val again = Corpus.stratifiedSample(spark, sf).collect()
+    assert(s500.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+    // lowering a stratum's rate yields a nested subsample — the
+    // property that makes ablation corpora comparable
+    val s200 = Corpus.stratifiedSample(spark, sf, Map("en" -> 200)).collect()
+    assert(s200.map(_.getLong(0)).toSet.subsetOf(s500.map(_.getLong(0)).toSet))
+    // non-target strata pass through whole; the target is ~halved
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val nonEn = docs.filter(col("lang") =!= "en").count()
+    assert(s500.count(_.getString(1) != "en").toLong == nonEn)
+    val enTotal = docs.filter(col("lang") === "en").count().toDouble
+    assert(enTotal > 0 && s500.exists(_.getString(1) == "en"))
+    if (enTotal > 50)
+      assert(math.abs(s500.count(_.getString(1) == "en") / enTotal - 0.5) < 0.15)
+  }
+
+  test("quality gate drops exactly the sub-quantile tail") {
+    import graft.operators.Text
+    val kept = Corpus.qualityGate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val all = Text.quality(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("quality_score"))).toMap
+    assert(kept.nonEmpty && kept.size < all.size)
+    // separation: every dropped score sits at or below every kept score
+    val minKept = kept.values.min
+    all.foreach { case (id, score) =>
+      if (!kept.contains(id)) assert(score <= minKept, s"doc $id")
+    }
+    // the cut removes roughly the worst quartile
+    val frac = (all.size - kept.size).toDouble / all.size
+    assert(frac > 0.15 && frac < 0.35, s"dropped fraction $frac")
+  }
+
   test("near-dup clusters: consistent with pair graph; chain graph converges") {
     import spark.implicits._
     import graft.operators.Dedup
