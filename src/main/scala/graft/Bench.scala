@@ -29,7 +29,13 @@ object Bench {
     // host is shared, and a transient co-tenant load spike must not
     // read as a plan regression (BENCH_r02 inflated 106s vs a quiet-host
     // 52s on identical code).
-    val outcomes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the sweep — the local
+    // iterate-on-one-query loop; the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val outcomes = selected.map { case (name, fn) =>
       def once(): (Double, Option[String]) = {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
@@ -74,6 +80,13 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"sf":"$sfDir"}""")
+    // Compact second line: the full JSON has outgrown the driver's
+    // tail capture (BENCH_r06 "parsed": null), so the headline — total,
+    // counts, the 10 slowest — must survive on its own short line.
+    val top10 = ok.sortBy(-_._2).take(10)
+      .map { case (k, v, _, _) => s"\"${esc(k)}\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"n_errors":${outcomes.size - ok.size},"top10":$top10,"sf":"$sfDir"}""")
     spark.stop()
     if (outcomes.exists(_._3.nonEmpty)) sys.exit(1)
   }

@@ -326,10 +326,15 @@ object Similarity {
       sf: String): Seq[Seq[Long]] = {
     val version = datasetVersion(spark, sf)
     centroidCache.get(sf) match {
-      case Some((v, c)) if v == version => c
+      case Some((v, c)) if v == version =>
+        System.err.println(s"[graft] centroid index: cache-hit ($sf)")
+        c
       case _ =>
+        val t0 = System.nanoTime()
         val trained = kmeansCentroidsQ(Tables.load(spark, sf, "embeddings"))
         centroidCache.put(sf, (version, trained))
+        System.err.println(f"[graft] centroid index: retrain ($sf, ${
+          (System.nanoTime() - t0) / 1e9}%.2f s)")
         trained
     }
   }
