@@ -91,7 +91,11 @@ object SparkEntry {
     "q_bigram_top" -> ((s: SparkSession, d: String) => Corpus.bigramTop(s, d)),
     "q_pii_scrub" -> (Corpus.piiScrub _),
     "q_stratified_sample" -> ((s: SparkSession, d: String) => Corpus.stratifiedSample(s, d)),
-    "q_quality_gate" -> ((s: SparkSession, d: String) => Corpus.qualityGate(s, d)),
+    // exact mode: the DuckDB quantile_cont oracle needs the exact cut;
+    // the default (approx_percentile) is the scale path, pinned by a
+    // CorpusSpec tolerance case against this mode
+    "q_quality_gate" -> ((s: SparkSession, d: String) =>
+      Corpus.qualityGate(s, d, exact = true)),
     "q_repetition" -> (Corpus.repetition _),
     "q_curate" -> (Corpus.curate _),
     "q_contamination" -> (Corpus.contamination _),

@@ -294,17 +294,28 @@ object Corpus {
     * [[Text.quality]] score clears the corpus q-quantile — the "drop
     * the worst quartile" curation cut, made against the corpus's own
     * distribution rather than a magic constant. The threshold is one
-    * scalar aggregate broadcast over a narrow filter; at 100 TB the
-    * quantile comes from `approx_percentile` (or an exact pass over a
-    * sample) and the gate itself stays a map — no shuffle of the
-    * corpus either way.
+    * scalar aggregate broadcast over a narrow filter — the gate itself
+    * stays a map, no shuffle of the corpus either way.
+    *
+    * `exact = false` (the DEFAULT — the scale path) computes the cut
+    * with `approx_percentile` (t-digest, fixed-size sketch, mergeable
+    * partial aggregation): constant memory per partition at any corpus
+    * size. `exact = true` uses Spark's exact `percentile`, which
+    * buffers EVERY score in a single aggregation buffer — the
+    * verification-scale oracle mode (it matches DuckDB's
+    * `quantile_cont` interpolation bit-for-bit), never the 100 TB
+    * path. `accuracy` is the t-digest knob (default 10⁴ ≈ 10⁻⁴
+    * quantile error — the cut moves by at most that quantile mass).
     */
   def qualityGate(spark: SparkSession, sf: String,
-      q: Double = 0.25): DataFrame = {
+      q: Double = 0.25, exact: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
     val scored = Text.quality(spark, sf)
       .select(col("doc_id"), col("quality_score"))
-    val cut = scored.agg(
-      expr(s"percentile(quality_score, $q)").as("cut"))
+    val cutExpr =
+      if (exact) expr(s"percentile(quality_score, $q)")
+      else expr(s"approx_percentile(quality_score, $q, $accuracy)")
+    val cut = scored.agg(cutExpr.as("cut"))
     scored.crossJoin(broadcast(cut))
       .filter(col("quality_score") > col("cut"))
       .select(col("doc_id"), col("quality_score"))

@@ -127,6 +127,36 @@ class CorpusSpec extends AnyFunSuite {
     assert(frac > 0.15 && frac < 0.35, s"dropped fraction $frac")
   }
 
+  test("quality gate approx mode (the scale path) stays within sketch tolerance of the exact cut") {
+    val exact = Corpus.qualityGate(spark, sf, exact = true).collect()
+      .map(_.getLong(0)).toSet
+    val approx = Corpus.qualityGate(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(approx.nonEmpty)
+    // t-digest at accuracy 10^4 can move the cut by at most ~1e-4
+    // quantile mass; allow 1% of the corpus as slack for the tiny
+    // fixture (a handful of docs around the threshold may flip —
+    // never anything far from it)
+    val n = graft.Tables.load(spark, sf, "documents").count()
+    val symmDiff = (approx diff exact).size + (exact diff approx).size
+    assert(symmDiff <= math.max(1L, n / 100),
+      s"approx vs exact kept-set differs by $symmDiff of $n docs")
+    // and the flipped docs must all sit AT the boundary: every doc
+    // kept by exactly one mode scores within the band spanned by the
+    // two cuts' neighborhoods
+    val kept = exact ++ approx
+    val scores = graft.operators.Text.quality(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("quality_score"))).toMap
+    val onlyOne = (approx diff exact) ++ (exact diff approx)
+    if (onlyOne.nonEmpty) {
+      val both = (approx intersect exact).map(scores)
+      val flipped = onlyOne.map(scores)
+      assert(flipped.max <= both.min,
+        "a doc far from the threshold flipped between exact and approx modes")
+    }
+    assert(kept.nonEmpty)
+  }
+
   test("near-dup clusters: consistent with pair graph; chain graph converges") {
     import spark.implicits._
     import graft.operators.Dedup
