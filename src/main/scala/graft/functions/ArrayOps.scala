@@ -69,10 +69,71 @@ case class DotLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Count of positions where two `array<bigint>` columns agree over
+  * their common prefix — the MinHash signature-agreement kernel
+  * (estimated Jaccard = agree_count / k). Replaces the interpreted
+  * `size(filter(zip_with(a, b, ==), x => x))` HOF chain: one boxed
+  * lambda call per slot per candidate pair becomes a primitive loop
+  * inside whole-stage codegen, and the post-banding candidate set is
+  * the big intermediate at corpus scale. Null if either side is null.
+  */
+case class AgreeCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "agree_count"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckSuccess
+    else TypeCheckFailure(
+      s"agree_count requires array<bigint> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) acc += 1L; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $acc++;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AgreeCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object ArrayOps {
   /** Column wrapper: exact integer dot product. */
   def dot_long(a: Column, b: Column): Column =
     Bridge.column(DotLong(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column wrapper: count of agreeing slots of two long arrays. */
+  def agree_count(a: Column, b: Column): Column =
+    Bridge.column(AgreeCount(Bridge.expression(a), Bridge.expression(b)))
 
   /** Column wrapper: k-component MinHash signature. */
   def minhash_sig(hashes: Column, as: Seq[Long], bs: Seq[Long], p: Long): Column =

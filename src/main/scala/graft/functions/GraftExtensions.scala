@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("dot_long"),
       info("dot_long", "dot_long(a, b) - integer dot product"),
       (es: Seq[Expression]) => DotLong(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("agree_count"),
+      info("agree_count", "agree_count(a, b) - count of agreeing slots"),
+      (es: Seq[Expression]) => AgreeCount(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("simhash_sig"),
       info("simhash_sig", "simhash_sig(hashes) - 64-bit simhash"),
       (es: Seq[Expression]) => SimHashSig(es(0))))
@@ -46,6 +49,8 @@ object GraftExtensions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("dot_long",
       (es: Seq[Expression]) => DotLong(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("agree_count",
+      (es: Seq[Expression]) => AgreeCount(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("simhash_sig",
       (es: Seq[Expression]) => SimHashSig(es(0)), "scala_udf")
     reg.createOrReplaceTempFunction("shingles",

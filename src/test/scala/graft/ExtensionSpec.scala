@@ -110,6 +110,34 @@ class ExtensionSpec extends AnyFunSuite {
     assert(df.count() == 100)
   }
 
+  test("agree_count equals the zip_with+filter+size HOF form") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // mix agreeing and differing slots, plus unequal lengths
+    val pairs: Seq[(Seq[Long], Seq[Long])] = (1 to 100).map { _ =>
+      val a = Seq.fill(64)(rnd.nextInt(4).toLong)
+      val b = a.map(x => if (rnd.nextBoolean()) x else rnd.nextInt(4).toLong)
+      (a, if (rnd.nextInt(10) == 0) b.take(50) else b)
+    }
+    val df = pairs.toDF("a", "b").select(
+      graft.functions.ArrayOps.agree_count(col("a"), col("b")).as("fused"),
+      size(filter(zip_with(col("a"), col("b"), (x, y) => x === y), v => v))
+        .cast("long").as("hof"))
+    assert(df.filter(col("fused") =!= col("hof")).count() == 0)
+    assert(df.count() == 100)
+  }
+
+  test("whole-stage codegen keeps agree_count inline (no fallback)") {
+    GraftExtensions.registerAll(spark)
+    val plan = spark.sql(
+      """SELECT agree_count(array(l_orderkey, l_partkey),
+                            array(l_partkey, l_orderkey)) AS c
+         FROM parquet.`/root/testdata/sf0.001/lineitem.parquet`""")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [agree_count"), plan.take(500))
+  }
+
   test("whole-stage codegen keeps dot_long inline (no fallback)") {
     GraftExtensions.registerAll(spark)
     val plan = spark.sql(
