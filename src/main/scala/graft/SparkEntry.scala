@@ -108,6 +108,7 @@ object SparkEntry {
     "q_dup_clusters_lsh" -> (Dedup.nearDupClustersLsh _),
     "q_contamination_lsh" -> (Corpus.contaminationLsh _),
     "q_delta_dedup" -> (Dedup.deltaDedup _),
+    "q_delta_neardup" -> ((s: SparkSession, d: String) => Dedup.deltaNearDup(s, d)),
     "q_label_centroids" -> (Similarity.labelCentroids _),
     "q_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     // --- similarity search
@@ -803,6 +804,45 @@ object SparkEntry {
                 ELSE 'new' END AS status
          FROM batch
          ORDER BY doc_id""",
+
+    // Near-dup delta classification: the Spark side classifies off
+    // LSH candidates; the oracle off EXACT n-gram Jaccard pairs — at
+    // the fixtures' similarity levels (every exact pair at j >= 0.9)
+    // the two pair sets coincide (same pinning as q_dup_clusters_lsh),
+    // so any banding miss or spurious candidate flips a status/match
+    // and fails the hash.
+    "q_delta_neardup" ->
+      s"""WITH docs AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(ws) - 2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+           FROM (SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents) t
+           WHERE len(ws) >= 3),
+         expl AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+         sizes AS (SELECT doc_id, len(sh) AS n_sh FROM docs),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     COUNT(*) AS common
+                   FROM expl a JOIN expl b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         jp AS (SELECT doc_a, doc_b FROM pairs
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5),
+         w AS (SELECT CAST(floor((MAX(doc_id) + 1) * 0.8) AS BIGINT) AS w
+               FROM documents),
+         m AS (SELECT doc_b AS doc_id,
+                 MIN(CASE WHEN doc_a < w THEN doc_a END) AS corpus_match,
+                 MIN(CASE WHEN doc_a >= w THEN doc_a END) AS batch_match
+               FROM jp, w WHERE doc_b >= w GROUP BY doc_b)
+         SELECT b.doc_id,
+           CASE WHEN corpus_match IS NOT NULL THEN 'near_dup_of_corpus'
+                WHEN batch_match IS NOT NULL THEN 'near_dup_in_batch'
+                ELSE 'new' END AS status,
+           COALESCE(corpus_match, batch_match, CAST(-1 AS BIGINT)) AS matched_id
+         FROM (SELECT doc_id FROM documents, w WHERE doc_id >= w) b
+         LEFT JOIN m ON m.doc_id = b.doc_id
+         ORDER BY b.doc_id""",
 
     "q_label_centroids" ->
       """SELECT label, pos, n_vecs,

@@ -152,6 +152,58 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Near-dup DELTA classification — [[deltaDedup]]'s framing composed
+    * with MinHash-LSH: each new-batch doc (last 20% of ids) probes the
+    * corpus band buckets and is classified `near_dup_of_corpus` (an
+    * LSH near-dup partner already ingested), `near_dup_in_batch`
+    * (first near-dup partner is an earlier doc IN this batch), or
+    * `new` — the decision a continuously-fed pipeline makes per
+    * delivery when exact-hash dedup isn't enough. `matched_id` is the
+    * minimum partner of the winning class (−1 for `new`).
+    *
+    * Plan: the edge source is the banded equality join
+    * ([[minhashLsh]], O(collisions)); classification is one groupBy on
+    * the batch doc id plus a left join back onto the batch — two
+    * shuffles of candidate/batch-sized data, never the corpus. The
+    * watermark `w` is a broadcast scalar. Corpus ids all precede batch
+    * ids, so every corpus↔batch pair arrives as (doc_a=corpus,
+    * doc_b=batch) and batch↔batch pairs as (earlier, later) — doc_b
+    * alone indexes the classification.
+    *
+    * ORACLE PINNING (same argument as [[nearDupClustersLsh]]): at the
+    * fixtures' similarity levels every exact pair sits at j ≥ 0.9,
+    * where 16×4 banding miss probability ≈ 4·10⁻⁸ and the signature
+    * estimate concentrates far above the 0.5 cut — so the LSH
+    * candidate set equals the exact n-gram Jaccard pair set and the
+    * DuckDB oracle classifies off the EXACT pairs.
+    */
+  def deltaNearDup(spark: SparkSession, sf: String,
+      threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.load(spark, sf, "documents").select(col("doc_id"))
+    val w = docs.agg(
+      floor((max(col("doc_id")) + 1) * 0.8).cast("long").as("w"))
+    val batch = docs.crossJoin(broadcast(w))
+      .filter(col("doc_id") >= col("w")).select(col("doc_id"))
+    val pairs = minhashLshFrom(shingledCached(spark, sf), threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val matches = pairs.crossJoin(broadcast(w))
+      .filter(col("doc_b") >= col("w"))
+      .select(col("doc_b").as("doc_id"),
+        when(col("doc_a") < col("w"), col("doc_a")).as("corpus_partner"),
+        when(col("doc_a") >= col("w"), col("doc_a")).as("batch_partner"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("corpus_partner")).as("corpus_match"),
+        min(col("batch_partner")).as("batch_match"))
+    batch.join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("corpus_match").isNotNull, lit("near_dup_of_corpus"))
+          .when(col("batch_match").isNotNull, lit("near_dup_in_batch"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("corpus_match"), col("batch_match"), lit(-1L))
+          .as("matched_id"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- near-dup clustering (connected components) -------------------
 
   /** Near-duplicate CLUSTERS: connected components over the similarity
@@ -391,10 +443,15 @@ object Dedup {
         col("a.minhash").as("mh_a"), col("b.minhash").as("mh_b"))
       .dropDuplicates("doc_a", "doc_b")
 
+    // agree_count is the codegen'd signature-agreement kernel — the
+    // interpreted zip_with+filter+size chain here was the last hot-path
+    // HOF (one boxed call per slot per candidate pair, and post-banding
+    // candidates are the big intermediate at scale). The decimal cast
+    // path is unchanged: est_jaccard stays bit-identical.
     candidates
       .withColumn("est_jaccard",
-        (size(filter(zip_with(col("mh_a"), col("mh_b"), (x, y) => x === y),
-          b => b)).cast(DecimalType(18, 6)) / lit(NumHashes))
+        (graft.functions.ArrayOps.agree_count(col("mh_a"), col("mh_b"))
+          .cast(DecimalType(18, 6)) / lit(NumHashes))
           .cast(DecimalType(18, 6)).cast("double"))
       .filter(col("est_jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))

@@ -393,6 +393,41 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("delta near-dup: matches exact-Jaccard classification and partner invariants") {
+    import graft.operators.Dedup
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    val w = ((maxId + 1) * 0.8).floor.toLong
+    val rows = Dedup.deltaNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // one row per batch doc, covering the whole batch
+    val batchN = docs.filter(col("doc_id") >= w).count()
+    assert(rows.length.toLong == batchN && rows.forall(_._1 >= w))
+    // partner invariants per class
+    rows.foreach {
+      case (id, "near_dup_of_corpus", m) => assert(m >= 0 && m < w, s"doc $id")
+      case (id, "near_dup_in_batch", m) => assert(m >= w && m < id, s"doc $id")
+      case (id, "new", m) => assert(m == -1L, s"doc $id")
+      case (id, s, _) => fail(s"doc $id: unknown status $s")
+    }
+    assert(rows.exists(_._2 != "new"), "fixture has no near-dup batch docs")
+    // cross-check against the EXACT n-gram Jaccard pair set: the LSH
+    // classification must agree doc-for-doc (the oracle's argument)
+    val exactPairs = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byBatchDoc = exactPairs.filter(_._2 >= w).groupBy(_._2)
+    rows.foreach { case (id, status, m) =>
+      val partners = byBatchDoc.getOrElse(id, Array.empty).map(_._1)
+      val corpus = partners.filter(_ < w)
+      val batch = partners.filter(p => p >= w && p < id)
+      val expected =
+        if (corpus.nonEmpty) ("near_dup_of_corpus", corpus.min)
+        else if (batch.nonEmpty) ("near_dup_in_batch", batch.min)
+        else ("new", -1L)
+      assert((status, m) == expected, s"doc $id")
+    }
+  }
+
   test("label centroids: one row per (label, dim), componentwise in range") {
     import graft.operators.Similarity
     val rows = Similarity.labelCentroids(spark, sf).collect()
