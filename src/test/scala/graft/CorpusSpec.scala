@@ -372,6 +372,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(anyFile(new java.io.File(dir)), s"no checkpoint data under $dir")
   }
 
+  test("reliable-checkpoint mode reproduces q_dup_clusters_lsh at sf0.1 (bench-adjacent)") {
+    // guards the checkpoint() path against bit-rot at a real data
+    // scale: the toy case above can't catch per-round write/read
+    // regressions that only surface with actual shuffle partitions
+    import graft.operators.Dedup
+    val big = "/root/testdata/sf0.1"
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-lsh").toString
+    try {
+      val docs = graft.Tables.load(spark, big, "documents").select(col("doc_id"))
+      val pairs = Dedup.minhashLsh(spark, big).select(col("doc_a"), col("doc_b"))
+      val default = Dedup.nearDupClustersLsh(spark, big).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val reliable = Dedup.clustersFrom(docs, pairs,
+          checkpointDir = Some(dir)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(reliable == default)
+      def anyFile(f: java.io.File): Boolean =
+        f.isFile || Option(f.listFiles).exists(_.exists(anyFile))
+      assert(anyFile(new java.io.File(dir)), s"no checkpoint data under $dir")
+    } finally Dedup.clearShingleCache() // sf0.1 blocks must not outlive this test
+  }
+
   test("delta dedup classifies the batch consistently with the corpus split") {
     import graft.operators.{Dedup, Text}
     val docs = graft.Tables.load(spark, sf, "documents")
