@@ -109,6 +109,9 @@ object SparkEntry {
     "q_contamination_lsh" -> (Corpus.contaminationLsh _),
     "q_delta_dedup" -> (Dedup.deltaDedup _),
     "q_delta_neardup" -> ((s: SparkSession, d: String) => Dedup.deltaNearDup(s, d)),
+    "q_ngram_novelty" -> (Dedup.ngramNovelty _),
+    "q_epoch_shuffle" -> ((s: SparkSession, d: String) => Corpus.epochShuffle(s, d)),
+    "q_temperature_sample" -> (Corpus.temperatureSample _),
     "q_label_centroids" -> (Similarity.labelCentroids _),
     "q_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     // --- similarity search
@@ -843,6 +846,59 @@ object SparkEntry {
          FROM (SELECT doc_id FROM documents, w WHERE doc_id >= w) b
          LEFT JOIN m ON m.doc_id = b.doc_id
          ORDER BY b.doc_id""",
+
+    // Batch novelty vs the corpus shingle index (deltaDedup's 80/20
+    // framing; docs under the shingle width have no row on either side)
+    "q_ngram_novelty" ->
+      s"""WITH docs AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(ws) - 2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+           FROM (SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents) t
+           WHERE len(ws) >= 3),
+         w AS (SELECT CAST(floor((MAX(doc_id) + 1) * 0.8) AS BIGINT) AS w
+               FROM documents),
+         corpus AS (SELECT DISTINCT shingle FROM
+           (SELECT unnest(sh) AS shingle FROM docs, w WHERE doc_id < w)),
+         batch AS (SELECT doc_id, unnest(sh) AS shingle
+                   FROM docs, w WHERE doc_id >= w)
+         SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN c.shingle IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN c.shingle IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS novelty
+         FROM batch b LEFT JOIN corpus c ON b.shingle = c.shingle
+         GROUP BY b.doc_id
+         ORDER BY b.doc_id""",
+
+    // Deterministic epoch shuffle: the oracle is the bare global
+    // row_number over the same md5 key — Spark's two-phase
+    // bucket-offset construction must produce the identical total order
+    "q_epoch_shuffle" ->
+      """SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY md5('epoch1:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+           AS BIGINT) AS shuffle_rank
+         FROM documents
+         ORDER BY doc_id""",
+
+    // sqrt/mult/div are correctly-rounded IEEE in both engines, so the
+    // derived per-language rates are bit-identical and the content-hash
+    // keep decision matches row-for-row
+    "q_temperature_sample" ->
+      """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+                    FROM documents GROUP BY lang),
+         m AS (SELECT MAX(n_docs) AS mx FROM c),
+         r AS (SELECT lang,
+                 LEAST(1000, CAST(floor(1000.0 * sqrt(CAST(n_docs AS DOUBLE))
+                   / sqrt(CAST(mx AS DOUBLE))) AS BIGINT)) AS rate_permille
+               FROM c, m)
+         SELECT doc_id, d.lang,
+           CAST(('0x' || substring(md5(text), 1, 8))::BIGINT % 1000 AS BIGINT) AS bucket,
+           rate_permille
+         FROM documents d JOIN r ON d.lang = r.lang
+         WHERE ('0x' || substring(md5(text), 1, 8))::BIGINT % 1000 < rate_permille
+         ORDER BY doc_id""",
 
     "q_label_centroids" ->
       """SELECT label, pos, n_vecs,

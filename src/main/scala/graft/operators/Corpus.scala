@@ -322,6 +322,76 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic epoch shuffle: a reproducible pseudo-random total
+    * order over the corpus per training epoch — same epoch, same data
+    * → bit-identical order on any cluster/partitioning; a new epoch
+    * reshuffles. The shuffle key is `md5("epoch<e>:" || doc_id)`
+    * (content-free, so the order is stable under text edits; keyed on
+    * the id like the split/sample bucket functions).
+    *
+    * The global rank is the SAME two-phase construction as
+    * [[packChunksDf]] — a bare `Window.orderBy(key)` would funnel the
+    * corpus through one partition. The first two hex digits of the key
+    * range-bucket rows into 256 ordered groups (hex-string order ==
+    * numeric order at fixed width), per-bucket counts are
+    * exclusive-cumsum'd on the 256-row side and broadcast back as
+    * offsets, and row_number runs only within a bucket. At 100 TB the
+    * writer pairs this with `repartitionByRange(shuffle_rank)` +
+    * `sortWithinPartitions` to lay out training shards.
+    */
+  def epochShuffle(spark: SparkSession, sf: String,
+      epoch: Int = 1): DataFrame = {
+    val keyed = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        md5(concat(lit(s"epoch$epoch:"), col("doc_id").cast("string")))
+          .as("skey"))
+      .withColumn("bucket",
+        expr("cast(conv(substring(skey, 1, 2), 16, 10) as bigint)"))
+    val offsets = keyed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        coalesce(sum(col("n")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val inBucket = Window.partitionBy(col("bucket"))
+      .orderBy(col("skey"), col("doc_id"))
+    keyed.join(broadcast(offsets), "bucket")
+      .select(col("doc_id"),
+        (col("offset") + row_number().over(inBucket) - 1)
+          .cast("long").as("shuffle_rank"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Temperature-scaled multilingual sampling (the mBERT/XLM-R α=0.5
+    * recipe): each language is kept at a rate ∝ √(its share), so
+    * dominant languages are downsampled toward parity and tail
+    * languages kept whole — `rate_permille(l) = min(1000,
+    * ⌊1000·√n_l/√n_max⌋)`. α is FIXED at 0.5 because `sqrt`, `*`, `/`
+    * are correctly-rounded IEEE in every engine (bit-identical rates
+    * cross-engine); arbitrary-α `pow` carries no such guarantee.
+    * The keep decision is the same content-hash bucket as
+    * [[splitAssign]]/[[stratifiedSample]] — zero shuffle of the
+    * corpus; the rate table is one tiny broadcast (languages ×
+    * counts come from one partial-aggregated groupBy).
+    */
+  def temperatureSample(spark: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.load(spark, sf, "documents")
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val mx = counts.agg(max(col("n_docs")).as("mx"))
+    val rates = counts.crossJoin(broadcast(mx))
+      .select(col("lang"),
+        least(lit(1000L),
+          floor(lit(1000.0) * sqrt(col("n_docs").cast("double")) /
+            sqrt(col("mx").cast("double"))).cast("long"))
+          .as("rate_permille"))
+    docs.join(broadcast(rates), "lang")
+      .select(col("doc_id"), col("lang"), splitBucket.as("bucket"),
+        col("rate_permille"))
+      .filter(col("bucket") < col("rate_permille"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Within-document repetition score (Gopher-style quality signal):
     * the most-frequent word's share of all words. Boilerplate and
     * keyword-stuffed spam score high; prose scores low. One shuffle on

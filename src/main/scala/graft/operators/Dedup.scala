@@ -204,6 +204,44 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-batch-doc n-gram NOVELTY against the ingested corpus: the
+    * fraction of a new doc's distinct shingles never seen in the
+    * corpus (first 80% of ids — [[deltaDedup]]'s framing). The data-
+    * selection signal between the dedup extremes: `near_dup_of_corpus`
+    * docs score ≈0, genuinely new material ≈1, and remixes land in
+    * between — what a curation pipeline thresholds on to prefer
+    * novel deliveries.
+    *
+    * Plan: the corpus side is distinct-reduced to a shingle INDEX
+    * before the join (map-side combine; orders of magnitude smaller
+    * than the corpus), then one membership join shuffled on the
+    * shingle key and a per-doc rollup. Docs shorter than the shingle
+    * width have no rows (same guard as every shingle consumer). At
+    * extreme scale membership-only semantics admit a bloom-filter
+    * pre-pass (`bloom_filter_agg` on the index, filter before the
+    * join); the exact join stays the verification form.
+    */
+  def ngramNovelty(spark: SparkSession, sf: String): DataFrame = {
+    val sh = shingledCached(spark, sf)
+    val w = Tables.load(spark, sf, "documents")
+      .agg(floor((max(col("doc_id")) + 1) * 0.8).cast("long").as("w"))
+    val corpusIdx = sh.crossJoin(broadcast(w))
+      .filter(col("doc_id") < col("w"))
+      .select(explode(col("sh")).as("shingle")).distinct()
+      .withColumn("seen", lit(true))
+    val batch = sh.crossJoin(broadcast(w))
+      .filter(col("doc_id") >= col("w"))
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    batch.join(corpusIdx, Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- near-dup clustering (connected components) -------------------
 
   /** Near-duplicate CLUSTERS: connected components over the similarity

@@ -450,6 +450,83 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("epoch shuffle: exact permutation equal to the single-window form; epochs differ") {
+    val rows = Corpus.epochShuffle(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val n = rows.length
+    // a permutation of 0..n-1
+    assert(rows.map(_._2).sorted.sameElements(0L until n.toLong))
+    // the two-phase bucket-offset rank must equal the bare global
+    // window over the same key (the thing it exists to avoid at scale)
+    val expected = rows.map(_._1).sorted
+      .map(id => id -> org.apache.commons.codec.digest.DigestUtils.md5Hex(s"epoch1:$id"))
+      .sortBy { case (id, k) => (k, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> i.toLong }.toMap
+    rows.foreach { case (id, rk) => assert(rk == expected(id), s"doc $id") }
+    // deterministic re-run; a different epoch reshuffles
+    assert(Corpus.epochShuffle(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sameElements(rows))
+    val e2 = Corpus.epochShuffle(spark, sf, epoch = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(e2.map(_._2).sorted.sameElements(0L until n.toLong))
+    assert(!e2.sameElements(rows))
+  }
+
+  test("temperature sample: sqrt-share rates, tail kept whole, deterministic") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mx = counts.values.max
+    val rows = Corpus.temperatureSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // every emitted rate matches the sqrt formula off the real counts
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val expect = math.min(1000L,
+        math.floor(1000.0 * math.sqrt(counts(lang).toDouble) /
+          math.sqrt(mx.toDouble)).toLong)
+      assert(rs.forall(_._4 == expect), s"lang $lang")
+      assert(rs.forall(r => r._3 < expect))
+    }
+    // the dominant language keeps rate 1000 (kept whole); any lang at
+    // under a quarter of the max is downsampled below 510‰
+    val maxLang = counts.maxBy(_._2)._1
+    assert(rows.filter(_._2 == maxLang).forall(_._4 == 1000L))
+    counts.filter(_._2 * 4 < mx).keys.foreach { l =>
+      rows.filter(_._2 == l).foreach(r => assert(r._4 <= 510L, s"lang $l"))
+    }
+    assert(Corpus.temperatureSample(spark, sf).collect().length == rows.length)
+  }
+
+  test("ngram novelty: matches a brute-force recomputation over collected shingles") {
+    import graft.operators.{Dedup, Text}
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    val w = ((maxId + 1) * 0.8).floor.toLong
+    // brute-force reference: shingle sets in plain Scala
+    val sets = docs.select(col("doc_id"), Text.normalized(col("text")).as("t"))
+      .collect().map { r =>
+        val ws = r.getString(1).split(" ")
+        r.getLong(0) -> ws.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty).toMap
+    val corpus = sets.filter(_._1 < w).values.flatten.toSet
+    val got = Dedup.ngramNovelty(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val batchDocs = sets.keys.filter(_ >= w).toSet
+    assert(got.map(_._1).toSet == batchDocs)
+    got.foreach { case (id, nSh, nNovel, novelty) =>
+      val sh = sets(id)
+      assert(nSh == sh.size.toLong, s"doc $id")
+      assert(nNovel == sh.count(s => !corpus(s)).toLong, s"doc $id")
+      assert(novelty == nNovel.toDouble / nSh.toDouble && novelty >= 0.0
+        && novelty <= 1.0, s"doc $id")
+    }
+    // near-dups of corpus docs must score near zero, and the signal
+    // must actually separate docs (not a constant column)
+    assert(got.exists(_._4 < 0.2) && got.map(_._4).distinct.length > 1)
+  }
+
   test("label centroids: one row per (label, dim), componentwise in range") {
     import graft.operators.Similarity
     val rows = Similarity.labelCentroids(spark, sf).collect()
