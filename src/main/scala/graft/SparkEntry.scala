@@ -110,6 +110,7 @@ object SparkEntry {
     "q_delta_dedup" -> (Dedup.deltaDedup _),
     "q_delta_neardup" -> ((s: SparkSession, d: String) => Dedup.deltaNearDup(s, d)),
     "q_ngram_novelty" -> (Dedup.ngramNovelty _),
+    "q_dedup_survivors" -> (Dedup.keepBest _),
     "q_epoch_shuffle" -> ((s: SparkSession, d: String) => Corpus.epochShuffle(s, d)),
     "q_temperature_sample" -> (Corpus.temperatureSample _),
     "q_label_centroids" -> (Similarity.labelCentroids _),
@@ -143,7 +144,7 @@ object SparkEntry {
   /** Exact-edge connected-components oracle (recursive CTE transitive
     * closure) — shared by q_dup_clusters and q_dup_clusters_lsh, whose
     * Spark sides differ only in how the edge set is derived. */
-  private val DupClustersSql: String =
+  private val DupClustersCtes: String =
     s"""WITH RECURSIVE
          docs AS (
            SELECT doc_id,
@@ -173,7 +174,10 @@ object SparkEntry {
                  FROM reach GROUP BY a),
          labeled AS (SELECT d.doc_id,
                        COALESCE(l.cluster_id, d.doc_id) AS cluster_id
-                     FROM documents d LEFT JOIN lab l USING (doc_id))
+                     FROM documents d LEFT JOIN lab l USING (doc_id))"""
+
+  private val DupClustersSql: String =
+    s"""$DupClustersCtes
          SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
            CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
          FROM labeled
@@ -846,6 +850,35 @@ object SparkEntry {
          FROM (SELECT doc_id FROM documents, w WHERE doc_id >= w) b
          LEFT JOIN m ON m.doc_id = b.doc_id
          ORDER BY b.doc_id""",
+
+    // Survivorship: highest-quality doc per near-dup cluster. Clusters
+    // from the exact-edge recursive CTE (== the LSH-fed assignment at
+    // fixture similarity levels), score = the bit-exact cross-engine
+    // composite q_quality_gate pins, winner by ROW_NUMBER with doc_id
+    // tie-break.
+    "q_dedup_survivors" ->
+      s"""$DupClustersCtes,
+         clusters AS (
+           SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+             CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+           FROM labeled),
+         q AS (
+           SELECT doc_id,
+             (CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+             + (CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                / CAST(len(tk) AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+             - (CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                / CAST(length(text) AS DOUBLE)) * CAST(0.2 AS DOUBLE) AS quality_score
+           FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS tk FROM documents)),
+         ranked AS (
+           SELECT c.doc_id, c.cluster_id, c.cluster_size, q.quality_score,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+               ORDER BY q.quality_score DESC, c.doc_id) AS rk
+           FROM clusters c JOIN q ON q.doc_id = c.doc_id)
+         SELECT doc_id, cluster_id, cluster_size, quality_score,
+           rk = 1 AS keep
+         FROM ranked
+         ORDER BY doc_id""",
 
     // Batch novelty vs the corpus shingle index (deltaDedup's 80/20
     // framing; docs under the shingle width have no row on either side)

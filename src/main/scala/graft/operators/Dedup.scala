@@ -274,6 +274,40 @@ object Dedup {
     clustersFrom(docs, pairs)
   }
 
+  /** Near-dup SURVIVORSHIP: the curation decision [[nearDupClustersLsh]]
+    * exists to feed — keep the highest-[[Text.quality]] document per
+    * near-dup cluster (ties broken on doc_id), instead of the naive
+    * "keep the minimum id". Output marks every doc with its cluster,
+    * score, and the keep/drop verdict, so the caller can either filter
+    * `keep` or audit what was dropped and why.
+    *
+    * Plan: the LSH-fed clustering (banded equality join → CC over
+    * graph nodes only), one join to the quality projection (a map over
+    * the corpus, no shuffle beyond the join), one window partitioned
+    * by cluster — singleton clusters dominate real corpora, so the
+    * window's per-key state is tiny; skew equals the largest dup
+    * cluster, which the domain-cap/WindowGroupLimit pattern bounds if
+    * a pathological corpus needs it.
+    *
+    * ORACLE PINNING: same argument as [[nearDupClustersLsh]] — the
+    * exact-edge DuckDB recursive CTE assigns identical clusters at the
+    * fixtures' similarity levels, and the quality score is the
+    * bit-exact cross-engine composite q_quality_gate already pins.
+    */
+  def keepBest(spark: SparkSession, sf: String): DataFrame = {
+    val clusters = nearDupClustersLsh(spark, sf)
+    val quality = Text.quality(spark, sf)
+      .select(col("doc_id"), col("quality_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("quality_score"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Distributed connected components by iterative min-label
     * propagation (Pregel shape): each round every vertex takes the min
     * of its own label and its neighbors' labels; converges to the

@@ -450,6 +450,26 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup survivors: exactly one keeper per cluster, and it is the best-quality doc") {
+    import graft.operators.Dedup
+    val rows = Dedup.keepBest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.count(_._5) == 1, s"cluster $cid keeper count")
+      assert(members.forall(_._3.toInt == members.length), s"cluster $cid size")
+      val keeper = members.find(_._5).get
+      // best quality, doc_id tie-break
+      val best = members.minBy(m => (-m._4, m._1))
+      assert(keeper == best, s"cluster $cid")
+    }
+    // singletons keep themselves; the fixture has real multi-doc clusters
+    assert(byCluster.values.exists(_.length > 1))
+    byCluster.values.filter(_.length == 1).foreach(m => assert(m.head._5))
+  }
+
   test("epoch shuffle: exact permutation equal to the single-window form; epochs differ") {
     val rows = Corpus.epochShuffle(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
