@@ -111,6 +111,8 @@ object SparkEntry {
     "q_delta_neardup" -> ((s: SparkSession, d: String) => Dedup.deltaNearDup(s, d)),
     "q_ngram_novelty" -> (Dedup.ngramNovelty _),
     "q_dedup_survivors" -> (Dedup.keepBest _),
+    "q_stream_neardup" -> ((s: SparkSession, d: String) =>
+      graft.streaming.DocStream.nearDupViaStream(s, d)),
     "q_epoch_shuffle" -> ((s: SparkSession, d: String) => Corpus.epochShuffle(s, d)),
     "q_temperature_sample" -> (Corpus.temperatureSample _),
     "q_label_centroids" -> (Similarity.labelCentroids _),
@@ -182,6 +184,42 @@ object SparkEntry {
            CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
          FROM labeled
          ORDER BY doc_id"""
+
+  /** Exact-pair near-dup delta classification — shared by the batch
+    * twin (q_delta_neardup) and the streaming ingest classifier
+    * (q_stream_neardup), which must land on the identical answer. */
+  private val DeltaNearDupSql: String =
+    s"""WITH docs AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(ws) - 2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+           FROM (SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents) t
+           WHERE len(ws) >= 3),
+         expl AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+         sizes AS (SELECT doc_id, len(sh) AS n_sh FROM docs),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     COUNT(*) AS common
+                   FROM expl a JOIN expl b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         jp AS (SELECT doc_a, doc_b FROM pairs
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5),
+         w AS (SELECT CAST(floor((MAX(doc_id) + 1) * 0.8) AS BIGINT) AS w
+               FROM documents),
+         m AS (SELECT doc_b AS doc_id,
+                 MIN(CASE WHEN doc_a < w THEN doc_a END) AS corpus_match,
+                 MIN(CASE WHEN doc_a >= w THEN doc_a END) AS batch_match
+               FROM jp, w WHERE doc_b >= w GROUP BY doc_b)
+         SELECT b.doc_id,
+           CASE WHEN corpus_match IS NOT NULL THEN 'near_dup_of_corpus'
+                WHEN batch_match IS NOT NULL THEN 'near_dup_in_batch'
+                ELSE 'new' END AS status,
+           COALESCE(corpus_match, batch_match, CAST(-1 AS BIGINT)) AS matched_id
+         FROM (SELECT doc_id FROM documents, w WHERE doc_id >= w) b
+         LEFT JOIN m ON m.doc_id = b.doc_id
+         ORDER BY b.doc_id"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -818,38 +856,12 @@ object SparkEntry {
     // the two pair sets coincide (same pinning as q_dup_clusters_lsh),
     // so any banding miss or spurious candidate flips a status/match
     // and fails the hash.
-    "q_delta_neardup" ->
-      s"""WITH docs AS (
-           SELECT doc_id,
-             list_distinct(list_transform(generate_series(1, len(ws) - 2),
-               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
-           FROM (SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents) t
-           WHERE len(ws) >= 3),
-         expl AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
-         sizes AS (SELECT doc_id, len(sh) AS n_sh FROM docs),
-         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     COUNT(*) AS common
-                   FROM expl a JOIN expl b
-                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2),
-         jp AS (SELECT doc_a, doc_b FROM pairs
-                JOIN sizes sa ON sa.doc_id = doc_a
-                JOIN sizes sb ON sb.doc_id = doc_b
-                WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5),
-         w AS (SELECT CAST(floor((MAX(doc_id) + 1) * 0.8) AS BIGINT) AS w
-               FROM documents),
-         m AS (SELECT doc_b AS doc_id,
-                 MIN(CASE WHEN doc_a < w THEN doc_a END) AS corpus_match,
-                 MIN(CASE WHEN doc_a >= w THEN doc_a END) AS batch_match
-               FROM jp, w WHERE doc_b >= w GROUP BY doc_b)
-         SELECT b.doc_id,
-           CASE WHEN corpus_match IS NOT NULL THEN 'near_dup_of_corpus'
-                WHEN batch_match IS NOT NULL THEN 'near_dup_in_batch'
-                ELSE 'new' END AS status,
-           COALESCE(corpus_match, batch_match, CAST(-1 AS BIGINT)) AS matched_id
-         FROM (SELECT doc_id FROM documents, w WHERE doc_id >= w) b
-         LEFT JOIN m ON m.doc_id = b.doc_id
-         ORDER BY b.doc_id""",
+    "q_delta_neardup" -> DeltaNearDupSql,
+
+    // The streaming ingest classifier replays corpus-then-delivery
+    // through the engine and must land on the batch twin's exact
+    // answer — SAME oracle.
+    "q_stream_neardup" -> DeltaNearDupSql,
 
     // Survivorship: highest-quality doc per near-dup cluster. Clusters
     // from the exact-edge recursive CTE (== the LSH-fed assignment at

@@ -484,6 +484,25 @@ object Dedup {
     docs.withColumn("minhash",
       graft.functions.ArrayOps.minhash_sig_str(col("sh"), As, Bs, P))
 
+  /** (doc_id, minhash, band, band_key) rows straight from a
+    * (doc_id, text) frame — the signature+banding pipeline shared by
+    * the batch LSH path and the streaming ingest classifier (which
+    * persists exactly these rows as its corpus index). */
+  private[graft] def signedBanded(docs: DataFrame): DataFrame =
+    minhashSignature(shingled(docs))
+      .select(col("doc_id"), col("minhash"),
+        posexplode(graft.functions.ArrayOps
+          .band_keys(col("minhash"), Bands, RowsPerBand))
+          .as(Seq("band", "band_key")))
+
+  /** Signature-agreement near-dup criterion on the long count —
+    * `agree ≥ ⌈threshold·k⌉` is exactly `est_jaccard ≥ threshold`
+    * without the decimal round-trip (integer compare, no floats). */
+  private[graft] def agreeAtLeast(a: Column, b: Column,
+      threshold: Double): Column =
+    graft.functions.ArrayOps.agree_count(a, b) >=
+      lit(math.ceil(threshold * NumHashes).toLong)
+
   /** MinHash-LSH near-dup candidate pairs with signature-estimated
     * Jaccard (fraction of agreeing components) ≥ threshold.
     * Plan: map (signature) → explode bands (×16) → shuffle on

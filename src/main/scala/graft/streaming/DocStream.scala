@@ -1,0 +1,160 @@
+package graft.streaming
+
+import graft.Tables
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Structured Streaming surface over the `documents` table: continuous
+  * near-dup ingest classification — the streaming twin of
+  * [[Dedup.deltaNearDup]].
+  *
+  * The corpus state is NOT operator state: it is a persistent LSH band
+  * index — (band, band_key, doc_id, minhash) rows appended to storage
+  * as each delivery is accepted, exactly how a continuously-fed 100 TB
+  * pipeline holds its dedup index (next to the data, readable by any
+  * job, no state-store rescaling problem; at scale the index dir is a
+  * bucketed table keyed on (band, band_key)). Each micro-batch:
+  *
+  *  1. signs + bands the arriving docs (the shared codegen pipeline),
+  *  2. probes the index with a banded equality join — O(collisions),
+  *     never a corpus scan — and confirms candidates with the codegen
+  *     `agree_count` criterion,
+  *  3. self-joins the batch's own band rows for within-delivery dups,
+  *  4. classifies near_dup_of_corpus / near_dup_in_batch / new with
+  *     the minimum partner of the winning class (−1 for new), and
+  *  5. appends the batch's band rows to the index.
+  *
+  * All five steps are distributed joins/aggregations over the batch
+  * (plus the equality-probed slice of the index); nothing corpus-sized
+  * ever sits on the driver or in one partition.
+  */
+object DocStream {
+
+  private val IndexSchema = StructType(Seq(
+    StructField("band", LongType),
+    StructField("band_key", LongType),
+    StructField("doc_id", LongType),
+    StructField("minhash",
+      org.apache.spark.sql.types.ArrayType(LongType))))
+
+  private val OutSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("status", StringType),
+    StructField("matched_id", LongType),
+    StructField("batch_id", LongType)))
+
+  /** Classify one arriving delivery against the persistent index and
+    * grow the index — the foreachBatch body, usable directly by a
+    * non-streaming orchestrator ingesting deliveries in a loop. */
+  def classifyBatch(spark: SparkSession, batch: DataFrame,
+      indexDir: String, threshold: Double): DataFrame = {
+    val banded = Dedup.signedBanded(batch)
+    val index =
+      if (new java.io.File(indexDir).listFiles() != null &&
+        new java.io.File(indexDir).listFiles().nonEmpty)
+        spark.read.schema(IndexSchema).parquet(indexDir)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema)
+
+    val corpusMatch = banded.join(
+        index.select(col("band"), col("band_key"),
+          col("doc_id").as("c_id"), col("minhash").as("c_mh")),
+        Seq("band", "band_key"))
+      .filter(Dedup.agreeAtLeast(col("minhash"), col("c_mh"), threshold))
+      .groupBy(col("doc_id")).agg(min(col("c_id")).as("corpus_match"))
+    val batchMatch = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(Dedup.agreeAtLeast(col("a.minhash"), col("b.minhash"), threshold))
+      .groupBy(col("b.doc_id").as("doc_id"))
+      .agg(min(col("a.doc_id")).as("batch_match"))
+
+    val classified = batch.select(col("doc_id"))
+      .join(corpusMatch, Seq("doc_id"), "left")
+      .join(batchMatch, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("corpus_match").isNotNull, lit("near_dup_of_corpus"))
+          .when(col("batch_match").isNotNull, lit("near_dup_in_batch"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("corpus_match"), col("batch_match"), lit(-1L))
+          .as("matched_id"))
+    // accept the delivery into the index AFTER classification is
+    // materialized below by the caller's write
+    classified
+  }
+
+  /** Bounded two-delivery replay of the documents table (the first 80%
+    * of ids as the already-ingested corpus delivery, the rest as the
+    * new one), driven END-TO-END through the streaming engine: a file
+    * stream over one landing file per delivery, `maxFilesPerTrigger=1`
+    * (explicitly spaced mtimes pin delivery order), foreachBatch
+    * running [[classifyBatch]] then growing the index. Returns the new
+    * delivery's classification — the SAME output, statuses, and DuckDB
+    * oracle as the batch twin `q_delta_neardup`: the streaming and
+    * batch paths must agree row-for-row.
+    */
+  def nearDupViaStream(spark: SparkSession, sf: String,
+      threshold: Double = 0.5): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-docstream").toString
+    val landing = s"$root/landing"
+    val indexDir = s"$root/index"
+    val outDir = s"$root/out"
+    new java.io.File(indexDir).mkdirs()
+
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val w = docs.agg(floor((max(col("doc_id")) + 1) * 0.8).cast("long"))
+      .head().getLong(0)
+    // one file per delivery, mtimes spaced so the file source replays
+    // corpus-then-batch deterministically
+    docs.filter(col("doc_id") < w).coalesce(1)
+      .write.mode("overwrite").parquet(s"$landing/d0")
+    docs.filter(col("doc_id") >= w).coalesce(1)
+      .write.mode("overwrite").parquet(s"$landing/d1")
+    val files = Seq("d0", "d1").flatMap { d =>
+      Option(new java.io.File(s"$landing/$d").listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet")).map(d -> _)
+    }
+    files.foreach { case (d, f) =>
+      val t = if (d == "d0") 1000000L else 2000000L
+      f.setLastModified(t)
+    }
+
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$landing/*")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val out = classifyBatch(spark, batch, indexDir, threshold)
+          .withColumn("batch_id", lit(batchId))
+        out.write.mode("append").parquet(outDir)
+        Dedup.signedBanded(batch)
+          .select(col("band"), col("band_key"), col("doc_id"), col("minhash"))
+          .write.mode("append").parquet(indexDir)
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    // the NEW delivery's classification (delivery 0 bootstrapped the
+    // index); materialized off the temp dir like every streaming twin
+    val out = spark.read.schema(OutSchema).parquet(outDir)
+      .filter(col("batch_id") === 1L)
+      .select(col("doc_id"), col("status"), col("matched_id"))
+      .orderBy(col("doc_id"))
+    val rows = out.collect().toSeq
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
+  }
+}

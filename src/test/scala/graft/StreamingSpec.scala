@@ -154,6 +154,18 @@ class StreamingSpec extends AnyFunSuite {
   // which disables auto-broadcast so the SortMergeJoin path — the one
   // bucketing actually optimizes — is the plan under assertion)
 
+  test("streaming near-dup ingest equals the batch delta classification row-for-row") {
+    // the file-stream replay (corpus delivery then new delivery,
+    // persistent LSH band index grown per micro-batch) must land on
+    // exactly deltaNearDup's answer — statuses, partners, and all
+    val streamed = graft.streaming.DocStream.nearDupViaStream(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val batch = graft.operators.Dedup.deltaNearDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    assert(streamed.exists(_._2 != "new"))
+  }
+
   test("streaming split assignment equals the batch split (stateless corpus ops)") {
     // the corpus-prep projections are pure row-wise column algebra, so
     // they run UNCHANGED on a stream — demonstrated end-to-end: the
