@@ -110,6 +110,11 @@ object SparkEntry {
     "q_delta_dedup" -> (Dedup.deltaDedup _),
     "q_delta_neardup" -> ((s: SparkSession, d: String) => Dedup.deltaNearDup(s, d)),
     "q_ngram_novelty" -> (Dedup.ngramNovelty _),
+    // rows-only by design: bloom false positives are engine-specific
+    // (no DuckDB twin); pinned by the exact q_ngram_novelty oracle +
+    // the CorpusSpec undercount/error-bound case
+    "q_ngram_novelty_bloom" -> ((s: SparkSession, d: String) =>
+      Dedup.ngramNoveltyBloom(s, d)),
     "q_dedup_survivors" -> (Dedup.keepBest _),
     "q_stream_neardup" -> ((s: SparkSession, d: String) =>
       graft.streaming.DocStream.nearDupViaStream(s, d)),

@@ -242,6 +242,62 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** [[ngramNovelty]]'s SCALE PATH: the corpus membership test runs
+    * against a Bloom filter of the corpus shingle hashes instead of
+    * the exact distinct-shingle join. Two structural wins the exact
+    * form can't have: (1) NO distinct and NO join shuffle — Bloom
+    * inserts are idempotent, so the corpus side is one partial-
+    * aggregated pass producing a fixed-size sketch, and the probe is a
+    * per-row map over the batch; (2) the filter is a reusable artifact
+    * (persist it next to the corpus like the LSH band index). False
+    * positives UNDERCOUNT novelty by ≤ fpp of the seen mass — never
+    * overcount — so the gate errs toward re-inspecting, and the exact
+    * form remains the verification twin (CorpusSpec bounds the error).
+    *
+    * The built filter is materialized to the driver and re-broadcast
+    * as a literal (the runtime-filter shape; `might_contain` requires
+    * a constant bloom side). Sized from the corpus shingle-row count:
+    * fine into the multi-GB-corpus range; at full 100 TB the filter is
+    * built per corpus PARTITION and the probe unions per-partition
+    * verdicts — same algebra, sketch sharded like the data.
+    */
+  def ngramNoveltyBloom(spark: SparkSession, sf: String,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val sh = shingledCached(spark, sf)
+    val w = Tables.load(spark, sf, "documents")
+      .agg(floor((max(col("doc_id")) + 1) * 0.8).cast("long").as("w"))
+    val corpus = sh.crossJoin(broadcast(w))
+      .filter(col("doc_id") < col("w"))
+      .select(explode(col("sh")).as("shingle"))
+    // sized on the (cheap, overcounting) non-distinct row count:
+    // n·ln(fpp)/ln(2)² bits, the standard optimum
+    val nRows = math.max(1L, corpus.count())
+    val nBits = math.max(64L,
+      math.ceil(-nRows * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bfAgg = Bridge.column(
+      new BloomFilterAggregate(
+        Bridge.expression(xxhash64(col("shingle"))),
+        Literal(nRows), Literal(nBits)).toAggregateExpression())
+    val bf = corpus.agg(bfAgg.as("bf")).head().getAs[Array[Byte]]("bf")
+    val mightContain = Bridge.column(BloomFilterMightContain(
+      Literal.create(bf, org.apache.spark.sql.types.BinaryType),
+      Bridge.expression(xxhash64(col("shingle")))))
+    sh.crossJoin(broadcast(w))
+      .filter(col("doc_id") >= col("w"))
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .withColumn("seen", mightContain)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(!col("seen"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- near-dup clustering (connected components) -------------------
 
   /** Near-duplicate CLUSTERS: connected components over the similarity

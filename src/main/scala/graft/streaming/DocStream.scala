@@ -52,10 +52,14 @@ object DocStream {
   def classifyBatch(spark: SparkSession, batch: DataFrame,
       indexDir: String, threshold: Double): DataFrame = {
     val banded = Dedup.signedBanded(batch)
+    // Hadoop FS, not java.io: the index dir is object storage / HDFS
+    // in any real deployment
+    val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val indexNonEmpty = fs.exists(idxPath) &&
+      fs.listStatus(idxPath).exists(_.getLen > 0)
     val index =
-      if (new java.io.File(indexDir).listFiles() != null &&
-        new java.io.File(indexDir).listFiles().nonEmpty)
-        spark.read.schema(IndexSchema).parquet(indexDir)
+      if (indexNonEmpty) spark.read.schema(IndexSchema).parquet(indexDir)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema)
 

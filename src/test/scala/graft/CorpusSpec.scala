@@ -547,6 +547,31 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.exists(_._4 < 0.2) && got.map(_._4).distinct.length > 1)
   }
 
+  test("bloom novelty: never overcounts the exact form, small bounded undercount") {
+    import graft.operators.Dedup
+    val exact = Dedup.ngramNovelty(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val bloom = Dedup.ngramNoveltyBloom(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bloom.keySet == exact.keySet && bloom.nonEmpty)
+    bloom.foreach { case (id, (nSh, nNovel)) =>
+      val (eSh, eNovel) = exact(id)
+      assert(nSh == eSh, s"doc $id shingle count")
+      // false positives only: bloom can mark a novel shingle seen,
+      // never the reverse
+      assert(nNovel <= eNovel, s"doc $id overcounted")
+    }
+    // aggregate undercount bounded by ~fpp of the batch shingle mass
+    // (1% nominal; allow 3x slack for sizing off the non-distinct count)
+    val totalSh = exact.values.map(_._1).sum.toDouble
+    val lost = exact.values.map(_._2).sum - bloom.values.map(_._2).sum
+    assert(lost <= math.max(1.0, 0.03 * totalSh), s"undercount $lost of $totalSh")
+    // deterministic: the sketch hashing is seeded, not random
+    assert(Dedup.ngramNoveltyBloom(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+      == bloom.view.mapValues(_._2).toMap)
+  }
+
   test("label centroids: one row per (label, dim), componentwise in range") {
     import graft.operators.Similarity
     val rows = Similarity.labelCentroids(spark, sf).collect()
