@@ -120,6 +120,9 @@ object SparkEntry {
       graft.streaming.DocStream.nearDupViaStream(s, d)),
     "q_epoch_shuffle" -> ((s: SparkSession, d: String) => Corpus.epochShuffle(s, d)),
     "q_temperature_sample" -> (Corpus.temperatureSample _),
+    "q_token_budget" -> ((s: SparkSession, d: String) => Corpus.tokenBudget(s, d)),
+    "q_shard_assign" -> ((s: SparkSession, d: String) => Corpus.shardAssign(s, d)),
+    "q_mixture_sample" -> ((s: SparkSession, d: String) => Corpus.mixtureSample(s, d)),
     "q_label_centroids" -> (Similarity.labelCentroids _),
     "q_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     // --- similarity search
@@ -943,6 +946,62 @@ object SparkEntry {
                  LEAST(1000, CAST(floor(1000.0 * sqrt(CAST(n_docs AS DOUBLE))
                    / sqrt(CAST(mx AS DOUBLE))) AS BIGINT)) AS rate_permille
                FROM c, m)
+         SELECT doc_id, d.lang,
+           CAST(('0x' || substring(md5(text), 1, 8))::BIGINT % 1000 AS BIGINT) AS bucket,
+           rate_permille
+         FROM documents d JOIN r ON d.lang = r.lang
+         WHERE ('0x' || substring(md5(text), 1, 8))::BIGINT % 1000 < rate_permille
+         ORDER BY doc_id""",
+
+    // Token-budget curation: oracle is the bare global ordered cumsum
+    // over (quality DESC, doc_id) — the two-phase quality-range
+    // construction must reproduce the identical running totals (token
+    // counts are integers, so the sums are exact in both engines; the
+    // quality composite is the bit-identical q_quality arithmetic)
+    "q_token_budget" ->
+      """WITH s AS (
+           SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+             + (CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                / CAST(len(t) AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+             - (CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                / CAST(length(text) AS DOUBLE)) * CAST(0.2 AS DOUBLE) AS quality_score
+           FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents)),
+         c AS (SELECT doc_id, n_tokens, quality_score,
+           CAST(SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+           FROM s)
+         SELECT doc_id, n_tokens, quality_score, cum_tokens FROM c
+         WHERE cum_tokens <= 10000
+         ORDER BY doc_id""",
+
+    // Balanced shard layout: oracle is the bare global size rank —
+    // round-robin modulo must agree rank-for-rank with the two-phase
+    // token-range construction
+    "q_shard_assign" ->
+      """SELECT doc_id, n_tokens,
+         CAST((ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) - 1) % 8
+           AS BIGINT) AS shard
+         FROM (SELECT doc_id,
+                 CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+               FROM documents)
+         ORDER BY doc_id""",
+
+    // Explicit-target mixture: all rate arithmetic is integer
+    // multiply/floor-divide, so the derived rates are identical in both
+    // engines and the content-hash keep decision matches row-for-row
+    "q_mixture_sample" ->
+      """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+                    FROM documents GROUP BY lang),
+         t AS (SELECT lang, n_docs,
+                 CAST(CASE lang WHEN 'en' THEN 400 WHEN 'zh' THEN 150
+                   WHEN 'es' THEN 150 WHEN 'de' THEN 150 WHEN 'fr' THEN 150
+                   ELSE 0 END AS BIGINT) AS tp
+               FROM c),
+         tm AS (SELECT MIN(n_docs * 1000 // tp) AS t_total FROM t WHERE tp > 0),
+         r AS (SELECT lang, LEAST(CAST(1000 AS BIGINT), (tp * t_total) // n_docs)
+                 AS rate_permille
+               FROM t, tm WHERE tp > 0)
          SELECT doc_id, d.lang,
            CAST(('0x' || substring(md5(text), 1, 8))::BIGINT % 1000 AS BIGINT) AS bucket,
            rate_permille

@@ -310,7 +310,7 @@ object Corpus {
   def qualityGate(spark: SparkSession, sf: String,
       q: Double = 0.25, exact: Boolean = false,
       accuracy: Int = 10000): DataFrame = {
-    val scored = Text.quality(spark, sf)
+    val scored = Text.qualityScoredDf(Tables.load(spark, sf, "documents"))
       .select(col("doc_id"), col("quality_score"))
     val cutExpr =
       if (exact) expr(s"percentile(quality_score, $q)")
@@ -409,4 +409,136 @@ object Corpus {
         (col("top_tf").cast("double") / col("n_words").cast("double"))
           .as("rep_ratio"))
       .orderBy(col("doc_id"))
+
+  /** Token-budget curation: keep the highest-quality documents whose
+    * cumulative token count fits a global `budget` — the "give me the
+    * best N tokens" selection a training run makes against a curated
+    * pool. Greedy by [[Text.quality]] composite (doc_id tie-break):
+    * a doc is kept iff the running token total THROUGH it stays within
+    * budget, so the kept set is a prefix of the quality ordering and
+    * shrinking the budget always yields a subset (ablation-comparable
+    * corpora, same argument as [[stratifiedSample]]'s nesting).
+    *
+    * The running total is a GLOBAL ordered sum — the same
+    * single-partition-window trap as [[packChunksDf]], solved the same
+    * way: equal-width QUALITY-RANGE buckets (descending; score order ↔
+    * bucket order, ties stay within one bucket since the bucket is a
+    * function of the score) give per-bucket token totals (≤ `buckets`
+    * rows) that are exclusive-cumsum'd and broadcast back as offsets,
+    * and the unbounded-preceding window runs only within a bucket.
+    * Token counts are integers, so the cumulative sums are exact
+    * regardless of how the double-valued bucket boundaries fall.
+    */
+  def tokenBudget(spark: SparkSession, sf: String,
+      budget: Long = 10000L, buckets: Int = 32): DataFrame = {
+    val scored = Text.qualityScoredDf(Tables.load(spark, sf, "documents"))
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val ext = scored.agg(min(col("quality_score")).as("mn"),
+      max(col("quality_score")).as("mx"))
+    val ranged = scored.crossJoin(broadcast(ext))
+      .withColumn("bucket",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit(buckets - 1L),
+            floor((col("mx") - col("quality_score")) /
+              ((col("mx") - col("mn")) / buckets)))))
+    val offsets = ranged.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+      .withColumn("offset",
+        coalesce(sum(col("bucket_tokens")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val inBucket = Window.partitionBy(col("bucket"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offsets), "bucket")
+      .withColumn("cum_tokens",
+        col("offset") + sum(col("n_tokens")).over(inBucket))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+        col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Balanced training-shard layout: round-robin over the corpus in
+    * token-count-descending order — `shard = (size_rank − 1) mod
+    * shards` — the classic LPT-style bound without greedy state: each
+    * "round" of `shards` consecutive ranks spreads its largest-vs-
+    * smallest gap across different shards, so shard token totals differ
+    * by at most one document's tokens (CorpusSpec asserts the bound).
+    * The writer pairs this with `repartition(col("shard"))` to produce
+    * byte-balanced output files — the fix for the long-tail-straggler
+    * shard a naive hash split produces when doc sizes are skewed.
+    *
+    * The global size rank is the [[packChunksDf]]/[[epochShuffle]]
+    * two-phase construction over equal-width TOKEN-COUNT ranges
+    * (descending, all-integer): per-bucket counts are exclusive-
+    * cumsum'd and broadcast back, row_number runs only within a
+    * bucket — no single-partition global window at any scale.
+    */
+  def shardAssign(spark: SparkSession, sf: String,
+      shards: Int = 8, buckets: Int = 32): DataFrame = {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tokens"))
+    val ext = docs.agg(min(col("n_tokens")).as("mn"),
+      max(col("n_tokens")).as("mx"))
+    val ranged = docs.crossJoin(broadcast(ext))
+      .withColumn("bucket", expr(
+        s"(mx - n_tokens) div cast(ceil((mx - mn + 1) / $buckets.0) as bigint)"))
+    val offsets = ranged.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        coalesce(sum(col("n")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val inBucket = Window.partitionBy(col("bucket"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    ranged.join(broadcast(offsets), "bucket")
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("offset") + row_number().over(inBucket) - 1) % shards)
+          .cast("long").as("shard"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Explicit-target mixture sampling — the data-mixing step where the
+    * recipe says "the blend is 40% en, 15% each of zh/es/de/fr" rather
+    * than a formula over observed shares ([[temperatureSample]]'s
+    * cousin with the ratios chosen by the experimenter). Produces the
+    * LARGEST mixture achievable from the available per-language pools
+    * at exactly those proportions: the binding language is the one that
+    * exhausts first (`T = min_l ⌊n_l·1000/p_l⌋`), and every language's
+    * keep rate is then `⌊p_l·T/n_l⌋` permille (capped at 1000). All
+    * rate arithmetic is integer multiply/divide — bit-identical in any
+    * engine. Languages absent from the target map are dropped.
+    *
+    * The keep decision is the shared content-hash bucket
+    * ([[splitAssign]]/[[stratifiedSample]]/[[temperatureSample]] — one
+    * policy, so mixtures nest with splits): the corpus is never
+    * shuffled, the rate table is one broadcast of a
+    * languages-sized frame built from a partial-aggregated groupBy.
+    */
+  def mixtureSample(spark: SparkSession, sf: String,
+      targetPermille: Map[String, Int] = Map(
+        "en" -> 400, "zh" -> 150, "es" -> 150, "de" -> 150, "fr" -> 150))
+      : DataFrame = {
+    val docs = Tables.load(spark, sf, "documents")
+    val target = targetPermille.foldLeft(lit(0L)) {
+      case (acc, (l, p)) => when(col("lang") === l, lit(p.toLong)).otherwise(acc)
+    }
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("target_permille", target)
+      .filter(col("target_permille") > 0)
+    val tmin = counts.agg(
+      min(expr("n_docs * 1000 div target_permille")).as("t_total"))
+    val rates = counts.crossJoin(broadcast(tmin))
+      .select(col("lang"),
+        least(lit(1000L), expr("(target_permille * t_total) div n_docs"))
+          .as("rate_permille"))
+    docs.join(broadcast(rates), "lang")
+      .select(col("doc_id"), col("lang"), splitBucket.as("bucket"),
+        col("rate_permille"))
+      .filter(col("bucket") < col("rate_permille"))
+      .orderBy(col("doc_id"))
+  }
 }

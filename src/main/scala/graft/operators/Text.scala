@@ -75,7 +75,15 @@ object Text {
   /** Quality scoring: length/punctuation/stopword/repetition features
     * and a composite score. All ratios are computed as exact decimals
     * (stable across engines), final score cast to double. */
-  def quality(spark: SparkSession, sf: String): DataFrame = {
+  def quality(spark: SparkSession, sf: String): DataFrame =
+    qualityScoredDf(Tables.load(spark, sf, "documents"))
+      .orderBy(col("doc_id"))
+
+  /** The [[quality]] projection WITHOUT the presentation sort — the form
+    * downstream consumers ([[Corpus.qualityGate]], [[Corpus.tokenBudget]])
+    * compose over, so their aggregations/windows don't sit on top of a
+    * pointless global range sort. Narrow map, zero shuffle. */
+  private[operators] def qualityScoredDf(docs: DataFrame): DataFrame = {
     val t = toks(col("text"))
     // integer counts → one double division per ratio: deterministic
     // IEEE arithmetic, identical in any engine
@@ -89,7 +97,7 @@ object Text {
     val dr = nDistinct / nTok
     val pr = nPunct / nChars
     val sr = nStop / nTok
-    Tables.load(spark, sf, "documents")
+    docs
       .select(col("doc_id"),
         size(t).cast("long").as("n_tokens"),
         dr.as("distinct_ratio"),
@@ -98,7 +106,6 @@ object Text {
         // composite: rewards lexical diversity + moderate stopword use,
         // penalizes punctuation soup
         (dr * lit(0.5) + sr * lit(0.3) - pr * lit(0.2)).as("quality_score"))
-      .orderBy(col("doc_id"))
   }
 
   /** Nested-object decode — the `object_loads` analog (util.py:40-57):

@@ -492,6 +492,95 @@ class CorpusSpec extends AnyFunSuite {
     assert(!e2.sameElements(rows))
   }
 
+  test("token budget: equals the single-window greedy form; budget respected; nested") {
+    val budget = 10000L
+    val got = Corpus.tokenBudget(spark, sf, budget = budget).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // naive form: sort everything by (quality desc, id), running total
+    val scored = graft.operators.Text.quality(spark, sf)
+      .select("doc_id", "n_tokens", "quality_score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Long)]()
+    var cum = 0L
+    scored.sortBy { case (id, _, q) => (-q, id) }.foreach { case (id, n, q) =>
+      cum += n
+      if (cum <= budget) expect += ((id, n, q, cum))
+    }
+    assert(got.sortBy(_._1).sameElements(expect.sortBy(_._1)))
+    assert(got.map(_._2).sum <= budget)
+    assert(got.nonEmpty && got.length < scored.length) // a real cut
+    // half the budget selects a strict subset (ablation nesting)
+    val half = Corpus.tokenBudget(spark, sf, budget = budget / 2).collect()
+      .map(_.getLong(0)).toSet
+    assert(half.subsetOf(got.map(_._1).toSet) && half.size < got.length)
+    // bucket-count robustness: the two-phase rank is exact for any width
+    val coarse = Corpus.tokenBudget(spark, sf, budget = budget, buckets = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(coarse.sortBy(_._1).sameElements(got.sortBy(_._1)))
+    // the 100 TB guarantee: NO unpartitioned window over the corpus —
+    // the only global-ordered window allowed is the bucket-offsets side
+    // (≤ `buckets` rows). Walk the optimized plan (the physical one is
+    // an AQE leaf wrapper): every Window with an empty partitionSpec
+    // must sit on the tiny aggregated side (input carries
+    // bucket_tokens, not doc rows).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = Corpus.tokenBudget(spark, sf, budget = budget)
+      .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.child.output.exists(_.name == "bucket_tokens"), w.toString)
+    }
+  }
+
+  test("shard assign: round-robin by global size rank; token totals balanced") {
+    val shards = 8
+    val got = Corpus.shardAssign(spark, sf, shards = shards).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // two-phase rank must equal the naive global ordering
+    val expect = got.sortBy { case (id, n, _) => (-n, id) }
+      .zipWithIndex.map { case ((id, n, _), i) => (id, n, (i % shards).toLong) }
+      .sortBy(_._1)
+    assert(got.sortBy(_._1).sameElements(expect))
+    // every shard used; round-robin-by-size bounds the total spread by
+    // one document's tokens
+    val totals = got.groupBy(_._3).map { case (s, rs) => s -> rs.map(_._2).sum }
+    assert(totals.keySet == (0 until shards).map(_.toLong).toSet)
+    assert(totals.values.max - totals.values.min <= got.map(_._2).max)
+    // no unpartitioned window over doc rows (same guard as tokenBudget):
+    // the global-ordered cumsum may only run on the ≤`buckets`-row side
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = Corpus.shardAssign(spark, sf, shards = shards)
+      .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.child.output.exists(_.name == "n"), w.toString)
+    }
+  }
+
+  test("mixture sample: feasible-max integer rates at the target proportions") {
+    val tp = Map("en" -> 400L, "zh" -> 150L, "es" -> 150L, "de" -> 150L,
+      "fr" -> 150L)
+    val counts = graft.Tables.load(spark, sf, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tTotal = tp.map { case (l, p) => counts(l) * 1000L / p }.min
+    val rows = Corpus.mixtureSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val expectRate = math.min(1000L, tp(lang) * tTotal / counts(lang))
+      assert(rs.forall(_._4 == expectRate), s"lang $lang")
+      assert(rs.forall(_._3 < expectRate), s"lang $lang bucket")
+    }
+    // the binding language (smallest pool relative to target) is kept
+    // at ~1000 permille; every target language appears in the output
+    val binding = tp.minBy { case (l, p) => counts(l) * 1000L / p }._1
+    assert(rows.filter(_._2 == binding).forall(_._4 >= 990L))
+    assert(rows.map(_._2).toSet == tp.keySet)
+    // deterministic
+    assert(Corpus.mixtureSample(spark, sf).collect().length == rows.length)
+  }
+
   test("temperature sample: sqrt-share rates, tail kept whole, deterministic") {
     val docs = graft.Tables.load(spark, sf, "documents")
     val counts = docs.groupBy("lang").count().collect()
