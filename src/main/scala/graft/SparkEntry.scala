@@ -123,6 +123,9 @@ object SparkEntry {
     "q_token_budget" -> ((s: SparkSession, d: String) => Corpus.tokenBudget(s, d)),
     "q_shard_assign" -> ((s: SparkSession, d: String) => Corpus.shardAssign(s, d)),
     "q_mixture_sample" -> ((s: SparkSession, d: String) => Corpus.mixtureSample(s, d)),
+    "q_chunk_stride" -> ((s: SparkSession, d: String) => Corpus.chunkStride(s, d)),
+    "q_semantic_clusters" -> ((s: SparkSession, d: String) =>
+      Similarity.semanticClusters(s, d)),
     "q_label_centroids" -> (Similarity.labelCentroids _),
     "q_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     // --- similarity search
@@ -1008,6 +1011,61 @@ object SparkEntry {
          FROM documents d JOIN r ON d.lang = r.lang
          WHERE ('0x' || substring(md5(text), 1, 8))::BIGINT % 1000 < rate_permille
          ORDER BY doc_id""",
+
+    // Sliding-window chunking: pure integer span arithmetic — the
+    // explode/unnest row multiplication must agree row-for-row
+    "q_chunk_stride" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+             unnest(generate_series(0,
+               1 + greatest(0, (n_tokens - 32 + 23) // 24) - 1)) AS chunk_idx
+           FROM d)
+         SELECT doc_id, n_tokens, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_idx * 24 AS BIGINT) AS start_tok,
+           CAST(LEAST(chunk_idx * 24 + 32, n_tokens) AS BIGINT) AS end_tok,
+           CAST(LEAST(chunk_idx * 24 + 32, n_tokens) - chunk_idx * 24 AS BIGINT)
+             AS chunk_tokens
+         FROM c
+         ORDER BY doc_id, chunk_idx""",
+
+    // Semantic clustering: recursive-CTE transitive closure over the
+    // exact cosine pair set (same closure construction as
+    // q_dup_clusters, edges from the q_cosine_pairs kernel at 0.35)
+    "q_semantic_clusters" ->
+      """WITH RECURSIVE
+         q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 67108864.0) AS BIGINT)) AS iv
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, iv,
+             sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(iv)),
+               i -> iv[i] * iv[i])) AS BIGINT) AS DOUBLE)) AS nrm
+           FROM q),
+         jp AS (
+           SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+           FROM n a, n b
+           WHERE a.vec_id < b.vec_id
+             AND CAST(CAST(list_sum(list_transform(generate_series(1, len(a.iv)),
+               i -> a.iv[i] * b.iv[i])) AS BIGINT) AS DOUBLE)
+               / (a.nrm * b.nrm) >= 0.35),
+         e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+               UNION SELECT doc_b, doc_a FROM jp),
+         reach(a, b) AS (
+           SELECT a, b FROM e
+           UNION
+           SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+         lab AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id
+                 FROM reach GROUP BY a),
+         labeled AS (SELECT v.vec_id,
+                       COALESCE(l.cluster_id, v.vec_id) AS cluster_id
+                     FROM embeddings v LEFT JOIN lab l USING (vec_id))
+         SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+         FROM labeled
+         ORDER BY vec_id""",
 
     "q_label_centroids" ->
       """SELECT label, pos, n_vecs,

@@ -501,6 +501,37 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Sliding-window chunk layout: split every document into
+    * fixed-size token chunks with overlap (`chunk` tokens per window,
+    * window starts every `stride` tokens, `chunk − stride` tokens of
+    * overlap) — the RAG-indexing / context-window-packing step between
+    * curation and tokenize-and-write. Emits one row per (doc, chunk)
+    * with the token span; the final short chunk is kept (clamped to the
+    * doc end) and every doc yields at least one chunk.
+    *
+    * `n_chunks = 1 + max(0, ⌈(n − chunk)/stride⌉)` in pure integer
+    * arithmetic. Narrow map + explode — zero shuffle at any scale; the
+    * output expansion factor is exactly the chosen overlap ratio, and
+    * the explode is codegen'd row multiplication, not a join. Fixture
+    * defaults are sized to the synthetic docs (~50 tokens); a real
+    * pipeline runs e.g. chunk=2048, stride=1920.
+    */
+  def chunkStride(spark: SparkSession, sf: String,
+      chunk: Int = 32, stride: Int = 24): DataFrame =
+    Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("n_chunks",
+        expr(s"1L + greatest(0L, (n_tokens - $chunk + ${stride - 1}) div $stride)"))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(expr("sequence(0L, n_chunks - 1L)")).as("chunk_idx"))
+      .withColumn("start_tok", col("chunk_idx") * stride)
+      .withColumn("end_tok",
+        least(col("start_tok") + chunk, col("n_tokens")))
+      .select(col("doc_id"), col("n_tokens"), col("chunk_idx"),
+        col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok")).as("chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   /** Explicit-target mixture sampling — the data-mixing step where the
     * recipe says "the blend is 40% en, 15% each of zh/es/de/fr" rather
     * than a formula over observed shares ([[temperatureSample]]'s

@@ -411,4 +411,31 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** SEMANTIC clustering: connected components over the embedding-
+    * cosine similarity graph (cosine ≥ `threshold`) — groups documents
+    * that say the same thing in different words, where the shingle-
+    * based near-dup path groups documents that share the same words.
+    * Reuses [[Dedup.clustersFrom]] unchanged (node-only min-label
+    * propagation, star-contraction fallback, checkpointed lineage):
+    * the component engine is edge-source-agnostic.
+    *
+    * Edge derivation here is the EXACT pair kernel — the oracle
+    * baseline, guarded against unbounded broadcast like every exact
+    * kernel. At 100 TB the edge feed is [[cosineNearDup]]'s LSH-
+    * bucketed candidates (identical composition to
+    * [[Dedup.nearDupClustersLsh]] over MinHash candidates); the exact
+    * form is kept because its pair set is deterministically complete,
+    * which is what a DuckDB transitive-closure oracle can pin.
+    */
+  def semanticClusters(spark: SparkSession, sf: String,
+      threshold: Double = 0.35): DataFrame = {
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id").as("doc_id"))
+    val pairs = cosinePairsExact(spark, sf, threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    Dedup.clustersFrom(vecs, pairs)
+      .withColumnRenamed("doc_id", "vec_id")
+      .orderBy(col("vec_id"))
+  }
 }

@@ -557,6 +557,37 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk stride: windows tile every doc with the configured overlap") {
+    val (chunk, stride) = (32, 24)
+    val rows = Corpus.chunkStride(spark, sf, chunk, stride).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val nTok = rows.map(r => r._1 -> r._2).toMap
+    val docs = graft.Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_._1).distinct.length == docs) // every doc chunked
+    rows.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._3)
+      // indices contiguous from 0; spans follow the stride arithmetic
+      assert(sorted.map(_._3).sameElements(sorted.indices.map(_.toLong)))
+      sorted.foreach { case (_, n, idx, start, end, ct) =>
+        assert(start == idx * stride)
+        assert(end == math.min(start + chunk, n))
+        assert(ct == end - start && ct > 0, s"doc $id idx $idx")
+      }
+      // the last window reaches the end of the doc; the one before
+      // (if any) does not — no redundant trailing windows
+      assert(sorted.last._5 == nTok(id))
+      if (sorted.length > 1) assert(sorted(sorted.length - 2)._5 < nTok(id))
+      // consecutive windows overlap by exactly chunk - stride (when
+      // the doc is long enough for a full window)
+      sorted.sliding(2).foreach {
+        case Array(a, b) if a._5 == a._4 + chunk =>
+          assert(a._5 - b._4 == chunk - stride)
+        case _ =>
+      }
+    }
+  }
+
   test("mixture sample: feasible-max integer rates at the target proportions") {
     val tp = Map("en" -> 400L, "zh" -> 150L, "es" -> 150L, "de" -> 150L,
       "fr" -> 150L)

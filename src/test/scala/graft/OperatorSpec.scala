@@ -190,6 +190,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(recovered == n, s"IVF recall $recovered/$n")
   }
 
+  test("semantic clusters agree with a union-find over the exact cosine pairs") {
+    val threshold = 0.35
+    val got = Similarity.semanticClusters(spark, sf, threshold).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ids = graft.Tables.load(spark, sf, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(got.map(_._1).sorted.sameElements(ids.sorted)) // total labeling
+    val pairs = Similarity.cosinePairsExact(spark, sf, threshold).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // reference union-find
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = ids.map(i => i -> find(i)).toMap
+    got.foreach { case (id, cid, _) => assert(cid == expect(id), s"vec $id") }
+    // cluster_size is the component census
+    val sizes = expect.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (_, cid, sz) => assert(sz == sizes(cid)) }
+  }
+
   test("exact kernels fail fast when the broadcast side exceeds the configured bound") {
     val key = "spark.graft.exact.maxBroadcastRows"
     spark.conf.set(key, "10") // fixture has 50+ vectors
