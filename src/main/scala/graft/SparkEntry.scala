@@ -46,6 +46,7 @@ object SparkEntry {
     "q_anti_join" -> (Relational.antiJoin _),
     "q_above_avg" -> (Relational.aboveAvgOrders _),
     "q_salted_join" -> ((s: SparkSession, d: String) => Relational.saltedRevenuePerOrder(s, d)),
+    "q_interval_join" -> ((s: SparkSession, d: String) => RangeJoin.intervalJoin(s, d)),
     // --- set ops / sort / limit (SURVEY §2.5)
     "q_union_order" -> (Relational.unionOrder _),
     "q_intersect" -> (Relational.intersectNations _),
@@ -124,6 +125,8 @@ object SparkEntry {
     "q_shard_assign" -> ((s: SparkSession, d: String) => Corpus.shardAssign(s, d)),
     "q_mixture_sample" -> ((s: SparkSession, d: String) => Corpus.mixtureSample(s, d)),
     "q_chunk_stride" -> ((s: SparkSession, d: String) => Corpus.chunkStride(s, d)),
+    "q_systematic_sample" -> ((s: SparkSession, d: String) => Corpus.systematicSample(s, d)),
+    "q_vocab_coverage" -> ((s: SparkSession, d: String) => Corpus.vocabCoverage(s, d)),
     "q_semantic_clusters" -> ((s: SparkSession, d: String) =>
       Similarity.semanticClusters(s, d)),
     "q_label_centroids" -> (Similarity.labelCentroids _),
@@ -324,6 +327,19 @@ object SparkEntry {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY l_orderkey
          ORDER BY l_orderkey""",
+
+    // Keyless range join: the oracle states the predicate directly
+    // (DuckDB plans inequality joins natively via IEJoin); the Spark
+    // side must reach the same pair set through the bucketed
+    // equality-join rewrite
+    "q_interval_join" ->
+      """SELECT o_orderkey, o_orderpriority,
+         CAST(count(l.l_shipdate) AS BIGINT) AS n_shipped
+         FROM orders o LEFT JOIN lineitem l
+           ON l.l_shipdate >= o.o_orderdate
+          AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+         GROUP BY o_orderkey, o_orderpriority
+         ORDER BY o_orderkey""",
 
     "q_cosine_pairs" ->
       """WITH q AS (
@@ -1029,6 +1045,39 @@ object SparkEntry {
              AS chunk_tokens
          FROM c
          ORDER BY doc_id, chunk_idx""",
+
+    // Systematic sampling over cumulative token mass: the oracle
+    // states the running sum as one window in hash order; the Spark
+    // side must reach the identical cumsum through the two-phase
+    // bucketed prefix sum
+    "q_systematic_sample" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+             ('0x' || substring(md5(text), 1, 8))::BIGINT AS hkey
+           FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY hkey, doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS excl
+           FROM d)
+         SELECT doc_id, n_tokens FROM c
+         WHERE (excl + n_tokens) // 100 > excl // 100
+         ORDER BY doc_id""",
+
+    // Vocabulary coverage: all-integer basis-point coverage so the
+    // table is bit-identical cross-engine; ties in count break by term
+    "q_vocab_coverage" ->
+      """WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+             AS term FROM documents),
+         c AS (SELECT term, count(*) AS cnt FROM w GROUP BY term),
+         t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+         r AS (SELECT term, cnt,
+             row_number() OVER (ORDER BY cnt DESC, term) AS rank FROM c)
+         SELECT CAST(rank AS BIGINT) AS rank, term, CAST(cnt AS BIGINT) AS cnt,
+           CAST(sum(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) AS cum_cnt,
+           CAST(CAST(sum(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) * 10000 // t.total AS BIGINT) AS coverage_bp
+         FROM r, t WHERE rank <= 100 ORDER BY rank""",
 
     // Semantic clustering: recursive-CTE transitive closure over the
     // exact cosine pair set (same closure construction as

@@ -572,4 +572,87 @@ object Corpus {
       .filter(col("bucket") < col("rate_permille"))
       .orderBy(col("doc_id"))
   }
+
+  /** Token-mass systematic sampling: walk the corpus in content-hash
+    * order and keep every document that straddles a multiple of `step`
+    * tokens in the running total — classic systematic sampling over
+    * the cumulative token mass. Each document's keep probability is
+    * min(1, n_tokens/step) (size-proportional: long documents are
+    * ALWAYS kept, a 1-token doc survives at 1/step), the sample holds
+    * ≈ total_tokens/step documents spaced evenly through the mass, and
+    * everything is integer compares on long cumsums — no float RNG, so
+    * the sample is bit-identical on re-run and in any engine. The
+    * hash-order walk is what makes "systematic" unbiased here: corpus
+    * position is decorrelated from content before the stride is laid
+    * over it.
+    *
+    * Scale: the exclusive running total is the [[packChunksDf]]
+    * two-phase prefix sum over equal-width HASH-KEY ranges (the key is
+    * uniform on [0, 2³²), so ranges are balanced by construction) —
+    * per-bucket totals broadcast back as offsets, the long window runs
+    * only within a bucket, no single-partition stage.
+    */
+  def systematicSample(spark: SparkSession, sf: String,
+      step: Long = 100, buckets: Int = 32): DataFrame = {
+    val width = ((1L << 32) + buckets - 1) / buckets
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_tokens"),
+        expr("cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint)")
+          .as("hkey"))
+      .withColumn("bucket", expr(s"hkey div ${width}L"))
+    val offsets = docs.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+      .withColumn("offset",
+        coalesce(sum(col("bucket_tokens")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val inBucket = Window.partitionBy(col("bucket"))
+      .orderBy(col("hkey"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(broadcast(offsets), "bucket")
+      .withColumn("excl",
+        col("offset") + sum(col("n_tokens")).over(inBucket) - col("n_tokens"))
+      .filter(expr(s"(excl + n_tokens) div ${step}L > excl div ${step}L"))
+      .select(col("doc_id"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Vocabulary coverage table — the tokenizer-design probe: the top
+    * `topN` word types by corpus frequency, each with its rank,
+    * count, running count, and cumulative coverage of all token
+    * occurrences in basis points ("how much of the corpus do the top
+    * k types cover"). All-integer coverage (`cum·10000 div total`) so
+    * ranks and coverage are bit-identical cross-engine; ties break by
+    * term so the table is deterministic.
+    *
+    * Scale: the heavy side (corpus explode → per-term counts) is one
+    * partial-aggregated shuffle on term; the ranked prefix is a
+    * global top-k — Spark plans `orderBy.limit` as TakeOrderedAndProject
+    * (per-partition heaps, no full sort materialization), and the
+    * window cumsum then runs over only `topN` rows. The running sum
+    * over the top-k prefix equals the running sum over the full
+    * ranked vocabulary at those ranks, so truncating first is exact.
+    */
+  def vocabCoverage(spark: SparkSession, sf: String,
+      topN: Int = 100): DataFrame = {
+    val termCounts = Tables.load(spark, sf, "documents")
+      .select(explode(words(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = termCounts.agg(sum(col("cnt")).as("total"))
+    val top = termCounts
+      .orderBy(col("cnt").desc, col("term")).limit(topN)
+    top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("term")))
+          .cast("long"))
+      .withColumn("cum_cnt", sum(col("cnt")).over(
+        Window.orderBy(col("rank"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("term"), col("cnt"), col("cum_cnt"),
+        expr("cum_cnt * 10000 div total").as("coverage_bp"))
+      .orderBy(col("rank"))
+  }
 }

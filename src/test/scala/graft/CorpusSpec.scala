@@ -588,6 +588,66 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("systematic sample: two-phase cumsum equals the single-window form") {
+    val step = 100L
+    val got = Corpus.systematicSample(spark, sf, step).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // naive reference: one global window over the same hash order
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id",
+        "cast(size(split(lower(text), ' ')) as long) as n_tokens",
+        "cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint) as hkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._3, t._1))
+    var cum = 0L
+    val expect = docs.flatMap { case (id, n, _) =>
+      val keep = (cum + n) / step > cum / step
+      cum += n
+      if (keep) Some(id -> n) else None
+    }.toMap
+    assert(got.length == expect.size)
+    got.foreach { case (id, n) =>
+      assert(expect.get(id).contains(n), s"doc $id")
+    }
+    // size-proportional guarantee: every doc spanning >= step tokens
+    // straddles a stride boundary and is always kept
+    val kept = got.map(_._1).toSet
+    docs.filter(_._2 >= step).foreach { case (id, _, _) =>
+      assert(kept.contains(id), s"long doc $id dropped")
+    }
+    // bit-identical re-run
+    assert(Corpus.systematicSample(spark, sf, step).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sameElements(got))
+  }
+
+  test("vocab coverage matches a brute-force census; coverage is monotone") {
+    val topN = 50
+    val got = Corpus.vocabCoverage(spark, sf, topN).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val texts = graft.Tables.load(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    val word = "[a-z]+".r
+    texts.foreach(t => word.findAllIn(t.toLowerCase)
+      .foreach(w => counts(w) = counts.getOrElse(w, 0L) + 1L))
+    val total = counts.values.sum
+    val ranked = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(topN)
+    assert(got.length == ranked.length)
+    var cum = 0L
+    got.zip(ranked).zipWithIndex.foreach {
+      case (((rank, term, cnt, cumCnt, bp), (eTerm, eCnt)), i) =>
+        cum += eCnt
+        assert(rank == i + 1 && term == eTerm && cnt == eCnt)
+        assert(cumCnt == cum && bp == cum * 10000L / total, s"rank $rank")
+    }
+    // coverage climbs monotonically and never exceeds the whole corpus
+    got.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 <= b._5 && b._5 <= 10000L)
+      case _ =>
+    }
+  }
+
   test("mixture sample: feasible-max integer rates at the target proportions") {
     val tp = Map("en" -> 400L, "zh" -> 150L, "es" -> 150L, "de" -> 150L,
       "fr" -> 150L)
