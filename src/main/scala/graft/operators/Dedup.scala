@@ -413,25 +413,52 @@ object Dedup {
     var labels = ck(nodes.select(col("doc_id"), col("doc_id").as("label")))
     var iter = 0
     var changed = 1L
+    // per-round timing telemetry (off by default): the CC loop is the
+    // repo's only iterative driver loop, so a bench-level slowdown that
+    // localizes here needs per-round visibility to diagnose
+    val ccLog = docs.sparkSession.conf
+      .getOption("spark.graft.cc.log").orElse(sys.env.get("GRAFT_CC_LOG"))
+      .contains("true")
     while (changed > 0 && iter < maxIter) {
+      val t0 = System.nanoTime()
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "dst")
           .withColumnRenamed("label", "dst_label"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("dst_label")).as("nmin"))
+      val propagated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label").as("prev"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label"))
+      // POINTER JUMPING: follow the label one hop (label ← min(label,
+      // label(label))). Plain neighbor-min needs diameter(G) rounds —
+      // fine for clique-ish near-dup graphs (D ≤ 2-3) but a long chain
+      // of shuffle barriers on percolated graphs like embedding-cosine
+      // similarity (D ~ 10-20 at permissive thresholds). The jump
+      // halves the remaining pointer depth every round → O(log D)
+      // rounds, one extra node-table join per round. Labels are always
+      // node ids, so the self-join is total; convergence (changed=0)
+      // is unchanged — the fixpoint is still the component minimum.
+      val hop = propagated
+        .select(col("doc_id").as("label"), col("label").as("hop_label"))
       // fold the convergence flag into the round's own projection: the
       // change count then reads the just-checkpointed partitions
       // instead of re-joining next against prev
-      val next = ck(labels.join(neighborMin, Seq("doc_id"), "left")
+      val next = ck(propagated
+        .join(hop, Seq("label"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          (coalesce(col("nmin"), col("label")) < col("label")).as("chg")))
+          least(col("label"), coalesce(col("hop_label"), col("label")))
+            .as("label"),
+          (least(col("label"), coalesce(col("hop_label"), col("label")))
+            < col("prev")).as("chg")))
       changed = next.filter(col("chg")).count()
       // the previous round's checkpoint blocks are released by the
       // ContextCleaner once this reassignment drops the last reference;
       // peak storage is bounded by two label tables (graph-node-sized)
       labels = next.select(col("doc_id"), col("label"))
       iter += 1
+      if (ccLog) System.err.println(
+        f"[graft-cc] round=$iter changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     // an unconverged propagation means the graph's diameter exceeds
     // maxIter — switch to the round-efficient algorithm rather than
@@ -475,7 +502,11 @@ object Dedup {
     var prev = (-1L, -1L)
     var converged = false
     var round = 0
+    val ccLog = edgesSym.sparkSession.conf
+      .getOption("spark.graft.cc.log").orElse(sys.env.get("GRAFT_CC_LOG"))
+      .contains("true")
     while (!converged && round < maxRounds) {
+      val t0 = System.nanoTime()
       val sym = if (cur == null) edgesSym
         else cur.union(cur.select(col("dst").as("src"), col("src").as("dst")))
       // large-star: m(u) = min(Γ(u) ∪ {u}); emit (v, m(u)) for v>u.
@@ -499,6 +530,8 @@ object Dedup {
       converged = cs == prev
       prev = cs
       round += 1
+      if (ccLog) System.err.println(
+        f"[graft-cc] star round=$round edges=${cs._1} ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     require(converged,
       s"star contraction did not converge within $maxRounds rounds")
