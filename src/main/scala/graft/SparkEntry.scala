@@ -47,6 +47,7 @@ object SparkEntry {
     "q_above_avg" -> (Relational.aboveAvgOrders _),
     "q_salted_join" -> ((s: SparkSession, d: String) => Relational.saltedRevenuePerOrder(s, d)),
     "q_interval_join" -> ((s: SparkSession, d: String) => RangeJoin.intervalJoin(s, d)),
+    "q_zorder" -> ((s: SparkSession, d: String) => ZOrder.zorderLayout(s, d)),
     // --- set ops / sort / limit (SURVEY §2.5)
     "q_union_order" -> (Relational.unionOrder _),
     "q_intersect" -> (Relational.intersectNations _),
@@ -68,6 +69,9 @@ object SparkEntry {
     "q_stream_hourly" -> (graft.streaming.EventStream.hourlyViaStream _),
     "q_stream_dedup" -> (graft.streaming.EventStream.dedupViaStream _),
     "q_stream_enrich" -> (graft.streaming.EventStream.enrichViaStream _),
+    "q_stream_interval" ->
+      ((s: SparkSession, d: String) =>
+        graft.streaming.EventStream.intervalJoinViaStream(s, d)),
     "q_pivot" -> (Relational.pivotStatus _),
     "q_approx_distinct" -> (Relational.approxDistinct _),
     "q_profile" -> (Relational.profile _),
@@ -520,6 +524,20 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
+
+    // Stream-stream event-time interval join: per purchase, the same
+    // user's views in the trailing 24h. The streaming engine produces
+    // the pair set; the rollup is deterministic on either engine.
+    "q_stream_interval" ->
+      """SELECT p.event_id, p.user_id, CAST(COUNT(*) AS BIGINT) AS n_views
+         FROM (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase') p
+         JOIN (SELECT user_id, ts FROM events
+               WHERE event_type = 'view') v
+           ON p.user_id = v.user_id
+          AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 24 HOUR
+         GROUP BY p.event_id, p.user_id
+         ORDER BY p.event_id""",
 
     // Stream-static enrichment join (events stream × customer dim)
     // aggregated per segment.
@@ -1045,6 +1063,28 @@ object SparkEntry {
              AS chunk_tokens
          FROM c
          ORDER BY doc_id, chunk_idx""",
+
+    // Z-order layout: the SAME unrolled shift/mask interleave text is
+    // the oracle arithmetic (ZOrder.mortonExpr) — bit-identical by
+    // construction, so the whole curve is hash-pinned
+    "q_zorder" ->
+      s"""WITH raw AS (SELECT o_orderkey,
+             CAST(o_custkey AS BIGINT) AS ck_raw,
+             CAST(date_diff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS dy_raw
+           FROM orders),
+         ext AS (SELECT min(ck_raw) AS ck_min, max(ck_raw) AS ck_max,
+             min(dy_raw) AS dy_min, max(dy_raw) AS dy_max FROM raw),
+         k AS (SELECT o_orderkey,
+             ((ck_raw - ck_min) * 65535) // greatest(1, ck_max - ck_min) AS ck,
+             ((dy_raw - dy_min) * 65535) // greatest(1, dy_max - dy_min) AS dy
+           FROM raw, ext),
+         z AS (SELECT o_orderkey, ck, dy,
+             CAST(${operators.ZOrder.mortonExpr("ck", "dy")} AS BIGINT) AS z
+           FROM k)
+         SELECT o_orderkey, CAST(ck AS BIGINT) AS ck, CAST(dy AS BIGINT) AS dy,
+           z, CAST(z >> 28 AS BIGINT) AS zgroup
+         FROM z ORDER BY o_orderkey""",
 
     // Systematic sampling over cumulative token mass: the oracle
     // states the running sum as one window in hash order; the Spark

@@ -154,6 +154,45 @@ object EventStream {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"), col("ts"))
 
+  /** STREAM-STREAM event-time interval join: every purchase matches
+    * the same user's view events from the preceding `windowHours`
+    * hours — the attribution join shape (impression↔conversion,
+    * quote↔trade) that only works as a stream-stream join with
+    * event-time bounds. Both sides carry a watermark; the range
+    * condition tells the engine exactly how long a view must be held
+    * in join state (window + watermark delay), so state is bounded by
+    * the ACTIVE window per key, never the stream's history — the shape
+    * that survives an unbounded ingest pair at cluster scale.
+    *
+    * The streaming operator is the inner join itself (Append-mode
+    * emission as matches form); the per-purchase rollup runs batch-side
+    * on the materialized join output, because an unwindowed aggregate
+    * after a stream-stream join has no Append-mode semantics — the
+    * production form lands the joined rows and lets the consumer
+    * aggregate. Pair set and rollup are deterministic → DuckDB-exact.
+    */
+  def intervalJoinViaStream(spark: SparkSession, sf: String,
+      windowHours: Int = 24): DataFrame = {
+    val views = readEvents(spark, sf)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val purchases = readEvents(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val joined = purchases.join(views,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $windowHours HOURS"))
+      .select(col("event_id"), col("user_id"), col("v_ts"))
+    runToCompletion(spark, joined, OutputMode.Append(),
+      Seq("event_id", "user_id", "v_ts"))
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_views"))
+      .orderBy(col("event_id"))
+  }
+
   /** Run a streaming query into an in-memory sink until all available
     * input is processed (batch-driven smoke for local verification). */
   def runToMemory(df: DataFrame, name: String): StreamingQuery = {

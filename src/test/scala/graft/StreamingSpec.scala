@@ -116,6 +116,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream interval join equals the batch interval join rollup") {
+    val streamed = EventStream.intervalJoinViaStream(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ev = Events.load(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val batch = p.join(v,
+        col("user_id") === col("v_user") &&
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS"))
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_views"))
+      .orderBy(col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
+
   test("stateful sessionization matches the batch session count per user") {
     import spark.implicits._
     implicit val s = spark
