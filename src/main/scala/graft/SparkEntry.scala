@@ -48,6 +48,10 @@ object SparkEntry {
     "q_salted_join" -> ((s: SparkSession, d: String) => Relational.saltedRevenuePerOrder(s, d)),
     "q_interval_join" -> ((s: SparkSession, d: String) => RangeJoin.intervalJoin(s, d)),
     "q_zorder" -> ((s: SparkSession, d: String) => ZOrder.zorderLayout(s, d)),
+    // exact mode: the k-th-order-statistic quantiles the DuckDB oracle
+    // states; the library default is the approx_percentile scale path
+    "q_skew_profile" ->
+      ((s: SparkSession, d: String) => Relational.skewProfile(s, d, exact = true)),
     // --- set ops / sort / limit (SURVEY §2.5)
     "q_union_order" -> (Relational.unionOrder _),
     "q_intersect" -> (Relational.intersectNations _),
@@ -1063,6 +1067,30 @@ object SparkEntry {
              AS chunk_tokens
          FROM c
          ORDER BY doc_id, chunk_idx""",
+
+    // Key-skew diagnostic: discrete (k-th order statistic) quantiles,
+    // k = ceil(q*n) with (size, key) tie-break — identical integer
+    // definition on both engines, no interpolation
+    "q_skew_profile" ->
+      """WITH s AS (SELECT l_orderkey, count(*) AS n
+             FROM lineitem GROUP BY l_orderkey),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(max(n) AS BIGINT) AS max_rows FROM s),
+         r AS (SELECT n, row_number() OVER (ORDER BY n, l_orderkey) AS rk
+             FROM s),
+         q AS (SELECT
+             CAST(max(CASE WHEN rk = CAST(ceil(t.n_keys * 0.5) AS BIGINT)
+               THEN n END) AS BIGINT) AS p50_rows,
+             CAST(max(CASE WHEN rk = CAST(ceil(t.n_keys * 0.9) AS BIGINT)
+               THEN n END) AS BIGINT) AS p90_rows,
+             CAST(max(CASE WHEN rk = CAST(ceil(t.n_keys * 0.99) AS BIGINT)
+               THEN n END) AS BIGINT) AS p99_rows
+           FROM r, t)
+         SELECT 'l_orderkey' AS key_col, n_keys, n_rows, max_rows,
+           CAST(max_rows * 10000 // n_rows AS BIGINT) AS top_share_bp,
+           p50_rows, p90_rows, p99_rows
+         FROM t, q""",
 
     // Z-order layout: the SAME unrolled shift/mask interleave text is
     // the oracle arithmetic (ZOrder.mortonExpr) — bit-identical by

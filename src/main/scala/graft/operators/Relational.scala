@@ -403,6 +403,64 @@ object Relational {
     * min/max are taken in the column's own type and cast to string
     * only for display (numeric-vs-lexicographic ordering stays
     * correct). */
+  /** Key-skew diagnostic over a join/grouping key — what a user runs
+    * BEFORE sizing a salted join or trusting AQE's skew split: total
+    * rows, key cardinality, the heaviest key's row count and corpus
+    * share (basis points), and DISCRETE group-size quantiles (exact
+    * k-th order statistics at k = ⌈q·n⌉, ties broken by key — pure
+    * integers, so the row is bit-identical in any engine; interpolated
+    * percentiles are floats and are NOT cross-engine stable).
+    *
+    * Plan: one partial-aggregated groupBy on the key (the same shuffle
+    * the join under diagnosis would do), then all statistics reduce
+    * over the GROUP-SIZE table (key-cardinality-sized, not corpus-
+    * sized). That table is still billions of rows under a billion-key
+    * corpus, so the DEFAULT quantile path is `approx_percentile` over
+    * the size column (t-digest partial aggregation, constant memory,
+    * no global sort); `exact = true` switches to the k-th order
+    * statistic via a ranked window over the sizes table — the mode the
+    * DuckDB oracle pins, same resolution as the quality gate. The
+    * share/max/top-key fields, which drive the salting decision, are
+    * plain aggregates in both modes.
+    */
+  def skewProfile(spark: SparkSession, sf: String,
+      exact: Boolean = false): DataFrame = {
+    val sizes = Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+    val n = sizes.agg(count(lit(1)).as("n_keys"),
+      sum(col("n")).as("n_rows"), max(col("n")).as("max_rows"))
+    if (!exact) {
+      return n.crossJoin(broadcast(sizes.agg(
+          expr("approx_percentile(n, array(0.5, 0.9, 0.99), 10000)")
+            .as("qs"))))
+        .select(lit("l_orderkey").as("key_col"), col("n_keys"),
+          col("n_rows"), col("max_rows"),
+          expr("max_rows * 10000 div n_rows").as("top_share_bp"),
+          expr("qs[0]").as("p50_rows"), expr("qs[1]").as("p90_rows"),
+          expr("qs[2]").as("p99_rows"))
+    }
+    val ranked = sizes.withColumn("rk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n"), col("l_orderkey"))).cast("long"))
+    val qs = ranked.crossJoin(broadcast(n))
+      .select(col("n"), col("rk"), col("n_keys"))
+      .filter(col("rk") === expr("cast(ceil(n_keys * 0.5) as bigint)") ||
+        col("rk") === expr("cast(ceil(n_keys * 0.9) as bigint)") ||
+        col("rk") === expr("cast(ceil(n_keys * 0.99) as bigint)"))
+      .agg(
+        max(when(col("rk") === expr("cast(ceil(n_keys * 0.5) as bigint)"),
+          col("n"))).as("p50_rows"),
+        max(when(col("rk") === expr("cast(ceil(n_keys * 0.9) as bigint)"),
+          col("n"))).as("p90_rows"),
+        max(when(col("rk") === expr("cast(ceil(n_keys * 0.99) as bigint)"),
+          col("n"))).as("p99_rows"))
+    n.crossJoin(qs)
+      .select(lit("l_orderkey").as("key_col"), col("n_keys"), col("n_rows"),
+        col("max_rows"),
+        expr("max_rows * 10000 div n_rows").as("top_share_bp"),
+        col("p50_rows"), col("p90_rows"), col("p99_rows"))
+  }
+
   def profile(spark: SparkSession, sf: String): DataFrame = {
     val docs = Tables.load(spark, sf, "documents")
     val cols = docs.columns.toSeq

@@ -214,6 +214,31 @@ class OperatorSpec extends AnyFunSuite {
     got.foreach { case (_, cid, sz) => assert(sz == sizes(cid)) }
   }
 
+  test("skew profile reports exact order statistics of the group sizes") {
+    val r = graft.operators.Relational.skewProfile(spark, sf, exact = true)
+      .collect()(0)
+    val sizes = graft.Tables.load(spark, sf, "lineitem")
+      .groupBy("l_orderkey").count().collect()
+      .map(x => (x.getLong(1), x.getLong(0))).sorted // (n, key) tie-break
+    val nKeys = sizes.length.toLong
+    def kth(q: Double): Long = sizes(math.ceil(nKeys * q).toInt - 1)._1
+    assert(r.getLong(1) == nKeys)
+    assert(r.getLong(2) == sizes.map(_._1).sum)
+    assert(r.getLong(3) == sizes.map(_._1).max)
+    assert(r.getLong(4) == sizes.map(_._1).max * 10000L / sizes.map(_._1).sum)
+    assert(r.getLong(5) == kth(0.5) && r.getLong(6) == kth(0.9) &&
+      r.getLong(7) == kth(0.99))
+    // approx (default/scale) mode: same plain aggregates, quantiles
+    // are actual size values within the exact neighbors' range
+    val a = graft.operators.Relational.skewProfile(spark, sf).collect()(0)
+    assert((1 to 4).forall(i => a.getLong(i) == r.getLong(i)))
+    val all = sizes.map(_._1)
+    Seq(5, 6, 7).foreach { i =>
+      assert(all.contains(a.getLong(i)), s"col $i not a real size value")
+    }
+    assert(a.getLong(5) <= a.getLong(6) && a.getLong(6) <= a.getLong(7))
+  }
+
   test("exact kernels fail fast when the broadcast side exceeds the configured bound") {
     val key = "spark.graft.exact.maxBroadcastRows"
     spark.conf.set(key, "10") // fixture has 50+ vectors
