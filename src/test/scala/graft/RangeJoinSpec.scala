@@ -41,6 +41,32 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed range join equals the theta join on seeded random workloads") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 5) {
+      val points = Seq.fill(200)(rnd.nextInt(1000).toLong)
+      val intervals = (1 to 80).map { id =>
+        val s = rnd.nextInt(1000).toLong
+        // mix of empty, short, and bucket-spanning intervals
+        (id.toLong, s, s + rnd.nextInt(120) - 10)
+      }
+      val width = Seq(3L, 10L, 37L, 100L)(rnd.nextInt(4))
+      val got = RangeJoin.rangeJoin(
+          points.toDF("p"), intervals.toDF("id", "s", "e"),
+          "p", "s", "e", width)
+        .select(col("p"), col("id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // multiset equality: duplicate point values must pair
+      // independently, and no (point-row, interval) pair may duplicate
+      val naivePairs = for {
+        p <- points; (id, s, e) <- intervals if p >= s && p < e
+      } yield (p, id)
+      assert(got.sorted.sameElements(naivePairs.sorted),
+        s"trial $trial width $width")
+    }
+  }
+
   test("range join plans as an equality join, not a nested loop") {
     val df = RangeJoin.intervalJoin(spark, sf)
     df.collect()
