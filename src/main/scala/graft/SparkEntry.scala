@@ -135,6 +135,7 @@ object SparkEntry {
     "q_chunk_stride" -> ((s: SparkSession, d: String) => Corpus.chunkStride(s, d)),
     "q_systematic_sample" -> ((s: SparkSession, d: String) => Corpus.systematicSample(s, d)),
     "q_vocab_coverage" -> ((s: SparkSession, d: String) => Corpus.vocabCoverage(s, d)),
+    "q_dataset_card" -> (Corpus.datasetCard _),
     "q_semantic_clusters" -> ((s: SparkSession, d: String) =>
       Similarity.semanticClusters(s, d)),
     "q_label_centroids" -> (Similarity.labelCentroids _),
@@ -1130,6 +1131,38 @@ object SparkEntry {
          SELECT doc_id, n_tokens FROM c
          WHERE (excl + n_tokens) // 100 > excl // 100
          ORDER BY doc_id""",
+
+    // Dataset card: long-format corpus summary, every metric an
+    // integer count/sum/distinct (no float means — order-dependent)
+    "q_dataset_card" ->
+      """WITH b AS (SELECT
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+               AS n_tokens,
+             CAST(sum(length(text)) AS BIGINT) AS n_chars,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_docs,
+             CAST(max(len(string_split(lower(text), ' '))) AS BIGINT)
+               AS max_tokens,
+             CAST(min(len(string_split(lower(text), ' '))) AS BIGINT)
+               AS min_tokens
+           FROM documents),
+         v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vocab_size
+           FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+             AS w FROM documents))
+         SELECT metric, value FROM (
+           SELECT 'n_docs' AS metric, n_docs AS value FROM b
+           UNION ALL SELECT 'n_tokens', n_tokens FROM b
+           UNION ALL SELECT 'n_chars', n_chars FROM b
+           UNION ALL SELECT 'n_langs', n_langs FROM b
+           UNION ALL SELECT 'n_sources', n_sources FROM b
+           UNION ALL SELECT 'n_unique_docs', n_unique_docs FROM b
+           UNION ALL SELECT 'n_exact_dups', n_docs - n_unique_docs FROM b
+           UNION ALL SELECT 'max_tokens', max_tokens FROM b
+           UNION ALL SELECT 'min_tokens', min_tokens FROM b
+           UNION ALL SELECT 'vocab_size', vocab_size FROM v)
+         ORDER BY metric""",
 
     // Vocabulary coverage: all-integer basis-point coverage so the
     // table is bit-identical cross-engine; ties in count break by term

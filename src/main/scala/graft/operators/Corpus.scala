@@ -619,6 +619,55 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Dataset card — the one-call corpus summary a pipeline publishes
+    * with a release: document/token/char volume, language and source
+    * breadth, exact-duplicate mass, token-length extremes, and
+    * vocabulary size, in long (metric, value) format. Every metric is
+    * a count/sum/distinct over integers, so the card is bit-identical
+    * in any engine and any partitioning (float means are deliberately
+    * excluded: a double sum is order-dependent; the per-row quality
+    * surface lives in [[Text.quality]] where rows, not sums, are
+    * compared).
+    *
+    * Plan: one scan drives every base aggregate (single partial-agg
+    * reduction); the vocabulary branch is the only explode, reduced by
+    * countDistinct on the term. The exact distincts (Expand) are the
+    * verification-scale form; at 100 TB swap `approx_count_distinct`
+    * for the same single-scan shape minus Expand, as in the profiler.
+    */
+  def datasetCard(spark: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.load(spark, sf, "documents")
+    val nTok = size(toks(col("text"))).cast("long")
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(nTok).as("n_tokens"),
+      sum(length(col("text")).cast("long")).as("n_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(md5(col("text"))).as("n_unique_docs"),
+      max(nTok).as("max_tokens"),
+      min(nTok).as("min_tokens"))
+    val vocab = docs.select(explode(words(col("text"))).as("w"))
+      .agg(countDistinct(col("w")).as("vocab_size"))
+    base.crossJoin(vocab)
+      .select(explode(array(
+        struct(lit("n_docs").as("metric"), col("n_docs").as("value")),
+        struct(lit("n_tokens").as("metric"), col("n_tokens").as("value")),
+        struct(lit("n_chars").as("metric"), col("n_chars").as("value")),
+        struct(lit("n_langs").as("metric"), col("n_langs").as("value")),
+        struct(lit("n_sources").as("metric"), col("n_sources").as("value")),
+        struct(lit("n_unique_docs").as("metric"),
+          col("n_unique_docs").as("value")),
+        struct(lit("n_exact_dups").as("metric"),
+          (col("n_docs") - col("n_unique_docs")).as("value")),
+        struct(lit("max_tokens").as("metric"), col("max_tokens").as("value")),
+        struct(lit("min_tokens").as("metric"), col("min_tokens").as("value")),
+        struct(lit("vocab_size").as("metric"), col("vocab_size").as("value"))
+      )).as("m"))
+      .select(col("m.metric").as("metric"), col("m.value").as("value"))
+      .orderBy(col("metric"))
+  }
+
   /** Vocabulary coverage table — the tokenizer-design probe: the top
     * `topN` word types by corpus frequency, each with its rank,
     * count, running count, and cumulative coverage of all token

@@ -620,6 +620,27 @@ class CorpusSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).sameElements(got))
   }
 
+  test("dataset card equals a brute-force census of the corpus") {
+    val got = Corpus.datasetCard(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select("text", "lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val toks = docs.map(_._1.toLowerCase.split(" ", -1).length.toLong)
+    val word = "[a-z]+".r
+    assert(got("n_docs") == docs.length)
+    assert(got("n_tokens") == toks.sum)
+    assert(got("n_chars") == docs.map(_._1.length.toLong).sum)
+    assert(got("n_langs") == docs.map(_._2).distinct.length)
+    assert(got("n_sources") == docs.map(_._3).distinct.length)
+    assert(got("n_unique_docs") == docs.map(_._1).distinct.length)
+    assert(got("n_exact_dups") == docs.length - docs.map(_._1).distinct.length)
+    assert(got("max_tokens") == toks.max && got("min_tokens") == toks.min)
+    assert(got("vocab_size") ==
+      docs.flatMap(d => word.findAllIn(d._1.toLowerCase)).distinct.length)
+    assert(got.size == 10)
+  }
+
   test("vocab coverage matches a brute-force census; coverage is monotone") {
     val topN = 50
     val got = Corpus.vocabCoverage(spark, sf, topN).collect()
