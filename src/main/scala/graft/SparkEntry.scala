@@ -82,6 +82,7 @@ object SparkEntry {
     "q_sessionize" -> (Events.sessionize _),
     "q_funnel" -> (Events.funnel _),
     "q_retention" -> (Events.retention _),
+    "q_latest_version" -> (Events.latestVersion _),
     "q_regex_extract" -> (Text.regexExtract _),
     "q_json_extract" -> (Text.jsonExtract _),
     "q_asof_join" -> (AsOf.eventAttribution _),
@@ -597,6 +598,19 @@ object SparkEntry {
          LEFT JOIN c USING (user_id)
          LEFT JOIN p USING (user_id)
          ORDER BY user_id""",
+
+    // CDC latest-wins compaction: newest row per (user_id, event_type),
+    // ties by event_id — total order, engine-independent winner
+    "q_latest_version" ->
+      """WITH r AS (SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+           FROM events)
+         SELECT user_id, event_type, event_id AS latest_event_id,
+           CAST(n_versions AS BIGINT) AS n_versions
+         FROM r WHERE rn = 1
+         ORDER BY user_id, event_type""",
 
     "q_retention" ->
       """WITH e AS (SELECT DISTINCT user_id,

@@ -151,6 +151,43 @@ object Events {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** CDC latest-wins compaction — the read side of MERGE/upsert over a
+    * changelog: treat events as versioned updates keyed by
+    * (user_id, event_type) and keep each key's newest row (ties broken
+    * by event_id, so the winner is total-ordered and engine-
+    * independent). Emits the surviving event id plus the key's version
+    * count — the changelog-compaction every CDC-fed 100 TB table runs
+    * before serving.
+    *
+    * Plan note: the declarative `row_number() = 1` filter is the
+    * rank-limit-pushdown shape (SPARK-37099) — a partial
+    * WindowGroupLimit caps every map partition to one row per key
+    * BEFORE the shuffle, so a hot key (one user = 10⁹ updates) costs
+    * its map partitions one row each, not a reducer-side sort of the
+    * full history. Same plan-pinned bound as domainCap.
+    */
+  def latestVersion(spark: SparkSession, sf: String): DataFrame = {
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val ev = load(spark, sf)
+    val winners = ev
+      .withColumn("rn", row_number().over(byKey))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("latest_event_id"))
+    // version counts via partial-aggregated groupBy, NOT an unbounded
+    // count window — a second (un-limited) window over the same key
+    // would force the full history through the reducer and forfeit the
+    // WindowGroupLimit bound the rank filter just bought
+    val counts = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_versions"))
+    winners.join(counts, Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"), col("latest_event_id"),
+        col("n_versions"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** Conversion funnel view→click→purchase: per user, the first view,
     * the first click strictly after it, the first purchase strictly
     * after that, and the furthest stage reached. Cascaded

@@ -214,6 +214,24 @@ class OperatorSpec extends AnyFunSuite {
     got.foreach { case (_, cid, sz) => assert(sz == sizes(cid)) }
   }
 
+  test("latest-version compaction picks the newest row and keeps the group-limit plan") {
+    val df = graft.operators.Events.latestVersion(spark, sf)
+    val got = df.collect()
+      .map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), "rank-limit pushdown lost")
+    val ev = graft.operators.Events.load(spark, sf)
+      .select("user_id", "event_type", "event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getTimestamp(3).getTime * 1000 + r.getTimestamp(3).getNanos / 1000 % 1000))
+    val expect = ev.groupBy(e => (e._1, e._2)).map { case (k, es) =>
+      k -> ((es.map(e => (e._4, e._3)).max._2, es.length.toLong))
+    }
+    assert(got.size == expect.size)
+    expect.foreach { case (k, v) => assert(got(k) == v, s"key $k") }
+  }
+
   test("skew profile reports exact order statistics of the group sizes") {
     val r = graft.operators.Relational.skewProfile(spark, sf, exact = true)
       .collect()(0)
