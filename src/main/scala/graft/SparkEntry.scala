@@ -52,6 +52,7 @@ object SparkEntry {
     // states; the library default is the approx_percentile scale path
     "q_skew_profile" ->
       ((s: SparkSession, d: String) => Relational.skewProfile(s, d, exact = true)),
+    "q_histogram" -> ((s: SparkSession, d: String) => Relational.histogram(s, d)),
     // --- set ops / sort / limit (SURVEY §2.5)
     "q_union_order" -> (Relational.unionOrder _),
     "q_intersect" -> (Relational.intersectNations _),
@@ -1082,6 +1083,23 @@ object SparkEntry {
              AS chunk_tokens
          FROM c
          ORDER BY doc_id, chunk_idx""",
+
+    // Fixed-width histogram in integer cents; bucket and bound maps
+    // are exact floor/ceil division — no width_bucket edge drift
+    "q_histogram" ->
+      """WITH r AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             * 100 AS BIGINT) AS v FROM lineitem),
+         e AS (SELECT min(v) AS mn, max(v) AS mx,
+             CAST(count(*) AS BIGINT) AS n_total FROM r),
+         b AS (SELECT ((v - mn) * 20) // (mx - mn + 1) AS bucket,
+             mn, mx, n_total FROM r, e)
+         SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(mn + (bucket * (mx - mn + 1) + 19) // 20 AS BIGINT)
+             AS lo_cents,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) * 10000 // n_total AS BIGINT) AS share_bp
+         FROM b GROUP BY bucket, mn, mx, n_total
+         ORDER BY bucket""",
 
     // Key-skew diagnostic: discrete (k-th order statistic) quantiles,
     // k = ceil(q*n) with (size, key) tie-break — identical integer

@@ -461,6 +461,39 @@ object Relational {
         col("p50_rows"), col("p90_rows"), col("p99_rows"))
   }
 
+  /** Fixed-width histogram of `l_extendedprice` in `buckets` equal
+    * cents-ranges — the distribution-shape probe next to [[profile]]
+    * and [[skewProfile]]. All arithmetic is integer cents (money
+    * doubles go through the DECIMAL(18,2) cast every other oracle
+    * uses, then ×100 → BIGINT), and the bucket index is
+    * `(v−min)·k div (max−min+1)` — exact floor division, no
+    * width_bucket edge-semantics drift between engines. One scan for
+    * extremes (broadcast scalar), one partial-aggregated groupBy on
+    * the bucket index; share in basis points is integer too.
+    */
+  def histogram(spark: SparkSession, sf: String,
+      buckets: Int = 20): DataFrame = {
+    val cents = expr(
+      "cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)")
+    val rows = Tables.load(spark, sf, "lineitem").select(cents.as("v"))
+    val ext = rows.agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+      count(lit(1)).as("n_total"))
+    rows.crossJoin(broadcast(ext))
+      .withColumn("bucket",
+        expr(s"((v - mn) * $buckets) div (mx - mn + 1)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        first(col("mn")).as("mn"), first(col("mx")).as("mx"),
+        first(col("n_total")).as("n_total"))
+      .select(col("bucket"),
+        // exact inverse of the bucket map: smallest v landing in b is
+        // mn + ceil(b·span/k)
+        expr(s"mn + (bucket * (mx - mn + 1) + $buckets - 1) div $buckets")
+          .as("lo_cents"),
+        col("n"), expr("n * 10000 div n_total").as("share_bp"))
+      .orderBy(col("bucket"))
+  }
+
   def profile(spark: SparkSession, sf: String): DataFrame = {
     val docs = Tables.load(spark, sf, "documents")
     val cols = docs.columns.toSeq

@@ -214,6 +214,23 @@ class OperatorSpec extends AnyFunSuite {
     got.foreach { case (_, cid, sz) => assert(sz == sizes(cid)) }
   }
 
+  test("histogram buckets partition the value range exactly") {
+    val k = 20
+    val rows = graft.operators.Relational.histogram(spark, sf, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val vals = graft.Tables.load(spark, sf, "lineitem")
+      .selectExpr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)")
+      .collect().map(_.getLong(0))
+    val (mn, mx, span) = (vals.min, vals.max, vals.max - vals.min + 1)
+    assert(rows.map(_._3).sum == vals.length) // every row in some bucket
+    rows.foreach { case (b, lo, n, bp) =>
+      assert(b >= 0 && b < k)
+      assert(lo == mn + (b * span + k - 1) / k) // exact bound inverse
+      assert(n == vals.count(v => (v - mn) * k / span == b))
+      assert(bp == n * 10000L / vals.length)
+    }
+  }
+
   test("latest-version compaction picks the newest row and keeps the group-limit plan") {
     val df = graft.operators.Events.latestVersion(spark, sf)
     val got = df.collect()
