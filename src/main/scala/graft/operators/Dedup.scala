@@ -426,10 +426,15 @@ object Dedup {
           .withColumnRenamed("label", "dst_label"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("dst_label")).as("nmin"))
+      // persisted: `next` references propagated TWICE (directly and
+      // via `hop`) — without materialization the edges-join + neighbor
+      // -min aggregation above, the heaviest stage of the round, would
+      // run twice per round and halve the jump's round-count savings
       val propagated = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nmin"), col("label")))
             .as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // POINTER JUMPING: follow the label one hop (label ← min(label,
       // label(label))). Plain neighbor-min needs diameter(G) rounds —
       // fine for clique-ish near-dup graphs (D ≤ 2-3) but a long chain
@@ -451,6 +456,7 @@ object Dedup {
             .as("label"),
           (least(col("label"), coalesce(col("hop_label"), col("label")))
             < col("prev")).as("chg")))
+      propagated.unpersist() // `next` is checkpointed (eager) above
       changed = next.filter(col("chg")).count()
       // the previous round's checkpoint blocks are released by the
       // ContextCleaner once this reassignment drops the last reference;

@@ -7,18 +7,21 @@ import graft.model.{JobState, Operation, JobMode}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import java.nio.file.Files
-
 /** Queries that exercise the Data-Pump-style job engine end-to-end —
   * the export→import round-trip chain the reference's tests build
   * (tests/test_export.py → tests/test_import.py via pytest cache), but
   * with data-level assertions: each query returns the *imported* data,
   * which must hash-match the original table per the DuckDB oracle.
+  *
+  * Scratch dirs: the returned DataFrames read the import target
+  * LAZILY, so the dirs can't be deleted here — [[graft.TempDirs]]
+  * registers each one for deletion at JVM exit, keeping bench/verify
+  * sweeps /tmp-net-zero.
   */
 object JobQueries {
 
   private def tmpDir(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+    graft.TempDirs.create(prefix)
 
   /** EXPORT(lineitem) → dump set → IMPORT with REMAP_SCHEMA main→stage
     * and TABLE_EXISTS_ACTION=REPLACE → read back. Exercises: job

@@ -39,16 +39,31 @@ object RangeJoin {
       pointCol: String, startCol: String, endCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
-    val p = points.withColumn("__bucket", expr(s"`$pointCol` div $bucketWidth"))
+    // uniquified join column: a caller-supplied frame already carrying
+    // a column of the same name would be silently overwritten by
+    // withColumn, corrupting the join
+    val bc = s"__graft_bucket_${java.util.concurrent.ThreadLocalRandom
+      .current().nextLong().toHexString}"
+    // runtime guard for the documented non-negative-domain
+    // precondition: integral `div` truncates toward zero, which only
+    // equals floor division for v ≥ 0 — a negative point/start would
+    // otherwise silently miss matches instead of failing loudly. The
+    // guard is one codegen'd branch per row, on par with the residual.
+    def nonNeg(c: String): String =
+      s"""CASE WHEN `$c` < 0 THEN raise_error(concat(
+            'rangeJoin: `$c` must be non-negative, got ', `$c`))
+          ELSE `$c` END"""
+    val p = points.withColumn(bc,
+      expr(s"(${nonNeg(pointCol)}) div $bucketWidth"))
     // empty intervals (end <= start) produce an empty sequence → no rows
-    val iv = intervals.withColumn("__bucket", explode(expr(
+    val iv = intervals.withColumn(bc, explode(expr(
       s"""CASE WHEN `$endCol` > `$startCol`
-            THEN sequence(`$startCol` div $bucketWidth,
+            THEN sequence((${nonNeg(startCol)}) div $bucketWidth,
                           (`$endCol` - 1) div $bucketWidth)
             ELSE array() END""")))
-    p.join(iv, Seq("__bucket"))
+    p.join(iv, Seq(bc))
       .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
-      .drop("__bucket")
+      .drop(bc)
   }
 
   /** Temporal demand probe: for every order, how many lineitems —

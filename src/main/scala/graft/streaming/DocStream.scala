@@ -104,8 +104,7 @@ object DocStream {
     */
   def nearDupViaStream(spark: SparkSession, sf: String,
       threshold: Double = 0.5): DataFrame = {
-    val root = java.nio.file.Files
-      .createTempDirectory("graft-docstream").toString
+    val root = graft.TempDirs.create("graft-docstream")
     val landing = s"$root/landing"
     val indexDir = s"$root/index"
     val outDir = s"$root/out"
@@ -152,13 +151,12 @@ object DocStream {
     try { q.processAllAvailable() } finally q.stop()
 
     // the NEW delivery's classification (delivery 0 bootstrapped the
-    // index); materialized off the temp dir like every streaming twin
-    val out = spark.read.schema(OutSchema).parquet(outDir)
+    // index). Returned parquet-backed, not collected: a real delivery
+    // is executor-sized, and the temp dir outlives the frame via the
+    // TempDirs shutdown hook — no driver materialization, no litter.
+    spark.read.schema(OutSchema).parquet(outDir)
       .filter(col("batch_id") === 1L)
       .select(col("doc_id"), col("status"), col("matched_id"))
       .orderBy(col("doc_id"))
-    val rows = out.collect().toSeq
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), out.schema)
   }
 }

@@ -57,15 +57,25 @@ object EventStream {
     runToCompletion(spark, hourlyCounts(readEvents(spark, sf)),
       OutputMode.Complete(), Seq("hour", "event_type"))
 
-  /** Drive a bounded streaming query to completion through a memory
-    * sink and hand back its materialized, deterministically-ordered
-    * result (detached from the temp view). Shared by every
-    * streaming-twin queries() entry. */
+  /** Drive a bounded streaming query to completion into a parquet
+    * scratch sink and hand back the result as a parquet-backed,
+    * deterministically-ordered DataFrame. Shared by every
+    * streaming-twin queries() entry.
+    *
+    * foreachBatch→parquet, not a memory sink: the memory sink holds
+    * the whole result on the driver, which caps the twin at driver-
+    * sized outputs — the parquet sink is the shape a real delivery
+    * lands in (executor-parallel write, consumer reads lazily).
+    * Complete-mode batches overwrite (each batch carries the full
+    * updated result); Append-mode batches append. The scratch dir
+    * outlives the returned frame via the TempDirs shutdown hook. */
   private def runToCompletion(spark: SparkSession, stream: DataFrame,
       mode: OutputMode, sortCols: Seq[String],
       statePartitions: Int = 4): DataFrame = {
-    val name = "graft_stream_" + java.util.UUID.randomUUID()
-      .toString.replace("-", "")
+    val root = graft.TempDirs.create("graft-eventstream")
+    val outDir = s"$root/out"
+    new java.io.File(outDir).mkdirs()
+    val saveMode = if (mode == OutputMode.Complete()) "overwrite" else "append"
     // Stateful-operator partition count should track KEY CARDINALITY,
     // not input parallelism: these aggregations group over handfuls of
     // keys, and 32 state-store partitions cost ~1 s of setup per query
@@ -78,18 +88,17 @@ object EventStream {
     try {
       val q = stream.writeStream
         .outputMode(mode)
-        .format("memory").queryName(name)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode(saveMode).parquet(outDir)
+          ()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
         .trigger(Trigger.AvailableNow())
         .start()
       try { q.processAllAvailable() } finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    val out = spark.table(name).orderBy(sortCols.map(col): _*)
-    // detach from the memory sink before the table is dropped
-    val rows = out.collect().toSeq
-    val materialized = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), out.schema)
-    spark.catalog.dropTempView(name)
-    materialized
+    spark.read.schema(stream.schema).parquet(outDir)
+      .orderBy(sortCols.map(col): _*)
   }
 
   /** Stream-static enrichment: the event stream joins a broadcast
@@ -173,10 +182,16 @@ object EventStream {
     */
   def intervalJoinViaStream(spark: SparkSession, sf: String,
       windowHours: Int = 24): DataFrame = {
+    // The view-side watermark must COVER the join window: a view is
+    // join-state the engine may still need until a purchase windowHours
+    // later arrives, so a delay shorter than the window would drop
+    // views replayed >delay late in event time and silently diverge
+    // from the batch oracle on any multi-batch/unordered source (the
+    // bounded single-file twin masked this — one batch, watermark 0).
     val views = readEvents(spark, sf)
       .filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
-      .withWatermark("v_ts", "2 hours")
+      .withWatermark("v_ts", s"${windowHours + 2} hours")
     val purchases = readEvents(spark, sf)
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
