@@ -150,6 +150,7 @@ object SparkEntry {
     "q_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "q_ann_recall" -> (Similarity.annPlantedRecall _),
     "q_ivf_recall" -> (Similarity.ivfPlantedRecall _),
+    "q_cosine_recall" -> ((s: SparkSession, d: String) => Similarity.cosinePlantedRecall(s, d)),
     "q_cosine_pairs" -> ((s: SparkSession, d: String) => Similarity.cosinePairsExact(s, d)),
     // --- multimodal binary plumbing
     "q_binary_meta" -> (Multimodal.binaryMeta _),
@@ -1340,6 +1341,15 @@ object SparkEntry {
     // Same planted ground truth pins the k-means IVF index: green iff
     // NProbe=2 cell probing recovers every twin.
     "q_ivf_recall" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id,
+         CAST(vec_id + 1000000 AS BIGINT) AS neighbor_id
+         FROM embeddings ORDER BY query_id""",
+
+    // Same planted ground truth pins the cosine NEAR-DUP pair kernel
+    // (q_cosine_near_dup's multi-probe bucket join at threshold 0.95,
+    // which is empty on the natural fixtures): green iff the bucketed
+    // pair join recovers every (original, twin) pair.
+    "q_cosine_recall" ->
       """SELECT CAST(vec_id AS BIGINT) AS query_id,
          CAST(vec_id + 1000000 AS BIGINT) AS neighbor_id
          FROM embeddings ORDER BY query_id""",

@@ -179,6 +179,24 @@ object Similarity {
       base.bitwiseXOR(lit(1L << p)))): _*)
   }
 
+  /** Hamming≤2 probe set (1 + 12 + 66 = 79 buckets) — the near-dup
+    * pair kernel's probe radius. ANN top-k tolerates a missed bucket
+    * (another neighbor fills the slot); PAIR recovery does not — a
+    * missed pair is a duplicate kept forever — so the dedup path pays
+    * the larger constant probe fan-out (cheap exploded rows, not extra
+    * hash tables) for a two-plane-flip-proof recall floor. The sf0.001
+    * fixtures contain a real two-flip twin (vec 232), which is what
+    * separates this from [[multiProbeBuckets]] empirically, not just
+    * in expectation. */
+  def multiProbeBucketsR2(iv: Column): Column = {
+    val base = lshBucket(iv)
+    val flips = (0 until SignBits).map(1L << _)
+    val masks = flips ++
+      (for { p <- 0 until SignBits; q <- (p + 1) until SignBits }
+        yield (1L << p) | (1L << q))
+    array((base +: masks.map(m => base.bitwiseXOR(lit(m)))): _*)
+  }
+
   /** Driver-visible ANN recall pin. The natural embeddings have no
     * near-dup pairs (max pairwise cosine ≈ 0.51 in the fixtures), so
     * the recall statement is made on PLANTED ground truth: every
@@ -215,21 +233,71 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
-  /** Embedding-cosine near-duplicate pairs (cosine ≥ threshold) via
-    * LSH buckets — the embedding-space analog of MinHash dedup. */
-  def cosineNearDup(spark: SparkSession, sf: String, threshold: Double = 0.95): DataFrame = {
-    val e = Tables.load(spark, sf, "embeddings")
-    def side(idCol: String): DataFrame =
-      quantized(e, idCol)
-        .withColumn("bucket", lshBucket(col(s"iv_$idCol")))
-    side("vec_a").join(side("vec_b"), Seq("bucket"))
+  /** Shared LSH-bucketed near-dup pair kernel — one side explodes its
+    * Hamming≤2 multi-probe bucket set ([[multiProbeBucketsR2]]), the
+    * other indexes its single bucket, the join is bucket equality, and
+    * the exact quantized cosine is the residual confirm. Multi-probe
+    * matters for PAIR recovery even more than for ANN: a near-dup pair
+    * straddling one or two hyperplanes lands in nearby buckets and a
+    * plain single-bucket equality join silently loses it. A probe set
+    * never contains duplicate values, so each surviving pair appears
+    * exactly once — no distinct needed. Input: (vec_id, embedding). */
+  private[graft] def nearDupPairsLsh(vecs: DataFrame,
+      threshold: Double): DataFrame = {
+    val probes = quantized(vecs, "vec_a")
+      .select(col("vec_a"), col("iv_vec_a"), col("norm_vec_a"),
+        explode(multiProbeBucketsR2(col("iv_vec_a"))).as("bucket"))
+    val index = quantized(vecs, "vec_b")
+      .withColumn("bucket", lshBucket(col("iv_vec_b")))
+    probes.join(index, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cosine",
         dot_long(col("iv_vec_a"), col("iv_vec_b")).cast("double") /
           (col("norm_vec_a") * col("norm_vec_b")))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (cosine ≥ threshold) via
+    * multi-probe LSH buckets — the embedding-space analog of MinHash
+    * dedup. Candidate discovery is [[nearDupPairsLsh]]; recall of the
+    * bucketed path is pinned by [[cosinePlantedRecall]]
+    * (q_cosine_recall), since the natural fixtures have no pair above
+    * the near-dup threshold (max pairwise cosine ≈ 0.51 → this query
+    * is empty at sf0.01 by construction, not by accident). */
+  def cosineNearDup(spark: SparkSession, sf: String, threshold: Double = 0.95): DataFrame =
+    nearDupPairsLsh(
+      Tables.load(spark, sf, "embeddings").select(col("vec_id"), col("embedding")),
+      threshold)
       .orderBy(col("vec_a"), col("vec_b"))
+
+  /** Driver-visible recall pin for the cosine near-dup path — the
+    * q_ann_recall construction at the NEAR-DUP threshold: every vector
+    * gets a deterministic near-identical twin (id + 1e6, first
+    * component ×1.01, cosine ≥ 0.999), the twins are unioned into the
+    * corpus, and the SAME [[nearDupPairsLsh]] kernel the production
+    * query runs must recover every (original, twin) pair at
+    * threshold 0.95. The DuckDB oracle is the full planted list —
+    * green iff recall = 100%. Original↔original and twin↔twin pairs
+    * sit at cosine ≤ ~0.51 and cannot contaminate the output, so the
+    * planted filter is exact.
+    *
+    * FIXTURE COUPLING (same note as [[annPlantedRecall]]): the
+    * Hamming≤2 probe radius structurally covers one- AND two-plane
+    * straddles (sf0.001 really contains a two-flip twin, vec 232); a
+    * miss now needs a vector within 0.57° of THREE of the 12
+    * hyperplanes at once — zero fixtures, ~10⁻⁶ under regeneration. */
+  def cosinePlantedRecall(spark: SparkSession, sf: String,
+      threshold: Double = 0.95): DataFrame = {
+    val e = Tables.load(spark, sf, "embeddings")
+    val twins = e.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, x * lit(1.01)).otherwise(x)).as("embedding"))
+    nearDupPairsLsh(
+      e.select(col("vec_id"), col("embedding")).union(twins), threshold)
+      .filter(col("vec_b") === col("vec_a") + 1000000L)
+      .select(col("vec_a").as("query_id"), col("vec_b").as("neighbor_id"))
+      .orderBy(col("query_id"))
   }
 
   // ---- IVF (inverted-file) ANN -------------------------------------

@@ -190,6 +190,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(recovered == n, s"IVF recall $recovered/$n")
   }
 
+  test("cosine near-dup recall on planted twins is total and the kernel is sound") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val n = e.count()
+    // NON-VACUOUS recall: every planted near-identical twin must come
+    // back through the SAME multi-probe bucket kernel q_cosine_near_dup
+    // runs (the natural fixtures are empty at 0.95 by construction)
+    val recovered = Similarity.cosinePlantedRecall(spark, sf).collect()
+    assert(recovered.length == n,
+      s"cosine near-dup recall ${recovered.length}/$n")
+    recovered.foreach(r => assert(r.getLong(1) == r.getLong(0) + 1000000L))
+    // soundness on the production entry: every emitted pair really is
+    // above threshold and ordered (empty on natural fixtures is OK —
+    // the planted gate above carries the recall statement)
+    Similarity.cosineNearDup(spark, sf).collect().foreach { r =>
+      assert(r.getLong(0) < r.getLong(1) && r.getDouble(2) >= 0.95)
+    }
+    // ... and at a threshold the natural fixtures DO reach, the
+    // bucketed kernel's pairs are a subset of the exact pair set
+    val exact = Similarity.cosinePairsExact(spark, sf, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Similarity.cosineNearDup(spark, sf, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed.nonEmpty, "bucketed kernel vacuous at threshold 0.4")
+    assert(bucketed.subsetOf(exact), s"${bucketed.diff(exact)} not exact")
+  }
+
   test("semantic clusters agree with a union-find over the exact cosine pairs") {
     val threshold = 0.35
     val got = Similarity.semanticClusters(spark, sf, threshold).collect()
