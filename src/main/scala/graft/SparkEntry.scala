@@ -1404,47 +1404,57 @@ object SparkEntry {
                 CAST(floor((nb - 1) / 64) AS BIGINT))) AS i) g
          ORDER BY doc_id, frame_idx""",
 
-    // Stub decoder twin: 16-bin byte histogram over the UTF-8 payload
-    // (documents.text is pure ASCII ⇒ chars == bytes, so per-char
-    // unicode()//16 in DuckDB bins identically to Spark's byte>>4).
-    // Empty-doc guard: DuckDB string_split('','') yields [''] and
-    // unicode('') = -1, which truncating // would bin at 0 as a phantom
-    // count — negative code points are filtered before binning so an
-    // empty payload histograms to all-zero bins, matching fakeDecode.
+    // REAL-DECODE twin: Spark PNG-encodes a deterministic gray image
+    // per doc (gray(x,y) = (doc_id*31 + x*7 + y*13) % 256, w=8+id%8,
+    // h=8+id%5) and decodes it back with javax.imageio; the oracle
+    // recomputes the 16-bin gray histogram straight from the pixel
+    // formula — a codec round-trip that corrupts any pixel, dimension,
+    // or bin breaks the hash.
     "q_decode_features" ->
-      """SELECT doc_id,
-         CAST(64 + (doc_id % 8) * 16 AS INTEGER) AS width,
-         CAST(64 + (doc_id % 5) * 16 AS INTEGER) AS height,
-         CAST(b AS BIGINT) AS bin_idx,
-         CAST(len(list_filter(bins, x -> x = b)) AS BIGINT) AS n_in_bin
-         FROM (SELECT doc_id,
-                 list_transform(
-                   list_filter(
-                     list_transform(string_split(text, ''), c -> unicode(c)),
-                     x -> x >= 0),
-                   x -> x // 16) AS bins
-               FROM documents) t,
-              LATERAL (SELECT unnest(generate_series(0, 15)) AS b) g
-         ORDER BY doc_id, bin_idx""",
+      """WITH px AS (
+           SELECT d.doc_id,
+                  ((d.doc_id * 31 + x.x * 7 + y.y * 13) % 256) // 16 AS b
+           FROM documents d,
+                LATERAL (SELECT unnest(generate_series(0,
+                  CAST(7 + d.doc_id % 8 AS BIGINT))) AS x) x,
+                LATERAL (SELECT unnest(generate_series(0,
+                  CAST(7 + d.doc_id % 5 AS BIGINT))) AS y) y
+         )
+         SELECT d.doc_id AS doc_id,
+           CAST(8 + d.doc_id % 8 AS INTEGER) AS width,
+           CAST(8 + d.doc_id % 5 AS INTEGER) AS height,
+           CAST(g.b AS BIGINT) AS bin_idx,
+           CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_in_bin
+         FROM documents d
+         CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) g
+         LEFT JOIN (SELECT doc_id, b, COUNT(*) AS n
+                    FROM px GROUP BY doc_id, b) cnt
+           ON cnt.doc_id = d.doc_id AND cnt.b = g.b
+         ORDER BY d.doc_id, bin_idx""",
 
     // Resize = exact integer area-pooling of the decoded histogram
-    // (16 bins → 4) with halved dimensions.
+    // (16 bins → 4, i.e. pool = gray // 64) with halved dimensions.
     "q_resize_pool" ->
-      """SELECT doc_id,
-         CAST((64 + (doc_id % 8) * 16) // 2 AS INTEGER) AS out_width,
-         CAST((64 + (doc_id % 5) * 16) // 2 AS INTEGER) AS out_height,
-         CAST(b // 4 AS BIGINT) AS pool_idx,
-         CAST(SUM(len(list_filter(bins, x -> x = b))) AS BIGINT) AS n_pooled
-         FROM (SELECT doc_id,
-                 list_transform(
-                   list_filter(
-                     list_transform(string_split(text, ''), c -> unicode(c)),
-                     x -> x >= 0),
-                   x -> x // 16) AS bins
-               FROM documents) t,
-              LATERAL (SELECT unnest(generate_series(0, 15)) AS b) g
-         GROUP BY doc_id, b // 4
-         ORDER BY doc_id, pool_idx""",
+      """WITH px AS (
+           SELECT d.doc_id,
+                  ((d.doc_id * 31 + x.x * 7 + y.y * 13) % 256) // 64 AS p
+           FROM documents d,
+                LATERAL (SELECT unnest(generate_series(0,
+                  CAST(7 + d.doc_id % 8 AS BIGINT))) AS x) x,
+                LATERAL (SELECT unnest(generate_series(0,
+                  CAST(7 + d.doc_id % 5 AS BIGINT))) AS y) y
+         )
+         SELECT d.doc_id AS doc_id,
+           CAST((8 + d.doc_id % 8) // 2 AS INTEGER) AS out_width,
+           CAST((8 + d.doc_id % 5) // 2 AS INTEGER) AS out_height,
+           CAST(g.p AS BIGINT) AS pool_idx,
+           CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_pooled
+         FROM documents d
+         CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS p) g
+         LEFT JOIN (SELECT doc_id, p, COUNT(*) AS n
+                    FROM px GROUP BY doc_id, p) cnt
+           ON cnt.doc_id = d.doc_id AND cnt.p = g.p
+         ORDER BY d.doc_id, pool_idx""",
 
     "q_roundtrip" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate",

@@ -126,13 +126,19 @@ case class DataPumpJob(
 
     // ---- snapshot resolution (FLASHBACK_SCN/TIME -> version dir) ----
     val explicitPin = effects.collectFirst { case Effect.SnapshotPin(v) => v }
-    val importSource: String = operation match {
+    val (importSource: String, sourceVersion: Long) = operation match {
       case Operation.Import
           if graft.sources.SnapshotStore.isVersioned(spark, sourceDir) =>
         val v = graft.sources.SnapshotStore
           .resolvePin(spark, sourceDir, explicitPin).get
-        graft.sources.SnapshotStore.versionDir(sourceDir, v)
-      case _ => sourceDir
+        (graft.sources.SnapshotStore.versionDir(sourceDir, v), v)
+      case Operation.Import => (sourceDir, 0L)
+      case _ =>
+        // schema-version provenance (reference get_version,
+        // database.py:128-138): the source ledger's current version —
+        // 0 when the source is unversioned
+        (sourceDir, graft.sources.SnapshotStore.readLedger(spark, sourceDir)
+          .map(_.version).maxOption.getOrElse(0L))
     }
     val exportVersion: Option[Long] =
       if (versioned && operation != Operation.Import)
@@ -443,10 +449,14 @@ case class DataPumpJob(
     if (includeMetadata && !estimateOnly) {
       // Per-schema metadata entries — parity with the reference's
       // SchemaHandler assembly (job.py:142-158,235-250): each schema
-      // lists its tables and its storage root (tablespace analog).
+      // lists its tables, its storage root (tablespace analog), and
+      // the source's ledger version (migration-version analog,
+      // job.py:246-250) so a dump consumer can tell which source
+      // state it holds.
       val schemaMetas = selected.groupBy(_._1).toSeq.sortBy(_._1)
         .map { case (s, ps) =>
-          SchemaMeta(s, ps.map(_._2), tablespace = storageTarget) }
+          SchemaMeta(s, ps.map(_._2), tablespace = storageTarget,
+            version = sourceVersion) }
       val meta = JobMetaData(name, jobOwner, operation.name, mode.name,
         Util.formatJobDate(date), selected.map(_._2),
         directives.map(d => Map("name" -> d.name, "value" -> d.valueRepr)),
@@ -680,6 +690,21 @@ case class DataPumpJob(
 }
 
 object DataPumpJob {
+  /** Read a dump dir's `_metadata.json` sidecar (the attach recovery
+    * source and the consumer-facing provenance record: tables,
+    * directives, per-schema tablespace + source version). */
+  def readSidecar(spark: SparkSession, dir: String): Option[JobMetaData] = {
+    val p = new Path(s"$dir/_metadata.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+      val in = fs.open(p)
+      try Some(mapper.readValue(in: java.io.InputStream, classOf[JobMetaData]))
+      finally in.close()
+    }
+  }
+
   /** Attach to a job by name (job.py:330-349): registry probe first,
     * then sidecar recovery from a dump dir.
     */
@@ -689,17 +714,10 @@ object DataPumpJob {
       dumpDir: Option[String] = None): Option[JobStatusInfo] =
     JobRegistry.get(jobName).orElse {
       dumpDir.flatMap { dir =>
-        val p = new Path(s"$dir/_metadata.json")
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(p)) None
-        else {
-          val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
-          val in = fs.open(p)
-          val meta =
-            try mapper.readValue(in: java.io.InputStream, classOf[JobMetaData])
-            finally in.close()
-          if (meta.jobName != jobName) None
-          else {
+        readSidecar(spark, dir) match {
+          case None => None
+          case Some(meta) if meta.jobName != jobName => None
+          case Some(meta) => {
             // strategy-2 state recovery: the logfile's completion line
             // distinguishes COMPLETED from COMPLETED_WITH_ERRORS
             val state = getLogfile(spark, dir)

@@ -96,11 +96,17 @@ case class JobMetaData(
     schemas: Seq[SchemaMeta] = Nil)      // per-schema entries (job.py:235-250)
 
 /** Per-schema sidecar entry — the reference's SchemaHandler collects a
-  * schema's tablespaces (+ migration version) into job metadata
-  * (job.py:142-158, database.py:118-138); here the storage root plays
-  * the tablespace role.
+  * schema's tablespaces and migration version into job metadata
+  * (job.py:142-158, 246-250; database.py:118-138 `get_version`, SQL at
+  * sql.py:81-86); here the storage root plays the tablespace role and
+  * the SnapshotStore ledger version plays the Flyway migration
+  * version: the schema-state provenance stamp a consumer of the dump
+  * reads to know WHICH version of the source it holds. 0 = the source
+  * is unversioned (the reference returns None off an empty
+  * flyway_schema_history the same way).
   */
-case class SchemaMeta(name: String, tables: Seq[String], tablespace: String)
+case class SchemaMeta(name: String, tables: Seq[String], tablespace: String,
+    version: Long = 0L)
 
 /** One log line of job progress (status.py:162-168). */
 case class JobLogEntry(logLineNumber: Long, logText: String)

@@ -9,11 +9,16 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, plus decode/feature-extract
   * stages.
   *
-  * The container has no codec libraries, so the *decode* kernel is a
-  * clearly-marked deterministic fake; everything around it — schema,
-  * batch shape, partition-parallel execution via mapPartitions, typed
-  * output structs — is the real plumbing a production pipeline would
-  * keep while swapping the kernel for libjpeg/ffmpeg bindings.
+  * The decode stage is a REAL codec round-trip: deterministic
+  * synthetic images are PNG-encoded into a binary column with
+  * `javax.imageio` (one writer init per partition), then
+  * [[decodeFeatures]] decodes the compressed bytes back with
+  * `ImageIO.read` and derives exact integer pixel statistics — the
+  * full schema/partitioning/batch shape of a production image
+  * pipeline, with the JDK's PNG codec standing where libjpeg/ffmpeg
+  * bindings would. Because the pixel values follow a closed-form
+  * formula, the decoded statistics are DuckDB-checkable bit-for-bit
+  * without DuckDB ever decoding a PNG.
   */
 object Multimodal {
 
@@ -37,43 +42,90 @@ object Multimodal {
         substring(col("payload"), 1, 4).cast("string").as("magic"))
       .orderBy(col("doc_id"))
 
-  /** Output schema of the fake decoder: fixed-size feature vector +
-    * dimensions — the shape a real image decode/resize/embed stage
-    * produces. Features are exact integer counts (a 16-bin byte
-    * histogram) so the downstream exploded form is oracle-checkable
-    * bit-for-bit. */
+  /** Output schema of the decoder: fixed-size feature vector +
+    * decoded dimensions — the shape a real image decode/resize/embed
+    * stage produces. Features are exact integer counts (a 16-bin
+    * gray-level histogram) so the downstream exploded form is
+    * oracle-checkable bit-for-bit. */
   val featureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("features", ArrayType(LongType))))
 
-  /** STUB DECODER — deterministic fake standing in for
-    * image/audio decode (no codec libs in this container). Derives a
-    * 16-bin byte histogram "feature vector" and fake dimensions from
-    * payload bytes. Swap this function body for a real decoder;
-    * the mapPartitions batch shape stays.
-    */
-  private def fakeDecode(docId: Long, payload: Array[Byte]): Row = {
-    val hist = new Array[Long](16)
-    payload.foreach(b => hist((b & 0xFF) / 16) += 1L)
-    Row(docId, 64 + (docId % 8).toInt * 16, 64 + (docId % 5).toInt * 16,
-      hist.toSeq)
+  private val imageSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("payload", BinaryType)))
+
+  /** Deterministic synthetic gray image per document, PNG-ENCODED with
+    * the JDK codec: width = 8 + doc_id%8, height = 8 + doc_id%5, and
+    * gray(x,y) = (doc_id·31 + x·7 + y·13) mod 256 — a closed form any
+    * engine can recompute, carried as real compressed image bytes.
+    * mapPartitions so the encoder state initializes once per partition
+    * (the codec-amortization shape of every production media stage). */
+  def imageized(spark: SparkSession, sf: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(imageSchema)
+    Tables.load(spark, sf, "documents")
+      .select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = 8 + (id % 8).toInt
+          val h = 8 + (id % 5).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0,
+                ((id * 31 + x * 7 + y * 13) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Row(id, bos.toByteArray)
+        }
+      }(enc)
   }
 
-  /** Partition-parallel decode/feature-extract: mapPartitions keeps
-    * per-partition batch semantics (a real decoder amortizes codec
-    * init per partition, exactly here). The feature vector is exploded
-    * to scalar (doc_id, bin_idx, n_in_bin) rows so the result is
-    * sortable/hashable by any downstream comparator. */
+  /** Partition-parallel decode/feature-extract over REAL PNG bytes:
+    * `ImageIO.read` decompresses each payload and the 16-bin gray
+    * histogram + decoded dimensions come from the raster — a decode
+    * failure throws, it cannot silently fall back to a fake. The
+    * feature vector is exploded to scalar (doc_id, bin_idx, n_in_bin)
+    * rows so the result is sortable/hashable by any downstream
+    * comparator; the DuckDB oracle recomputes the same statistics from
+    * the pixel formula, pinning the whole encode→decode round-trip. */
   def decodeFeatures(spark: SparkSession, sf: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(featureSchema)
-    binarized(spark, sf)
-      .select(col("doc_id"), col("payload"))
+    imageized(spark, sf)
       .mapPartitions { rows =>
-        // real pipeline: init codec once per partition here
-        rows.map(r => fakeDecode(r.getLong(0), r.getAs[Array[Byte]](1)))
+        // codec init amortized per partition (ImageIO reader registry
+        // lookup happens once per JVM; stream wrappers per image)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          require(img != null, s"undecodable payload for doc $id")
+          val raster = img.getRaster
+          val hist = new Array[Long](16)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              hist(raster.getSample(x, y, 0) / 16) += 1L
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, img.getWidth, img.getHeight, hist.toSeq)
+        }
       }(enc)
       .select(col("doc_id"), col("width"), col("height"),
         posexplode(col("features")).as(Seq("bin_idx", "n_in_bin")))

@@ -334,6 +334,46 @@ class JobSpec extends AnyFunSuite {
     assert(imp4.state == JobState.Stopped)
   }
 
+  test("sidecar schema entries carry the source version through attach") {
+    // reference parity: SchemaHandler.get_version surfaces each
+    // schema's migration version into job metadata (database.py:128-
+    // 138, job.py:246-250); here the SnapshotStore ledger version is
+    // the schema-state stamp.
+    val store = tmp("jobspec-sv"); val tgt = tmp("jobspec-sv-tgt")
+    // unversioned source → version 0
+    val plain = DataPumpJob(Operation.Export, JobMode.Table, sf,
+      s"$tgt/plain", directives = Seq(IncludeTable(Seq("region")))).run(spark)
+    assert(plain.state == JobState.Completed)
+    val m0 = DataPumpJob.readSidecar(spark, s"$tgt/plain").get
+    assert(m0.schemas.nonEmpty && m0.schemas.forall(_.version == 0L))
+
+    // build a two-version store, then import from it: the import's
+    // sidecar must stamp the RESOLVED source version
+    (1 to 2).foreach { _ =>
+      assert(DataPumpJob(Operation.Export, JobMode.Table, sf, store,
+        directives = Seq(IncludeTable(Seq("region"))),
+        versioned = true).run(spark).state == JobState.Completed)
+    }
+    val latest = DataPumpJob(Operation.Import, JobMode.Full, store,
+      s"$tgt/latest").run(spark)
+    assert(latest.state == JobState.Completed)
+    assert(DataPumpJob.readSidecar(spark, s"$tgt/latest").get
+      .schemas.forall(_.version == 2L))
+    val pinned = DataPumpJob(Operation.Import, JobMode.Full, store,
+      s"$tgt/pinned", directives = Seq(FlashbackScn(1))).run(spark)
+    assert(pinned.state == JobState.Completed)
+    assert(DataPumpJob.readSidecar(spark, s"$tgt/pinned").get
+      .schemas.forall(_.version == 1L))
+
+    // the version survives the attach path's sidecar read (fresh
+    // process: registry cleared, sidecar is the only source)
+    JobRegistry.clear()
+    assert(DataPumpJob.attach(spark, latest.jobName, Some(s"$tgt/latest"))
+      .exists(_.state == JobState.Completed))
+    assert(DataPumpJob.readSidecar(spark, s"$tgt/latest").get
+      .schemas.map(_.version).distinct == Seq(2L))
+  }
+
   test("FULL export/import round-trips every table incl. arrays and ns timestamps") {
     val dump = tmp("jobspec-full"); val tgt = tmp("jobspec-full-tgt")
     val exp = DataPumpJob(Operation.Export, JobMode.Full, sf, dump,

@@ -145,16 +145,31 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
-  test("multimodal decode produces a fixed 16-bin histogram per doc") {
+  test("multimodal decode round-trips real PNG bytes to exact pixel stats") {
+    // the payloads really are decodable PNGs (magic + ImageIO), not
+    // text standing in for media
+    val png = Multimodal.imageized(spark, sf).limit(3).collect()
+    png.foreach { r =>
+      val bytes = r.getAs[Array[Byte]](1)
+      assert((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P'.toByte)
+    }
     val rows = Multimodal.decodeFeatures(spark, sf).collect()
     assert(rows.length == 500 * 16)
     val byDoc = rows.groupBy(_.getLong(0))
     assert(byDoc.size == 500)
     byDoc.foreach { case (docId, rs) =>
       assert(rs.map(_.getLong(3)).sorted.toSeq == (0L until 16L))
-      // histogram counts sum to payload byte length (ASCII text)
-      val total = rs.map(_.getLong(4)).sum
-      assert(total > 0, s"doc $docId has empty histogram")
+      // decoded dims follow the fixture formula; histogram mass is
+      // exactly the pixel count (every pixel decoded, none invented)
+      val (w, h) = (rs.head.getInt(1), rs.head.getInt(2))
+      assert(w == 8 + (docId % 8).toInt && h == 8 + (docId % 5).toInt)
+      assert(rs.map(_.getLong(4)).sum == w.toLong * h)
+      // spot-check the full histogram against the pixel formula
+      val expected = new Array[Long](16)
+      for (x <- 0 until w; y <- 0 until h)
+        expected(((docId * 31 + x * 7 + y * 13) % 256).toInt / 16) += 1L
+      val got = rs.sortBy(_.getLong(3)).map(_.getLong(4)).toSeq
+      assert(got == expected.toSeq, s"doc $docId: $got != ${expected.toSeq}")
     }
   }
 
@@ -342,20 +357,20 @@ class OperatorSpec extends AnyFunSuite {
   test("resize pooling conserves mass and halves dimensions") {
     import graft.operators.Multimodal
     val pooled = Multimodal.resizePool(spark, sf)
-    // 4 pools per doc, total count per doc == payload bytes
+    // 4 pools per doc, total count per doc == decoded pixel count
     val perDoc = pooled.groupBy("doc_id")
       .agg(count(lit(1)).as("n_pools"), sum("n_pooled").as("total"))
-    val joined = perDoc.join(
-      Multimodal.binaryMeta(spark, sf).select(col("doc_id"), col("n_bytes")),
-      "doc_id")
+    val dims = Multimodal.decodeFeatures(spark, sf)
+      .select(col("doc_id"), col("width"), col("height")).distinct()
+    val joined = perDoc.join(dims, "doc_id")
     assert(joined.filter(col("n_pools") =!= 4).count() == 0)
-    assert(joined.filter(col("total") =!= col("n_bytes")).count() == 0)
-    // dims are the decode dims halved
-    val bad = Multimodal.resizePool(spark, sf)
-      .join(Multimodal.decodeFeatures(spark, sf)
-        .select(col("doc_id"), col("width"), col("height")).distinct(), "doc_id")
-      .filter(col("out_width") * 2 =!= col("width") ||
-        col("out_height") * 2 =!= col("height"))
+    assert(joined.filter(
+      col("total") =!= col("width").cast("long") * col("height")).count() == 0)
+    // dims are the decode dims halved (floor — odd widths exist now)
+    val bad = pooled
+      .join(dims, "doc_id")
+      .filter(col("out_width") =!= floor(col("width") / 2).cast("int") ||
+        col("out_height") =!= floor(col("height") / 2).cast("int"))
     assert(bad.count() == 0)
   }
 
