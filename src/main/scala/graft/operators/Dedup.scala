@@ -29,7 +29,7 @@ object Dedup {
     * Docs shorter than k words are excluded (Spark's sequence()
     * auto-reverses on negative ranges, DuckDB's generate_series
     * returns empty — guard instead of diverge). */
-  private def shingled(docs: DataFrame, k: Int = 3): DataFrame =
+  private[graft] def shingled(docs: DataFrame, k: Int = 3): DataFrame =
     docs
       .select(col("doc_id"), split(Text.normalized(col("text")), " ").as("ws"))
       .filter(size(col("ws")) >= k)
@@ -99,7 +99,7 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, sf: String, threshold: Double = 0.5): DataFrame =
     ngramJaccardFrom(shingledCached(spark, sf), threshold)
 
-  private def ngramJaccardFrom(docs: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def ngramJaccardFrom(docs: DataFrame, threshold: Double): DataFrame = {
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
     val exploded = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val pairs = exploded.as("a")
@@ -606,7 +606,7 @@ object Dedup {
   def minhashLsh(spark: SparkSession, sf: String, threshold: Double = 0.5): DataFrame =
     minhashLshFrom(shingledCached(spark, sf), threshold)
 
-  private def minhashLshFrom(docs: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def minhashLshFrom(docs: DataFrame, threshold: Double): DataFrame = {
     val signed = minhashSignature(docs).select(col("doc_id"), col("minhash"))
 
     // band key = xxhash64 over (band index, 4-component slice), fused

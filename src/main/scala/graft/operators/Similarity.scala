@@ -138,14 +138,20 @@ object Similarity {
   private def planeQ(plane: Int): Seq[Long] =
     (0 until Dim).map(i => math.floor(planeComponent(plane, i) * 1048576.0).toLong)
 
-  /** Sign-bit bucket key: 12 hyperplane dot-product signs packed into
-    * a long. Vectors in the same bucket are cosine-close with high
-    * probability; the candidate join is a plain equality shuffle. */
-  def lshBucket(iv: Column): Column =
+  /** Sign-bit bucket key from hyperplane family `table`: 12 dot-
+    * product signs packed into a long (family t uses planes
+    * [12t, 12t+11] — disjoint deterministic coefficient blocks, so
+    * tables are independent). Vectors in the same bucket are cosine-
+    * close with high probability; the candidate join is a plain
+    * equality shuffle. */
+  def lshBucketT(iv: Column, table: Int): Column =
     (0 until SignBits).map { p =>
-      shiftleft(when(dot_long(iv, typedLit(planeQ(p))) >= 0, 1L)
+      shiftleft(when(dot_long(iv, typedLit(planeQ(table * SignBits + p))) >= 0, 1L)
         .otherwise(0L), p)
     }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Family-0 bucket key — the ANN index key. */
+  def lshBucket(iv: Column): Column = lshBucketT(iv, 0)
 
   /** LSH-bucketed ANN: exact cosine, but only within buckets —
     * the recall/cost dial is SignBits. Returns each vector's best
@@ -179,22 +185,12 @@ object Similarity {
       base.bitwiseXOR(lit(1L << p)))): _*)
   }
 
-  /** Hamming≤2 probe set (1 + 12 + 66 = 79 buckets) — the near-dup
-    * pair kernel's probe radius. ANN top-k tolerates a missed bucket
-    * (another neighbor fills the slot); PAIR recovery does not — a
-    * missed pair is a duplicate kept forever — so the dedup path pays
-    * the larger constant probe fan-out (cheap exploded rows, not extra
-    * hash tables) for a two-plane-flip-proof recall floor. The sf0.001
-    * fixtures contain a real two-flip twin (vec 232), which is what
-    * separates this from [[multiProbeBuckets]] empirically, not just
-    * in expectation. */
-  def multiProbeBucketsR2(iv: Column): Column = {
-    val base = lshBucket(iv)
-    val flips = (0 until SignBits).map(1L << _)
-    val masks = flips ++
-      (for { p <- 0 until SignBits; q <- (p + 1) until SignBits }
-        yield (1L << p) | (1L << q))
-    array((base +: masks.map(m => base.bitwiseXOR(lit(m)))): _*)
+  /** Hamming≤1 probe set over hyperplane family `table` — the
+    * per-table probe fan-out of the near-dup pair kernel. */
+  def multiProbeBucketsT(iv: Column, table: Int): Column = {
+    val base = lshBucketT(iv, table)
+    array((base +: (0 until SignBits).map(p =>
+      base.bitwiseXOR(lit(1L << p)))): _*)
   }
 
   /** Driver-visible ANN recall pin. The natural embeddings have no
@@ -233,24 +229,39 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
-  /** Shared LSH-bucketed near-dup pair kernel — one side explodes its
-    * Hamming≤2 multi-probe bucket set ([[multiProbeBucketsR2]]), the
-    * other indexes its single bucket, the join is bucket equality, and
-    * the exact quantized cosine is the residual confirm. Multi-probe
-    * matters for PAIR recovery even more than for ANN: a near-dup pair
-    * straddling one or two hyperplanes lands in nearby buckets and a
-    * plain single-bucket equality join silently loses it. A probe set
-    * never contains duplicate values, so each surviving pair appears
-    * exactly once — no distinct needed. Input: (vec_id, embedding). */
+  /** Shared LSH-bucketed near-dup pair kernel: TWO independent
+    * hyperplane tables, each probed with its Hamming≤1 multi-probe set
+    * against a single-bucket index, unioned and de-duplicated, with
+    * the exact quantized cosine as the residual confirm.
+    *
+    * Recall structure — pair recovery cannot tolerate the misses ANN
+    * top-k absorbs (a missed pair is a duplicate kept forever), so
+    * multi-table beats a wider single-table probe radius twice over:
+    * losing a pair needs ≥2 sign flips in BOTH independent families at
+    * once (a radius-2 single table caps out at exactly 2 flips, and
+    * its 79-bucket fan-out multiplied the skew of hot LSH buckets —
+    * measured 6.3 s vs ~2 s for this form at sf0.1), while the probe
+    * fan-out stays 2×13 exploded rows per vector. The sf0.001 fixtures
+    * contain a real two-flip twin in family 0 (vec 232) that family 1
+    * recovers. Input: (vec_id, embedding). */
   private[graft] def nearDupPairsLsh(vecs: DataFrame,
       threshold: Double): DataFrame = {
-    val probes = quantized(vecs, "vec_a")
-      .select(col("vec_a"), col("iv_vec_a"), col("norm_vec_a"),
-        explode(multiProbeBucketsR2(col("iv_vec_a"))).as("bucket"))
-    val index = quantized(vecs, "vec_b")
-      .withColumn("bucket", lshBucket(col("iv_vec_b")))
-    probes.join(index, Seq("bucket"))
-      .filter(col("vec_a") < col("vec_b"))
+    val a = quantized(vecs, "vec_a")
+    val b = quantized(vecs, "vec_b")
+    val perTable = (0 until 2).map { t =>
+      val probes = a.select(col("vec_a"), col("iv_vec_a"), col("norm_vec_a"),
+        explode(multiProbeBucketsT(col("iv_vec_a"), t)).as("bucket"))
+      val index = b.withColumn("bucket", lshBucketT(col("iv_vec_b"), t))
+      probes.join(index, Seq("bucket"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          col("iv_vec_a"), col("iv_vec_b"),
+          col("norm_vec_a"), col("norm_vec_b"))
+    }
+    // dedup BEFORE the dot product: a pair found by both tables (the
+    // common case for true near-dups) scores once, not twice
+    perTable.reduce(_ union _)
+      .dropDuplicates("vec_a", "vec_b")
       .withColumn("cosine",
         dot_long(col("iv_vec_a"), col("iv_vec_b")).cast("double") /
           (col("norm_vec_a") * col("norm_vec_b")))
@@ -282,11 +293,12 @@ object Similarity {
     * sit at cosine ≤ ~0.51 and cannot contaminate the output, so the
     * planted filter is exact.
     *
-    * FIXTURE COUPLING (same note as [[annPlantedRecall]]): the
-    * Hamming≤2 probe radius structurally covers one- AND two-plane
-    * straddles (sf0.001 really contains a two-flip twin, vec 232); a
-    * miss now needs a vector within 0.57° of THREE of the 12
-    * hyperplanes at once — zero fixtures, ~10⁻⁶ under regeneration. */
+    * FIXTURE COUPLING (same note as [[annPlantedRecall]]): each table
+    * structurally covers single-plane straddles (Hamming≤1), so a miss
+    * needs the twin within 0.57° of ≥2 hyperplanes in BOTH independent
+    * 12-plane families at once — zero fixtures (sf0.001's vec 232
+    * two-flips family 0 and is recovered by family 1), ~10⁻⁸-scale
+    * under regeneration. */
   def cosinePlantedRecall(spark: SparkSession, sf: String,
       threshold: Double = 0.95): DataFrame = {
     val e = Tables.load(spark, sf, "embeddings")

@@ -357,7 +357,7 @@ class CorpusSpec extends AnyFunSuite {
   test("reliable-checkpoint mode produces the same labeling and writes checkpoints") {
     import spark.implicits._
     import graft.operators.Dedup
-    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val dir = graft.TempDirs.create("graft-ckpt")
     val docs = (1L to 30L).toDF("doc_id")
     val pairs = (1L until 30L by 3).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val local = Dedup.clustersFrom(docs, pairs).collect()
@@ -378,7 +378,7 @@ class CorpusSpec extends AnyFunSuite {
     // regressions that only surface with actual shuffle partitions
     import graft.operators.Dedup
     val big = "/root/testdata/sf0.1"
-    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-lsh").toString
+    val dir = graft.TempDirs.create("graft-ckpt-lsh")
     try {
       val docs = graft.Tables.load(spark, big, "documents").select(col("doc_id"))
       val pairs = Dedup.minhashLsh(spark, big).select(col("doc_a"), col("doc_b"))

@@ -74,7 +74,7 @@ class ExtensionSpec extends AnyFunSuite {
   }
 
   test("LobStream invariants hold across payload/chunk-size sweep") {
-    val dir = java.nio.file.Files.createTempDirectory("lobsweep").toString
+    val dir = graft.TempDirs.create("lobsweep")
     val rnd = new scala.util.Random(11)
     val cases = Seq(0, 1, 31, 32, 33, 64, 1000) ++ Seq.fill(5)(rnd.nextInt(5000))
     cases.zipWithIndex.foreach { case (n, i) =>
@@ -161,7 +161,7 @@ class ExtensionSpec extends AnyFunSuite {
   }
 
   test("remote file wrappers round-trip text and binary") {
-    val dir = java.nio.file.Files.createTempDirectory("remotefile").toString
+    val dir = graft.TempDirs.create("remotefile")
     val w = RemoteFile.createText(spark, s"$dir/log.txt")
     w.write("line one\nORA-12345: boom\n"); w.close()
     assert(RemoteFile.readLines(spark, s"$dir/log.txt") ==
@@ -195,7 +195,7 @@ class ExtensionSpec extends AnyFunSuite {
       assert(RemoteFile.readAllText(spark, "mem://bucket/hello.txt") ==
         "via mem scheme")
       // schemeless paths still hit the Hadoop handler
-      val dir = java.nio.file.Files.createTempDirectory("schemereg").toString
+      val dir = graft.TempDirs.create("schemereg")
       val w2 = RemoteFile.createText(spark, s"$dir/plain.txt")
       w2.write("hadoop"); w2.close()
       assert(RemoteFile.readAllText(spark, s"$dir/plain.txt") == "hadoop")
@@ -208,7 +208,7 @@ class ExtensionSpec extends AnyFunSuite {
   }
 
   test("concurrent versioned appends both land in the ledger") {
-    val root = java.nio.file.Files.createTempDirectory("ledger").toString
+    val root = graft.TempDirs.create("ledger")
     val threads = (1 to 4).map { i =>
       new Thread(() => {
         graft.sources.SnapshotStore.appendVersion(
@@ -239,7 +239,7 @@ class ExtensionSpec extends AnyFunSuite {
 
   test("KEEP_MASTER directive retains the finished job through orphan GC") {
     JobRegistry.clear()
-    val out = java.nio.file.Files.createTempDirectory("keepmaster").toString
+    val out = graft.TempDirs.create("keepmaster")
     val sf = SparkTestBase.sf
     val kept = graft.job.DataPumpJob(
       graft.model.Operation.Export, graft.model.JobMode.Table, sf, s"$out/a",

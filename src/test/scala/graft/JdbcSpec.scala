@@ -115,7 +115,7 @@ class JdbcSpec extends AnyFunSuite {
   }
 
   test("chunked LOB stream round-trips a multi-MB payload in bounded chunks") {
-    val dir = java.nio.file.Files.createTempDirectory("lobstream").toString
+    val dir = graft.TempDirs.create("lobstream")
     val payload = Array.tabulate[Byte](3 * 1024 * 1024 + 123)(i =>
       (i * 131 & 0xFF).toByte)
     // write side: source arrives as bounded chunks, never materialized

@@ -12,7 +12,7 @@ class JobSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   private val sf = SparkTestBase.sf
 
-  private def tmp(p: String) = Files.createTempDirectory(p).toString
+  private def tmp(p: String) = graft.TempDirs.create(p)
 
   /** Task metrics scoped to ONE job group: suites share the session
     * and run concurrently, so a global recordsRead counter picks up

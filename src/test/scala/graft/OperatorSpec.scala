@@ -83,6 +83,65 @@ class OperatorSpec extends AnyFunSuite {
       s"LSH recall too low: ${recalled.size}/${truePairs.size}")
   }
 
+  test("LSH hot buckets: dedup pre-pass collapses exact-dup mega-buckets; wider band keys bound false collisions") {
+    // SCALING.md's collision-skew claim, made concrete: an adversarial
+    // corpus where ~10% of docs are byte-identical copies of one text
+    // forms a mega-bucket in EVERY band (identical signatures cannot be
+    // split by any banding scheme), and the documented mitigations
+    // really bound the candidate blow-up.
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val seedText = docs.filter(col("doc_id") === 0L).head().getString(1)
+    val nDup = 55
+    val dups = spark.range(1, nDup + 1)
+      .select((col("id") + 100000L).as("doc_id"), lit(seedText).as("text"))
+    val adversarial = docs.union(dups)
+
+    def maxBucket(d: org.apache.spark.sql.DataFrame): Long =
+      Dedup.signedBanded(d).groupBy("band", "band_key").count()
+        .agg(max("count")).head().getLong(0)
+
+    // the hazard is real: the dup group owns a bucket in every band
+    val hot = maxBucket(adversarial)
+    assert(hot >= nDup + 1, s"mega-bucket not formed: $hot")
+
+    // mitigation 1 — the pipeline's actual FIRST stage: exact-dedup
+    // collapses identical content before LSH ever runs, so the
+    // mega-bucket never reaches the pair join (O(group²) → O(1))
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val survivors = adversarial
+      .withColumn("fp", md5(Text.normalized(col("text"))))
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(byFp))
+      .filter(col("keep")).select(col("doc_id"), col("text"))
+    val cap = maxBucket(survivors)
+    assert(cap <= 8, s"per-bucket candidates unbounded after pre-pass: $cap")
+
+    // recall gate unchanged: over the survivors the banded candidates
+    // still contain every exact near-dup pair (the minhashRecall
+    // pinning argument, now under adversarial pressure)
+    val sh = Dedup.shingled(survivors)
+    val exact = Dedup.ngramJaccardFrom(sh, 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshFrom(sh, 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "vacuous: no exact pairs among survivors")
+    assert(exact.subsetOf(lsh), s"LSH lost pairs: ${exact.diff(lsh)}")
+
+    // mitigation 2 — the banding dial: WIDER band keys (8 bands × 8
+    // rows vs 16 × 4 over the same signatures) can only sharpen
+    // buckets, so residual false-collision skew is tunable
+    val sig = Dedup.minhashSignature(sh)
+    def occupancy(bands: Int, rows: Int): Long =
+      sig.select(col("doc_id"), posexplode(graft.functions.ArrayOps
+          .band_keys(col("minhash"), bands, rows)).as(Seq("band", "key")))
+        .groupBy("band", "key").count()
+        .agg(max("count")).head().getLong(0)
+    assert(occupancy(8, 8) <= occupancy(16, 4),
+      "wider band keys increased max bucket occupancy")
+  }
+
   test("simhash pairs have hamming <= 3") {
     Dedup.simhashPairs(spark, sf).collect().foreach { r =>
       assert(r.getInt(2) <= 3 || r.getLong(2) <= 3)
@@ -335,7 +394,7 @@ class OperatorSpec extends AnyFunSuite {
 
   test("IVF centroid memo retrains when the dataset content changes under one path") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val dir = graft.TempDirs.create("graft-ivf")
     def write(seed: Int): Unit = {
       val rnd = new scala.util.Random(seed)
       (0 until 64).map(i =>
@@ -372,6 +431,41 @@ class OperatorSpec extends AnyFunSuite {
       .filter(col("out_width") =!= floor(col("width") / 2).cast("int") ||
         col("out_height") =!= floor(col("height") / 2).cast("int"))
     assert(bad.count() == 0)
+  }
+
+  test("histogram plan: two scans, broadcast extremes, partial-agg groupBy") {
+    val df = Relational.histogram(spark, sf)
+    df.collect()
+    // one extremes scan + one bucket-count scan — nothing else
+    assert(df.queryExecution.optimizedPlan.collectLeaves().size == 2)
+    val plan = df.queryExecution.executedPlan.toString
+    // the 1-row extremes frame rides a broadcast, never a shuffle join
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"), plan.take(2000))
+    // the bucket groupBy combines map-side before its one shuffle —
+    // the property that keeps the reducer input at O(buckets), not
+    // O(rows), at any scale
+    assert(plan.contains("partial_count"), plan.take(2000))
+  }
+
+  test("skew profile plan (approx default): t-digest partials, no ranked window") {
+    val df = Relational.skewProfile(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the quantiles come from approx_percentile partial aggregation
+    // (constant memory) — NOT the exact mode's row_number window,
+    // whose global sort is the thing that cannot scale past the
+    // key-cardinality table
+    assert(plan.contains("approx_percentile"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"), plan.take(2000))
+    // exact mode keeps the ranked window — it IS the oracle path
+    val exact = Relational.skewProfile(spark, sf, exact = true)
+    exact.collect()
+    assert(exact.queryExecution.executedPlan.toString.contains("Window"))
   }
 
   test("bucketed fact-fact join runs without a shuffle exchange") {

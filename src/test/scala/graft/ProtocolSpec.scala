@@ -12,7 +12,7 @@ class ProtocolSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   private val sf = SparkTestBase.sf
 
-  private def tmp(p: String) = Files.createTempDirectory(p).toString
+  private def tmp(p: String) = graft.TempDirs.create(p)
 
   test("SUBMIT export -> STATUS -> import round-trip over the JSON protocol") {
     val dump = tmp("proto-dump"); val tgt = tmp("proto-tgt")

@@ -13,7 +13,7 @@ object SparkTestBase {
       .config(graft.Sessions.NanosAsLongKey, "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+        graft.TempDirs.create("graft-warehouse"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
