@@ -69,7 +69,7 @@ object EventStream {
     * Complete-mode batches overwrite (each batch carries the full
     * updated result); Append-mode batches append. The scratch dir
     * outlives the returned frame via the TempDirs shutdown hook. */
-  private def runToCompletion(spark: SparkSession, stream: DataFrame,
+  private[graft] def runToCompletion(spark: SparkSession, stream: DataFrame,
       mode: OutputMode, sortCols: Seq[String],
       statePartitions: Int = 4): DataFrame = {
     val root = graft.TempDirs.create("graft-eventstream")
@@ -180,27 +180,40 @@ object EventStream {
     * production form lands the joined rows and lets the consumer
     * aggregate. Pair set and rollup are deterministic → DuckDB-exact.
     */
-  def intervalJoinViaStream(spark: SparkSession, sf: String,
-      windowHours: Int = 24): DataFrame = {
-    // The view-side watermark must COVER the join window: a view is
-    // join-state the engine may still need until a purchase windowHours
-    // later arrives, so a delay shorter than the window would drop
-    // views replayed >delay late in event time and silently diverge
-    // from the batch oracle on any multi-batch/unordered source (the
-    // bounded single-file twin masked this — one batch, watermark 0).
-    val views = readEvents(spark, sf)
-      .filter(col("event_type") === "view")
+  /** The interval-join topology over two already-filtered streaming
+    * sides (views: user_id+ts, purchases: event_id+user_id+ts) —
+    * shared by the sf-dir twin below and the multi-batch late-arrival
+    * StreamingSpec case, so the watermark guarantee is pinned on the
+    * PRODUCTION operator, not a test copy.
+    *
+    * The view-side watermark must COVER the join window: a view is
+    * join-state the engine may still need until a purchase
+    * windowHours later arrives, so a delay shorter than the window
+    * would drop views replayed >delay late in event time and silently
+    * diverge from the batch semantics on any multi-batch/unordered
+    * source (a bounded single-file source masks this — one batch,
+    * watermark 0). */
+  def intervalJoinStreams(views: DataFrame, purchases: DataFrame,
+      windowHours: Int): DataFrame = {
+    val v = views
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
       .withWatermark("v_ts", s"${windowHours + 2} hours")
-    val purchases = readEvents(spark, sf)
-      .filter(col("event_type") === "purchase")
+    val p = purchases
       .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
       .withWatermark("p_ts", "2 hours")
-    val joined = purchases.join(views,
+    p.join(v,
       col("user_id") === col("v_user") &&
         col("v_ts") <= col("p_ts") &&
         col("v_ts") >= col("p_ts") - expr(s"INTERVAL $windowHours HOURS"))
       .select(col("event_id"), col("user_id"), col("v_ts"))
+  }
+
+  def intervalJoinViaStream(spark: SparkSession, sf: String,
+      windowHours: Int = 24): DataFrame = {
+    val joined = intervalJoinStreams(
+      readEvents(spark, sf).filter(col("event_type") === "view"),
+      readEvents(spark, sf).filter(col("event_type") === "purchase"),
+      windowHours)
     runToCompletion(spark, joined, OutputMode.Append(),
       Seq("event_id", "user_id", "v_ts"))
       .groupBy(col("event_id"), col("user_id"))

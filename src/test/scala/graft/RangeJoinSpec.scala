@@ -67,6 +67,24 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("range join fails loudly on negative-domain inputs and respects caller __bucket columns") {
+    import spark.implicits._
+    val points = Seq(5L, -3L).toDF("p")
+    val intervals = Seq((0L, 10L)).toDF("s", "e")
+    // negative point → raise_error, not a silent miss (div truncation
+    // toward zero only equals floor division on the non-negative domain)
+    val ex = intercept[Exception] {
+      RangeJoin.rangeJoin(points, intervals, "p", "s", "e", 4L).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("non-negative"),
+      ex.toString)
+    // a caller column literally named __bucket survives untouched
+    val p2 = Seq((5L, 42L)).toDF("p", "__bucket")
+    val got = RangeJoin.rangeJoin(p2, intervals, "p", "s", "e", 4L).collect()
+    assert(got.length == 1 &&
+      got.head.getLong(got.head.fieldIndex("__bucket")) == 42L)
+  }
+
   test("range join plans as an equality join, not a nested loop") {
     val df = RangeJoin.intervalJoin(spark, sf)
     df.collect()

@@ -135,6 +135,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.sameElements(batch))
   }
 
+  test("interval join keeps a view replayed 20h late in event time (multi-batch)") {
+    // The watermark-covers-window guarantee, driven end-to-end: a
+    // two-delivery replay where delivery 2 carries a view whose event
+    // time is 20h OLDER than everything already processed. With a
+    // view-side delay shorter than the join window (the pre-r8 2h),
+    // the engine's watermark would already have passed it and the
+    // join would silently drop it; the production topology
+    // (delay = windowHours + 2) must keep it.
+    import org.apache.spark.sql.types._
+    val root = graft.TempDirs.create("graft-stream-late")
+    val t0 = java.sql.Timestamp.valueOf("2025-06-01 00:00:00")
+    def ts(hoursLater: Long) =
+      new java.sql.Timestamp(t0.getTime + hoursLater * 3600 * 1000)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts", TimestampType)))
+    def write(dir: String, rows: Seq[(Long, Long, String, java.sql.Timestamp)],
+        mtime: Long): Unit = {
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r =>
+          org.apache.spark.sql.Row(r._1, r._2, r._3, r._4)), 1), schema)
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach(_.setLastModified(mtime))
+    }
+    // delivery 1: the purchase at T+100h and one in-window view at +99h
+    write(s"$root/d1", Seq(
+      (1L, 7L, "view", ts(99)), (100L, 7L, "purchase", ts(100))), 1000000L)
+    // delivery 2: a view at +80h — 20h "late" relative to the already-
+    // seen max event time, still inside the purchase's 24h window
+    write(s"$root/d2", Seq((2L, 7L, "view", ts(80))), 2000000L)
+
+    def src() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$root/*")
+    val joined = EventStream.intervalJoinStreams(
+      src().filter(col("event_type") === "view"),
+      src().filter(col("event_type") === "purchase"), windowHours = 24)
+    val out = EventStream.runToCompletion(spark, joined,
+      org.apache.spark.sql.streaming.OutputMode.Append(),
+      Seq("event_id", "v_ts")).collect()
+    // both views joined the purchase — including the late one
+    assert(out.length == 2, s"late view dropped: ${out.mkString(",")}")
+    graft.TempDirs.delete(root)
+  }
+
   test("stateful sessionization matches the batch session count per user") {
     import spark.implicits._
     implicit val s = spark
