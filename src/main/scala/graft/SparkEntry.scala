@@ -151,6 +151,8 @@ object SparkEntry {
     "q_ann_recall" -> (Similarity.annPlantedRecall _),
     "q_ivf_recall" -> (Similarity.ivfPlantedRecall _),
     "q_cosine_recall" -> ((s: SparkSession, d: String) => Similarity.cosinePlantedRecall(s, d)),
+    "q_pq_codes" -> (Similarity.pqCodes _),
+    "q_pq_recall" -> (Similarity.pqPlantedRecall _),
     "q_cosine_pairs" -> ((s: SparkSession, d: String) => Similarity.cosinePairsExact(s, d)),
     // --- multimodal binary plumbing
     "q_binary_meta" -> (Multimodal.binaryMeta _),
@@ -1350,6 +1352,15 @@ object SparkEntry {
     // which is empty on the natural fixtures): green iff the bucketed
     // pair join recovers every (original, twin) pair.
     "q_cosine_recall" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id,
+         CAST(vec_id + 1000000 AS BIGINT) AS neighbor_id
+         FROM embeddings ORDER BY query_id""",
+
+    // Same planted ground truth pins the PRODUCT-QUANTIZED index:
+    // green iff every query's top-1 by codegen ADC distance over the
+    // 8-byte code index is its own cosine-0.999 twin — the whole PQ
+    // train→encode→score loop, end-to-end.
+    "q_pq_recall" ->
       """SELECT CAST(vec_id AS BIGINT) AS query_id,
          CAST(vec_id + 1000000 AS BIGINT) AS neighbor_id
          FROM embeddings ORDER BY query_id""",

@@ -126,10 +126,75 @@ case class AgreeCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Asymmetric-distance (ADC) lookup for product-quantized vectors:
+  * `lut` is a query's flattened per-subspace distance table
+  * (M·K entries, entry m·K+k = the query's exact squared distance term
+  * against centroid k of subspace m) and `codes` a candidate's M PQ
+  * codes; the result is Σₘ lut[m·K + codes[m]] — the 100 TB scoring
+  * kernel: M table lookups per candidate instead of a full-dimension
+  * dot product. Codegen'd primitive loop (the candidate scan is the
+  * big intermediate; a HOF here would pay a boxed lambda per subspace
+  * per candidate). K is the per-subspace codebook size. Null if either
+  * side is null.
+  */
+case class PqAdc(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_adc"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckSuccess
+    else TypeCheckFailure(
+      s"pq_adc requires array<bigint> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val lut = a.asInstanceOf[ArrayData]
+    val codes = b.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < m) { acc += lut.getLong(i * k + codes.getLong(i).toInt); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $m = $b.numElements();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $m; $i++) {
+         |  $acc += $a.getLong($i * $k + (int) $b.getLong($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}
+
 object ArrayOps {
   /** Column wrapper: exact integer dot product. */
   def dot_long(a: Column, b: Column): Column =
     Bridge.column(DotLong(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column wrapper: PQ asymmetric-distance lookup (k = codebook size
+    * per subspace). */
+  def pq_adc(lut: Column, codes: Column, k: Int): Column =
+    Bridge.column(PqAdc(Bridge.expression(lut), Bridge.expression(codes), k))
 
   /** Column wrapper: count of agreeing slots of two long arrays. */
   def agree_count(a: Column, b: Column): Column =

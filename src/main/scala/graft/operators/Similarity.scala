@@ -492,6 +492,171 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  // ---- product quantization (PQ) -----------------------------------
+
+  /** PQ geometry: 64 dims → 8 subspaces × 8 dims, 16 centroids per
+    * subspace. A vector compresses to 8 four-bit codes — 8 bytes
+    * against 256 bytes of float32, the memory answer that makes a
+    * billion-vector ANN index executor-resident at 100 TB (the IVF
+    * cells bound WHICH candidates are scored; PQ bounds what each
+    * candidate costs to hold and score). */
+  val PqM = 8
+  val PqSubDim: Int = Dim / PqM
+  val PqK = 16
+  val PqIters = 3
+
+  private def subVec(iv: Column, m: Int): Column =
+    slice(iv, m * PqSubDim + 1, PqSubDim)
+
+  /** Nearest centroid of one subspace by exact squared L2 over the
+    * quantized grid (argmin ‖v−c‖² = argmin (c·c − 2 v·c); the v·v
+    * term is constant per subvector). Ties break on cell id. */
+  private def nearestSubCellQ(sub: Column, book: Seq[Seq[Long]]): Column = {
+    val scored = array(book.zipWithIndex.map { case (cq, c) =>
+      struct(
+        (lit(cq.map(x => x * x).sum) - lit(2L) * dot_long(sub, typedLit(cq)))
+          .as("d2"),
+        lit(c).as("cell"))
+    }: _*)
+    element_at(transform(array_sort(scored), s => s.getField("cell")), 1)
+  }
+
+  /** Per-subspace PQ codebooks ([M][K][SubDim] exact longs) by
+    * distributed Lloyd's — every subspace trains in the SAME pass:
+    * one explode-by-(subspace, position) partial-aggregated shuffle
+    * per iteration, driver receives M·K·SubDim aggregate rows (8·16·8)
+    * per round, never data. Same exactness contract as the IVF
+    * trainer: integer sums + floor division make the codebooks
+    * bit-identical under any partitioning, so a replan can never move
+    * a vector across codes. At 100 TB the training input is a bounded
+    * TABLESAMPLE; encoding (below) stays full-scale either way. */
+  def pqCodebooksQ(e: DataFrame, iters: Int = PqIters): Seq[Seq[Seq[Long]]] = {
+    val iv = e.select(col("vec_id"),
+      graft.functions.ArrayOps.quantize_q(col("embedding"), Q).as("iv"))
+    // deterministic spread init: the K first vectors in hash order
+    // seed every subspace with their m-th subvector
+    val seeds = iv.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(PqK)
+      .collect().map(_.getSeq[Long](1).toSeq)
+    var books: Seq[Seq[Seq[Long]]] = (0 until PqM).map(m =>
+      seeds.map(s => s.slice(m * PqSubDim, (m + 1) * PqSubDim)).toSeq)
+    for (_ <- 1 to iters) {
+      val stats = iv.select(explode(array((0 until PqM).map(m =>
+          struct(lit(m).as("m"),
+            nearestSubCellQ(subVec(col("iv"), m), books(m)).as("cell"),
+            subVec(col("iv"), m).as("sub"))): _*)).as("s"))
+        .select(col("s.m"), col("s.cell"),
+          posexplode(col("s.sub")).as(Seq("pos", "v")))
+        .groupBy(col("m"), col("cell"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byM = stats.groupBy(_.getInt(0))
+      books = (0 until PqM).map { m =>
+        val byCell = byM.getOrElse(m, Array.empty).groupBy(_.getInt(1))
+        (0 until PqK).map { c =>
+          byCell.get(c).map { rs =>
+            val byPos = rs.map(r =>
+              r.getInt(2) -> Math.floorDiv(r.getLong(3), r.getLong(4))).toMap
+            (0 until PqSubDim).map(byPos): Seq[Long]
+          }.getOrElse(books(m)(c)) // an emptied cell keeps its centroid
+        }
+      }
+    }
+    books
+  }
+
+  /** Content-versioned codebook memo — same contract as the IVF
+    * centroid cache: the codebook is a persistent index artifact,
+    * retrained only when the dataset content changes. */
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Seq[Seq[Seq[Long]]])]
+  def clearPqCache(): Unit = pqCache.clear()
+
+  private[graft] def pqCodebooksFor(spark: SparkSession,
+      sf: String): Seq[Seq[Seq[Long]]] = {
+    val version = datasetVersion(spark, sf)
+    pqCache.get(sf) match {
+      case Some((v, b)) if v == version => b
+      case _ =>
+        val trained = pqCodebooksQ(Tables.load(spark, sf, "embeddings"))
+        pqCache.put(sf, (version, trained))
+        trained
+    }
+  }
+
+  /** PQ encoding: every vector's M codes against the trained
+    * codebooks — a shuffle-free map (the codebooks ride the plan as
+    * literals), exploded to scalar (vec_id, subspace, code) rows.
+    * No DuckDB twin (the codebooks come from k-means, which SQL
+    * can't re-derive) — pinned by [[pqPlantedRecall]]'s oracle row
+    * plus the determinism/range cases in PqSpec. */
+  def pqCodes(spark: SparkSession, sf: String): DataFrame = {
+    val books = pqCodebooksFor(spark, sf)
+    Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.ArrayOps.quantize_q(col("embedding"), Q).as("iv"))
+      .select(col("vec_id"), posexplode(array((0 until PqM).map(m =>
+          nearestSubCellQ(subVec(col("iv"), m), books(m)).cast("long")): _*))
+        .as(Seq("subspace", "code")))
+      .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
+        col("code"))
+      .orderBy(col("vec_id"), col("subspace"))
+  }
+
+  /** A query's flattened ADC lookup table: entry m·K+k is the exact
+    * ranking term ‖c‖² − 2·q_m·c against centroid k of subspace m
+    * (the +‖q_m‖² constant is per-query and drops out of the argmin).
+    * M·K small longs per query row, computed once; candidates then
+    * cost M table lookups each ([[graft.functions.ArrayOps.pq_adc]]).
+    */
+  private def pqLut(iv: Column, books: Seq[Seq[Seq[Long]]]): Column =
+    array((for { m <- 0 until PqM; cq <- books(m) } yield
+      lit(cq.map(x => x * x).sum) - lit(2L) * dot_long(subVec(iv, m), typedLit(cq))): _*)
+
+  /** Driver-visible PQ recall pin — the planted-twin construction over
+    * the COMPRESSED index: twins (id + 1e6, first component ×1.01) are
+    * PQ-encoded, originals scan the code index with the codegen ADC
+    * kernel, and every query's top-1 by ADC distance must be its own
+    * twin (ties break on neighbor id). The DuckDB oracle is the full
+    * planted list — green iff 8-byte codes retain enough geometry to
+    * rank a cosine-0.999 twin above every cosine-≤0.51 stranger, i.e.
+    * the whole train→encode→score loop works end-to-end. The scan is
+    * the exact-kernel verification shape (guarded broadcast); at scale
+    * ADC scans IVF-cell candidate lists instead of the full index. */
+  def pqPlantedRecall(spark: SparkSession, sf: String): DataFrame = {
+    val e = Tables.load(spark, sf, "embeddings")
+    guardExactKernel(e, "pqPlantedRecall")
+    val books = pqCodebooksFor(spark, sf)
+    val index = e.select((col("vec_id") + 1000000L).as("neighbor_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x * lit(1.01)).otherwise(x)).as("twin"))
+      .select(col("neighbor_id"),
+        graft.functions.ArrayOps.quantize_q(col("twin"), Q).as("iv_n"))
+      .select(col("neighbor_id"), array((0 until PqM).map(m =>
+          nearestSubCellQ(subVec(col("iv_n"), m), books(m)).cast("long")): _*)
+        .as("codes"))
+    val queries = e.select(col("vec_id").as("query_id"),
+        graft.functions.ArrayOps.quantize_q(col("embedding"), Q).as("iv"))
+      .select(col("query_id"), pqLut(col("iv"), books).as("lut"))
+    // top-1 as a PARTIAL-AGGREGABLE argmin — min(struct(adc, id)) with
+    // lexicographic struct ordering IS "min adc, ties on id", and the
+    // map side combines to one row per query per partition. The first
+    // cut used a row_number window here: the pair rows then carried
+    // the 1 KB lut array into a 25M-row shuffle sort and the query ran
+    // 228 s at sf0.1 — scalar-only pair rows + partial agg run it at
+    // pair-scan speed. Same lesson at 100 TB: never let a wide column
+    // ride through a per-pair shuffle.
+    queries.crossJoin(broadcast(index))
+      .select(col("query_id"),
+        struct(graft.functions.ArrayOps.pq_adc(col("lut"), col("codes"), PqK)
+            .as("adc"),
+          col("neighbor_id").as("neighbor_id")).as("cand"))
+      .groupBy(col("query_id"))
+      .agg(min(col("cand")).as("best"))
+      .filter(col("best.neighbor_id") === col("query_id") + 1000000L)
+      .select(col("query_id"), col("best.neighbor_id").as("neighbor_id"))
+      .orderBy(col("query_id"))
+  }
+
   /** SEMANTIC clustering: connected components over the embedding-
     * cosine similarity graph (cosine ≥ `threshold`) — groups documents
     * that say the same thing in different words, where the shingle-

@@ -290,6 +290,46 @@ class OperatorSpec extends AnyFunSuite {
     assert(bucketed.subsetOf(exact), s"${bucketed.diff(exact)} not exact")
   }
 
+  test("PQ: codebooks are partitioning-invariant, codes in range, ADC recall total") {
+    val e = Tables.load(spark, sf, "embeddings")
+    // exact-long training: partitioning cannot move a codebook entry
+    val b1 = Similarity.pqCodebooksQ(e)
+    val b2 = Similarity.pqCodebooksQ(e.repartition(7))
+    assert(b1 == b2)
+    assert(b1.size == Similarity.PqM)
+    assert(b1.forall(book => book.size == Similarity.PqK &&
+      book.forall(_.size == Similarity.PqSubDim)))
+    assert(b1.forall(_.distinct.size > 1)) // each subspace actually spread
+    // codes: one per (vector, subspace), all inside [0, K)
+    val n = e.count()
+    val codes = Similarity.pqCodes(spark, sf).collect()
+    assert(codes.length == n * Similarity.PqM)
+    codes.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) < Similarity.PqK)
+    }
+    // end-to-end recall: every query's ADC top-1 over the compressed
+    // index is its own planted twin — 8-byte codes keep enough
+    // geometry to separate cosine 0.999 from cosine <= ~0.51
+    val recovered = Similarity.pqPlantedRecall(spark, sf).collect()
+    assert(recovered.length == n, s"PQ ADC recall ${recovered.length}/$n")
+    recovered.foreach(r => assert(r.getLong(1) == r.getLong(0) + 1000000L))
+  }
+
+  test("pq_adc stays inside whole-stage codegen") {
+    // non-foldable input (parquet scan) so the expression really runs
+    // in the generated code path, not constant folding
+    val df = spark.read.parquet(Tables.path(sf, "lineitem"))
+      .select(col("l_orderkey"),
+        graft.functions.ArrayOps.pq_adc(
+          array_repeat(col("l_orderkey"), 128),
+          array_repeat(lit(3L), 8), 16).as("d"))
+    df.collect().foreach(r => assert(r.getLong(1) == 8L * r.getLong(0)))
+    val plan = df.queryExecution.executedPlan.toString
+    // `*(n)` prefixes mark operators inside a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project [l_orderkey"), plan.take(500))
+    assert(plan.contains("pq_adc"), plan.take(500))
+  }
+
   test("semantic clusters agree with a union-find over the exact cosine pairs") {
     val threshold = 0.35
     val got = Similarity.semanticClusters(spark, sf, threshold).collect()
