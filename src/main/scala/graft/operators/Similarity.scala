@@ -645,7 +645,19 @@ object Similarity {
     // 228 s at sf0.1 — scalar-only pair rows + partial agg run it at
     // pair-scan speed. Same lesson at 100 TB: never let a wide column
     // ride through a per-pair shuffle.
-    queries.crossJoin(broadcast(index))
+    //
+    // The repartition below is ALSO load-bearing, for a subtler
+    // reason: building the LUT is a ~128-dot-product expression whose
+    // generated code is far past the JVM's JIT method-size ceiling.
+    // Left adjacent to the join, whole-stage codegen fuses it into the
+    // SAME method as the M-lookup-per-pair scan, the fused method is
+    // disqualified from JIT compilation, and the entire pair loop runs
+    // in the bytecode interpreter — measured 198 s for a 4M-pair scan
+    // that runs in ~1 s once the exchange splits the stages (and the
+    // one-row-group parquet scan otherwise pins all pairs to a single
+    // core). Hash-partitioning on query_id doubles as the agg
+    // pre-partitioning, so the groupBy below needs no second shuffle.
+    queries.repartition(col("query_id")).crossJoin(broadcast(index))
       .select(col("query_id"),
         struct(graft.functions.ArrayOps.pq_adc(col("lut"), col("codes"), PqK)
             .as("adc"),
