@@ -78,17 +78,21 @@ object Bench {
       (name, if (ok.nonEmpty) ok.min else -1.0, err, rs)
     }
 
+    // locale-pinned: under a comma-decimal default locale the f""
+    // interpolator would emit 1,234 and the artifact stops being JSON
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
                   case c if c < ' ' => " "; case c => c.toString }
     val ok = perQuery.filter(_._3.isEmpty)
-    val qs = ok.map { case (k, v, _, _) => s"\"${esc(k)}\":" + f"$v%.3f" }
+    val qs = ok.map { case (k, v, _, _) => s"\"${esc(k)}\":" + num(v) }
       .mkString("{", ",", "}")
     val errs = perQuery.collect { case (k, _, Some(e), _) =>
       s"\"${esc(k)}\":\"${esc(e)}\"" }.mkString("{", ",", "}")
     val runsJson = perQuery.map { case (k, _, _, rs) =>
       s"\"${esc(k)}\":" + rs.map {
-        case (t, None) => f"$t%.3f"
+        case (t, None) => num(t)
         case _ => "-1"
       }.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -100,18 +104,18 @@ object Bench {
     val composite = ok.map(_._2).sum
     val base =
       s""""unit":"sec","sweeps":$sweeps,""" +
-      s""""total_composite":${f"$composite%.3f"},""" +
-      s""""sweep_totals":${sweepTotals.map(t => f"$t%.3f").mkString("[", ",", "]")},""" +
+      s""""total_composite":${num(composite)},""" +
+      s""""sweep_totals":${sweepTotals.map(t => num(t)).mkString("[", ",", "]")},""" +
       s""""sweep_n_ok":${sweepOk.mkString("[", ",", "]")},""" +
       s""""methodology":"per-query min over $sweeps interleaved full sweeps; raw timings in runs[query][sweep]""""
-    println(s"""{"metric":"total","value":${f"$composite%.3f"},$base,"queries":$qs,"runs":$runsJson,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(composite)},$base,"queries":$qs,"runs":$runsJson,"errors":$errs,"sf":"$sfDir"}""")
     // Compact second line: the full JSON has outgrown the driver's
     // tail capture (BENCH_r06 "parsed": null), so the headline — total,
     // counts, the 10 slowest — must survive on its own short line.
     val top10 = ok.sortBy(-_._2).take(10)
-      .map { case (k, v, _, _) => s"\"${esc(k)}\":" + f"$v%.3f" }
+      .map { case (k, v, _, _) => s"\"${esc(k)}\":" + num(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$composite%.3f"},$base,"n_queries":${ok.size},"n_errors":${perQuery.size - ok.size},"top10":$top10,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(composite)},$base,"n_queries":${ok.size},"n_errors":${perQuery.size - ok.size},"top10":$top10,"sf":"$sfDir"}""")
     spark.stop()
     if (perQuery.exists(_._3.nonEmpty)) sys.exit(1)
   }

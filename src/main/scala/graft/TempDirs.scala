@@ -21,9 +21,17 @@ object TempDirs {
   private val live =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Path]()
 
-  Runtime.getRuntime.addShutdownHook(
-    new Thread(() => { live.forEach(deleteTree(_)); live.clear() },
-      "graft-tempdir-cleanup"))
+  // Registered through Hadoop's ShutdownHookManager (the registry
+  // Spark itself uses), at a priority BELOW Spark's temp-dir hook
+  // (25) and SparkContext stop (50): a plain Runtime hook runs
+  // concurrently with Spark's, and deleting a warehouse/checkpoint
+  // dir while Spark is still flushing it produces noisy shutdown
+  // exceptions. Below-Spark priority means we run strictly after
+  // Spark has finished its own shutdown.
+  org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+    new Runnable {
+      override def run(): Unit = { live.forEach(deleteTree(_)); live.clear() }
+    }, 10)
 
   /** Create a fresh temp dir registered for deletion at JVM exit. */
   def create(prefix: String): String = {

@@ -160,9 +160,17 @@ case class PqAdc(left: Expression, right: Expression, k: Int)
     val lut = a.asInstanceOf[ArrayData]
     val codes = b.asInstanceOf[ArrayData]
     val m = codes.numElements()
+    val n = lut.numElements()
     var acc = 0L
     var i = 0
-    while (i < m) { acc += lut.getLong(i * k + codes.getLong(i).toInt); i += 1 }
+    while (i < m) {
+      val c = codes.getLong(i)
+      // UnsafeArrayData.getLong does no bounds check: a malformed code
+      // would silently read out-of-bounds memory, so validate here
+      if (c < 0 || c >= k || i * k + c >= n)
+        throw PqAdc.badCode(c, i, k, n)
+      acc += lut.getLong(i * k + c.toInt); i += 1
+    }
     acc
   }
 
@@ -171,11 +179,19 @@ case class PqAdc(left: Expression, right: Expression, k: Int)
       val m = ctx.freshName("m")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val c = ctx.freshName("c")
+      val n = ctx.freshName("n")
+      val cls = PqAdc.getClass.getName.stripSuffix("$") + "$.MODULE$"
       s"""
          |int $m = $b.numElements();
+         |int $n = $a.numElements();
          |long $acc = 0L;
          |for (int $i = 0; $i < $m; $i++) {
-         |  $acc += $a.getLong($i * $k + (int) $b.getLong($i));
+         |  long $c = $b.getLong($i);
+         |  if ($c < 0 || $c >= $k || $i * $k + $c >= $n) {
+         |    throw $cls.badCode($c, $i, $k, $n);
+         |  }
+         |  $acc += $a.getLong($i * $k + (int) $c);
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -184,6 +200,16 @@ case class PqAdc(left: Expression, right: Expression, k: Int)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PqAdc =
     copy(left = newLeft, right = newRight)
+}
+
+object PqAdc {
+  /** Shared by the interpreted and generated paths (codegen calls it
+    * via MODULE$, keeping the hot-loop bytecode small). */
+  def badCode(c: Long, i: Int, k: Int, lutLen: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"pq_adc: code $c at subspace $i out of range (codebook size $k, " +
+        s"lut entries $lutLen) — codes must be in [0, $k) and the lut " +
+        "must carry M*K entries")
 }
 
 object ArrayOps {

@@ -537,6 +537,10 @@ object Similarity {
     // seed every subspace with their m-th subvector
     val seeds = iv.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(PqK)
       .collect().map(_.getSeq[Long](1).toSeq)
+    require(seeds.length == PqK,
+      s"PQ training needs at least $PqK vectors to seed $PqK centroids " +
+        s"per subspace, got ${seeds.length} — the emptied-cell fallback " +
+        "indexes books(m)(c) and would fail opaquely on a short seed set")
     var books: Seq[Seq[Seq[Long]]] = (0 until PqM).map(m =>
       seeds.map(s => s.slice(m * PqSubDim, (m + 1) * PqSubDim)).toSeq)
     for (_ <- 1 to iters) {

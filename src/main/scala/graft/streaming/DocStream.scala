@@ -56,10 +56,17 @@ object DocStream {
     // in any real deployment
     val idxPath = new org.apache.hadoop.fs.Path(indexDir)
     val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the index grows one `batch-<id>` subdir per accepted delivery
+    // (see [[nearDupViaStream]]: per-delivery overwrite makes a
+    // retried delivery idempotent), so emptiness and reads are both
+    // recursive
     val indexNonEmpty = fs.exists(idxPath) &&
-      fs.listStatus(idxPath).exists(_.getLen > 0)
+      fs.globStatus(new org.apache.hadoop.fs.Path(idxPath, "batch-*"))
+        .nonEmpty
     val index =
-      if (indexNonEmpty) spark.read.schema(IndexSchema).parquet(indexDir)
+      if (indexNonEmpty)
+        spark.read.schema(IndexSchema)
+          .option("recursiveFileLookup", "true").parquet(indexDir)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema)
 
@@ -137,12 +144,16 @@ object DocStream {
       .parquet(s"$landing/*")
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batchId-keyed overwrite, not append: a micro-batch retried
+        // after a transient failure re-writes ITS OWN subdir instead
+        // of double-appending rows into the result and the index (the
+        // foreachBatch exactly-once contract is ours to provide)
         val out = classifyBatch(spark, batch, indexDir, threshold)
           .withColumn("batch_id", lit(batchId))
-        out.write.mode("append").parquet(outDir)
+        out.write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
         Dedup.signedBanded(batch)
           .select(col("band"), col("band_key"), col("doc_id"), col("minhash"))
-          .write.mode("append").parquet(indexDir)
+          .write.mode("overwrite").parquet(s"$indexDir/batch-$batchId")
         ()
       }
       .option("checkpointLocation", s"$root/ckpt")
@@ -154,7 +165,8 @@ object DocStream {
     // index). Returned parquet-backed, not collected: a real delivery
     // is executor-sized, and the temp dir outlives the frame via the
     // TempDirs shutdown hook — no driver materialization, no litter.
-    spark.read.schema(OutSchema).parquet(outDir)
+    spark.read.schema(OutSchema)
+      .option("recursiveFileLookup", "true").parquet(outDir)
       .filter(col("batch_id") === 1L)
       .select(col("doc_id"), col("status"), col("matched_id"))
       .orderBy(col("doc_id"))

@@ -88,8 +88,13 @@ object EventStream {
     try {
       val q = stream.writeStream
         .outputMode(mode)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode(saveMode).parquet(outDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // Complete mode overwrites the whole dir each batch (already
+          // idempotent); Append batches each overwrite a batchId-keyed
+          // subdir, so a retried micro-batch can never double-append —
+          // the foreachBatch exactly-once contract is ours to provide.
+          if (saveMode == "overwrite") batch.write.mode("overwrite").parquet(outDir)
+          else batch.write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
           ()
         }
         .option("checkpointLocation", s"$root/ckpt")
@@ -97,7 +102,8 @@ object EventStream {
         .start()
       try { q.processAllAvailable() } finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.read.schema(stream.schema).parquet(outDir)
+    spark.read.schema(stream.schema)
+      .option("recursiveFileLookup", "true").parquet(outDir)
       .orderBy(sortCols.map(col): _*)
   }
 
