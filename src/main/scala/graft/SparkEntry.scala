@@ -127,6 +127,7 @@ object SparkEntry {
     "q_ngram_novelty_bloom" -> ((s: SparkSession, d: String) =>
       Dedup.ngramNoveltyBloom(s, d)),
     "q_dedup_survivors" -> (Dedup.keepBest _),
+    "q_span_dedup" -> ((s: SparkSession, d: String) => Dedup.spanDedup(s, d)),
     "q_stream_neardup" -> ((s: SparkSession, d: String) =>
       graft.streaming.DocStream.nearDupViaStream(s, d)),
     "q_epoch_shuffle" -> ((s: SparkSession, d: String) => Corpus.epochShuffle(s, d)),
@@ -140,6 +141,7 @@ object SparkEntry {
     "q_dataset_card" -> (Corpus.datasetCard _),
     "q_semantic_clusters" -> ((s: SparkSession, d: String) =>
       Similarity.semanticClusters(s, d)),
+    "q_semdedup" -> ((s: SparkSession, d: String) => Similarity.semDedup(s, d)),
     "q_label_centroids" -> (Similarity.labelCentroids _),
     "q_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     // --- similarity search
@@ -153,6 +155,7 @@ object SparkEntry {
     "q_cosine_recall" -> ((s: SparkSession, d: String) => Similarity.cosinePlantedRecall(s, d)),
     "q_pq_codes" -> (Similarity.pqCodes _),
     "q_pq_recall" -> (Similarity.pqPlantedRecall _),
+    "q_ivfpq_recall" -> (Similarity.ivfPqPlantedRecall _),
     "q_cosine_pairs" -> ((s: SparkSession, d: String) => Similarity.cosinePairsExact(s, d)),
     // --- multimodal binary plumbing
     "q_binary_meta" -> (Multimodal.binaryMeta _),
@@ -960,6 +963,35 @@ object SparkEntry {
          FROM ranked
          ORDER BY doc_id""",
 
+    // Span-level exact dedup: multiple unnests in one DuckDB SELECT
+    // zip positionally, which pairs each word with its index for the
+    // 10-word chunking; (doc_id, pos) packs into one BIGINT exactly as
+    // the Spark side does, so "global first occurrence" is the same
+    // MIN on both engines.
+    "q_span_dedup" ->
+      """WITH c AS (
+           SELECT doc_id, i // 10 AS pos,
+             string_agg(word, ' ' ORDER BY i) AS chunk
+           FROM (SELECT doc_id, unnest(ws) AS word,
+                        unnest(range(len(ws))) AS i
+                 FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents) t0
+                 WHERE len(ws) > 0) t
+           GROUP BY doc_id, i // 10),
+         own AS (
+           SELECT chunk, MIN(doc_id * 1000000 + pos) AS first
+           FROM c GROUP BY chunk),
+         j AS (
+           SELECT c.doc_id, c.pos, c.chunk,
+             (c.doc_id * 1000000 + c.pos = o.first) AS keep
+           FROM c JOIN own o USING (chunk))
+         SELECT doc_id,
+           COALESCE(string_agg(chunk, ' ' ORDER BY pos)
+             FILTER (WHERE keep), '') AS clean_text,
+           CAST(COALESCE(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS kept,
+           CAST(COALESCE(SUM(CASE WHEN keep THEN 0 ELSE 1 END), 0) AS BIGINT) AS dropped
+         FROM j GROUP BY doc_id ORDER BY doc_id""",
+
     // Batch novelty vs the corpus shingle index (deltaDedup's 80/20
     // framing; docs under the shingle width have no row on either side)
     "q_ngram_novelty" ->
@@ -1252,6 +1284,50 @@ object SparkEntry {
          FROM labeled
          ORDER BY vec_id""",
 
+    // SemDeDup: the same transitive closure, plus the norm²-argmax
+    // survivor rule (ties to the smaller vec_id) the Spark side
+    // computes as a partial-aggregable max(struct(n2, -vec_id)).
+    "q_semdedup" ->
+      """WITH RECURSIVE
+         q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 67108864.0) AS BIGINT)) AS iv
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, iv,
+             sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(iv)),
+               i -> iv[i] * iv[i])) AS BIGINT) AS DOUBLE)) AS nrm,
+             CAST(list_sum(list_transform(generate_series(1, len(iv)),
+               i -> iv[i] * iv[i])) AS BIGINT) AS n2
+           FROM q),
+         jp AS (
+           SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+           FROM n a, n b
+           WHERE a.vec_id < b.vec_id
+             AND CAST(CAST(list_sum(list_transform(generate_series(1, len(a.iv)),
+               i -> a.iv[i] * b.iv[i])) AS BIGINT) AS DOUBLE)
+               / (a.nrm * b.nrm) >= 0.35),
+         e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+               UNION SELECT doc_b, doc_a FROM jp),
+         reach(a, b) AS (
+           SELECT a, b FROM e
+           UNION
+           SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+         lab AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id
+                 FROM reach GROUP BY a),
+         labeled AS (SELECT v.vec_id,
+                       COALESCE(l.cluster_id, v.vec_id) AS cluster_id,
+                       v.n2
+                     FROM n v LEFT JOIN lab l USING (vec_id))
+         SELECT vec_id, cluster_id, survivor_id,
+           CAST(vec_id = survivor_id AS BIGINT) AS keep
+         FROM (
+           SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+             CAST(FIRST_VALUE(vec_id) OVER (PARTITION BY cluster_id
+               ORDER BY n2 DESC, vec_id) AS BIGINT) AS survivor_id
+           FROM labeled) t
+         ORDER BY vec_id""",
+
     "q_label_centroids" ->
       """SELECT label, pos, n_vecs,
          CAST(q_sum AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * 67108864.0) AS centroid
@@ -1361,6 +1437,15 @@ object SparkEntry {
     // 8-byte code index is its own cosine-0.999 twin — the whole PQ
     // train→encode→score loop, end-to-end.
     "q_pq_recall" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id,
+         CAST(vec_id + 1000000 AS BIGINT) AS neighbor_id
+         FROM embeddings ORDER BY query_id""",
+
+    // Same planted ground truth through BOTH approximations composed
+    // (IVF cell probing bounds the candidates, PQ ADC scores them):
+    // green iff no twin is lost to an unprobed cell OR out-ranked by a
+    // co-cell stranger under 8-byte codes.
+    "q_ivfpq_recall" ->
       """SELECT CAST(vec_id AS BIGINT) AS query_id,
          CAST(vec_id + 1000000 AS BIGINT) AS neighbor_id
          FROM embeddings ORDER BY query_id""",

@@ -364,6 +364,59 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-level exact SPAN dedup (the C4 "repeated span" rule and
+    * Lee et al.'s substring dedup, adapted to this corpus's flat
+    * word-stream texts): every document is cut into consecutive
+    * non-overlapping `span`-word chunks, a chunk that occurs anywhere
+    * else in the corpus keeps only its GLOBAL first occurrence
+    * (smallest (doc_id, pos) — packed into one long so the argmin is
+    * a plain partial-aggregable `min`), and each document is
+    * reassembled from its surviving chunks. Unlike document-level
+    * [[exact]], this removes boilerplate that contaminates otherwise
+    * distinct documents — at scale it is the rule that strips repeated
+    * headers/footers/licenses out of a crawl.
+    *
+    * Shape at 100 TB: chunking is a shuffle-free map (array slice on
+    * the split word array, never an explode of words); the only wide
+    * ops are one groupBy on chunk text (partial-agg min), one
+    * equality join back on chunk, and the per-doc regroup. A
+    * boilerplate mega-chunk (same header in 10⁷ docs) skews the join
+    * key — AQE skew-join splits it, and the owner side is one row per
+    * distinct chunk so the broadcast-side stays tiny per key.
+    * Reassembly sorts only within one document (array_sort over its
+    * own chunk structs), never a global order.
+    */
+  def spanDedup(spark: SparkSession, sf: String, span: Int = 10): DataFrame = {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val chunks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), posexplode(
+        transform(
+          sequence(lit(0L),
+            floor((size(col("ws")) + (span - 1)).cast("long") / span) - 1L),
+          i => array_join(slice(col("ws"), (i * span + 1).cast("int"), lit(span)),
+            " "))).as(Seq("pos", "chunk")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("chunk"))
+    // global first occurrence per chunk content; (doc_id, pos) packed
+    // into one long so the map side combines to one row per chunk
+    val owners = chunks.groupBy(col("chunk"))
+      .agg(min(col("doc_id") * 1000000L + col("pos")).as("first"))
+    chunks.join(owners, Seq("chunk"))
+      .withColumn("keep", col("doc_id") * 1000000L + col("pos") === col("first"))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("pos"), col("chunk"))))),
+            s => s.getField("chunk")), " ").as("clean_text"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("dropped"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Distributed connected components by iterative min-label
     * propagation (Pregel shape): each round every vertex takes the min
     * of its own label and its neighbors' labels; converges to the

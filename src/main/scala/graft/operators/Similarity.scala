@@ -699,4 +699,84 @@ object Similarity {
       .withColumnRenamed("doc_id", "vec_id")
       .orderBy(col("vec_id"))
   }
+
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication — keep ONE
+    * representative per semantic cluster and mark the rest for
+    * removal. Composes [[semanticClusters]] (CC over the cosine graph)
+    * with a survivor rule: the vector with the LARGEST quantized
+    * norm² (the farthest-from-origin proxy for the cluster's most
+    * feature-rich member; the paper's farthest-from-centroid rule is
+    * the same argmax with the centroid subtracted), ties to the
+    * smallest vec_id. The argmax is a partial-aggregable
+    * `max(struct(n2, -vec_id))` — one row per cluster leaves every
+    * map task, no per-cluster window sort. A min-id rule would be
+    * vacuous here (the CC label already IS the component's min id),
+    * so the norm rule is also what makes the survivor column carry
+    * information the clustering didn't.
+    */
+  def semDedup(spark: SparkSession, sf: String,
+      threshold: Double = 0.35): DataFrame = {
+    val clusters = semanticClusters(spark, sf, threshold)
+    val n2 = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.ArrayOps.quantize_q(col("embedding"), Q).as("iv"))
+      .select(col("vec_id"), dot_long(col("iv"), col("iv")).as("n2"))
+    val scored = clusters.join(n2, Seq("vec_id"))
+    val survivors = scored.groupBy(col("cluster_id"))
+      .agg(max(struct(col("n2"), (-col("vec_id")).as("nid"))).as("m"))
+      .select(col("cluster_id"), (-col("m.nid")).as("survivor_id"))
+    scored.join(survivors, Seq("cluster_id"))
+      .select(col("vec_id"), col("cluster_id"), col("survivor_id"),
+        (col("vec_id") === col("survivor_id")).cast("long").as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Driver-visible IVF+PQ recall pin — the COMPOSED billion-vector
+    * ANN layout: IVF cells bound WHICH candidates each query scores
+    * (probes join the index on cell equality — a bucketed join, no
+    * cross join, no full-index broadcast) and PQ codes bound what each
+    * candidate COSTS (M-lookup ADC against the query's LUT instead of
+    * a full-dimension dot). This is the shape a real 100 TB vector
+    * index runs: both index artifacts (centroids + codebooks) are
+    * content-versioned cached, the index side carries only
+    * (cell, codes) — 8 bytes of payload per vector — and the per-query
+    * argmin is the same partial-aggregable min(struct) as
+    * [[pqPlantedRecall]]. Green iff every query's twin survives BOTH
+    * approximations end-to-end: lands in a probed cell (pinned alone
+    * by q_ivf_recall) and out-ranks every co-cell stranger by ADC
+    * (pinned alone by q_pq_recall).
+    */
+  def ivfPqPlantedRecall(spark: SparkSession, sf: String): DataFrame = {
+    val e = Tables.load(spark, sf, "embeddings")
+    val cents = centroidsFor(spark, sf)
+    val books = pqCodebooksFor(spark, sf)
+    val index = e.select((col("vec_id") + 1000000L).as("neighbor_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x * lit(1.01)).otherwise(x)).as("twin"))
+      .select(col("neighbor_id"),
+        graft.functions.ArrayOps.quantize_q(col("twin"), Q).as("iv_n"))
+      .select(col("neighbor_id"),
+        element_at(nearestCellsQ(col("iv_n"), cents, 1), 1).as("cell"),
+        array((0 until PqM).map(m =>
+          nearestSubCellQ(subVec(col("iv_n"), m), books(m)).cast("long")): _*)
+          .as("codes"))
+    val probes = e.select(col("vec_id").as("query_id"),
+        graft.functions.ArrayOps.quantize_q(col("embedding"), Q).as("iv"))
+      .select(col("query_id"),
+        explode(nearestCellsQ(col("iv"), cents, NProbe)).as("cell"),
+        pqLut(col("iv"), books).as("lut"))
+    // the cell-equality shuffle join doubles as the stage split that
+    // keeps the (huge, JIT-ineligible) LUT/probe codegen out of the
+    // per-candidate ADC stage — the pqPlantedRecall lesson for free
+    probes.join(index, Seq("cell"))
+      .select(col("query_id"),
+        struct(graft.functions.ArrayOps.pq_adc(col("lut"), col("codes"), PqK)
+            .as("adc"),
+          col("neighbor_id").as("neighbor_id")).as("cand"))
+      .groupBy(col("query_id"))
+      .agg(min(col("cand")).as("best"))
+      .filter(col("best.neighbor_id") === col("query_id") + 1000000L)
+      .select(col("query_id"), col("best.neighbor_id").as("neighbor_id"))
+      .orderBy(col("query_id"))
+  }
 }

@@ -556,4 +556,64 @@ class OperatorSpec extends AnyFunSuite {
     }
     assert(salted == plain)
   }
+
+  test("span dedup: kept spans are globally unique and cover every distinct span") {
+    val span = 10
+    val out = Dedup.spanDedup(spark, sf, span).collect()
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.map(_.getLong(0)).toSet == docs.keySet) // total over docs
+    // per doc: kept + dropped == its chunk count
+    out.foreach { r =>
+      val n = docs(r.getLong(0)).split(" ").length
+      val chunks = (n + span - 1) / span
+      assert(r.getLong(2) + r.getLong(3) == chunks, s"doc ${r.getLong(0)}")
+    }
+    // global: one survivor per distinct span content, and the doc with
+    // no dropped spans round-trips its text unchanged
+    val allChunks = docs.toSeq.flatMap { case (_, t) =>
+      t.split(" ").grouped(span).map(_.mkString(" ")) }
+    assert(out.map(_.getLong(2)).sum == allChunks.distinct.size)
+    out.filter(_.getLong(3) == 0).take(5).foreach { r =>
+      assert(r.getString(1) == docs(r.getLong(0)))
+    }
+    // and the de-duplicated corpus has no repeated span at all
+    val keptChunks = out.flatMap(r =>
+      r.getString(1).split(" ").grouped(span).map(_.mkString(" ")))
+        .filter(_.nonEmpty)
+    assert(keptChunks.distinct.length == keptChunks.length)
+  }
+
+  test("semdedup keeps exactly the max-norm2 member of every cluster") {
+    val out = Similarity.semDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // one survivor per cluster, survivor is a member, keep marks it
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (c, rows) =>
+      val survivors = rows.map(_._3).distinct
+      assert(survivors.length == 1, s"cluster $c")
+      assert(rows.map(_._1).contains(survivors.head), s"cluster $c")
+      assert(rows.count(_._4 == 1L) == 1, s"cluster $c")
+      assert(rows.find(_._4 == 1L).get._1 == survivors.head, s"cluster $c")
+    }
+    // survivor rule: max quantized norm2, ties to smaller vec_id
+    val n2 = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), graft.functions.ArrayOps.dot_long(
+        graft.functions.ArrayOps.quantize_q(col("embedding"), Similarity.Q),
+        graft.functions.ArrayOps.quantize_q(col("embedding"), Similarity.Q))
+        .as("n2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byCluster.foreach { case (c, rows) =>
+      val want = rows.map(_._1).minBy(id => (-n2(id), id))
+      assert(rows.head._3 == want, s"cluster $c survivor")
+    }
+  }
+
+  test("IVF+PQ composed recall is total on the planted twins") {
+    val n = Tables.load(spark, sf, "embeddings").count()
+    val got = Similarity.ivfPqPlantedRecall(spark, sf).collect()
+    assert(got.length == n, s"IVF+PQ recall ${got.length}/$n")
+    got.foreach(r => assert(r.getLong(1) == r.getLong(0) + 1000000L))
+  }
 }
