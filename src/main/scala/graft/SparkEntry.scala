@@ -108,6 +108,9 @@ object SparkEntry {
     "q_quality_gate" -> ((s: SparkSession, d: String) =>
       Corpus.qualityGate(s, d, exact = true)),
     "q_repetition" -> (Corpus.repetition _),
+    // exact gram-keyed mode (buckets = None) for the oracle; the
+    // hashed fixed-size feature table is the scale default
+    "q_dsir_weights" -> ((s: SparkSession, d: String) => Corpus.dsirWeights(s, d)),
     "q_curate" -> (Corpus.curate _),
     "q_contamination" -> (Corpus.contamination _),
     // --- dedup
@@ -785,6 +788,34 @@ object SparkEntry {
            FROM tf JOIN dfreq USING (word) CROSS JOIN n)
          WHERE rk <= 3
          ORDER BY doc_id, rk""",
+
+    // DSIR importance weights: one gram explode feeds both corpus
+    // counts; add-one-smoothed count ratios in integer basis points
+    // (// is DuckDB floor division — both operand signs are positive,
+    // so it matches Spark's `div` exactly)
+    "q_dsir_weights" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+             regexp_extract_all(lower(text), '[a-z]+') AS ws
+           FROM documents),
+         g AS (
+           SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i + 1])) AS gram
+           FROM d WHERE len(ws) >= 2),
+         c AS (
+           SELECT gram, COUNT(*) AS rc,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc
+           FROM g GROUP BY gram),
+         w AS (
+           SELECT g.doc_id, COUNT(*) AS n_grams,
+             SUM(((c.tc + 1) * 10000) // (c.rc + 1)) // COUNT(*) AS weight_bp
+           FROM g JOIN c USING (gram) GROUP BY g.doc_id),
+         t AS (SELECT SUM(weight_bp) AS tot, COUNT(*) AS n FROM w)
+         SELECT w.doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(weight_bp AS BIGINT) AS weight_bp,
+           CAST(weight_bp * t.n > t.tot AS BIGINT) AS keep
+         FROM w, t ORDER BY doc_id""",
 
     "q_bigram_top" ->
       """WITH b AS (

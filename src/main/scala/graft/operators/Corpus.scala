@@ -180,6 +180,57 @@ object Corpus {
       .orderBy(col("n").desc, col("bigram"))
       .limit(k)
 
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how much its n-gram feature distribution looks like a
+    * TARGET corpus (here: the `targetLang` slice), then keep the
+    * above-average scorers. Deviations from the paper, both
+    * deliberate: (a) the per-feature importance is the add-one-smoothed
+    * COUNT RATIO in integer basis points rather than a log-likelihood
+    * ratio — exact integer arithmetic is cross-engine reproducible
+    * where float logs are not, and is monotone in the same ratio;
+    * (b) `buckets = None` keys features by the bigram itself — the
+    * exact B→∞ limit of the paper's hashed features, and what a SQL
+    * oracle can re-derive. `buckets = Some(b)` is the paper's fixed-
+    * size hashed variant and the 100 TB path: the count table becomes
+    * a bounded b-row artifact regardless of corpus size (rows-only
+    * check; pinned by the exact mode plus the CorpusSpec agreement
+    * case).
+    *
+    * Shape at scale: ONE gram explode feeds both corpus counts (the
+    * target is a conditional sum inside the same partial-agg groupBy,
+    * not a second scan), the count join is gram-equality (AQE handles
+    * stopword-bigram skew), and the keep threshold (above corpus
+    * mean) is a broadcast of a single aggregate row.
+    */
+  def dsirWeights(spark: SparkSession, sf: String,
+      targetLang: String = "en", buckets: Option[Int] = None): DataFrame = {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val gram = buckets match {
+      case Some(b) => pmod(xxhash64(col("g")), lit(b.toLong))
+      case None => col("g")
+    }
+    val grams = docs.select(col("doc_id"), col("lang"),
+        explode(graft.functions.ArrayOps.shinglesAll(col("ws"), 2)).as("g"))
+      .select(col("doc_id"), col("lang"), gram.as("gram"))
+    val counts = grams.groupBy(col("gram")).agg(
+      count(lit(1)).as("rc"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("tc"))
+    val w = grams.join(counts, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(expr("((tc + 1) * 10000) div (rc + 1)")).as("sbp"))
+      .select(col("doc_id"), col("n_grams"),
+        expr("sbp div n_grams").as("weight_bp"))
+    val tot = w.agg(sum(col("weight_bp")).as("tot"), count(lit(1)).as("n"))
+    w.crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_grams"), col("weight_bp"),
+        (col("weight_bp") * col("n") > col("tot")).cast("long").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII-style scrubbing: redact email-shaped spans then digit runs,
     * emitting the scrubbed-content hash and per-kind redaction counts.
     * Patterns are RE2-safe (no backrefs/lookaround) so Java and DuckDB

@@ -837,4 +837,30 @@ class CorpusSpec extends AnyFunSuite {
       assert(ratio > 0.0 && ratio <= 1.0)
     }
   }
+
+  test("dsir: target-lang docs score higher, hashed mode bounded + deterministic") {
+    import org.apache.spark.sql.functions.col
+    val exact = Corpus.dsirWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))) // id, weight, keep
+    val langs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the importance weights must actually separate the target slice:
+    // mean weight of 'en' docs strictly above mean of the rest
+    val (en, rest) = exact.partition(r => langs(r._1) == "en")
+    val meanEn = en.map(_._2).sum.toDouble / en.length
+    val meanRest = rest.map(_._2).sum.toDouble / rest.length
+    assert(meanEn > meanRest, s"en mean $meanEn <= rest mean $meanRest")
+    // keep = above corpus mean: selects a non-trivial strict subset
+    val kept = exact.count(_._3 == 1L)
+    assert(kept > 0 && kept < exact.length)
+    // hashed fixed-size feature mode (the 100 TB path): same doc set,
+    // identical under repartition (content-hash buckets, no RNG)
+    val h1 = Corpus.dsirWeights(spark, sf, buckets = Some(1024)).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val h2 = Corpus.dsirWeights(spark, sf, buckets = Some(1024)).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(h1.sameElements(h2))
+    assert(h1.map(_._1).sorted.sameElements(exact.map(_._1).sorted))
+  }
 }
