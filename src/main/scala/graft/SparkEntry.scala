@@ -100,6 +100,7 @@ object SparkEntry {
     "q_pack_chunks" -> ((s: SparkSession, d: String) => Corpus.packChunks(s, d)),
     "q_tfidf_top" -> ((s: SparkSession, d: String) => Corpus.tfidfTop(s, d)),
     "q_bigram_top" -> ((s: SparkSession, d: String) => Corpus.bigramTop(s, d)),
+    "q_pmi_top" -> ((s: SparkSession, d: String) => Corpus.pmiTop(s, d)),
     "q_pii_scrub" -> (Corpus.piiScrub _),
     "q_stratified_sample" -> ((s: SparkSession, d: String) => Corpus.stratifiedSample(s, d)),
     // exact mode: the DuckDB quantile_cont oracle needs the exact cut;
@@ -816,6 +817,31 @@ object SparkEntry {
            CAST(weight_bp AS BIGINT) AS weight_bp,
            CAST(weight_bp * t.n > t.tot AS BIGINT) AS keep
          FROM w, t ORDER BY doc_id""",
+
+    // Collocations by integer-scaled lift (rank-identical to PMI; see
+    // Corpus.pmiTop). N is computed as sum(len-1), never a re-explode.
+    "q_pmi_top" ->
+      """WITH d AS (
+           SELECT regexp_extract_all(lower(text), '[a-z]+') AS ws
+           FROM documents),
+         dd AS (SELECT ws FROM d WHERE len(ws) >= 2),
+         uni AS (
+           SELECT w, COUNT(*) AS c FROM
+             (SELECT unnest(ws) AS w FROM dd) GROUP BY w),
+         bi AS (
+           SELECT bigram, COUNT(*) AS c_xy FROM
+             (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i + 1])) AS bigram FROM dd)
+           GROUP BY bigram HAVING COUNT(*) >= 5),
+         t AS (SELECT SUM(len(ws) - 1) AS n_total FROM dd)
+         SELECT bigram, CAST(c_xy AS BIGINT) AS c_xy,
+           CAST((t.n_total * c_xy * 10000)
+             // (u1.c * u2.c) AS BIGINT) AS lift_bp
+         FROM bi, t
+         JOIN uni u1 ON u1.w = string_split(bigram, ' ')[1]
+         JOIN uni u2 ON u2.w = string_split(bigram, ' ')[2]
+         ORDER BY lift_bp DESC, bigram
+         LIMIT 30""",
 
     "q_bigram_top" ->
       """WITH b AS (

@@ -180,6 +180,42 @@ object Corpus {
       .orderBy(col("n").desc, col("bigram"))
       .limit(k)
 
+  /** Collocation extraction: top-k bigrams by pointwise mutual
+    * information, ranked by the integer-scaled LIFT
+    * `N·c(x,y)·10⁴ / (c(x)·c(y))` — PMI is `log` of the same ratio and
+    * `log` is monotone, so the ranking is identical while every
+    * intermediate stays an exact BIGINT both engines agree on (the
+    * product is bounded by N·maxCount·10⁴; at corpus sizes where that
+    * nears 2⁶³, widen to decimal(38,0) — both engines carry it).
+    * `minCount` prunes the hapax tail BEFORE the unigram joins, which
+    * is what keeps the join input corpus-sublinear at scale. Shape:
+    * two partial-agg counts off one tokenized scan + two equality
+    * joins on word; the final top-k is a sort over only the surviving
+    * collocation candidates.
+    */
+  def pmiTop(spark: SparkSession, sf: String, k: Int = 30,
+      minCount: Long = 5L): DataFrame = {
+    val ws = Tables.load(spark, sf, "documents")
+      .select(words(col("text")).as("ws")).filter(size(col("ws")) >= 2)
+    val uni = ws.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val bi = ws.select(explode(
+        graft.functions.ArrayOps.shinglesAll(col("ws"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+    // N = Σ(len-1) — no second explode, one partial-agg scalar
+    val total = ws.agg(sum(size(col("ws")) - 1).cast("long").as("n_total"))
+    bi.join(uni.select(col("w").as("w1"), col("c").as("c_x")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("bigram"), col("c_xy"),
+        expr("(n_total * c_xy * 10000) div (c_x * c_y)").as("lift_bp"))
+      .orderBy(col("lift_bp").desc, col("bigram"))
+      .limit(k)
+  }
+
   /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every raw
     * document by how much its n-gram feature distribution looks like a

@@ -838,6 +838,27 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("pmi collocations: sorted by lift, min-count respected, lift re-derivable") {
+    val rows = Corpus.pmiTop(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.length <= 30)
+    assert(rows.forall(_._2 >= 5L))
+    assert(rows.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    // re-derive the lift of every returned row from scratch counts
+    val texts = Tables.load(spark, sf, "documents").select("text").collect()
+      .map(_.getString(0).toLowerCase.split("[^a-z]+").filter(_.nonEmpty))
+      .filter(_.length >= 2)
+    val uni = texts.flatten.groupBy(identity).map { case (w, a) => w -> a.length.toLong }
+    val bi = texts.flatMap(ws => ws.sliding(2).map(_.mkString(" ")))
+      .groupBy(identity).map { case (b, a) => b -> a.length.toLong }
+    val n = texts.map(_.length - 1L).sum
+    rows.foreach { case (bigram, cxy, lift) =>
+      val Array(w1, w2) = bigram.split(" ")
+      assert(bi(bigram) == cxy, bigram)
+      assert(n * cxy * 10000L / (uni(w1) * uni(w2)) == lift, bigram)
+    }
+  }
+
   test("dsir: target-lang docs score higher, hashed mode bounded + deterministic") {
     import org.apache.spark.sql.functions.col
     val exact = Corpus.dsirWeights(spark, sf).collect()
