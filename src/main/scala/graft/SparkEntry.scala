@@ -117,6 +117,7 @@ object SparkEntry {
     // --- dedup
     "q_dedup_exact" -> (Dedup.exact _),
     "q_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
+    "q_containment" -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
     "q_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "q_minhash_recall" -> (Dedup.minhashRecall _),
     "q_dup_clusters" -> (Dedup.nearDupClusters _),
@@ -891,6 +892,29 @@ object SparkEntry {
            doc_id <> canonical_id AS is_dup
          FROM d JOIN c USING (fingerprint)
          ORDER BY doc_id""",
+
+    // Asymmetric containment |A∩B|/|A| in integer basis points over
+    // ORDERED pairs — the subset-duplicate direction Jaccard misses
+    "q_containment" ->
+      s"""WITH docs AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(ws) - 2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+           FROM (SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents) t
+           WHERE len(ws) >= 3),
+         expl AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+         sizes AS (SELECT doc_id, len(sh) AS n_a FROM docs),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     COUNT(*) AS common
+                   FROM expl a JOIN expl b
+                     ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+                   GROUP BY 1, 2)
+         SELECT doc_a, doc_b, CAST(common AS BIGINT) AS common,
+           CAST(s.n_a AS BIGINT) AS n_a,
+           CAST((common * 10000) // s.n_a AS BIGINT) AS containment_bp
+         FROM pairs p JOIN sizes s ON s.doc_id = p.doc_a
+         WHERE (common * 10000) // s.n_a >= 6000
+         ORDER BY doc_a, doc_b""",
 
     "q_ngram_jaccard" ->
       s"""WITH docs AS (

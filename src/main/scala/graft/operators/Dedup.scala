@@ -121,6 +121,41 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** ASYMMETRIC shingle containment: |A∩B| / |A| in integer basis
+    * points, emitted for ORDERED pairs (a, b) with a ≠ b. Catches the
+    * subset-duplicate Jaccard misses: a short document quoted whole
+    * inside a long one has containment ≈ 1 while Jaccard ≈ |A|/|B| can
+    * sit under any symmetric threshold. Containment ≥ Jaccard always
+    * (|A| ≤ |A∪B|), so this is the stricter recall direction of the
+    * same exact pair kernel — and, like it, the oracle baseline: at
+    * 100 TB candidates come from the same LSH band buckets (banding
+    * bounds Jaccard, and a containment-escaping pair needs the SAME
+    * all-bands-differ miss), with the short side's signature checked
+    * against each candidate's.
+    */
+  def containmentPairs(spark: SparkSession, sf: String,
+      threshold: Double = 0.6): DataFrame =
+    containmentFrom(shingledCached(spark, sf), threshold)
+
+  private[graft] def containmentFrom(docs: DataFrame,
+      threshold: Double): DataFrame = {
+    val sizes = docs.select(col("doc_id"),
+      size(col("sh")).cast("long").as("n_a"))
+    val exploded = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .withColumn("containment_bp", expr("(common * 10000) div n_a"))
+      .filter(col("containment_bp") >= lit(Math.round(threshold * 10000)))
+      .select(col("doc_a"), col("doc_b"), col("common"), col("n_a"),
+        col("containment_bp"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // ---- incremental (delta) dedup ------------------------------------
 
   /** Incremental ingest dedup: the last 20% of doc_ids play the "new

@@ -585,6 +585,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(keptChunks.distinct.length == keptChunks.length)
   }
 
+  test("containment pairs re-derive from scratch shingle sets and bound jaccard") {
+    val got = Dedup.containmentPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val sh = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect().map { r =>
+        val ws = r.getString(1).toLowerCase.trim.replaceAll("\\s+", " ").split(" ")
+        r.getLong(0) -> ws.sliding(3).map(_.mkString(" ")).toSet
+      }.toMap
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, common, na, bp) =>
+      val inter = sh(a).intersect(sh(b)).size.toLong
+      assert(inter == common, s"($a,$b)")
+      assert(na == sh(a).size.toLong, s"($a,$b)")
+      assert(bp == common * 10000L / na, s"($a,$b)")
+      // containment >= jaccard, always (compare the exact ratios —
+      // bp is floored to basis points and can dip below at equality)
+      val j = inter.toDouble / (sh(a).size + sh(b).size - inter)
+      assert(common.toDouble / na >= j - 1e-9, s"($a,$b)")
+    }
+  }
+
   test("semdedup keeps exactly the max-norm2 member of every cluster") {
     val out = Similarity.semDedup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
