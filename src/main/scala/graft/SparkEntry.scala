@@ -101,6 +101,10 @@ object SparkEntry {
     "q_tfidf_top" -> ((s: SparkSession, d: String) => Corpus.tfidfTop(s, d)),
     "q_bigram_top" -> ((s: SparkSession, d: String) => Corpus.bigramTop(s, d)),
     "q_pmi_top" -> ((s: SparkSession, d: String) => Corpus.pmiTop(s, d)),
+    // rows-only by design: the BPE merge recurrence is data-dependent
+    // iteration no SQL oracle can express; pinned by the CorpusSpec
+    // replay case (every merge count re-derived from the raw vocab)
+    "q_bpe_merges" -> ((s: SparkSession, d: String) => Corpus.bpeMerges(s, d)),
     "q_pii_scrub" -> (Corpus.piiScrub _),
     "q_stratified_sample" -> ((s: SparkSession, d: String) => Corpus.stratifiedSample(s, d)),
     // exact mode: the DuckDB quantile_cont oracle needs the exact cut;

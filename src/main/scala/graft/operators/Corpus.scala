@@ -180,6 +180,63 @@ object Corpus {
       .orderBy(col("n").desc, col("bigram"))
       .limit(k)
 
+  /** BPE tokenizer training (Sennrich et al. 2016): learn `nMerges`
+    * byte-pair merges from corpus word frequencies. The distributed
+    * part is exactly the part that scales with the corpus — ONE
+    * partial-aggregated word-count groupBy; the merge loop then runs
+    * driver-side over the (word, count) VOCABULARY, which is bounded
+    * by |V| — the same driver-gets-aggregates-never-data contract as
+    * the k-means and PQ trainers (a 100 TB corpus still has a
+    * millions-row vocab, not a corpus-sized one). Fully deterministic:
+    * best pair by (count desc, left asc, right asc); no end-of-word
+    * marker (merges act within words). Returns the merge table
+    * (rank, left, right, merged, pair_count) — the artifact a
+    * tokenizer ships. No SQL oracle (the merge recurrence is
+    * data-dependent iteration); pinned by the CorpusSpec replay case,
+    * which re-derives every recorded merge count by replaying the
+    * prefix of merges over the raw vocabulary.
+    */
+  def bpeMerges(spark: SparkSession, sf: String, nMerges: Int = 30): DataFrame = {
+    val wc = Tables.load(spark, sf, "documents")
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    var vocab: Seq[(Vector[String], Long)] =
+      wc.sortBy(_._1).map { case (w, c) => (w.map(_.toString).toVector, c) }.toSeq
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var rank = 0L
+    var done = false
+    while (rank < nMerges && !done) {
+      val pairCounts = scala.collection.mutable.LinkedHashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => pairCounts((a, b)) = pairCounts.getOrElse((a, b), 0L) + c
+          case _ => ()
+        }
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        val ((l, r), c) = pairCounts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        merges += ((rank, l, r, l + r, c))
+        vocab = vocab.map { case (syms, n) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), n)
+        }
+        rank += 1
+      }
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    merges.result().toDF("rank", "left", "right", "merged", "pair_count")
+      .orderBy(col("rank"))
+  }
+
   /** Collocation extraction: top-k bigrams by pointwise mutual
     * information, ranked by the integer-scaled LIFT
     * `N·c(x,y)·10⁴ / (c(x)·c(y))` — PMI is `log` of the same ratio and
