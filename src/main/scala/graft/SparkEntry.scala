@@ -122,6 +122,7 @@ object SparkEntry {
     "q_dedup_exact" -> (Dedup.exact _),
     "q_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "q_containment" -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
+    "q_fuzzy_join" -> ((s: SparkSession, d: String) => Relational.fuzzyJoin(s, d)),
     "q_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "q_minhash_recall" -> (Dedup.minhashRecall _),
     "q_dup_clusters" -> (Dedup.nearDupClusters _),
@@ -896,6 +897,17 @@ object SparkEntry {
            doc_id <> canonical_id AS is_dup
          FROM d JOIN c USING (fingerprint)
          ORDER BY doc_id""",
+
+    // Fuzzy join: both engines implement classic unit-cost edit
+    // distance, so the residual predicate agrees exactly; the oracle
+    // runs the naive theta join the Spark side's banding avoids
+    "q_fuzzy_join" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+         SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+         FROM n a JOIN n b ON a.name < b.name
+         WHERE levenshtein(a.name, b.name) <= 2
+         ORDER BY name_a, name_b""",
 
     // Asymmetric containment |A∩B|/|A| in integer basis points over
     // ORDERED pairs — the subset-duplicate direction Jaccard misses

@@ -386,6 +386,39 @@ object Relational {
   /** Approximate distinct (HLL++) — the sketch path for cardinalities
     * too large to count exactly; rows-only check (sketches are not
     * cross-engine comparable), exact twin lives in q_stats_agg. */
+  /** Fuzzy self-join: all UNORDERED pairs of distinct part names
+    * within `maxDist` edit distance. Spark plans a bare
+    * `levenshtein(a,b) <= k` join as a nested loop — O(n²) evaluations
+    * of an O(len²) kernel. The rewrite blocks on length bands (bucket
+    * width = `maxDist`, probe side explodes to its own ±1 bands):
+    * COMPLETE for edit distance ≤ maxDist because a within-distance
+    * pair differs by ≤ maxDist in length, so candidates become a
+    * hash-partitioned equality join on the band id and the residual
+    * uses the early-exit threshold form of levenshtein (returns −1
+    * past the bound instead of filling the full DP matrix). At 100 TB
+    * add a q-gram prefix key alongside the band for tighter blocking —
+    * the band alone already removes the quadratic blowup on any
+    * realistically length-spread dictionary.
+    */
+  def fuzzyJoin(spark: SparkSession, sf: String, maxDist: Int = 2): DataFrame = {
+    val w = math.max(1, maxDist)
+    val names = Tables.load(spark, sf, "part").select(col("p_name"))
+      .distinct()
+      .select(col("p_name").as("name"),
+        (length(col("p_name")).cast("long") / w).cast("long").as("band"))
+    val probe = names
+      .select(col("name").as("name_a"),
+        explode(array(col("band") - 1, col("band"), col("band") + 1))
+          .as("band"))
+    probe.join(names.select(col("name").as("name_b"), col("band")), Seq("band"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), maxDist).cast("long"))
+      .filter(col("dist") =!= -1L)
+      .select(col("name_a"), col("name_b"), col("dist"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
   def approxDistinct(spark: SparkSession, sf: String): DataFrame =
     Tables.load(spark, sf, "lineitem")
       .groupBy(col("l_returnflag"))

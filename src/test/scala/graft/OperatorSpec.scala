@@ -585,6 +585,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(keptChunks.distinct.length == keptChunks.length)
   }
 
+  test("fuzzy join: banding is complete vs the naive theta join and BNLJ-free") {
+    val df = Relational.fuzzyJoin(spark, sf)
+    val got = df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // naive reference over the collected distinct dictionary
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = Tables.load(spark, sf, "part").select("p_name")
+      .distinct().collect().map(_.getString(0))
+    val want = (for {
+      a <- names; b <- names if a < b
+      d = lev(a, b) if d <= 2
+    } yield (a, b, d.toLong)).toSet
+    assert(got.toSet == want, s"got ${got.length}, want ${want.size}")
+  }
+
   test("containment pairs re-derive from scratch shingle sets and bound jaccard") {
     val got = Dedup.containmentPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
