@@ -105,6 +105,7 @@ object SparkEntry {
     // iteration no SQL oracle can express; pinned by the CorpusSpec
     // replay case (every merge count re-derived from the raw vocab)
     "q_bpe_merges" -> ((s: SparkSession, d: String) => Corpus.bpeMerges(s, d)),
+    "q_search" -> ((s: SparkSession, d: String) => Corpus.search(s, d)),
     "q_pii_scrub" -> (Corpus.piiScrub _),
     "q_stratified_sample" -> ((s: SparkSession, d: String) => Corpus.stratifiedSample(s, d)),
     // exact mode: the DuckDB quantile_cont oracle needs the exact cut;
@@ -823,6 +824,28 @@ object SparkEntry {
            CAST(weight_bp AS BIGINT) AS weight_bp,
            CAST(weight_bp * t.n > t.tot AS BIGINT) AS keep
          FROM w, t ORDER BY doc_id""",
+
+    // Term search: integer tf·idf ranking (idf floor basis points)
+    "q_search" ->
+      """WITH d AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+           FROM documents),
+         n AS (SELECT COUNT(*) AS n_docs FROM d),
+         tf AS (
+           SELECT doc_id, w, COUNT(*) AS tf FROM
+             (SELECT doc_id, unnest(ws) AS w FROM d)
+           WHERE w IN ('spark', 'join', 'stream', 'window')
+           GROUP BY doc_id, w),
+         idf AS (
+           SELECT w, (n.n_docs * 10000) // COUNT(DISTINCT doc_id) AS idf_bp
+           FROM tf, n GROUP BY w, n.n_docs)
+         SELECT doc_id,
+           CAST(SUM(tf * idf_bp) AS BIGINT) AS score,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+         FROM tf JOIN idf USING (w)
+         GROUP BY doc_id
+         ORDER BY score DESC, doc_id
+         LIMIT 15""",
 
     // Collocations by integer-scaled lift (rank-identical to PMI; see
     // Corpus.pmiTop). N is computed as sum(len-1), never a re-explode.

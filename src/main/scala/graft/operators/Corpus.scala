@@ -180,6 +180,38 @@ object Corpus {
       .orderBy(col("n").desc, col("bigram"))
       .limit(k)
 
+  /** Term search: top-k documents for a bag-of-words query, ranked by
+    * integer tf·idf (idf in basis points: N·10⁴ / df, floor). The
+    * query-serving shape over an inverted index: the term filter runs
+    * BEFORE the per-doc aggregation, so the exploded postings stream is
+    * bounded by |query terms| · docs-containing-them, never the corpus
+    * token count — on a real deployment the same plan reads a
+    * pre-materialized (term, doc, tf) postings table partitioned by
+    * term and this operator is its builder + scorer in one. N rides a
+    * broadcast scalar; the top-k is TakeOrdered (per-partition heaps),
+    * ties broken on doc_id.
+    */
+  def search(spark: SparkSession, sf: String,
+      query: String = "spark join stream window", k: Int = 15): DataFrame = {
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), words(col("text")).as("ws"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs.select(col("doc_id"), explode(col("ws")).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(n))
+      .select(col("w"), expr("(n_docs * 10000) div df").as("idf_bp"))
+    tf.join(idf, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("idf_bp")).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** BPE tokenizer training (Sennrich et al. 2016): learn `nMerges`
     * byte-pair merges from corpus word frequencies. The distributed
     * part is exactly the part that scales with the corpus — ONE

@@ -838,6 +838,26 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("search: scores re-derive from scratch tf/idf and rank correctly") {
+    val got = Corpus.search(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    assert(got.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    val terms = Set("spark", "join", "stream", "window")
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("[^a-z]+").filter(_.nonEmpty)).toMap
+    val n = docs.size.toLong
+    val df = terms.map(t => t -> docs.values.count(_.contains(t)).toLong).toMap
+    got.foreach { case (id, score, hit) =>
+      val tfs = docs(id).filter(terms).groupBy(identity).map { case (w, a) =>
+        w -> a.length.toLong }
+      assert(tfs.size.toLong == hit, s"doc $id")
+      val want = tfs.map { case (w, tf) => tf * (n * 10000L / df(w)) }.sum
+      assert(want == score, s"doc $id")
+    }
+  }
+
   test("bpe merges replay: every recorded pair count re-derives from the raw vocab") {
     val merges = Corpus.bpeMerges(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
