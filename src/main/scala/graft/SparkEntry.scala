@@ -172,6 +172,7 @@ object SparkEntry {
     "q_binary_meta" -> (Multimodal.binaryMeta _),
     "q_decode_features" -> (Multimodal.decodeFeatures _),
     "q_resize_pool" -> ((s: SparkSession, d: String) => Multimodal.resizePool(s, d)),
+    "q_image_phash" -> (Multimodal.imagePhash _),
     "q_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     // --- job engine end-to-end (SURVEY §2.1, §2.3, §2.4)
     "q_roundtrip" -> (JobQueries.roundtrip _),
@@ -1647,6 +1648,35 @@ object SparkEntry {
                     FROM px GROUP BY doc_id, b) cnt
            ON cnt.doc_id = d.doc_id AND cnt.b = g.b
          ORDER BY d.doc_id, bin_idx""",
+
+    // Perceptual dHash (56-bit, 7×8 gradient grid) recomputed from the
+    // closed-form pixel formula — the Spark side hashes the REAL
+    // decoded raster, so equality here pins the whole decode path.
+    "q_image_phash" ->
+      """WITH geo AS (
+           SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+           FROM documents),
+         bits AS (
+           SELECT g.doc_id,
+             SUM(CASE WHEN
+                 ((g.doc_id * 31 + 7 * (((i.i + 1) * g.w) // 8)
+                   + 13 * ((j.j * g.h) // 8)) % 256)
+               > ((g.doc_id * 31 + 7 * ((i.i * g.w) // 8)
+                   + 13 * ((j.j * g.h) // 8)) % 256)
+               THEN (CAST(1 AS BIGINT) << (j.j * 7 + i.i)) ELSE 0 END)
+               AS phash
+           FROM geo g,
+                (SELECT unnest(generate_series(0, 6)) AS i) i,
+                (SELECT unnest(generate_series(0, 7)) AS j) j
+           GROUP BY g.doc_id),
+         grp AS (
+           SELECT phash, MIN(doc_id) AS group_id, COUNT(*) AS group_size
+           FROM bits GROUP BY phash)
+         SELECT b.doc_id, CAST(b.phash AS BIGINT) AS phash,
+           CAST(g.group_id AS BIGINT) AS group_id,
+           CAST(g.group_size AS BIGINT) AS group_size
+         FROM bits b JOIN grp g USING (phash)
+         ORDER BY b.doc_id""",
 
     // Resize = exact integer area-pooling of the decoded histogram
     // (16 bins → 4, i.e. pool = gray // 64) with halved dimensions.

@@ -134,6 +134,59 @@ object Multimodal {
       .orderBy(col("doc_id"), col("bin_idx"))
   }
 
+  /** Perceptual image hash (dHash family) + exact-dup grouping: a
+    * 56-bit gradient hash over a fixed 8×8 nearest-neighbor sample
+    * grid of the DECODED raster (7 horizontal comparisons × 8 rows;
+    * 56 bits keeps every exponent inside a signed long on both
+    * engines, where the classic 64th bit would wrap differently).
+    * Nearest-neighbor sampling is integer index arithmetic — no float
+    * resampler — so the hash is bit-identical everywhere, and the
+    * DuckDB oracle recomputes it from the closed-form pixel formula
+    * without decoding a PNG: the Spark side's value coming off the
+    * real `ImageIO` raster IS the end-to-end decode pin. Grouping is
+    * one partial-agg groupBy on the hash; at scale this is the image
+    * near-dup path (hamming-ball probing over the same hash column —
+    * the SimHash banding machinery applies unchanged).
+    */
+  def imagePhash(spark: SparkSession, sf: String): DataFrame = {
+    val hashSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("phash", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(hashSchema)
+    val hashes = imageized(spark, sf).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        require(img != null, s"undecodable payload for doc $id")
+        val raster = img.getRaster
+        val w = img.getWidth
+        val h = img.getHeight
+        var phash = 0L
+        var j = 0
+        while (j < 8) {
+          val y = j * h / 8
+          var i = 0
+          while (i < 7) {
+            val a = raster.getSample(i * w / 8, y, 0)
+            val b = raster.getSample((i + 1) * w / 8, y, 0)
+            if (b > a) phash |= 1L << (j * 7 + i)
+            i += 1
+          }
+          j += 1
+        }
+        Row(id, phash)
+      }
+    }(enc)
+    val groups = hashes.groupBy(col("phash"))
+      .agg(min(col("doc_id")).as("group_id"),
+        count(lit(1)).as("group_size"))
+    hashes.join(groups, Seq("phash"))
+      .select(col("doc_id"), col("phash"), col("group_id"), col("group_size"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Resize stage: area-pooling on the decoded features — the 16-bin
     * histogram downsamples to 4 coarse bins by EXACT integer summation
     * and the frame dimensions halve, the arithmetic shape of an image

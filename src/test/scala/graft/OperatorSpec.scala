@@ -585,6 +585,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(keptChunks.distinct.length == keptChunks.length)
   }
 
+  test("image phash re-derives from the pixel formula and groups consistently") {
+    val got = Multimodal.imagePhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // closed-form reference (the images are generated from this formula;
+    // the operator hashes the real decoded raster)
+    def ref(id: Long): Long = {
+      val w = 8 + (id % 8).toInt; val h = 8 + (id % 5).toInt
+      def g(x: Int, y: Int): Long = (id * 31 + x * 7 + y * 13) % 256
+      var p = 0L
+      for (j <- 0 until 8; i <- 0 until 7) {
+        val y = j * h / 8
+        if (g((i + 1) * w / 8, y) > g(i * w / 8, y)) p |= 1L << (j * 7 + i)
+      }
+      p
+    }
+    got.foreach { case (id, phash, _, _) => assert(phash == ref(id), s"doc $id") }
+    // ids congruent mod lcm(256, 8, 5) = 1280 render identical images,
+    // so their hashes MUST collide (the dedup-grouping premise)
+    assert(ref(3L) == ref(3L + 1280L))
+    // group invariants
+    val byHash = got.groupBy(_._2)
+    got.foreach { case (_, ph, gid, gsz) =>
+      val members = byHash(ph)
+      assert(gid == members.map(_._1).min)
+      assert(gsz == members.length.toLong)
+    }
+  }
+
   test("fuzzy join: banding is complete vs the naive theta join and BNLJ-free") {
     val df = Relational.fuzzyJoin(spark, sf)
     val got = df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
