@@ -94,6 +94,7 @@ object SparkEntry {
     "q_token_count" -> (Text.tokenCount _),
     "q_langid" -> (Text.langId _),
     "q_quality" -> (Text.quality _),
+    "q_surprisal" -> (Text.surprisal _),
     // --- corpus preparation (split/sample/pack/stats)
     "q_split_assign" -> (Corpus.splitAssign _),
     "q_domain_cap" -> ((s: SparkSession, d: String) => Corpus.domainCap(s, d)),
@@ -123,6 +124,7 @@ object SparkEntry {
     "q_dedup_exact" -> (Dedup.exact _),
     "q_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "q_containment" -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
+    "q_allpairs" -> ((s: SparkSession, d: String) => Dedup.allPairsJaccard(s, d)),
     "q_fuzzy_join" -> ((s: SparkSession, d: String) => Relational.fuzzyJoin(s, d)),
     "q_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "q_minhash_recall" -> (Dedup.minhashRecall _),
@@ -711,6 +713,24 @@ object SparkEntry {
            FROM documents)
          ORDER BY doc_id""",
 
+    // Unigram surprisal: integer-exact bits via length(bin(total div
+    // cnt)) = floor(log2)+1 — both engines compute the identical
+    // binary-string length, no float log in either plan
+    "q_surprisal" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+           FROM documents),
+         counts AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+         scored AS (
+           SELECT doc_id, length(bin(total // cnt)) AS bits
+           FROM tok JOIN counts USING (w) CROSS JOIN tot)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(bits) AS BIGINT) AS total_bits,
+           CAST((sum(bits) * 1000) // count(*) AS BIGINT) AS mean_millibits
+         FROM scored GROUP BY doc_id ORDER BY doc_id""",
+
     "q_quality" ->
       """SELECT doc_id,
          CAST(len(t) AS BIGINT) AS n_tokens,
@@ -954,6 +974,30 @@ object SparkEntry {
            CAST((common * 10000) // s.n_a AS BIGINT) AS containment_bp
          FROM pairs p JOIN sizes s ON s.doc_id = p.doc_a
          WHERE (common * 10000) // s.n_a >= 6000
+         ORDER BY doc_a, doc_b""",
+
+    // Prefix-filtered AllPairs exact bigram-set Jaccard (t = 1/2); the
+    // oracle is the brute-force quadratic join the prefix filter must
+    // reproduce verbatim — candidate completeness is the theorem under
+    // test, so the oracle deliberately skips the filter
+    "q_allpairs" ->
+      """WITH s AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1])) AS sh
+           FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z]+') AS ws
+                 FROM documents) t
+           WHERE len(ws) >= 2),
+         p AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.sh, b.sh)) AS inter_size,
+             len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS union_size
+           FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, CAST(inter_size AS BIGINT) AS inter_size,
+           CAST(union_size AS BIGINT) AS union_size,
+           CAST((inter_size * 10000) // union_size AS BIGINT) AS jaccard_bp
+         FROM p WHERE inter_size * 2 >= union_size
          ORDER BY doc_a, doc_b""",
 
     "q_ngram_jaccard" ->

@@ -108,6 +108,40 @@ object Text {
         (dr * lit(0.5) + sr * lit(0.3) - pr * lit(0.2)).as("quality_score"))
   }
 
+  /** Unigram-LM surprisal quality scoring: each token costs
+    * ⌊log2(total/count(w))⌋+1 bits under the corpus's own unigram
+    * model — rare-word-heavy documents (typos, boilerplate soup,
+    * non-language noise) score high, fluent text scores low. The
+    * standard perplexity-filter signal of training-data curation
+    * (CCNet-style), made INTEGER-exact so DuckDB reproduces every bit:
+    * `length(bin(total div cnt))` is ⌊log2⌋+1 of an integer ratio in
+    * both engines — no floating-point log anywhere.
+    *
+    * Scale shape: one vocabulary-sized partial-agg groupBy for the
+    * counts, one scalar total broadcast, one shuffle join of the token
+    * stream against the vocabulary (at a real corpus the vocabulary is
+    * millions of rows — broadcastable — while the token stream never
+    * leaves its partitions more than once), one per-doc partial agg.
+    * Zero windows, zero driver materialization.
+    */
+  def surprisal(spark: SparkSession, sf: String): DataFrame = {
+    val tok = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"),
+          lit(0))).as("w"))
+    val counts = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    tok.join(counts, "w")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        length(bin(expr("total div cnt"))).cast("long").as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("total_bits"))
+      .select(col("doc_id"), col("n_tokens"), col("total_bits"),
+        expr("(total_bits * 1000) div n_tokens").as("mean_millibits"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Nested-object decode — the `object_loads` analog (util.py:40-57):
     * structured extraction from the JSON props payload via JSON-path. */
   def jsonExtract(spark: SparkSession, sf: String): DataFrame =

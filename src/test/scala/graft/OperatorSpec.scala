@@ -659,6 +659,32 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("allpairs prefix filter is complete vs the naive quadratic join") {
+    val df = Dedup.allPairsJaccard(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // naive reference: distinct word-bigram sets, every pair, exact
+    // jaccard >= 1/2 — the theorem says prefix filtering loses nothing
+    val sets = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect().map { r =>
+        val ws = "[a-z]+".r.findAllIn(r.getString(1).toLowerCase).toArray
+        r.getLong(0) -> ws.sliding(2).filter(_.length == 2)
+          .map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty).toMap
+    val ids = sets.keys.toArray.sorted
+    val want = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      inter = sets(a).intersect(sets(b)).size.toLong
+      uni = sets(a).size + sets(b).size - inter
+      if inter * 2 >= uni
+    } yield (a, b, inter, uni)).toSet
+    assert(got.toSet == want, s"got ${got.length}, want ${want.size}")
+    assert(got.nonEmpty)
+  }
+
   test("semdedup keeps exactly the max-norm2 member of every cluster") {
     val out = Similarity.semDedup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
