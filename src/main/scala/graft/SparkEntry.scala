@@ -95,6 +95,10 @@ object SparkEntry {
     "q_langid" -> (Text.langId _),
     "q_quality" -> (Text.quality _),
     "q_surprisal" -> (Text.surprisal _),
+    "q_bigram_surprisal" -> (Text.bigramSurprisal _),
+    "q_outliers" -> (Events.outliers _),
+    "q_heavy_hitters" -> ((s: SparkSession, d: String) => Corpus.heavyHitters(s, d)),
+    "q_bloom_join" -> ((s: SparkSession, d: String) => Relational.bloomSemiJoin(s, d)),
     // --- corpus preparation (split/sample/pack/stats)
     "q_split_assign" -> (Corpus.splitAssign _),
     "q_domain_cap" -> ((s: SparkSession, d: String) => Corpus.domainCap(s, d)),
@@ -730,6 +734,67 @@ object SparkEntry {
            CAST(sum(bits) AS BIGINT) AS total_bits,
            CAST((sum(bits) * 1000) // count(*) AS BIGINT) AS mean_millibits
          FROM scored GROUP BY doc_id ORDER BY doc_id""",
+
+    // Bigram surprisal: prefix counts derive from the bigram counts
+    // (cnt1 = sum of cnt2 over w1), so cnt1 >= cnt2 and the integer
+    // bit cost length(bin(cnt1 // cnt2)) is always >= 1
+    "q_bigram_surprisal" ->
+      """WITH docs AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+           FROM documents),
+         big AS (
+           SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+           FROM docs, unnest(range(1, len(t))) AS u(i)
+           WHERE len(t) >= 2),
+         bi AS (SELECT w1, w2, count(*) AS cnt2 FROM big GROUP BY w1, w2),
+         pre AS (SELECT w1, CAST(sum(cnt2) AS BIGINT) AS cnt1 FROM bi GROUP BY w1),
+         scored AS (
+           SELECT doc_id, length(bin(cnt1 // cnt2)) AS bits
+           FROM big JOIN bi USING (w1, w2) JOIN pre USING (w1))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(bits) AS BIGINT) AS total_bits,
+           CAST((sum(bits) * 1000) // count(*) AS BIGINT) AS mean_millibits
+         FROM scored GROUP BY doc_id ORDER BY doc_id""",
+
+    // Exact heavy hitters: the oracle is the definition (count > n/k);
+    // the Spark side reaches the same rows via the two-pass
+    // Misra-Gries reduction without shuffling the token stream
+    "q_heavy_hitters" ->
+      """WITH tok AS (
+           SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+           FROM documents),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tok)
+         SELECT w, CAST(count(*) AS BIGINT) AS cnt
+         FROM tok CROSS JOIN tot GROUP BY w, total
+         HAVING count(*) * 40 > total
+         ORDER BY cnt DESC, w""",
+
+    // Integer-exact 3-sigma outliers: (n*x - s)^2 > 9*(n*ss - s^2)
+    // over integer cents, HUGEINT on the DuckDB side mirroring the
+    // Spark DECIMAL(38,0) accumulators
+    "q_outliers" ->
+      """WITH e AS (
+           SELECT event_id, event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           FROM events),
+         st AS (
+           SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(c) AS HUGEINT) AS s,
+             sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS ss
+           FROM e GROUP BY event_type)
+         SELECT event_id, event_type, c AS value_cents
+         FROM e JOIN st USING (event_type)
+         WHERE (n*c - s) * (n*c - s) > 9 * (n*ss - s*s)
+         ORDER BY event_id""",
+
+    "q_bloom_join" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_orderkey IN (
+           SELECT o_orderkey FROM orders
+           WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT')
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q_quality" ->
       """SELECT doc_id,

@@ -880,4 +880,57 @@ object Corpus {
         expr("cum_cnt * 10000 div total").as("coverage_bp"))
       .orderBy(col("rank"))
   }
+
+  /** EXACT heavy hitters (terms with frequency > total/k) via the
+    * two-pass Misra–Gries reduction — the streaming-sketch answer to
+    * "top terms" that never shuffles the token stream on term:
+    *
+    *  - Pass 1: each partition runs a capacity-k Misra–Gries summary
+    *    (k counters; overflow decrements all) and emits only its ≤ k
+    *    surviving candidate terms. Completeness is guaranteed, not
+    *    heuristic: a term with global share > 1/k has, by averaging,
+    *    local share > 1/k ≥ 1/(k+1) in at least one partition, and
+    *    capacity-k MG retains every term with local share > 1/(k+1).
+    *    So the candidate union (≤ k × partitions strings on the
+    *    driver) is a SUPERSET of all true heavy hitters.
+    *  - Pass 2: exact counts for candidates only — a broadcast semi
+    *    join (no shuffle of the stream) and a partial-agg groupBy
+    *    whose shuffle is bounded by candidates × partitions rows, then
+    *    the exact `cnt · k > total` threshold.
+    *
+    * The emitted rows are exact counts past an exact threshold — fully
+    * DuckDB-oracle-checkable, unlike a lossy sketch top-k. At 100 TB
+    * the token stream is scanned twice but shuffled never; the classic
+    * one-pass groupBy alternative shuffles every token once, which is
+    * the difference between 2× scan I/O and a corpus-sized exchange.
+    */
+  def heavyHitters(spark: SparkSession, sf: String, k: Int = 40): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.load(spark, sf, "documents")
+      .select(explode(words(col("text"))).as("w"))
+    val candidates = tok.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { w =>
+        counters.get(w) match {
+          case Some(c) => counters(w) = c + 1L
+          case None if counters.size < k => counters(w) = 1L
+          case None =>
+            // decrement-all step; the new term is NOT inserted
+            val dead = List.newBuilder[String]
+            counters.mapValuesInPlace { (key, c) =>
+              if (c == 1L) dead += key
+              c - 1L
+            }
+            dead.result().foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("w").distinct()
+    val total = tok.count()
+    tok.join(broadcast(candidates), Seq("w"), "left_semi")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * k > total)
+      .orderBy(col("cnt").desc, col("w"))
+  }
 }

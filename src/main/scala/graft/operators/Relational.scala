@@ -548,4 +548,52 @@ object Relational {
       .select(col("p.*"))
       .orderBy(col("column_name"))
   }
+
+  /** Bloom-pruned semi-join reduction — the runtime-filter pattern
+    * made explicit: revenue over lineitems belonging to finished
+    * urgent orders, where the fact stream is pre-filtered by a Bloom
+    * filter of the (selective) build-side keys BEFORE the exact semi
+    * join. The Bloom probe is a narrow per-row map over the scan, so
+    * the semi join's shuffle carries only Bloom survivors
+    * (true matches + ≤ fpp false positives) instead of the full fact
+    * table — at 100 TB that's the difference between exchanging ~2%
+    * of the stream and all of it. False positives cannot leak into
+    * the result: the exact semi join runs behind the probe, making
+    * the operator output-identical to the plain semi join (the
+    * oracle's form, and RelationalSpec pins the equivalence).
+    *
+    * Mechanics: the build side aggregates into one
+    * `BloomFilterAggregate` sketch (partial-agg'd, idempotent
+    * inserts), materialized once and re-broadcast as a constant —
+    * the same injected-runtime-filter shape Spark's
+    * `spark.sql.optimizer.runtime.bloomFilter` plans, but available
+    * unconditionally and sized from the actual key count. */
+  def bloomSemiJoin(spark: SparkSession, sf: String,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val keys = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderstatus") === "F" &&
+        col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val n = math.max(1L, keys.count())
+    val nBits = math.max(64L,
+      math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bfAgg = Bridge.column(
+      new BloomFilterAggregate(
+        Bridge.expression(xxhash64(col("o_orderkey"))),
+        Literal(n), Literal(nBits)).toAggregateExpression())
+    val bf = keys.agg(bfAgg.as("bf")).head().getAs[Array[Byte]]("bf")
+    val mightContain = Bridge.column(BloomFilterMightContain(
+      Literal.create(bf, org.apache.spark.sql.types.BinaryType),
+      Bridge.expression(xxhash64(col("l_orderkey")))))
+    Tables.load(spark, sf, "lineitem")
+      .filter(mightContain)
+      .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
 }

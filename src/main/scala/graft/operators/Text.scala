@@ -142,6 +142,45 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram-LM surprisal — the second-order refinement of [[surprisal]]:
+    * each adjacent token pair costs ⌊log2(cnt(w1·)/cnt(w1,w2))⌋+1 bits
+    * under the corpus's own bigram model, where cnt(w1·) is w1's count
+    * AS A BIGRAM PREFIX (so the conditional is self-consistent and the
+    * ratio is always ≥ 1). Fluent collocation-heavy text scores low;
+    * documents full of never-seen-together word pairs score high — a
+    * strictly sharper boilerplate/noise signal than the unigram model,
+    * which can't see word ORDER at all. Same integer-exact
+    * `length(bin(a div b))` bit cost — no float log in either engine.
+    *
+    * Scale shape: the bigram stream is materialized ONCE (a narrow
+    * `transform(sequence(...))` over the token array — no self-join on
+    * position), feeds both the model groupBy and the scoring join; the
+    * prefix-count table derives from the bigram counts by a second
+    * (much smaller) partial agg, not a re-scan. At 100 TB the bigram
+    * vocabulary is the only thing that shuffles twice, and both
+    * shuffles share the w1 key.
+    */
+  def bigramSurprisal(spark: SparkSession, sf: String): DataFrame = {
+    val big = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t)-2), i -> struct(t[i] as w1, t[i+1] as w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bi = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt2"))
+    val pre = bi.groupBy(col("w1")).agg(sum(col("cnt2")).as("cnt1"))
+    big.join(bi, Seq("w1", "w2")).join(pre, Seq("w1"))
+      .select(col("doc_id"),
+        length(bin(expr("cnt1 div cnt2"))).cast("long").as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("total_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("total_bits"),
+        expr("(total_bits * 1000) div n_bigrams").as("mean_millibits"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Nested-object decode — the `object_loads` analog (util.py:40-57):
     * structured extraction from the JSON props payload via JSON-path. */
   def jsonExtract(spark: SparkSession, sf: String): DataFrame =
@@ -161,18 +200,32 @@ object Text {
       .orderBy(col("event_id"))
 }
 
-/** `events` loader: the driver data carries nanosecond parquet
-  * timestamps, which Spark 4.x refuses natively; we read them as long
-  * nanos and expose a microsecond TimestampType column (matching
-  * DuckDB's ns→µs truncation).
+/** `events` loader, tolerant of either physical timestamp layout the
+  * driver has shipped: nanosecond int64 (Spark 4.x refuses native ns,
+  * so with `nanosAsLong` it surfaces as LongType and we truncate to
+  * µs, matching DuckDB's ns→µs), or a plain `timestamp[us]` column
+  * (surfaces as TIMESTAMP_NTZ under `inferTimestampNTZ`; cast to the
+  * session-zone TimestampType so every downstream op sees the same
+  * type in both layouts — the sessions here run UTC, where the cast
+  * is value-identical to the oracle's naive reading).
   */
 object Events {
+  /** Normalize a raw events frame's `ts` to microsecond TimestampType
+    * regardless of source layout. */
+  private[graft] def normalizeTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer division — double division loses µs precision on
+        // epoch-nano magnitudes
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
+
   def load(spark: SparkSession, sf: String): DataFrame = {
     graft.Sessions.ensureEventTimestampCompat(spark)
-    spark.read.parquet(Tables.path(sf, "events"))
-      // integer division — double division loses µs precision on
-      // epoch-nano magnitudes
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(spark.read.parquet(Tables.path(sf, "events")))
   }
 
   /** Hourly tumbling-window aggregation over the event stream's batch
@@ -252,6 +305,37 @@ object Events {
           .when(col("t_view").isNotNull, 1L)
           .otherwise(0L).as("stage"))
       .orderBy(col("user_id"))
+  }
+
+  /** Statistical outlier detection: events whose value sits more than
+    * 3 population standard deviations from their event_type's mean —
+    * the anomaly gate every metrics pipeline runs before trusting an
+    * aggregate. The z-test is algebraically cleared of BOTH the
+    * division and the square root so it runs in exact integer/decimal
+    * arithmetic (bit-identical across engines, immune to partial-agg
+    * reassociation):  |x−μ| > 3σ  ⟺  (n·x − s)² > 9·(n·ss − s²)
+    * with s = Σx, ss = Σx² over integer cents. DECIMAL(38,0)
+    * accumulators: at 10¹² rows of 10⁶-cent values, n·ss ≈ 10³⁰ and
+    * (n·x−s)² ≈ 10³⁶ — inside decimal-38 headroom, far outside
+    * BIGINT's.
+    *
+    * Scale shape: one partial-agg groupBy over event_type (a handful
+    * of groups → tiny stats table), broadcast back over the stream —
+    * the second pass is a narrow filter, no shuffle. */
+  def outliers(spark: SparkSession, sf: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val e = load(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("c"))
+    val stats = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("c")).cast(d38).as("s"),
+        sum(col("c").cast(d38) * col("c").cast(d38)).as("ss"))
+    val dev = col("n") * col("c").cast(d38) - col("s")
+    e.join(broadcast(stats), "event_type")
+      .filter(dev * dev > lit(9).cast(d38) * (col("n") * col("ss") - col("s") * col("s")))
+      .select(col("event_id"), col("event_type"), col("c").as("value_cents"))
+      .orderBy(col("event_id"))
   }
 
   /** Cohort retention: users grouped by first-seen day, counted on

@@ -21,18 +21,19 @@ import java.sql.Timestamp
   */
 object EventStream {
 
-  /** Streaming view of the events table. Parquet nanos are read as
-    * longs (Spark 4 has no nanosecond TimestampType) and converted to
-    * microsecond timestamps. */
+  /** Streaming view of the events table. The ts column normalizes to
+    * microsecond TimestampType whichever physical layout the source
+    * carries (int64 nanos or timestamp[us] — see
+    * [[graft.operators.Events.normalizeTs]]). */
   def readEvents(spark: SparkSession, sf: String): DataFrame = {
     graft.Sessions.ensureEventTimestampCompat(spark)
     val schema = spark.read.parquet(Tables.path(sf, "events")).schema
     // FileStreamSource needs a directory: stream the sf dir filtered
     // to the events file (a real deployment points at a landing dir)
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(if (sf.endsWith("/")) sf.dropRight(1) else sf)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.operators.Events.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(if (sf.endsWith("/")) sf.dropRight(1) else sf))
   }
 
   /** Tumbling 1-hour windowed counts with a 2-hour watermark —

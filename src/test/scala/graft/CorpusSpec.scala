@@ -940,4 +940,48 @@ class CorpusSpec extends AnyFunSuite {
     assert(h1.sameElements(h2))
     assert(h1.map(_._1).sorted.sameElements(exact.map(_._1).sorted))
   }
+
+  test("heavy hitters: two-pass Misra-Gries equals the direct exact form") {
+    val k = 40
+    val mg = Corpus.heavyHitters(spark, sf, k).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // direct one-pass definition: count every term, threshold exactly
+    val tok = Tables.load(spark, sf, "documents")
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+        .as("w"))
+    val counts = tok.groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val direct = counts.filter { case (_, c) => c * k > total }.toSeq
+      .sortBy { case (w, c) => (-c, w) }
+    assert(mg.toSeq == direct,
+      s"MG reduction diverged: got ${mg.toSeq}, expected $direct")
+    assert(mg.nonEmpty, "threshold too high: no heavy hitters to check")
+  }
+
+  test("bigram surprisal: per-doc shape and a from-scratch re-derivation") {
+    val rows = graft.operators.Text.bigramSurprisal(spark, sf).collect()
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // every doc with >= 2 tokens appears, with n_bigrams = n_tokens - 1
+    val expected = docs.filter(_._2.length >= 2)
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (id, n, bits) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(n == expected(id).length - 1, s"doc $id bigram count")
+      assert(bits >= n, s"doc $id: every bigram costs >= 1 bit")
+    }
+    // re-derive one document's total bits from raw corpus counts
+    val bigrams = expected.toSeq.flatMap(_._2.sliding(2).map(p => (p(0), p(1))))
+    val cnt2 = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cnt1 = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val probe = rows.head
+    val want = expected(probe.getLong(0)).sliding(2).map { p =>
+      java.lang.Long.toBinaryString(cnt1(p(0)) / cnt2((p(0), p(1)))).length.toLong
+    }.sum
+    assert(probe.getLong(2) == want,
+      s"doc ${probe.getLong(0)}: total_bits ${probe.getLong(2)} != $want")
+  }
 }

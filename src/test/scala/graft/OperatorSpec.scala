@@ -716,4 +716,45 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.length == n, s"IVF+PQ recall ${got.length}/$n")
     got.foreach(r => assert(r.getLong(1) == r.getLong(0) + 1000000L))
   }
+
+  test("bloom semi join is output-identical to the plain semi join") {
+    val pruned = Relational.bloomSemiJoin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val keys = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderstatus") === "F" &&
+        col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val plain = Tables.load(spark, sf, "lineitem")
+      .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("revenue"))
+      .orderBy(col("l_returnflag")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(pruned.nonEmpty && pruned.sameElements(plain))
+  }
+
+  test("outliers: exactly the rows beyond 3 population sigmas per type") {
+    val got = graft.operators.Events.outliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // driver-side exact recomputation in BigInt arithmetic
+    val e = graft.operators.Events.load(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = e.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val n = BigInt(rows.length)
+      val s = rows.map(r => BigInt(r._3)).sum
+      val ss = rows.map(r => BigInt(r._3) * BigInt(r._3)).sum
+      rows.filter { r =>
+        val dev = n * BigInt(r._3) - s
+        dev * dev > 9 * (n * ss - s * s)
+      }
+    }.sortBy(_._1)
+    assert(got.toSeq == want, s"got ${got.length} outliers, want ${want.length}")
+    assert(got.nonEmpty, "no outliers at this SF: assertion vacuous")
+  }
 }
