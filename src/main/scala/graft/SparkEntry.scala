@@ -110,6 +110,10 @@ object SparkEntry {
     // iteration no SQL oracle can express; pinned by the CorpusSpec
     // replay case (every merge count re-derived from the raw vocab)
     "q_bpe_merges" -> ((s: SparkSession, d: String) => Corpus.bpeMerges(s, d)),
+    // rows-only by design (same contract): pinned by the CorpusSpec
+    // case re-encoding the vocabulary against the trainer's end state
+    "q_bpe_encode" -> ((s: SparkSession, d: String) => Corpus.bpeEncode(s, d)),
+    "q_pagerank" -> ((s: SparkSession, d: String) => Graph.pageRank(s, d)),
     "q_search" -> ((s: SparkSession, d: String) => Corpus.search(s, d)),
     "q_pii_scrub" -> (Corpus.piiScrub _),
     "q_stratified_sample" -> ((s: SparkSession, d: String) => Corpus.stratifiedSample(s, d)),
@@ -786,6 +790,9 @@ object SparkEntry {
          FROM e JOIN st USING (event_type)
          WHERE (n*c - s) * (n*c - s) > 9 * (n*ss - s*s)
          ORDER BY event_id""",
+
+    // Fixed-iteration integer PageRank, unrolled to 10 CTE layers
+    "q_pagerank" -> operators.Graph.pageRankOracle(),
 
     "q_bloom_join" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,

@@ -228,6 +228,20 @@ object Corpus {
     * which re-derives every recorded merge count by replaying the
     * prefix of merges over the raw vocabulary.
     */
+  /** One left-to-right non-overlapping application of merge (l, r) —
+    * the single definition shared by training ([[bpeMerges]]) and
+    * encoding ([[bpeEncode]]), so the two can never drift. */
+  private def applyMerge(syms: Vector[String], l: String, r: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += l + r; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
   def bpeMerges(spark: SparkSession, sf: String, nMerges: Int = 30): DataFrame = {
     val wc = Tables.load(spark, sf, "documents")
       .select(explode(words(col("text"))).as("w"))
@@ -250,16 +264,7 @@ object Corpus {
       else {
         val ((l, r), c) = pairCounts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
         merges += ((rank, l, r, l + r, c))
-        vocab = vocab.map { case (syms, n) =>
-          val out = Vector.newBuilder[String]
-          var i = 0
-          while (i < syms.length) {
-            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
-              out += l + r; i += 2
-            } else { out += syms(i); i += 1 }
-          }
-          (out.result(), n)
-        }
+        vocab = vocab.map { case (syms, n) => (applyMerge(syms, l, r), n) }
         rank += 1
       }
     }
@@ -267,6 +272,50 @@ object Corpus {
     import spark2.implicits._
     merges.result().toDF("rank", "left", "right", "merged", "pair_count")
       .orderBy(col("rank"))
+  }
+
+  /** BPE ENCODE — apply the trained merge table ([[bpeMerges]]) to the
+    * corpus and report per-document subword token counts: the
+    * tokenize-everything pass that sizes a training corpus in model
+    * tokens rather than words.
+    *
+    * Scale shape — the imperative merge replay runs over the DISTINCT
+    * word vocabulary, never the corpus: encode cost is O(vocab ×
+    * merges), corpus cost is one exploded word stream joined against
+    * the (vocabulary-sized, shuffle-joined on word; broadcastable when
+    * it fits) word → token-count map plus one per-doc partial agg.
+    * Re-tokenizing 100 TB after a tokenizer change re-encodes only the
+    * vocabulary; the corpus pays joins, not per-row loops. Merges
+    * apply in rank order with the SAME left-to-right non-overlapping
+    * pass as training ([[applyMerge]]), so a training word's final
+    * symbol count equals the trainer's end-state vocabulary — the
+    * CorpusSpec replay invariant. Rows-only by design (the merge
+    * recurrence has no SQL form, same contract as q_bpe_merges).
+    */
+  def bpeEncode(spark: SparkSession, sf: String, nMerges: Int = 30): DataFrame = {
+    val merges = bpeMerges(spark, sf, nMerges).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val bc = spark.sparkContext.broadcast(merges)
+    import spark.implicits._
+    val docWords = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val wordToks = docWords.select(col("w")).distinct().as[String]
+      .map { w =>
+        var syms = w.map(_.toString).toVector
+        bc.value.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
+        (w, syms.length.toLong)
+      }.toDF("w", "n_toks")
+    docWords.join(wordToks, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_toks")).as("n_bpe_tokens"),
+        sum(length(col("w"))).cast("long").as("n_alpha_chars"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        col("n_alpha_chars"),
+        // chars-per-token in per-mille: the compression the merge
+        // table buys, integer-exact
+        expr("(n_alpha_chars * 1000) div n_bpe_tokens").as("chars_per_tok_pm"))
+      .orderBy(col("doc_id"))
   }
 
   /** Collocation extraction: top-k bigrams by pointwise mutual

@@ -959,6 +959,39 @@ class CorpusSpec extends AnyFunSuite {
     assert(mg.nonEmpty, "threshold too high: no heavy hitters to check")
   }
 
+  test("bpe encode: from-scratch replay of the merge table reproduces every doc total") {
+    val merges = Corpus.bpeMerges(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    // independent re-implementation of rank-ordered left-to-right
+    // non-overlapping merge application
+    def encode(w: String): Long = {
+      var syms = w.map(_.toString).toVector
+      merges.foreach { case (l, r) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms.length.toLong
+    }
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val want = docs.map { case (id, ws) =>
+      (id, ws.length.toLong, ws.map(encode).sum, ws.map(_.length.toLong).sum)
+    }.sortBy(_._1)
+    val got = Corpus.bpeEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == want.toSeq)
+    // merges must actually compress: strictly fewer tokens than chars
+    assert(got.map(_._3).sum < got.map(_._4).sum)
+  }
+
   test("bigram surprisal: per-doc shape and a from-scratch re-derivation") {
     val rows = graft.operators.Text.bigramSurprisal(spark, sf).collect()
     val docs = Tables.load(spark, sf, "documents")

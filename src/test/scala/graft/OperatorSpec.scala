@@ -736,6 +736,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(pruned.nonEmpty && pruned.sameElements(plain))
   }
 
+  test("pagerank: mass bounds, isolated-node fixpoint, degree ordering") {
+    val rows = graft.operators.Graph.pageRank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    val nn = rows.length.toLong
+    val base = (1000000000L * 15L / 100L) / nn
+    // integer division only ever LEAKS mass: total in (0, G]
+    val total = rows.map(_._3).sum
+    assert(total > 0 && total <= 1000000000L, s"mass $total")
+    // every node holds at least the teleport term
+    rows.foreach { case (n, _, s) => assert(s >= base, s"node $n below base") }
+    // full driver-side replay of the integer recurrence: every score
+    // must match the distributed loop exactly
+    val pairs = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.load(spark, sf, "orders")
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1))
+    val edges = pairs ++ pairs.map { case (a, b) => (b, a) }
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var score = rows.map { case (n, _, _) => n -> 1000000000L / nn }.toMap
+    (1 to 10).foreach { _ =>
+      val inc = edges.groupBy(_._2).view.mapValues(
+        _.map { case (src, _) => score(src) / outdeg(src) }.sum).toMap
+      score = score.keys.map(n =>
+        n -> (base + 85L * inc.getOrElse(n, 0L) / 100L)).toMap
+    }
+    rows.foreach { case (n, _, s) =>
+      assert(s == score(n), s"node $n: $s != ${score(n)}") }
+    // suppliers (high-degree hubs in the bipartite graph) outrank the
+    // median customer
+    val supMin = rows.filter(_._2 == "supplier").map(_._3).min
+    val custScores = rows.filter(_._2 == "customer").map(_._3).sorted
+    assert(supMin > custScores(custScores.length / 2))
+  }
+
   test("outliers: exactly the rows beyond 3 population sigmas per type") {
     val got = graft.operators.Events.outliers(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
