@@ -97,6 +97,8 @@ object SparkEntry {
     "q_surprisal" -> (Text.surprisal _),
     "q_bigram_surprisal" -> (Text.bigramSurprisal _),
     "q_outliers" -> (Events.outliers _),
+    "q_event_paths" -> ((s: SparkSession, d: String) => Events.eventPaths(s, d)),
+    "q_fk_audit" -> (Relational.fkAudit _),
     "q_heavy_hitters" -> ((s: SparkSession, d: String) => Corpus.heavyHitters(s, d)),
     "q_bloom_join" -> ((s: SparkSession, d: String) => Relational.bloomSemiJoin(s, d)),
     // --- corpus preparation (split/sample/pack/stats)
@@ -793,6 +795,47 @@ object SparkEntry {
 
     // Fixed-iteration integer PageRank, unrolled to 10 CTE layers
     "q_pagerank" -> operators.Graph.pageRankOracle(),
+
+    "q_event_paths" ->
+      """WITH seq AS (
+           SELECT event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT e1 || '>' || e2 || '>' || e3 AS path,
+           CAST(count(*) AS BIGINT) AS n
+         FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+         GROUP BY 1 ORDER BY n DESC, path LIMIT 20""",
+
+    "q_fk_audit" ->
+      """SELECT * FROM (
+         SELECT 'lineitem.l_orderkey->orders' AS relationship,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS child_rows,
+           CAST(count(*) AS BIGINT) AS orphan_rows,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS distinct_orphan_keys
+         FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+         UNION ALL
+         SELECT 'lineitem.l_suppkey->supplier',
+           (SELECT count(*) FROM lineitem), count(*), count(DISTINCT l_suppkey)
+         FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+         UNION ALL
+         SELECT 'orders.o_custkey->customer',
+           (SELECT count(*) FROM orders), count(*), count(DISTINCT o_custkey)
+         FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+         UNION ALL
+         SELECT 'customer.c_nationkey->nation',
+           (SELECT count(*) FROM customer), count(*), count(DISTINCT c_nationkey)
+         FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+         UNION ALL
+         SELECT 'supplier.s_nationkey->nation',
+           (SELECT count(*) FROM supplier), count(*), count(DISTINCT s_nationkey)
+         FROM supplier WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation)
+         UNION ALL
+         SELECT 'nation.n_regionkey->region',
+           (SELECT count(*) FROM nation), count(*), count(DISTINCT n_regionkey)
+         FROM nation WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
+         ORDER BY relationship""",
 
     "q_bloom_join" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,

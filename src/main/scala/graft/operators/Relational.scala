@@ -549,6 +549,52 @@ object Relational {
       .orderBy(col("column_name"))
   }
 
+  /** Referential-integrity audit — the data-quality gate a warehouse
+    * runs before trusting joins at scale: for every foreign-key
+    * relationship in the schema, count child rows, orphan rows (child
+    * key with no parent), and distinct orphan keys. A single orphan
+    * silently turns an inner join into a row-dropper, so this is the
+    * canary that runs after every load.
+    *
+    * Shape: one anti-join + partial agg per relationship; the small
+    * parents (nation/region/supplier/customer) broadcast, so only the
+    * two fact-side audits shuffle, each on its own join key. The
+    * orphan count and the distinct-orphan-key count ride the same
+    * aggregation (no second pass).
+    */
+  def fkAudit(spark: SparkSession, sf: String): DataFrame = {
+    def audit(rel: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String, bcast: Boolean): DataFrame = {
+      val p = parent.select(col(pkey))
+      val orphans = child.select(col(key))
+        .join(if (bcast) broadcast(p) else p,
+          col(key) === col(pkey), "left_anti")
+      val totals = child.agg(count(lit(1)).as("child_rows"))
+      orphans.agg(
+          count(lit(1)).as("orphan_rows"),
+          countDistinct(col(key)).as("distinct_orphan_keys"))
+        .crossJoin(totals)
+        .select(lit(rel).as("relationship"), col("child_rows"),
+          col("orphan_rows"), col("distinct_orphan_keys"))
+    }
+    def t(n: String) = Tables.load(spark, sf, n)
+    Seq(
+      audit("lineitem.l_orderkey->orders", t("lineitem"), "l_orderkey",
+        t("orders"), "o_orderkey", bcast = false),
+      audit("lineitem.l_suppkey->supplier", t("lineitem"), "l_suppkey",
+        t("supplier"), "s_suppkey", bcast = true),
+      audit("orders.o_custkey->customer", t("orders"), "o_custkey",
+        t("customer"), "c_custkey", bcast = true),
+      audit("customer.c_nationkey->nation", t("customer"), "c_nationkey",
+        t("nation"), "n_nationkey", bcast = true),
+      audit("supplier.s_nationkey->nation", t("supplier"), "s_nationkey",
+        t("nation"), "n_nationkey", bcast = true),
+      audit("nation.n_regionkey->region", t("nation"), "n_regionkey",
+        t("region"), "r_regionkey", bcast = true))
+      .reduce(_.unionAll(_))
+      .orderBy(col("relationship"))
+  }
+
   /** Bloom-pruned semi-join reduction — the runtime-filter pattern
     * made explicit: revenue over lineitems belonging to finished
     * urgent orders, where the fact stream is pre-filtered by a Bloom

@@ -338,6 +338,33 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Event path mining — the funnel's exploratory sibling: the most
+    * common 3-step event-type sequences across all users, found
+    * without naming any path up front. Lead windows over each user's
+    * time-ordered stream build the consecutive triples (total-ordered
+    * by (ts, event_id), so both engines see identical sequences), a
+    * partial-agg groupBy counts paths, top-k with a path tie-break.
+    *
+    * Scale: one shuffle on user_id for the window (per-user state is
+    * just 2 lookahead rows), one bounded-cardinality groupBy (paths ≤
+    * |event_types|³), a top-k over that. No per-user collect_list —
+    * a billion-event user costs the window nothing. */
+  def eventPaths(spark: SparkSession, sf: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    load(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("e1"))
+      .withColumn("e2", lead(col("e1"), 1).over(byUser))
+      .withColumn("e3", lead(col("e1"), 2).over(byUser))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
   /** Cohort retention: users grouped by first-seen day, counted on
     * each subsequent day they return. Two aggregations on user_id /
     * (user_id, day) plus one broadcast-able join of the (tiny) cohort

@@ -773,6 +773,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(supMin > custScores(custScores.length / 2))
   }
 
+  test("fk audit: every relationship audited, clean fixture has zero orphans") {
+    val rows = Relational.fkAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 6)
+    val li = Tables.load(spark, sf, "lineitem").count()
+    assert(rows.filter(_._1.startsWith("lineitem.")).forall(_._2 == li))
+    rows.foreach { case (rel, _, orphans, dKeys) =>
+      assert(orphans == 0L && dKeys == 0L, s"$rel has orphans") }
+  }
+
+  test("event paths: counts re-derivable from per-user ordered streams") {
+    val got = graft.operators.Events.eventPaths(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byUser = graft.operators.Events.load(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(r => (r.getTimestamp(1).getTime, r.getLong(2)))
+        .map(_.getString(3)).toSeq)
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    byUser.values.foreach(_.sliding(3).foreach { w =>
+      if (w.length == 3) {
+        val p = w.mkString(">")
+        counts(p) = counts.getOrElse(p, 0L) + 1L
+      }
+    })
+    val want = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(got.toSeq == want, s"paths diverge: got ${got.take(3).toSeq}...")
+  }
+
   test("outliers: exactly the rows beyond 3 population sigmas per type") {
     val got = graft.operators.Events.outliers(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
