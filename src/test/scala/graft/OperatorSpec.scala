@@ -803,6 +803,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.toSeq == want, s"paths diverge: got ${got.take(3).toSeq}...")
   }
 
+  test("bloom semi join plan: probe filters the scan BELOW the exact join") {
+    val plan = Relational.bloomSemiJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the constant-bloom probe must be a Filter on the fact scan, not
+    // a post-join residual — that's the whole shuffle-reduction claim
+    assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
+    val probeIdx = plan.indexOf("might_contain")
+    val joinIdx = plan.indexOf("LeftSemi")
+    assert(joinIdx >= 0, s"no semi join in plan:\n$plan")
+    // executedPlan prints top-down: the probe filter must appear AFTER
+    // (= physically below) the join operator line
+    assert(probeIdx > joinIdx, "bloom probe is not below the semi join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "BNLJ in bloom join")
+  }
+
   test("outliers: exactly the rows beyond 3 population sigmas per type") {
     val got = graft.operators.Events.outliers(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
