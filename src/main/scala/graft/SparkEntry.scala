@@ -1098,12 +1098,12 @@ object SparkEntry {
     "q_allpairs" ->
       """WITH s AS (
            SELECT doc_id,
-             list_distinct(list_transform(generate_series(1, len(ws) - 1),
-               i -> ws[i] || ' ' || ws[i+1])) AS sh
+             list_distinct(list_transform(generate_series(1, len(ws) - 2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
            FROM (SELECT doc_id,
                    regexp_extract_all(lower(text), '[a-z]+') AS ws
                  FROM documents) t
-           WHERE len(ws) >= 2),
+           WHERE len(ws) >= 3),
          p AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              len(list_intersect(a.sh, b.sh)) AS inter_size,

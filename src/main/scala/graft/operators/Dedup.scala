@@ -787,7 +787,7 @@ object Dedup {
 
   // ---- AllPairs prefix filtering ------------------------------------
 
-  /** EXACT all-pairs Jaccard join over distinct word-BIGRAM sets via
+  /** EXACT all-pairs Jaccard join over distinct word-TRIGRAM sets via
     * prefix filtering (AllPairs, Bayardo et al. WWW'07; the PPJoin
     * family). Unlike [[ngramJaccard]] — which self-joins on EVERY
     * feature, the known skew hazard — only each document's PREFIX
@@ -819,42 +819,68 @@ object Dedup {
       .select(col("doc_id"),
         regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))
           .as("toks"))
-      .filter(size(col("toks")) >= 2)
+      .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
         array_distinct(
-          graft.functions.ArrayOps.shinglesAll(col("toks"), 2)).as("ws"))
+          graft.functions.ArrayOps.shinglesAll(col("toks"), 3)).as("ws"))
     val tokens = docs.select(col("doc_id"), explode(col("ws")).as("w"))
     val df = tokens.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    // Per-doc canonical order: sort own features by (df asc, w asc) —
-    // rarest first, ties broken lexically. Array-local sort: no global
-    // rank over the vocabulary is ever materialized.
-    val ordered = tokens.join(df, Seq("w"))
+    // Dictionary-encode features to dense integer ids ASSIGNED IN
+    // GLOBAL RARITY ORDER (df asc, w asc): the per-doc canonical
+    // ranking then degenerates to a plain int-array sort, the
+    // candidate join keys become longs, and the verification arrays
+    // shrink ~10× vs. carrying shingle strings — the exchange that
+    // dominated the un-encoded form. The rank window runs over the
+    // VOCABULARY (≪ corpus; same contract as vocabCoverage's global
+    // window) — at trillion-feature scale swap in the two-phase
+    // range-partitioned rank packChunks already uses.
+    val fids = df.withColumn("fid",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("df"), col("w"))).cast("long"))
+    val ranked = tokens.join(fids.select(col("w"), col("fid")), "w")
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("w"))))
-        .as("ranked"))
-      .select(col("doc_id"),
-        expr("transform(ranked, x -> x.w)").as("ws_ranked"),
-        size(col("ranked")).cast("long").as("s"))
-    val prefixed = ordered.select(col("doc_id"), col("ws_ranked"), col("s"),
-      expr(s"slice(ws_ranked, 1, cast(s - (($tNum * s + ${tDen - 1}) div $tDen) + 1 as int))")
+      .agg(sort_array(collect_list(col("fid"))).as("fs"))
+      .select(col("doc_id"), col("fs"), size(col("fs")).cast("long").as("s"))
+    // materialized once (docs-sized, ints only): the candidate
+    // self-join consumes it twice and the verification joins twice
+    // more — un-checkpointed, each consumer would replay the whole
+    // tokenize→rank→sort derivation
+    val prefixed = ranked.select(col("doc_id"), col("fs"), col("s"),
+      expr(s"slice(fs, 1, cast(s - (($tNum * s + ${tDen - 1}) div $tDen) + 1 as int))")
         .as("prefix"))
+      .localCheckpoint()
+    // posexplode: the 0-based prefix position feeds the PPJoin
+    // positional filter below
     val pTok = prefixed.select(col("doc_id"), col("s"),
-      explode(col("prefix")).as("w"))
+      posexplode(col("prefix")).as(Seq("p", "fid")))
+    // PPJoin positional filter. Jaccard ≥ tNum/tDen needs overlap
+    // |A∩B| ≥ tNum·(s_a+s_b)/(tNum+tDen); for a match row at prefix
+    // positions (p_a, p_b), every OTHER shared feature of a true pair
+    // sits after those positions in both ranked arrays on the pair's
+    // first shared feature, so 1 + min(s_a−p_a−1, s_b−p_b−1) upper-
+    // bounds the overlap there. Pruning rows whose bound falls below
+    // the requirement (cross-multiplied, no ceil needed) keeps that
+    // first-match row for every true pair — candidate completeness
+    // stays a theorem — while dropping late-position collisions
+    // BEFORE the distinct.
     val cand = pTok.as("a")
       .join(pTok.as("b"),
-        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.fid") === col("b.fid") && col("a.doc_id") < col("b.doc_id") &&
           greatest(col("a.s"), col("b.s")) * tNum <=
-            least(col("a.s"), col("b.s")) * tDen)
+            least(col("a.s"), col("b.s")) * tDen &&
+          (lit(1) + least(col("a.s") - col("a.p") - 1,
+            col("b.s") - col("b.p") - 1)) * (tNum + tDen) >=
+            (col("a.s") + col("b.s")) * tNum)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sets = prefixed.select(col("doc_id"), col("ws_ranked"), col("s"))
+    val sets = prefixed.select(col("doc_id"), col("fs"), col("s"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"),
-        col("ws_ranked").as("ws_a"), col("s").as("s_a")), "doc_a")
+        col("fs").as("fs_a"), col("s").as("s_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"),
-        col("ws_ranked").as("ws_b"), col("s").as("s_b")), "doc_b")
+        col("fs").as("fs_b"), col("s").as("s_b")), "doc_b")
       .withColumn("inter_size",
-        size(array_intersect(col("ws_a"), col("ws_b"))).cast("long"))
+        size(array_intersect(col("fs_a"), col("fs_b"))).cast("long"))
       .withColumn("union_size", col("s_a") + col("s_b") - col("inter_size"))
       .filter(col("inter_size") * tDen >= col("union_size") * tNum)
       .select(col("doc_a"), col("doc_b"), col("inter_size"),

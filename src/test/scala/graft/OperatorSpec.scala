@@ -665,12 +665,12 @@ class OperatorSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
-    // naive reference: distinct word-bigram sets, every pair, exact
+    // naive reference: distinct word-trigram sets, every pair, exact
     // jaccard >= 1/2 — the theorem says prefix filtering loses nothing
     val sets = Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("text")).collect().map { r =>
         val ws = "[a-z]+".r.findAllIn(r.getString(1).toLowerCase).toArray
-        r.getLong(0) -> ws.sliding(2).filter(_.length == 2)
+        r.getLong(0) -> ws.sliding(3).filter(_.length == 3)
           .map(_.mkString(" ")).toSet
       }.filter(_._2.nonEmpty).toMap
     val ids = sets.keys.toArray.sorted
