@@ -77,6 +77,9 @@ object SparkEntry {
     "q_stream_interval" ->
       ((s: SparkSession, d: String) =>
         graft.streaming.EventStream.intervalJoinViaStream(s, d)),
+    "q_stream_outliers" ->
+      ((s: SparkSession, d: String) =>
+        graft.streaming.EventStream.outliersViaStream(s, d)),
     "q_pivot" -> (Relational.pivotStatus _),
     "q_approx_distinct" -> (Relational.approxDistinct _),
     "q_profile" -> (Relational.profile _),
@@ -779,6 +782,22 @@ object SparkEntry {
     // over integer cents, HUGEINT on the DuckDB side mirroring the
     // Spark DECIMAL(38,0) accumulators
     "q_outliers" ->
+      """WITH e AS (
+           SELECT event_id, event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           FROM events),
+         st AS (
+           SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(c) AS HUGEINT) AS s,
+             sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS ss
+           FROM e GROUP BY event_type)
+         SELECT event_id, event_type, c AS value_cents
+         FROM e JOIN st USING (event_type)
+         WHERE (n*c - s) * (n*c - s) > 9 * (n*ss - s*s)
+         ORDER BY event_id""",
+
+    // Streaming twin: the stream must land exactly the batch rows
+    "q_stream_outliers" ->
       """WITH e AS (
            SELECT event_id, event_type,
              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c

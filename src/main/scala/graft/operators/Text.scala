@@ -322,18 +322,33 @@ object Events {
     * Scale shape: one partial-agg groupBy over event_type (a handful
     * of groups → tiny stats table), broadcast back over the stream —
     * the second pass is a narrow filter, no shuffle. */
-  def outliers(spark: SparkSession, sf: String): DataFrame = {
-    val d38 = DecimalType(38, 0)
-    val e = load(spark, sf)
-      .select(col("event_id"), col("event_type"),
-        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("c"))
-    val stats = e.groupBy(col("event_type"))
+  private val d38 = DecimalType(38, 0)
+
+  /** Integer-cents projection shared by the batch and streaming
+    * outlier paths. */
+  private[graft] def centsProjection(e: DataFrame): DataFrame =
+    e.select(col("event_id"), col("event_type"),
+      (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("c"))
+
+  /** Per-type (n, Σx, Σx²) in DECIMAL(38,0) — the tiny broadcastable
+    * stats table both outlier paths filter against. */
+  private[graft] def outlierStats(e: DataFrame): DataFrame =
+    e.groupBy(col("event_type"))
       .agg(count(lit(1)).cast(d38).as("n"),
         sum(col("c")).cast(d38).as("s"),
         sum(col("c").cast(d38) * col("c").cast(d38)).as("ss"))
+
+  /** The 3-sigma predicate over a centsProjection row joined with its
+    * type's stats row. */
+  private[graft] def outlierPredicate: Column = {
     val dev = col("n") * col("c").cast(d38) - col("s")
-    e.join(broadcast(stats), "event_type")
-      .filter(dev * dev > lit(9).cast(d38) * (col("n") * col("ss") - col("s") * col("s")))
+    dev * dev > lit(9).cast(d38) * (col("n") * col("ss") - col("s") * col("s"))
+  }
+
+  def outliers(spark: SparkSession, sf: String): DataFrame = {
+    val e = centsProjection(load(spark, sf))
+    e.join(broadcast(outlierStats(e)), "event_type")
+      .filter(outlierPredicate)
       .select(col("event_id"), col("event_type"), col("c").as("value_cents"))
       .orderBy(col("event_id"))
   }

@@ -58,6 +58,26 @@ object EventStream {
     runToCompletion(spark, hourlyCounts(readEvents(spark, sf)),
       OutputMode.Complete(), Seq("hour", "event_type"))
 
+  /** STREAMING 3-sigma outlier gate — the standard stream
+    * anomaly-detection shape: per-type population stats come from the
+    * reference (batch) view of the source and broadcast into a
+    * STATELESS streaming filter, so each micro-batch pays a narrow
+    * map — no streaming aggregation state at all. In production the
+    * stats table is the periodically-refreshed model artifact; here
+    * it derives from the same bounded source, making the stream
+    * output provably equal to batch q_outliers (same DuckDB oracle,
+    * StreamingSpec pins row-for-row equality). */
+  def outliersViaStream(spark: SparkSession, sf: String): DataFrame = {
+    import graft.operators.Events
+    val stats = Events.outlierStats(
+      Events.centsProjection(Events.load(spark, sf)))
+    val stream = Events.centsProjection(readEvents(spark, sf))
+      .join(broadcast(stats), "event_type")
+      .filter(Events.outlierPredicate)
+      .select(col("event_id"), col("event_type"), col("c").as("value_cents"))
+    runToCompletion(spark, stream, OutputMode.Append(), Seq("event_id"))
+  }
+
   /** Drive a bounded streaming query to completion into a parquet
     * scratch sink and hand back the result as a parquet-backed,
     * deterministically-ordered DataFrame. Shared by every

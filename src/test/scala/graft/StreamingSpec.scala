@@ -116,6 +116,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming outlier gate lands exactly the batch outlier rows") {
+    val streamed = EventStream.outliersViaStream(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val batch = Events.outliers(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(streamed.sameElements(batch))
+    assert(streamed.nonEmpty)
+  }
+
   test("stream-stream interval join equals the batch interval join rollup") {
     val streamed = EventStream.intervalJoinViaStream(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
