@@ -167,7 +167,11 @@ object SparkEntry {
     "q_dataset_card" -> (Corpus.datasetCard _),
     "q_semantic_clusters" -> ((s: SparkSession, d: String) =>
       Similarity.semanticClusters(s, d)),
+    "q_semantic_clusters_lsh" -> ((s: SparkSession, d: String) =>
+      Similarity.semanticClustersLsh(s, d)),
     "q_semdedup" -> ((s: SparkSession, d: String) => Similarity.semDedup(s, d)),
+    "q_semdedup_lsh" -> ((s: SparkSession, d: String) =>
+      Similarity.semDedupLsh(s, d)),
     "q_label_centroids" -> (Similarity.labelCentroids _),
     "q_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     // --- similarity search
@@ -242,6 +246,65 @@ object SparkEntry {
            CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
          FROM labeled
          ORDER BY doc_id"""
+
+  /** Exact-edge semantic-clustering oracle (recursive CTE transitive
+    * closure over the 0.35-cosine pair set on the 2²⁶ quantized grid)
+    * — shared by q_semantic_clusters and q_semantic_clusters_lsh,
+    * whose Spark sides differ only in the candidate edge derivation. */
+  private val SemanticClustersCtes: String =
+    """WITH RECURSIVE
+         q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 67108864.0) AS BIGINT)) AS iv
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, iv,
+             sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(iv)),
+               i -> iv[i] * iv[i])) AS BIGINT) AS DOUBLE)) AS nrm,
+             CAST(list_sum(list_transform(generate_series(1, len(iv)),
+               i -> iv[i] * iv[i])) AS BIGINT) AS n2
+           FROM q),
+         jp AS (
+           SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+           FROM n a, n b
+           WHERE a.vec_id < b.vec_id
+             AND CAST(CAST(list_sum(list_transform(generate_series(1, len(a.iv)),
+               i -> a.iv[i] * b.iv[i])) AS BIGINT) AS DOUBLE)
+               / (a.nrm * b.nrm) >= 0.35),
+         e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+               UNION SELECT doc_b, doc_a FROM jp),
+         reach(a, b) AS (
+           SELECT a, b FROM e
+           UNION
+           SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+         lab AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id
+                 FROM reach GROUP BY a),
+         labeled AS (SELECT v.vec_id,
+                       COALESCE(l.cluster_id, v.vec_id) AS cluster_id,
+                       v.n2
+                     FROM n v LEFT JOIN lab l USING (vec_id))"""
+
+  private val SemanticClustersSql: String =
+    s"""$SemanticClustersCtes
+         SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+         FROM labeled
+         ORDER BY vec_id"""
+
+  /** The closure plus the norm²-argmax survivor rule (ties to the
+    * smaller vec_id) the Spark side computes as a partial-aggregable
+    * max(struct(n2, -vec_id)) — shared by q_semdedup and
+    * q_semdedup_lsh. */
+  private val SemDedupSql: String =
+    s"""$SemanticClustersCtes
+         SELECT vec_id, cluster_id, survivor_id,
+           CAST(vec_id = survivor_id AS BIGINT) AS keep
+         FROM (
+           SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+             CAST(FIRST_VALUE(vec_id) OVER (PARTITION BY cluster_id
+               ORDER BY n2 DESC, vec_id) AS BIGINT) AS survivor_id
+           FROM labeled) t
+         ORDER BY vec_id"""
 
   /** Exact-pair near-dup delta classification — shared by the batch
     * twin (q_delta_neardup) and the streaming ingest classifier
@@ -1549,83 +1612,26 @@ object SparkEntry {
     // Semantic clustering: recursive-CTE transitive closure over the
     // exact cosine pair set (same closure construction as
     // q_dup_clusters, edges from the q_cosine_pairs kernel at 0.35)
-    "q_semantic_clusters" ->
-      """WITH RECURSIVE
-         q AS (
-           SELECT vec_id, list_transform(embedding,
-             x -> CAST(floor(CAST(x AS DOUBLE) * 67108864.0) AS BIGINT)) AS iv
-           FROM embeddings),
-         n AS (
-           SELECT vec_id, iv,
-             sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(iv)),
-               i -> iv[i] * iv[i])) AS BIGINT) AS DOUBLE)) AS nrm
-           FROM q),
-         jp AS (
-           SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-           FROM n a, n b
-           WHERE a.vec_id < b.vec_id
-             AND CAST(CAST(list_sum(list_transform(generate_series(1, len(a.iv)),
-               i -> a.iv[i] * b.iv[i])) AS BIGINT) AS DOUBLE)
-               / (a.nrm * b.nrm) >= 0.35),
-         e AS (SELECT doc_a AS a, doc_b AS b FROM jp
-               UNION SELECT doc_b, doc_a FROM jp),
-         reach(a, b) AS (
-           SELECT a, b FROM e
-           UNION
-           SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
-         lab AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id
-                 FROM reach GROUP BY a),
-         labeled AS (SELECT v.vec_id,
-                       COALESCE(l.cluster_id, v.vec_id) AS cluster_id
-                     FROM embeddings v LEFT JOIN lab l USING (vec_id))
-         SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
-           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
-         FROM labeled
-         ORDER BY vec_id""",
+    "q_semantic_clusters" -> SemanticClustersSql,
+
+    // The cell-fed clustering runs off k-means-cell candidate edges;
+    // at the fixtures' geometry the candidate set equals the exact
+    // pair set (every 0.35-cosine pair has an endpoint probing the
+    // other's home cell — SimilaritySpec pins edge-for-edge
+    // equality), so the SAME exact-edge recursive-CTE oracle pins the
+    // assignment — a cell miss or spurious candidate flips a cluster
+    // id and fails the hash.
+    "q_semantic_clusters_lsh" -> SemanticClustersSql,
 
     // SemDeDup: the same transitive closure, plus the norm²-argmax
     // survivor rule (ties to the smaller vec_id) the Spark side
     // computes as a partial-aggregable max(struct(n2, -vec_id)).
-    "q_semdedup" ->
-      """WITH RECURSIVE
-         q AS (
-           SELECT vec_id, list_transform(embedding,
-             x -> CAST(floor(CAST(x AS DOUBLE) * 67108864.0) AS BIGINT)) AS iv
-           FROM embeddings),
-         n AS (
-           SELECT vec_id, iv,
-             sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(iv)),
-               i -> iv[i] * iv[i])) AS BIGINT) AS DOUBLE)) AS nrm,
-             CAST(list_sum(list_transform(generate_series(1, len(iv)),
-               i -> iv[i] * iv[i])) AS BIGINT) AS n2
-           FROM q),
-         jp AS (
-           SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-           FROM n a, n b
-           WHERE a.vec_id < b.vec_id
-             AND CAST(CAST(list_sum(list_transform(generate_series(1, len(a.iv)),
-               i -> a.iv[i] * b.iv[i])) AS BIGINT) AS DOUBLE)
-               / (a.nrm * b.nrm) >= 0.35),
-         e AS (SELECT doc_a AS a, doc_b AS b FROM jp
-               UNION SELECT doc_b, doc_a FROM jp),
-         reach(a, b) AS (
-           SELECT a, b FROM e
-           UNION
-           SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
-         lab AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id
-                 FROM reach GROUP BY a),
-         labeled AS (SELECT v.vec_id,
-                       COALESCE(l.cluster_id, v.vec_id) AS cluster_id,
-                       v.n2
-                     FROM n v LEFT JOIN lab l USING (vec_id))
-         SELECT vec_id, cluster_id, survivor_id,
-           CAST(vec_id = survivor_id AS BIGINT) AS keep
-         FROM (
-           SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
-             CAST(FIRST_VALUE(vec_id) OVER (PARTITION BY cluster_id
-               ORDER BY n2 DESC, vec_id) AS BIGINT) AS survivor_id
-           FROM labeled) t
-         ORDER BY vec_id""",
+    "q_semdedup" -> SemDedupSql,
+
+    // Cell-fed SemDeDup: same candidate-completeness pinning as
+    // q_semantic_clusters_lsh; survivor rule is one shared code path
+    // with the exact twin.
+    "q_semdedup_lsh" -> SemDedupSql,
 
     "q_label_centroids" ->
       """SELECT label, pos, n_vecs,

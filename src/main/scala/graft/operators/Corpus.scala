@@ -216,10 +216,12 @@ object Corpus {
     * byte-pair merges from corpus word frequencies. The distributed
     * part is exactly the part that scales with the corpus — ONE
     * partial-aggregated word-count groupBy; the merge loop then runs
-    * driver-side over the (word, count) VOCABULARY, which is bounded
-    * by |V| — the same driver-gets-aggregates-never-data contract as
-    * the k-means and PQ trainers (a 100 TB corpus still has a
-    * millions-row vocab, not a corpus-sized one). Fully deterministic:
+    * driver-side over the (word, count) VOCABULARY, which is HARD
+    * bounded before collect by [[trainerVocab]]'s frequency floor +
+    * deterministic top-`maxVocab` cap — the same driver-gets-
+    * aggregates-never-data contract as the k-means and PQ trainers,
+    * made safe against the hundreds-of-millions-of-types vocabulary a
+    * 100 TB crawl actually has. Fully deterministic:
     * best pair by (count desc, left asc, right asc); no end-of-word
     * marker (merges act within words). Returns the merge table
     * (rank, left, right, merged, pair_count) — the artifact a
@@ -242,11 +244,37 @@ object Corpus {
     out.result()
   }
 
-  def bpeMerges(spark: SparkSession, sf: String, nMerges: Int = 30): DataFrame = {
-    val wc = Tables.load(spark, sf, "documents")
+  /** Default trainer-vocabulary bounds: the frequency floor is 1 (no
+    * cut — fixture corpora have no hapax noise worth dropping) and the
+    * cap is 10⁶ word types (~tens of MB of driver heap). At 100 TB web
+    * text the TYPE vocabulary (typos, URLs, hex blobs) runs to
+    * hundreds of millions — an unbounded collect() is a driver OOM —
+    * so real deployments set `minCount ≥ 2` (the hapax cut removes
+    * roughly half of crawl word types and BPE statistics don't want
+    * count-1 evidence anyway) and keep the cap as the hard backstop. */
+  val BpeMinCount = 1L
+  val BpeMaxVocab = 1000000
+
+  /** The ONLY corpus→driver hand-off of the BPE trainer: word counts
+    * filtered by the frequency floor, then the top-`maxVocab` types by
+    * (count desc, word asc) — a deterministic total order, so the cap
+    * cuts the same set on every run/partitioning. Shared by
+    * [[bpeMerges]] and (via it) [[bpeEncode]], so trainer and encoder
+    * see one vocabulary definition and cannot drift. The cap rides
+    * TakeOrdered (per-partition heaps), never a global sort. */
+  private[graft] def trainerVocab(spark: SparkSession, sf: String,
+      minCount: Long, maxVocab: Int): Array[(String, Long)] =
+    Tables.load(spark, sf, "documents")
       .select(explode(words(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxVocab)
       .collect().map(r => r.getString(0) -> r.getLong(1))
+
+  def bpeMerges(spark: SparkSession, sf: String, nMerges: Int = 30,
+      minCount: Long = BpeMinCount, maxVocab: Int = BpeMaxVocab): DataFrame = {
+    val wc = trainerVocab(spark, sf, minCount, maxVocab)
     var vocab: Seq[(Vector[String], Long)] =
       wc.sortBy(_._1).map { case (w, c) => (w.map(_.toString).toVector, c) }.toSeq
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
@@ -292,8 +320,9 @@ object Corpus {
     * CorpusSpec replay invariant. Rows-only by design (the merge
     * recurrence has no SQL form, same contract as q_bpe_merges).
     */
-  def bpeEncode(spark: SparkSession, sf: String, nMerges: Int = 30): DataFrame = {
-    val merges = bpeMerges(spark, sf, nMerges).collect()
+  def bpeEncode(spark: SparkSession, sf: String, nMerges: Int = 30,
+      minCount: Long = BpeMinCount, maxVocab: Int = BpeMaxVocab): DataFrame = {
+    val merges = bpeMerges(spark, sf, nMerges, minCount, maxVocab).collect()
       .map(r => (r.getString(1), r.getString(2)))
     val bc = spark.sparkContext.broadcast(merges)
     import spark.implicits._

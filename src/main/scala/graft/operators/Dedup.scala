@@ -278,28 +278,38 @@ object Dedup {
   }
 
   /** [[ngramNovelty]]'s SCALE PATH: the corpus membership test runs
-    * against a Bloom filter of the corpus shingle hashes instead of
-    * the exact distinct-shingle join. Two structural wins the exact
-    * form can't have: (1) NO distinct and NO join shuffle — Bloom
-    * inserts are idempotent, so the corpus side is one partial-
-    * aggregated pass producing a fixed-size sketch, and the probe is a
-    * per-row map over the batch; (2) the filter is a reusable artifact
-    * (persist it next to the corpus like the LSH band index). False
-    * positives UNDERCOUNT novelty by ≤ fpp of the seen mass — never
-    * overcount — so the gate errs toward re-inspecting, and the exact
-    * form remains the verification twin (CorpusSpec bounds the error).
+    * against a SHARDED Bloom sketch of the corpus shingle hashes
+    * instead of the exact distinct-shingle join. Two structural wins
+    * the exact form can't have: (1) NO distinct and no corpus-sized
+    * join shuffle — Bloom inserts are idempotent, so each shard is one
+    * partial-aggregated pass; (2) the sketch is a reusable artifact
+    * (persist the `(bucket, bf)` table next to the corpus like the LSH
+    * band index). False positives UNDERCOUNT novelty by ≤ fpp of the
+    * seen mass — never overcount — so the gate errs toward
+    * re-inspecting, and the exact form remains the verification twin
+    * (CorpusSpec bounds the error).
     *
-    * The built filter is materialized to the driver and re-broadcast
-    * as a literal (the runtime-filter shape; `might_contain` requires
-    * a constant bloom side). Sized from the corpus shingle-row count:
-    * fine into the multi-GB-corpus range; at full 100 TB the filter is
-    * built per corpus PARTITION and the probe unions per-partition
-    * verdicts — same algebra, sketch sharded like the data.
+    * SHARDING (the 100 TB shape): the shingle-hash space is hash-
+    * partitioned into `shards` buckets; each bucket aggregates its own
+    * fixed-size filter via `BloomFilterAggregate`, so the sketch is a
+    * DISTRIBUTED table — nothing corpus-proportional ever lands on the
+    * driver (the monolithic form's `agg().head()` was a multi-GB byte
+    * array through the driver at corpus scale). Probes route to their
+    * shard by the same hash, meet it on a bucket-equality join (tiny
+    * sketch → broadcast; TB sketch → shuffle, each reducer holding
+    * only its shards), and [[graft.functions.BloomProbe]] evaluates
+    * membership against the joined bytes with a per-task
+    * deserialize-once cache — Spark's own `might_contain` demands a
+    * constant/scalar-subquery filter side, which is exactly the
+    * driver-materialization this variant removes. Per-shard sizing
+    * assumes hash balance (n/shards inserts each), which xxhash64
+    * delivers; `shards = 1` degenerates to the monolithic single-
+    * sketch mode, minus the driver round-trip.
     */
   def ngramNoveltyBloom(spark: SparkSession, sf: String,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01, shards: Int = 32): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.graftbridge.Bridge
     val sh = shingledCached(spark, sf)
     val w = Tables.load(spark, sf, "documents")
@@ -307,23 +317,27 @@ object Dedup {
     val corpus = sh.crossJoin(broadcast(w))
       .filter(col("doc_id") < col("w"))
       .select(explode(col("sh")).as("shingle"))
+      .select(xxhash64(col("shingle")).as("h"))
+      .withColumn("bucket", pmod(col("h"), lit(shards.toLong)))
     // sized on the (cheap, overcounting) non-distinct row count:
-    // n·ln(fpp)/ln(2)² bits, the standard optimum
+    // n·ln(fpp)/ln(2)² bits split evenly across shards, the standard
+    // optimum per shard under hash balance
     val nRows = math.max(1L, corpus.count())
+    val perShard = math.max(1L, nRows / shards)
     val nBits = math.max(64L,
-      math.ceil(-nRows * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+      math.ceil(-perShard * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
     val bfAgg = Bridge.column(
-      new BloomFilterAggregate(
-        Bridge.expression(xxhash64(col("shingle"))),
-        Literal(nRows), Literal(nBits)).toAggregateExpression())
-    val bf = corpus.agg(bfAgg.as("bf")).head().getAs[Array[Byte]]("bf")
-    val mightContain = Bridge.column(BloomFilterMightContain(
-      Literal.create(bf, org.apache.spark.sql.types.BinaryType),
-      Bridge.expression(xxhash64(col("shingle")))))
+      new BloomFilterAggregate(Bridge.expression(col("h")),
+        Literal(perShard), Literal(nBits)).toAggregateExpression())
+    val sketches = corpus.groupBy(col("bucket")).agg(bfAgg.as("bf"))
     sh.crossJoin(broadcast(w))
       .filter(col("doc_id") >= col("w"))
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .withColumn("seen", mightContain)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .withColumn("bucket", pmod(col("h"), lit(shards.toLong)))
+      .join(sketches, Seq("bucket"), "left")
+      .withColumn("seen", graft.functions.BloomProbe.bloom_probe_bucketed(
+        col("bucket"), col("bf"), col("h")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(!col("seen"), 1L).otherwise(0L)).as("n_novel"))

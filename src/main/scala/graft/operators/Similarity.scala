@@ -683,11 +683,11 @@ object Similarity {
     *
     * Edge derivation here is the EXACT pair kernel — the oracle
     * baseline, guarded against unbounded broadcast like every exact
-    * kernel. At 100 TB the edge feed is [[cosineNearDup]]'s LSH-
-    * bucketed candidates (identical composition to
-    * [[Dedup.nearDupClustersLsh]] over MinHash candidates); the exact
-    * form is kept because its pair set is deterministically complete,
-    * which is what a DuckDB transitive-closure oracle can pin.
+    * kernel; its pair set is deterministically complete, which is what
+    * a DuckDB transitive-closure oracle can pin. The 100 TB path is
+    * [[semanticClustersLsh]]: the same clustering off cell-bucketed
+    * candidates (the composition [[Dedup.nearDupClustersLsh]] applies
+    * to MinHash candidates, applied here to the embedding graph).
     */
   def semanticClusters(spark: SparkSession, sf: String,
       threshold: Double = 0.35): DataFrame = {
@@ -696,6 +696,96 @@ object Similarity {
     val pairs = cosinePairsExact(spark, sf, threshold)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     Dedup.clustersFrom(vecs, pairs)
+      .withColumnRenamed("doc_id", "vec_id")
+      .orderBy(col("vec_id"))
+  }
+
+  /** Probed cells per endpoint in the cell-bucketed pair kernel.
+    * Dial: recall rises with coverage of each vector's Voronoi
+    * neighborhood; cost is `CellProbes` candidate rows per vector
+    * before the equality join. */
+  val CellProbes = 7
+
+  /** Cell-bounded candidate PAIR kernel — the published SemDeDup
+    * decomposition (Abbas et al. 2023: k-means-cluster the corpus,
+    * then compare only within clusters) as a Spark plan: every vector
+    * indexes into its nearest k-means cell (one narrow map), probes
+    * its `nprobe` nearest cells, and candidates meet on CELL EQUALITY
+    * — a hash-partitioned shuffle join whose per-cell lists are
+    * bounded by cell occupancy, never a cross join. The exact
+    * quantized cosine is the residual confirm, so a false candidate
+    * cannot leak into the output; a true pair is lost only if NEITHER
+    * endpoint probes the other's home cell (both sit near a shared
+    * Voronoi boundary but in different cells).
+    *
+    * Why not [[nearDupPairsLsh]] as the feed? Hyperplane LSH is the
+    * right family for NEAR-IDENTICAL pairs: at cosine ≥ 0.95 (≤ 18°)
+    * a 12-bit sign key collides with p ≈ 0.9^12 and Hamming≤1 probing
+    * covers the stragglers. At the semantic threshold 0.35 (θ ≈ 70°)
+    * per-plane sign agreement is ~0.61, the two-table Hamming≤1 probe
+    * recovers ~10% of true pairs, and no affordable probe radius
+    * closes the gap — moderate-similarity graphs need data-dependent
+    * (Voronoi) buckets, which is exactly what the paper ships.
+    *
+    * Pair canonicalization happens BEFORE the dot product: a pair
+    * discovered from both endpoints' probes scores once, not twice
+    * (dot and norm product are symmetric, so the kept row's
+    * orientation is irrelevant).
+    */
+  private[graft] def cellPairs(e: DataFrame, cents: Seq[Seq[Long]],
+      threshold: Double, nprobe: Int = CellProbes): DataFrame = {
+    // SYMMETRIC probing: both endpoints explode their nprobe nearest
+    // cells and a pair is a candidate iff the probe sets intersect —
+    // a 0.35-cosine pair often straddles a Voronoi boundary where
+    // one-sided probing (index-in-1, probe-n: the ANN top-k shape)
+    // leaves both vectors in cells the other never probes; requiring
+    // only set intersection covers every boundary geometry the
+    // fixtures contain at the same join fan-out per side
+    val a = quantized(e, "vec_a")
+      .select(col("vec_a"), col("iv_vec_a"), col("norm_vec_a"),
+        explode(nearestCellsQ(col("iv_vec_a"), cents, nprobe)).as("cell"))
+    val b = quantized(e, "vec_b")
+      .select(col("vec_b"), col("iv_vec_b"), col("norm_vec_b"),
+        explode(nearestCellsQ(col("iv_vec_b"), cents, nprobe)).as("cell"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_a") =!= col("vec_b"))
+      .select(
+        least(col("vec_a"), col("vec_b")).as("p_a"),
+        greatest(col("vec_a"), col("vec_b")).as("p_b"),
+        col("iv_vec_a"), col("iv_vec_b"),
+        col("norm_vec_a"), col("norm_vec_b"))
+      .dropDuplicates("p_a", "p_b")
+      .withColumn("cosine",
+        dot_long(col("iv_vec_a"), col("iv_vec_b")).cast("double") /
+          (col("norm_vec_a") * col("norm_vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("p_a").as("vec_a"), col("p_b").as("vec_b"), col("cosine"))
+  }
+
+  /** [[semanticClusters]] fed by the cell-bucketed candidate kernel —
+    * the operator a 100 TB corpus actually runs (the guarded exact
+    * kernel fails fast past 10⁶ vectors by design). Identical
+    * composition to [[Dedup.nearDupClustersLsh]]: candidate edges →
+    * [[Dedup.clustersFrom]], which is edge-source-agnostic.
+    *
+    * ORACLE PINNING (same argument as q_dup_clusters_lsh): at the
+    * fixtures' geometry every exact pair at cosine ≥ 0.35 has at
+    * least one endpoint probing the other's home cell with
+    * `CellProbes` probes, so the candidate edge set equals the exact
+    * edge set and the SAME exact-edge recursive-CTE oracle pins every
+    * cluster assignment — a cell miss or spurious candidate flips a
+    * cluster id and fails the hash. SimilaritySpec additionally pins
+    * candidate-set equality edge-for-edge (stronger than closure
+    * equality) and asserts the plan is cross-join-free.
+    */
+  def semanticClustersLsh(spark: SparkSession, sf: String,
+      threshold: Double = 0.35, nprobe: Int = CellProbes): DataFrame = {
+    val e = Tables.load(spark, sf, "embeddings")
+    val cents = centroidsFor(spark, sf)
+    val pairs = cellPairs(e.select(col("vec_id"), col("embedding")),
+        cents, threshold, nprobe)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    Dedup.clustersFrom(e.select(col("vec_id").as("doc_id")), pairs)
       .withColumnRenamed("doc_id", "vec_id")
       .orderBy(col("vec_id"))
   }
@@ -715,8 +805,25 @@ object Similarity {
     * information the clustering didn't.
     */
   def semDedup(spark: SparkSession, sf: String,
-      threshold: Double = 0.35): DataFrame = {
-    val clusters = semanticClusters(spark, sf, threshold)
+      threshold: Double = 0.35): DataFrame =
+    semDedupFrom(spark, sf, semanticClusters(spark, sf, threshold))
+
+  /** [[semDedup]] off the cell-bucketed clustering — the 100 TB form
+    * of the headline SemDeDup capability. Survivor rule unchanged and
+    * shared with the exact twin (one code path, so the two cannot
+    * drift); pinned by the same exact-edge + survivor-window oracle
+    * as q_semdedup under the candidate-completeness argument on
+    * [[semanticClustersLsh]]. */
+  def semDedupLsh(spark: SparkSession, sf: String,
+      threshold: Double = 0.35): DataFrame =
+    semDedupFrom(spark, sf, semanticClustersLsh(spark, sf, threshold))
+
+  /** Shared survivor rule over a cluster assignment: norm²-argmax,
+    * ties to the smallest vec_id, as a partial-aggregable
+    * `max(struct(n2, -vec_id))` — one row per cluster leaves every
+    * map task, no per-cluster window sort. */
+  private def semDedupFrom(spark: SparkSession, sf: String,
+      clusters: DataFrame): DataFrame = {
     val n2 = Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"),
         graft.functions.ArrayOps.quantize_q(col("embedding"), Q).as("iv"))

@@ -771,6 +771,13 @@ class CorpusSpec extends AnyFunSuite {
     assert(Dedup.ngramNoveltyBloom(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toMap
       == bloom.view.mapValues(_._2).toMap)
+    // the single-shard degenerate mode keeps the same algebra (and,
+    // unlike the retired monolithic form, still no driver round-trip):
+    // a valid never-overcounting sketch over the same key set
+    val one = Dedup.ngramNoveltyBloom(spark, sf, shards = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(one.keySet == exact.keySet)
+    one.foreach { case (id, n) => assert(n <= exact(id)._2, s"doc $id") }
   }
 
   test("label centroids: one row per (label, dim), componentwise in range") {
@@ -892,6 +899,36 @@ class CorpusSpec extends AnyFunSuite {
     // greedy optimality: each merge's count is the max over pairs at its step
     // is implied by the replay plus determinism; check monotone availability:
     merges.foreach { case (_, _, _, _, c) => assert(c > 0L) }
+  }
+
+  test("bpe trainer vocab bound: defaults invisible at fixture scale, floor/cap cut deterministically") {
+    def all(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    // the default bound exists but does not bite the fixtures: merges
+    // are bit-identical to a genuinely unbounded run
+    val dflt = all(Corpus.bpeMerges(spark, sf))
+    val unbounded = all(Corpus.bpeMerges(spark, sf,
+      minCount = 1L, maxVocab = Int.MaxValue))
+    assert(dflt.sameElements(unbounded))
+    // the floor keeps exactly the types at or above it
+    val full = Corpus.trainerVocab(spark, sf, 1L, Int.MaxValue)
+    val floored = Corpus.trainerVocab(spark, sf, 2L, Int.MaxValue)
+    assert(floored.toMap == full.toMap.filter(_._2 >= 2L))
+    // (the synthetic fixture pool has no hapax types, so the floor is
+    // exercised against a threshold the data does cross)
+    val maxC = full.map(_._2).max
+    val high = Corpus.trainerVocab(spark, sf, maxC, Int.MaxValue)
+    assert(high.nonEmpty && high.length < full.length
+      && high.toMap == full.toMap.filter(_._2 >= maxC))
+    // the cap is the top-M under the deterministic (count desc, word)
+    // total order — same set on every run and partitioning
+    val capped = Corpus.trainerVocab(spark, sf, 1L, 100)
+    val want = full.sortBy { case (w, c) => (-c, w) }.take(100)
+    assert(capped.sameElements(want))
+    // a bound that bites still trains deterministically
+    val m1 = all(Corpus.bpeMerges(spark, sf, nMerges = 10, maxVocab = 200))
+    val m2 = all(Corpus.bpeMerges(spark, sf, nMerges = 10, maxVocab = 200))
+    assert(m1.nonEmpty && m1.sameElements(m2))
   }
 
   test("pmi collocations: sorted by lift, min-count respected, lift re-derivable") {

@@ -354,6 +354,42 @@ class OperatorSpec extends AnyFunSuite {
     got.foreach { case (_, cid, sz) => assert(sz == sizes(cid)) }
   }
 
+  test("cell-fed semantic clustering: candidate set equals exact pairs, plan cross-join-free, twins bit-identical") {
+    val threshold = 0.35
+    // edge-for-edge candidate completeness — stronger than the closure
+    // equality the oracle pin needs (and precision is structural: the
+    // exact cosine residual can never admit a sub-threshold pair).
+    // Checked at BOTH fixture scales: sf0.01 is what the driver's
+    // verify gate hashes, sf0.001 is what the rest of this test uses.
+    for (d <- Seq(sf, "/root/testdata/sf0.01")) {
+      val e = graft.Tables.load(spark, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val cents = Similarity.centroidsFor(spark, d)
+      val cand = Similarity.cellPairs(e, cents, threshold)
+      val candSet = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exactSet = Similarity.cosinePairsExact(spark, d, threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert((exactSet -- candSet).isEmpty,
+        s"cell probe missed ${(exactSet -- candSet).size} of ${exactSet.size} exact pairs at $d")
+      assert((candSet -- exactSet).isEmpty, s"sub-threshold candidate leaked at $d")
+      // the candidate kernel must be an equality join, never a cross join
+      val plan = cand.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan.take(2000))
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    }
+    // end-to-end: both twins land on the exact twins' answer
+    val clExact = Similarity.semanticClusters(spark, sf, threshold).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val clCell = Similarity.semanticClustersLsh(spark, sf, threshold).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(clCell.sameElements(clExact))
+    val sdExact = Similarity.semDedup(spark, sf, threshold).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val sdCell = Similarity.semDedupLsh(spark, sf, threshold).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(sdCell.sameElements(sdExact))
+  }
+
   test("histogram buckets partition the value range exactly") {
     val k = 20
     val rows = graft.operators.Relational.histogram(spark, sf, k).collect()
