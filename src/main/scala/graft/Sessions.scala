@@ -15,9 +15,21 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
   val NanosAsLongKey = "spark.sql.legacy.parquet.nanosAsLong"
+  val TimeZoneKey = "spark.sql.session.timeZone"
 
-  /** Idempotently enable long-nanos parquet reads on this session. */
-  def ensureEventTimestampCompat(spark: SparkSession): Unit =
+  /** Idempotently enable long-nanos parquet reads AND pin the session
+    * zone to UTC. The zone pin lives here, not only in the entry
+    * points: `Events.normalizeTs`'s non-nanos branch casts
+    * TIMESTAMP_NTZ to session-zone TimestampType, and value parity
+    * with the DuckDB oracle's naive reading holds only under UTC — a
+    * session built elsewhere (a user app embedding the library in a
+    * non-UTC JVM) would otherwise silently shift every event
+    * timestamp. Every event reader passes through this choke point,
+    * so the invariant is enforced exactly where the cast happens. */
+  def ensureEventTimestampCompat(spark: SparkSession): Unit = {
     if (!spark.conf.getOption(NanosAsLongKey).contains("true"))
       spark.conf.set(NanosAsLongKey, "true")
+    if (!spark.conf.getOption(TimeZoneKey).contains("UTC"))
+      spark.conf.set(TimeZoneKey, "UTC")
+  }
 }

@@ -198,7 +198,8 @@ object SparkEntry {
     "q_table_exists_append" -> (JobQueries.appendSemantics _),
     "q_table_exists_skip" -> (JobQueries.skipSemantics _),
     "q_estimate_only" -> (JobQueries.estimateOnly _),
-    "q_remap_data" -> (JobQueries.remapData _)
+    "q_remap_data" -> (JobQueries.remapData _),
+    "q_remap_schema" -> (JobQueries.remapSchema _)
   )
 
   // Shared SQL fragment: text normalization identical to
@@ -830,15 +831,17 @@ object SparkEntry {
 
     // Exact heavy hitters: the oracle is the definition (count > n/k);
     // the Spark side reaches the same rows via the two-pass
-    // Misra-Gries reduction without shuffling the token stream
+    // Misra-Gries reduction without shuffling the token stream. The
+    // threshold derives from the operator's own k constant, so the
+    // two sides cannot drift.
     "q_heavy_hitters" ->
-      """WITH tok AS (
+      s"""WITH tok AS (
            SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
            FROM documents),
          tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tok)
          SELECT w, CAST(count(*) AS BIGINT) AS cnt
          FROM tok CROSS JOIN tot GROUP BY w, total
-         HAVING count(*) * 40 > total
+         HAVING count(*) * ${Corpus.HeavyHittersK} > total
          ORDER BY cnt DESC, w""",
 
     // Integer-exact 3-sigma outliers: (n*x - s)^2 > 9*(n*ss - s^2)
@@ -1902,6 +1905,15 @@ object SparkEntry {
       """SELECT c_custkey,
          'ANON-' || CAST(c_custkey AS VARCHAR) AS c_name, c_mktsegment
          FROM customer
-         ORDER BY c_custkey"""
+         ORDER BY c_custkey""",
+
+    // REMAP_SCHEMA: same rows, new identity — the Spark side derives
+    // schema_name from the imported files' physical path, so a remap
+    // that didn't rewrite the namespace hashes as 'main', not
+    // 'archive', and fails here
+    "q_remap_schema" ->
+      """SELECT 'archive' AS schema_name, r_regionkey, r_name
+         FROM region
+         ORDER BY r_regionkey"""
   )
 }

@@ -982,7 +982,14 @@ object Corpus {
     * one-pass groupBy alternative shuffles every token once, which is
     * the difference between 2× scan I/O and a corpus-sized exchange.
     */
-  def heavyHitters(spark: SparkSession, sf: String, k: Int = 40): DataFrame = {
+  /** The share denominator the driver row runs with — the oracle SQL
+    * derives its HAVING threshold from this same constant (the
+    * pageRankOracle pattern), so retuning k cannot desynchronize the
+    * two sides. */
+  val HeavyHittersK = 40
+
+  def heavyHitters(spark: SparkSession, sf: String,
+      k: Int = HeavyHittersK): DataFrame = {
     import spark.implicits._
     val tok = Tables.load(spark, sf, "documents")
       .select(explode(words(col("text"))).as("w"))

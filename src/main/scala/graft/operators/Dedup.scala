@@ -844,13 +844,27 @@ object Dedup {
     // ranking then degenerates to a plain int-array sort, the
     // candidate join keys become longs, and the verification arrays
     // shrink ~10× vs. carrying shingle strings — the exchange that
-    // dominated the un-encoded form. The rank window runs over the
-    // VOCABULARY (≪ corpus; same contract as vocabCoverage's global
-    // window) — at trillion-feature scale swap in the two-phase
-    // range-partitioned rank packChunks already uses.
-    val fids = df.withColumn("fid",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("df"), col("w"))).cast("long"))
+    // dominated the un-encoded form. The rank is the TWO-PHASE
+    // construction (the epochShuffle/packChunks pattern), never one
+    // vocabulary-sized window partition: (df, 2-char feature prefix)
+    // forms ordered contiguous buckets of the (df, w) total order —
+    // every feature sharing a prefix is adjacent under w — so
+    // per-bucket counts cumsum on the bucket-count-sized side,
+    // broadcast back as offsets, and row_number runs only within a
+    // bucket. offset + in-bucket rank == the bare global row_number,
+    // which is what the DuckDB oracle's candidate set pins.
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("df"), col("pre"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val bucketed = df.withColumn("pre", substring(col("w"), 1, 2))
+    val offs = bucketed.groupBy(col("df"), col("pre"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .select(col("df"), col("pre"), col("offset"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("df"), col("pre")).orderBy(col("w"))
+    val fids = bucketed.join(broadcast(offs), Seq("df", "pre"))
+      .withColumn("fid", (col("offset") + row_number().over(wIn)).cast("long"))
     val ranked = tokens.join(fids.select(col("w"), col("fid")), "w")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("fid"))).as("fs"))

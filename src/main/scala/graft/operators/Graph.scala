@@ -57,35 +57,41 @@ object Graph {
     val edges = pairs
       .select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
       .union(pairs.select((col("sk") * 2 + 1).as("src"), (col("ck") * 2).as("dst")))
-    // degree folded onto each edge ONCE, persisted clustered by DST:
-    // the per-round join is a broadcast (below), so src-partitioning
-    // buys nothing — dst-clustering instead lets the map-side partial
-    // agg collapse each partition's contributions to one row per
-    // node, so the per-round shuffle carries ~|nodes| rows, not
-    // |edges|
-    val edgesDeg = edges
-      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
-      .repartition(col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = Tables.load(spark, sf, "customer")
       .select((col("c_custkey") * 2).as("node"))
       .union(Tables.load(spark, sf, "supplier")
         .select((col("s_suppkey") * 2 + 1).as("node")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nn = nodes.count()
-    // driver-side integer scalars — identical to the oracle's
-    // (1000000000 // nn) / (150000000 // nn) CTE terms
-    val s0 = G / nn
-    val base = (G * (DampDen - DampNum) / DampDen) / nn
-    var score = nodes.select(col("node"), lit(s0).as("s")).localCheckpoint()
     // The score vector is nodes-sized — orders of magnitude smaller
     // than the edge list. While it fits an executor (it does into the
     // hundreds of millions of nodes), BROADCAST it each round: the
     // edge join then needs no exchange at all (edges stay put,
     // persisted), and a round costs ONE shuffle (the dst aggregation).
-    // Past that size, fall back to the shuffle join against the
-    // src-partitioned edge cache — same algebra.
-    val broadcastScore = nn <= 10000000L
+    // Past that size, fall back to the shuffle join against a
+    // SRC-partitioned edge cache — same algebra, and the per-round
+    // join reuses the cache's partitioning so only the (small) score
+    // side shuffles. The threshold is a conf so tests can force the
+    // fallback and pin it bit-identical to the broadcast path
+    // (OperatorSpec), not dead code waiting for its first 10M-node
+    // corpus.
+    val broadcastScore = nn <= spark.conf
+      .get("spark.graft.pagerank.broadcastMaxNodes", "10000000").toLong
+    // degree folded onto each edge ONCE; the persisted clustering
+    // matches the round's join strategy: broadcast rounds cluster by
+    // DST so the map-side partial agg collapses each partition's
+    // contributions to one row per node (the per-round shuffle
+    // carries ~|nodes| rows, not |edges|); shuffle-join rounds
+    // cluster by SRC so the join exchanges only the score vector
+    val edgesDeg = edges
+      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+      .repartition(if (broadcastScore) col("dst") else col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // driver-side integer scalars — identical to the oracle's
+    // (G // nn) / ((G·(1−damp)) // nn) CTE terms
+    val s0 = G / nn
+    val base = (G * (DampDen - DampNum) / DampDen) / nn
+    var score = nodes.select(col("node"), lit(s0).as("s")).localCheckpoint()
     (1 to iters).foreach { _ =>
       // the teleport term rides a zero-contribution row per node
       // through the SAME aggregation, so nodes without in-edges need
@@ -115,11 +121,14 @@ object Graph {
     * aggregation in a recursive CTE term, so unrolling IS the SQL
     * form of a fixed-iteration loop). */
   def pageRankOracle(iters: Int = 10): String = {
+    // literals derived from the SAME constants as the Scala side, so
+    // retuning G or the damping ratio can never desynchronize the two
+    val baseMass = G * (DampDen - DampNum) / DampDen
     val layers = (1 to iters).map { k =>
       val prev = s"pr${k - 1}"
       s"""pr$k AS (
          SELECT n2.node,
-           CAST((150000000 // nn) + ($DampNum * COALESCE(inc.s_in, 0)) // $DampDen AS BIGINT) AS s
+           CAST(($baseMass // nn) + ($DampNum * COALESCE(inc.s_in, 0)) // $DampDen AS BIGINT) AS s
          FROM nodes n2 CROSS JOIN nc
          LEFT JOIN (
            SELECT e.dst AS node, CAST(sum(p.s // d.outdeg) AS BIGINT) AS s_in
@@ -136,7 +145,7 @@ object Graph {
        UNION ALL SELECT s_suppkey*2+1 AS node FROM supplier),
      nc AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),
      deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
-     pr0 AS (SELECT node, CAST(1000000000 // nn AS BIGINT) AS s
+     pr0 AS (SELECT node, CAST($G // nn AS BIGINT) AS s
        FROM nodes CROSS JOIN nc),
      $layers
      SELECT node,

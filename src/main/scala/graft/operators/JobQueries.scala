@@ -82,6 +82,33 @@ object JobQueries {
     Tables.load(spark, sf, "lineitem")
       .agg(count(lit(1)).as("n_rows"))
 
+  /** REMAP_SCHEMA as a standalone driver row (SURVEY.md §2.3 "same
+    * rows, new table identity"): export region, import it under a
+    * remapped schema, and return the rows WITH the new identity read
+    * back from the physical layout (`input_file_name`), not a
+    * literal — if the remap didn't rewrite the namespace, the
+    * schema_name column reads the source schema and the oracle hash
+    * fails. */
+  def remapSchema(spark: SparkSession, sf: String): DataFrame = {
+    val dump = tmpDir("graft-remap-dump")
+    val tgt = tmpDir("graft-remap-import")
+    val exp = DataPumpJob(Operation.Export, JobMode.Table,
+      sourceDir = sf, targetDir = dump,
+      directives = Seq(IncludeTable(Seq("region"))))
+      .run(spark)
+    require(exp.state == JobState.Completed, s"export failed: ${exp.errors}")
+    val imp = DataPumpJob(Operation.Import, JobMode.Full,
+      sourceDir = dump, targetDir = tgt,
+      directives = Seq(RemapSchema("main", "archive")))
+      .run(spark)
+    require(imp.state == JobState.Completed, s"import failed: ${imp.errors}")
+    spark.read.parquet(s"$tgt/archive/region")
+      .withColumn("schema_name",
+        regexp_extract(input_file_name(), "/([^/]+)/region/", 1))
+      .select(col("schema_name"), col("r_regionkey"), col("r_name"))
+      .orderBy(col("r_regionkey"))
+  }
+
   /** REMAP_DATA analog (column-level rewrite on the way in —
     * SURVEY.md §2.3 "Column remap"): anonymize customer names keyed by
     * the row identity. */

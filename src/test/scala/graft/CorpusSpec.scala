@@ -996,6 +996,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(mg.nonEmpty, "threshold too high: no heavy hitters to check")
   }
 
+  test("heavy hitters plan: the token stream meets the candidates un-shuffled") {
+    // the operator's whole scale claim is that the corpus token stream
+    // is scanned twice but NEVER exchanged on term: the candidate
+    // check must be a broadcast semi join with no Exchange anywhere on
+    // the streamed (token) side below it
+    val plan = Corpus.heavyHitters(spark, sf)
+      .queryExecution.executedPlan.toString
+    val joinIdx = plan.indexOf("BroadcastHashJoin")
+    assert(joinIdx >= 0, s"candidate check is not a broadcast join:\n$plan")
+    assert(plan.substring(joinIdx).take(200).contains("LeftSemi"),
+      s"broadcast join is not a semi join:\n$plan")
+    // the streamed branch prints directly under the join, down to its
+    // explode Generate; no shuffle may sit between them
+    val genIdx = plan.indexOf("Generate explode", joinIdx)
+    assert(genIdx > joinIdx, s"no token explode under the join:\n$plan")
+    val streamSide = plan.substring(joinIdx, genIdx)
+    assert(!streamSide.contains("Exchange hashpartitioning"),
+      s"token stream shuffled before the candidate semi join:\n$plan")
+    // and the stream side never feeds a sort-merge join anywhere
+    assert(!plan.contains("SortMergeJoin"), s"SMJ in MG plan:\n$plan")
+  }
+
   test("bpe encode: from-scratch replay of the merge table reproduces every doc total") {
     val merges = Corpus.bpeMerges(spark, sf).collect()
       .map(r => (r.getString(1), r.getString(2)))

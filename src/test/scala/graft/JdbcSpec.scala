@@ -114,6 +114,38 @@ class JdbcSpec extends AnyFunSuite {
     assert(dt.toString == "2026-01-15T17:30+05:30")
   }
 
+  test("live object-type validation reads the vendor's metadata, not the static lattice") {
+    import graft.directives.ObjectTypeValidator
+    import graft.model.JobMode
+    conn // force setup
+    val meta = conn.getMetaData
+    // Derby exposes tables, views, synonyms, schemas, and stored
+    // procedures through DatabaseMetaData — those kinds validate live
+    assert(ObjectTypeValidator.validateLive(meta, JobMode.Table, "table") == "TABLE")
+    assert(ObjectTypeValidator.validateLive(meta, JobMode.Schema, "VIEW") == "VIEW")
+    assert(ObjectTypeValidator.validateLive(meta, JobMode.Full, "SYNONYM") == "SYNONYM")
+    assert(ObjectTypeValidator.validateLive(meta, JobMode.Schema, "PROCEDURE") == "PROCEDURE")
+    assert(ObjectTypeValidator.validateLive(meta, JobMode.Full, "USER") == "USER")
+    // TABLESPACE passes the static Full-mode lattice but is a physical
+    // kind no vendor-neutral JDBC connection can observe — the live
+    // tier must reject it (Derby genuinely has none) with the live list
+    assert(ObjectTypeValidator.validate(JobMode.Full, "TABLESPACE") == "TABLESPACE")
+    val e = intercept[graft.model.Exceptions.InvalidObjectType] {
+      ObjectTypeValidator.validateLive(meta, JobMode.Full, "TABLESPACE")
+    }
+    assert(e.getMessage.contains("Valid types:")
+      && e.getMessage.contains("jdbc:derby:memory:graftdb"))
+    // mode lattice still applies under the live tier: USER is not a
+    // Table-mode kind even though the vendor can observe users
+    intercept[graft.model.Exceptions.InvalidObjectType] {
+      ObjectTypeValidator.validateLive(meta, JobMode.Table, "USER")
+    }
+    // cached per (url, mode) — second call hits the memo (no new
+    // metadata round-trip; observable only as object identity here)
+    assert(ObjectTypeValidator.validTypesLive(meta, JobMode.Full) eq
+      ObjectTypeValidator.validTypesLive(meta, JobMode.Full))
+  }
+
   test("chunked LOB stream round-trips a multi-MB payload in bounded chunks") {
     val dir = graft.TempDirs.create("lobstream")
     val payload = Array.tabulate[Byte](3 * 1024 * 1024 + 123)(i =>

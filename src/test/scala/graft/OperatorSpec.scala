@@ -809,6 +809,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(supMin > custScores(custScores.length / 2))
   }
 
+  test("pagerank: forced shuffle-join fallback is bit-identical to the broadcast path") {
+    // the >10M-node branch (the one a 100 TB graph runs) has no
+    // natural fixture — force it through the conf knob and pin every
+    // score to the broadcast path's output
+    val viaBroadcast = graft.operators.Graph.pageRank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    spark.conf.set("spark.graft.pagerank.broadcastMaxNodes", "0")
+    try {
+      val viaShuffle = graft.operators.Graph.pageRank(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      assert(viaShuffle.sameElements(viaBroadcast))
+    } finally spark.conf.unset("spark.graft.pagerank.broadcastMaxNodes")
+  }
+
   test("fk audit: every relationship audited, clean fixture has zero orphans") {
     val rows = Relational.fkAudit(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
