@@ -740,26 +740,40 @@ object Similarity {
     // one-sided probing (index-in-1, probe-n: the ANN top-k shape)
     // leaves both vectors in cells the other never probes; requiring
     // only set intersection covers every boundary geometry the
-    // fixtures contain at the same join fan-out per side
-    val a = quantized(e, "vec_a")
-      .select(col("vec_a"), col("iv_vec_a"), col("norm_vec_a"),
-        explode(nearestCellsQ(col("iv_vec_a"), cents, nprobe)).as("cell"))
-    val b = quantized(e, "vec_b")
-      .select(col("vec_b"), col("iv_vec_b"), col("norm_vec_b"),
-        explode(nearestCellsQ(col("iv_vec_b"), cents, nprobe)).as("cell"))
-    a.join(b, Seq("cell"))
-      .filter(col("vec_a") =!= col("vec_b"))
-      .select(
-        least(col("vec_a"), col("vec_b")).as("p_a"),
-        greatest(col("vec_a"), col("vec_b")).as("p_b"),
-        col("iv_vec_a"), col("iv_vec_b"),
-        col("norm_vec_a"), col("norm_vec_b"))
-      .dropDuplicates("p_a", "p_b")
+    // fixtures contain at the same join fan-out per side.
+    //
+    // The candidate stream is IDS ONLY, and deduplication is free:
+    // probe sets overlap in up to nprobe shared cells, so the cell
+    // join multiplies every pair — carrying the 64-long quantized
+    // vectors through that exchange was measured 8× SLOWER than the
+    // exact kernel at sf0.1 (the q_pq_recall lesson again: never let
+    // a wide column ride a per-pair shuffle), and even a narrow
+    // dropDuplicates pays a collision-stream-sized hash-agg exchange.
+    // Instead each pair is EMITTED EXACTLY ONCE, in the minimum
+    // shared cell id: both sides carry their (nprobe-element) probe
+    // array, and a collision row survives only where
+    // cell == min(pa ∩ pb) — a per-row filter in the same codegen
+    // stage as the join, no aggregation anywhere. Surviving unique
+    // pairs re-attach their vectors through two vector-table joins,
+    // so each is scored exactly once.
+    val q = quantized(e, "v")
+      .select(col("v"), nearestCellsQ(col("iv_v"), cents, nprobe).as("pc"))
+    val probes = q.select(col("v"), col("pc"), explode(col("pc")).as("cell"))
+    val cand = probes
+      .select(col("v").as("vec_a"), col("pc").as("pa"), col("cell"))
+      .join(probes.select(col("v").as("vec_b"), col("pc").as("pb"),
+        col("cell")), Seq("cell"))
+      .filter(col("vec_a") < col("vec_b") &&
+        col("cell") === array_min(array_intersect(col("pa"), col("pb"))))
+      .select(col("vec_a"), col("vec_b"))
+    cand
+      .join(quantized(e, "vec_a"), "vec_a")
+      .join(quantized(e, "vec_b"), "vec_b")
       .withColumn("cosine",
         dot_long(col("iv_vec_a"), col("iv_vec_b")).cast("double") /
           (col("norm_vec_a") * col("norm_vec_b")))
       .filter(col("cosine") >= threshold)
-      .select(col("p_a").as("vec_a"), col("p_b").as("vec_b"), col("cosine"))
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
   /** [[semanticClusters]] fed by the cell-bucketed candidate kernel —
