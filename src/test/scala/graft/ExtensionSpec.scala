@@ -73,6 +73,45 @@ class ExtensionSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom_probe_bucketed: codegen == interpreted, null shard probes false, cache spans buckets") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.BloomProbe.bloom_probe_bucketed
+    import spark.implicits._
+    // two real shards with disjoint contents + one bucket with no shard
+    def sketch(items: Seq[Long]): Array[Byte] = {
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+      items.foreach(bf.putLong)
+      val out = new java.io.ByteArrayOutputStream()
+      bf.writeTo(out); out.toByteArray
+    }
+    val s0 = sketch(Seq(1L, 2L, 3L)); val s1 = sketch(Seq(100L, 200L))
+    val rows = Seq(
+      (0L, Some(s0), 1L, true),    // present in its shard
+      (0L, Some(s0), 100L, false), // present only in the OTHER shard
+      (1L, Some(s1), 100L, true),
+      (1L, Some(s1), 1L, false),
+      (2L, None, 1L, false))       // bucket with no corpus shard
+    val df = rows.toDF("bucket", "bf", "h", "want")
+      .withColumn("got", bloom_probe_bucketed(col("bucket"), col("bf"), col("h")))
+    // codegen path (wholestage projection over a local relation)
+    df.collect().foreach(r =>
+      assert(r.getBoolean(4) == r.getBoolean(3), s"codegen row $r"))
+    // interpreted path: evaluate the expression directly per row
+    val expr = graft.functions.BloomProbeBucketed(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.catalyst.expressions.BoundReference(1,
+        org.apache.spark.sql.types.BinaryType, nullable = true),
+      org.apache.spark.sql.catalyst.expressions.BoundReference(2,
+        org.apache.spark.sql.types.LongType, nullable = false))
+    rows.foreach { case (b, bf, h, want) =>
+      val row = org.apache.spark.sql.catalyst.InternalRow(b, bf.orNull, h)
+      assert(expr.eval(row) == want, s"interpreted ($b, $h)")
+    }
+    // result is non-nullable by contract (missing shard == not seen)
+    assert(!df.schema("got").nullable)
+  }
+
   test("LobStream invariants hold across payload/chunk-size sweep") {
     val dir = graft.TempDirs.create("lobsweep")
     val rnd = new scala.util.Random(11)
