@@ -244,9 +244,63 @@ final case class DataAccessMethod(value: String) extends Directive {
     .contains(value.toUpperCase))
 }
 
+/** ENCRYPTION family (directives.py:274-296) — REAL since r10: the
+  * dump set is protected with Parquet Modular Encryption (AES-GCM
+  * pages + footer, keys wrapped through [[graft.sources.GraftKms]]).
+  * Semantics mapping:
+  *  - ALL / METADATA_ONLY / ENCRYPTED_COLUMNS_ONLY → uniform
+  *    encryption of every column and the footer (METADATA_ONLY and
+  *    column-subset granularity round UP to full protection — never
+  *    weaker than asked).
+  *  - DATA_ONLY → uniform column encryption with a PLAINTEXT (but
+  *    tamper-proof signed) footer: schema/stats readable without
+  *    keys, data not — Oracle's data-vs-metadata split, exactly.
+  *  - NONE → no effects.
+  */
+final case class Encryption(value: String) extends Directive {
+  val name = "ENCRYPTION"; val stage = Stage.DataPump
+  def valueRepr = value
+  require(Encryption.domain.contains(value.toUpperCase),
+    s"ENCRYPTION must be one of ${Encryption.domain}; got $value")
+}
+object Encryption {
+  val domain = Seq("ALL", "DATA_ONLY", "METADATA_ONLY",
+    "ENCRYPTED_COLUMNS_ONLY", "NONE")
+}
+
+/** AES128/AES192/AES256 → master/data key length. */
+final case class EncryptionAlgorithm(value: String) extends Directive {
+  val name = "ENCRYPTION_ALGORITHM"; val stage = Stage.DataPump
+  def valueRepr = value
+  require(graft.sources.ParquetCrypto.algorithmBits.contains(value.toUpperCase),
+    s"ENCRYPTION_ALGORITHM must be one of " +
+      s"${graft.sources.ParquetCrypto.algorithmBits.keys}; got $value")
+}
+
+/** PASSWORD (key derived from ENCRYPTION_PASSWORD), TRANSPARENT
+  * (wallet: keys from the `graft.encryption.key.list` conf), DUAL
+  * (both work — password supplied AND wallet honored). The mode is
+  * advisory here: key RESOLUTION order lives in [[graft.sources.GraftKms]]
+  * (wallet entry first, then password), which serves all three. */
+final case class EncryptionMode(value: String) extends Directive {
+  val name = "ENCRYPTION_MODE"; val stage = Stage.DataPump
+  def valueRepr = value
+  require(Seq("PASSWORD", "TRANSPARENT", "DUAL").contains(value.toUpperCase),
+    s"ENCRYPTION_MODE must be PASSWORD/TRANSPARENT/DUAL; got $value")
+}
+
+final case class EncryptionPassword(password: String) extends Directive {
+  val name = "ENCRYPTION_PASSWORD"; val stage = Stage.DataPump
+  /** Never echo the secret into sidecars/logs (the reference redacts
+    * it from request logging the same way). */
+  def valueRepr = "********"
+  require(password.nonEmpty, "ENCRYPTION_PASSWORD must be non-empty")
+}
+
 /** Oracle-physical switches accepted-and-ignored for API parity
-  * (directives.py:241-242,274-296,352-397 — encryption, editions,
-  * tablespace physics, streams config).
+  * (directives.py:241-242,352-397 — editions, tablespace physics,
+  * streams config). The ENCRYPTION family graduated to real
+  * directives above.
   */
 final case class PhysicalSwitch(name: String, value: String) extends Directive {
   val stage = Stage.DataPump
@@ -254,8 +308,7 @@ final case class PhysicalSwitch(name: String, value: String) extends Directive {
 }
 object PhysicalSwitch {
   val names = Set(
-    "ENCRYPTION", "ENCRYPTION_ALGORITHM", "ENCRYPTION_MODE",
-    "ENCRYPTION_PASSWORD", "SKIP_UNUSABLE_INDEXES", "REUSE_DATAFILES",
+    "SKIP_UNUSABLE_INDEXES", "REUSE_DATAFILES",
     "STREAMS_CONFIGURATION", "SOURCE_EDITION", "TARGET_EDITION",
     "TRANSPORTABLE", "TTS_FULL_CHECK", "TABLESPACE_DATAFILE",
     "USER_METADATA", "CLIENT_COMMAND")
@@ -383,6 +436,31 @@ object DirectiveCompiler {
         Seq(ReaderOption("mode", "FAILFAST"))
       else Seq.empty
     case DataAccessMethod(_) => Seq.empty // Spark picks vectorized reader
+    case Encryption(v) => v.toUpperCase match {
+      case "NONE" => Seq.empty
+      case mode =>
+        import graft.sources.ParquetCrypto._
+        // Factory + KMS + uniform key ride BOTH sides: the writer
+        // encrypts the dump set, and a subsequent IMPORT job carrying
+        // the same directives can decrypt it (Spark merges these
+        // options into the per-query Hadoop conf — no session-global
+        // state, concurrent jobs keep separate keys).
+        val both = baseOptions ++ Seq(UniformKeyKey -> MasterKeyId)
+        val footer =
+          if (mode == "DATA_ONLY") Seq(PlaintextFooterKey -> "true")
+          else Seq.empty
+        (both ++ footer).flatMap { case (k, vv) =>
+          Seq(WriterOption(k, vv), ReaderOption(k, vv)) }
+    }
+    case EncryptionAlgorithm(v) =>
+      import graft.sources.ParquetCrypto._
+      val bits = algorithmBits(v.toUpperCase).toString
+      Seq(WriterOption(DataKeyLengthKey, bits),
+        WriterOption(KeyBitsConf, bits), ReaderOption(KeyBitsConf, bits))
+    case EncryptionMode(_) => Seq.empty // resolution order fixed in GraftKms
+    case EncryptionPassword(pw) =>
+      import graft.sources.ParquetCrypto._
+      Seq(WriterOption(PasswordConf, pw), ReaderOption(PasswordConf, pw))
     case PhysicalSwitch(n, _) => Seq(Ignored(s"$n has no Spark analog"))
     case RemapSchema(f, t) => Seq(IdentityRemap("SCHEMA", f, t))
     case RemapTablespace(f, t) => Seq(IdentityRemap("TABLESPACE", f, t))
@@ -445,6 +523,10 @@ object DirectiveCompiler {
       case "REMAP_DATAFILE" => RemapDatafile(ov, v)
       case "REMAP_TABLE" => RemapTable(ov, v)
       case "DELETE_FILES" => DeleteFiles()
+      case "ENCRYPTION" => Encryption(v)
+      case "ENCRYPTION_ALGORITHM" => EncryptionAlgorithm(v)
+      case "ENCRYPTION_MODE" => EncryptionMode(v)
+      case "ENCRYPTION_PASSWORD" => EncryptionPassword(v)
       case t if TransformDirective.names.contains(t) => TransformDirective(t, v)
       case p if PhysicalSwitch.names.contains(p) => PhysicalSwitch(p, v)
       case other => throw new graft.model.Exceptions.BadRequest(

@@ -1,0 +1,128 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+
+/** REAL encryption for the ENCRYPTION directive family — Parquet
+  * Modular Encryption (the columnar analog of Data Pump's encrypted
+  * dump files, reference directives.py:274-296; previously
+  * accepted-and-ignored as a PhysicalSwitch).
+  *
+  * Mechanism: parquet-mr's `PropertiesDrivenCryptoFactory` encrypts
+  * data pages and (by default) the footer with AES-GCM, wrapping the
+  * per-file data keys through a pluggable [[GraftKms]]. All
+  * configuration travels as DATASOURCE OPTIONS — Spark merges
+  * reader/writer options into the per-query Hadoop conf
+  * (`newHadoopConfWithOptions`), so jobs need no session-global
+  * mutation and two jobs with different keys can run concurrently.
+  *
+  * Key material, in ENCRYPTION_MODE order of precedence:
+  *  - PASSWORD mode (the Data Pump default when a password is given):
+  *    the master key derives from ENCRYPTION_PASSWORD via
+  *    PBKDF2-HMAC-SHA256 (65,536 rounds, fixed per-key salt) at the
+  *    ENCRYPTION_ALGORITHM key length. Deterministic, so an import
+  *    presenting the same password unwraps what the export wrapped.
+  *  - TRANSPARENT/DUAL mode (the wallet analog): base64 master keys
+  *    supplied out-of-band via the `graft.encryption.key.list` conf
+  *    (e.g. `spark.hadoop.graft.encryption.key.list=k0:AAAA...`),
+  *    never through the directive surface.
+  *
+  * Scale note: encryption is a per-page stream cipher in the writer
+  * tasks — fully distributed, no driver involvement, no extra
+  * shuffle; the cost rides the existing write stage like a codec.
+  */
+object ParquetCrypto {
+  val FactoryClassKey = "parquet.crypto.factory.class"
+  val FactoryClass = "org.apache.parquet.crypto.keytools.PropertiesDrivenCryptoFactory"
+  val KmsClassKey = "parquet.encryption.kms.client.class"
+  val UniformKeyKey = "parquet.encryption.uniform.key"
+  val PlaintextFooterKey = "parquet.encryption.plaintext.footer"
+  val DataKeyLengthKey = "parquet.encryption.data.key.length.bits"
+
+  /** Graft-side key-material confs, read by [[GraftKms]]. */
+  val PasswordConf = "graft.encryption.password"
+  val KeyBitsConf = "graft.encryption.key.bits"
+  val KeyListConf = "graft.encryption.key.list"
+
+  /** The master-key id the uniform (whole-file) mode wraps under. */
+  val MasterKeyId = "k0"
+
+  /** AES128/AES192/AES256 → master/data key bits. */
+  val algorithmBits: Map[String, Int] =
+    Map("AES128" -> 128, "AES192" -> 192, "AES256" -> 256)
+
+  /** PBKDF2-HMAC-SHA256 password derivation — deterministic per
+    * (password, keyId, bits), so export and import agree with no key
+    * exchange beyond the password itself. */
+  def deriveKey(password: String, keyId: String, bits: Int): Array[Byte] = {
+    val spec = new javax.crypto.spec.PBEKeySpec(
+      password.toCharArray, s"graft-dp:$keyId".getBytes("UTF-8"), 65536, bits)
+    javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+      .generateSecret(spec).getEncoded
+  }
+
+  /** The reader/writer options every encrypted job carries: factory +
+    * KMS class. Key material and mode arrive via the directive
+    * compiler's additional options. */
+  def baseOptions: Seq[(String, String)] = Seq(
+    FactoryClassKey -> FactoryClass,
+    KmsClassKey -> classOf[GraftKms].getName)
+}
+
+/** In-process KMS for Parquet Modular Encryption: wraps/unwraps data
+  * encryption keys with AES-GCM under master keys resolved from the
+  * Hadoop conf ([[ParquetCrypto.KeyListConf]] wallet entries, or a
+  * [[ParquetCrypto.PasswordConf]]-derived key). The class is
+  * instantiated BY PARQUET via the `parquet.encryption.kms.client.class`
+  * conf, once per task; in production the same interface fronts a real
+  * KMS service — this implementation is the self-contained analog of
+  * Data Pump's password/wallet encryption, with no external service.
+  */
+class GraftKms extends org.apache.parquet.crypto.keytools.KmsClient {
+  private var conf: Configuration = _
+
+  override def initialize(configuration: Configuration, kmsInstanceID: String,
+      kmsInstanceURL: String, accessToken: String): Unit =
+    conf = configuration
+
+  private def masterKey(keyId: String): Array[Byte] = {
+    val fromList = Option(conf.get(ParquetCrypto.KeyListConf)).flatMap { list =>
+      list.split(",").map(_.trim).collectFirst {
+        case e if e.startsWith(s"$keyId:") =>
+          java.util.Base64.getDecoder.decode(e.substring(keyId.length + 1))
+      }
+    }
+    fromList.orElse {
+      Option(conf.get(ParquetCrypto.PasswordConf)).map { pw =>
+        val bits = conf.getInt(ParquetCrypto.KeyBitsConf, 128)
+        ParquetCrypto.deriveKey(pw, keyId, bits)
+      }
+    }.getOrElse(throw new org.apache.parquet.crypto.KeyAccessDeniedException(
+      s"no key material for '$keyId': provide ENCRYPTION_PASSWORD or set " +
+        s"${ParquetCrypto.KeyListConf} (wallet mode)"))
+  }
+
+  private def cipher(mode: Int, key: Array[Byte],
+      iv: Array[Byte]): javax.crypto.Cipher = {
+    val c = javax.crypto.Cipher.getInstance("AES/GCM/NoPadding")
+    c.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.GCMParameterSpec(128, iv))
+    c
+  }
+
+  override def wrapKey(keyBytes: Array[Byte],
+      masterKeyIdentifier: String): String = {
+    val iv = new Array[Byte](12)
+    java.security.SecureRandom.getInstanceStrong.nextBytes(iv)
+    val ct = cipher(javax.crypto.Cipher.ENCRYPT_MODE,
+      masterKey(masterKeyIdentifier), iv).doFinal(keyBytes)
+    java.util.Base64.getEncoder.encodeToString(iv ++ ct)
+  }
+
+  override def unwrapKey(wrappedKey: String,
+      masterKeyIdentifier: String): Array[Byte] = {
+    val all = java.util.Base64.getDecoder.decode(wrappedKey)
+    val (iv, ct) = all.splitAt(12)
+    cipher(javax.crypto.Cipher.DECRYPT_MODE,
+      masterKey(masterKeyIdentifier), iv).doFinal(ct)
+  }
+}

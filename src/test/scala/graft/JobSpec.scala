@@ -766,4 +766,59 @@ class JobSpec extends AnyFunSuite {
     // the real value (space is not escaped and passes through)
     assert(tables.toSeq == Seq("t_grp_a:1", "t_grp_b c"), tables.toSeq)
   }
+
+  test("ENCRYPTION=ALL encrypts the dump set; the password round-trips it") {
+    val dump = tmp("jobspec-enc-dump")
+    val tgt = tmp("jobspec-enc-import")
+    val enc = Seq(Encryption("ALL"), EncryptionAlgorithm("AES256"),
+      EncryptionMode("PASSWORD"), EncryptionPassword("s3cret-pw"))
+    val exp = DataPumpJob(Operation.Export, JobMode.Table, sf, dump,
+      directives = IncludeTable(Seq("nation")) +: enc).run(spark)
+    assert(exp.state == JobState.Completed, exp.errors)
+    // encrypted-footer parquet announces itself: magic bytes PARE
+    val part = new java.io.File(s"$dump/main/nation").listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val magic = new Array[Byte](4)
+    val in = new java.io.FileInputStream(part)
+    try in.read(magic) finally in.close()
+    assert(new String(magic, "US-ASCII") == "PARE", s"not encrypted: $part")
+    // without key material the dump is unreadable
+    intercept[Throwable] {
+      spark.read.parquet(s"$dump/main/nation").collect()
+    }
+    // an import presenting the same password round-trips the rows —
+    // and RE-ENCRYPTS its own output (the directives ride the import
+    // writer too), so reading the target back also needs the keys
+    val imp = DataPumpJob(Operation.Import, JobMode.Full, dump, tgt,
+      directives = enc).run(spark)
+    assert(imp.state == JobState.Completed, imp.errors)
+    import graft.sources.ParquetCrypto
+    val keyed = Map(
+      ParquetCrypto.FactoryClassKey -> ParquetCrypto.FactoryClass,
+      ParquetCrypto.KmsClassKey -> classOf[graft.sources.GraftKms].getName,
+      ParquetCrypto.PasswordConf -> "s3cret-pw")
+    intercept[Throwable] { // still protected at rest after import
+      spark.read.parquet(s"$tgt/main/nation").collect()
+    }
+    val got = spark.read.options(keyed).parquet(s"$tgt/main/nation")
+      .orderBy("n_nationkey").collect()
+    val want = Tables.load(spark, sf, "nation").orderBy("n_nationkey").collect()
+    assert(got.sameElements(want))
+    // DATA_ONLY: plaintext (signed) footer — PAR1 magic, schema
+    // readable without keys, data still protected
+    val dump2 = tmp("jobspec-enc-dataonly")
+    val exp2 = DataPumpJob(Operation.Export, JobMode.Table, sf, dump2,
+      directives = Seq(IncludeTable(Seq("nation")), Encryption("DATA_ONLY"),
+        EncryptionPassword("s3cret-pw"))).run(spark)
+    assert(exp2.state == JobState.Completed, exp2.errors)
+    val part2 = new java.io.File(s"$dump2/main/nation").listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val in2 = new java.io.FileInputStream(part2)
+    try in2.read(magic) finally in2.close()
+    assert(new String(magic, "US-ASCII") == "PAR1", s"footer not plaintext")
+    assert(spark.read.parquet(s"$dump2/main/nation").schema.nonEmpty)
+    intercept[Throwable] {
+      spark.read.parquet(s"$dump2/main/nation").collect()
+    }
+  }
 }
