@@ -48,10 +48,22 @@ object ZOrder {
   def zorderLayout(spark: SparkSession, sf: String,
       groupBits: Int = 4): DataFrame = {
     require(groupBits >= 1 && groupBits <= 16, s"groupBits: $groupBits")
-    val raw = Tables.load(spark, sf, "orders")
-      .select(col("o_orderkey"),
-        col("o_custkey").cast("long").as("ck_raw"),
-        expr("unix_date(cast(o_orderdate as date))").cast("long").as("dy_raw"))
+    zAssigned(Tables.load(spark, sf, "orders"))
+      .select(col("o_orderkey"), col("ck"), col("dy"), col("z"),
+        expr(s"z >> ${32 - groupBits}").cast("long").as("zgroup"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Append the scaled dimensions (`ck`, `dy`) and the 32-bit Morton
+    * key `z` to a full `orders` row set — the shared front half of the
+    * key-only [[zorderLayout]] and the file-writing
+    * [[Maintenance.writeZOrderedOrders]]. Narrow maps plus one tiny
+    * broadcast extent aggregate; never shuffles the fact rows. */
+  private[operators] def zAssigned(orders: DataFrame): DataFrame = {
+    val raw = orders
+      .withColumn("ck_raw", col("o_custkey").cast("long"))
+      .withColumn("dy_raw",
+        expr("unix_date(cast(o_orderdate as date))").cast("long"))
     val ext = raw.agg(
       min(col("ck_raw")).as("ck_min"), max(col("ck_raw")).as("ck_max"),
       min(col("dy_raw")).as("dy_min"), max(col("dy_raw")).as("dy_max"))
@@ -61,8 +73,6 @@ object ZOrder {
       .withColumn("dy",
         expr("((dy_raw - dy_min) * 65535) div greatest(1L, dy_max - dy_min)"))
       .withColumn("z", expr(mortonExpr("ck", "dy")).cast("long"))
-      .select(col("o_orderkey"), col("ck"), col("dy"), col("z"),
-        expr(s"z >> ${32 - groupBits}").cast("long").as("zgroup"))
-      .orderBy(col("o_orderkey"))
+      .drop("ck_raw", "dy_raw", "ck_min", "ck_max", "dy_min", "dy_max")
   }
 }
