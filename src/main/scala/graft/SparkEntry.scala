@@ -80,6 +80,9 @@ object SparkEntry {
     "q_stream_outliers" ->
       ((s: SparkSession, d: String) =>
         graft.streaming.EventStream.outliersViaStream(s, d)),
+    "q_stream_sessions" ->
+      ((s: SparkSession, d: String) =>
+        graft.streaming.EventStream.sessionsViaTws(s, d)),
     "q_pivot" -> (Relational.pivotStatus _),
     "q_approx_distinct" -> (Relational.approxDistinct _),
     "q_profile" -> (Relational.profile _),
@@ -660,6 +663,23 @@ object SparkEntry {
          ORDER BY o_orderpriority""",
 
     "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         w AS (SELECT user_id, event_id, ts,
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+               FROM e),
+         s AS (SELECT *, CASE WHEN prev_ts IS NULL
+                 OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                 THEN 1 ELSE 0 END AS new_session FROM w),
+         c AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+               FROM s)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+         FROM c GROUP BY 1, 2 ORDER BY user_id, session_id""",
+
+    // the transformWithState/RocksDB streaming twin reproduces the
+    // batch session aggregate exactly, so it shares the window oracle
+    "q_stream_sessions" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
          w AS (SELECT user_id, event_id, ts,
                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 import java.sql.Timestamp
 
@@ -327,4 +327,90 @@ object EventStream {
           out.iterator
       }
   }
+
+  // ---- stateful sessionization (transformWithState + RocksDB) ------
+
+  /** One sessionized event: the [[assignSessions]] tuple plus the
+    * timestamp, so the q_sessionize aggregate (count/min/max per
+    * session) can be rebuilt from the stream's own output. */
+  case class SessionEvent(event_id: Long, ts: Timestamp, user_id: Long,
+      session_id: Long)
+
+  /** The 30-minute-gap session rule as a [[StatefulProcessor]] — the
+    * arbitrary-state API that supersedes `mapGroupsWithState`: state
+    * is DECLARED (named, typed, per-kind TTL) instead of being one
+    * opaque blob, which is what lets the engine store it row-wise in
+    * RocksDB and evolve its schema. Identical fold to
+    * [[assignSessions]], so the two APIs are pinned to each other and
+    * to the batch window oracle.
+    *
+    * TTL is deliberately NONE here because the bounded replay must
+    * assign every historical event; a production session store would
+    * pass a TTL of a few gap-lengths so abandoned users age out of
+    * RocksDB without a timer per key. */
+  class SessionProcessor extends StatefulProcessor[Long, Ev, SessionEvent] {
+    @transient private var st: ValueState[SessionState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+    override def handleInputRows(userId: Long, evs: Iterator[Ev],
+        timers: TimerValues): Iterator[SessionEvent] = {
+      val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var s = if (st.exists()) st.get()
+        else SessionState(0L, Long.MinValue, 0L)
+      val out = sorted.map { e =>
+        val t = micros(e.ts)
+        s = if (s.lastTs == Long.MinValue || t - s.lastTs > GapMicros)
+          SessionState(s.sessionId + 1, t, 1)
+        else s.copy(lastTs = t, count = s.count + 1)
+        SessionEvent(e.event_id, e.ts, userId, s.sessionId)
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  /** q_sessionize's STREAMING twin through [[SessionProcessor]] on the
+    * RocksDB state store — the state backend a 100 TB session store
+    * actually needs (`transformWithState` requires it; the default
+    * HDFS-backed store keeps every key in executor HEAP, so state is
+    * memory-bound, while RocksDB spills to local SSD and checkpoints
+    * changelogs, bounding memory by the working set). The stream emits
+    * per-event assignments; the per-session aggregate over the
+    * stream's OWN output rebuilds the exact q_sessionize shape, so the
+    * same DuckDB window oracle pins the full pipeline end-to-end.
+    *
+    * The provider conf is set for the bounded run and restored — it is
+    * captured by the query at start, the same contract runToCompletion
+    * already uses for the state partition count. */
+  def sessionsViaTws(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val assigned = readEvents(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+    val prev = spark.conf.getOption(ProviderConfKey)
+    spark.conf.set(ProviderConfKey, RocksDbProvider)
+    val perEvent =
+      try runToCompletion(spark, assigned, OutputMode.Append(),
+        Seq("event_id"))
+      finally prev match {
+        case Some(v) => spark.conf.set(ProviderConfKey, v)
+        case None => spark.conf.unset(ProviderConfKey)
+      }
+    perEvent
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  private val ProviderConfKey = "spark.sql.streaming.stateStore.providerClass"
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 }

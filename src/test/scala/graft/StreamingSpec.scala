@@ -209,6 +209,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateful == batch)
   }
 
+  test("transformWithState sessionization on RocksDB matches batch row-for-row") {
+    // the modern arbitrary-state API driven as a REAL streaming query
+    // (transformWithState refuses the default HDFS-backed provider,
+    // so a green run also proves the RocksDB state store path works)
+    val tws = EventStream.sessionsViaTws(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4))).toSeq
+    val batch = Events.sessionize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4))).toSeq
+    assert(tws.nonEmpty && tws == batch)
+    // the conf dance restored the session's provider
+    assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")))
+  }
+
   test("flatMapGroupsWithState per-event session assignment matches batch") {
     import spark.implicits._
     implicit val s = spark
