@@ -55,6 +55,9 @@ object Effect {
   case object Departition extends Effect
   /** Runs after a successful job with the final metadata. */
   case class PostAction(run: graft.job.JobContext => Unit) extends Effect
+  /** Bound imported-table file sizes: part-file count derives from
+    * measured source bytes / target instead of PARALLEL. */
+  case class TargetFileBytes(bytes: Long) extends Effect
   /** KEEP_MASTER: retain the job's registry entry past orphan GC. */
   case object RetainMaster extends Effect
   /** Accepted for API parity; no Spark analog. Logged, never fails. */
@@ -368,6 +371,49 @@ final case class DeleteFiles() extends Directive {
   def valueRepr = "1"
 }
 
+/** ENGINE EXTENSION (no reference analog): bound the size of the part
+  * files an IMPORT writes per table. The reference couples output file
+  * count to PARALLEL alone (`%U` sets, directives.py:161-188), which
+  * at 100 TB leaves both failure modes on the table: a huge table in
+  * `PARALLEL` files gives monolithic files no scan can split cheaply,
+  * and a high-PARALLEL import of small tables strews stragglers that
+  * every later scan pays for in task scheduling + footer reads.
+  *
+  * Value is bytes, with Oracle-FILESIZE-style unit suffixes
+  * (`512`, `64KB`, `128MB`, `1GB`, `1TB`). The effect is applied at
+  * WRITE time — file count = ceil(measured source bytes / target),
+  * replacing the PARALLEL repartition — so the layout costs zero
+  * extra I/O, unlike a post-hoc compaction pass
+  * ([[graft.operators.Maintenance.compact]] is the standalone repair
+  * tool for tables already on disk). Same-format (parquet→parquet)
+  * source bytes are the right output-size predictor; cross-format
+  * imports (csv→parquet) inherit the source-side measure as a
+  * conservative over-estimate (compressed columnar output shrinks, so
+  * files land under target, never over).
+  */
+final case class TargetFileSize(bytes: Long) extends Directive {
+  val name = "TARGET_FILE_SIZE"; val stage = Stage.DataPump
+  def valueRepr = bytes.toString
+  require(bytes > 0, s"TARGET_FILE_SIZE must be positive: $bytes")
+}
+object TargetFileSize {
+  private val Form = "(?i)\\s*(\\d+)\\s*(B|KB|MB|GB|TB)?\\s*".r
+  /** Parse `128MB` / `64KB` / plain bytes. */
+  def parse(v: String): TargetFileSize = v match {
+    case Form(n, unit) =>
+      val shift = Option(unit).map(_.toUpperCase) match {
+        case None | Some("B") => 0
+        case Some("KB") => 10
+        case Some("MB") => 20
+        case Some("GB") => 30
+        case Some("TB") => 40
+      }
+      TargetFileSize(n.toLong << shift)
+    case other => throw new graft.model.Exceptions.BadRequest(
+      s"TARGET_FILE_SIZE: cannot parse '$other' (want <n>[B|KB|MB|GB|TB])")
+  }
+}
+
 // --------------------------------------------------------------- compiler
 
 object DirectiveCompiler {
@@ -478,6 +524,7 @@ object DirectiveCompiler {
     }
     case DeleteFiles() =>
       Seq(PostAction(ctx => ctx.deleteSourceFiles()))
+    case TargetFileSize(b) => Seq(TargetFileBytes(b))
   }
 
   /** Registry for JSON-name instantiation — parity with the reflective
@@ -523,6 +570,7 @@ object DirectiveCompiler {
       case "REMAP_DATAFILE" => RemapDatafile(ov, v)
       case "REMAP_TABLE" => RemapTable(ov, v)
       case "DELETE_FILES" => DeleteFiles()
+      case "TARGET_FILE_SIZE" => TargetFileSize.parse(v)
       case "ENCRYPTION" => Encryption(v)
       case "ENCRYPTION_ALGORITHM" => EncryptionAlgorithm(v)
       case "ENCRYPTION_MODE" => EncryptionMode(v)

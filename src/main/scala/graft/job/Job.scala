@@ -215,6 +215,15 @@ case class DataPumpJob(
 
     // ---- effect resolution ----
     val parallel = effects.collectFirst { case Effect.SetParallel(n) => n }.getOrElse(1)
+    // TARGET_FILE_SIZE (engine extension): on IMPORT, part-file count
+    // per table derives from measured source bytes / target instead of
+    // PARALLEL — the write-time layout bound that needs no second
+    // (compaction) pass. Export keeps the PARALLEL/%U coupling: the
+    // dump-set contract names exactly `parallel` files.
+    val targetFileBytes: Option[Long] =
+      if (operation == Operation.Import)
+        effects.collectFirst { case Effect.TargetFileBytes(b) => b }
+      else None
     // DUMP_FORMAT governs the dump-set side: what an EXPORT writes.
     // IMPORT always lands in the engine's native parquet store and
     // SNIFFS the dump's format from its part files, so any-format dump
@@ -364,21 +373,42 @@ case class DataPumpJob(
           } else if (saveMode == SaveMode.Ignore && exists(spark, outPath)) {
             ObjectStatus(table, "SKIPPED", 0, 0, secsSince(t0), None, srcSchema)
           } else {
-            if (truncate && exists(spark, outPath)) {
-              // TABLE_EXISTS_ACTION=TRUNCATE preserves target schema:
-              // validate incoming schema equality before overwrite.
+            if ((truncate || saveMode == SaveMode.Append) &&
+                exists(spark, outPath)) {
+              // TRUNCATE preserves target schema; APPEND extends the
+              // existing table in place — BOTH require the incoming
+              // schema to equal what's on disk. An unchecked APPEND is
+              // the worse failure: Spark happily lands mismatched part
+              // files next to the old ones, and every later read
+              // resolves the union by footer merge — silently nulled
+              // columns instead of an error (the reference's loader
+              // raises ORA-31693 per object on structure mismatch;
+              // that is this guard, routed through the per-object
+              // error accumulation).
+              val action = if (truncate) "TRUNCATE" else "APPEND"
               val existing = readTable(spark, outPath, Map.empty,
                 detectFormat(spark, outPath)).schema
               require(existing == df.schema,
-                s"TRUNCATE requires identical schema for $table: " +
+                s"$action requires identical schema for $table: " +
                   s"existing ${existing.simpleString} vs ${df.schema.simpleString}")
             }
             // Row count observed ON the write itself — a second full
             // scan of what was just written would double read I/O
             // (tens of redundant TB at the 100 TB design point).
             val obs = Observation()
+            // File count: PARALLEL (%U dump-set layout) unless
+            // TARGET_FILE_SIZE bounds it by measured source bytes —
+            // driver-side FS metadata, no scan. (DEPARTITION combos
+            // above keep PARALLEL: per-combo byte shares aren't
+            // knowable without reading the source partitions.)
+            val nParts = targetFileBytes match {
+              case Some(b) =>
+                val srcBytes = pathBytes(spark, srcPath)
+                math.min(1L << 20, math.max(1L, (srcBytes + b - 1) / b)).toInt
+              case None => parallel
+            }
             writeTable(df.observe(obs, count(lit(1)).as("rows"))
-              .repartition(parallel), // %U dump-set layout: n part files
+              .repartition(nParts),
               outPath, saveMode, writerOpts, writeFormat)
             ObjectStatus(table, "COMPLETED",
               obs.get("rows").asInstanceOf[Long],

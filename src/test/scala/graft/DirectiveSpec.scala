@@ -39,6 +39,20 @@ class DirectiveSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Logtime("SOMETIMES"))
   }
 
+  test("TARGET_FILE_SIZE parses FILESIZE-style units and compiles to a byte bound") {
+    assert(TargetFileSize.parse("512") == TargetFileSize(512L))
+    assert(TargetFileSize.parse("64kb") == TargetFileSize(64L << 10))
+    assert(TargetFileSize.parse("128MB") == TargetFileSize(128L << 20))
+    assert(TargetFileSize.parse("1GB") == TargetFileSize(1L << 30))
+    assert(TargetFileSize.parse("2TB") == TargetFileSize(2L << 40))
+    assert(DirectiveCompiler.fromJson("TARGET_FILE_SIZE", Some("128MB"), None) ==
+      TargetFileSize(128L << 20))
+    assert(DirectiveCompiler.compile(TargetFileSize(7L)) ==
+      Seq(Effect.TargetFileBytes(7L)))
+    intercept[graft.model.Exceptions.BadRequest](TargetFileSize.parse("fast"))
+    intercept[IllegalArgumentException](TargetFileSize(0L))
+  }
+
   test("compile: filters restrict object selection") {
     val effects = DirectiveCompiler.compile(IncludeTable(Seq("lineitem", "orders")))
     val sel = effects.collectFirst { case Effect.ObjectSelection(f) => f }.get

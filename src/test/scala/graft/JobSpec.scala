@@ -69,6 +69,52 @@ class JobSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$dump/main/region").exists())
   }
 
+  test("APPEND validates on-disk schema: a mismatched append fails per-object") {
+    val dump1 = tmp("jobspec-app-r"); val dump2 = tmp("jobspec-app-n")
+    val tgt = tmp("jobspec-app-tgt")
+    DataPumpJob(Operation.Export, JobMode.Table, sf, dump1,
+      directives = Seq(IncludeTable(Seq("region")))).run(spark)
+    // nation remapped to the TABLE NAME region — same name, different
+    // structure: the unchecked-append disaster shape (supplier rides
+    // along cleanly so the job is PARTIAL — all-failed maps to
+    // Stopped by the 12-state machine, which isn't what's under test)
+    DataPumpJob(Operation.Export, JobMode.Table, sf, dump2,
+      directives = Seq(IncludeTable(Seq("nation", "supplier")))).run(spark)
+    DataPumpJob(Operation.Import, JobMode.Full, dump1, tgt).run(spark)
+    assert(spark.read.parquet(s"$tgt/main/region").count() == 5)
+    val bad = DataPumpJob(Operation.Import, JobMode.Full, dump2, tgt,
+      directives = Seq(RemapTable("nation", "region"),
+        TableExistsAction("APPEND"))).run(spark)
+    assert(bad.state == JobState.CompletedWithErrors, bad.state)
+    assert(bad.objects.exists(o => o.state == "FAILED" &&
+      o.error.exists(_.contains("APPEND requires identical schema"))))
+    // the target table is untouched — still 5 region rows, readable
+    assert(spark.read.parquet(s"$tgt/main/region").count() == 5)
+  }
+
+  test("TARGET_FILE_SIZE sizes import part files from measured source bytes") {
+    val dump = tmp("jobspec-tfs-dump")
+    DataPumpJob(Operation.Export, JobMode.Table, sf, dump,
+      directives = Seq(IncludeTable(Seq("orders")), Parallel(4))).run(spark)
+    def partFiles(dir: String): Array[java.io.File] =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-"))
+    val dumpBytes = partFiles(s"$dump/main/orders").map(_.length).sum
+    assert(partFiles(s"$dump/main/orders").length == 4) // PARALLEL layout
+    // huge target → ONE file, PARALLEL=4 notwithstanding
+    val tgt1 = tmp("jobspec-tfs-one")
+    val one = DataPumpJob(Operation.Import, JobMode.Full, dump, tgt1,
+      directives = Seq(Parallel(4), TargetFileSize.parse("1GB"))).run(spark)
+    assert(one.state == JobState.Completed)
+    assert(partFiles(s"$tgt1/main/orders").length == 1)
+    assert(spark.read.parquet(s"$tgt1/main/orders").count() ==
+      spark.read.parquet(graft.Tables.path(sf, "orders")).count())
+    // target = ceil(dumpBytes/3) → exactly 3 files
+    val tgt3 = tmp("jobspec-tfs-three")
+    DataPumpJob(Operation.Import, JobMode.Full, dump, tgt3,
+      directives = Seq(TargetFileSize((dumpBytes + 2) / 3))).run(spark)
+    assert(partFiles(s"$tgt3/main/orders").length == 3)
+  }
+
   test("TRUNCATE validates schema equality before overwrite") {
     val out = tmp("jobspec-trunc")
     val j1 = DataPumpJob(Operation.Export, JobMode.Table, sf, out,
