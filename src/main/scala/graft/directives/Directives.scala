@@ -398,7 +398,11 @@ final case class TargetFileSize(bytes: Long) extends Directive {
 }
 object TargetFileSize {
   private val Form = "(?i)\\s*(\\d+)\\s*(B|KB|MB|GB|TB)?\\s*".r
-  /** Parse `128MB` / `64KB` / plain bytes. */
+  /** Parse `128MB` / `64KB` / plain bytes. Overflow is a rejected
+    * request, not a wrapped Long: `16777217TB` shifted into a Long
+    * silently becomes 1 TB — a wildly wrong part-file count accepted
+    * without a sound — so the arithmetic happens in BigInt and
+    * anything outside (0, Long.Max] is a BadRequest. */
   def parse(v: String): TargetFileSize = v match {
     case Form(n, unit) =>
       val shift = Option(unit).map(_.toUpperCase) match {
@@ -408,7 +412,11 @@ object TargetFileSize {
         case Some("GB") => 30
         case Some("TB") => 40
       }
-      TargetFileSize(n.toLong << shift)
+      val bytes = BigInt(n) << shift
+      if (!bytes.isValidLong)
+        throw new graft.model.Exceptions.BadRequest(
+          s"TARGET_FILE_SIZE: '$v' exceeds the representable byte range")
+      TargetFileSize(bytes.toLong)
     case other => throw new graft.model.Exceptions.BadRequest(
       s"TARGET_FILE_SIZE: cannot parse '$other' (want <n>[B|KB|MB|GB|TB])")
   }

@@ -66,14 +66,19 @@ object ObjectTypeValidator {
     * Unobservable physical kinds ([[Unobservable]]) are excluded —
     * a live validation should not claim a kind it cannot verify.
     * Cached per (connection URL, mode), the reference's lru_cache
-    * shape. */
+    * shape — and like any lru_cache over live catalog state, stale by
+    * design: DDL that adds the database's first procedure or schema
+    * is not seen until [[clearLiveCache]] (or a new JVM). Callers
+    * that must observe fresh DDL clear between jobs; the job-scoped
+    * usage here validates once per submission, where staleness spans
+    * one job, not the process lifetime. */
   def validTypesLive(meta: java.sql.DatabaseMetaData,
       mode: JobMode): Set[String] =
     liveCache.getOrElseUpdate((meta.getURL, mode), {
       val tableKinds = scala.collection.mutable.Set.empty[String]
       val rs = meta.getTableTypes
-      while (rs.next()) tableKinds += rs.getString(1).toUpperCase
-      rs.close()
+      try while (rs.next()) tableKinds += rs.getString(1).toUpperCase
+      finally rs.close()
       val observable = scala.collection.mutable.Set.empty[String]
       if (tableKinds.exists(_.contains("TABLE")))
         observable ++= Set("TABLE", "TABLE_DATA", "INDEX", "CONSTRAINT",
@@ -85,10 +90,13 @@ object ObjectTypeValidator {
       if (meta.supportsStoredProcedures())
         observable ++= Set("PROCEDURE", "FUNCTION", "PACKAGE")
       val schemas = meta.getSchemas
-      if (schemas.next()) observable += "USER"
-      schemas.close()
+      try { if (schemas.next()) observable += "USER" }
+      finally schemas.close()
       (byMode(mode) -- Unobservable).intersect(observable.toSet)
     })
+
+  /** Drop cached live validations (post-DDL refresh hook). */
+  def clearLiveCache(): Unit = liveCache.clear()
 
   /** [[validate]] against the live tier. */
   def validateLive(meta: java.sql.DatabaseMetaData, mode: JobMode,

@@ -236,6 +236,18 @@ case class DataPumpJob(
       case Effect.SetSaveMode(m, t) => (m, t)
     }.getOrElse((SaveMode.ErrorIfExists, false))
     val writerOpts = effects.collect { case Effect.WriterOption(k, v) => k -> v }.toMap
+    // ENCRYPTION is Parquet Modular Encryption: its writer options are
+    // parquet.crypto.*/parquet.encryption.* keys that every OTHER
+    // format writer silently IGNORES — combined with DUMP_FORMAT=csv/
+    // json/orc the dump would land cleartext while the job reports
+    // COMPLETED. A silently-unencrypted "encrypted" export is the one
+    // failure mode a security directive must not have: fail the job up
+    // front instead.
+    if (writeFormat != "parquet" && writerOpts.keys.exists(k =>
+        k.startsWith("parquet.crypto") || k.startsWith("parquet.encryption")))
+      throw new graft.model.Exceptions.BadRequest(
+        s"ENCRYPTION requires the parquet dump format; DUMP_FORMAT=" +
+          s"$writeFormat would silently write a cleartext dump")
     val readerOpts = effects.collect { case Effect.ReaderOption(k, v) => k -> v }.toMap
     val transforms = effects.collect { case Effect.PlanTransform(f) => f }
     val estimateOnly = effects.contains(Effect.EstimateOnly)
@@ -373,8 +385,11 @@ case class DataPumpJob(
           } else if (saveMode == SaveMode.Ignore && exists(spark, outPath)) {
             ObjectStatus(table, "SKIPPED", 0, 0, secsSince(t0), None, srcSchema)
           } else {
-            if ((truncate || saveMode == SaveMode.Append) &&
-                exists(spark, outPath)) {
+            val existingFormat =
+              if ((truncate || saveMode == SaveMode.Append) &&
+                exists(spark, outPath)) Some(detectFormat(spark, outPath))
+              else None
+            if (existingFormat.exists(f => f == "parquet" || f == "orc")) {
               // TRUNCATE preserves target schema; APPEND extends the
               // existing table in place — BOTH require the incoming
               // schema to equal what's on disk. An unchecked APPEND is
@@ -384,10 +399,18 @@ case class DataPumpJob(
               // columns instead of an error (the reference's loader
               // raises ORA-31693 per object on structure mismatch;
               // that is this guard, routed through the per-object
-              // error accumulation).
+              // error accumulation). Scope: self-describing formats
+              // only — a csv/json target's schema comes back through
+              // lossy inference (alphabetized columns, widened ints),
+              // so "existing != incoming" there says nothing; those
+              // appends keep the historical unchecked behavior.
+              // readerOpts ride along so an ENCRYPTED target's footer
+              // is readable (the crypto factory + key material arrive
+              // as reader options; Map.empty would fail the guard on
+              // the PARE magic even when schemas match).
               val action = if (truncate) "TRUNCATE" else "APPEND"
-              val existing = readTable(spark, outPath, Map.empty,
-                detectFormat(spark, outPath)).schema
+              val existing = readTable(spark, outPath, readerOpts,
+                existingFormat.get).schema
               require(existing == df.schema,
                 s"$action requires identical schema for $table: " +
                   s"existing ${existing.simpleString} vs ${df.schema.simpleString}")

@@ -845,18 +845,28 @@ object Dedup {
     // candidate join keys become longs, and the verification arrays
     // shrink ~10× vs. carrying shingle strings — the exchange that
     // dominated the un-encoded form. The rank is the TWO-PHASE
-    // construction (the epochShuffle/packChunks pattern), never one
-    // vocabulary-sized window partition: (df, 2-char feature prefix)
-    // forms ordered contiguous buckets of the (df, w) total order —
-    // every feature sharing a prefix is adjacent under w — so
-    // per-bucket counts cumsum on the bucket-count-sized side,
+    // construction (the epochShuffle/packChunks pattern): (df, 8-char
+    // feature prefix) forms ordered contiguous buckets of the (df, w)
+    // total order — every feature sharing a prefix is adjacent under w
+    // — so per-bucket counts cumsum on the bucket-count-sized side,
     // broadcast back as offsets, and row_number runs only within a
     // bucket. offset + in-bucket rank == the bare global row_number,
-    // which is what the DuckDB oracle's candidate set pins.
+    // which is what the DuckDB oracle's candidate set pins; the bucket
+    // key MUST therefore be order-preserving under (df, w) — a
+    // hash-salted sub-bucket would bound size better but reorders ties
+    // and desynchronizes the oracle. Residual bound, stated honestly:
+    // at crawl scale most shingles have df=1 and first words are
+    // Zipfian, so the worst (df=1, prefix) bucket holds the trigrams
+    // sharing one common first-word-plus-start-of-second (8 chars
+    // reaches into word two, where 2 chars left several percent of the
+    // vocabulary in one bucket). Past that, the same construction
+    // nests: a second (prefix-within-bucket, offset) layer bounds any
+    // bucket without touching the total order; the offs broadcast is
+    // the next constraint to watch, not the window partition.
     val wOff = org.apache.spark.sql.expressions.Window
       .orderBy(col("df"), col("pre"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val bucketed = df.withColumn("pre", substring(col("w"), 1, 2))
+    val bucketed = df.withColumn("pre", substring(col("w"), 1, 8))
     val offs = bucketed.groupBy(col("df"), col("pre"))
       .agg(count(lit(1)).as("n"))
       .withColumn("offset", coalesce(sum(col("n")).over(wOff), lit(0L)))

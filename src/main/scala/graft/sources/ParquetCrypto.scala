@@ -109,10 +109,18 @@ class GraftKms extends org.apache.parquet.crypto.keytools.KmsClient {
     c
   }
 
+  // One cached non-blocking CSPRNG for GCM IVs. getInstanceStrong
+  // commonly maps to NativePRNGBlocking (/dev/random): on an
+  // entropy-starved container a many-file export would stall inside
+  // writer tasks with no diagnostic, and a fresh instance per wrap
+  // multiplies the cost. A default SecureRandom is cryptographically
+  // sufficient for IV generation.
+  private val rng = new java.security.SecureRandom()
+
   override def wrapKey(keyBytes: Array[Byte],
       masterKeyIdentifier: String): String = {
     val iv = new Array[Byte](12)
-    java.security.SecureRandom.getInstanceStrong.nextBytes(iv)
+    rng.nextBytes(iv)
     val ct = cipher(javax.crypto.Cipher.ENCRYPT_MODE,
       masterKey(masterKeyIdentifier), iv).doFinal(keyBytes)
     java.util.Base64.getEncoder.encodeToString(iv ++ ct)

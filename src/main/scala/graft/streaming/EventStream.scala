@@ -276,6 +276,26 @@ object EventStream {
   private def micros(ts: Timestamp): Long =
     math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
+  /** THE 30-minute-gap fold, in exactly one place: batch-sorted events
+    * plus carried state → per-event session assignments and the final
+    * state. All three stateful twins (`mapGroupsWithState`,
+    * `flatMapGroupsWithState`, `transformWithState`) call this, so the
+    * gap rule is pinned structurally — a tweak edited into one API
+    * cannot silently desynchronize the others. */
+  private def foldSessions(evs: Iterator[Ev],
+      st0: Option[SessionState]): (Seq[(Ev, SessionState)], SessionState) = {
+    val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+    var s = st0.getOrElse(SessionState(0L, Long.MinValue, 0L))
+    val out = sorted.map { e =>
+      val t = micros(e.ts)
+      s = if (s.lastTs == Long.MinValue || t - s.lastTs > GapMicros)
+        SessionState(s.sessionId + 1, t, 1)
+      else s.copy(lastTs = t, count = s.count + 1)
+      (e, s)
+    }
+    (out, s)
+  }
+
   /** Per-user session assignment with explicit state — the streaming
     * form of the 30-minute-gap rule. Events within a micro-batch are
     * sorted per user; state carries (session counter, last ts) across
@@ -287,19 +307,10 @@ object EventStream {
       .mapGroupsWithState[SessionState, SessionUpdate](
         GroupStateTimeout.NoTimeout) {
         (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
-          var emitted = 0L
-          sorted.foreach { e =>
-            val tsMicros = micros(e.ts)
-            st =
-              if (st.lastTs == Long.MinValue || tsMicros - st.lastTs > GapMicros)
-                SessionState(st.sessionId + 1, tsMicros, 1)
-              else st.copy(lastTs = tsMicros, count = st.count + 1)
-            emitted = st.count
-          }
+          val (out, st) = foldSessions(evs, state.getOption)
           state.update(st)
-          SessionUpdate(userId, st.sessionId, emitted)
+          SessionUpdate(userId, st.sessionId,
+            out.lastOption.map(_._2.count).getOrElse(0L))
       }
   }
 
@@ -313,18 +324,9 @@ object EventStream {
       .flatMapGroupsWithState[SessionState, (Long, Long, Long)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
-          val out = sorted.map { e =>
-            val tsMicros = micros(e.ts)
-            st =
-              if (st.lastTs == Long.MinValue || tsMicros - st.lastTs > GapMicros)
-                SessionState(st.sessionId + 1, tsMicros, 1)
-              else st.copy(lastTs = tsMicros, count = st.count + 1)
-            (e.event_id, userId, st.sessionId)
-          }
+          val (out, st) = foldSessions(evs, state.getOption)
           state.update(st)
-          out.iterator
+          out.iterator.map { case (e, s) => (e.event_id, userId, s.sessionId) }
       }
   }
 
@@ -355,18 +357,11 @@ object EventStream {
         org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
     override def handleInputRows(userId: Long, evs: Iterator[Ev],
         timers: TimerValues): Iterator[SessionEvent] = {
-      val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-      var s = if (st.exists()) st.get()
-        else SessionState(0L, Long.MinValue, 0L)
-      val out = sorted.map { e =>
-        val t = micros(e.ts)
-        s = if (s.lastTs == Long.MinValue || t - s.lastTs > GapMicros)
-          SessionState(s.sessionId + 1, t, 1)
-        else s.copy(lastTs = t, count = s.count + 1)
-        SessionEvent(e.event_id, e.ts, userId, s.sessionId)
-      }
+      val (out, s) =
+        foldSessions(evs, if (st.exists()) Some(st.get()) else None)
       st.update(s)
-      out.iterator
+      out.iterator.map { case (e, fs) =>
+        SessionEvent(e.event_id, e.ts, userId, fs.sessionId) }
     }
   }
 

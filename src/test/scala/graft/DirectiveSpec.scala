@@ -51,6 +51,11 @@ class DirectiveSpec extends AnyFunSuite {
       Seq(Effect.TargetFileBytes(7L)))
     intercept[graft.model.Exceptions.BadRequest](TargetFileSize.parse("fast"))
     intercept[IllegalArgumentException](TargetFileSize(0L))
+    // overflow is a rejected request, never a silently wrapped Long
+    intercept[graft.model.Exceptions.BadRequest](
+      TargetFileSize.parse("16777217TB")) // (2^24+1)<<40 wraps to 1TB
+    intercept[graft.model.Exceptions.BadRequest](
+      TargetFileSize.parse("99999999999999999999")) // > Long digits
   }
 
   test("compile: filters restrict object selection") {
