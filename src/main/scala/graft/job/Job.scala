@@ -351,12 +351,33 @@ case class DataPumpJob(
             // (path segments are Hive/URL-escaped, %XX).
             // inputFiles are URIs (their own %-encoding on top of the
             // Hive escaping): strip the URI layer first, then Hive-decode.
-            val combos: Seq[Seq[(String, String)]] = df0.inputFiles.toSeq
-              .map(f => new java.net.URI(f).getPath.split('/').toSeq.collect {
-                case seg(k, v) if pcols.contains(k) =>
-                  (k, unescapePathValue(v))
-              })
-              .filter(_.nonEmpty).distinct.sortBy(_.map(_._2).mkString("/"))
+            val filesByCombo: Map[Seq[(String, String)], Seq[String]] =
+              df0.inputFiles.toSeq
+                .map { f =>
+                  (new java.net.URI(f).getPath.split('/').toSeq.collect {
+                    case seg(k, v) if pcols.contains(k) =>
+                      (k, unescapePathValue(v))
+                  }, f)
+                }
+                .filter(_._1.nonEmpty)
+                .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+            val combos: Seq[Seq[(String, String)]] =
+              filesByCombo.keys.toSeq.sortBy(_.map(_._2).mkString("/"))
+            // TARGET_FILE_SIZE per combo: each promoted table's byte
+            // share IS knowable from the file index (driver-side
+            // FileStatus per part file, no scan) — unlike the earlier
+            // caveat, which predated keeping the combo→files map.
+            def comboParts(combo: Seq[(String, String)]): Int =
+              targetFileBytes match {
+                case Some(b) =>
+                  val conf = spark.sparkContext.hadoopConfiguration
+                  val sz = filesByCombo(combo).map { f =>
+                    val p = new Path(f)
+                    p.getFileSystem(conf).getFileStatus(p).getLen
+                  }.sum
+                  math.min(1L << 20, math.max(1L, (sz + b - 1) / b)).toInt
+                case None => parallel
+              }
             var rows = 0L; var bytes = 0L
             combos.foreach { combo =>
               // Select the combo by FILTERING on the partition columns:
@@ -375,8 +396,8 @@ case class DataPumpJob(
               val obs = Observation()
               val comboOut = s"$storageTarget/$targetSchema/${targetTable}_$suffix"
               writeTable(part.observe(obs, count(lit(1)).as("rows"))
-                .repartition(parallel), comboOut, saveMode, writerOpts,
-                writeFormat)
+                .repartition(comboParts(combo)), comboOut, saveMode,
+                writerOpts, writeFormat)
               rows += obs.get("rows").asInstanceOf[Long]
               bytes += pathBytes(spark, comboOut)
             }
@@ -422,8 +443,8 @@ case class DataPumpJob(
             // File count: PARALLEL (%U dump-set layout) unless
             // TARGET_FILE_SIZE bounds it by measured source bytes —
             // driver-side FS metadata, no scan. (DEPARTITION combos
-            // above keep PARALLEL: per-combo byte shares aren't
-            // knowable without reading the source partitions.)
+            // above size per promoted table from the combo's own file
+            // index share.)
             val nParts = targetFileBytes match {
               case Some(b) =>
                 val srcBytes = pathBytes(spark, srcPath)

@@ -115,6 +115,28 @@ class JobSpec extends AnyFunSuite {
     assert(partFiles(s"$tgt3/main/orders").length == 3)
   }
 
+  test("TARGET_FILE_SIZE sizes each DEPARTITION table from its combo's file share") {
+    // a partitioned dump: the import promotes each event_type to its
+    // own table, and the byte bound must apply per PROMOTED table
+    // (sized from that combo's files), not per source table
+    val dump = tmp("jobspec-tfs-dp")
+    graft.operators.Events.load(spark, sf)
+      .write.partitionBy("event_type").parquet(s"$dump/main/events")
+    val tgt = tmp("jobspec-tfs-dp-tgt")
+    val info = DataPumpJob(Operation.Import, JobMode.Full, dump, tgt,
+      directives = Seq(PartitionOptions("DEPARTITION"), Parallel(3),
+        TargetFileSize.parse("1GB"))).run(spark)
+    assert(info.state == JobState.Completed, info.errors)
+    val tables = new java.io.File(s"$tgt/main").listFiles()
+      .filter(_.isDirectory)
+    assert(tables.length == 5, tables.map(_.getName).toSeq)
+    tables.foreach { d =>
+      val parts = d.listFiles().count(_.getName.startsWith("part-"))
+      assert(parts == 1, s"${d.getName}: $parts files under a 1GB target")
+    }
+    assert(info.totalRows == 1000)
+  }
+
   test("TRUNCATE validates schema equality before overwrite") {
     val out = tmp("jobspec-trunc")
     val j1 = DataPumpJob(Operation.Export, JobMode.Table, sf, out,

@@ -48,6 +48,18 @@ class MaintenanceSpec extends AnyFunSuite {
     } finally Seq(in, out1, out4).foreach(TempDirs.delete)
   }
 
+  test("compaction preserves nested types (embedding arrays) bit-exactly") {
+    val in = TempDirs.create("mx-emb-in"); val out = TempDirs.create("mx-emb-out")
+    try {
+      Tables.load(spark, sf, "embeddings").repartition(8)
+        .write.mode("overwrite").parquet(in)
+      val s = Maintenance.compact(spark, in, out,
+        targetFileBytes = Long.MaxValue)
+      assert(s.filesBefore == 8 && s.filesAfter == 1, s)
+      contentEqual(in, out)
+    } finally Seq(in, out).foreach(TempDirs.delete)
+  }
+
   test("compaction rejects an empty source instead of writing nothing") {
     val in = TempDirs.create("mx-empty")
     try intercept[IllegalArgumentException] {
