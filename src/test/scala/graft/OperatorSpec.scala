@@ -577,6 +577,47 @@ class OperatorSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("AQE splits the skewed partition the salted join handles manually") {
+    // several operators' scale notes defer hot keys to "AQE skew-join"
+    // — this pins that the deferral is real: a 90%-one-key join under
+    // lowered skew thresholds runs as SortMergeJoin(skew=true) and
+    // returns exact results. (Defaults would need GB-scale partitions
+    // to trigger; the thresholds are what scale down, not the plan.)
+    import spark.implicits._
+    val restore = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val left = spark.range(200000)
+        .select(when(col("id") % 10 =!= 0, lit(1L)).otherwise(col("id"))
+          .as("k"), col("id").as("v"))
+      val right = spark.range(1000).select(col("id").as("k"),
+        (col("id") * 2).as("w"))
+      val joined = left.join(right, "k").agg(
+        count(lit(1)).as("n"), sum(col("v") + col("w")).as("s"))
+      val row = joined.collect().head
+      // exact answer despite the split: 180k rows land on k=1 (+ the
+      // 20k distinct-key rows that fall inside right's [0,1000) range)
+      val expect = (0L until 200000L).map(i => if (i % 10 != 0) 1L else i)
+        .filter(_ < 1000)
+      assert(row.getLong(0) == expect.size)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${plan.take(3000)}")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join equals the unsalted aggregation") {
     val salted = Relational.saltedRevenuePerOrder(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
