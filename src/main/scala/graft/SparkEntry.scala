@@ -956,14 +956,14 @@ object SparkEntry {
          CAST(len(t) AS BIGINT) AS n_tokens,
          CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS distinct_ratio,
          CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-           / CAST(length(text) AS DOUBLE) AS punct_ratio,
+           / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
          CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
            / CAST(len(t) AS DOUBLE) AS stopword_ratio,
          (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * CAST(0.5 AS DOUBLE)
            + (CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
               / CAST(len(t) AS DOUBLE)) * CAST(0.3 AS DOUBLE)
            - (CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-              / CAST(length(text) AS DOUBLE)) * CAST(0.2 AS DOUBLE) AS quality_score
+              / CAST(greatest(length(text), 1) AS DOUBLE)) * CAST(0.2 AS DOUBLE) AS quality_score
          FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents)
          ORDER BY doc_id""",
 
@@ -988,7 +988,7 @@ object SparkEntry {
              + (CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
                 / CAST(len(t) AS DOUBLE)) * CAST(0.3 AS DOUBLE)
              - (CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-                / CAST(length(text) AS DOUBLE)) * CAST(0.2 AS DOUBLE) AS quality_score
+                / CAST(greatest(length(text), 1) AS DOUBLE)) * CAST(0.2 AS DOUBLE) AS quality_score
            FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents))
          SELECT doc_id, quality_score FROM s
          WHERE quality_score > (SELECT quantile_cont(quality_score, 0.25) FROM s)
@@ -1134,7 +1134,9 @@ object SparkEntry {
            '[0-9]+', '<NUM>', 'g')) AS scrub_md5,
          CAST(len(regexp_extract_all(text,
            '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
-         CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers
+         CAST(len(regexp_extract_all(regexp_replace(text,
+           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+           '[0-9]+')) AS BIGINT) AS n_numbers
          FROM documents
          ORDER BY doc_id""",
 
@@ -1336,7 +1338,7 @@ object SparkEntry {
              + (CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
                 / CAST(len(tk) AS DOUBLE)) * CAST(0.3 AS DOUBLE)
              - (CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-                / CAST(length(text) AS DOUBLE)) * CAST(0.2 AS DOUBLE) AS quality_score
+                / CAST(greatest(length(text), 1) AS DOUBLE)) * CAST(0.2 AS DOUBLE) AS quality_score
            FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS tk FROM documents)),
          ranked AS (
            SELECT c.doc_id, c.cluster_id, c.cluster_size, q.quality_score,
@@ -1442,7 +1444,7 @@ object SparkEntry {
              + (CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
                 / CAST(len(t) AS DOUBLE)) * CAST(0.3 AS DOUBLE)
              - (CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-                / CAST(length(text) AS DOUBLE)) * CAST(0.2 AS DOUBLE) AS quality_score
+                / CAST(greatest(length(text), 1) AS DOUBLE)) * CAST(0.2 AS DOUBLE) AS quality_score
            FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents)),
          c AS (SELECT doc_id, n_tokens, quality_score,
            CAST(SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id

@@ -326,7 +326,8 @@ object Corpus {
       .map(r => (r.getString(1), r.getString(2)))
     val bc = spark.sparkContext.broadcast(merges)
     import spark.implicits._
-    val docWords = Tables.load(spark, sf, "documents")
+    val docs = Tables.load(spark, sf, "documents")
+    val docWords = docs
       .select(col("doc_id"), explode(words(col("text"))).as("w"))
     val wordToks = docWords.select(col("w")).distinct().as[String]
       .map { w =>
@@ -334,16 +335,24 @@ object Corpus {
         bc.value.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
         (w, syms.length.toLong)
       }.toDF("w", "n_toks")
-    docWords.join(wordToks, "w")
+    val perDoc = docWords.join(wordToks, "w")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_toks")).as("n_bpe_tokens"),
         sum(length(col("w"))).cast("long").as("n_alpha_chars"))
-      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
-        col("n_alpha_chars"),
+    // LEFT join from the corpus: a doc with no [a-z]+ word (digits,
+    // punctuation, non-Latin) must REPORT zero, not vanish — a sizing
+    // report with silently missing rows fails any coverage reconcile
+    // against the corpus it claims to describe.
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        coalesce(col("n_alpha_chars"), lit(0L)).as("n_alpha_chars"),
         // chars-per-token in per-mille: the compression the merge
-        // table buys, integer-exact
-        expr("(n_alpha_chars * 1000) div n_bpe_tokens").as("chars_per_tok_pm"))
+        // table buys, integer-exact; 0 tokens → 0 (div-null coalesced)
+        coalesce(expr("(n_alpha_chars * 1000) div n_bpe_tokens"), lit(0L))
+          .as("chars_per_tok_pm"))
       .orderBy(col("doc_id"))
   }
 
@@ -448,14 +457,19 @@ object Corpus {
     */
   def piiScrubDf(docs: DataFrame): DataFrame = {
     val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    // n_numbers counts digit runs in the EMAIL-SCRUBBED text — the
+    // same stream the <NUM> replacement actually runs on. Counting the
+    // raw text would tally the digits inside every address the email
+    // pass already swallowed (user123@… reports a number redaction
+    // that never happened), so the counts could not reconcile with
+    // the scrubbed content they describe.
+    val emailScrubbed = regexp_replace(col("text"), email, "<EMAIL>")
     docs
       .select(col("doc_id"),
-        md5(regexp_replace(
-          regexp_replace(col("text"), email, "<EMAIL>"),
-          "[0-9]+", "<NUM>")).as("scrub_md5"),
+        md5(regexp_replace(emailScrubbed, "[0-9]+", "<NUM>")).as("scrub_md5"),
         size(regexp_extract_all(col("text"), lit(email), lit(0)))
           .cast("long").as("n_emails"),
-        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+        size(regexp_extract_all(emailScrubbed, lit("[0-9]+"), lit(0)))
           .cast("long").as("n_numbers"))
       .orderBy(col("doc_id"))
   }
@@ -488,7 +502,11 @@ object Corpus {
   /** Cross-split audit of any (doc_a, doc_b) near-dup pair source. */
   private def contaminationFrom(spark: SparkSession, sf: String,
       pairs: DataFrame): DataFrame = {
-    val splits = splitAssign(spark, sf).select(col("doc_id"), col("split"))
+    // splitAssignDf, not splitAssign: the join input must not carry
+    // the presentation orderBy's global range sort (same composition
+    // rule as Text.qualityScoredDf)
+    val splits = splitAssignDf(Tables.load(spark, sf, "documents"))
+      .select(col("doc_id"), col("split"))
     pairs
       .join(splits.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("split", "split_a"), "doc_a")
@@ -993,9 +1011,17 @@ object Corpus {
     import spark.implicits._
     val tok = Tables.load(spark, sf, "documents")
       .select(explode(words(col("text"))).as("w"))
-    val candidates = tok.as[String].mapPartitions { it =>
+    // Pass 1 yields BOTH the Misra-Gries survivors and each
+    // partition's token count (the -1 vs ≥0 column disambiguates), so
+    // the stream total needs no separate count() scan — the doc's
+    // "scanned twice, shuffled never" is literal. One driver collect
+    // of k×partitions + partitions rows — the already-stated driver
+    // traffic bound.
+    val pass1 = tok.as[String].mapPartitions { it =>
       val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      var n = 0L
       it.foreach { w =>
+        n += 1L
         counters.get(w) match {
           case Some(c) => counters(w) = c + 1L
           case None if counters.size < k => counters(w) = 1L
@@ -1009,9 +1035,11 @@ object Corpus {
             dead.result().foreach(counters.remove)
         }
       }
-      counters.keysIterator
-    }.toDF("w").distinct()
-    val total = tok.count()
+      counters.keysIterator.map(w => (w, -1L)) ++ Iterator(("", n))
+    }.collect()
+    val total = pass1.collect { case (_, n) if n >= 0L => n }.sum
+    val candidates = pass1.collect { case (w, -1L) => w }.distinct.toSeq
+      .toDF("w")
     tok.join(broadcast(candidates), Seq("w"), "left_semi")
       .groupBy(col("w"))
       .agg(count(lit(1)).as("cnt"))

@@ -72,11 +72,23 @@ object Similarity {
     * the n·m pair scan then does a single integer dot per pair
     * (3× fewer array passes than naively recomputing norms per pair,
     * and quantization happens n times, not n·m). */
+  /** Shared quantized projection. Zero-norm vectors (a null/failed
+    * embedding, or every component inside [0, 2^-26)) are EXCLUDED at
+    * the source: a zero vector has no direction, its cosine against
+    * anything is 0/0 = NaN, and Spark orders NaN above every double —
+    * so one bad row would out-rank every true neighbor in the top-k
+    * windows AND pass every `cosine >= t` near-dup filter, merging
+    * unrelated docs into one cluster. Excluding it is the only answer
+    * consistent across engines (DuckDB's NaN ordering differs).
+    * Fixture embeddings are all nonzero, so oracle rows are
+    * unaffected; at scale this is the standard drop-broken-embeddings
+    * hygiene filter. */
   private def quantized(e: DataFrame, idCol: String): DataFrame =
     e.select(col("vec_id").as(idCol),
       graft.functions.ArrayOps.quantize_q(col("embedding"), Q).as(s"iv_$idCol"))
       .withColumn(s"norm_$idCol",
         sqrt(dot_long(col(s"iv_$idCol"), col(s"iv_$idCol")).cast("double")))
+      .filter(col(s"norm_$idCol") > 0.0)
 
   /** Fail-fast guardrail for the exact O(n·m) kernels: they broadcast
     * the full candidate side, which is right for verification scale
@@ -179,11 +191,7 @@ object Similarity {
     * straddle a single hyperplane boundary for a 13× probe fan-out
     * instead of 13 independent hash tables (the standard multi-probe
     * trade: fan-out is cheap rows, tables are whole extra indexes). */
-  def multiProbeBuckets(iv: Column): Column = {
-    val base = lshBucket(iv)
-    array((base +: (0 until SignBits).map(p =>
-      base.bitwiseXOR(lit(1L << p)))): _*)
-  }
+  def multiProbeBuckets(iv: Column): Column = multiProbeBucketsT(iv, 0)
 
   /** Hamming≤1 probe set over hyperplane family `table` — the
     * per-table probe fan-out of the near-dup pair kernel. */
@@ -438,10 +446,13 @@ object Similarity {
           (col("norm_query_id") * col("norm_neighbor_id")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
+    // No pair dedup: each neighbor is indexed in exactly ONE cell and
+    // a query's probe cells are distinct, so a (query, neighbor) pair
+    // cannot repeat — a dropDuplicates here would be a pure extra
+    // hash-agg exchange over the full top-k result.
     pairs.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rk"), col("cosine"))
-      .dropDuplicates("query_id", "neighbor_id")
       .orderBy(col("query_id"), col("rk"))
   }
 

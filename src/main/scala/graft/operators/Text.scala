@@ -89,7 +89,13 @@ object Text {
     // IEEE arithmetic, identical in any engine
     val nTok = size(t).cast("double")
     val nDistinct = size(array_distinct(t)).cast("double")
-    val nChars = length(col("text")).cast("double")
+    // greatest(·,1): an empty text would make punct_ratio 0/0 = NaN,
+    // and Spark's NaN orders ABOVE every double — a NaN quality_score
+    // passes every `score > cut` gate and corrupts tokenBudget's
+    // bucket arithmetic (floor(NaN) = 0 collapses all buckets). The
+    // token denominators need no guard: split("") yields [""], never
+    // an empty list. Mirrored in the DuckDB oracle.
+    val nChars = greatest(length(col("text")).cast("double"), lit(1.0))
     val nPunct = (length(col("text")) -
       length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))).cast("double")
     val stop = Seq("the", "a", "of", "and", "to", "in", "is")

@@ -76,14 +76,17 @@ class CorpusSpec extends AnyFunSuite {
       (1L, "contact bob.smith+spam@mail.example.org for details"),
       (2L, "order 12345 shipped 2026 units to 99 clients"),
       (3L, "clean prose with nothing to redact"),
-      (4L, "a@b.io and 7")).toDF("doc_id", "text")
+      (4L, "a@b.io and 7"),
+      // digits INSIDE an address belong to the email redaction, not
+      // the number count — n_numbers must reconcile with the scrub
+      (5L, "mail user123@mail.com about item 9")).toDF("doc_id", "text")
     val scrubbed = Corpus.piiScrubDf(docs)
       .join(docs, "doc_id")
       .select(col("doc_id"), col("scrub_md5"), md5(col("text")).as("orig_md5"),
         col("n_emails"), col("n_numbers"))
       .collect().sortBy(_.getLong(0))
     assert(scrubbed.map(r => (r.getLong(3), r.getLong(4))).toSeq ==
-      Seq((1L, 0L), (0L, 3L), (0L, 0L), (1L, 1L)))
+      Seq((1L, 0L), (0L, 3L), (0L, 0L), (1L, 1L), (1L, 1L)))
     scrubbed.foreach { r =>
       val changed = r.getString(1) != r.getString(2)
       assert(changed == (r.getLong(3) + r.getLong(4) > 0), s"doc ${r.getLong(0)}")

@@ -390,6 +390,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(sdCell.sameElements(sdExact))
   }
 
+  test("zero-norm embeddings are excluded from similarity kernels, never NaN-ranked") {
+    // a zero vector has no direction: its cosine is 0/0 = NaN, and
+    // Spark orders NaN ABOVE every double — unguarded, one broken
+    // embedding row out-ranks every true neighbor and passes every
+    // `cosine >= t` filter. The shared quantized() projection drops
+    // zero-norm rows at the source.
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array.fill(8)(0.0f)),
+      (1L, Array(1.0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (2L, Array(1.0f, 0.001f, 0f, 0f, 0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairsLsh(vecs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      pairs.mkString(","))
+    assert(pairs.forall(p => !p._3.isNaN && p._3 >= 0.5))
+  }
+
   test("histogram buckets partition the value range exactly") {
     val k = 20
     val rows = graft.operators.Relational.histogram(spark, sf, k).collect()
