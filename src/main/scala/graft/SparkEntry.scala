@@ -39,6 +39,9 @@ object SparkEntry {
     "q_rollup" -> (Relational.rollupAgg _),
     "q_cube" -> (Relational.cubeAgg _),
     "q_percentiles" -> (Relational.percentiles _),
+    "q_grouping_sets" -> (Relational.groupingSetsAgg _),
+    "q_regression" -> (Relational.regressionAgg _),
+    "q_approx_percentiles" -> (Relational.approxPercentiles _),
     "q_monthly_orders" -> (Relational.monthlyOrders _),
     // --- joins (SURVEY §2.5)
     "q_join_region" -> (Relational.joinRevenueByRegion _),
@@ -431,6 +434,44 @@ object SparkEntry {
          quantile_cont(l_extendedprice, 0.9) AS price_p90
          FROM lineitem GROUP BY l_returnflag
          ORDER BY l_returnflag""",
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         COUNT(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    // Same integer-exact co-moment construction as the Scala side
+    // (DECIMAL(38,0) there, HUGEINT here — both exact), then ONE
+    // fixed-shape IEEE expression per output: bit-identical doubles.
+    "q_regression" ->
+      """WITH m AS (
+           SELECT l_returnflag,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(ROUND(l_quantity * 100) AS HUGEINT)) AS sx,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS sy,
+             SUM(CAST(ROUND(l_quantity * 100) AS HUGEINT) *
+                 CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS sxy,
+             SUM(CAST(ROUND(l_quantity * 100) AS HUGEINT) *
+                 CAST(ROUND(l_quantity * 100) AS HUGEINT)) AS sxx,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT) *
+                 CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS syy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+             AS slope,
+           (CAST(sy AS DOUBLE) -
+              (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+           (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)) *
+             (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*syy - sy*sy AS DOUBLE))
+             AS r2,
+           CAST(n*sxy - sx*sy AS DOUBLE) /
+             (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+              sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_xy
+         FROM m ORDER BY l_returnflag""",
 
     "q_salted_join" ->
       """SELECT l_orderkey,

@@ -293,6 +293,89 @@ object Relational {
         expr("percentile(l_extendedprice, 0.9)").as("price_p90"))
       .orderBy(col("l_returnflag"))
 
+  /** GROUPING SETS — the non-hierarchical multi-grouping rollup/cube
+    * can't express: one pass over the fact table computing BOTH the
+    * by-returnflag and the by-linestatus totals (each row lands in two
+    * grouping sets, Spark expands then hash-aggregates — a single scan
+    * instead of a scan per breakdown, the whole point at 100 TB).
+    * Sum is decimal-exact (convention above). */
+  def groupingSetsAgg(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Exact-integer cents view of a 2-decimal double column, widened to
+    * DECIMAL(38,0) so every product/sum below stays exact (the DuckDB
+    * twin rides HUGEINT). */
+  private def cents38(c: Column): Column =
+    (c * lit(100)).cast(DecimalType(18, 0)).cast(DecimalType(38, 0))
+
+  /** Least-squares regression + correlation per group, integer-exact:
+    * the five co-moment sums (n, Σx, Σy, Σxy, Σx², Σy²) are computed as
+    * DECIMAL(38,0) over cents-scaled inputs — exact under any partial-
+    * agg merge order — and the classic closed forms
+    * (slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²), etc.) are evaluated as ONE
+    * fixed-shape IEEE expression over exact operands, so Spark and the
+    * DuckDB twin produce bit-identical doubles. The built-in
+    * regr_slope/corr aggregates are deliberately NOT used for the
+    * oracle row: their streaming co-moment updates are merge-order-
+    * dependent in the low bits, which a distributed engine cannot pin
+    * against a single-threaded oracle.
+    *
+    * Scale: one map-side-combinable hash agg; DECIMAL(38,0) holds to
+    * ~1e38 — at 1e12 rows of 1e7-cent prices, nΣy² ≈ 1e38 is the
+    * documented ceiling (rescale the cents unit past that). */
+  def regressionAgg(spark: SparkSession, sf: String): DataFrame = {
+    val x = cents38(col("l_quantity"))
+    val y = cents38(col("l_extendedprice"))
+    val moments = Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).cast(DecimalType(38, 0)).as("sxy"),
+        sum(x * x).cast(DecimalType(38, 0)).as("sxx"),
+        sum(y * y).cast(DecimalType(38, 0)).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy"))
+      .cast(DecimalType(38, 0)).cast("double")
+    val denx = (col("n") * col("sxx") - col("sx") * col("sx"))
+      .cast(DecimalType(38, 0)).cast("double")
+    val deny = (col("n") * col("syy") - col("sy") * col("sy"))
+      .cast(DecimalType(38, 0)).cast("double")
+    val slope = num / denx
+    moments.select(
+        col("l_returnflag"),
+        col("n").cast("long").as("n"),
+        slope.as("slope"),
+        ((col("sy").cast("double") - slope * col("sx").cast("double")) /
+          col("n").cast("double")).as("intercept"),
+        (slope * (num / deny)).as("r2"),
+        (num / (sqrt(denx) * sqrt(deny))).as("corr_xy"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Approximate per-group quantiles via Spark's Greenwald-Khanna
+    * sketch (`percentile_approx`) — the mergeable-sketch path for the
+    * exact-percentile query above when a full sort per group is off the
+    * table at 100 TB. accuracy=10000 bounds rank error at n/10000
+    * per group. No DuckDB twin (GK internals are engine-specific) —
+    * pinned by q_percentiles' exact oracle plus OperatorSpec's
+    * rank-error bound against the sorted fixture. */
+  def approxPercentiles(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_approx(l_quantity, 0.5, 10000)").as("p50"),
+        expr("percentile_approx(l_quantity, 0.25, 10000)").as("p25"),
+        expr("percentile_approx(l_quantity, 0.75, 10000)").as("p75"),
+        expr("percentile_approx(l_extendedprice, 0.9, 10000)").as("price_p90"))
+      .orderBy(col("l_returnflag"))
+
   /** Salted join: prepends a deterministic salt to the build-side key
     * to spread a skewed probe key across `buckets` reducers, then
     * aggregates the partials. Result is identical to the unsalted

@@ -949,4 +949,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.toSeq == want, s"got ${got.length} outliers, want ${want.length}")
     assert(got.nonEmpty, "no outliers at this SF: assertion vacuous")
   }
+
+  test("approx percentiles: every sketch value within the GK rank bound") {
+    // pins the no-oracle q_approx_percentiles row: each percentile_approx
+    // output must be an actual data value whose RANK in the sorted group
+    // is within n/accuracy (=n/10000, i.e. exact at fixture scale ≤ 10k
+    // rows per group, ≤ n/10000 ranks off beyond) of the requested rank.
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .collect().groupBy(_.getString(0))
+    val approx = Relational.approxPercentiles(spark, sf).collect()
+    assert(approx.length == li.size && approx.nonEmpty)
+    for (r <- approx) {
+      val rows = li(r.getString(0))
+      val qty = rows.map(_.getDouble(1)).sorted
+      val price = rows.map(_.getDouble(2)).sorted
+      val n = qty.length
+      val tol = math.max(1, n / 10000)
+      def check(v: Double, sortedCol: Array[Double], p: Double): Unit = {
+        assert(sortedCol.contains(v), s"sketch value $v not a data value")
+        // GK bound: some occurrence of v lies within tol of rank p*(n-1)
+        val lo = sortedCol.indexOf(v)
+        val hi = sortedCol.lastIndexOf(v)
+        val target = p * (n - 1)
+        assert(lo - tol <= target && target <= hi + tol,
+          s"rank of $v ([$lo,$hi]) not within $tol of $target (n=$n)")
+      }
+      check(r.getDouble(1), qty, 0.5)
+      check(r.getDouble(2), qty, 0.25)
+      check(r.getDouble(3), qty, 0.75)
+      check(r.getDouble(4), price, 0.9)
+    }
+  }
 }
