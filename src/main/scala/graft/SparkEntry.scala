@@ -49,6 +49,7 @@ object SparkEntry {
     "q_anti_join" -> (Relational.antiJoin _),
     "q_above_avg" -> (Relational.aboveAvgOrders _),
     "q_salted_join" -> ((s: SparkSession, d: String) => Relational.saltedRevenuePerOrder(s, d)),
+    "q_bucketed_join" -> ((s: SparkSession, d: String) => Bucketing.bucketedRevenue(s, d)),
     "q_interval_join" -> ((s: SparkSession, d: String) => RangeJoin.intervalJoin(s, d)),
     "q_zorder" -> ((s: SparkSession, d: String) => ZOrder.zorderLayout(s, d)),
     // exact mode: the k-th-order-statistic quantiles the DuckDB oracle
@@ -192,6 +193,8 @@ object SparkEntry {
     "q_pq_codes" -> (Similarity.pqCodes _),
     "q_pq_recall" -> (Similarity.pqPlantedRecall _),
     "q_ivfpq_recall" -> (Similarity.ivfPqPlantedRecall _),
+    "q_sq_codes" -> (Similarity.sqCodes _),
+    "q_sq_recall" -> (Similarity.sqPlantedRecall _),
     "q_cosine_pairs" -> ((s: SparkSession, d: String) => Similarity.cosinePairsExact(s, d)),
     // --- multimodal binary plumbing
     "q_binary_meta" -> (Multimodal.binaryMeta _),
@@ -479,6 +482,18 @@ object SparkEntry {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY l_orderkey
          ORDER BY l_orderkey""",
+
+    // The bucketed-layout join: values must equal the plain parquet
+    // join (this oracle); the LAYOUT claim — zero Exchange, zero Sort,
+    // bucket-pruned scans — is asserted from executed plans in
+    // BucketingSpec.
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
 
     // Keyless range join: the oracle states the predicate directly
     // (DuckDB plans inequality joins natively via IEJoin); the Spark
@@ -1817,6 +1832,34 @@ object SparkEntry {
     // green iff no twin is lost to an unprobed cell OR out-ranked by a
     // co-cell stranger under 8-byte codes.
     "q_ivfpq_recall" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id,
+         CAST(vec_id + 1000000 AS BIGINT) AS neighbor_id
+         FROM embeddings ORDER BY query_id""",
+
+    // SQ8 encode is fully SQL-derivable (per-dim min/max grid + integer
+    // floor-div — no k-means), so unlike q_pq_codes this code dump is
+    // oracle-EXACT end-to-end: DuckDB recomputes the same grid and the
+    // same byte codes from the raw embeddings.
+    "q_sq_codes" ->
+      """WITH iv AS (
+           SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 67108864.0) AS BIGINT) AS v
+           FROM embeddings,
+                LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+         st AS (
+           SELECT dim, MIN(v) AS lo,
+             GREATEST(1, (MAX(v) - MIN(v) + 254) // 255) AS step
+           FROM iv GROUP BY dim)
+         SELECT iv.vec_id, iv.dim,
+           CAST(GREATEST(0, LEAST(255, (iv.v - st.lo) // st.step)) AS BIGINT)
+             AS code
+         FROM iv JOIN st USING (dim)
+         ORDER BY vec_id, dim""",
+
+    // Same planted ground truth pins the SCALAR-QUANTIZED (1 byte/dim)
+    // index: green iff every query's top-1 by the codegen sq_wdot
+    // kernel over packed int8 codes is its own cosine-0.999 twin.
+    "q_sq_recall" ->
       """SELECT CAST(vec_id AS BIGINT) AS query_id,
          CAST(vec_id + 1000000 AS BIGINT) AS neighbor_id
          FROM embeddings ORDER BY query_id""",

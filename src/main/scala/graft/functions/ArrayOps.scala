@@ -212,6 +212,93 @@ object PqAdc {
         "must carry M*K entries")
 }
 
+/** SQ8 asymmetric scoring kernel: `right` is a vector's 64 int8
+  * scalar-quantization codes packed little-endian 8-per-long (the
+  * 1-byte-per-dimension index layout — an 8× cut vs float32 and the
+  * reason SQ8 is the default billion-vector compression tier);
+  * `left` is the query's per-dimension weight table w_i = q_i·step_i.
+  * Returns Σ w[i]·code[i] in exact long arithmetic — for a unit-norm
+  * corpus argmax of this is argmax reconstructed inner product (the
+  * per-query Σ q_i·lo_i constant drops out of the argmax). Codes are
+  * unpacked with shifts in the hot loop: no per-pair array
+  * materialization, stays inside whole-stage codegen. */
+case class SqWdot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sq_wdot"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckSuccess
+    else TypeCheckFailure(
+      s"sq_wdot requires array<bigint> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val w = a.asInstanceOf[ArrayData]
+    val packed = b.asInstanceOf[ArrayData]
+    val m = packed.numElements()
+    if (w.numElements() != m * 8)
+      throw SqWdot.badShape(w.numElements(), m)
+    var acc = 0L
+    var j = 0
+    while (j < m) {
+      val p = packed.getLong(j)
+      var b8 = 0
+      while (b8 < 8) {
+        acc += w.getLong(j * 8 + b8) * ((p >>> (8 * b8)) & 0xFFL)
+        b8 += 1
+      }
+      j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val b8 = ctx.freshName("b8")
+      val acc = ctx.freshName("acc")
+      val p = ctx.freshName("p")
+      val cls = SqWdot.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"""
+         |int $m = $b.numElements();
+         |if ($a.numElements() != $m * 8) {
+         |  throw $cls.badShape($a.numElements(), $m);
+         |}
+         |long $acc = 0L;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  long $p = $b.getLong($j);
+         |  for (int $b8 = 0; $b8 < 8; $b8++) {
+         |    $acc += $a.getLong($j * 8 + $b8) * (($p >>> (8 * $b8)) & 0xFFL);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqWdot =
+    copy(left = newLeft, right = newRight)
+}
+
+object SqWdot {
+  /** Shared by the interpreted and generated paths. */
+  def badShape(wLen: Int, packedLen: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"sq_wdot: weight table has $wLen entries but packed codes carry " +
+        s"$packedLen longs (= ${packedLen * 8} codes) — the weight table " +
+        "must have exactly 8 entries per packed long")
+}
+
 object ArrayOps {
   /** Column wrapper: exact integer dot product. */
   def dot_long(a: Column, b: Column): Column =
@@ -221,6 +308,10 @@ object ArrayOps {
     * per subspace). */
   def pq_adc(lut: Column, codes: Column, k: Int): Column =
     Bridge.column(PqAdc(Bridge.expression(lut), Bridge.expression(codes), k))
+
+  /** Column wrapper: Σ w[i]·code[i] over packed SQ8 codes. */
+  def sq_wdot(w: Column, packed: Column): Column =
+    Bridge.column(SqWdot(Bridge.expression(w), Bridge.expression(packed)))
 
   /** Column wrapper: count of agreeing slots of two long arrays. */
   def agree_count(a: Column, b: Column): Column =

@@ -39,6 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("quantize_q", "quantize_q(xs, scale) - floor(x*scale) as bigints"),
       (es: Seq[Expression]) => QuantizeQ(es(0),
         es(1).eval().toString.toDouble)))
+    ext.injectFunction((FunctionIdentifier("sq_wdot"),
+      info("sq_wdot", "sq_wdot(w, packed) - weighted dot over packed SQ8 codes"),
+      (es: Seq[Expression]) => SqWdot(es(0), es(1))))
   }
 }
 
@@ -64,5 +67,7 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("quantize_q",
       (es: Seq[Expression]) => QuantizeQ(es(0),
         es(1).eval().toString.toDouble), "scala_udf")
+    reg.createOrReplaceTempFunction("sq_wdot",
+      (es: Seq[Expression]) => SqWdot(es(0), es(1)), "scala_udf")
   }
 }

@@ -684,6 +684,124 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  // ---- SQ8 scalar quantization --------------------------------------
+
+  /** SQ8 code levels (1 byte per dimension). */
+  private val SqLevels = 256
+
+  /** Trained SQ8 grid: per-dimension (lo, step) over the corpus, both
+    * on the 2²⁶ integer grid so train/encode/score and the DuckDB twin
+    * share one exact-integer derivation. step = max(1, ⌈(hi−lo)/255⌉)
+    * guarantees every in-range value maps into [0, 255]. Driver-side
+    * collect of exactly Dim rows (metadata-sized, the pqCodebooksFor
+    * convention); the min/max agg is map-side combinable on 64 keys —
+    * one scalar-row shuffle at any corpus size. */
+  private[graft] def sqGrid(e: DataFrame): (IndexedSeq[Long], IndexedSeq[Long]) = {
+    val rows = e.select(posexplode(
+        graft.functions.ArrayOps.quantize_q(col("embedding"), Q))
+        .as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .collect()
+    require(rows.length == Dim,
+      s"sqGrid: expected $Dim dimensions, got ${rows.length}")
+    val lo = Array.ofDim[Long](Dim)
+    val step = Array.ofDim[Long](Dim)
+    rows.foreach { r =>
+      val p = r.getInt(0)
+      lo(p) = r.getLong(1)
+      step(p) = math.max(1L, (r.getLong(2) - r.getLong(1) +
+        (SqLevels - 2).toLong) / (SqLevels - 1).toLong)
+    }
+    (lo.toIndexedSeq, step.toIndexedSeq)
+  }
+
+  /** One dimension's SQ8 code: clamp(⌊(iv_i − lo_i)/step_i⌋, 0, 255).
+    * The division runs in doubles but is floor-exact here: the true
+    * quotient is ≤ ~256 + ε where its fractional part is ≥ 1/step ≥
+    * 2⁻²⁷ — far above one ulp at that magnitude — so the IEEE-rounded
+    * quotient can never cross an integer boundary, and Spark and
+    * DuckDB's integer `//` agree exactly. greatest(0) covers encoding
+    * out-of-grid vectors (values below the trained lo clamp to 0, the
+    * LEAST caps values above hi at 255 — the standard SQ out-of-
+    * distribution behavior). */
+  private def sqCode(iv: Column, i: Int, lo: Long, step: Long): Column =
+    greatest(lit(0L), least(lit((SqLevels - 1).toLong),
+      floor((element_at(iv, i + 1) - lit(lo)).cast("double") /
+        lit(step.toDouble)).cast("long")))
+
+  /** All 64 codes packed little-endian 8-per-long: 8 longs per vector
+    * — the honest 1-byte-per-dimension index layout (64 B vs 512 B
+    * float64 Tungsten array). Fully codegen'd shift/or tree. */
+  private def sqPacked(iv: Column,
+      lo: IndexedSeq[Long], step: IndexedSeq[Long]): Column =
+    array((0 until Dim / 8).map { j =>
+      (0 until 8).map { b =>
+        val i = j * 8 + b
+        shiftleft(sqCode(iv, i, lo(i), step(i)), 8 * b)
+      }.reduce((a, c) => a.bitwiseOR(c))
+    }: _*)
+
+  /** SQ8 codes, one scalar row per (vec_id, dim) — the driver-visible
+    * encode surface. Fully oracle-checkable: unlike PQ (whose k-means
+    * codebooks SQL can't re-derive), the SQ grid is just per-dimension
+    * min/max over the quantized corpus, so the DuckDB twin recomputes
+    * the exact same integer codes end-to-end. */
+  def sqCodes(spark: SparkSession, sf: String): DataFrame = {
+    val e = Tables.load(spark, sf, "embeddings")
+    val (lo, step) = sqGrid(e)
+    e.select(col("vec_id"),
+        graft.functions.ArrayOps.quantize_q(col("embedding"), Q).as("iv"))
+      .select(col("vec_id"), posexplode(array((0 until Dim).map(i =>
+          sqCode(col("iv"), i, lo(i), step(i))): _*)).as(Seq("dim", "code")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("code"))
+      .orderBy(col("vec_id"), col("dim"))
+  }
+
+  /** Driver-visible SQ8 recall pin — the planted-twin construction
+    * over the byte-compressed index: twins (id + 1e6, first component
+    * ×1.01) are SQ8-encoded with the original-trained grid, originals
+    * scan the packed-code index with the codegen [[graft.functions
+    * .ArrayOps.sq_wdot]] kernel (per-query weights w_i = iv_i·step_i:
+    * argmax Σ w_i·code_i == argmax reconstructed inner product, the
+    * per-query Σ iv_i·lo_i term dropping out), and every query's top-1
+    * must be its own twin. Inner-product ranking == cosine ranking
+    * here because the corpus is unit-norm (fixture norms ∈
+    * [1−1e-7, 1+1e-7]); for an un-normalized corpus the quadratic
+    * ‖ṽ‖²−2q·ṽ form applies (the PQ LUT pattern). Margin: twin cosine
+    * ≥ 0.999 vs strangers ≤ ~0.51, against ≤ 0.031 worst-case SQ8
+    * reconstruction error (64·step/2²⁶·‖q‖₁-bounded) — structurally
+    * un-flippable at these fixtures. Scan shape = the guarded exact-
+    * kernel verification form; at scale the packed codes ride IVF
+    * cell candidate lists exactly like PQ's. */
+  def sqPlantedRecall(spark: SparkSession, sf: String): DataFrame = {
+    val e = Tables.load(spark, sf, "embeddings")
+    guardExactKernel(e, "sqPlantedRecall")
+    val (lo, step) = sqGrid(e)
+    val index = e.select((col("vec_id") + 1000000L).as("neighbor_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x * lit(1.01)).otherwise(x)).as("twin"))
+      .select(col("neighbor_id"),
+        graft.functions.ArrayOps.quantize_q(col("twin"), Q).as("iv_n"))
+      .select(col("neighbor_id"), sqPacked(col("iv_n"), lo, step).as("packed"))
+    val queries = e.select(col("vec_id").as("query_id"),
+        graft.functions.ArrayOps.quantize_q(col("embedding"), Q).as("iv"))
+      .select(col("query_id"), array((0 until Dim).map(i =>
+        element_at(col("iv"), i + 1) * lit(step(i))): _*).as("w"))
+    // same stage split + partial-aggregable argmax as pqPlantedRecall:
+    // scalar-only pair rows, min(struct(-score, id)) combines map-side
+    queries.repartition(col("query_id")).crossJoin(broadcast(index))
+      .select(col("query_id"),
+        struct((-graft.functions.ArrayOps.sq_wdot(col("w"), col("packed")))
+            .as("neg_score"),
+          col("neighbor_id").as("neighbor_id")).as("cand"))
+      .groupBy(col("query_id"))
+      .agg(min(col("cand")).as("best"))
+      .filter(col("best.neighbor_id") === col("query_id") + 1000000L)
+      .select(col("query_id"), col("best.neighbor_id").as("neighbor_id"))
+      .orderBy(col("query_id"))
+  }
+
   /** SEMANTIC clustering: connected components over the embedding-
     * cosine similarity graph (cosine ≥ `threshold`) — groups documents
     * that say the same thing in different words, where the shingle-

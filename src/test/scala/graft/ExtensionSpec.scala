@@ -177,6 +177,50 @@ class ExtensionSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [agree_count"), plan.take(500))
   }
 
+  test("sq_wdot equals the explicit unpack-and-multiply form") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows: Seq[(Seq[Long], Seq[Long])] = (1 to 100).map { _ =>
+      val codes = Seq.fill(64)(rnd.nextInt(256))
+      val packed = (0 until 8).map(j =>
+        (0 until 8).map(b => codes(j * 8 + b).toLong << (8 * b))
+          .reduce(_ | _))
+      val w = Seq.fill(64)((rnd.nextInt(1 << 20) - (1 << 19)).toLong * 1000L)
+      (w, packed)
+    }
+    // byte-unpacking has no clean HOF twin, so the reference is a
+    // driver-side recomputation over the same rows (codegen batch path)
+    val got = rows.toDF("w", "packed")
+      .select(graft.functions.ArrayOps.sq_wdot(col("w"), col("packed")))
+      .collect().map(_.getLong(0)).toSeq
+    val want = rows.map { case (w, packed) =>
+      (0 until 64).map { i =>
+        w(i) * ((packed(i / 8) >>> (8 * (i % 8))) & 0xFFL)
+      }.sum
+    }
+    assert(got == want)
+    // shape mismatch fails fast, not silently (surfaced directly on the
+    // local-relation path, wrapped in SparkException on the executor path)
+    val e = intercept[Throwable](
+      Seq((Seq(1L, 2L), Seq(0L))).toDF("w", "p")
+        .select(graft.functions.ArrayOps.sq_wdot(col("w"), col("p")))
+        .collect())
+    val msg = Option(e.getCause).getOrElse(e).getMessage
+    assert(msg.contains("8 entries per packed long"), msg)
+  }
+
+  test("whole-stage codegen keeps sq_wdot inline (no fallback)") {
+    GraftExtensions.registerAll(spark)
+    val plan = spark.sql(
+      """SELECT sq_wdot(array(l_orderkey, l_partkey, l_suppkey, l_orderkey,
+                              l_partkey, l_suppkey, l_orderkey, l_partkey),
+                        array(l_suppkey)) AS s
+         FROM parquet.`/root/testdata/sf0.001/lineitem.parquet`""")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [sq_wdot"), plan.take(500))
+  }
+
   test("whole-stage codegen keeps dot_long inline (no fallback)") {
     GraftExtensions.registerAll(spark)
     val plan = spark.sql(

@@ -950,6 +950,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.nonEmpty, "no outliers at this SF: assertion vacuous")
   }
 
+  test("sq codes: floor property against the trained grid, full coverage") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val (lo, step) = Similarity.sqGrid(e)
+    assert(lo.length == 64 && step.forall(_ >= 1L))
+    val iv = e.select(col("vec_id"),
+        graft.functions.ArrayOps.quantize_q(col("embedding"), Similarity.Q))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val codes = Similarity.sqCodes(spark, sf).collect()
+    assert(codes.length == iv.size * 64, "one code per (vec, dim)")
+    for (r <- codes) {
+      val (id, d, c) = (r.getLong(0), r.getLong(1).toInt, r.getLong(2))
+      assert(c >= 0 && c <= 255, s"code $c out of byte range")
+      val v = iv(id)(d)
+      // floor quantization: code c ⇔ v ∈ [lo + c·step, lo + (c+1)·step),
+      // except at the clamped top cell
+      assert(v >= lo(d) + c * step(d), s"vec $id dim $d: $v below cell $c")
+      if (c < 255)
+        assert(v < lo(d) + (c + 1) * step(d), s"vec $id dim $d: $v above cell $c")
+    }
+  }
+
   test("approx percentiles: every sketch value within the GK rank bound") {
     // pins the no-oracle q_approx_percentiles row: each percentile_approx
     // output must be an actual data value whose RANK in the sorted group
