@@ -195,6 +195,7 @@ object SparkEntry {
     "q_ivfpq_recall" -> (Similarity.ivfPqPlantedRecall _),
     "q_sq_codes" -> (Similarity.sqCodes _),
     "q_sq_recall" -> (Similarity.sqPlantedRecall _),
+    "q_ivfsq_recall" -> (Similarity.ivfSqPlantedRecall _),
     "q_cosine_pairs" -> ((s: SparkSession, d: String) => Similarity.cosinePairsExact(s, d)),
     // --- multimodal binary plumbing
     "q_binary_meta" -> (Multimodal.binaryMeta _),
@@ -1860,6 +1861,14 @@ object SparkEntry {
     // index: green iff every query's top-1 by the codegen sq_wdot
     // kernel over packed int8 codes is its own cosine-0.999 twin.
     "q_sq_recall" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id,
+         CAST(vec_id + 1000000 AS BIGINT) AS neighbor_id
+         FROM embeddings ORDER BY query_id""",
+
+    // IVF ∘ SQ8 composed (the FAISS IndexIVFScalarQuantizer layout):
+    // green iff no twin is lost to an unprobed cell OR out-ranked by a
+    // co-cell stranger under packed byte codes.
+    "q_ivfsq_recall" ->
       """SELECT CAST(vec_id AS BIGINT) AS query_id,
          CAST(vec_id + 1000000 AS BIGINT) AS neighbor_id
          FROM embeddings ORDER BY query_id""",

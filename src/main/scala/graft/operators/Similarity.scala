@@ -1029,4 +1029,45 @@ object Similarity {
       .select(col("query_id"), col("best.neighbor_id").as("neighbor_id"))
       .orderBy(col("query_id"))
   }
+
+  /** IVF ∘ SQ8 composed — the FAISS IndexIVFScalarQuantizer layout and
+    * the natural first production tier (SQ8's 64 B/vector costs 8× PQ's
+    * 8 B but loses far less geometry, so it's the accuracy-conservative
+    * choice until memory forces PQ): k-means cells bound WHICH
+    * candidates are scored via the cell-equality shuffle join, packed
+    * byte codes bound what each candidate costs via the codegen
+    * [[graft.functions.ArrayOps.sq_wdot]] kernel. Same planted-twin
+    * gate as [[ivfPqPlantedRecall]]: green iff no twin is lost to an
+    * unprobed cell OR out-ranked by a co-cell stranger under byte
+    * codes. The cell join is also the stage split keeping the 64-term
+    * weight-table codegen out of the per-candidate scoring stage. */
+  def ivfSqPlantedRecall(spark: SparkSession, sf: String): DataFrame = {
+    val e = Tables.load(spark, sf, "embeddings")
+    val cents = centroidsFor(spark, sf)
+    val (lo, step) = sqGrid(e)
+    val index = e.select((col("vec_id") + 1000000L).as("neighbor_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x * lit(1.01)).otherwise(x)).as("twin"))
+      .select(col("neighbor_id"),
+        graft.functions.ArrayOps.quantize_q(col("twin"), Q).as("iv_n"))
+      .select(col("neighbor_id"),
+        element_at(nearestCellsQ(col("iv_n"), cents, 1), 1).as("cell"),
+        sqPacked(col("iv_n"), lo, step).as("packed"))
+    val probes = e.select(col("vec_id").as("query_id"),
+        graft.functions.ArrayOps.quantize_q(col("embedding"), Q).as("iv"))
+      .select(col("query_id"),
+        explode(nearestCellsQ(col("iv"), cents, NProbe)).as("cell"),
+        array((0 until Dim).map(i =>
+          element_at(col("iv"), i + 1) * lit(step(i))): _*).as("w"))
+    probes.join(index, Seq("cell"))
+      .select(col("query_id"),
+        struct((-graft.functions.ArrayOps.sq_wdot(col("w"), col("packed")))
+            .as("neg_score"),
+          col("neighbor_id").as("neighbor_id")).as("cand"))
+      .groupBy(col("query_id"))
+      .agg(min(col("cand")).as("best"))
+      .filter(col("best.neighbor_id") === col("query_id") + 1000000L)
+      .select(col("query_id"), col("best.neighbor_id").as("neighbor_id"))
+      .orderBy(col("query_id"))
+  }
 }
