@@ -50,6 +50,7 @@ object SparkEntry {
     "q_above_avg" -> (Relational.aboveAvgOrders _),
     "q_salted_join" -> ((s: SparkSession, d: String) => Relational.saltedRevenuePerOrder(s, d)),
     "q_bucketed_join" -> ((s: SparkSession, d: String) => Bucketing.bucketedRevenue(s, d)),
+    "q_dpp_join" -> (PartitionPruning.dppWeekStats _),
     "q_interval_join" -> ((s: SparkSession, d: String) => RangeJoin.intervalJoin(s, d)),
     "q_zorder" -> ((s: SparkSession, d: String) => ZOrder.zorderLayout(s, d)),
     // exact mode: the k-th-order-statistic quantiles the DuckDB oracle
@@ -495,6 +496,19 @@ object SparkEntry {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority
          ORDER BY o_orderpriority""",
+
+    // Dynamic partition pruning: values must equal the plain WHERE
+    // filter (this oracle); the ACCESS-PATH claim — a dynamicpruning
+    // subquery on the fact scan reading 7 of 30 date partitions — is
+    // asserted from the executed plan + scan metrics in DppSpec.
+    "q_dpp_join" ->
+      """SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE CAST(ts AS DATE) <
+           (SELECT MIN(CAST(ts AS DATE)) FROM events) + 7
+         GROUP BY event_type
+         ORDER BY event_type""",
 
     // Keyless range join: the oracle states the predicate directly
     // (DuckDB plans inequality joins natively via IEJoin); the Spark
