@@ -250,10 +250,16 @@ case class SqWdot(left: Expression, right: Expression)
     var acc = 0L
     var j = 0
     while (j < m) {
+      // getLong on a null slot silently reads 0 — fail fast instead
+      // (a bitmap check, cheap; the SQL surface accepts nullable
+      // arrays, so this is the only place the hole can be closed)
+      if (packed.isNullAt(j)) throw SqWdot.nullSlot("packed", j)
       val p = packed.getLong(j)
       var b8 = 0
       while (b8 < 8) {
-        acc += w.getLong(j * 8 + b8) * ((p >>> (8 * b8)) & 0xFFL)
+        val wi = j * 8 + b8
+        if (w.isNullAt(wi)) throw SqWdot.nullSlot("weights", wi)
+        acc += w.getLong(wi) * ((p >>> (8 * b8)) & 0xFFL)
         b8 += 1
       }
       j += 1
@@ -268,6 +274,7 @@ case class SqWdot(left: Expression, right: Expression)
       val b8 = ctx.freshName("b8")
       val acc = ctx.freshName("acc")
       val p = ctx.freshName("p")
+      val wi = ctx.freshName("wi")
       val cls = SqWdot.getClass.getName.stripSuffix("$") + "$.MODULE$"
       s"""
          |int $m = $b.numElements();
@@ -276,9 +283,16 @@ case class SqWdot(left: Expression, right: Expression)
          |}
          |long $acc = 0L;
          |for (int $j = 0; $j < $m; $j++) {
+         |  if ($b.isNullAt($j)) {
+         |    throw $cls.nullSlot("packed", $j);
+         |  }
          |  long $p = $b.getLong($j);
          |  for (int $b8 = 0; $b8 < 8; $b8++) {
-         |    $acc += $a.getLong($j * 8 + $b8) * (($p >>> (8 * $b8)) & 0xFFL);
+         |    int $wi = $j * 8 + $b8;
+         |    if ($a.isNullAt($wi)) {
+         |      throw $cls.nullSlot("weights", $wi);
+         |    }
+         |    $acc += $a.getLong($wi) * (($p >>> (8 * $b8)) & 0xFFL);
          |  }
          |}
          |${ev.value} = $acc;
@@ -297,6 +311,12 @@ object SqWdot {
       s"sq_wdot: weight table has $wLen entries but packed codes carry " +
         s"$packedLen longs (= ${packedLen * 8} codes) — the weight table " +
         "must have exactly 8 entries per packed long")
+
+  /** Shared by the interpreted and generated paths. */
+  def nullSlot(side: String, i: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"sq_wdot: null element at $side[$i] — weight tables and packed " +
+        "codes must be null-free (getLong would silently read 0)")
 }
 
 object ArrayOps {

@@ -24,31 +24,36 @@ import org.apache.spark.sql.types.DecimalType
   */
 object PartitionPruning {
 
+  // session-level memo of the written layout per source — the layout
+  // is write-once by definition; re-writing per call would accrete a
+  // full fact copy in /tmp per invocation
+  private val written =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def clearWrittenCache(): Unit = written.clear()
+
   /** One-time date-partitioned write of the events fact into a
     * scratch location (the write-side layout decision; ~30 daily
-    * partitions at fixture scale). */
+    * partitions at fixture scale), memoized per source. */
   private[graft] def writePartitionedEvents(spark: SparkSession,
-      sf: String): String = {
-    val dir = graft.TempDirs.create("graft-dpp")
-    Events.load(spark, sf)
-      .withColumn("event_date", to_date(col("ts")))
-      .write.partitionBy("event_date").mode("overwrite")
-      .parquet(s"$dir/events")
-    s"$dir/events"
-  }
+      sf: String): String =
+    written.getOrElseUpdate(sf, {
+      val dir = graft.TempDirs.create("graft-dpp")
+      Events.load(spark, sf)
+        .withColumn("event_date", to_date(col("ts")))
+        .write.partitionBy("event_date").mode("overwrite")
+        .parquet(s"$dir/events")
+      s"$dir/events"
+    })
 
   /** The dim side: the first week of the calendar, derived from the
-    * source's own min date (no fixture-coupled literals — a testdata
-    * regen that shifts the epoch shifts the week with it). The
-    * driver-side min is a scalar agg over one pruned column. */
-  private[graft] def firstWeekDim(spark: SparkSession,
-      sf: String): DataFrame = {
-    val minDate = Events.load(spark, sf)
-      .agg(min(to_date(col("ts")))).head().getDate(0)
+    * partitioned layout's OWN partition values (a file-listing read,
+    * no data scan) and its min date — no fixture-coupled literals, a
+    * testdata regen that shifts the epoch shifts the week with it. */
+  private[graft] def firstWeekDim(fact: DataFrame): DataFrame = {
+    val dates = fact.select(col("event_date").as("d")).distinct()
+    val minDate = dates.agg(min(col("d"))).head().getDate(0)
     val cutoff = minDate.toLocalDate.plusDays(7)
-    Events.load(spark, sf)
-      .select(to_date(col("ts")).as("d")).distinct()
-      .filter(col("d") < lit(java.sql.Date.valueOf(cutoff)))
+    dates.filter(col("d") < lit(java.sql.Date.valueOf(cutoff)))
   }
 
   /** Per-type event stats for the dimension-selected week, computed
@@ -58,7 +63,7 @@ object PartitionPruning {
     * Values are identical to the plain WHERE filter (the oracle). */
   def dppWeekStats(spark: SparkSession, sf: String): DataFrame = {
     val fact = spark.read.parquet(writePartitionedEvents(spark, sf))
-    fact.join(broadcast(firstWeekDim(spark, sf)),
+    fact.join(broadcast(firstWeekDim(fact)),
         fact("event_date") === col("d"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),

@@ -26,8 +26,10 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Relational {
 
-  /** Exact-decimal view of a 2-decimal double column. */
-  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Exact-decimal view of a 2-decimal double column — shared across
+    * the operator package so the cross-engine decimal-exactness
+    * convention has exactly one definition. */
+  private[operators] def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
   // ---- scans / projections / filters -------------------------------
 

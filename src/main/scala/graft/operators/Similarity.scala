@@ -689,6 +689,29 @@ object Similarity {
   /** SQ8 code levels (1 byte per dimension). */
   private val SqLevels = 256
 
+  private val sqGridCache = scala.collection.concurrent.TrieMap
+    .empty[String, (String, (IndexedSeq[Long], IndexedSeq[Long]))]
+  def clearSqGridCache(): Unit = sqGridCache.clear()
+
+  /** Content-versioned SQ8 grid accessor — the centroidsFor/
+    * pqCodebooksFor convention: the grid is a persistent index
+    * artifact of the dataset, so one training per (dataset, content
+    * version) serves every encode/score call in the session instead
+    * of re-scanning the corpus per query. */
+  private[graft] def sqGridFor(spark: SparkSession,
+      sf: String): (IndexedSeq[Long], IndexedSeq[Long]) = {
+    val version = datasetVersion(spark, sf)
+    sqGridCache.get(sf) match {
+      case Some((v, g)) if v == version =>
+        System.err.println(s"[graft] sq grid: cache-hit ($sf)")
+        g
+      case _ =>
+        val g = sqGrid(Tables.load(spark, sf, "embeddings"))
+        sqGridCache.put(sf, (version, g))
+        g
+    }
+  }
+
   /** Trained SQ8 grid: per-dimension (lo, step) over the corpus, both
     * on the 2²⁶ integer grid so train/encode/score and the DuckDB twin
     * share one exact-integer derivation. step = max(1, ⌈(hi−lo)/255⌉)
@@ -749,7 +772,7 @@ object Similarity {
     * the exact same integer codes end-to-end. */
   def sqCodes(spark: SparkSession, sf: String): DataFrame = {
     val e = Tables.load(spark, sf, "embeddings")
-    val (lo, step) = sqGrid(e)
+    val (lo, step) = sqGridFor(spark, sf)
     e.select(col("vec_id"),
         graft.functions.ArrayOps.quantize_q(col("embedding"), Q).as("iv"))
       .select(col("vec_id"), posexplode(array((0 until Dim).map(i =>
@@ -777,7 +800,7 @@ object Similarity {
   def sqPlantedRecall(spark: SparkSession, sf: String): DataFrame = {
     val e = Tables.load(spark, sf, "embeddings")
     guardExactKernel(e, "sqPlantedRecall")
-    val (lo, step) = sqGrid(e)
+    val (lo, step) = sqGridFor(spark, sf)
     val index = e.select((col("vec_id") + 1000000L).as("neighbor_id"),
         transform(col("embedding"),
           (x, i) => when(i === 0, x * lit(1.01)).otherwise(x)).as("twin"))
@@ -1044,7 +1067,7 @@ object Similarity {
   def ivfSqPlantedRecall(spark: SparkSession, sf: String): DataFrame = {
     val e = Tables.load(spark, sf, "embeddings")
     val cents = centroidsFor(spark, sf)
-    val (lo, step) = sqGrid(e)
+    val (lo, step) = sqGridFor(spark, sf)
     val index = e.select((col("vec_id") + 1000000L).as("neighbor_id"),
         transform(col("embedding"),
           (x, i) => when(i === 0, x * lit(1.01)).otherwise(x)).as("twin"))

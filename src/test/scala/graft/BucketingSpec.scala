@@ -18,10 +18,12 @@ class BucketingSpec extends AnyFunSuite {
     // force it by disabling the broadcast thresholds for this test
     val conf = spark.conf
     val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.legacy.bucketedTableScan.outputOrdering")
       .map(k => k -> conf.getOption(k))
     try {
-      saved.foreach { case (k, _) => conf.set(k, "-1") }
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       val joined = Bucketing.bucketedJoinPlan(spark, sf, buckets = 8)
       assert(joined.count() > 0)
       val plan = joined.queryExecution.executedPlan.toString
@@ -43,12 +45,9 @@ class BucketingSpec extends AnyFunSuite {
       assert(!sortedPlan.contains("Exchange"), sortedPlan)
       assert(!sortedPlan.contains("Sort "),
         s"bucketed join still sorts (multiple files per bucket?):\n$sortedPlan")
-    } finally {
-      conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
-      saved.foreach {
-        case (k, Some(v)) => conf.set(k, v)
-        case (k, None) => conf.unset(k)
-      }
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
     }
   }
 
@@ -77,7 +76,9 @@ class BucketingSpec extends AnyFunSuite {
     // planner's auto-bucketed-scan heuristic turns the bucketed scan
     // (and with it, bucket pruning) off; a point-lookup workload
     // disables the heuristic to get 1/n-bucket reads
-    conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val saved = conf.getOption(key)
+    conf.set(key, "false")
     try {
       val (liName, _) = Bucketing.writeBucketed(spark, sf, buckets = 8)
       val someKey = spark.table(liName).select(col("l_orderkey"))
@@ -88,7 +89,9 @@ class BucketingSpec extends AnyFunSuite {
       assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
         s"bucket pruning did not engage:\n$plan")
       assert(pruned.count() > 0, "pruned read returned no rows")
-    } finally
-      conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    } finally saved match {
+      case Some(v) => conf.set(key, v)
+      case None => conf.unset(key)
+    }
   }
 }
