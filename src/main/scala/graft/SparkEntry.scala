@@ -201,6 +201,7 @@ object SparkEntry {
     // --- multimodal binary plumbing
     "q_binary_meta" -> (Multimodal.binaryMeta _),
     "q_decode_features" -> (Multimodal.decodeFeatures _),
+    "q_audio_features" -> ((s: SparkSession, d: String) => Multimodal.audioFeatures(s, d)),
     "q_resize_pool" -> ((s: SparkSession, d: String) => Multimodal.resizePool(s, d)),
     "q_image_phash" -> (Multimodal.imagePhash _),
     "q_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
@@ -1964,6 +1965,38 @@ object SparkEntry {
                     FROM px GROUP BY doc_id, b) cnt
            ON cnt.doc_id = d.doc_id AND cnt.b = g.b
          ORDER BY d.doc_id, bin_idx""",
+
+    // Audio features recomputed from the closed-form triangle wave —
+    // the Spark side derives them from REAL WAV bytes decoded by
+    // javax.sound, so equality here pins the synthesize → RIFF encode
+    // → container parse → PCM16LE decode → windowed-feature loop
+    // end-to-end (triangle, not sine: pure integer arithmetic, no
+    // engine-varying libm).
+    "q_audio_features" ->
+      """WITH d AS (
+           SELECT doc_id,
+             512 + (doc_id % 7) * 64 AS n,
+             16 + (doc_id % 32) AS p,
+             8192 + (doc_id % 4) * 4096 AS a
+           FROM documents),
+         s AS (
+           SELECT doc_id, i,
+             a - (2 * a * abs(2 * (i % p) - p)) // p AS smp,
+             i // 128 AS w
+           FROM d,
+                LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) g),
+         sl AS (
+           SELECT doc_id, w, i, smp,
+             lag(smp) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+           FROM s)
+         SELECT doc_id, CAST(w AS BIGINT) AS window_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(smp * smp) AS BIGINT) AS energy,
+           CAST(SUM(CASE WHEN i % 128 <> 0 AND prev * smp < 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+           CAST(MAX(abs(smp)) AS BIGINT) AS peak
+         FROM sl GROUP BY doc_id, w
+         ORDER BY doc_id, window_idx""",
 
     // Perceptual dHash (56-bit, 7×8 gradient grid) recomputed from the
     // closed-form pixel formula — the Spark side hashes the REAL

@@ -223,4 +223,117 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
         col("frame_digest"))
       .orderBy(col("doc_id"), col("frame_idx"))
+
+  // ---- audio ---------------------------------------------------------
+
+  private val audioSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("payload", BinaryType)))
+
+  /** Audio synthesis parameters per document — a closed form any
+    * engine can recompute: n samples of a 16-bit integer TRIANGLE wave
+    * (period p, amplitude a). Triangle, not sine: every sample is pure
+    * integer arithmetic (`a − (2a·|2(i mod p) − p|) div p`), so the
+    * DuckDB oracle regenerates the exact waveform without touching
+    * libm (whose sin() differs across engines in the last bit). */
+  private def audioParams(id: Long): (Int, Int, Int) =
+    (512 + (id % 7).toInt * 64,   // n samples
+      16 + (id % 32).toInt,       // period
+      8192 + (id % 4).toInt * 4096) // amplitude
+
+  private def triSample(i: Int, p: Int, a: Int): Int = {
+    val tri = math.abs(2 * (i % p) - p)
+    a - (2 * a * tri) / p
+  }
+
+  /** Deterministic synthetic PCM per document, WAV-ENCODED with the
+    * JDK codec (`javax.sound.sampled.AudioSystem`, the audio analog of
+    * the imageized ImageIO stage): 16-bit signed little-endian mono at
+    * a nominal 8 kHz, carried as real RIFF/WAVE bytes. mapPartitions
+    * for per-partition codec-state amortization. */
+  def audioized(spark: SparkSession, sf: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(audioSchema)
+    val format = () => new javax.sound.sampled.AudioFormat(
+      8000f, 16, 1, true, false) // signed, little-endian
+    Tables.load(spark, sf, "documents")
+      .select(col("doc_id"))
+      .mapPartitions { rows =>
+        val fmt = format()
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (n, p, a) = audioParams(id)
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = triSample(i, p, a)
+            pcm(2 * i) = (s & 0xFF).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+            i += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          Row(id, bos.toByteArray)
+        }
+      }(enc)
+  }
+
+  private val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("window_idx", LongType),
+    StructField("n_samples", LongType),
+    StructField("energy", LongType),
+    StructField("zero_crossings", LongType),
+    StructField("peak", LongType)))
+
+  /** Partition-parallel decode/feature-extract over REAL WAV bytes:
+    * `AudioSystem.getAudioInputStream` parses the RIFF container and
+    * yields the PCM frames, and per 128-sample window the extractor
+    * derives exact integer features — energy (Σ s², the loudness
+    * measure), zero crossings (the classic cheap pitch/voicedness
+    * signal), and peak amplitude. A parse failure throws; it cannot
+    * silently fall back to the closed form. The DuckDB oracle
+    * regenerates the same windows from the triangle formula, pinning
+    * the synthesize→WAV-encode→decode→feature loop end-to-end —
+    * the audio analog of [[decodeFeatures]]'s PNG pin. */
+  def audioFeatures(spark: SparkSession, sf: String,
+      window: Int = 128): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(audioFeatureSchema)
+    audioized(spark, sf)
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          require(ais.getFormat.getSampleSizeInBits == 16 &&
+            !ais.getFormat.isBigEndian, s"unexpected format for doc $id")
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          val samples = Array.tabulate(n) { i =>
+            ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort.toInt
+          }
+          (0 until n by window).map { start =>
+            val end = math.min(start + window, n)
+            var energy = 0L
+            var zc = 0L
+            var peak = 0L
+            var i = start
+            while (i < end) {
+              val s = samples(i)
+              energy += s.toLong * s.toLong
+              if (i > start && samples(i - 1).toLong * s.toLong < 0L) zc += 1L
+              if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
+              i += 1
+            }
+            Row(id, (start / window).toLong, (end - start).toLong,
+              energy, zc, peak)
+          }
+        }
+      }(enc)
+      .orderBy(col("doc_id"), col("window_idx"))
+  }
 }

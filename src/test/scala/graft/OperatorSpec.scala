@@ -971,6 +971,28 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("audioized payloads are real RIFF/WAVE containers with the declared format") {
+    val rows = graft.operators.Multimodal.audioized(spark, sf)
+      .limit(20).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val bytes = r.getAs[Array[Byte]](1)
+      assert(new String(bytes.slice(0, 4), "US-ASCII") == "RIFF" &&
+        new String(bytes.slice(8, 12), "US-ASCII") == "WAVE",
+        s"doc ${r.getLong(0)}: not a RIFF/WAVE container")
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = ais.getFormat
+      assert(f.getSampleSizeInBits == 16 && f.getChannels == 1 &&
+        !f.isBigEndian && f.getSampleRate == 8000f,
+        s"doc ${r.getLong(0)}: unexpected format $f")
+      // frame count round-trips the synthesis parameter n
+      val n = 512 + (r.getLong(0) % 7) * 64
+      assert(ais.getFrameLength == n,
+        s"doc ${r.getLong(0)}: ${ais.getFrameLength} frames, want $n")
+    }
+  }
+
   test("approx percentiles: every sketch value within the GK rank bound") {
     // pins the no-oracle q_approx_percentiles row: each percentile_approx
     // output must be an actual data value whose RANK in the sorted group
