@@ -233,7 +233,7 @@ object Corpus {
   /** One left-to-right non-overlapping application of merge (l, r) —
     * the single definition shared by training ([[bpeMerges]]) and
     * encoding ([[bpeEncode]]), so the two can never drift. */
-  private def applyMerge(syms: Vector[String], l: String, r: String): Vector[String] = {
+  private[graft] def applyMerge(syms: Vector[String], l: String, r: String): Vector[String] = {
     val out = Vector.newBuilder[String]
     var i = 0
     while (i < syms.length) {

@@ -1054,6 +1054,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.map(_._3).sum < got.map(_._4).sum)
   }
 
+  test("bpe tokenization is lossless: concat(tokens) == word under any merge table") {
+    // the round-trip invariant decode relies on — merging adjacent
+    // symbols must never alter the concatenation, for the TRAINED
+    // table and for adversarial ones (overlapping/self-referential
+    // pairs, pairs absent from the word)
+    val trained = Corpus.bpeMerges(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val adversarial = Seq(
+      Seq(("a", "a"), ("aa", "a"), ("aa", "aa")),
+      Seq(("t", "h"), ("th", "e"), ("e", "the")),
+      Seq(("z", "q")), Seq.empty[(String, String)])
+    val rnd = new scala.util.Random(41)
+    val words = Seq("the", "aaaa", "aaaaa", "banana", "thethethe") ++
+      (1 to 200).map(_ => (1 to 1 + rnd.nextInt(12))
+        .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+    for (table <- adversarial :+ trained.toSeq; w <- words) {
+      var syms = w.map(_.toString).toVector
+      table.foreach { case (l, r) => syms = Corpus.applyMerge(syms, l, r) }
+      assert(syms.mkString == w,
+        s"lossy tokenization of '$w' under $table: $syms")
+      assert(syms.nonEmpty && syms.forall(_.nonEmpty))
+    }
+  }
+
   test("bigram surprisal: per-doc shape and a from-scratch re-derivation") {
     val rows = graft.operators.Text.bigramSurprisal(spark, sf).collect()
     val docs = Tables.load(spark, sf, "documents")
