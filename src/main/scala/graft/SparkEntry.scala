@@ -198,6 +198,7 @@ object SparkEntry {
     "q_sq_recall" -> (Similarity.sqPlantedRecall _),
     "q_ivfsq_recall" -> (Similarity.ivfSqPlantedRecall _),
     "q_cosine_pairs" -> ((s: SparkSession, d: String) => Similarity.cosinePairsExact(s, d)),
+    "q_triplets" -> (Similarity.tripletMine _),
     // --- multimodal binary plumbing
     "q_binary_meta" -> (Multimodal.binaryMeta _),
     "q_decode_features" -> (Multimodal.decodeFeatures _),
@@ -1917,6 +1918,41 @@ object SparkEntry {
          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                  ORDER BY cosine DESC, neighbor_id) AS rk FROM p)
          WHERE rk <= 5 ORDER BY query_id, rk""",
+
+    // Hard-mined contrastive triplets: per anchor, the most-similar
+    // same-label vector (positive) and most-similar other-label vector
+    // (hard negative), ties on smaller id — the same exact-integer
+    // cosine as q_knn_brute, so the doubles agree bit-for-bit.
+    "q_triplets" ->
+      """WITH q AS (
+           SELECT vec_id, CAST(label AS BIGINT) AS label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 67108864.0) AS BIGINT)) AS iv
+           FROM embeddings),
+         p AS (
+           SELECT a.vec_id AS anchor_id, b.vec_id AS cand_id,
+             (a.label = b.label) AS same,
+             CAST(CAST(list_sum(list_transform(generate_series(1, len(a.iv)),
+               i -> a.iv[i] * b.iv[i])) AS BIGINT) AS DOUBLE)
+             / (sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(a.iv)),
+                 i -> a.iv[i] * a.iv[i])) AS BIGINT) AS DOUBLE))
+                * sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(b.iv)),
+                 i -> b.iv[i] * b.iv[i])) AS BIGINT) AS DOUBLE))) AS cosine
+           FROM q a, q b WHERE a.vec_id <> b.vec_id),
+         pos AS (
+           SELECT anchor_id, cand_id AS pos_id, cosine AS pos_cos
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                   ORDER BY cosine DESC, cand_id) AS rk
+                 FROM p WHERE same) WHERE rk = 1),
+         neg AS (
+           SELECT anchor_id, cand_id AS neg_id, cosine AS neg_cos
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                   ORDER BY cosine DESC, cand_id) AS rk
+                 FROM p WHERE NOT same) WHERE rk = 1)
+         SELECT pos.anchor_id, pos_id, pos_cos, neg_id, neg_cos,
+           pos_cos - neg_cos AS margin
+         FROM pos JOIN neg ON pos.anchor_id = neg.anchor_id
+         ORDER BY pos.anchor_id""",
 
     // documents.text is pure ASCII, so DuckDB's VARCHAR md5/substring
     // operate on the same bytes Spark's binary md5/substr see.

@@ -825,6 +825,58 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  // ---- contrastive training-pair mining ------------------------------
+
+  /** Hard-mined contrastive triplets — the training-SET construction
+    * op behind contrastive/metric learning: for every anchor, the
+    * positive is its most-similar SAME-label vector and the negative
+    * its most-similar OTHER-label vector (the "hard negative" — random
+    * negatives are trivially separable and teach nothing; mining the
+    * hardest is what makes the set worth training on). The margin
+    * column (pos_cos − neg_cos) is the per-anchor difficulty the
+    * curriculum would sort by.
+    *
+    * Both argmaxes are partial-aggregable min(struct(-cosine, id))
+    * folds over the pair scan — no windows, map-side combining — with
+    * deterministic smaller-id tie-breaks. Verification shape is the
+    * guarded exact kernel; at scale the candidate feed is the IVF
+    * cell join (positives) and a cell join over label-stratified
+    * centroids (negatives) — the same composition every other exact
+    * kernel here swaps to past the guard. */
+  def tripletMine(spark: SparkSession, sf: String): DataFrame = {
+    val e = Tables.load(spark, sf, "embeddings")
+    guardExactKernel(e, "tripletMine")
+    def side(idCol: String): DataFrame =
+      quantized(e.select(col("vec_id"), col("embedding")), idCol)
+        .join(e.select(col("vec_id").as(idCol),
+          col("label").cast("long").as(s"label_$idCol")), idCol)
+    val pairs = side("anchor_id").crossJoin(broadcast(side("cand_id")))
+      .filter(col("anchor_id") =!= col("cand_id"))
+      .withColumn("cosine",
+        dot_long(col("iv_anchor_id"), col("iv_cand_id")).cast("double") /
+          (col("norm_anchor_id") * col("norm_cand_id")))
+      .select(col("anchor_id"), col("cand_id"), col("cosine"),
+        (col("label_anchor_id") === col("label_cand_id")).as("same"))
+    val best = pairs
+      .groupBy(col("anchor_id"))
+      .agg(
+        min(when(col("same"),
+          struct((-col("cosine")).as("neg_cos"), col("cand_id").as("id"))))
+          .as("pos"),
+        min(when(!col("same"),
+          struct((-col("cosine")).as("neg_cos"), col("cand_id").as("id"))))
+          .as("neg"))
+    best
+      // an anchor whose label has no second member (or a single-label
+      // corpus) yields no triplet — dropped, not emitted half-null
+      .filter(col("pos").isNotNull && col("neg").isNotNull)
+      .select(col("anchor_id"),
+        col("pos.id").as("pos_id"), (-col("pos.neg_cos")).as("pos_cos"),
+        col("neg.id").as("neg_id"), (-col("neg.neg_cos")).as("neg_cos"),
+        (-col("pos.neg_cos") + col("neg.neg_cos")).as("margin"))
+      .orderBy(col("anchor_id"))
+  }
+
   /** SEMANTIC clustering: connected components over the embedding-
     * cosine similarity graph (cosine ≥ `threshold`) — groups documents
     * that say the same thing in different words, where the shingle-
