@@ -128,6 +128,8 @@ object SparkEntry {
     "q_bpe_encode" -> ((s: SparkSession, d: String) => Corpus.bpeEncode(s, d)),
     "q_pagerank" -> ((s: SparkSession, d: String) => Graph.pageRank(s, d)),
     "q_search" -> ((s: SparkSession, d: String) => Corpus.search(s, d)),
+    "q_bm25" -> ((s: SparkSession, d: String) => Corpus.bm25(s, d)),
+    "q_rrf" -> ((s: SparkSession, d: String) => Corpus.rrfFusion(s, d)),
     "q_pii_scrub" -> (Corpus.piiScrub _),
     "q_stratified_sample" -> ((s: SparkSession, d: String) => Corpus.stratifiedSample(s, d)),
     // exact mode: the DuckDB quantile_cont oracle needs the exact cut;
@@ -1160,6 +1162,97 @@ object SparkEntry {
          GROUP BY doc_id
          ORDER BY score DESC, doc_id
          LIMIT 15""",
+
+    // BM25 (k1=1.2, b=0.75): idf as the bit cost of the doubled
+    // Robertson ratio, saturation cross-multiplied into one HUGEINT
+    // quotient in basis points — mirrors Corpus.bm25's DECIMAL(38,0)
+    // arithmetic term for term, so scores are integer-identical
+    "q_bm25" ->
+      """WITH d AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+           FROM documents),
+         dd AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM d),
+         st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(dl) AS BIGINT) AS total_len FROM dd),
+         tf AS (
+           SELECT doc_id, dl, w, CAST(COUNT(*) AS BIGINT) AS tf FROM
+             (SELECT doc_id, dl, unnest(ws) AS w FROM dd)
+           WHERE w IN ('spark', 'join', 'stream', 'window')
+           GROUP BY doc_id, dl, w),
+         dfreq AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                   FROM tf GROUP BY w)
+         SELECT doc_id,
+           CAST(SUM(
+             CAST(length(bin((2 * st.n_docs + 2) // (2 * df + 1))) AS BIGINT) *
+             CAST((CAST(tf AS HUGEINT) * 22000000000
+                     * CAST(st.total_len AS HUGEINT)) //
+                  (CAST(tf AS HUGEINT) * 1000000
+                     * CAST(st.total_len AS HUGEINT)
+                   + 300000 * CAST(st.total_len AS HUGEINT)
+                   + 900000 * CAST(dl AS HUGEINT)
+                            * CAST(st.n_docs AS HUGEINT)) AS BIGINT))
+             AS BIGINT) AS score,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+         FROM tf JOIN dfreq USING (w) CROSS JOIN st
+         GROUP BY doc_id
+         ORDER BY score DESC, doc_id
+         LIMIT 15""",
+
+    // Reciprocal-rank fusion: the integer tf·idf lexical ranking and
+    // the quantized-cosine vector ranking (both top-100), fused by
+    // pre-floored reciprocal weights 10⁹ // (60 + rank). The cosine is
+    // the exact-integer-grid expression of q_knn_brute, so both legs'
+    // ranks — and therefore the fused scores — are bit-identical.
+    "q_rrf" ->
+      """WITH d AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+           FROM documents),
+         n AS (SELECT COUNT(*) AS n_docs FROM d),
+         tf AS (
+           SELECT doc_id, w, COUNT(*) AS tf FROM
+             (SELECT doc_id, unnest(ws) AS w FROM d)
+           WHERE w IN ('spark', 'join', 'stream', 'window')
+           GROUP BY doc_id, w),
+         idf AS (
+           SELECT w, (n.n_docs * 10000) // COUNT(DISTINCT doc_id) AS idf_bp
+           FROM tf, n GROUP BY w, n.n_docs),
+         lexs AS (
+           SELECT doc_id, SUM(tf * idf_bp) AS score
+           FROM tf JOIN idf USING (w) GROUP BY doc_id
+           ORDER BY score DESC, doc_id LIMIT 100),
+         lex AS (
+           SELECT doc_id, CAST(row_number() OVER
+             (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rk
+           FROM lexs),
+         q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 67108864.0) AS BIGINT)) AS iv
+           FROM embeddings),
+         qv AS (SELECT iv FROM q WHERE vec_id = 0),
+         vs AS (
+           SELECT c.vec_id,
+             CAST(CAST(list_sum(list_transform(generate_series(1, len(c.iv)),
+               i -> c.iv[i] * qv.iv[i])) AS BIGINT) AS DOUBLE)
+             / (sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(c.iv)),
+                 i -> c.iv[i] * c.iv[i])) AS BIGINT) AS DOUBLE))
+                * sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(qv.iv)),
+                 i -> qv.iv[i] * qv.iv[i])) AS BIGINT) AS DOUBLE))) AS cosine
+           FROM q c, qv WHERE c.vec_id <> 0
+           ORDER BY cosine DESC, vec_id LIMIT 100),
+         vec AS (
+           SELECT vec_id, CAST(row_number() OVER
+             (ORDER BY cosine DESC, vec_id) AS BIGINT) AS vec_rk
+           FROM vs)
+         SELECT CAST(COALESCE(lex.doc_id, vec.vec_id) AS BIGINT) AS doc_id,
+           COALESCE(lex_rk, 0) AS lex_rk,
+           COALESCE(vec_rk, 0) AS vec_rk,
+           CAST(CASE WHEN lex_rk IS NULL THEN 0
+                  ELSE 1000000000 // (60 + lex_rk) END
+              + CASE WHEN vec_rk IS NULL THEN 0
+                  ELSE 1000000000 // (60 + vec_rk) END AS BIGINT) AS rrf_score
+         FROM lex FULL JOIN vec ON lex.doc_id = vec.vec_id
+         ORDER BY rrf_score DESC, doc_id
+         LIMIT 20""",
 
     // Collocations by integer-scaled lift (rank-identical to PMI; see
     // Corpus.pmiTop). N is computed as sum(len-1), never a re-explode.

@@ -212,6 +212,140 @@ object Corpus {
       .limit(k)
   }
 
+  /** BM25 ranked retrieval (Robertson-Walker probabilistic ranking;
+    * k1=1.2, b=0.75) over the same bag-of-words query as [[search]] —
+    * the production lexical ranker tf·idf approximates: term frequency
+    * SATURATES (the 50th "spark" is worth less than the 2nd) and long
+    * documents are length-normalized against the corpus average, so
+    * keyword-stuffed boilerplate stops out-ranking genuinely relevant
+    * text.
+    *
+    * INTEGER-exact cross-engine, no float anywhere: the idf is the
+    * ⌊log2⌋+1 bit cost of the Robertson ratio (N+1)/(df+½) with both
+    * terms doubled onto integers — `length(bin((2N+2) div (2df+1)))` —
+    * and the saturation term tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) is
+    * cross-multiplied by 10⁶·total_len into a single integer quotient
+    * in basis points. The cross-multiplied operands reach
+    * tf·2.2·10¹⁰·total_len — past long at corpus scale, so they run in
+    * DECIMAL(38,0) (HUGEINT in the oracle; headroom to total_len
+    * ≈ 10²³ tokens), while the quotient itself is ≤ 22 000 and lands
+    * back in a long.
+    *
+    * Scale shape: identical to [[search]] — the term filter runs
+    * BEFORE the per-doc aggregation so the postings stream is bounded
+    * by |query terms| · matching docs; N and total_len ride one
+    * broadcast scalar row; df is |terms| rows broadcast; the top-k is
+    * TakeOrdered (per-partition heaps, no global sort). */
+  def bm25(spark: SparkSession, sf: String,
+      query: String = "spark join stream window", k: Int = 15): DataFrame = {
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_len"))
+    val tf = docs.select(col("doc_id"), col("dl"), explode(col("ws")).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(broadcast(dfreq), Seq("w"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_bits",
+        length(bin(expr("(2 * n_docs + 2) div (2 * df + 1)"))).cast("long"))
+      .withColumn("sat_bp", expr(
+        """(cast(tf as decimal(38,0)) * 22000000000
+             * cast(total_len as decimal(38,0))) div
+           (cast(tf as decimal(38,0)) * 1000000
+             * cast(total_len as decimal(38,0))
+            + 300000 * cast(total_len as decimal(38,0))
+            + 900000 * cast(dl as decimal(38,0))
+                     * cast(n_docs as decimal(38,0)))"""))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("idf_bits") * col("sat_bp")).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard
+    * hybrid-retrieval merge: a LEXICAL ranking (the integer tf·idf of
+    * [[search]] over a bag-of-words query) and a VECTOR ranking (exact
+    * quantized cosine of every embedding against one query vector,
+    * the [[Similarity]] grid) are fused by summing 10⁹ div (60 + rank)
+    * over the lists each document appears in. Ranks — not scores — are
+    * fused, so the two signals need no calibration against each other;
+    * the reciprocal weights are pre-floored integers, so the fused
+    * score is exact cross-engine.
+    *
+    * The join key is the doc_id == vec_id alignment of the fixture
+    * corpus (documents and their embeddings share ids — the contract
+    * any embedded corpus has). Absent ranks surface as 0 (a document
+    * inside only one list still fuses; 0 is un-ambiguous because real
+    * ranks start at 1).
+    *
+    * Scale shape: each list is top-`depth` of an independently
+    * shuffled ranking (lexical: term-filtered postings, the [[search]]
+    * plan; vector: a LINEAR one-query scan — no pair explosion, the
+    * per-query serving kernel that an IVF/LSH index would bound
+    * further). The fusion join then touches ≤ 2·depth rows — driver
+    * never sees data, and the full-outer join is between two
+    * broadcast-sized frames. */
+  def rrfFusion(spark: SparkSession, sf: String,
+      query: String = "spark join stream window", queryVec: Long = 0L,
+      k: Int = 20, depth: Int = 100, rrfK: Int = 60): DataFrame = {
+    import graft.functions.ArrayOps.{dot_long, quantize_q}
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    // lexical leg — the search() scoring, ranked to `depth`
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), words(col("text")).as("ws"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs.select(col("doc_id"), explode(col("ws")).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(n))
+      .select(col("w"), expr("(n_docs * 10000) div df").as("idf_bp"))
+    // top-depth FIRST via TakeOrdered (per-partition heaps), so the
+    // unpartitioned rank window that follows only ever sees ≤ depth
+    // rows — never the corpus-sized single-partition collapse
+    val lex = tf.join(broadcast(idf), Seq("w"))
+      .groupBy(col("doc_id")).agg(sum(col("tf") * col("idf_bp")).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(depth)
+      .withColumn("lex_rk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("lex_rk"))
+    // vector leg — one query row broadcast into a linear scan
+    val e = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), quantize_q(col("embedding"), Similarity.Q).as("iv"))
+    val qv = e.filter(col("vec_id") === queryVec)
+      .select(col("iv").as("iv_q"),
+        sqrt(dot_long(col("iv"), col("iv")).cast("double")).as("norm_q"))
+    val vec = e.filter(col("vec_id") =!= queryVec)
+      .crossJoin(broadcast(qv))
+      .withColumn("cosine",
+        dot_long(col("iv"), col("iv_q")).cast("double") /
+          (sqrt(dot_long(col("iv"), col("iv")).cast("double")) * col("norm_q")))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(depth)
+      .withColumn("vec_rk", row_number().over(
+        Window.orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id"), col("vec_rk"))
+    lex.join(vec, col("doc_id") === col("vec_id"), "full_outer")
+      .select(
+        coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+        coalesce(col("lex_rk"), lit(0L)).as("lex_rk"),
+        coalesce(col("vec_rk"), lit(0L)).as("vec_rk"))
+      .withColumn("rrf_score",
+        when(col("lex_rk") > 0,
+          expr(s"1000000000 div ($rrfK + lex_rk)")).otherwise(lit(0L)) +
+        when(col("vec_rk") > 0,
+          expr(s"1000000000 div ($rrfK + vec_rk)")).otherwise(lit(0L)))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** BPE tokenizer training (Sennrich et al. 2016): learn `nMerges`
     * byte-pair merges from corpus word frequencies. The distributed
     * part is exactly the part that scales with the corpus — ONE

