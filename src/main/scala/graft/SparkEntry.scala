@@ -191,6 +191,8 @@ object SparkEntry {
     "q_cosine_near_dup" -> ((s: SparkSession, d: String) => Similarity.cosineNearDup(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "q_ann_recall" -> (Similarity.annPlantedRecall _),
+    "q_mrl_recall" -> ((s: SparkSession, d: String) =>
+      Similarity.mrlPlantedRecall(s, d)),
     "q_ivf_recall" -> (Similarity.ivfPlantedRecall _),
     "q_cosine_recall" -> ((s: SparkSession, d: String) => Similarity.cosinePlantedRecall(s, d)),
     "q_pq_codes" -> (Similarity.pqCodes _),
@@ -1908,6 +1910,15 @@ object SparkEntry {
     // Recall pin: every planted near-identical twin (id+1e6) the
     // multi-probe LSH index recovered; oracle = the full planted list.
     "q_ann_recall" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id,
+         CAST(vec_id + 1000000 AS BIGINT) AS neighbor_id
+         FROM embeddings ORDER BY query_id""",
+
+    // Same planted ground truth pins the MATRYOSHKA funnel: green iff
+    // the 16-dim-prefix coarse shortlist never drops a twin AND the
+    // full-dim rescore ranks it back to top-1 — both funnel stages,
+    // end-to-end.
+    "q_mrl_recall" ->
       """SELECT CAST(vec_id AS BIGINT) AS query_id,
          CAST(vec_id + 1000000 AS BIGINT) AS neighbor_id
          FROM embeddings ORDER BY query_id""",

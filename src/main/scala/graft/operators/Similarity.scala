@@ -237,6 +237,58 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Matryoshka-funnel recall pin (Kusupati et al. 2022: MRL
+    * embeddings are trained so every PREFIX of the vector is itself a
+    * usable embedding). The production retrieval funnel that property
+    * buys: a COARSE pass scores ¼-length prefixes (¼ the memory
+    * bandwidth and FLOPs of full vectors — at a billion vectors this
+    * is the difference between the index fitting executor memory or
+    * not), shortlists `shortlist` candidates per query, and a FINE
+    * pass rescores only the shortlist at full dimension. Same planted
+    * ground truth as [[annPlantedRecall]]; green iff every query's
+    * final full-dim top-1 is its cosine-0.999 twin — i.e. the funnel
+    * lost nobody at either stage.
+    *
+    * Both stages run on the exact integer grid (a prefix of a
+    * quantized vector IS the quantized prefix, so truncation commutes
+    * with quantization and costs nothing). The coarse broadcast here
+    * is the guarded verification form; at scale the truncated vectors
+    * feed the SAME LSH/IVF index machinery at ¼ width, and the fine
+    * stage's cost is |queries|·shortlist regardless of corpus size. */
+  def mrlPlantedRecall(spark: SparkSession, sf: String,
+      truncDim: Int = 16, shortlist: Int = 5): DataFrame = {
+    val e = Tables.load(spark, sf, "embeddings")
+    guardExactKernel(e, "mrlPlantedRecall")
+    val index = e.select((col("vec_id") + 1000000L).as("neighbor_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x * lit(1.01)).otherwise(x)).as("twin"))
+      .select(col("neighbor_id"),
+        graft.functions.ArrayOps.quantize_q(col("twin"), Q).as("iv_n"))
+      .withColumn("iv_n_t", slice(col("iv_n"), 1, truncDim))
+    val probes = quantized(e, "query_id")
+      .withColumn("iv_q_t", slice(col("iv_query_id"), 1, truncDim))
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_t").desc, col("neighbor_id"))
+    val wFine = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_f").desc, col("neighbor_id"))
+    probes.crossJoin(broadcast(index))
+      .withColumn("cos_t",
+        dot_long(col("iv_q_t"), col("iv_n_t")).cast("double") /
+          (sqrt(dot_long(col("iv_q_t"), col("iv_q_t")).cast("double")) *
+           sqrt(dot_long(col("iv_n_t"), col("iv_n_t")).cast("double"))))
+      .withColumn("crk", row_number().over(wCoarse))
+      .filter(col("crk") <= shortlist)
+      .withColumn("cos_f",
+        dot_long(col("iv_query_id"), col("iv_n")).cast("double") /
+          (col("norm_query_id") *
+           sqrt(dot_long(col("iv_n"), col("iv_n")).cast("double"))))
+      .withColumn("rk", row_number().over(wFine))
+      .filter(col("rk") === 1 &&
+        col("neighbor_id") === col("query_id") + 1000000L)
+      .select(col("query_id"), col("neighbor_id"))
+      .orderBy(col("query_id"))
+  }
+
   /** Shared LSH-bucketed near-dup pair kernel: TWO independent
     * hyperplane tables, each probed with its Hamming≤1 multi-probe set
     * against a single-bucket index, unioned and de-duplicated, with

@@ -264,6 +264,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(recovered == n, s"IVF recall $recovered/$n")
   }
 
+  test("Matryoshka funnel recall is total and truncation commutes with quantization") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val n = e.count()
+    // both funnel stages lose nobody: coarse 16-dim shortlist keeps
+    // every twin, full-dim rescore ranks it top-1
+    val recovered = Similarity.mrlPlantedRecall(spark, sf).count()
+    assert(recovered == n, s"MRL funnel recall $recovered/$n")
+    // the zero-cost-truncation claim: slicing the quantized vector IS
+    // quantizing the sliced vector (floor(x·2^26) is element-wise)
+    import org.apache.spark.sql.functions._
+    val both = e.select(
+      slice(graft.functions.ArrayOps.quantize_q(col("embedding"), Similarity.Q),
+        1, 16).as("slice_of_q"),
+      graft.functions.ArrayOps.quantize_q(slice(col("embedding"), 1, 16),
+        Similarity.Q).as("q_of_slice"))
+    assert(both.filter(col("slice_of_q") =!= col("q_of_slice")).count() == 0)
+    // degenerate funnel = exact search: truncDim 64 + shortlist 1 must
+    // also recover every twin (the coarse stage alone is then exact)
+    assert(Similarity.mrlPlantedRecall(spark, sf, truncDim = 64,
+      shortlist = 1).count() == n)
+  }
+
   test("cosine near-dup recall on planted twins is total and the kernel is sound") {
     val e = Tables.load(spark, sf, "embeddings")
     val n = e.count()
