@@ -426,6 +426,52 @@ object Events {
         max(col("ts")).as("session_end"))
       .orderBy(col("user_id"), col("session_id"))
   }
+
+  /** Type-2 slowly-changing-dimension build (Kimball SCD2): collapse
+    * each user's event stream into VERSIONED VALIDITY INTERVALS of its
+    * tracked attribute (event_type here) — consecutive runs of the
+    * same value become one row [valid_from, valid_to) with a version
+    * counter and an is_current flag; valid_to chains to the next
+    * version's valid_from (half-open, gap-free by construction) with
+    * the 9999-12-31 high-date sentinel on the open row, so downstream
+    * point-in-time joins are a plain BETWEEN — the dimension-history
+    * table every warehouse load pipeline maintains, derived here from
+    * the raw change events in one pass.
+    *
+    * Gaps-and-islands, windows-only: a lag comparison marks value
+    * changes, a running sum numbers the islands — both on the SAME
+    * (user_id, ts, event_id) window, so Spark computes them in one
+    * WindowExec over one shuffle; the per-island agg reuses that
+    * partitioning and the version-chaining lead window is over
+    * islands (already collapsed, ≪ events). Nothing global: every
+    * window is keyed by user_id, so 100 TB of events scale by
+    * adding executors. */
+  def scd2(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val byVersion = Window.partitionBy(col("user_id"))
+      .orderBy(col("version"))
+    load(spark, sf)
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("version"), col("event_type"))
+      .agg(min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to",
+        coalesce(lead(col("valid_from"), 1).over(byVersion),
+          lit("9999-12-31 00:00:00").cast("timestamp")))
+      .withColumn("is_current",
+        (lead(col("valid_from"), 1).over(byVersion).isNull).cast("long"))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("n_events"),
+        col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
 }
 
 /** Client-side scalar/serialization functions from the reference

@@ -240,6 +240,28 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2: versions chain half-open and gap-free, one current row per user") {
+    val rows = Events.scd2(spark, sf).collect()
+    val total = Events.load(spark, sf).count()
+    assert(rows.map(_.getLong(5)).sum == total, "every event in exactly one version")
+    rows.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.head.getLong(1) == 1 &&
+        sorted.last.getLong(1) == sorted.length, s"user $u versions contiguous")
+      // exactly one open (is_current) row, and it is the last version
+      assert(rs.count(_.getLong(6) == 1) == 1)
+      assert(sorted.last.getLong(6) == 1)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // half-open chain: this row's valid_to IS the next valid_from
+          assert(a.getTimestamp(4) == b.getTimestamp(3), s"user $u gap-free")
+          // islands are maximal: consecutive versions changed value
+          assert(a.getString(2) != b.getString(2), s"user $u run collapsed")
+        case _ =>
+      }
+    }
+  }
+
   test("ivf ann returns in-cell neighbors with valid cosines") {
     val rows = Similarity.annIvf(spark, sf, k = 3).collect()
     assert(rows.nonEmpty)
