@@ -93,6 +93,7 @@ object SparkEntry {
     "q_profile" -> (Relational.profile _),
     "q_sessionize" -> (Events.sessionize _),
     "q_scd2" -> (Events.scd2 _),
+    "q_resample" -> (Events.resample _),
     "q_funnel" -> (Events.funnel _),
     "q_retention" -> (Events.retention _),
     "q_latest_version" -> (Events.latestVersion _),
@@ -782,6 +783,28 @@ object SparkEntry {
                (PARTITION BY user_id ORDER BY version)
              IS NULL AS BIGINT) AS is_current
          FROM i ORDER BY user_id, version""",
+
+    // Hourly resample + forward fill: the value doubles pass through
+    // untouched (deterministic last = max event_id), so parity needs
+    // no float rule at all
+    "q_resample" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+                 date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour
+               FROM events),
+         h AS (SELECT user_id, hour, CAST(COUNT(*) AS BIGINT) AS n_events,
+                 arg_max(value, event_id) AS v
+               FROM e GROUP BY 1, 2),
+         s AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1
+               FROM e GROUP BY 1),
+         g AS (SELECT user_id,
+                 unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+               FROM s)
+         SELECT g.user_id, g.hour,
+           COALESCE(h.n_events, 0) AS n_events,
+           last_value(h.v IGNORE NULLS) OVER (PARTITION BY g.user_id
+             ORDER BY g.hour ROWS UNBOUNDED PRECEDING) AS filled_value
+         FROM g LEFT JOIN h ON g.user_id = h.user_id AND g.hour = h.hour
+         ORDER BY g.user_id, g.hour""",
 
     // the transformWithState/RocksDB streaming twin reproduces the
     // batch session aggregate exactly, so it shares the window oracle

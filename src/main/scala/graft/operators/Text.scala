@@ -472,6 +472,43 @@ object Events {
         col("is_current"))
       .orderBy(col("user_id"), col("version"))
   }
+
+  /** Time-grid resampling with forward fill — the regularization pass
+    * every time-series feature pipeline runs before modeling: each
+    * user's irregular event stream becomes one row per HOUR over
+    * [first hour, last hour], empty hours carrying n_events = 0 and
+    * the last observed value (max event_id within the newest non-empty
+    * hour — a deterministic last, since event ids are unique). The
+    * value doubles pass through UNTOUCHED (no float arithmetic
+    * anywhere), so cross-engine parity is structural.
+    *
+    * Scale shape: the hourly pre-aggregation shrinks the stream before
+    * anything else happens; the grid is generated per user from a
+    * 2-element span row (sequence() — array length bounded by the
+    * TIME RANGE, never by data volume); grid⋈hourly shuffles on the
+    * composite (user_id, hour) key; the fill window is keyed by
+    * user_id. Nothing global, nothing driver-side. */
+  def resample(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = load(spark, sf)
+      .select(col("user_id"), col("event_id"), col("value"),
+        date_trunc("hour", col("ts")).as("hour"))
+    val hourly = e.groupBy(col("user_id"), col("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        max_by(col("value"), col("event_id")).as("v"))
+    val grid = e.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("hour"))
+    val fill = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("v"), ignoreNulls = true).over(fill).as("filled_value"))
+      .orderBy(col("user_id"), col("hour"))
+  }
 }
 
 /** Client-side scalar/serialization functions from the reference

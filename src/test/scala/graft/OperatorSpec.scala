@@ -262,6 +262,25 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("resample: hourly grid is dense per user and forward fill never nulls") {
+    val rows = Events.resample(spark, sf).collect()
+    // n_events sums back to the raw stream — no event lost or doubled
+    assert(rows.map(_.getLong(2)).sum == Events.load(spark, sf).count())
+    rows.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      val hours = rs.map(_.getTimestamp(1).getTime).sorted
+      // dense: consecutive grid rows are exactly one hour apart
+      hours.sliding(2).foreach {
+        case Array(a, b) => assert(b - a == 3600000L, s"user $u grid gap")
+        case _ =>
+      }
+      // the first grid hour contains an event by construction, so the
+      // forward fill is total — no null filled_value anywhere
+      assert(rs.forall(!_.isNullAt(3)), s"user $u fill total")
+    }
+    // at least one empty hour actually got filled (non-vacuous)
+    assert(rows.exists(_.getLong(2) == 0L))
+  }
+
   test("ivf ann returns in-cell neighbors with valid cosines") {
     val rows = Similarity.annIvf(spark, sf, k = 3).collect()
     assert(rows.nonEmpty)
