@@ -39,6 +39,9 @@ object SparkEntry {
     "q_rollup" -> (Relational.rollupAgg _),
     "q_cube" -> (Relational.cubeAgg _),
     "q_percentiles" -> (Relational.percentiles _),
+    "q_trimmed_stats" -> ((s: SparkSession, d: String) =>
+      Relational.trimmedStats(s, d)),
+    "q_cdf_norm" -> (Relational.cdfNorm _),
     "q_grouping_sets" -> (Relational.groupingSetsAgg _),
     "q_regression" -> (Relational.regressionAgg _),
     "q_approx_percentiles" -> (Relational.approxPercentiles _),
@@ -131,6 +134,7 @@ object SparkEntry {
     "q_pagerank" -> ((s: SparkSession, d: String) => Graph.pageRank(s, d)),
     "q_search" -> ((s: SparkSession, d: String) => Corpus.search(s, d)),
     "q_bm25" -> ((s: SparkSession, d: String) => Corpus.bm25(s, d)),
+    "q_skipgrams" -> ((s: SparkSession, d: String) => Corpus.skipgrams(s, d)),
     "q_rrf" -> ((s: SparkSession, d: String) => Corpus.rrfFusion(s, d)),
     "q_pii_scrub" -> (Corpus.piiScrub _),
     "q_stratified_sample" -> ((s: SparkSession, d: String) => Corpus.stratifiedSample(s, d)),
@@ -447,6 +451,47 @@ object SparkEntry {
          quantile_cont(l_extendedprice, 0.9) AS price_p90
          FROM lineitem GROUP BY l_returnflag
          ORDER BY l_returnflag""",
+
+    // Trimmed/winsorized means: integer rank cut over cents, both
+    // means as one fixed-shape IEEE expression over HUGEINT operands —
+    // mirrors Relational.trimmedStats term for term
+    "q_trimmed_stats" ->
+      """WITH r AS (
+           SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
+           FROM lineitem),
+         rk AS (
+           SELECT l_returnflag, v,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS rk,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM r),
+         k AS (SELECT * FROM rk
+               WHERE rk > n * 5 // 100 AND rk <= n - n * 5 // 100)
+         SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(CAST(v AS HUGEINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 100.0 AS trimmed_mean,
+           CAST(SUM(CAST(v AS HUGEINT))
+                + ((MAX(n) - COUNT(*)) // 2) * CAST(MIN(v) AS HUGEINT)
+                + ((MAX(n) - COUNT(*)) // 2) * CAST(MAX(v) AS HUGEINT)
+              AS DOUBLE)
+             / CAST(MAX(n) AS DOUBLE) / 100.0 AS winsorized_mean
+         FROM k GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
+
+    // CDF normalization: RANK (ties share a percentile) over cents,
+    // scaled to basis points by integer floor division
+    "q_cdf_norm" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           l_returnflag, v, (rk * 10000) // n AS cdf_bp
+         FROM (
+           SELECT l_orderkey, l_linenumber, l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+             CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rk,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem)
+         ORDER BY l_orderkey, l_linenumber""",
 
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1251,6 +1296,26 @@ object SparkEntry {
          GROUP BY doc_id
          ORDER BY score DESC, doc_id
          LIMIT 15""",
+
+    // Skip-gram co-occurrence (window ±2), symmetric: both offset
+    // generators mirror the Spark transform(sequence) pass exactly
+    "q_skipgrams" ->
+      """WITH d AS (
+           SELECT regexp_extract_all(lower(text), '[a-z]+') AS t
+           FROM documents),
+         p AS (
+           SELECT t[i] AS center, t[i+1] AS context
+           FROM d, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2
+           UNION ALL
+           SELECT t[i] AS center, t[i+2] AS context
+           FROM d, unnest(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3),
+         s AS (SELECT center, context FROM p
+               UNION ALL
+               SELECT context AS center, center AS context FROM p)
+         SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n
+         FROM s GROUP BY 1, 2
+         ORDER BY n DESC, center, context
+         LIMIT 30""",
 
     // Reciprocal-rank fusion: the integer tf·idf lexical ranking and
     // the quantized-cosine vector ranking (both top-100), fused by

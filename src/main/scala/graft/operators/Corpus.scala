@@ -180,6 +180,39 @@ object Corpus {
       .orderBy(col("n").desc, col("bigram"))
       .limit(k)
 
+  /** Skip-gram pair extraction (Mikolov et al. 2013): the
+    * (center, context) co-occurrence counts within a ±`window` token
+    * radius that word2vec/GloVe-style embedding trainers consume —
+    * strictly wider than [[bigramTop]] (adjacent only) and symmetric
+    * by construction (each ordered pair is emitted in both
+    * directions, as the training objective sees it). Top-k pairs by
+    * count, ties on the pair.
+    *
+    * Scale shape: one narrow generator pass per offset (window is a
+    * tiny constant — the stream is ≤ 2·window× the token count, all
+    * map-side), one partial-aggregated groupBy on the pair key, top-k
+    * via TakeOrdered. The full (un-limited) aggregate IS the
+    * co-occurrence matrix an embedding trainer reads. */
+  def skipgrams(spark: SparkSession, sf: String,
+      window: Int = 2, k: Int = 30): DataFrame = {
+    val d = Tables.load(spark, sf, "documents")
+      .select(words(col("text")).as("t"))
+    val ordered = (1 to window).map { off =>
+      d.filter(size(col("t")) > off)
+        .select(explode(expr(
+          s"transform(sequence(0, size(t) - 1 - $off)," +
+            s" i -> struct(t[i] as c, t[i + $off] as x))")).as("p"))
+        .select(col("p.c").as("center"), col("p.x").as("context"))
+    }.reduce(_ union _)
+    ordered
+      .union(ordered.select(col("context").as("center"),
+        col("center").as("context")))
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("center"), col("context"))
+      .limit(k)
+  }
+
   /** Term search: top-k documents for a bag-of-words query, ranked by
     * integer tf·idf (idf in basis points: N·10⁴ / df, floor). The
     * query-serving shape over an inverted index: the term filter runs

@@ -295,6 +295,76 @@ object Relational {
         expr("percentile(l_extendedprice, 0.9)").as("price_p90"))
       .orderBy(col("l_returnflag"))
 
+  /** Robust per-group location estimates: the TRIMMED mean (drop the
+    * lowest and highest trimPct% by rank, average the rest) and the
+    * WINSORIZED mean (clamp those tails to the kept boundary values
+    * instead of dropping them) — the outlier-resistant statistics a
+    * feature pipeline uses where q_outliers' 3-sigma rule would be
+    * dragged by the very tails it is trying to flag.
+    *
+    * Integer-exact: values are cents on DECIMAL(38,0) (HUGEINT in the
+    * oracle), the trim boundary is an integer rank cut (ties at the
+    * boundary are interchangeable — equal values, so the trimmed
+    * MULTISET and both sums are order-independent), and each mean is
+    * ONE fixed-shape IEEE expression over exact integer operands.
+    *
+    * Scale: exact trimming needs a per-group rank — a sort within each
+    * group, the honest cost of an exact order statistic (same contract
+    * as [[percentiles]]). At 100 TB the scale path is the GK sketch
+    * ([[approxPercentiles]]) supplying approximate cut values and a
+    * single filtered pass — this exact form is its oracle. */
+  def trimmedStats(spark: SparkSession, sf: String,
+      trimPct: Int = 5): DataFrame = {
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    val ranked = Tables.load(spark, sf, "lineitem")
+      .select(col("l_returnflag"),
+        cents38(col("l_extendedprice")).cast("long").as("v"))
+      .withColumn("rk", row_number().over(byFlag.orderBy(col("v"))))
+      .withColumn("n", count(lit(1)).over(byFlag))
+    ranked
+      .filter(col("rk") > expr(s"n * $trimPct div 100") &&
+        col("rk") <= col("n") - expr(s"n * $trimPct div 100"))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("n")).cast("long").as("n"),
+        count(lit(1)).as("n_kept"),
+        sum(col("v").cast(DecimalType(38, 0))).as("s"),
+        min(col("v")).as("lo_v"), max(col("v")).as("hi_v"))
+      .select(col("l_returnflag"), col("n"), col("n_kept"),
+        (col("s").cast("double") / col("n_kept").cast("double") /
+          lit(100.0)).as("trimmed_mean"),
+        (expr("""cast(s + ((n - n_kept) div 2) * cast(lo_v as decimal(38,0))
+                        + ((n - n_kept) div 2) * cast(hi_v as decimal(38,0))
+                 as double)""") /
+          col("n").cast("double") / lit(100.0)).as("winsorized_mean"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Per-group CDF normalization (the probability integral transform)
+    * — map every value to its empirical within-group percentile in
+    * integer basis points: (rank·10⁴) div n with RANK (not
+    * row_number), so tied values share one deterministic percentile
+    * and the output is a pure function of the data. The rank-based
+    * feature scaler (quantile normalization) that model pipelines
+    * apply to heavy-tailed columns where z-scores are meaningless.
+    *
+    * Scale: same honest-sort contract as [[trimmedStats]] — the rank
+    * window sorts within each group; the 100 TB path replaces exact
+    * rank with GK-sketch interpolation ([[approxPercentiles]]) probed
+    * per row, this exact form again being its oracle. */
+  def cdfNorm(spark: SparkSession, sf: String): DataFrame = {
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_returnflag"),
+        cents38(col("l_extendedprice")).cast("long").as("v"))
+      .withColumn("rk", rank().over(byFlag.orderBy(col("v"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(byFlag))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("v"), expr("(rk * 10000) div n").as("cdf_bp"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** GROUPING SETS — the non-hierarchical multi-grouping rollup/cube
     * can't express: one pass over the fact table computing BOTH the
     * by-returnflag and the by-linestatus totals (each row lands in two

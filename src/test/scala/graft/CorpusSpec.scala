@@ -1104,6 +1104,30 @@ class CorpusSpec extends AnyFunSuite {
       s"doc ${probe.getLong(0)}: total_bits ${probe.getLong(2)} != $want")
   }
 
+  test("skipgrams: symmetric counts that re-derive from a raw sliding window") {
+    val rows = Corpus.skipgrams(spark, sf).collect()
+    assert(rows.length == 30)
+    val counts = rows.map(r =>
+      (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // symmetry: whenever both directions chart, counts are equal
+    counts.foreach { case ((c, x), n) =>
+      counts.get((x, c)).foreach(m => assert(m == n, s"($c,$x)")) }
+    // re-derive the top pair's count from the raw corpus
+    val docs = Tables.load(spark, sf, "documents")
+      .select(expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("t"))
+      .collect().map(_.getSeq[String](0))
+    val (top, topN) = ((rows.head.getString(0), rows.head.getString(1)),
+      rows.head.getLong(2))
+    val want = docs.iterator.map { t =>
+      (1 to 2).map { off =>
+        // each occurrence is emitted in BOTH directions, so a
+        // self-pair (w,w) contributes 2 — count the directions
+        t.iterator.sliding(off + 1).withPartial(false).map(s =>
+          Seq((s.head, s.last), (s.last, s.head)).count(_ == top)).sum }.sum
+    }.sum
+    assert(topN == want, s"top pair $top: $topN != $want")
+  }
+
   test("bm25: saturation and length normalization hold; tf·idf rank differs") {
     val rows = Corpus.bm25(spark, sf, k = 15).collect()
     assert(rows.length == 15)

@@ -262,6 +262,41 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("trimmed stats: cut is symmetric and both means re-derive from raw cents") {
+    val rows = Relational.trimmedStats(spark, sf).collect()
+    val raw = Tables.load(spark, sf, "lineitem")
+      .select(col("l_returnflag"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("v"))
+      .collect().groupBy(_.getString(0))
+    rows.foreach { r =>
+      val (flag, n, kept) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val cut = n * 5 / 100
+      assert(kept == n - 2 * cut, s"$flag symmetric cut")
+      val sorted = raw(flag).map(_.getLong(1)).sorted
+      assert(n == sorted.length)
+      val keptVals = sorted.slice(cut.toInt, (n - cut).toInt)
+      val tm = keptVals.map(BigInt(_)).sum.toDouble / keptVals.length / 100.0
+      val wm = (keptVals.map(BigInt(_)).sum +
+        BigInt(cut) * keptVals.head + BigInt(cut) * keptVals.last).toDouble /
+        n / 100.0
+      assert(r.getDouble(3) == tm, s"$flag trimmed")
+      assert(r.getDouble(4) == wm, s"$flag winsorized")
+    }
+  }
+
+  test("cdf norm: percentile is rank-deterministic under ties and spans to 10000") {
+    val rows = Relational.cdfNorm(spark, sf).collect()
+    val byFlag = rows.groupBy(_.getString(2))
+    byFlag.foreach { case (flag, rs) =>
+      assert(rs.map(_.getLong(4)).max == 10000L, s"$flag max row ranks n/n")
+      assert(rs.map(_.getLong(4)).min > 0L)
+      // tied values share one percentile — pure function of the data
+      rs.groupBy(_.getLong(3)).foreach { case (_, same) =>
+        assert(same.map(_.getLong(4)).distinct.length == 1, s"$flag ties")
+      }
+    }
+  }
+
   test("resample: hourly grid is dense per user and forward fill never nulls") {
     val rows = Events.resample(spark, sf).collect()
     // n_events sums back to the raw stream — no event lost or doubled
