@@ -91,6 +91,9 @@ object SparkEntry {
     "q_stream_sessions" ->
       ((s: SparkSession, d: String) =>
         graft.streaming.EventStream.sessionsViaTws(s, d)),
+    "q_stream_scd2" ->
+      ((s: SparkSession, d: String) =>
+        graft.streaming.EventStream.scd2ViaTws(s, d)),
     "q_pivot" -> (Relational.pivotStatus _),
     "q_approx_distinct" -> (Relational.approxDistinct _),
     "q_profile" -> (Relational.profile _),
@@ -805,6 +808,34 @@ object SparkEntry {
     // to the next version's valid_from with the 9999-12-31 high-date
     // sentinel on the current row
     "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                 CAST(ts AS TIMESTAMP) AS ts FROM events),
+         w AS (SELECT *, LAG(event_type) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               FROM e),
+         m AS (SELECT *, CASE WHEN prev IS NULL OR prev <> event_type
+                 THEN 1 ELSE 0 END AS chg FROM w),
+         v AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS version
+               FROM m),
+         i AS (SELECT user_id, CAST(version AS BIGINT) AS version,
+                 event_type, MIN(ts) AS valid_from,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+               FROM v GROUP BY 1, 2, 3)
+         SELECT user_id, version, event_type, valid_from,
+           COALESCE(LEAD(valid_from) OVER
+               (PARTITION BY user_id ORDER BY version),
+             TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+           n_events,
+           CAST(LEAD(valid_from) OVER
+               (PARTITION BY user_id ORDER BY version)
+             IS NULL AS BIGINT) AS is_current
+         FROM i ORDER BY user_id, version""",
+
+    // the transformWithState streaming twin stamps versions with
+    // carried RocksDB state and rebuilds the same dimension rows from
+    // its own output, so it shares the batch SCD2 oracle verbatim
+    "q_stream_scd2" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
                  CAST(ts AS TIMESTAMP) AS ts FROM events),
          w AS (SELECT *, LAG(event_type) OVER

@@ -408,4 +408,92 @@ object EventStream {
   private val ProviderConfKey = "spark.sql.streaming.stateStore.providerClass"
   private val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  // ---- stateful SCD2 version assignment (transformWithState) -------
+
+  /** Streaming SCD2 state: the version counter and the attribute value
+    * the open version tracks. */
+  case class Scd2State(version: Long, curType: String)
+
+  /** One version-stamped change event — the streaming SCD2's per-event
+    * output, from which the dimension rows aggregate. */
+  case class VersionedEvent(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, version: Long)
+
+  /** THE version-increment fold, shared semantics with the batch
+    * [[graft.operators.Events.scd2]] lag+running-sum form: a version
+    * bumps exactly when the tracked value CHANGES in (ts, event_id)
+    * order, with state carrying the open version across batches. */
+  private def foldVersions(evs: Iterator[Ev], st0: Option[Scd2State])
+      : (Seq[VersionedEvent], Scd2State) = {
+    val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+    var s = st0.getOrElse(Scd2State(0L, null))
+    val out = sorted.map { e =>
+      if (s.curType == null || s.curType != e.event_type)
+        s = Scd2State(s.version + 1, e.event_type)
+      VersionedEvent(e.event_id, e.ts, e.user_id, e.event_type, s.version)
+    }
+    (out, s)
+  }
+
+  /** The change-detection rule as a [[StatefulProcessor]]: per-user
+    * RocksDB state is just (open version, tracked value) — O(1) per
+    * key no matter how long the history, which is what makes a
+    * billion-entity dimension feed viable as a stream. */
+  class Scd2Processor extends StatefulProcessor[Long, Ev, VersionedEvent] {
+    @transient private var st: ValueState[Scd2State] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Scd2State]("scd2",
+        org.apache.spark.sql.Encoders.product[Scd2State], TTLConfig.NONE)
+    override def handleInputRows(userId: Long, evs: Iterator[Ev],
+        timers: TimerValues): Iterator[VersionedEvent] = {
+      val (out, s) =
+        foldVersions(evs, if (st.exists()) Some(st.get()) else None)
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  /** q_scd2's STREAMING twin: [[Scd2Processor]] stamps every change
+    * event with its version incrementally (the part that needs carried
+    * state), then the dimension rows — validity intervals chained
+    * half-open with the 9999-12-31 sentinel — aggregate from the
+    * stream's OWN output, exactly the incremental dim-merge a
+    * warehouse loader runs downstream of a CDC feed. Same DuckDB
+    * oracle as the batch form pins the whole pipeline. */
+  def scd2ViaTws(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val assigned = readEvents(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(new Scd2Processor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+    val prev = spark.conf.getOption(ProviderConfKey)
+    spark.conf.set(ProviderConfKey, RocksDbProvider)
+    val perEvent =
+      try runToCompletion(spark, assigned, OutputMode.Append(),
+        Seq("event_id"))
+      finally prev match {
+        case Some(v) => spark.conf.set(ProviderConfKey, v)
+        case None => spark.conf.unset(ProviderConfKey)
+      }
+    val byVersion = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("version"))
+    perEvent
+      .groupBy(col("user_id"), col("version"), col("event_type"))
+      .agg(min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to",
+        coalesce(lead(col("valid_from"), 1).over(byVersion),
+          lit("9999-12-31 00:00:00").cast("timestamp")))
+      .withColumn("is_current",
+        (lead(col("valid_from"), 1).over(byVersion).isNull).cast("long"))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("n_events"),
+        col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
 }

@@ -225,6 +225,20 @@ class StreamingSpec extends AnyFunSuite {
       .exists(_.contains("RocksDB")))
   }
 
+  test("transformWithState SCD2 on RocksDB matches the batch dimension rows") {
+    val tws = EventStream.scd2ViaTws(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3), r.getTimestamp(4), r.getLong(5), r.getLong(6)))
+      .toSeq
+    val batch = Events.scd2(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3), r.getTimestamp(4), r.getLong(5), r.getLong(6)))
+      .toSeq
+    assert(tws.nonEmpty && tws == batch)
+    assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")))
+  }
+
   test("flatMapGroupsWithState per-event session assignment matches batch") {
     import spark.implicits._
     implicit val s = spark
