@@ -459,7 +459,7 @@ object SparkEntry {
     // means as one fixed-shape IEEE expression over HUGEINT operands —
     // mirrors Relational.trimmedStats term for term
     "q_trimmed_stats" ->
-      """WITH r AS (
+      s"""WITH r AS (
            SELECT l_returnflag,
              CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
            FROM lineitem),
@@ -469,7 +469,8 @@ object SparkEntry {
              COUNT(*) OVER (PARTITION BY l_returnflag) AS n
            FROM r),
          k AS (SELECT * FROM rk
-               WHERE rk > n * 5 // 100 AND rk <= n - n * 5 // 100)
+               WHERE rk > n * ${Relational.TrimPct} // 100
+                 AND rk <= n - n * ${Relational.TrimPct} // 100)
          SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
            CAST(COUNT(*) AS BIGINT) AS n_kept,
            CAST(SUM(CAST(v AS HUGEINT)) AS DOUBLE)
@@ -1298,7 +1299,7 @@ object SparkEntry {
     // quotient in basis points — mirrors Corpus.bm25's DECIMAL(38,0)
     // arithmetic term for term, so scores are integer-identical
     "q_bm25" ->
-      """WITH d AS (
+      s"""WITH d AS (
            SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
            FROM documents),
          dd AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM d),
@@ -1314,12 +1315,12 @@ object SparkEntry {
          SELECT doc_id,
            CAST(SUM(
              CAST(length(bin((2 * st.n_docs + 2) // (2 * df + 1))) AS BIGINT) *
-             CAST((CAST(tf AS HUGEINT) * 22000000000
+             CAST((CAST(tf AS HUGEINT) * ${Corpus.Bm25NumCoef}
                      * CAST(st.total_len AS HUGEINT)) //
                   (CAST(tf AS HUGEINT) * 1000000
                      * CAST(st.total_len AS HUGEINT)
-                   + 300000 * CAST(st.total_len AS HUGEINT)
-                   + 900000 * CAST(dl AS HUGEINT)
+                   + ${Corpus.Bm25ConstCoef} * CAST(st.total_len AS HUGEINT)
+                   + ${Corpus.Bm25DlCoef} * CAST(dl AS HUGEINT)
                             * CAST(st.n_docs AS HUGEINT)) AS BIGINT))
              AS BIGINT) AS score,
            CAST(COUNT(*) AS BIGINT) AS n_terms_hit
@@ -1354,7 +1355,7 @@ object SparkEntry {
     // the exact-integer-grid expression of q_knn_brute, so both legs'
     // ranks — and therefore the fused scores — are bit-identical.
     "q_rrf" ->
-      """WITH d AS (
+      s"""WITH d AS (
            SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
            FROM documents),
          n AS (SELECT COUNT(*) AS n_docs FROM d),
@@ -1369,7 +1370,7 @@ object SparkEntry {
          lexs AS (
            SELECT doc_id, SUM(tf * idf_bp) AS score
            FROM tf JOIN idf USING (w) GROUP BY doc_id
-           ORDER BY score DESC, doc_id LIMIT 100),
+           ORDER BY score DESC, doc_id LIMIT ${Corpus.RrfDepth}),
          lex AS (
            SELECT doc_id, CAST(row_number() OVER
              (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rk
@@ -1388,7 +1389,7 @@ object SparkEntry {
                 * sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(qv.iv)),
                  i -> qv.iv[i] * qv.iv[i])) AS BIGINT) AS DOUBLE))) AS cosine
            FROM q c, qv WHERE c.vec_id <> 0
-           ORDER BY cosine DESC, vec_id LIMIT 100),
+           ORDER BY cosine DESC, vec_id LIMIT ${Corpus.RrfDepth}),
          vec AS (
            SELECT vec_id, CAST(row_number() OVER
              (ORDER BY cosine DESC, vec_id) AS BIGINT) AS vec_rk
@@ -1397,9 +1398,10 @@ object SparkEntry {
            COALESCE(lex_rk, 0) AS lex_rk,
            COALESCE(vec_rk, 0) AS vec_rk,
            CAST(CASE WHEN lex_rk IS NULL THEN 0
-                  ELSE 1000000000 // (60 + lex_rk) END
+                  ELSE 1000000000 // (${Corpus.RrfSmoothK} + lex_rk) END
               + CASE WHEN vec_rk IS NULL THEN 0
-                  ELSE 1000000000 // (60 + vec_rk) END AS BIGINT) AS rrf_score
+                  ELSE 1000000000 // (${Corpus.RrfSmoothK} + vec_rk) END
+             AS BIGINT) AS rrf_score
          FROM lex FULL JOIN vec ON lex.doc_id = vec.vec_id
          ORDER BY rrf_score DESC, doc_id
          LIMIT 20""",

@@ -269,6 +269,18 @@ object Corpus {
     * by |query terms| · matching docs; N and total_len ride one
     * broadcast scalar row; df is |terms| rows broadcast; the top-k is
     * TakeOrdered (per-partition heaps, no global sort). */
+  /** BM25 shape parameters in exact milli-units, shared with the
+    * oracle SQL (the pageRankOracle pattern): k1 = 1.2, b = 0.75.
+    * Retuning either regenerates BOTH sides' coefficients, so the
+    * operator and its oracle cannot desynchronize. */
+  val Bm25K1m = 1200L
+  val Bm25Bm = 750L
+  /** Derived integer coefficients: saturation numerator
+    * tf·(k1+1)·10⁷·L, denominator tf·10⁶·L + k1(1−b)·L + k1·b·dl·N. */
+  private[graft] val Bm25NumCoef = (Bm25K1m + 1000L) * 1000L * 10000L
+  private[graft] val Bm25ConstCoef = Bm25K1m * (1000L - Bm25Bm)
+  private[graft] val Bm25DlCoef = Bm25K1m * Bm25Bm
+
   def bm25(spark: SparkSession, sf: String,
       query: String = "spark join stream window", k: Int = 15): DataFrame = {
     val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
@@ -288,13 +300,13 @@ object Corpus {
       .withColumn("idf_bits",
         length(bin(expr("(2 * n_docs + 2) div (2 * df + 1)"))).cast("long"))
       .withColumn("sat_bp", expr(
-        """(cast(tf as decimal(38,0)) * 22000000000
+        s"""(cast(tf as decimal(38,0)) * $Bm25NumCoef
              * cast(total_len as decimal(38,0))) div
            (cast(tf as decimal(38,0)) * 1000000
              * cast(total_len as decimal(38,0))
-            + 300000 * cast(total_len as decimal(38,0))
-            + 900000 * cast(dl as decimal(38,0))
-                     * cast(n_docs as decimal(38,0)))"""))
+            + $Bm25ConstCoef * cast(total_len as decimal(38,0))
+            + $Bm25DlCoef * cast(dl as decimal(38,0))
+                          * cast(n_docs as decimal(38,0)))"""))
       .groupBy(col("doc_id"))
       .agg(sum(col("idf_bits") * col("sat_bp")).as("score"),
         count(lit(1)).as("n_terms_hit"))
@@ -325,9 +337,14 @@ object Corpus {
     * further). The fusion join then touches ≤ 2·depth rows — driver
     * never sees data, and the full-outer join is between two
     * broadcast-sized frames. */
+  /** RRF shape constants shared with the oracle SQL: leg depth and
+    * the rank-smoothing k of Cormack et al.'s 1/(k + rank). */
+  val RrfDepth = 100
+  val RrfSmoothK = 60
+
   def rrfFusion(spark: SparkSession, sf: String,
       query: String = "spark join stream window", queryVec: Long = 0L,
-      k: Int = 20, depth: Int = 100, rrfK: Int = 60): DataFrame = {
+      k: Int = 20, depth: Int = RrfDepth, rrfK: Int = RrfSmoothK): DataFrame = {
     import graft.functions.ArrayOps.{dot_long, quantize_q}
     val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
     // lexical leg — the search() scoring, ranked to `depth`

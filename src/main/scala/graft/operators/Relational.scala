@@ -313,8 +313,12 @@ object Relational {
     * as [[percentiles]]). At 100 TB the scale path is the GK sketch
     * ([[approxPercentiles]]) supplying approximate cut values and a
     * single filtered pass — this exact form is its oracle. */
+  /** Tail fraction (percent, each side) trimmed/winsorized — shared
+    * with the oracle SQL so retuning cannot desynchronize the two. */
+  val TrimPct = 5
+
   def trimmedStats(spark: SparkSession, sf: String,
-      trimPct: Int = 5): DataFrame = {
+      trimPct: Int = TrimPct): DataFrame = {
     val byFlag = Window.partitionBy(col("l_returnflag"))
     val ranked = Tables.load(spark, sf, "lineitem")
       .select(col("l_returnflag"),
