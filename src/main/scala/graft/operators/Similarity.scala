@@ -265,19 +265,40 @@ object Similarity {
       .select(col("neighbor_id"),
         graft.functions.ArrayOps.quantize_q(col("twin"), Q).as("iv_n"))
       .withColumn("iv_n_t", slice(col("iv_n"), 1, truncDim))
+      .withColumn("norm_n_t",
+        sqrt(dot_long(col("iv_n_t"), col("iv_n_t")).cast("double")))
     val probes = quantized(e, "query_id")
       .withColumn("iv_q_t", slice(col("iv_query_id"), 1, truncDim))
+      .withColumn("norm_q_t",
+        sqrt(dot_long(col("iv_q_t"), col("iv_q_t")).cast("double")))
     val wCoarse = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_t").desc, col("neighbor_id"))
     val wFine = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_f").desc, col("neighbor_id"))
-    probes.crossJoin(broadcast(index))
+    // coarse stage emits IDS ONLY: cos_t is computed map-side and the
+    // vectors are dropped before the rank window's exchange+sort —
+    // carrying the 64-long payloads through the n·m pair stream is the
+    // measured 3-5× tax the cell-pair kernel already paid and fixed
+    // truncated norms are per-VECTOR columns (computed n times, not
+    // n·m — the same hoist `quantized` does for the full vectors)
+    val coarse = probes
+      .select(col("query_id"), col("iv_q_t"), col("norm_q_t"))
+      .crossJoin(broadcast(index.select(col("neighbor_id"), col("iv_n_t"),
+        col("norm_n_t"))))
       .withColumn("cos_t",
         dot_long(col("iv_q_t"), col("iv_n_t")).cast("double") /
-          (sqrt(dot_long(col("iv_q_t"), col("iv_q_t")).cast("double")) *
-           sqrt(dot_long(col("iv_n_t"), col("iv_n_t")).cast("double"))))
+          (col("norm_q_t") * col("norm_n_t")))
+      .select(col("query_id"), col("neighbor_id"), col("cos_t"))
       .withColumn("crk", row_number().over(wCoarse))
       .filter(col("crk") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    // fine stage re-joins full vectors onto the |queries|·shortlist
+    // survivors only — both sides of the rescore are shortlist-sized
+    coarse
+      .join(probes.select(col("query_id"), col("iv_query_id"),
+        col("norm_query_id")), Seq("query_id"))
+      .join(broadcast(index.select(col("neighbor_id"), col("iv_n"))),
+        Seq("neighbor_id"))
       .withColumn("cos_f",
         dot_long(col("iv_query_id"), col("iv_n")).cast("double") /
           (col("norm_query_id") *
