@@ -116,6 +116,7 @@ object SparkEntry {
     "q_surprisal" -> (Text.surprisal _),
     "q_bigram_surprisal" -> (Text.bigramSurprisal _),
     "q_outliers" -> (Events.outliers _),
+    "q_robust_outliers" -> (Events.robustOutliers _),
     "q_event_paths" -> ((s: SparkSession, d: String) => Events.eventPaths(s, d)),
     "q_fk_audit" -> (Relational.fkAudit _),
     "q_heavy_hitters" -> ((s: SparkSession, d: String) => Corpus.heavyHitters(s, d)),
@@ -1086,6 +1087,31 @@ object SparkEntry {
          SELECT event_id, event_type, c AS value_cents
          FROM e JOIN st USING (event_type)
          WHERE (n*c - s) * (n*c - s) > 9 * (n*ss - s*s)
+         ORDER BY event_id""",
+
+    // Robust (median/MAD) outliers: medians over integers are exact
+    // halves, so doubled units make med2/mad4 exact BIGINTs and the
+    // 3.5-modified-z gate cross-multiplies to pure integers
+    "q_robust_outliers" ->
+      """WITH e AS (
+           SELECT event_id, event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           FROM events),
+         med AS (
+           SELECT event_type,
+             CAST(quantile_cont(c, 0.5) * 2 AS BIGINT) AS med2
+           FROM e GROUP BY event_type),
+         dev AS (
+           SELECT e.*, abs(e.c * 2 - med.med2) AS adev2
+           FROM e JOIN med USING (event_type)),
+         mad AS (
+           SELECT event_type,
+             CAST(quantile_cont(adev2, 0.5) * 2 AS BIGINT) AS mad4
+           FROM dev GROUP BY event_type)
+         SELECT event_id, event_type, c AS value_cents,
+           (13490 * adev2) // mad4 AS mz_bp
+         FROM dev JOIN mad USING (event_type)
+         WHERE mad4 > 0 AND adev2 * 1349 > mad4 * 3500
          ORDER BY event_id""",
 
     // Streaming twin: the stream must land exactly the batch rows

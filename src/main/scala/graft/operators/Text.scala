@@ -359,6 +359,45 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Robust outlier gate — the median/MAD (Iglewicz-Hoaglin modified
+    * z-score, threshold 3.5) twin of the 3-sigma [[outliers]]: mean
+    * and sigma are dragged by the very tails they are meant to flag
+    * (one 10⁹ value inflates sigma until nothing else trips), while
+    * the median and the median absolute deviation have a 50%
+    * breakdown point.
+    *
+    * INTEGER-exact end to end, no IEEE in the decision: a median over
+    * integers is an exact HALF (sort + midpoint), so doubling units
+    * makes it integral — med2 = 2·median(cents) and mad4 = 2·median
+    * of adev2 = |2c − med2| are exact longs in both engines
+    * (quantile_cont's (a+b)/2 over ≤2⁵² integers is exact double
+    * arithmetic, ×2 exact, cast exact). The gate 0.6745·|c−med| >
+    * 3.5·mad cross-multiplies to 1349·adev2 > 3500·mad4 and the
+    * reported score is basis-point integer division. Groups where
+    * MAD degenerates to 0 (>50% identical values) are excluded
+    * explicitly — the documented MAD caveat, decided identically on
+    * both sides.
+    *
+    * Scale: two percentile passes + one filtered scan — exact order
+    * statistics per group, the [[Relational.trimmedStats]] contract;
+    * the GK sketch supplies approximate med/MAD past the per-group
+    * sort budget, with this exact form as its oracle. */
+  def robustOutliers(spark: SparkSession, sf: String): DataFrame = {
+    val e = centsProjection(load(spark, sf))
+    val med = e.groupBy(col("event_type"))
+      .agg((expr("percentile(c, 0.5)") * 2).cast("long").as("med2"))
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("adev2", abs(col("c") * 2 - col("med2")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg((expr("percentile(adev2, 0.5)") * 2).cast("long").as("mad4"))
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("mad4") > 0 &&
+        col("adev2") * 1349 > col("mad4") * lit(3500L))
+      .select(col("event_id"), col("event_type"), col("c").as("value_cents"),
+        expr("(13490 * adev2) div mad4").as("mz_bp"))
+      .orderBy(col("event_id"))
+  }
+
   /** Event path mining — the funnel's exploratory sibling: the most
     * common 3-step event-type sequences across all users, found
     * without naming any path up front. Lead windows over each user's

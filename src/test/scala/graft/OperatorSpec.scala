@@ -297,6 +297,45 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("robust outliers: integer med/MAD re-derive and the gate matches mz_bp") {
+    val rows = Events.robustOutliers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // re-derive med2/mad4 per type from the raw cents, then check
+    // every flagged row satisfies the cross-multiplied gate and that
+    // its reported score is the exact integer division
+    val cents = Events.load(spark, sf)
+      .select(col("event_type"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("c"),
+        col("event_id"))
+      .collect().groupBy(_.getString(0))
+    def median2(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) * 2 else s(n / 2 - 1) + s(n / 2)
+    }
+    val stats = cents.map { case (t, rs) =>
+      val cs = rs.map(_.getLong(1)).toSeq
+      val med2 = median2(cs)
+      val mad4 = median2(cs.map(c => math.abs(2 * c - med2)))
+      t -> (med2, mad4)
+    }
+    val flagged = rows.map(r => r.getLong(0) ->
+      (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    cents.foreach { case (t, rs) =>
+      val (med2, mad4) = stats(t)
+      rs.foreach { r =>
+        val adev2 = math.abs(2 * r.getLong(1) - med2)
+        val hit = mad4 > 0 && adev2 * 1349 > mad4 * 3500
+        assert(flagged.contains(r.getLong(2)) == hit, s"$t ${r.getLong(2)}")
+        if (hit)
+          assert(flagged(r.getLong(2))._3 == 13490 * adev2 / mad4)
+      }
+    }
+    // the robust gate is not the 3-sigma gate (different flag sets)
+    val sigma = Events.outliers(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(flagged.keySet != sigma)
+  }
+
   test("resample: hourly grid is dense per user and forward fill never nulls") {
     val rows = Events.resample(spark, sf).collect()
     // n_events sums back to the raw stream — no event lost or doubled
