@@ -1142,6 +1142,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 4))
   }
 
+  test("bm25/rrf plans: dictionary sides broadcast, rank windows are depth-bounded") {
+    // bm25: the df dictionary (|query terms| rows) and the N/total_len
+    // scalar must ride broadcasts — a SortMergeJoin on either would
+    // shuffle the postings stream against metadata
+    val bm25Plan = Corpus.bm25(spark, sf).queryExecution.executedPlan.toString
+    assert(bm25Plan.contains("BroadcastHashJoin") ||
+      bm25Plan.contains("BroadcastNestedLoopJoin"), bm25Plan.take(500))
+    assert(!bm25Plan.contains("SortMergeJoin"),
+      "bm25 shuffles a metadata-sized side")
+    // rrf: every unpartitioned rank window must sit ABOVE a limit —
+    // the corpus-sized single-partition window must not exist. The
+    // executedPlan prints top-down, so each Window line needs a
+    // GlobalLimit somewhere below it.
+    val rrfPlan = Corpus.rrfFusion(spark, sf).queryExecution.executedPlan.toString
+    val lines = rrfPlan.linesIterator.toSeq
+    val windowIdxs = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("Window") && !l.contains("WindowGroupLimit") => i }
+    assert(windowIdxs.nonEmpty, "rrf lost its rank windows")
+    windowIdxs.foreach { wi =>
+      // the limit compiles to TakeOrderedAndProject (per-partition
+      // heaps) or GlobalLimit depending on the shape — either bounds
+      // the window's input to `depth` rows
+      assert(lines.drop(wi).exists(l => l.contains("TakeOrderedAndProject") ||
+        l.contains("GlobalLimit")),
+        s"rank window at line $wi has no limit below it:\n$rrfPlan")
+    }
+  }
+
   test("rrf: fused score is the exact reciprocal sum of the two leg ranks") {
     val rows = Corpus.rrfFusion(spark, sf).collect()
     assert(rows.length == 20)
