@@ -197,6 +197,7 @@ object SparkEntry {
     // --- similarity search
     "q_embed_norms" -> (Similarity.norms _),
     "q_knn_brute" -> ((s: SparkSession, d: String) => Similarity.knnBruteForce(s, d)),
+    "q_label_knn" -> ((s: SparkSession, d: String) => Similarity.labelKnn(s, d)),
     "q_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "q_cosine_near_dup" -> ((s: SparkSession, d: String) => Similarity.cosineNearDup(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
@@ -2198,6 +2199,42 @@ object SparkEntry {
          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                  ORDER BY cosine DESC, neighbor_id) AS rk FROM p)
          WHERE rk <= 5 ORDER BY query_id, rk""",
+
+    // Leave-one-out kNN classification over the same exact-integer
+    // cosine: majority of the top-5 neighbor labels, ties broken
+    // (count desc, label asc)
+    "q_label_knn" ->
+      """WITH q AS (
+           SELECT vec_id, CAST(label AS BIGINT) AS label, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 67108864.0) AS BIGINT)) AS iv
+           FROM embeddings),
+         p AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             b.label AS n_label,
+             CAST(CAST(list_sum(list_transform(generate_series(1, len(a.iv)),
+               i -> a.iv[i] * b.iv[i])) AS BIGINT) AS DOUBLE)
+             / (sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(a.iv)),
+                 i -> a.iv[i] * a.iv[i])) AS BIGINT) AS DOUBLE))
+                * sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(b.iv)),
+                 i -> b.iv[i] * b.iv[i])) AS BIGINT) AS DOUBLE))) AS cosine
+           FROM q a, q b WHERE a.vec_id <> b.vec_id),
+         knn AS (
+           SELECT query_id, n_label
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rk FROM p)
+           WHERE rk <= 5),
+         votes AS (
+           SELECT query_id, n_label, COUNT(*) AS n_votes
+           FROM knn GROUP BY 1, 2),
+         pred AS (
+           SELECT query_id AS vec_id, n_label AS pred_label
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY n_votes DESC, n_label) AS vrk FROM votes)
+           WHERE vrk = 1)
+         SELECT q.vec_id, q.label, pred.pred_label,
+           CAST(q.label = pred.pred_label AS BIGINT) AS correct
+         FROM pred JOIN q ON q.vec_id = pred.vec_id
+         ORDER BY q.vec_id""",
 
     // Hard-mined contrastive triplets: per anchor, the most-similar
     // same-label vector (positive) and most-similar other-label vector

@@ -132,6 +132,37 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Leave-one-out kNN label prediction — the standard embedding-
+    * quality eval: each vector is classified by the MAJORITY label of
+    * its k nearest neighbors (self excluded), ties broken (count desc,
+    * label asc) so the prediction is a pure function of the data. The
+    * per-vector (truth, prediction, correct) frame is what an
+    * embedding-training run monitors; aggregate accuracy is one
+    * groupBy away.
+    *
+    * Built on [[knnBruteForce]]'s exact quantized kernel (so the
+    * neighbor sets are bit-identical cross-engine); at scale the same
+    * majority vote runs over ANN candidates from the IVF/LSH index —
+    * the eval inherits whichever retrieval tier serves it. */
+  def labelKnn(spark: SparkSession, sf: String, k: Int = 5): DataFrame = {
+    val labels = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val votes = knnBruteForce(spark, sf, k)
+      .join(broadcast(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label"))), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("n_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val wVote = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("n_label"))
+    votes.withColumn("rk", row_number().over(wVote))
+      .filter(col("rk") === 1)
+      .select(col("query_id").as("vec_id"), col("n_label").as("pred_label"))
+      .join(labels, Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("pred_label"),
+        (col("label") === col("pred_label")).cast("long").as("correct"))
+      .orderBy(col("vec_id"))
+  }
+
   // ---- random-hyperplane LSH ---------------------------------------
 
   /** Number of hyperplane sign bits per bucket key. */

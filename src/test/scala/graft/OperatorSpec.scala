@@ -379,6 +379,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(recovered == n, s"IVF recall $recovered/$n")
   }
 
+  test("label knn: one prediction per vector, majority re-derived from knn rows") {
+    val preds = Similarity.labelKnn(spark, sf).collect()
+    val n = Tables.load(spark, sf, "embeddings").count()
+    assert(preds.length == n, "exactly one prediction per vector")
+    // re-derive one vector's majority vote from the knn frame itself
+    val labels = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val knn = Similarity.knnBruteForce(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    preds.take(20).foreach { p =>
+      val votes = knn(p.getLong(0)).map(r => labels(r.getLong(1)))
+        .groupBy(identity).view.mapValues(_.size).toSeq
+      val want = votes.minBy { case (l, c) => (-c, l) }._1
+      assert(p.getLong(2) == want, s"vec ${p.getLong(0)}")
+      assert((p.getLong(1) == p.getLong(2)) == (p.getLong(3) == 1L))
+    }
+    // fixture labels are RANDOM w.r.t. the embeddings (10 classes), so
+    // the honest expectation for this eval is CHANCE accuracy ~0.1 —
+    // the measurement itself is what's under test. Pin a generous
+    // band: far above 0 (the vote machinery produces real predictions)
+    // and far below 1 (no label leakage into the neighbor sets).
+    val acc = preds.count(_.getLong(3) == 1L).toDouble / preds.length
+    assert(acc > 0.02 && acc < 0.5, s"accuracy $acc outside the chance band")
+  }
+
   test("Matryoshka funnel recall is total and truncation commutes with quantization") {
     val e = Tables.load(spark, sf, "embeddings")
     val n = e.count()
