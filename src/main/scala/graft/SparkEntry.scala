@@ -42,6 +42,8 @@ object SparkEntry {
     "q_trimmed_stats" -> ((s: SparkSession, d: String) =>
       Relational.trimmedStats(s, d)),
     "q_cdf_norm" -> (Relational.cdfNorm _),
+    "q_equidepth" -> ((s: SparkSession, d: String) =>
+      Relational.equidepth(s, d)),
     "q_grouping_sets" -> (Relational.groupingSetsAgg _),
     "q_regression" -> (Relational.regressionAgg _),
     "q_approx_percentiles" -> (Relational.approxPercentiles _),
@@ -484,6 +486,25 @@ object SparkEntry {
              / CAST(MAX(n) AS DOUBLE) / 100.0 AS winsorized_mean
          FROM k GROUP BY l_returnflag
          ORDER BY l_returnflag""",
+
+    // Equi-depth binning: NTILE over a total order — both engines
+    // split n rows into k buckets of sizes differing by <=1, larger
+    // first, so boundaries are a pure function of the data
+    "q_equidepth" ->
+      """WITH r AS (
+           SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             l_orderkey, l_linenumber
+           FROM lineitem),
+         b AS (
+           SELECT l_returnflag, v,
+             CAST(ntile(10) OVER (PARTITION BY l_returnflag
+               ORDER BY v, l_orderkey, l_linenumber) AS BIGINT) AS bucket
+           FROM r)
+         SELECT l_returnflag, bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(v) AS lo_cents, MAX(v) AS hi_cents
+         FROM b GROUP BY 1, 2
+         ORDER BY l_returnflag, bucket""",
 
     // CDF normalization: RANK (ties share a percentile) over cents,
     // scaled to basis points by integer floor division

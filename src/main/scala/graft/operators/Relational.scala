@@ -686,6 +686,31 @@ object Relational {
       .orderBy(col("bucket"))
   }
 
+  /** Equi-DEPTH binning — [[histogram]]'s quantile-space sibling and
+    * the standard feature-bucketizer for heavy-tailed columns (equal
+    * COUNTS per bucket instead of equal widths, so no bucket is
+    * starved by the tail). NTILE over a TOTAL order (value + key
+    * tie-breaks) — both engines define ntile identically (sizes
+    * differ by ≤1, larger buckets first), so bucket boundaries are a
+    * pure function of the data. Per-group sort is the exact-order-
+    * statistic contract ([[trimmedStats]]); the GK-sketch cut-point
+    * path stands in at 100 TB with this as its oracle. */
+  def equidepth(spark: SparkSession, sf: String,
+      buckets: Int = 10): DataFrame = {
+    val cents = expr(
+      "cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)")
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))
+    Tables.load(spark, sf, "lineitem")
+      .select(col("l_returnflag"), cents.as("v"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("bucket", ntile(buckets).over(w).cast("long"))
+      .groupBy(col("l_returnflag"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("v")).as("lo_cents"), max(col("v")).as("hi_cents"))
+      .orderBy(col("l_returnflag"), col("bucket"))
+  }
+
   def profile(spark: SparkSession, sf: String): DataFrame = {
     val docs = Tables.load(spark, sf, "documents")
     val cols = docs.columns.toSeq

@@ -297,6 +297,23 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("equidepth: bucket sizes differ by at most one and ranges chain sorted") {
+    val rows = Relational.equidepth(spark, sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (flag, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq)
+      val sizes = sorted.map(_.getLong(2))
+      assert(sizes.max - sizes.min <= 1, s"$flag equi-depth violated")
+      // larger buckets first — the shared NTILE remainder rule
+      assert(sizes.sameElements(sizes.sortBy(-_)), s"$flag remainder order")
+      // value ranges are non-decreasing across buckets (ties may span)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(4) <= b.getLong(3), s"$flag chain")
+        case _ =>
+      }
+    }
+  }
+
   test("robust outliers: integer med/MAD re-derive and the gate matches mz_bp") {
     val rows = Events.robustOutliers(spark, sf).collect()
     assert(rows.nonEmpty)
