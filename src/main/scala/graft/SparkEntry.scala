@@ -518,7 +518,7 @@ object SparkEntry {
                CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rk,
              COUNT(*) OVER (PARTITION BY l_returnflag) AS n
            FROM lineitem)
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, l_returnflag, v""",
 
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,

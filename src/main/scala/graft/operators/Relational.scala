@@ -366,7 +366,11 @@ object Relational {
       .withColumn("n", count(lit(1)).over(byFlag))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("v"), expr("(rk * 10000) div n").as("cdf_bp"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // (l_orderkey, l_linenumber) is NOT unique in the fixtures —
+      // order by every output column so the sort is total and the
+      // strict row-order compare can't see engine-dependent tie order
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("v"))
   }
 
   /** GROUPING SETS — the non-hierarchical multi-grouping rollup/cube
