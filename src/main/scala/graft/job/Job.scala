@@ -337,6 +337,38 @@ case class DataPumpJob(
           ObjectStatus(table, "ESTIMATED", -1L,
             bytes.longValue, secsSince(t0), None, srcSchema)
         } else {
+          // TRUNCATE preserves target schema; APPEND extends the
+          // existing table in place — BOTH require the incoming schema
+          // to equal what's on disk. An unchecked APPEND is the worse
+          // failure: Spark happily lands mismatched part files next to
+          // the old ones, and every later read resolves the union by
+          // footer merge — silently nulled columns instead of an error
+          // (the reference's loader raises ORA-31693 per object on
+          // structure mismatch; that is this guard, routed through the
+          // per-object error accumulation). Scope: self-describing
+          // formats only — a csv/json target's schema comes back
+          // through lossy inference (alphabetized columns, widened
+          // ints), so "existing != incoming" there says nothing; those
+          // appends keep the historical unchecked behavior. readerOpts
+          // ride along so an ENCRYPTED target's footer is readable.
+          // ONE definition, called on BOTH write paths — the
+          // DEPARTITION combo writes append onto previously promoted
+          // tables through the very same hole otherwise.
+          def guardInPlaceWrite(outP: String,
+              incoming: org.apache.spark.sql.types.StructType): Unit = {
+            val existingFormat =
+              if ((truncate || saveMode == SaveMode.Append) &&
+                exists(spark, outP)) Some(detectFormat(spark, outP))
+              else None
+            if (existingFormat.exists(f => f == "parquet" || f == "orc")) {
+              val action = if (truncate) "TRUNCATE" else "APPEND"
+              val existing = readTable(spark, outP, readerOpts,
+                existingFormat.get).schema
+              require(existing == incoming,
+                s"$action requires identical schema for $table at $outP: " +
+                  s"existing ${existing.simpleString} vs ${incoming.simpleString}")
+            }
+          }
           if (departition && partitionColumnsOf(df0).nonEmpty) {
             // DEPARTITION (directives.py:346-349): each source partition
             // becomes its own table `<table>_<col>_<value>`. Partition
@@ -395,6 +427,7 @@ case class DataPumpJob(
                 s"${k}_${sanitizeName(v)}" }.mkString("_")
               val obs = Observation()
               val comboOut = s"$storageTarget/$targetSchema/${targetTable}_$suffix"
+              guardInPlaceWrite(comboOut, part.schema)
               writeTable(part.observe(obs, count(lit(1)).as("rows"))
                 .repartition(comboParts(combo)), comboOut, saveMode,
                 writerOpts, writeFormat)
@@ -406,36 +439,7 @@ case class DataPumpJob(
           } else if (saveMode == SaveMode.Ignore && exists(spark, outPath)) {
             ObjectStatus(table, "SKIPPED", 0, 0, secsSince(t0), None, srcSchema)
           } else {
-            val existingFormat =
-              if ((truncate || saveMode == SaveMode.Append) &&
-                exists(spark, outPath)) Some(detectFormat(spark, outPath))
-              else None
-            if (existingFormat.exists(f => f == "parquet" || f == "orc")) {
-              // TRUNCATE preserves target schema; APPEND extends the
-              // existing table in place — BOTH require the incoming
-              // schema to equal what's on disk. An unchecked APPEND is
-              // the worse failure: Spark happily lands mismatched part
-              // files next to the old ones, and every later read
-              // resolves the union by footer merge — silently nulled
-              // columns instead of an error (the reference's loader
-              // raises ORA-31693 per object on structure mismatch;
-              // that is this guard, routed through the per-object
-              // error accumulation). Scope: self-describing formats
-              // only — a csv/json target's schema comes back through
-              // lossy inference (alphabetized columns, widened ints),
-              // so "existing != incoming" there says nothing; those
-              // appends keep the historical unchecked behavior.
-              // readerOpts ride along so an ENCRYPTED target's footer
-              // is readable (the crypto factory + key material arrive
-              // as reader options; Map.empty would fail the guard on
-              // the PARE magic even when schemas match).
-              val action = if (truncate) "TRUNCATE" else "APPEND"
-              val existing = readTable(spark, outPath, readerOpts,
-                existingFormat.get).schema
-              require(existing == df.schema,
-                s"$action requires identical schema for $table: " +
-                  s"existing ${existing.simpleString} vs ${df.schema.simpleString}")
-            }
+            guardInPlaceWrite(outPath, df.schema)
             // Row count observed ON the write itself — a second full
             // scan of what was just written would double read I/O
             // (tens of redundant TB at the 100 TB design point).

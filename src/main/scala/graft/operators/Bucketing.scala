@@ -48,12 +48,27 @@ object Bucketing {
     * never alias in the session catalog. */
   private[graft] def writeBucketed(spark: SparkSession, sf: String,
       buckets: Int): (String, String) =
-    written.getOrElseUpdate((sf, buckets), writeBucketedUncached(spark, sf, buckets))
+    // a memo hit is only good if the tables still exist in THIS
+    // session's catalog — a stop()+rebuild of the SparkSession drops
+    // the catalog while the JVM-level memo survives, and handing out
+    // dangling table names turns every later call into
+    // TABLE_OR_VIEW_NOT_FOUND instead of a re-write
+    written.get((sf, buckets)).filter { case (li, o) =>
+      spark.catalog.tableExists(li) && spark.catalog.tableExists(o)
+    }.getOrElse {
+      val v = writeBucketedUncached(spark, sf, buckets)
+      written.put((sf, buckets), v)
+      v
+    }
 
   private def writeBucketedUncached(spark: SparkSession, sf: String,
       buckets: Int): (String, String) = {
     val wh = graft.TempDirs.create("graft-bucketed")
-    val suffix = java.lang.Integer.toHexString((sf, buckets).hashCode())
+    // suffix spells out the key (sanitized) — a 32-bit hashCode could
+    // collide two distinct (sf, buckets) keys onto one table name and
+    // silently overwrite the other's layout
+    val suffix =
+      s"${sf.replaceAll("[^a-zA-Z0-9]", "_")}_$buckets"
     val liName = s"graft_lineitem_bucketed_$suffix"
     val oName = s"graft_orders_bucketed_$suffix"
     Tables.load(spark, sf, "lineitem")

@@ -368,16 +368,22 @@ object Corpus {
         Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
       .select(col("doc_id"), col("lex_rk"))
     // vector leg — one query row broadcast into a linear scan
+    // zero-norm hygiene (the Similarity.quantized contract): a broken
+    // embedding's cosine is 0/0 = NaN, which Spark ranks above every
+    // real neighbor — drop it at the source. Spark-side only, like
+    // quantized(): fixture vectors are all nonzero so oracle rows are
+    // unaffected; at scale this is the drop-broken-embeddings filter.
     val e = Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), quantize_q(col("embedding"), Similarity.Q).as("iv"))
+      .withColumn("norm", sqrt(dot_long(col("iv"), col("iv")).cast("double")))
+      .filter(col("norm") > 0.0)
     val qv = e.filter(col("vec_id") === queryVec)
-      .select(col("iv").as("iv_q"),
-        sqrt(dot_long(col("iv"), col("iv")).cast("double")).as("norm_q"))
+      .select(col("iv").as("iv_q"), col("norm").as("norm_q"))
     val vec = e.filter(col("vec_id") =!= queryVec)
       .crossJoin(broadcast(qv))
       .withColumn("cosine",
         dot_long(col("iv"), col("iv_q")).cast("double") /
-          (sqrt(dot_long(col("iv"), col("iv")).cast("double")) * col("norm_q")))
+          (col("norm") * col("norm_q")))
       .orderBy(col("cosine").desc, col("vec_id")).limit(depth)
       .withColumn("vec_rk", row_number().over(
         Window.orderBy(col("cosine").desc, col("vec_id"))).cast("long"))

@@ -36,14 +36,22 @@ object PartitionPruning {
     * partitions at fixture scale), memoized per source. */
   private[graft] def writePartitionedEvents(spark: SparkSession,
       sf: String): String =
-    written.getOrElseUpdate(sf, {
-      val dir = graft.TempDirs.create("graft-dpp")
-      Events.load(spark, sf)
-        .withColumn("event_date", to_date(col("ts")))
-        .write.partitionBy("event_date").mode("overwrite")
-        .parquet(s"$dir/events")
-      s"$dir/events"
-    })
+    // validate the memo hit: the layout lives in a scratch dir whose
+    // lifetime is shorter than the JVM-level memo (temp cleanup,
+    // harness re-init) — a dangling path must trigger a re-write, not
+    // a PATH_NOT_FOUND on every later read
+    written.get(sf)
+      .filter(p => new java.io.File(p).isDirectory)
+      .getOrElse {
+        val dir = graft.TempDirs.create("graft-dpp")
+        Events.load(spark, sf)
+          .withColumn("event_date", to_date(col("ts")))
+          .write.partitionBy("event_date").mode("overwrite")
+          .parquet(s"$dir/events")
+        val p = s"$dir/events"
+        written.put(sf, p)
+        p
+      }
 
   /** The dim side: the first week of the calendar, derived from the
     * partitioned layout's OWN partition values (a file-listing read,

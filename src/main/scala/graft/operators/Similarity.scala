@@ -295,9 +295,15 @@ object Similarity {
           (x, i) => when(i === 0, x * lit(1.01)).otherwise(x)).as("twin"))
       .select(col("neighbor_id"),
         graft.functions.ArrayOps.quantize_q(col("twin"), Q).as("iv_n"))
+      .withColumn("norm_n",
+        sqrt(dot_long(col("iv_n"), col("iv_n")).cast("double")))
       .withColumn("iv_n_t", slice(col("iv_n"), 1, truncDim))
       .withColumn("norm_n_t",
         sqrt(dot_long(col("iv_n_t"), col("iv_n_t")).cast("double")))
+      // zero-norm hygiene on the INDEX side too (same contract as
+      // `quantized` on the probe side): a broken twin would NaN-rank
+      // above every real candidate in both stages
+      .filter(col("norm_n") > 0.0 && col("norm_n_t") > 0.0)
     val probes = quantized(e, "query_id")
       .withColumn("iv_q_t", slice(col("iv_query_id"), 1, truncDim))
       .withColumn("norm_q_t",
@@ -328,12 +334,11 @@ object Similarity {
     coarse
       .join(probes.select(col("query_id"), col("iv_query_id"),
         col("norm_query_id")), Seq("query_id"))
-      .join(broadcast(index.select(col("neighbor_id"), col("iv_n"))),
-        Seq("neighbor_id"))
+      .join(broadcast(index.select(col("neighbor_id"), col("iv_n"),
+        col("norm_n"))), Seq("neighbor_id"))
       .withColumn("cos_f",
         dot_long(col("iv_query_id"), col("iv_n")).cast("double") /
-          (col("norm_query_id") *
-           sqrt(dot_long(col("iv_n"), col("iv_n")).cast("double"))))
+          (col("norm_query_id") * col("norm_n")))
       .withColumn("rk", row_number().over(wFine))
       .filter(col("rk") === 1 &&
         col("neighbor_id") === col("query_id") + 1000000L)

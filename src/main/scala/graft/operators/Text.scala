@@ -489,15 +489,27 @@ object Events {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val byVersion = Window.partitionBy(col("user_id"))
-      .orderBy(col("version"))
-    load(spark, sf)
+    scd2Dimension(load(spark, sf)
       .withColumn("prev", lag(col("event_type"), 1).over(byUser))
       .withColumn("chg",
         when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
           .otherwise(0L))
       .withColumn("version", sum(col("chg")).over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+  }
+
+  /** THE dimension-row aggregation, in exactly one place: any
+    * version-stamped event frame (user_id, version, event_type, ts) →
+    * SCD2 rows with half-open chained intervals, the 9999-12-31
+    * sentinel, and the is_current flag. Both the batch [[scd2]] and
+    * the streaming `EventStream.scd2ViaTws` call this — the
+    * one-definition contract (like `foldSessions`/`applyMerge`), so
+    * an interval-rule tweak cannot desynchronize the twins. */
+  private[graft] def scd2Dimension(versioned: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byVersion = Window.partitionBy(col("user_id"))
+      .orderBy(col("version"))
+    versioned
       .groupBy(col("user_id"), col("version"), col("event_type"))
       .agg(min(col("ts")).as("valid_from"),
         count(lit(1)).as("n_events"))

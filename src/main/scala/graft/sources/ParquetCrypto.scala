@@ -84,22 +84,25 @@ class GraftKms extends org.apache.parquet.crypto.keytools.KmsClient {
       kmsInstanceURL: String, accessToken: String): Unit =
     conf = configuration
 
-  private def masterKey(keyId: String): Array[Byte] = {
-    val fromList = Option(conf.get(ParquetCrypto.KeyListConf)).flatMap { list =>
+  private def walletKey(keyId: String): Option[Array[Byte]] =
+    Option(conf.get(ParquetCrypto.KeyListConf)).flatMap { list =>
       list.split(",").map(_.trim).collectFirst {
         case e if e.startsWith(s"$keyId:") =>
           java.util.Base64.getDecoder.decode(e.substring(keyId.length + 1))
       }
     }
-    fromList.orElse {
+
+  /** Master key for WRAPPING: wallet entry, else password-derived at
+    * the conf'd key length (the writer always carries KeyBitsConf —
+    * the directive compiler sets it from ENCRYPTION_ALGORITHM). */
+  private def masterKey(keyId: String, bits: Int): Array[Byte] =
+    walletKey(keyId).orElse {
       Option(conf.get(ParquetCrypto.PasswordConf)).map { pw =>
-        val bits = conf.getInt(ParquetCrypto.KeyBitsConf, 128)
         ParquetCrypto.deriveKey(pw, keyId, bits)
       }
     }.getOrElse(throw new org.apache.parquet.crypto.KeyAccessDeniedException(
       s"no key material for '$keyId': provide ENCRYPTION_PASSWORD or set " +
         s"${ParquetCrypto.KeyListConf} (wallet mode)"))
-  }
 
   private def cipher(mode: Int, key: Array[Byte],
       iv: Array[Byte]): javax.crypto.Cipher = {
@@ -117,20 +120,34 @@ class GraftKms extends org.apache.parquet.crypto.keytools.KmsClient {
   // sufficient for IV generation.
   private val rng = new java.security.SecureRandom()
 
+  // Wrapped-key blob format (ours to define — it travels inside the
+  // parquet footer's key metadata): [1 byte master-key length in
+  // BYTES][12-byte GCM IV][ciphertext]. The leading byte makes the
+  // dump SELF-DESCRIBING: a fresh reader presenting only
+  // factory+KMS+password can unwrap AES192/AES256 dumps without
+  // knowing the ENCRYPTION_ALGORITHM the export used — the key
+  // length is not secret (the algorithm name never was), only the
+  // password is.
   override def wrapKey(keyBytes: Array[Byte],
       masterKeyIdentifier: String): String = {
+    val bits = conf.getInt(ParquetCrypto.KeyBitsConf, 128)
+    val mk = masterKey(masterKeyIdentifier, bits)
     val iv = new Array[Byte](12)
     rng.nextBytes(iv)
-    val ct = cipher(javax.crypto.Cipher.ENCRYPT_MODE,
-      masterKey(masterKeyIdentifier), iv).doFinal(keyBytes)
-    java.util.Base64.getEncoder.encodeToString(iv ++ ct)
+    val ct = cipher(javax.crypto.Cipher.ENCRYPT_MODE, mk, iv)
+      .doFinal(keyBytes)
+    java.util.Base64.getEncoder.encodeToString(
+      Array(mk.length.toByte) ++ iv ++ ct)
   }
 
   override def unwrapKey(wrappedKey: String,
       masterKeyIdentifier: String): Array[Byte] = {
     val all = java.util.Base64.getDecoder.decode(wrappedKey)
-    val (iv, ct) = all.splitAt(12)
+    val mkLen = all(0) & 0xff
+    require(mkLen == 16 || mkLen == 24 || mkLen == 32,
+      s"corrupt wrapped-key blob: master-key length byte $mkLen")
+    val (iv, ct) = all.drop(1).splitAt(12)
     cipher(javax.crypto.Cipher.DECRYPT_MODE,
-      masterKey(masterKeyIdentifier), iv).doFinal(ct)
+      masterKey(masterKeyIdentifier, mkLen * 8), iv).doFinal(ct)
   }
 }

@@ -388,15 +388,7 @@ object EventStream {
       .transformWithState(new SessionProcessor,
         TimeMode.None(), OutputMode.Append())
       .toDF()
-    val prev = spark.conf.getOption(ProviderConfKey)
-    spark.conf.set(ProviderConfKey, RocksDbProvider)
-    val perEvent =
-      try runToCompletion(spark, assigned, OutputMode.Append(),
-        Seq("event_id"))
-      finally prev match {
-        case Some(v) => spark.conf.set(ProviderConfKey, v)
-        case None => spark.conf.unset(ProviderConfKey)
-      }
+    val perEvent = runBoundedOnRocksDb(spark, assigned)
     perEvent
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
@@ -408,6 +400,22 @@ object EventStream {
   private val ProviderConfKey = "spark.sql.streaming.stateStore.providerClass"
   private val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Bounded replay on the RocksDB state store, provider conf saved
+    * and restored around the run — the single definition of the conf
+    * dance both transformWithState twins use (it is captured by the
+    * query at start, the runToCompletion contract). */
+  private def runBoundedOnRocksDb(spark: SparkSession,
+      streamed: DataFrame): DataFrame = {
+    val prev = spark.conf.getOption(ProviderConfKey)
+    spark.conf.set(ProviderConfKey, RocksDbProvider)
+    try runToCompletion(spark, streamed, OutputMode.Append(),
+      Seq("event_id"))
+    finally prev match {
+      case Some(v) => spark.conf.set(ProviderConfKey, v)
+      case None => spark.conf.unset(ProviderConfKey)
+    }
+  }
 
   // ---- stateful SCD2 version assignment (transformWithState) -------
 
@@ -471,29 +479,8 @@ object EventStream {
       .transformWithState(new Scd2Processor,
         TimeMode.None(), OutputMode.Append())
       .toDF()
-    val prev = spark.conf.getOption(ProviderConfKey)
-    spark.conf.set(ProviderConfKey, RocksDbProvider)
-    val perEvent =
-      try runToCompletion(spark, assigned, OutputMode.Append(),
-        Seq("event_id"))
-      finally prev match {
-        case Some(v) => spark.conf.set(ProviderConfKey, v)
-        case None => spark.conf.unset(ProviderConfKey)
-      }
-    val byVersion = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("version"))
-    perEvent
-      .groupBy(col("user_id"), col("version"), col("event_type"))
-      .agg(min(col("ts")).as("valid_from"),
-        count(lit(1)).as("n_events"))
-      .withColumn("valid_to",
-        coalesce(lead(col("valid_from"), 1).over(byVersion),
-          lit("9999-12-31 00:00:00").cast("timestamp")))
-      .withColumn("is_current",
-        (lead(col("valid_from"), 1).over(byVersion).isNull).cast("long"))
-      .select(col("user_id"), col("version"), col("event_type"),
-        col("valid_from"), col("valid_to"), col("n_events"),
-        col("is_current"))
-      .orderBy(col("user_id"), col("version"))
+    // dimension rows come from THE shared aggregation (Events.scd2
+    // calls the same method), so the twins cannot drift
+    graft.operators.Events.scd2Dimension(runBoundedOnRocksDb(spark, assigned))
   }
 }

@@ -94,4 +94,18 @@ class BucketingSpec extends AnyFunSuite {
       case None => conf.unset(key)
     }
   }
+
+  test("the layout memo re-writes when its tables vanish from the catalog") {
+    val (li, o) = Bucketing.writeBucketed(spark, sf, buckets = 4)
+    // memo hit while the tables exist — same names back
+    assert(Bucketing.writeBucketed(spark, sf, buckets = 4) == (li, o))
+    // simulate the session-restart shape: catalog loses the tables
+    // while the JVM-level memo survives
+    spark.sql(s"DROP TABLE $li")
+    spark.sql(s"DROP TABLE $o")
+    val (li2, o2) = Bucketing.writeBucketed(spark, sf, buckets = 4)
+    assert(spark.catalog.tableExists(li2) && spark.catalog.tableExists(o2),
+      "stale memo was handed out instead of a re-write")
+    assert(spark.table(li2).count() > 0)
+  }
 }

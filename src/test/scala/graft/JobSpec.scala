@@ -751,6 +751,59 @@ class JobSpec extends AnyFunSuite {
     assert(!cols.contains("event_type"))
   }
 
+  test("DEPARTITION APPEND runs the same on-disk schema guard per promoted table") {
+    val srcRoot = tmp("jobspec-depapp-src")
+    graft.operators.Events.load(spark, sf)
+      .write.partitionBy("event_type").parquet(s"$srcRoot/events.parquet")
+    val out = tmp("jobspec-depapp-out")
+    val first = DataPumpJob(Operation.Export, JobMode.Table, srcRoot, out,
+      directives = Seq(IncludeTable(Seq("events")),
+        PartitionOptions("DEPARTITION"))).run(spark)
+    assert(first.state == JobState.Completed, first.errors)
+    val tables = new java.io.File(s"$out/main").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    val before = spark.read.parquet(s"$out/main/${tables.head}").count()
+    // same promoted table names, DIFFERENT schema (a column dropped):
+    // the unchecked-append disaster shape, now on the combo path
+    val srcRoot2 = tmp("jobspec-depapp-src2")
+    graft.operators.Events.load(spark, sf).drop("props")
+      .write.partitionBy("event_type").parquet(s"$srcRoot2/events.parquet")
+    val bad = DataPumpJob(Operation.Export, JobMode.Table, srcRoot2, out,
+      directives = Seq(IncludeTable(Seq("events")),
+        PartitionOptions("DEPARTITION"),
+        TableExistsAction("APPEND"))).run(spark)
+    assert(bad.objects.exists(o => o.state == "FAILED" &&
+      o.error.exists(_.contains("APPEND requires identical schema"))),
+      bad.objects.map(o => (o.state, o.error)).toString)
+    // the promoted tables are untouched — no mismatched part files
+    assert(spark.read.parquet(s"$out/main/${tables.head}").count() == before)
+  }
+
+  test("wrapped keys are self-describing: a fresh reader needs only the password") {
+    import graft.sources.{GraftKms, ParquetCrypto}
+    val wConf = new org.apache.hadoop.conf.Configuration(false)
+    wConf.set(ParquetCrypto.PasswordConf, "pw-xyz")
+    wConf.setInt(ParquetCrypto.KeyBitsConf, 256)
+    val writer = new GraftKms
+    writer.initialize(wConf, "g", null, null)
+    val dek = new Array[Byte](16)
+    new java.util.Random(7).nextBytes(dek)
+    val wrapped = writer.wrapKey(dek, "k0")
+    // fresh-process analog: a reader conf with ONLY the password — no
+    // KeyBitsConf, no process-local KEK caches to lean on
+    val rConf = new org.apache.hadoop.conf.Configuration(false)
+    rConf.set(ParquetCrypto.PasswordConf, "pw-xyz")
+    val reader = new GraftKms
+    reader.initialize(rConf, "g", null, null)
+    assert(java.util.Arrays.equals(reader.unwrapKey(wrapped, "k0"), dek))
+    // wrong password still dies on the GCM tag
+    val bConf = new org.apache.hadoop.conf.Configuration(false)
+    bConf.set(ParquetCrypto.PasswordConf, "wrong")
+    val bad = new GraftKms
+    bad.initialize(bConf, "g", null, null)
+    intercept[Throwable] { bad.unwrapKey(wrapped, "k0") }
+  }
+
   test("DUMP_FORMAT exports orc/json/csv dump sets; import sniffs the format") {
     // ORC: lossless columnar alternative — exact round trip
     val orcDump = tmp("jobspec-fmt-orc"); val orcTgt = tmp("jobspec-fmt-orc-t")
