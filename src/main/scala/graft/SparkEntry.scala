@@ -122,6 +122,9 @@ object SparkEntry {
     "q_event_paths" -> ((s: SparkSession, d: String) => Events.eventPaths(s, d)),
     "q_fk_audit" -> (Relational.fkAudit _),
     "q_heavy_hitters" -> ((s: SparkSession, d: String) => Corpus.heavyHitters(s, d)),
+    "q_stream_heavy_hitters" ->
+      ((s: SparkSession, d: String) =>
+        graft.streaming.DocStream.heavyHittersViaStream(s, d)),
     "q_bloom_join" -> ((s: SparkSession, d: String) => Relational.bloomSemiJoin(s, d)),
     // --- corpus preparation (split/sample/pack/stats)
     "q_split_assign" -> (Corpus.splitAssign _),
@@ -1084,6 +1087,19 @@ object SparkEntry {
     // threshold derives from the operator's own k constant, so the
     // two sides cannot drift.
     "q_heavy_hitters" ->
+      s"""WITH tok AS (
+           SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+           FROM documents),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tok)
+         SELECT w, CAST(count(*) AS BIGINT) AS cnt
+         FROM tok CROSS JOIN tot GROUP BY w, total
+         HAVING count(*) * ${Corpus.HeavyHittersK} > total
+         ORDER BY cnt DESC, w""",
+
+    // the streaming Complete-mode aggregation twin shares the exact
+    // batch oracle: the state-store counts must equal a one-shot
+    // groupBy to the row
+    "q_stream_heavy_hitters" ->
       s"""WITH tok AS (
            SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
            FROM documents),

@@ -171,4 +171,38 @@ object DocStream {
       .select(col("doc_id"), col("status"), col("matched_id"))
       .orderBy(col("doc_id"))
   }
+
+  /** q_heavy_hitters' STREAMING twin: the exploded token stream flows
+    * through a Complete-mode streaming count aggregation — the
+    * state-store shape of a LIVE token-frequency monitor (each
+    * micro-batch updates per-word state; Complete mode emits the full
+    * current table) — and the heavy-hitter rule (cnt·k > total) is
+    * applied over the stream's OWN final counts. Same DuckDB oracle
+    * as the batch Misra-Gries operator, so the streaming aggregation,
+    * the sink round-trip, and the threshold all pin to the exact
+    * answer.
+    *
+    * Scale note: Complete mode re-emits the whole vocabulary per
+    * batch — fine for a bounded replay and for dashboard-sized top
+    * tables; an unbounded 100 TB feed would run Update mode over the
+    * same state with the threshold filter downstream, or the batch
+    * Misra-Gries pass per delivery. */
+  def heavyHittersViaStream(spark: SparkSession, sf: String,
+      k: Int = graft.operators.Corpus.HeavyHittersK): DataFrame = {
+    val schema = spark.read.parquet(Tables.path(sf, "documents")).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(if (sf.endsWith("/")) sf.dropRight(1) else sf)
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val counts = EventStream.runToCompletion(spark, stream,
+      org.apache.spark.sql.streaming.OutputMode.Complete(), Seq("w"))
+    val tot = counts.agg(sum(col("cnt")).as("total"))
+    counts.crossJoin(broadcast(tot))
+      .filter(col("cnt") * k > col("total"))
+      .select(col("w"), col("cnt"))
+      .orderBy(col("cnt").desc, col("w"))
+  }
 }

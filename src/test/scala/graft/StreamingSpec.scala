@@ -271,6 +271,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exists(_._2 != "new"))
   }
 
+  test("streaming heavy hitters equal the batch Misra-Gries survivors row-for-row") {
+    val stream = graft.streaming.DocStream.heavyHittersViaStream(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val batch = graft.operators.Corpus.heavyHitters(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(stream.nonEmpty && stream == batch)
+  }
+
   test("streaming split assignment equals the batch split (stateless corpus ops)") {
     // the corpus-prep projections are pure row-wise column algebra, so
     // they run UNCHANGED on a stream — demonstrated end-to-end: the
