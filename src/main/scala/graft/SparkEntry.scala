@@ -203,6 +203,7 @@ object SparkEntry {
     "q_embed_norms" -> (Similarity.norms _),
     "q_knn_brute" -> ((s: SparkSession, d: String) => Similarity.knnBruteForce(s, d)),
     "q_label_knn" -> ((s: SparkSession, d: String) => Similarity.labelKnn(s, d)),
+    "q_class_weights" -> (Similarity.classWeights _),
     "q_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "q_cosine_near_dup" -> ((s: SparkSession, d: String) => Similarity.cosineNearDup(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
@@ -2236,6 +2237,20 @@ object SparkEntry {
          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                  ORDER BY cosine DESC, neighbor_id) AS rk FROM p)
          WHERE rk <= 5 ORDER BY query_id, rk""",
+
+    // Inverse-frequency class weights (the sklearn "balanced"
+    // heuristic) in integer basis points
+    "q_class_weights" ->
+      """WITH c AS (
+           SELECT CAST(label AS BIGINT) AS label,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM embeddings GROUP BY 1),
+         t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+                 CAST(COUNT(*) AS BIGINT) AS n_classes FROM c)
+         SELECT label, n,
+           (t.n_total * 10000) // (t.n_classes * n) AS weight_bp
+         FROM c CROSS JOIN t
+         ORDER BY label""",
 
     // Leave-one-out kNN classification over the same exact-integer
     // cosine: majority of the top-5 neighbor labels, ties broken

@@ -163,6 +163,25 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Inverse-frequency class weights over the label column — the
+    * class-balance table an imbalanced-data trainer consumes
+    * (weight ∝ N/(K·n_c), the sklearn "balanced" heuristic), in
+    * integer basis points: weight_bp = (N·10⁴) div (K·n_c), so a
+    * uniformly distributed label sits at ~10 000 and a rare class
+    * proportionally above. One partial-aggregated groupBy + two
+    * broadcast scalars; nothing else moves. */
+  def classWeights(spark: SparkSession, sf: String): DataFrame = {
+    val e = Tables.load(spark, sf, "embeddings")
+      .select(col("label").cast("long").as("label"))
+    val counts = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("n_total"),
+      count(lit(1)).as("n_classes"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("label"), col("n"),
+        expr("(n_total * 10000) div (n_classes * n)").as("weight_bp"))
+      .orderBy(col("label"))
+  }
+
   // ---- random-hyperplane LSH ---------------------------------------
 
   /** Number of hyperplane sign bits per bucket key. */

@@ -396,6 +396,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(recovered == n, s"IVF recall $recovered/$n")
   }
 
+  test("class weights: counts conserve and weights are exact inverse frequencies") {
+    val rows = Similarity.classWeights(spark, sf).collect()
+    val total = Tables.load(spark, sf, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    val k = rows.length.toLong
+    rows.foreach { r =>
+      assert(r.getLong(2) == total * 10000 / (k * r.getLong(1)), r.toString)
+    }
+    // rarer class => strictly larger-or-equal weight
+    val byN = rows.sortBy(_.getLong(1))
+    byN.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(2) >= b.getLong(2))
+      case _ =>
+    }
+  }
+
   test("label knn: one prediction per vector, majority re-derived from knn rows") {
     val preds = Similarity.labelKnn(spark, sf).collect()
     val n = Tables.load(spark, sf, "embeddings").count()
