@@ -27,6 +27,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype == object:
             df[c] = df[c].map(
                 lambda v: tuple(v) if isinstance(v, (list,)) else v)
+        # mirror the driver's ns-precision hash normalization: a
+        # timestamp outside int64-nanosecond range (e.g. a 9999-12-31
+        # sentinel) must OVERFLOW here too, not pass locally and go
+        # red at the driver gate (the r10 q_scd2 lesson)
+        if str(df[c].dtype).startswith("datetime64[us"):
+            df[c] = df[c].astype("datetime64[ns]")
     if not STRICT:
         df = df.sort_values(by=list(df.columns), kind="mergesort",
                             na_position="first")

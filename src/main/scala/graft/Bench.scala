@@ -22,6 +22,10 @@ import org.apache.spark.sql.SparkSession
   * elevated, composite unaffected) without any prose appendix. A
   * query is an error only if it fails in EVERY sweep — and errors are
   * excluded from every total (a crash must not register as fast).
+  * When sweep 1 runs ≥1.5× the final sweep (a load window overlapping
+  * the start), ONE extra sweep runs automatically and the artifact
+  * records `extra_sweeps`/`load_ratio` — the r10 "keep the bench
+  * honest under load" hardening.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -68,8 +72,27 @@ object Bench {
 
     // sweep-major loop: run EVERY query once, then start sweep 2 —
     // never query-major (that recreates the adjacent-repeat blindspot)
-    val runsBySweep: Seq[Seq[(Double, Option[String])]] =
-      (1 to sweeps).map(_ => selected.map { case (_, fn) => once(fn) })
+    val sweepBuf =
+      scala.collection.mutable.ArrayBuffer.empty[Seq[(Double, Option[String])]]
+    (1 to sweeps).foreach(_ =>
+      sweepBuf += selected.map { case (_, fn) => once(fn) })
+    def totalOf(rs: Seq[(Double, Option[String])]): Double =
+      rs.collect { case (t, None) => t }.sum
+    // LOAD-ADAPTIVE extra sweep (r10 methodology hardening): when the
+    // first sweep ran ≥1.5× the last — the signature of a host-load
+    // window overlapping the early sweep — one additional sweep runs
+    // so every query still gets ≥3 load-clean shots at its min. Bounded
+    // at one extra; the artifact records it so the composite's
+    // provenance is visible, not argued.
+    val loadRatio =
+      if (sweepBuf.size >= 2 && totalOf(sweepBuf.last) > 0)
+        totalOf(sweepBuf.head) / totalOf(sweepBuf.last)
+      else 1.0
+    val extraSweeps =
+      if (loadRatio > 1.5) {
+        sweepBuf += selected.map { case (_, fn) => once(fn) }; 1
+      } else 0
+    val runsBySweep: Seq[Seq[(Double, Option[String])]] = sweepBuf.toSeq
 
     val perQuery = selected.zipWithIndex.map { case ((name, _), i) =>
       val rs = runsBySweep.map(_(i))
@@ -103,11 +126,13 @@ object Bench {
     val sweepOk = runsBySweep.map(_.count(_._2.isEmpty))
     val composite = ok.map(_._2).sum
     val base =
-      s""""unit":"sec","sweeps":$sweeps,""" +
+      s""""unit":"sec","sweeps":$sweeps,"extra_sweeps":$extraSweeps,""" +
+      s""""load_ratio":${num(loadRatio)},""" +
       s""""total_composite":${num(composite)},""" +
       s""""sweep_totals":${sweepTotals.map(t => num(t)).mkString("[", ",", "]")},""" +
       s""""sweep_n_ok":${sweepOk.mkString("[", ",", "]")},""" +
-      s""""methodology":"per-query min over $sweeps interleaved full sweeps; raw timings in runs[query][sweep]""""
+      s""""methodology":"per-query min over $sweeps interleaved full sweeps""" +
+      s""" + $extraSweeps load-adaptive (trigger: sweep1/sweepN > 1.5); raw timings in runs[query][sweep]""""
     println(s"""{"metric":"total","value":${num(composite)},$base,"queries":$qs,"runs":$runsJson,"errors":$errs,"sf":"$sfDir"}""")
     // Compact second line: the full JSON has outgrown the driver's
     // tail capture (BENCH_r06 "parsed": null), so the headline — total,

@@ -172,11 +172,11 @@ object SparkEntry {
     "q_delta_dedup" -> (Dedup.deltaDedup _),
     "q_delta_neardup" -> ((s: SparkSession, d: String) => Dedup.deltaNearDup(s, d)),
     "q_ngram_novelty" -> (Dedup.ngramNovelty _),
-    // rows-only by design: bloom false positives are engine-specific
-    // (no DuckDB twin); pinned by the exact q_ngram_novelty oracle +
-    // the CorpusSpec undercount/error-bound case
+    // the sketch row runs as its verification harness: exact counts +
+    // undercount/error-bound verdict flags the DuckDB oracle pins to 1
+    // (bloom membership bits themselves are engine-specific)
     "q_ngram_novelty_bloom" -> ((s: SparkSession, d: String) =>
-      Dedup.ngramNoveltyBloom(s, d)),
+      Dedup.ngramNoveltyBloomCheck(s, d)),
     "q_dedup_survivors" -> (Dedup.keepBest _),
     "q_span_dedup" -> ((s: SparkSession, d: String) => Dedup.spanDedup(s, d)),
     "q_stream_neardup" -> ((s: SparkSession, d: String) =>
@@ -211,6 +211,7 @@ object SparkEntry {
     "q_mrl_recall" -> ((s: SparkSession, d: String) =>
       Similarity.mrlPlantedRecall(s, d)),
     "q_ivf_recall" -> (Similarity.ivfPlantedRecall _),
+    "q_ivf_sampled_recall" -> (Similarity.ivfSampledPlantedRecall _),
     "q_cosine_recall" -> ((s: SparkSession, d: String) => Similarity.cosinePlantedRecall(s, d)),
     "q_pq_codes" -> (Similarity.pqCodes _),
     "q_pq_recall" -> (Similarity.pqPlantedRecall _),
@@ -463,6 +464,27 @@ object SparkEntry {
          FROM lineitem GROUP BY l_returnflag
          ORDER BY l_returnflag""",
 
+    // GK-sketch verdict row: Spark verifies percentile_approx's rank
+    // guarantee (error ≤ n/10000) against the group's own cumulative
+    // rank windows; the oracle recomputes n and tol and pins every
+    // flag to 1 — a sketch past its contract goes red here
+    "q_approx_percentiles" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) // 10000 + 1 AS BIGINT) AS tol,
+         CAST(1 AS BIGINT) AS p25_ok, CAST(1 AS BIGINT) AS p50_ok,
+         CAST(1 AS BIGINT) AS p75_ok, CAST(1 AS BIGINT) AS price_p90_ok
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    // HLL++ verdict row: exact distincts recomputed by the oracle,
+    // within-5% flags (≥5σ at rsd 0.01) pinned to 1
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+         CAST(1 AS BIGINT) AS orders_within_5pct,
+         CAST(1 AS BIGINT) AS parts_within_5pct
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
     // Trimmed/winsorized means: integer rank cut over cents, both
     // means as one fixed-shape IEEE expression over HUGEINT operands —
     // mirrors Relational.trimmedStats term for term
@@ -624,6 +646,31 @@ object SparkEntry {
          WHERE a.vec_id < b.vec_id
            AND CAST(CAST(list_sum(list_transform(generate_series(1, len(a.iv)),
              i -> a.iv[i] * b.iv[i])) AS BIGINT) AS DOUBLE) / (a.nrm * b.nrm) >= 0.25
+         ORDER BY vec_a, vec_b""",
+
+    // Embedding near-dup pairs at the production threshold (0.95):
+    // the oracle is the full EXACT pair scan, so the LSH-bucketed
+    // path must emit exactly the exact set — empty on the natural
+    // fixture (max pairwise cosine ≈ 0.51), which the oracle now
+    // proves instead of a rows-only shrug; any spurious bucket pair
+    // or missed true pair goes red
+    "q_cosine_near_dup" ->
+      """WITH q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 67108864.0) AS BIGINT)) AS iv
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, iv,
+             sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(iv)),
+               i -> iv[i] * iv[i])) AS BIGINT) AS DOUBLE)) AS nrm
+           FROM q)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(CAST(list_sum(list_transform(generate_series(1, len(a.iv)),
+             i -> a.iv[i] * b.iv[i])) AS BIGINT) AS DOUBLE) / (a.nrm * b.nrm) AS cosine
+         FROM n a, n b
+         WHERE a.vec_id < b.vec_id
+           AND CAST(CAST(list_sum(list_transform(generate_series(1, len(a.iv)),
+             i -> a.iv[i] * b.iv[i])) AS BIGINT) AS DOUBLE) / (a.nrm * b.nrm) >= 0.95
          ORDER BY vec_a, vec_b""",
 
     "q_monthly_orders" ->
@@ -833,8 +880,8 @@ object SparkEntry {
          FROM c GROUP BY 1, 2 ORDER BY user_id, session_id""",
 
     // SCD2: gaps-and-islands over event_type changes; valid_to chains
-    // to the next version's valid_from with the 9999-12-31 high-date
-    // sentinel on the current row
+    // to the next version's valid_from, NULL on the current row (a
+    // far-future sentinel overflows int64-ns timestamp consumers)
     "q_scd2" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
                  CAST(ts AS TIMESTAMP) AS ts FROM events),
@@ -851,9 +898,8 @@ object SparkEntry {
                  CAST(COUNT(*) AS BIGINT) AS n_events
                FROM v GROUP BY 1, 2, 3)
          SELECT user_id, version, event_type, valid_from,
-           COALESCE(LEAD(valid_from) OVER
-               (PARTITION BY user_id ORDER BY version),
-             TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+           LEAD(valid_from) OVER
+               (PARTITION BY user_id ORDER BY version) AS valid_to,
            n_events,
            CAST(LEAD(valid_from) OVER
                (PARTITION BY user_id ORDER BY version)
@@ -879,9 +925,8 @@ object SparkEntry {
                  CAST(COUNT(*) AS BIGINT) AS n_events
                FROM v GROUP BY 1, 2, 3)
          SELECT user_id, version, event_type, valid_from,
-           COALESCE(LEAD(valid_from) OVER
-               (PARTITION BY user_id ORDER BY version),
-             TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+           LEAD(valid_from) OVER
+               (PARTITION BY user_id ORDER BY version) AS valid_to,
            n_events,
            CAST(LEAD(valid_from) OVER
                (PARTITION BY user_id ORDER BY version)
@@ -1627,6 +1672,73 @@ object SparkEntry {
          WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5
          ORDER BY doc_a, doc_b""",
 
+    // The VERIFIED MinHash-LSH pipeline (band → margin prune → exact
+    // confirm on candidate shingle sets) must emit exactly the exact
+    // pair set — the oracle IS the brute-force pair query above, so a
+    // banding miss or a spurious survivor is a row diff, not a
+    // rows-only shrug. Same single-division IEEE jaccard both sides.
+    "q_minhash_lsh" ->
+      s"""WITH docs AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(ws) - 2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+           FROM (SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents) t
+           WHERE len(ws) >= 3),
+         expl AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+         sizes AS (SELECT doc_id, len(sh) AS n_sh FROM docs),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     COUNT(*) AS common
+                   FROM expl a JOIN expl b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+           CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
+         FROM pairs
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5
+         ORDER BY doc_a, doc_b""",
+
+    // SimHash near-dup pairs, replayed OFF-ENGINE end to end: the
+    // per-token 64 vote bits come from md5 hex halves (h1 = chars 1-8,
+    // h2 = 9-16; token hash = h1<<32 | h2, so bit b<32 reads h2 and
+    // bit 32+b reads h1), votes aggregate per (doc, bit), the
+    // signature is the positive-vote bitstring, and the pair set is
+    // every doc pair at hamming ≤ 3. Banding adds nothing to pin:
+    // 3 differing bits touch ≤ 3 of the 4 16-bit bands, so ≥ 1 band
+    // always collides (the pigeonhole spec) — the emitted set IS the
+    // full hamming ball, banding-independent, hence exactly this SQL
+    "q_simhash_pairs" ->
+      s"""WITH toks AS (
+           SELECT doc_id, unnest(list_distinct(string_split($Norm, ' '))) AS w
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+             list_reduce(list_transform(generate_series(1, 8),
+               i -> strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1),
+               (a, b) -> a * 16 + b) AS h1,
+             list_reduce(list_transform(generate_series(9, 16),
+               i -> strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1),
+               (a, b) -> a * 16 + b) AS h2
+           FROM toks),
+         votes AS (
+           SELECT doc_id, bits.b,
+             2 * SUM(CASE WHEN bits.b < 32 THEN (h2 >> bits.b) & 1
+                          ELSE (h1 >> (bits.b - 32)) & 1 END) - COUNT(*) AS v
+           FROM h, (SELECT unnest(generate_series(0, 63)) AS b) bits
+           GROUP BY 1, 2),
+         sig AS (
+           SELECT doc_id,
+             string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS s
+           FROM votes GROUP BY 1)
+         SELECT doc_a, doc_b, hamming FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_filter(generate_series(1, 64),
+               i -> substr(a.s, i, 1) <> substr(b.s, i, 1))) AS BIGINT) AS hamming
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+         WHERE hamming <= 3
+         ORDER BY doc_a, doc_b""",
+
     "q_contamination" ->
       s"""WITH docs AS (
            SELECT doc_id,
@@ -1782,6 +1894,31 @@ object SparkEntry {
            CAST(SUM(CASE WHEN c.shingle IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
            CAST(SUM(CASE WHEN c.shingle IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE) AS novelty
+         FROM batch b LEFT JOIN corpus c ON b.shingle = c.shingle
+         GROUP BY b.doc_id
+         ORDER BY b.doc_id""",
+
+    // Bloom-sketch verdict row: the oracle recomputes the EXACT
+    // novelty counts; the undercount-only and ≤5%-shortfall flags
+    // (verified in Spark against the sketch's own output) pin to 1
+    "q_ngram_novelty_bloom" ->
+      s"""WITH docs AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(ws) - 2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+           FROM (SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents) t
+           WHERE len(ws) >= 3),
+         w AS (SELECT CAST(floor((MAX(doc_id) + 1) * 0.8) AS BIGINT) AS w
+               FROM documents),
+         corpus AS (SELECT DISTINCT shingle FROM
+           (SELECT unnest(sh) AS shingle FROM docs, w WHERE doc_id < w)),
+         batch AS (SELECT doc_id, unnest(sh) AS shingle
+                   FROM docs, w WHERE doc_id >= w)
+         SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN c.shingle IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(1 AS BIGINT) AS bloom_le_exact,
+           CAST(1 AS BIGINT) AS shortfall_within_5pct
          FROM batch b LEFT JOIN corpus c ON b.shingle = c.shingle
          GROUP BY b.doc_id
          ORDER BY b.doc_id""",
@@ -2141,6 +2278,14 @@ object SparkEntry {
     // Same planted ground truth pins the k-means IVF index: green iff
     // NProbe=2 cell probing recovers every twin.
     "q_ivf_recall" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id,
+         CAST(vec_id + 1000000 AS BIGINT) AS neighbor_id
+         FROM embeddings ORDER BY query_id""",
+
+    // Same planted ground truth through the SAMPLE-TRAINED centroid
+    // set (deterministic 1/8 hash sample — the bounded 100 TB trainer):
+    // green iff the cheaper trainer costs zero twin recall.
+    "q_ivf_sampled_recall" ->
       """SELECT CAST(vec_id AS BIGINT) AS query_id,
          CAST(vec_id + 1000000 AS BIGINT) AS neighbor_id
          FROM embeddings ORDER BY query_id""",

@@ -368,6 +368,11 @@ object ArrayOps {
   def simhash_sig_str(ss: Column): Column =
     Bridge.column(SimHashSigStr(Bridge.expression(ss)))
 
+  /** Column wrapper: fused MD5-bit SimHash from token strings (the
+    * externally-replayable variant — see [[SimHashSigMd5]]). */
+  def simhash_sig_md5(ss: Column): Column =
+    Bridge.column(SimHashSigMd5(Bridge.expression(ss)))
+
   /** Column wrapper: per-band LSH bucket keys of a signature array. */
   def band_keys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     Bridge.column(BandKeys(Bridge.expression(sig), bands, rowsPerBand))
@@ -595,6 +600,88 @@ case class SimHashSigStr(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHashSigStr =
+    copy(child = newChild)
+}
+
+object SimHashSigMd5 {
+  /** MD5 is stateful — one digest instance per thread, reset per
+    * token, so the fused loop never re-allocates the engine. */
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private[functions] def digest: java.security.MessageDigest = digests.get()
+}
+
+/** 64-bit SimHash fused from token strings like [[SimHashSigStr]],
+  * but the per-token 64 vote bits derive from the token's MD5 — the
+  * one string hash every SQL engine exposes verbatim, which makes the
+  * WHOLE signature replayable as plain SQL in an independent engine:
+  * `(h1 << 32) | h2` where h1/h2 are the first/second 8 hex chars of
+  * `md5(token)` parsed as integers (so bit b < 32 is bit b of h2 and
+  * bit 32+b is bit b of h1 — exactly the bits
+  * `conv(substring(md5(w), 1|9, 8), 16, 10)` yields in any dialect).
+  * This is what turns the simhash near-dup surface from
+  * "pinned-by-spec" into a row-for-row external oracle: signatures,
+  * hamming distances, and the pair set all recompute bit-identically
+  * off engine. MD5 per token costs ~4× xxhash64 but token hashing is
+  * a vanishing fraction of the pair-join query, and the digest
+  * instance is thread-local — no per-row allocation.
+  */
+case class SimHashSigMd5(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_sig_md5"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckSuccess
+      case other => TypeCheckFailure(
+        s"simhash_sig_md5 requires array<string>, got ${other.simpleString}")
+    }
+  }
+
+  def computePublic(ss: ArrayData): Long = {
+    val md = SimHashSigMd5.digest
+    val votes = new Array[Int](64)
+    val n = ss.numElements()
+    var j = 0
+    while (j < n) {
+      md.reset()
+      val d = md.digest(ss.getUTF8String(j).getBytes)
+      // hex chars 1-8 = digest bytes 0-3 big-endian (h1), 9-16 = bytes
+      // 4-7 (h2); token hash long = (h1 << 32) | h2
+      val h1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val h2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      val h = (h1 << 32) | h2
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computePublic(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("simhashMd5Self", this,
+      classOf[SimHashSigMd5].getName)
+    nullSafeCodeGen(ctx, ev, ss => s"${ev.value} = $self.computePublic($ss);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSigMd5 =
     copy(child = newChild)
 }
 

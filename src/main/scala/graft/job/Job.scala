@@ -793,7 +793,22 @@ object DataPumpJob {
     JobRegistry.get(jobName).orElse {
       dumpDir.flatMap { dir =>
         readSidecar(spark, dir) match {
-          case None => None
+          case None =>
+            // LOG-ONLY degrade (job.py:330-349: attach swallows
+            // JobNotFound and falls back to a bare status handler):
+            // registry AND sidecar both gone, but a surviving
+            // _joblog.txt still yields the terminal state + owner —
+            // a None here would read as "job never existed" to a
+            // caller holding a dump dir that plainly finished
+            getLogfile(spark, dir).flatMap { text =>
+              graft.status.LogParser.finalJob(text.linesIterator.toSeq)
+                .filter { case (_, name, _) => name == jobName }
+                .map { case (owner, _, state) =>
+                  JobStatusInfo(jobName, owner, "UNKNOWN", "UNKNOWN",
+                    state, 100.0, Nil, Nil,
+                    Instant.now(), Some(Instant.now()))
+                }
+            }
           case Some(meta) if meta.jobName != jobName => None
           case Some(meta) => {
             // strategy-2 state recovery: the logfile's completion line

@@ -678,12 +678,11 @@ object Corpus {
         col("split_a"), col("split_b"))
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** [[contamination]] fed by MinHash-LSH candidate pairs — the 100 TB
-    * leakage screen: edge derivation is the banded equality join, not
-    * the exact shingle self-join. Emits the pair + splits WITHOUT a
-    * similarity value (the signature-estimated Jaccard is not the exact
-    * one, so the oracle pins the pair SET — which equals the exact set
-    * at fixture similarity levels, every pair at j ≥ 0.9). */
+  /** [[contamination]] fed by the verified MinHash-LSH pairs — the
+    * 100 TB leakage screen: edge derivation is the banded equality
+    * join + per-candidate confirm, not the exact shingle self-join.
+    * Emits the pair + splits without the similarity value (the pair
+    * SET is the pinned quantity; the score rides q_minhash_lsh). */
   def contaminationLsh(spark: SparkSession, sf: String): DataFrame =
     contaminationFrom(spark, sf, Dedup.minhashLsh(spark, sf))
       .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"))
@@ -1196,41 +1195,74 @@ object Corpus {
     * two sides. */
   val HeavyHittersK = 40
 
+  /** Misra-Gries insert of one token into a k-bounded counter map —
+    * the classic streaming step: bump if present, admit if room,
+    * otherwise decrement all (the new term is NOT inserted). */
+  private def mgInsert(k: Int,
+      counters: scala.collection.mutable.HashMap[String, Long],
+      w: String): Unit =
+    counters.get(w) match {
+      case Some(c) => counters(w) = c + 1L
+      case None if counters.size < k => counters(w) = 1L
+      case None =>
+        val dead = List.newBuilder[String]
+        counters.mapValuesInPlace { (key, c) =>
+          if (c == 1L) dead += key
+          c - 1L
+        }
+        dead.result().foreach(counters.remove)
+    }
+
+  /** MERGE of two k-bounded Misra-Gries summaries (Agarwal, Cormode,
+    * Huang, Phillips, Wei, Yi — "Mergeable Summaries", PODS'12): sum
+    * counters, and if more than k survive, subtract the (k+1)-th
+    * largest count from all and drop the non-positive. Deficiency
+    * stays ≤ n/(k+1) under ANY merge tree, so an item with true count
+    * > total/k survives to the final summary no matter how many
+    * partitions fed it — the superset guarantee the exact second pass
+    * relies on, now independent of partition count. */
+  private[graft] def mgMerge(k: Int)(
+      a: scala.collection.mutable.HashMap[String, Long],
+      b: scala.collection.mutable.HashMap[String, Long])
+      : scala.collection.mutable.HashMap[String, Long] = {
+    b.foreach { case (w, c) =>
+      a.updateWith(w) { prev => Some(prev.getOrElse(0L) + c) }
+    }
+    if (a.size > k) {
+      val cut = a.values.toArray.sortInPlace()(Ordering[Long].reverse)
+        .apply(k) // the (k+1)-th largest
+      a.mapValuesInPlace((_, c) => c - cut)
+      a.filterInPlace((_, c) => c > 0L)
+    }
+    a
+  }
+
+  /** Pass 1 as a treeAggregate: per-task MG summaries merge up a
+    * 2-level tree, so the DRIVER receives exactly one k-entry map (+
+    * the stream total) — ~k strings of traffic whether the corpus has
+    * 32 partitions or 100k, replacing the k×partitions candidate
+    * collect whose driver footprint grew linearly with the cluster. */
+  private[graft] def mgCandidates(tok: org.apache.spark.sql.Dataset[String],
+      k: Int): (Seq[String], Long) = {
+    val zero = (scala.collection.mutable.HashMap.empty[String, Long], 0L)
+    val (summary, total) = tok.rdd.treeAggregate(zero)(
+      seqOp = { case ((m, n), w) => mgInsert(k, m, w); (m, n + 1L) },
+      combOp = { case ((ma, na), (mb, nb)) => (mgMerge(k)(ma, mb), na + nb) },
+      depth = 2)
+    (summary.keys.toSeq, total)
+  }
+
   def heavyHitters(spark: SparkSession, sf: String,
       k: Int = HeavyHittersK): DataFrame = {
     import spark.implicits._
     val tok = Tables.load(spark, sf, "documents")
       .select(explode(words(col("text"))).as("w"))
-    // Pass 1 yields BOTH the Misra-Gries survivors and each
-    // partition's token count (the -1 vs ≥0 column disambiguates), so
-    // the stream total needs no separate count() scan — the doc's
-    // "scanned twice, shuffled never" is literal. One driver collect
-    // of k×partitions + partitions rows — the already-stated driver
-    // traffic bound.
-    val pass1 = tok.as[String].mapPartitions { it =>
-      val counters = scala.collection.mutable.HashMap.empty[String, Long]
-      var n = 0L
-      it.foreach { w =>
-        n += 1L
-        counters.get(w) match {
-          case Some(c) => counters(w) = c + 1L
-          case None if counters.size < k => counters(w) = 1L
-          case None =>
-            // decrement-all step; the new term is NOT inserted
-            val dead = List.newBuilder[String]
-            counters.mapValuesInPlace { (key, c) =>
-              if (c == 1L) dead += key
-              c - 1L
-            }
-            dead.result().foreach(counters.remove)
-        }
-      }
-      counters.keysIterator.map(w => (w, -1L)) ++ Iterator(("", n))
-    }.collect()
-    val total = pass1.collect { case (_, n) if n >= 0L => n }.sum
-    val candidates = pass1.collect { case (w, -1L) => w }.distinct.toSeq
-      .toDF("w")
-    tok.join(broadcast(candidates), Seq("w"), "left_semi")
+    // Pass 1 (mergeable MG, k-bounded driver traffic) yields the
+    // candidate superset and the stream total in one scan; pass 2
+    // exact-counts only the ≤ k candidates — "scanned twice, shuffled
+    // never" is literal, and now partition-count-proof.
+    val (cands, total) = mgCandidates(tok.as[String], k)
+    tok.join(broadcast(cands.toDF("w")), Seq("w"), "left_semi")
       .groupBy(col("w"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * k > total)

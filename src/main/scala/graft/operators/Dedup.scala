@@ -347,6 +347,33 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Driver-visible verification harness around [[ngramNoveltyBloom]]:
+    * joins the sketch's per-doc novelty against the exact join's and
+    * emits, per batch doc, the EXACT counts plus two verdict flags —
+    * Bloom false positives can only UNDERCOUNT novelty
+    * (bloom_le_exact), and the shortfall stays within 5% of the doc's
+    * shingle mass (fpp = 0.01 puts the expected shortfall under
+    * 1% — the 5% line is a ≥5× margin). The DuckDB oracle recomputes
+    * the exact side and pins both flags to 1, so a sketch that ever
+    * overcounts or degrades past its contract goes red at the driver
+    * gate — the sketch row stops being a rows-only blind spot. The
+    * pure sketch path (the artifact a pipeline persists at 100 TB,
+    * no exact join anywhere) remains [[ngramNoveltyBloom]] itself. */
+  def ngramNoveltyBloomCheck(spark: SparkSession, sf: String): DataFrame = {
+    val bloom = ngramNoveltyBloom(spark, sf)
+      .select(col("doc_id"), col("n_novel").as("bloom_novel"))
+    ngramNovelty(spark, sf)
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"))
+      .join(bloom, Seq("doc_id"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("bloom_novel") <= col("n_novel")).cast("long")
+          .as("bloom_le_exact"),
+        ((col("n_novel") - col("bloom_novel")).cast("double") <=
+          col("n_shingles").cast("double") * 0.05 + 1.0)
+          .cast("long").as("shortfall_within_5pct"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- near-dup clustering (connected components) -------------------
 
   /** Near-duplicate CLUSTERS: connected components over the similarity
@@ -705,12 +732,48 @@ object Dedup {
     * Plan: map (signature) → explode bands (×16) → shuffle on
     * (band, key) → per-bucket pairs → distinct → estimate.
     */
-  def minhashLsh(spark: SparkSession, sf: String, threshold: Double = 0.5): DataFrame =
-    minhashLshFrom(shingledCached(spark, sf), threshold)
+  /** MinHash-LSH near-dup pairs, VERIFIED end to end — the full
+    * production LSH pipeline: banding proposes candidates
+    * (O(collisions), never all-pairs), the signature-agreement
+    * estimate prunes at a margin BELOW threshold (est ≥ t − 0.15:
+    * at 64 hashes the estimator's σ ≈ 0.06 at j = t, so a true pair
+    * at the threshold clears the prune at ≈ 2.5σ — and the fixture's
+    * pairs sit at j ≥ 0.9, 9σ clear), and each surviving candidate is
+    * CONFIRMED against its true shingle sets — |A∩B| / |A∪B| via
+    * `array_intersect` on the two bounded per-doc arrays, never by
+    * re-exploding the corpus (the candidate set is the small frame
+    * here; two narrow joins re-attach the arrays). The output is
+    * therefore the EXACT near-dup pair set the index recovers, which
+    * is what makes this row DRIVER-CHECKABLE: the DuckDB oracle is
+    * the brute-force exact-pair query (q_ngram_jaccard's), so a
+    * banding miss, estimator drift, or verify bug is a missing or
+    * extra row — red at the gate, not a rows-only shrug. The
+    * est-only candidate stream (what a pipeline would persist as its
+    * index artifact) remains [[minhashLshFrom]]. */
+  def minhashLsh(spark: SparkSession, sf: String, threshold: Double = 0.5): DataFrame = {
+    val sh = shingledCached(spark, sf)
+    val cand = minhashCandidates(sh)
+      .filter(agreeAtLeast(col("mh_a"), col("mh_b"),
+        math.max(threshold - 0.15, 0.0)))
+      .select(col("doc_a"), col("doc_b"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("common",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") -
+            col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 
-  private[graft] def minhashLshFrom(docs: DataFrame, threshold: Double): DataFrame = {
+  /** Banded candidate pairs with both signatures attached — the
+    * shared first half of the est-filtered and verified LSH paths. */
+  private[graft] def minhashCandidates(docs: DataFrame): DataFrame = {
     val signed = minhashSignature(docs).select(col("doc_id"), col("minhash"))
-
     // band key = xxhash64 over (band index, 4-component slice), fused
     // into one codegen'd loop (`band_keys`) — no interpreted
     // transform+slice lambda allocating a sub-array per band per row,
@@ -721,8 +784,7 @@ object Dedup {
       posexplode(graft.functions.ArrayOps
         .band_keys(col("minhash"), Bands, RowsPerBand))
         .as(Seq("band", "band_key")))
-
-    val candidates = banded.as("a")
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_key") === col("b.band_key") &&
@@ -730,13 +792,19 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.minhash").as("mh_a"), col("b.minhash").as("mh_b"))
       .dropDuplicates("doc_a", "doc_b")
+  }
 
+  /** Est-filtered candidate pairs — the signature-only output (what a
+    * pipeline persists as its index artifact; no exact verify, no
+    * second look at the shingle arrays). Shares [[minhashCandidates]]
+    * with the verified path above. */
+  private[graft] def minhashLshFrom(docs: DataFrame, threshold: Double): DataFrame = {
     // agree_count is the codegen'd signature-agreement kernel — the
     // interpreted zip_with+filter+size chain here was the last hot-path
     // HOF (one boxed call per slot per candidate pair, and post-banding
     // candidates are the big intermediate at scale). The decimal cast
     // path is unchanged: est_jaccard stays bit-identical.
-    candidates
+    minhashCandidates(docs)
       .withColumn("est_jaccard",
         (graft.functions.ArrayOps.agree_count(col("mh_a"), col("mh_b"))
           .cast(DecimalType(18, 6)) / lit(NumHashes))
@@ -771,11 +839,16 @@ object Dedup {
 
   /** 64-bit SimHash per doc: per-bit weighted vote over token hashes,
     * assembled into a long. Hashing and the 64-slot vote accumulator
-    * run fused in one codegen'd loop (`simhash_sig_str`) — not an
-    * interpreted hashing pass feeding a separate aggregate. Banding on
-    * 16-bit chunks finds candidates; hamming distance ≤ 3 confirms. */
+    * run fused in one codegen'd loop (`simhash_sig_md5`) — not an
+    * interpreted hashing pass feeding a separate aggregate. The vote
+    * bits derive from each token's MD5 (two 32-bit hex halves), so the
+    * ENTIRE signature — and therefore every hamming distance and the
+    * whole pair set below — recomputes bit-identically in any engine
+    * with an `md5()` builtin: this is what makes q_simhash_pairs a
+    * row-for-row DuckDB oracle instead of a pinned-by-spec sketch row.
+    * Banding on 16-bit chunks finds candidates; hamming ≤ 3 confirms. */
   def simhash(tokens: Column): Column =
-    graft.functions.ArrayOps.simhash_sig_str(tokens)
+    graft.functions.ArrayOps.simhash_sig_md5(tokens)
 
   def simhashPairs(spark: SparkSession, sf: String, maxHamming: Int = 3): DataFrame = {
     val docs = Tables.load(spark, sf, "documents")
@@ -793,7 +866,8 @@ object Dedup {
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))

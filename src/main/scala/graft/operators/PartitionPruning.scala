@@ -35,13 +35,21 @@ object PartitionPruning {
     * scratch location (the write-side layout decision; ~30 daily
     * partitions at fixture scale), memoized per source. */
   private[graft] def writePartitionedEvents(spark: SparkSession,
-      sf: String): String =
+      sf: String): String = {
     // validate the memo hit: the layout lives in a scratch dir whose
     // lifetime is shorter than the JVM-level memo (temp cleanup,
     // harness re-init) — a dangling path must trigger a re-write, not
-    // a PATH_NOT_FOUND on every later read
+    // a PATH_NOT_FOUND on every later read. Checked through the Hadoop
+    // FileSystem API (not java.io.File): the scratch root may carry a
+    // non-local scheme on a real cluster
+    def live(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      try hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(hp).isDirectory
+      catch { case _: java.io.IOException => false }
+    }
     written.get(sf)
-      .filter(p => new java.io.File(p).isDirectory)
+      .filter(live)
       .getOrElse {
         val dir = graft.TempDirs.create("graft-dpp")
         Events.load(spark, sf)
@@ -52,6 +60,7 @@ object PartitionPruning {
         written.put(sf, p)
         p
       }
+  }
 
   /** The dim side: the first week of the calendar, derived from the
     * partitioned layout's OWN partition values (a file-listing read,
@@ -59,9 +68,14 @@ object PartitionPruning {
     * testdata regen that shifts the epoch shifts the week with it. */
   private[graft] def firstWeekDim(fact: DataFrame): DataFrame = {
     val dates = fact.select(col("event_date").as("d")).distinct()
-    val minDate = dates.agg(min(col("d"))).head().getDate(0)
-    val cutoff = minDate.toLocalDate.plusDays(7)
-    dates.filter(col("d") < lit(java.sql.Date.valueOf(cutoff)))
+    val minRow = dates.agg(min(col("d"))).head()
+    // empty fact (or all-null dates) → empty dim, not an NPE on the
+    // min aggregate's null row
+    if (minRow.isNullAt(0)) dates.limit(0)
+    else {
+      val cutoff = minRow.getDate(0).toLocalDate.plusDays(7)
+      dates.filter(col("d") < lit(java.sql.Date.valueOf(cutoff)))
+    }
   }
 
   /** Per-type event stats for the dimension-selected week, computed

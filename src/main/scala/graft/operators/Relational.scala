@@ -440,21 +440,69 @@ object Relational {
   }
 
   /** Approximate per-group quantiles via Spark's Greenwald-Khanna
-    * sketch (`percentile_approx`) — the mergeable-sketch path for the
-    * exact-percentile query above when a full sort per group is off the
-    * table at 100 TB. accuracy=10000 bounds rank error at n/10000
-    * per group. No DuckDB twin (GK internals are engine-specific) —
-    * pinned by q_percentiles' exact oracle plus OperatorSpec's
-    * rank-error bound against the sorted fixture. */
-  def approxPercentiles(spark: SparkSession, sf: String): DataFrame =
-    Tables.load(spark, sf, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        expr("percentile_approx(l_quantity, 0.5, 10000)").as("p50"),
-        expr("percentile_approx(l_quantity, 0.25, 10000)").as("p25"),
-        expr("percentile_approx(l_quantity, 0.75, 10000)").as("p75"),
-        expr("percentile_approx(l_extendedprice, 0.9, 10000)").as("price_p90"))
+    * sketch (`percentile_approx`, accuracy = 10000 → rank error ≤
+    * n/10000 per group) — the mergeable-sketch path for the exact-
+    * percentile query above when a full sort per group is off the
+    * table at 100 TB — surfaced as a DRIVER-CHECKABLE VERDICT ROW.
+    * GK internals are engine-specific (the estimate itself has no
+    * DuckDB twin), but its documented rank guarantee does: each flag
+    * records whether the sketch's value occupies a rank within
+    * tol = ⌊n/10000⌋+1 of the target rank ⌈p·n⌉, verified against the
+    * group's own cumulative rank windows. The oracle pins every flag
+    * to 1, so a sketch whose error ever exceeds its contract goes red
+    * at the driver gate — the same twin-pinning the recall gates use,
+    * made driver-visible (exact quantile VALUES are q_percentiles').
+    *
+    * Plan shape: the sketch agg is one partial-aggregated pass; the
+    * rank windows are per-(group, value) counts (≤ distinct values,
+    * ≪ rows) with a keyed window; the verdict joins are 3-row
+    * broadcasts. Nothing global, nothing driver-side. */
+  def approxPercentiles(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile_approx(l_quantity, 0.25, 10000)").as("v25"),
+        expr("percentile_approx(l_quantity, 0.5, 10000)").as("v50"),
+        expr("percentile_approx(l_quantity, 0.75, 10000)").as("v75"),
+        expr("percentile_approx(l_extendedprice, 0.9, 10000)").as("v90"))
+    // value v occupies ranks (cum_lt, cum_le] within its group
+    def ranks(valueCol: String): DataFrame = {
+      val w = Window.partitionBy(col("f")).orderBy(col("v"))
+      li.groupBy(col("l_returnflag").as("f"), col(valueCol).as("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum_le", sum(col("cnt")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("cum_lt", col("cum_le") - col("cnt"))
+        .select(col("f"), col("v"), col("cum_lt"), col("cum_le"))
+    }
+    val qtyRanks = ranks("l_quantity")
+    val priceRanks = ranks("l_extendedprice")
+    // the GK contract: some rank of the returned value lies within
+    // tol of the target rank ⌈p·n⌉
+    def verdict(rk: DataFrame, vcol: String, p: Double,
+        outName: String): DataFrame = {
+      val target = ceil(col("n") * p)
+      val tol = floor(col("n") / 10000) + 1
+      approx.select(col("l_returnflag").as("f"), col("n"),
+          col(vcol).as("av"))
+        .join(rk, Seq("f"))
+        .filter(col("v") === col("av"))
+        .select(col("f"),
+          ((col("cum_lt") + 1 <= target + tol) &&
+            (col("cum_le") >= target - tol)).cast("long").as(outName))
+    }
+    approx.select(col("l_returnflag").as("f"), col("n"),
+        (floor(col("n") / 10000) + 1).cast("long").as("tol"))
+      .join(verdict(qtyRanks, "v25", 0.25, "p25_ok"), Seq("f"))
+      .join(verdict(qtyRanks, "v50", 0.5, "p50_ok"), Seq("f"))
+      .join(verdict(qtyRanks, "v75", 0.75, "p75_ok"), Seq("f"))
+      .join(verdict(priceRanks, "v90", 0.9, "price_p90_ok"), Seq("f"))
+      .select(col("f").as("l_returnflag"), col("n"), col("tol"),
+        col("p25_ok"), col("p50_ok"), col("p75_ok"), col("price_p90_ok"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Salted join: prepends a deterministic salt to the build-side key
     * to spread a skewed probe key across `buckets` reducers, then
@@ -582,11 +630,32 @@ object Relational {
       .orderBy(col("name_a"), col("name_b"))
   }
 
+  /** Approximate distinct counts via Spark's HyperLogLog++ sketch
+    * (`approx_count_distinct`, rsd = 1%) — the mergeable one-pass path
+    * for COUNT(DISTINCT) at 100 TB — surfaced as a DRIVER-CHECKABLE
+    * VERDICT ROW. HLL++ bias tables are engine-specific (the estimate
+    * itself has no DuckDB twin), but its accuracy contract does: each
+    * flag records whether the sketch landed within 5% of the exact
+    * count (≥5σ at rsd 0.01 — deterministically 1 unless the sketch
+    * breaks). The oracle recomputes the exact counts and pins every
+    * flag to 1. Exact distincts and sketches ride the SAME aggregate
+    * (one scan, one shuffle); at 100 TB a user drops the exact columns
+    * and keeps the sketch — this row is the harness proving the
+    * sketch is trustworthy. */
   def approxDistinct(spark: SparkSession, sf: String): DataFrame =
     Tables.load(spark, sf, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("ap"))
+      .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+        (abs(col("ao") - col("exact_orders")).cast("double") <=
+          col("exact_orders").cast("double") * 0.05)
+          .cast("long").as("orders_within_5pct"),
+        (abs(col("ap") - col("exact_parts")).cast("double") <=
+          col("exact_parts").cast("double") * 0.05)
+          .cast("long").as("parts_within_5pct"))
       .orderBy(col("l_returnflag"))
 
   /** Column profile of `documents` — the ANALYZE/data-quality pass a

@@ -327,6 +327,12 @@ object Similarity {
       .withColumn("iv_q_t", slice(col("iv_query_id"), 1, truncDim))
       .withColumn("norm_q_t",
         sqrt(dot_long(col("iv_q_t"), col("iv_q_t")).cast("double")))
+      // PROBE-side truncated-norm hygiene, mirroring the index side:
+      // `quantized` guarantees the full norm > 0, but a probe whose
+      // 16-dim PREFIX quantizes to all zeros would make cos_t NaN —
+      // and NaN orders above every real double in the descending
+      // coarse rank, scrambling the shortlist
+      .filter(col("norm_q_t") > 0.0)
     val wCoarse = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_t").desc, col("neighbor_id"))
     val wFine = Window.partitionBy(col("query_id"))
@@ -538,18 +544,30 @@ object Similarity {
     parts.sorted.mkString("|")
   }
 
+  /** Deterministic 1-in-[[SampleDenom]] row-hash sample — the actual
+    * TABLESAMPLE shape the trainer's 100 TB note promises: a stateless
+    * hash filter on the key (no sort, no shuffle, scan-pushable) whose
+    * row set is a pure function of vec_id, so it reproduces across
+    * partitionings and engines — Bernoulli `.sample` does not. */
+  val SampleDenom = 8L
+  private[graft] def trainingSample(e: DataFrame): DataFrame =
+    e.filter(pmod(xxhash64(col("vec_id")), lit(SampleDenom)) === 0L)
+
   private[graft] def centroidsFor(spark: SparkSession,
-      sf: String): Seq[Seq[Long]] = {
+      sf: String, sampled: Boolean = false): Seq[Seq[Long]] = {
+    val key = if (sampled) s"$sf#sampled" else sf
     val version = datasetVersion(spark, sf)
-    centroidCache.get(sf) match {
+    centroidCache.get(key) match {
       case Some((v, c)) if v == version =>
-        System.err.println(s"[graft] centroid index: cache-hit ($sf)")
+        System.err.println(s"[graft] centroid index: cache-hit ($key)")
         c
       case _ =>
         val t0 = System.nanoTime()
-        val trained = kmeansCentroidsQ(Tables.load(spark, sf, "embeddings"))
-        centroidCache.put(sf, (version, trained))
-        System.err.println(f"[graft] centroid index: retrain ($sf, ${
+        val base = Tables.load(spark, sf, "embeddings")
+        val trained =
+          kmeansCentroidsQ(if (sampled) trainingSample(base) else base)
+        centroidCache.put(key, (version, trained))
+        System.err.println(f"[graft] centroid index: retrain ($key, ${
           (System.nanoTime() - t0) / 1e9}%.2f s)")
         trained
     }
@@ -596,9 +614,23 @@ object Similarity {
     * vector sits that close to a two-boundary corner. Zero fixtures
     * hit this; a regenerated-embeddings red here means check the
     * corner case before debugging the index. */
-  def ivfPlantedRecall(spark: SparkSession, sf: String): DataFrame = {
+  def ivfPlantedRecall(spark: SparkSession, sf: String): DataFrame =
+    ivfRecallWith(spark, sf, centroidsFor(spark, sf))
+
+  /** [[ivfPlantedRecall]]'s SAMPLED-TRAINER twin: identical planted
+    * construction, but the centroids are trained on the deterministic
+    * 1/[[SampleDenom]] hash sample — the bounded-training-cost path
+    * the full trainer's doc promises at 100 TB (FAISS practice: train
+    * on a corpus sample, assign at full scale). The gate proves
+    * sample-trained cells stay twin-safe: a twin's ≤0.57° rotation
+    * lands in the query's probed cells for this centroid set too, so
+    * a cheaper trainer costs zero recall on the planted ground truth. */
+  def ivfSampledPlantedRecall(spark: SparkSession, sf: String): DataFrame =
+    ivfRecallWith(spark, sf, centroidsFor(spark, sf, sampled = true))
+
+  private def ivfRecallWith(spark: SparkSession, sf: String,
+      cents: Seq[Seq[Long]]): DataFrame = {
     val e = Tables.load(spark, sf, "embeddings")
-    val cents = centroidsFor(spark, sf)
     val index = e.select((col("vec_id") + 1000000L).as("neighbor_id"),
         transform(col("embedding"),
           (x, i) => when(i === 0, x * lit(1.01)).otherwise(x)).as("twin"))

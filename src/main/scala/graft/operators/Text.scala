@@ -471,9 +471,12 @@ object Events {
     * tracked attribute (event_type here) — consecutive runs of the
     * same value become one row [valid_from, valid_to) with a version
     * counter and an is_current flag; valid_to chains to the next
-    * version's valid_from (half-open, gap-free by construction) with
-    * the 9999-12-31 high-date sentinel on the open row, so downstream
-    * point-in-time joins are a plain BETWEEN — the dimension-history
+    * version's valid_from (half-open, gap-free by construction); the
+    * open row carries a NULL valid_to and is_current = 1, so downstream
+    * point-in-time joins filter `ts < valid_to OR valid_to IS NULL` —
+    * a far-future sentinel would overflow int64-NANOSECOND timestamp
+    * representations (max 2262-04-11) in pandas/Arrow consumers, so
+    * NULL-plus-flag is the portable encoding — the dimension-history
     * table every warehouse load pipeline maintains, derived here from
     * the raw change events in one pass.
     *
@@ -500,8 +503,8 @@ object Events {
 
   /** THE dimension-row aggregation, in exactly one place: any
     * version-stamped event frame (user_id, version, event_type, ts) →
-    * SCD2 rows with half-open chained intervals, the 9999-12-31
-    * sentinel, and the is_current flag. Both the batch [[scd2]] and
+    * SCD2 rows with half-open chained intervals, a NULL valid_to on
+    * the open row, and the is_current flag. Both the batch [[scd2]] and
     * the streaming `EventStream.scd2ViaTws` call this — the
     * one-definition contract (like `foldSessions`/`applyMerge`), so
     * an interval-rule tweak cannot desynchronize the twins. */
@@ -513,9 +516,7 @@ object Events {
       .groupBy(col("user_id"), col("version"), col("event_type"))
       .agg(min(col("ts")).as("valid_from"),
         count(lit(1)).as("n_events"))
-      .withColumn("valid_to",
-        coalesce(lead(col("valid_from"), 1).over(byVersion),
-          lit("9999-12-31 00:00:00").cast("timestamp")))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byVersion))
       .withColumn("is_current",
         (lead(col("valid_from"), 1).over(byVersion).isNull).cast("long"))
       .select(col("user_id"), col("version"), col("event_type"),

@@ -143,11 +143,31 @@ class GraftKms extends org.apache.parquet.crypto.keytools.KmsClient {
   override def unwrapKey(wrappedKey: String,
       masterKeyIdentifier: String): Array[Byte] = {
     val all = java.util.Base64.getDecoder.decode(wrappedKey)
+    // self-describing blob: [len byte][IV][ct]. A LEGACY blob
+    // (pre-length-byte dumps: [IV][ct]) whose first IV byte happens to
+    // be 16/24/32 parses here too but fails the GCM tag — so a tag
+    // failure falls through to the legacy parse instead of surfacing
+    // as "wrong password" on an old dump.
     val mkLen = all(0) & 0xff
-    require(mkLen == 16 || mkLen == 24 || mkLen == 32,
-      s"corrupt wrapped-key blob: master-key length byte $mkLen")
-    val (iv, ct) = all.drop(1).splitAt(12)
-    cipher(javax.crypto.Cipher.DECRYPT_MODE,
-      masterKey(masterKeyIdentifier, mkLen * 8), iv).doFinal(ct)
+    if (mkLen == 16 || mkLen == 24 || mkLen == 32)
+      try {
+        val (iv, ct) = all.drop(1).splitAt(12)
+        return cipher(javax.crypto.Cipher.DECRYPT_MODE,
+          masterKey(masterKeyIdentifier, mkLen * 8), iv).doFinal(ct)
+      } catch { case _: javax.crypto.AEADBadTagException => }
+    // legacy format: key length comes from the reader's
+    // ENCRYPTION_ALGORITHM conf (the pre-self-describing contract)
+    val bits = conf.getInt(ParquetCrypto.KeyBitsConf, 128)
+    val (iv, ct) = all.splitAt(12)
+    try cipher(javax.crypto.Cipher.DECRYPT_MODE,
+      masterKey(masterKeyIdentifier, bits), iv).doFinal(ct)
+    catch {
+      case e: javax.crypto.AEADBadTagException =>
+        throw new org.apache.parquet.crypto.KeyAccessDeniedException(
+          s"cannot unwrap key '$masterKeyIdentifier': wrong password/" +
+            "master key, or a legacy [IV][ct] blob written under an " +
+            s"ENCRYPTION_ALGORITHM other than AES$bits (set " +
+            s"${ParquetCrypto.KeyBitsConf} to the export's key size)")
+    }
   }
 }

@@ -164,4 +164,15 @@ object LogParser {
       case CompletedRe(_, _) => JobState.Completed
       case StoppedRe(_, _) => JobState.Stopped
     }.getOrElse(JobState.Unknown)
+
+  /** The terminal line WITH its captured `"owner"."name"` — the whole
+    * data source of the log-only attach fallback (registry and sidecar
+    * both gone; job.py:330-349's get_status_handler degrade). */
+  def finalJob(lines: Seq[String]): Option[(String, String, JobState)] =
+    lines.reverseIterator.collectFirst {
+      case CompletedWithErrorsRe(owner, name, _) =>
+        (owner, name, JobState.CompletedWithErrors)
+      case CompletedRe(owner, name) => (owner, name, JobState.Completed)
+      case StoppedRe(owner, name) => (owner, name, JobState.Stopped)
+    }
 }

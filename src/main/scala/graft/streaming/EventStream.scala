@@ -465,7 +465,7 @@ object EventStream {
   /** q_scd2's STREAMING twin: [[Scd2Processor]] stamps every change
     * event with its version incrementally (the part that needs carried
     * state), then the dimension rows — validity intervals chained
-    * half-open with the 9999-12-31 sentinel — aggregate from the
+    * half-open, NULL valid_to on the open row — aggregate from the
     * stream's OWN output, exactly the incremental dim-merge a
     * warehouse loader runs downstream of a CDC feed. Same DuckDB
     * oracle as the batch form pins the whole pipeline. */

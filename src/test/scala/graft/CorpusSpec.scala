@@ -999,6 +999,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(mg.nonEmpty, "threshold too high: no heavy hitters to check")
   }
 
+  test("heavy hitters: merged MG summary is k-bounded and a candidate superset") {
+    import spark.implicits._
+    val k = 5
+    // adversarial layout for the MERGE cap: 40 partitions, each with
+    // its own locally-heavy junk terms (distinct per partition — the
+    // old per-partition-survivor union would be ~k×partitions rows on
+    // the driver), plus two globally heavy terms spread evenly
+    val rows = (0 until 40).flatMap { p =>
+      val junk = (0 until 8).flatMap(j => Seq.fill(5)(s"junk_${p}_$j"))
+      val heavy = Seq.fill(30)("alpha") ++ Seq.fill(25)("beta")
+      (junk ++ heavy).map(w => (p, w))
+    }
+    val tok = spark.createDataset(rows).repartition(40, col("_1"))
+      .select(col("_2").as("w")).as[String]
+    val (cands, total) = Corpus.mgCandidates(tok, k)
+    assert(total == rows.length)
+    assert(cands.size <= k, s"candidate set not k-bounded: ${cands.size}")
+    // every exact heavy hitter (cnt·k > total) survives the merge tree
+    val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val hh = counts.filter { case (_, c) => c * k > total }.keySet
+    assert(hh.nonEmpty && hh.subsetOf(cands.toSet),
+      s"merge tree dropped heavy hitters: ${hh -- cands.toSet}")
+  }
+
   test("heavy hitters plan: the token stream meets the candidates un-shuffled") {
     // the operator's whole scale claim is that the corpus token stream
     // is scanned twice but NEVER exchanged on term: the candidate

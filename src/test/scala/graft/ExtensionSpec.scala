@@ -48,6 +48,26 @@ class ExtensionSpec extends AnyFunSuite {
     assert(both.count() > 0)
   }
 
+  test("md5-bit simhash equals the pure-SQL conv(md5(w)) construction") {
+    // the replayability contract behind the q_simhash_pairs oracle:
+    // the fused SimHashSigMd5 bits must equal simhash_sig over token
+    // hashes built ONLY from builtin md5/conv/shift — the same
+    // construction the DuckDB oracle spells with strpos/list_reduce
+    import org.apache.spark.sql.functions._
+    import graft.functions.ArrayOps
+    val toks = Tables.load(spark, SparkTestBase.sf, "documents")
+      .select(col("doc_id"), array_distinct(
+        split(graft.operators.Text.normalized(col("text")), " ")).as("toks"))
+    def md5h(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      shiftleft(conv(substring(md5(w), 1, 8), 16, 10).cast("long"), 32)
+        .bitwiseOR(conv(substring(md5(w), 9, 8), 16, 10).cast("long"))
+    val both = toks.select(
+      ArrayOps.simhash_sig_md5(col("toks")).as("fused"),
+      ArrayOps.simhash_sig(transform(col("toks"), w => md5h(w))).as("plain"))
+    assert(both.filter(col("fused") =!= col("plain")).count() == 0)
+    assert(both.count() > 0)
+  }
+
   test("quantize_q equals the HOF form and JVM math across a seeded sweep") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

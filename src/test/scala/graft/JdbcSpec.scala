@@ -93,6 +93,33 @@ class JdbcSpec extends AnyFunSuite {
     assert(df.columns.toSeq.map(_.toLowerCase) == Seq("id", "sal"))
   }
 
+  test("flashback clause generation: AS OF SCN and AS OF TIMESTAMP subquery text") {
+    // database.py:177-181 / sql.py parity: the snapshot clause is a
+    // string-level dbtable subquery. Pin the generated text for both
+    // forms so an Oracle deployment gets exactly the flashback syntax.
+    assert(Jdbc.dbtableFor("HR.EMP", asOfScn = Some(8675309L)) ==
+      "(SELECT * FROM HR.EMP AS OF SCN 8675309)")
+    // ISO timestamp: T → space, trailing zone offset / Z stripped,
+    // Oracle TO_TIMESTAMP with fractional-second format
+    assert(Jdbc.dbtableFor("HR.EMP",
+        asOfTimestampIso = Some("2026-08-14T12:34:56.789+02:00")) ==
+      "(SELECT * FROM HR.EMP AS OF TIMESTAMP " +
+        "TO_TIMESTAMP('2026-08-14 12:34:56.789', 'YYYY-MM-DD HH24:MI:SS.FF'))")
+    assert(Jdbc.dbtableFor("HR.EMP",
+        asOfTimestampIso = Some("2026-08-14T12:34:56Z")) ==
+      "(SELECT * FROM HR.EMP AS OF TIMESTAMP " +
+        "TO_TIMESTAMP('2026-08-14 12:34:56', 'YYYY-MM-DD HH24:MI:SS.FF'))")
+    // SCN wins when both are supplied (FLASHBACK_SCN precedence, as
+    // the directive compiler resolves the pair); neither → bare table
+    assert(Jdbc.dbtableFor("T", Some(5L), Some("2026-01-01T00:00:00Z")) ==
+      "(SELECT * FROM T AS OF SCN 5)")
+    assert(Jdbc.dbtableFor("T") == "T")
+    // and the clause lands verbatim in the read options' dbtable
+    val opts = Jdbc.readOptions("jdbc:derby:memory:x", "T",
+      asOfScn = Some(42L))
+    assert(opts("dbtable") == "(SELECT * FROM T AS OF SCN 42)")
+  }
+
   test("get_db_timezone parses region names and offsets from a live connection") {
     conn
     // Derby stands in for Oracle's `SELECT DBTIMEZONE FROM DUAL`; the

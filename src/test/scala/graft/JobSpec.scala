@@ -804,6 +804,44 @@ class JobSpec extends AnyFunSuite {
     intercept[Throwable] { bad.unwrapKey(wrapped, "k0") }
   }
 
+  test("legacy [IV][ct] wrapped-key blobs still unwrap (pre-length-byte dumps)") {
+    import graft.sources.{GraftKms, ParquetCrypto}
+    val dek = new Array[Byte](16)
+    new java.util.Random(11).nextBytes(dek)
+    def legacyWrap(bits: Int, iv0: Byte): String = {
+      val mk = ParquetCrypto.deriveKey("pw-legacy", "k0", bits)
+      val iv = new Array[Byte](12)
+      new java.util.Random(13).nextBytes(iv)
+      iv(0) = iv0
+      val c = javax.crypto.Cipher.getInstance("AES/GCM/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(mk, "AES"),
+        new javax.crypto.spec.GCMParameterSpec(128, iv))
+      java.util.Base64.getEncoder.encodeToString(iv ++ c.doFinal(dek))
+    }
+    val rConf = new org.apache.hadoop.conf.Configuration(false)
+    rConf.set(ParquetCrypto.PasswordConf, "pw-legacy")
+    rConf.setInt(ParquetCrypto.KeyBitsConf, 256)
+    val reader = new GraftKms
+    reader.initialize(rConf, "g", null, null)
+    // plain legacy blob (first byte is not a plausible length byte)
+    assert(java.util.Arrays.equals(
+      reader.unwrapKey(legacyWrap(256, 0x7f.toByte), "k0"), dek))
+    // adversarial legacy blob: the first IV byte LOOKS like a length
+    // byte (16) — the self-describing parse must fail its GCM tag and
+    // fall back to the legacy parse, not reject the dump as corrupt
+    assert(java.util.Arrays.equals(
+      reader.unwrapKey(legacyWrap(256, 16.toByte), "k0"), dek))
+    // legacy blob under a DIFFERENT key size than the reader's conf →
+    // the actionable KeyBitsConf error, not a bare tag failure
+    val mConf = new org.apache.hadoop.conf.Configuration(false)
+    mConf.set(ParquetCrypto.PasswordConf, "pw-legacy")
+    val mis = new GraftKms
+    mis.initialize(mConf, "g", null, null) // defaults to 128 bits
+    val e = intercept[Throwable] { mis.unwrapKey(legacyWrap(256, 0x7f.toByte), "k0") }
+    assert(e.getMessage.contains(ParquetCrypto.KeyBitsConf))
+  }
+
   test("DUMP_FORMAT exports orc/json/csv dump sets; import sniffs the format") {
     // ORC: lossless columnar alternative — exact round trip
     val orcDump = tmp("jobspec-fmt-orc"); val orcTgt = tmp("jobspec-fmt-orc-t")

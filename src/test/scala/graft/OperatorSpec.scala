@@ -144,7 +144,7 @@ class OperatorSpec extends AnyFunSuite {
 
   test("simhash pairs have hamming <= 3") {
     Dedup.simhashPairs(spark, sf).collect().foreach { r =>
-      assert(r.getInt(2) <= 3 || r.getLong(2) <= 3)
+      assert(r.getLong(2) <= 3)
     }
   }
 
@@ -248,9 +248,13 @@ class OperatorSpec extends AnyFunSuite {
       val sorted = rs.sortBy(_.getLong(1))
       assert(sorted.head.getLong(1) == 1 &&
         sorted.last.getLong(1) == sorted.length, s"user $u versions contiguous")
-      // exactly one open (is_current) row, and it is the last version
+      // exactly one open (is_current) row, and it is the last version;
+      // its valid_to is NULL (a far-future sentinel would overflow
+      // int64-ns timestamp consumers — pandas/Arrow cap at 2262-04-11)
       assert(rs.count(_.getLong(6) == 1) == 1)
       assert(sorted.last.getLong(6) == 1)
+      assert(sorted.last.isNullAt(4), s"user $u open row valid_to NULL")
+      assert(sorted.init.forall(!_.isNullAt(4)), s"user $u closed rows bounded")
       sorted.sliding(2).foreach {
         case Array(a, b) =>
           // half-open chain: this row's valid_to IS the next valid_from
@@ -1189,17 +1193,32 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
-  test("approx percentiles: every sketch value within the GK rank bound") {
-    // pins the no-oracle q_approx_percentiles row: each percentile_approx
-    // output must be an actual data value whose RANK in the sorted group
-    // is within n/accuracy (=n/10000, i.e. exact at fixture scale ≤ 10k
-    // rows per group, ≤ n/10000 ranks off beyond) of the requested rank.
+  test("approx percentiles: verdict flags green and the GK bound re-derives") {
+    // the q_approx_percentiles row is now a driver-checkable VERDICT:
+    // (n, tol, four within-rank-bound flags). Pin the verdict shape,
+    // then INDEPENDENTLY re-derive the same GK rank bound from a raw
+    // percentile_approx call against the sorted fixture, so the
+    // in-query check and this spec can't share a bug.
     val li = Tables.load(spark, sf, "lineitem")
       .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
       .collect().groupBy(_.getString(0))
-    val approx = Relational.approxPercentiles(spark, sf).collect()
-    assert(approx.length == li.size && approx.nonEmpty)
-    for (r <- approx) {
+    val verdict = Relational.approxPercentiles(spark, sf).collect()
+    assert(verdict.length == li.size && verdict.nonEmpty)
+    for (r <- verdict) {
+      val n = li(r.getString(0)).length
+      assert(r.getLong(1) == n, s"${r.getString(0)} n")
+      assert(r.getLong(2) == n / 10000 + 1, s"${r.getString(0)} tol")
+      (3 to 6).foreach(i =>
+        assert(r.getLong(i) == 1L, s"${r.getString(0)} flag $i"))
+    }
+    val raw = Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile_approx(l_quantity, 0.5, 10000)").as("v50"),
+        expr("percentile_approx(l_quantity, 0.25, 10000)").as("v25"),
+        expr("percentile_approx(l_quantity, 0.75, 10000)").as("v75"),
+        expr("percentile_approx(l_extendedprice, 0.9, 10000)").as("v90"))
+      .collect()
+    for (r <- raw) {
       val rows = li(r.getString(0))
       val qty = rows.map(_.getDouble(1)).sorted
       val price = rows.map(_.getDouble(2)).sorted
@@ -1208,9 +1227,7 @@ class OperatorSpec extends AnyFunSuite {
       def check(v: Double, sortedCol: Array[Double], p: Double): Unit = {
         assert(sortedCol.contains(v), s"sketch value $v not a data value")
         // GK bound on 1-BASED ranks: some occurrence of v lies within
-        // tol of ceil(p*n) (Spark's sketch targets the 1-based rank;
-        // a 0-based p*(n-1) window is up to ~1 rank too tight and
-        // flakes at exactly-met guarantees)
+        // tol of ceil(p*n)
         val lo = sortedCol.indexOf(v) + 1
         val hi = sortedCol.lastIndexOf(v) + 1
         val target = math.ceil(p * n)
@@ -1221,6 +1238,21 @@ class OperatorSpec extends AnyFunSuite {
       check(r.getDouble(2), qty, 0.25)
       check(r.getDouble(3), qty, 0.75)
       check(r.getDouble(4), price, 0.9)
+    }
+  }
+
+  test("approx distinct: verdict flags green and HLL within 5% re-derives") {
+    val verdict = Relational.approxDistinct(spark, sf).collect()
+    val exact = Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("o"),
+        countDistinct(col("l_partkey")).as("p"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(verdict.length == exact.size && verdict.nonEmpty)
+    for (r <- verdict) {
+      val (o, p) = exact(r.getString(0))
+      assert(r.getLong(1) == o && r.getLong(2) == p, s"${r.getString(0)} exact")
+      assert(r.getLong(3) == 1L && r.getLong(4) == 1L, s"${r.getString(0)} flags")
     }
   }
 }

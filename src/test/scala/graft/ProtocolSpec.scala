@@ -296,6 +296,37 @@ class ProtocolSpec extends AnyFunSuite {
     assert(missing.state == "NOT_RUNNING")
   }
 
+  test("attach degrades to log-parse when registry AND sidecar are both gone") {
+    // job.py:330-349 parity: attach swallows JobNotFound and falls
+    // back to a bare status handler — here, the logfile's terminal
+    // line. Without the fallback a surviving dump dir would read as
+    // "job never existed".
+    val dump = tmp("proto-attach-logonly")
+    val sub = Protocol.handle(spark,
+      s"""{"connection": {"source_dir": "$sf", "target_dir": "$dump"},
+           "request": "SUBMIT",
+           "payload": {"operation": "EXPORT", "mode": "TABLE", "wait": true,
+             "directives": [{"name": "INCLUDE_TABLE", "value": "region"}]}}""")
+    assert(sub.state == "COMPLETED")
+    val name = sub.jobName.get
+    graft.status.JobRegistry.clear()
+    val sidecar = new java.io.File(s"$dump/_metadata.json")
+    assert(sidecar.isFile, "expected a sidecar to delete")
+    assert(sidecar.delete())
+    // direct attach: state recovered from the log line, owner captured
+    val info = graft.job.DataPumpJob.attach(spark, name, Some(dump))
+    assert(info.nonEmpty, "attach must degrade to log-parse, not None")
+    assert(info.get.state == graft.model.JobState.Completed)
+    assert(info.get.operation == "UNKNOWN" && info.get.mode == "UNKNOWN")
+    // protocol STATUS path sees the same degrade
+    val status = Protocol.handle(spark,
+      s"""{"connection": {"source_dir": "$dump"},
+           "request": "STATUS", "payload": {"job_name": "$name"}}""")
+    assert(status.state == "COMPLETED", status.error)
+    // a log claiming a DIFFERENT job name must not satisfy this attach
+    assert(graft.job.DataPumpJob.attach(spark, "OTHER_JOB", Some(dump)).isEmpty)
+  }
+
   test("DataPump client facade mirrors the reference's public API") {
     import graft.client.DataPump
     val dump = tmp("client-facade")
