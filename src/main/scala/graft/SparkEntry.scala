@@ -241,6 +241,113 @@ object SparkEntry {
   // Text.normalized (DuckDB needs the 'g' flag to replace all).
   private val Norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
+  // ---- k-means trainer replay (the q_ann_ivf / q_pq_codes oracles) --
+
+  /** Exact squared-L2 ranking term c·c − 2 v·c over `dim` BIGINT list
+    * components (the v·v term is per-vector constant, dropped — the
+    * same argmin the engine's nearestCellsQ computes). */
+  private def d2Sql(vec: String, cent: String, dim: Int): String =
+    s"""list_sum(list_transform(generate_series(1, $dim), j -> $cent[j] * $cent[j]))
+               - 2 * list_sum(list_transform(generate_series(1, $dim), j -> $vec[j] * $cent[j]))"""
+
+  /** Java floorDiv in DuckDB (whose `//` truncates): subtract the
+    * positive remainder first, then divide exactly. */
+  private def floorDivSql(s: String, n: String): String =
+    s"($s - ((($s % $n) + $n) % $n)) // $n"
+
+  /** One unrolled Lloyd iteration over full vectors — assignment
+    * (argmin, ties on cell) + floor-division centroid update (emptied
+    * cells keep their previous centroid). Mirrors
+    * Similarity.kmeansCentroidsQ statement for statement; the
+    * engine's trainer seeds from MD5-of-id order precisely so this
+    * replay is possible in any engine with md5(). */
+  private def lloydIterSql(i: Int, dim: Int): String =
+    s"""a$i AS (
+           SELECT vec_id, iv, cell FROM (
+             SELECT q.vec_id, q.iv, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 ${d2Sql("q.iv", "c.c", dim)},
+                 c.cell) AS rn
+             FROM qv q, c$i c) t
+           WHERE rn = 1),
+         u$i AS (
+           SELECT cell, list(${floorDivSql("s", "n")} ORDER BY pos) AS c FROM (
+             SELECT cell, p.j AS pos, SUM(iv[p.j]) AS s, COUNT(*) AS n
+             FROM a$i, (SELECT unnest(generate_series(1, $dim)) AS j) p
+             GROUP BY 1, 2) t
+           GROUP BY cell),
+         c${i + 1} AS (
+           SELECT pr.cell, COALESCE(u.c, pr.c) AS c
+           FROM c$i pr LEFT JOIN u$i u ON pr.cell = u.cell)"""
+
+  /** One unrolled per-subspace Lloyd iteration (the PQ trainer): same
+    * contract as [[lloydIterSql]] with every stage keyed by subspace
+    * `m` — all 8 subspaces train in the same pass, like the engine. */
+  private def pqIterSql(i: Int, subDim: Int): String =
+    s"""pa$i AS (
+           SELECT vec_id, m, sub, cell FROM (
+             SELECT s.vec_id, s.m, s.sub, b.cell,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                 ${d2Sql("s.sub", "b.c", subDim)},
+                 b.cell) AS rn
+             FROM sv s JOIN b$i b ON s.m = b.m) t
+           WHERE rn = 1),
+         pu$i AS (
+           SELECT m, cell, list(${floorDivSql("s", "n")} ORDER BY pos) AS c FROM (
+             SELECT m, cell, p.j AS pos, SUM(sub[p.j]) AS s, COUNT(*) AS n
+             FROM pa$i, (SELECT unnest(generate_series(1, $subDim)) AS j) p
+             GROUP BY 1, 2, 3) t
+           GROUP BY m, cell),
+         b${i + 1} AS (
+           SELECT pr.m, pr.cell, COALESCE(u.c, pr.c) AS c
+           FROM b$i pr LEFT JOIN pu$i u ON pr.m = u.m AND pr.cell = u.cell)"""
+
+  // ---- BPE trainer replay (the q_bpe_merges / q_bpe_encode oracles) --
+
+  /** One unrolled BPE trainer stage. Word state is a `|tok||tok|`
+    * wrapped string: adjacent tokens never share a delimiter char, so
+    * plain string `replace` of `|l||r|` → `|lr|` is EXACTLY the
+    * engine's leftmost non-overlapping [[graft.operators.Corpus
+    * .applyMerge]] pass (a shared boundary would let one 'a' serve two
+    * overlapping `a a` matches — the classic greedy-BPE trap a
+    * space-delimited encoding falls into). Stage shape: count adjacent
+    * pairs over the vocabulary weighted by word frequency, take the
+    * argmax by (count desc, left, right) — the trainer's exact
+    * tie-break — then rewrite every word state. `v`/`b` are
+    * MATERIALIZED: each is referenced twice (next stage + final
+    * union), and DuckDB's default CTE inlining would make a 30-stage
+    * chain exponential. */
+  private def bpeStageSql(i: Int): String =
+    s"""p$i AS (
+           SELECT pr[1] AS l, pr[2] AS r, SUM(c) AS pc FROM (
+             SELECT unnest(list_transform(generate_series(1, len(t)-1),
+                      j -> [t[j], t[j+1]])) AS pr, c
+             FROM (SELECT string_split(trim(s, '|'), '||') AS t, c FROM v$i))
+           GROUP BY 1, 2),
+         b$i AS MATERIALIZED (
+           SELECT $i AS rank, l, r, l || r AS merged, pc
+           FROM p$i ORDER BY pc DESC, l, r LIMIT 1),
+         v${i + 1} AS MATERIALIZED (
+           SELECT w, replace(s, '|' || b.l || '||' || b.r || '|',
+                             '|' || b.l || b.r || '|') AS s, c
+           FROM v$i, b$i b)"""
+
+  /** Shared replay prefix: the trainer vocabulary (same frequency
+    * floor + deterministic top-cap as `Corpus.trainerVocab`) exploded
+    * into per-char wrapped states, then all [[graft.operators.Corpus
+    * .BpeNMerges]] stages. */
+  private def bpeChainSql: String =
+    s"""WITH wc AS (
+           SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+             SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+             FROM documents)
+           GROUP BY w HAVING COUNT(*) >= ${graft.operators.Corpus.BpeMinCount}
+           ORDER BY c DESC, w LIMIT ${graft.operators.Corpus.BpeMaxVocab}),
+         v0 AS MATERIALIZED (
+           SELECT w, regexp_replace(w, '(.)', '|\\1|', 'g') AS s, c FROM wc),
+         ${(0 until graft.operators.Corpus.BpeNMerges)
+             .map(bpeStageSql).mkString(",\n         ")}"""
+
   /** Exact-edge connected-components oracle (recursive CTE transitive
     * closure) — shared by q_dup_clusters and q_dup_clusters_lsh, whose
     * Spark sides differ only in how the edge set is derived. */
@@ -2382,6 +2489,186 @@ object SparkEntry {
          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                  ORDER BY cosine DESC, neighbor_id) AS rk FROM p)
          WHERE rk <= 5 ORDER BY query_id, rk""",
+
+    // LSH-bucketed ANN, replayed off-engine END TO END: the 12
+    // hyperplanes are DATA-INDEPENDENT deterministic constants
+    // (Similarity.planeQ — interpolated below from the ONE definition
+    // the engine's plan literals come from, so the two sides cannot
+    // desynchronize), the bucket key is the packed sign-bit sum, and
+    // the in-bucket exact-cosine top-3 is the same kernel as
+    // q_knn_brute's oracle. A bucketing bug, plane drift, or ranking
+    // tie-break slip is a row diff at the driver gate.
+    "q_ann_lsh" ->
+      s"""WITH q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 67108864.0) AS BIGINT)) AS iv
+           FROM embeddings),
+         planes(p, pl) AS (VALUES ${(0 until graft.operators.Similarity.SignBits)
+             .map(p => s"(${p}, ${graft.operators.Similarity.planeQ(p)
+               .mkString("[", ", ", "]")})").mkString(",\n           ")}),
+         b AS (
+           SELECT vec_id, iv,
+             CAST(SUM(CASE WHEN list_sum(list_transform(
+                 generate_series(1, len(iv)), i -> iv[i] * pl[i])) >= 0
+               THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+           FROM q, planes GROUP BY vec_id, iv),
+         p AS (
+           SELECT a.vec_id AS query_id, b2.vec_id AS neighbor_id,
+             CAST(CAST(list_sum(list_transform(generate_series(1, len(a.iv)),
+               i -> a.iv[i] * b2.iv[i])) AS BIGINT) AS DOUBLE)
+             / (sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(a.iv)),
+                 i -> a.iv[i] * a.iv[i])) AS BIGINT) AS DOUBLE))
+                * sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(b2.iv)),
+                 i -> b2.iv[i] * b2.iv[i])) AS BIGINT) AS DOUBLE))) AS cosine
+           FROM b a JOIN b b2
+             ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id)
+         SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, cosine
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rk FROM p)
+         WHERE rk <= 3 ORDER BY query_id, rk""",
+
+    // IVF ANN, replayed off-engine INCLUDING THE TRAINER: the engine's
+    // k-means is integer-exact end to end (floor(x·2^26) quantization,
+    // exact long sums, floor-division updates, argmin ties on cell)
+    // and seeds from MD5-of-id order — so the whole 3-iteration Lloyd
+    // loop unrolls here as CTEs (lloydIterSql, interpolated from the
+    // SAME IvfCells/NProbe/KmeansIters/Dim constants the engine
+    // trains with), then the index/probe/top-3 phases replay over the
+    // replayed centroids. Any trainer drift — a changed seed order, a
+    // truncating division, a tie broken differently — moves a vector
+    // across cells and shows as a row diff at the driver gate.
+    "q_ann_ivf" ->
+      s"""WITH qv AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 67108864.0) AS BIGINT)) AS iv
+           FROM embeddings),
+         seeds AS (
+           SELECT vec_id, iv FROM qv
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT ${graft.operators.Similarity.IvfCells}),
+         c0 AS (
+           SELECT ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+             iv AS c
+           FROM seeds),
+         ${(0 until graft.operators.Similarity.KmeansIters)
+             .map(i => lloydIterSql(i, graft.operators.Similarity.Dim))
+             .mkString(",\n         ")},
+         rank_cells AS (
+           SELECT q.vec_id, q.iv, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+               ${d2Sql("q.iv", "c.c", graft.operators.Similarity.Dim)},
+               c.cell) AS rn
+           FROM qv q, c${graft.operators.Similarity.KmeansIters} c),
+         indexed AS (SELECT vec_id, iv, cell FROM rank_cells WHERE rn = 1),
+         probes AS (SELECT vec_id, iv, cell FROM rank_cells
+           WHERE rn <= ${graft.operators.Similarity.NProbe}),
+         cand AS (
+           SELECT pr.vec_id AS query_id, ix.vec_id AS neighbor_id,
+             CAST(CAST(list_sum(list_transform(generate_series(1, len(pr.iv)),
+               i -> pr.iv[i] * ix.iv[i])) AS BIGINT) AS DOUBLE)
+             / (sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(pr.iv)),
+                 i -> pr.iv[i] * pr.iv[i])) AS BIGINT) AS DOUBLE))
+                * sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(ix.iv)),
+                 i -> ix.iv[i] * ix.iv[i])) AS BIGINT) AS DOUBLE))) AS cosine
+           FROM probes pr JOIN indexed ix
+             ON pr.cell = ix.cell AND pr.vec_id <> ix.vec_id)
+         SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, cosine
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rk FROM cand)
+         WHERE rk <= 3 ORDER BY query_id, rk""",
+
+    // PQ codes, replayed off-engine INCLUDING THE TRAINER — the same
+    // Lloyd replay as q_ann_ivf's, run per subspace (pqIterSql keyed
+    // by m): MD5-ordered seeds sliced per subspace, 3 integer-exact
+    // iterations, then every vector's argmin code per subspace. The
+    // code table (the artifact a 100 TB pipeline persists) is pinned
+    // value for value, not rows-only.
+    "q_pq_codes" ->
+      s"""WITH qv AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 67108864.0) AS BIGINT)) AS iv
+           FROM embeddings),
+         ms AS (SELECT unnest(generate_series(0,
+           ${graft.operators.Similarity.PqM - 1})) AS m),
+         sv AS (
+           SELECT vec_id, m, list_transform(
+             generate_series(1, ${graft.operators.Similarity.PqSubDim}),
+             j -> iv[m * ${graft.operators.Similarity.PqSubDim} + j]) AS sub
+           FROM qv, ms),
+         pseeds AS (
+           SELECT vec_id, iv FROM qv
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT ${graft.operators.Similarity.PqK}),
+         b0 AS (
+           SELECT m, ROW_NUMBER() OVER (PARTITION BY m
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+             list_transform(
+               generate_series(1, ${graft.operators.Similarity.PqSubDim}),
+               j -> iv[m * ${graft.operators.Similarity.PqSubDim} + j]) AS c
+           FROM pseeds, ms),
+         ${(0 until graft.operators.Similarity.PqIters)
+             .map(i => pqIterSql(i, graft.operators.Similarity.PqSubDim))
+             .mkString(",\n         ")},
+         codes AS (
+           SELECT vec_id, m, cell FROM (
+             SELECT s.vec_id, s.m, b.cell,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                 ${d2Sql("s.sub", "b.c", graft.operators.Similarity.PqSubDim)},
+                 b.cell) AS rn
+             FROM sv s JOIN b${graft.operators.Similarity.PqIters} b
+               ON s.m = b.m) t
+           WHERE rn = 1)
+         SELECT vec_id, CAST(m AS BIGINT) AS subspace,
+           CAST(cell AS BIGINT) AS code
+         FROM codes
+         ORDER BY vec_id, subspace""",
+
+    // BPE merge table, replayed off-engine INCLUDING THE TRAINER: the
+    // greedy merge recurrence unrolls as BpeNMerges materialized CTE
+    // stages (bpeStageSql) over the same frequency-floored, top-capped
+    // word vocabulary the engine trains on. Counts are exact integers,
+    // the argmax tie-break is the trainer's (count desc, left, right),
+    // and the wrapped-string replace reproduces applyMerge exactly —
+    // so every (rank, left, right, merged, pair_count) row is pinned
+    // value for value. A drifted tie-break, an overlap-greedy merge,
+    // or a miscounted pair is a row diff at the driver gate.
+    "q_bpe_merges" ->
+      s"""$bpeChainSql
+         SELECT CAST(rank AS BIGINT) AS rank, l AS "left", r AS "right",
+           merged, CAST(pc AS BIGINT) AS pair_count
+         FROM (${(0 until graft.operators.Corpus.BpeNMerges)
+             .map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")})
+         ORDER BY rank""",
+
+    // BPE corpus sizing, replayed off-engine: per-word token counts
+    // are the replay chain's end-state symbol counts (the CorpusSpec
+    // invariant, now driver-checked), re-joined onto the exploded
+    // corpus word stream exactly as the engine does — LEFT join from
+    // documents so no-word docs report zero. Under the default
+    // trainer bounds (minCount 1, cap non-binding at fixture scale)
+    // the trainer vocabulary IS the corpus's distinct word set, so
+    // both sides tokenize identical word sets.
+    "q_bpe_encode" ->
+      s"""$bpeChainSql,
+         wt AS (SELECT w, CAST(len(string_split(trim(s, '|'), '||')) AS BIGINT)
+                  AS n_toks
+                FROM v${graft.operators.Corpus.BpeNMerges}),
+         dw AS (SELECT doc_id,
+                  unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+                FROM documents),
+         pd AS (
+           SELECT doc_id, COUNT(*) AS n_words, SUM(n_toks) AS n_bpe_tokens,
+             SUM(len(w)) AS n_alpha_chars
+           FROM dw JOIN wt USING (w) GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+           CAST(COALESCE(n_alpha_chars, 0) AS BIGINT) AS n_alpha_chars,
+           CAST(COALESCE(CASE WHEN n_bpe_tokens > 0
+             THEN (n_alpha_chars * 1000) // n_bpe_tokens END, 0) AS BIGINT)
+             AS chars_per_tok_pm
+         FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id""",
 
     // Inverse-frequency class weights (the sklearn "balanced"
     // heuristic) in integer basis points

@@ -415,10 +415,13 @@ object Corpus {
     * best pair by (count desc, left asc, right asc); no end-of-word
     * marker (merges act within words). Returns the merge table
     * (rank, left, right, merged, pair_count) — the artifact a
-    * tokenizer ships. No SQL oracle (the merge recurrence is
-    * data-dependent iteration); pinned by the CorpusSpec replay case,
-    * which re-derives every recorded merge count by replaying the
-    * prefix of merges over the raw vocabulary.
+    * tokenizer ships. Oracle-exact: the q_bpe_merges DuckDB oracle
+    * unrolls all [[BpeNMerges]] trainer stages as materialized CTEs
+    * over the same word-frequency vocabulary (word state as a
+    * `|tok||tok|` wrapped string; plain string `replace` has exactly
+    * [[applyMerge]]'s leftmost-non-overlapping semantics), on top of
+    * the CorpusSpec replay case that re-derives every recorded merge
+    * count from the raw vocabulary.
     */
   /** One left-to-right non-overlapping application of merge (l, r) —
     * the single definition shared by training ([[bpeMerges]]) and
@@ -445,6 +448,12 @@ object Corpus {
   val BpeMinCount = 1L
   val BpeMaxVocab = 1000000
 
+  /** Merge-table size every default-arg caller (and the q_bpe_merges /
+    * q_bpe_encode oracles, which unroll exactly this many replay
+    * stages) trains to — one shared constant so the engine's loop
+    * bound and the oracle's stage count cannot desynchronize. */
+  val BpeNMerges = 30
+
   /** The ONLY corpus→driver hand-off of the BPE trainer: word counts
     * filtered by the frequency floor, then the top-`maxVocab` types by
     * (count desc, word asc) — a deterministic total order, so the cap
@@ -462,7 +471,7 @@ object Corpus {
       .limit(maxVocab)
       .collect().map(r => r.getString(0) -> r.getLong(1))
 
-  def bpeMerges(spark: SparkSession, sf: String, nMerges: Int = 30,
+  def bpeMerges(spark: SparkSession, sf: String, nMerges: Int = BpeNMerges,
       minCount: Long = BpeMinCount, maxVocab: Int = BpeMaxVocab): DataFrame = {
     val wc = trainerVocab(spark, sf, minCount, maxVocab)
     var vocab: Seq[(Vector[String], Long)] =
@@ -507,10 +516,16 @@ object Corpus {
     * apply in rank order with the SAME left-to-right non-overlapping
     * pass as training ([[applyMerge]]), so a training word's final
     * symbol count equals the trainer's end-state vocabulary — the
-    * CorpusSpec replay invariant. Rows-only by design (the merge
-    * recurrence has no SQL form, same contract as q_bpe_merges).
+    * CorpusSpec replay invariant. Oracle-exact via the same unrolled
+    * trainer replay as q_bpe_merges: the oracle's per-word token
+    * counts are the replay chain's end-state symbol counts. (The
+    * oracle encodes the TRAINER vocabulary; under the default bounds
+    * — minCount 1, cap non-binding — that vocabulary IS the corpus's
+    * distinct word set, so the two sides tokenize identical word
+    * sets. A deployment that raises minCount trades this exact oracle
+    * for the replay spec, not for silence.)
     */
-  def bpeEncode(spark: SparkSession, sf: String, nMerges: Int = 30,
+  def bpeEncode(spark: SparkSession, sf: String, nMerges: Int = BpeNMerges,
       minCount: Long = BpeMinCount, maxVocab: Int = BpeMaxVocab): DataFrame = {
     val merges = bpeMerges(spark, sf, nMerges, minCount, maxVocab).collect()
       .map(r => (r.getString(1), r.getString(2)))

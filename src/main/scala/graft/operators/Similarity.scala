@@ -24,7 +24,7 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Similarity {
 
-  private val Dim = 64
+  private[graft] val Dim = 64
 
   /** Quantization grid 2²⁶: multiplying a double by a power of two is
     * exact (exponent shift), floor is exact, so `floor(x·2²⁶)` is
@@ -196,8 +196,12 @@ object Similarity {
 
   /** Hyperplanes quantized onto the 2²⁰ grid: the sign of
     * Σ iv[i]·planeQ[i] (exact longs, ≤ 2⁵³) decides each bucket bit —
-    * 12 codegen'd dot_long calls per vector, no interpreted lambdas. */
-  private def planeQ(plane: Int): Seq[Long] =
+    * 12 codegen'd dot_long calls per vector, no interpreted lambdas.
+    * private[graft]: the plane constants are DATA-INDEPENDENT, so the
+    * q_ann_lsh oracle interpolates these exact longs as SQL literals
+    * (one shared definition — engine plan literals and oracle VALUES
+    * rows cannot desynchronize). */
+  private[graft] def planeQ(plane: Int): Seq[Long] =
     (0 until Dim).map(i => math.floor(planeComponent(plane, i) * 1048576.0).toLong)
 
   /** Sign-bit bucket key from hyperplane family `table`: 12 dot-
@@ -475,9 +479,14 @@ object Similarity {
       iters: Int = KmeansIters): Seq[Seq[Long]] = {
     val iv = e.select(col("vec_id"),
       graft.functions.ArrayOps.quantize_q(col("embedding"), Q).as("iv"))
-    // deterministic spread init: the k first vectors in hash order
+    // deterministic spread init: the k first vectors in MD5-of-id
+    // order. md5 (not xxhash64) on purpose: it is the one hash every
+    // engine computes identically, and with it the WHOLE trainer —
+    // init, integer-exact assignment, floor-division update — replays
+    // as plain SQL in an independent engine (the q_ann_ivf /
+    // q_pq_codes oracles unroll these same Lloyd iterations in DuckDB)
     var centroids: Seq[Seq[Long]] =
-      iv.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+      iv.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
         .collect().map(_.getSeq[Long](1).toSeq).toSeq
     for (_ <- 1 to iters) {
       val stats = iv
@@ -704,10 +713,11 @@ object Similarity {
   def pqCodebooksQ(e: DataFrame, iters: Int = PqIters): Seq[Seq[Seq[Long]]] = {
     val iv = e.select(col("vec_id"),
       graft.functions.ArrayOps.quantize_q(col("embedding"), Q).as("iv"))
-    // deterministic spread init: the K first vectors in hash order
-    // seed every subspace with their m-th subvector
-    val seeds = iv.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(PqK)
-      .collect().map(_.getSeq[Long](1).toSeq)
+    // deterministic spread init: the K first vectors in MD5-of-id
+    // order (engine-portable — see kmeansCentroidsQ) seed every
+    // subspace with their m-th subvector
+    val seeds = iv.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(PqK).collect().map(_.getSeq[Long](1).toSeq)
     require(seeds.length == PqK,
       s"PQ training needs at least $PqK vectors to seed $PqK centroids " +
         s"per subspace, got ${seeds.length} — the emptied-cell fallback " +
