@@ -117,6 +117,7 @@ object SparkEntry {
     "q_quality" -> (Text.quality _),
     "q_surprisal" -> (Text.surprisal _),
     "q_bigram_surprisal" -> (Text.bigramSurprisal _),
+    "q_nb_classify" -> (Text.nbClassify _),
     "q_outliers" -> (Events.outliers _),
     "q_robust_outliers" -> (Events.robustOutliers _),
     "q_event_paths" -> ((s: SparkSession, d: String) => Events.eventPaths(s, d)),
@@ -140,6 +141,7 @@ object SparkEntry {
     // rows-only by design (same contract): pinned by the CorpusSpec
     // case re-encoding the vocabulary against the trainer's end state
     "q_bpe_encode" -> ((s: SparkSession, d: String) => Corpus.bpeEncode(s, d)),
+    "q_bpe_fertility" -> ((s: SparkSession, d: String) => Corpus.bpeFertility(s, d)),
     "q_pagerank" -> ((s: SparkSession, d: String) => Graph.pageRank(s, d)),
     "q_search" -> ((s: SparkSession, d: String) => Corpus.search(s, d)),
     "q_bm25" -> ((s: SparkSession, d: String) => Corpus.bm25(s, d)),
@@ -198,6 +200,9 @@ object SparkEntry {
     "q_semdedup_lsh" -> ((s: SparkSession, d: String) =>
       Similarity.semDedupLsh(s, d)),
     "q_label_centroids" -> (Similarity.labelCentroids _),
+    "q_prototypicality" -> (Similarity.prototypicality _),
+    "q_cluster_balance" -> ((s: SparkSession, d: String) =>
+      Similarity.clusterBalancedCurate(s, d)),
     "q_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     // --- similarity search
     "q_embed_norms" -> (Similarity.norms _),
@@ -2669,6 +2674,145 @@ object SparkEntry {
              THEN (n_alpha_chars * 1000) // n_bpe_tokens END, 0) AS BIGINT)
              AS chars_per_tok_pm
          FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id""",
+
+    // Per-language tokenizer fertility: the q_bpe_encode replay
+    // aggregated by lang — integer per-mille ratios, engine-exact.
+    "q_bpe_fertility" ->
+      s"""$bpeChainSql,
+         wt AS (SELECT w, CAST(len(string_split(trim(s, '|'), '||')) AS BIGINT)
+                  AS n_toks
+                FROM v${graft.operators.Corpus.BpeNMerges}),
+         dw AS (SELECT doc_id,
+                  unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+                FROM documents),
+         pd AS (
+           SELECT doc_id, COUNT(*) AS n_words, SUM(n_toks) AS n_bpe_tokens,
+             SUM(len(w)) AS n_alpha_chars
+           FROM dw JOIN wt USING (w) GROUP BY doc_id),
+         pl AS (
+           SELECT lang, COUNT(*) AS n_docs,
+             SUM(COALESCE(n_words, 0)) AS n_words,
+             SUM(COALESCE(n_bpe_tokens, 0)) AS n_bpe_tokens,
+             SUM(COALESCE(n_alpha_chars, 0)) AS n_alpha_chars
+           FROM documents d LEFT JOIN pd USING (doc_id) GROUP BY lang)
+         SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+           CAST(n_alpha_chars AS BIGINT) AS n_alpha_chars,
+           CAST(COALESCE(CASE WHEN n_words > 0
+             THEN (n_bpe_tokens * 1000) // n_words END, 0) AS BIGINT)
+             AS toks_per_word_pm,
+           CAST(COALESCE(CASE WHEN n_bpe_tokens > 0
+             THEN (n_alpha_chars * 1000) // n_bpe_tokens END, 0) AS BIGINT)
+             AS chars_per_tok_pm
+         FROM pl ORDER BY lang""",
+
+    // Multinomial Naive Bayes source classifier, MDL form: priors and
+    // per-class token counts replay as two GROUP BYs over the 80%
+    // train split; scoring is argmin of integer add-one-smoothed bit
+    // costs — the same length(bin(a // b)) no-float-log trick as
+    // q_surprisal, so the trained model replays bit-for-bit.
+    "q_nb_classify" ->
+      """WITH docs AS (
+           SELECT doc_id, source,
+             regexp_extract_all(lower(text), '[a-z]+') AS t
+           FROM documents),
+         train AS (SELECT * FROM docs WHERE doc_id % 5 != 0),
+         test AS (SELECT doc_id, source AS true_source, t FROM docs
+                  WHERE doc_id % 5 = 0),
+         tt AS (SELECT source, unnest(t) AS w FROM train),
+         counts AS (SELECT source, w, COUNT(*) AS cnt FROM tt GROUP BY 1, 2),
+         ctok AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS class_tokens
+                  FROM counts GROUP BY 1),
+         voc AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM counts),
+         pri AS (SELECT source, COUNT(*) AS class_docs FROM train GROUP BY 1),
+         tot AS (SELECT COUNT(*) AS total_docs FROM train),
+         classes AS (
+           SELECT ctok.source AS cls, class_tokens,
+             CAST(length(bin(total_docs // class_docs)) AS BIGINT)
+               AS prior_bits, v
+           FROM ctok JOIN pri USING (source) CROSS JOIN tot CROSS JOIN voc),
+         tok AS (SELECT doc_id, unnest(t) AS w FROM test),
+         tb AS (
+           SELECT doc_id, cls,
+             CAST(SUM(length(bin(
+               (class_tokens + v) // (COALESCE(cnt, 0) + 1)))) AS BIGINT)
+               AS token_bits
+           FROM tok CROSS JOIN classes
+           LEFT JOIN counts ON counts.source = classes.cls
+             AND counts.w = tok.w
+           GROUP BY 1, 2),
+         grid AS (SELECT doc_id, true_source, cls, prior_bits
+                  FROM test CROSS JOIN classes),
+         scored AS (
+           SELECT doc_id, true_source, cls,
+             prior_bits + COALESCE(token_bits, 0) AS bits
+           FROM grid LEFT JOIN tb USING (doc_id, cls))
+         SELECT doc_id, true_source, cls AS pred_source,
+           CAST(bits AS BIGINT) AS total_bits,
+           CAST(cls = true_source AS BIGINT) AS is_correct
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY bits, cls) AS rk FROM scored)
+         WHERE rk = 1
+         ORDER BY doc_id""",
+
+    // Prototypicality (Sorscher et al. data-pruning metric): cosine of
+    // every vector against its class's raw SUM vector (cosine is
+    // scale-invariant) on the 2^13 integer grid — every aggregate is
+    // an exact BIGINT, the one double division is IEEE-identical.
+    "q_prototypicality" ->
+      """WITH q AS (
+           SELECT vec_id, CAST(label AS BIGINT) AS label,
+             CAST(i - 1 AS BIGINT) AS pos,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 8192.0) AS BIGINT) AS q
+           FROM embeddings,
+                LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+         cent AS (SELECT label, pos, CAST(SUM(q) AS BIGINT) AS q_sum
+                  FROM q GROUP BY 1, 2),
+         cnorm AS (SELECT label,
+                     sqrt(CAST(CAST(SUM(q_sum * q_sum) AS BIGINT) AS DOUBLE))
+                       AS c_norm
+                   FROM cent GROUP BY 1),
+         dots AS (SELECT vec_id, q.label,
+                    CAST(SUM(q * q_sum) AS BIGINT) AS dot_qc,
+                    CAST(SUM(q * q) AS BIGINT) AS v_sq
+                  FROM q JOIN cent USING (label, pos) GROUP BY 1, 2)
+         SELECT vec_id, label, proto_cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY label
+             ORDER BY proto_cos DESC, vec_id) AS BIGINT) AS proto_rank
+         FROM (SELECT vec_id, dots.label,
+                 CAST(dot_qc AS DOUBLE)
+                   / (sqrt(CAST(v_sq AS DOUBLE)) * c_norm) AS proto_cos
+               FROM dots JOIN cnorm USING (label)
+               WHERE v_sq > 0 AND c_norm > 0)
+         ORDER BY vec_id""",
+
+    // Cluster-balanced curation: the SAME transitive-closure cluster
+    // oracle as q_semantic_clusters, with the survivor picked by the
+    // q_quality composite instead of norm² — rank and keep flag replay
+    // through one window.
+    "q_cluster_balance" ->
+      s"""$SemanticClustersCtes,
+         qual AS (
+           SELECT doc_id AS vec_id,
+             (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+               + (CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                  / CAST(len(t) AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+               - (CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                  / CAST(greatest(length(text), 1) AS DOUBLE)) * CAST(0.2 AS DOUBLE) AS quality_score
+           FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents)),
+         cl AS (
+           SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+             CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+           FROM labeled)
+         SELECT vec_id, cluster_id, cluster_size, quality_score,
+           CAST(qrank AS BIGINT) AS qrank,
+           CAST(qrank <= 1 AS BIGINT) AS keep
+         FROM (SELECT vec_id, cluster_id, cluster_size, quality_score,
+                 ROW_NUMBER() OVER (PARTITION BY cluster_id
+                   ORDER BY quality_score DESC, vec_id) AS qrank
+               FROM cl JOIN qual USING (vec_id))
+         ORDER BY vec_id""",
 
     // Inverse-frequency class weights (the sklearn "balanced"
     // heuristic) in integer basis points

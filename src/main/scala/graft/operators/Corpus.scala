@@ -561,6 +561,38 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-language tokenizer FERTILITY audit — the multilingual-
+    * tokenizer health metric (tokens-per-word and chars-per-token by
+    * language): a language whose fertility runs far above the corpus
+    * mean is being shredded into sub-word confetti by a vocabulary
+    * trained on someone else's script, and its effective context
+    * window shrinks proportionally. Aggregates [[bpeEncode]]'s
+    * per-document sizing by the `lang` column — integer per-mille
+    * ratios, so the report replays engine-exact.
+    *
+    * Scale shape: everything heavy is [[bpeEncode]]'s (vocabulary-
+    * bounded trainer + word-keyed joins); this adds one language-keyed
+    * partial agg over the per-doc rows — languages ≪ documents, so
+    * the added shuffle carries doc-count rows down to a handful. */
+  def bpeFertility(spark: SparkSession, sf: String): DataFrame = {
+    val perDoc = bpeEncode(spark, sf)
+    val langs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"))
+    perDoc.join(langs, "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+        sum(col("n_alpha_chars")).as("n_alpha_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"), col("n_alpha_chars"),
+        coalesce(expr("(n_bpe_tokens * 1000) div n_words"), lit(0L))
+          .as("toks_per_word_pm"),
+        coalesce(expr("(n_alpha_chars * 1000) div n_bpe_tokens"), lit(0L))
+          .as("chars_per_tok_pm"))
+      .orderBy(col("lang"))
+  }
+
   /** Collocation extraction: top-k bigrams by pointwise mutual
     * information, ranked by the integer-scaled LIFT
     * `N·c(x,y)·10⁴ / (c(x)·c(y))` — PMI is `log` of the same ratio and

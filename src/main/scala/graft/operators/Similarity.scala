@@ -68,6 +68,62 @@ object Similarity {
           .as("centroid"))
       .orderBy(col("label"), col("pos"))
 
+  /** Quantization grid for the prototypicality kernel: 2¹³, coarser
+    * than [[Q]] because the CENTROID side carries component SUMS —
+    * with |x| ≤ 1 the worst-case per-term product is
+    * q·Σq ≤ 2¹³ · (n·2¹³), so at n = 10⁹ vectors per class the
+    * 64-term dot stays ≤ 2¹³⁺¹³⁺³⁰⁺⁶ = 2⁶² — inside exact long
+    * arithmetic at any realistic class size, where the 2²⁶ grid
+    * would overflow past n ≈ 30. */
+  val ProtoQ: Double = 8192.0 // 2^13
+
+  /** Prototypicality scoring — cosine of every vector against its own
+    * class centroid, ranked within the class: the data-pruning metric
+    * of Sorscher et al. 2022 ("Beyond neural scaling laws": prune the
+    * most prototypical examples) and the ordering SemDeDup-style
+    * curation uses to pick which cluster members to keep. Rank 1 = the
+    * most central (most redundant) example; the tail is the hard/
+    * outlier set a curation pass keeps or audits.
+    *
+    * Engine-exact: components quantize to the [[ProtoQ]] integer grid;
+    * centroid component sums, the vector·centroid dot, and both
+    * squared norms are exact long aggregates (order-independent), and
+    * the single double division at the end is IEEE-correctly-rounded
+    * in every engine — cosine needs no 1/n scaling because cosine is
+    * scale-invariant, so the centroid is used as the raw SUM vector.
+    *
+    * Scale shape: one posexplode shuffle keyed (label, pos) builds the
+    * centroids (classes × dim rows — tiny), one broadcast-join of that
+    * table back onto the SAME exploded stream computes every dot and
+    * norm in a single (vec_id)-keyed partial agg. No vector ever rides
+    * a per-pair shuffle; nothing is driver-side. */
+  def prototypicality(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(graft.functions.ArrayOps.quantize_q(col("embedding"), ProtoQ))
+          .as(Seq("pos", "q")))
+    val cent = comp.groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("q_sum"))
+    val cnorm = cent.groupBy(col("label"))
+      .agg(sum(col("q_sum") * col("q_sum")).as("c_sq"))
+      .select(col("label"), sqrt(col("c_sq").cast("double")).as("c_norm"))
+    comp.join(broadcast(cent), Seq("label", "pos"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("q") * col("q_sum")).as("dot_qc"),
+        sum(col("q") * col("q")).as("v_sq"))
+      .join(broadcast(cnorm), "label")
+      // zero-norm hygiene, same rationale as [[quantized]]
+      .filter(col("v_sq") > 0L && col("c_norm") > 0.0)
+      .select(col("vec_id"), col("label"),
+        (col("dot_qc").cast("double") /
+          (sqrt(col("v_sq").cast("double")) * col("c_norm"))).as("proto_cos"))
+      .withColumn("proto_rank", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col("proto_cos").desc, col("vec_id"))).cast("long"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Quantized int vector + norm, computed ONCE per vector —
     * the n·m pair scan then does a single integer dot per pair
     * (3× fewer array passes than naively recomputing norms per pair,
@@ -1071,6 +1127,37 @@ object Similarity {
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     Dedup.clustersFrom(vecs, pairs)
       .withColumnRenamed("doc_id", "vec_id")
+      .orderBy(col("vec_id"))
+  }
+
+  /** Cluster-balanced curation — the quality-aware refinement of
+    * SemDeDup's keep rule: group semantically-equivalent documents
+    * (the [[semanticClusters]] components), then keep the HIGHEST-
+    * QUALITY member of each cluster rather than the largest-norm one —
+    * what a production curation pass actually does once a quality
+    * model exists (near-duplicates differ in boilerplate/noise, and
+    * norm is a proxy; the quality score is the signal). Emits every
+    * document with its cluster, quality, in-cluster quality rank and
+    * the keep flag, so downstream can also widen to keep-top-k or
+    * audit what was dropped.
+    *
+    * Scale shape: clustering is the [[semanticClusters]] /
+    * [[semanticClustersLsh]] machinery (cell-bucketed at scale); the
+    * quality join is id-keyed (embedding ids = document ids); the rank
+    * window is keyed by cluster_id — nothing global. */
+  def clusterBalancedCurate(spark: SparkSession, sf: String,
+      keepPerCluster: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = semanticClusters(spark, sf)
+    val quality = Text.qualityScoredDf(Tables.load(spark, sf, "documents"))
+      .select(col("doc_id").as("vec_id"), col("quality_score"))
+    clusters.join(quality, "vec_id")
+      .withColumn("qrank", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("quality_score").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+        col("quality_score"), col("qrank"),
+        (col("qrank") <= keepPerCluster).cast("long").as("keep"))
       .orderBy(col("vec_id"))
   }
 

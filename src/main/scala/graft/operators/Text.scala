@@ -187,6 +187,79 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Multinomial Naive Bayes source classifier, MDL form — the
+    * fastText-style bag-of-words classifier every curation pipeline
+    * trains to route documents (quality tiers, domains, languages),
+    * here trained to recover the `source` column from text alone.
+    * Closed-form training: class priors and per-class token counts are
+    * two partial-aggregable groupBys — no gradient loop, no driver
+    * state. Scoring is MDL/argmin-bits: a token costs
+    * ⌊log2((classTokens+V)/(cnt+1))⌋+1 bits under the class's add-one-
+    * smoothed unigram model and a document goes to the class that
+    * compresses it best (prior bits + token bits). The integer bit
+    * cost `length(bin(a div b))` makes every score engine-exact — the
+    * same no-float-log trick as [[surprisal]], so DuckDB replays the
+    * trained model bit-for-bit.
+    *
+    * Honest evaluation: train on doc_id % 5 != 0, classify the
+    * held-out 20% — the deterministic split shape of
+    * `Corpus.splitAssign`, keyed on the stable id, not on a seed.
+    *
+    * Scale shape: the model (classes × vocab counts) is vocabulary-
+    * sized — millions of rows at web scale, broadcastable — while the
+    * token stream is scanned once for training and once for scoring,
+    * each a partial agg keyed by (class, token) / (doc, class). The
+    * class grid join is a broadcast of ~10 rows. Nothing iterates,
+    * nothing collects. */
+  def nbClassify(spark: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("t"))
+    val train = docs.filter(expr("doc_id % 5 != 0"))
+    val test = docs.filter(expr("doc_id % 5 = 0"))
+    val trainTok = train.select(col("source"), explode(col("t")).as("w"))
+    // model: per-(class, token) counts + per-class token totals + vocab
+    val counts = trainTok.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val classTok = counts.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("class_tokens"))
+    val vocab = counts.select(col("w")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val priors = train.groupBy(col("source"))
+      .agg(count(lit(1)).as("class_docs"))
+    val totalDocs = train.agg(count(lit(1)).as("total_docs"))
+    val classes = classTok.join(priors, "source")
+      .crossJoin(broadcast(totalDocs)).crossJoin(broadcast(vocab))
+      .select(col("source").as("cls"), col("class_tokens"),
+        length(bin(expr("total_docs div class_docs")))
+          .cast("long").as("prior_bits"),
+        col("v"))
+    // score: every held-out token against every class (grid join is a
+    // broadcast of the class list; the count join keys on (cls, w))
+    val tokenBits = test.select(col("doc_id"), explode(col("t")).as("w"))
+      .crossJoin(broadcast(classes))
+      .join(counts.withColumnRenamed("source", "cls"), Seq("cls", "w"), "left")
+      .select(col("doc_id"), col("cls"),
+        length(bin(expr("(class_tokens + v) div (coalesce(cnt, 0L) + 1)")))
+          .cast("long").as("bits"))
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(sum(col("bits")).as("token_bits"))
+    // empty documents (no [a-z] token) still classify — by prior alone
+    val grid = test.select(col("doc_id"), col("source").as("true_source"))
+      .crossJoin(broadcast(classes.select(col("cls"), col("prior_bits"))))
+    grid.join(tokenBits, Seq("doc_id", "cls"), "left")
+      .select(col("doc_id"), col("true_source"), col("cls"),
+        (col("prior_bits") + coalesce(col("token_bits"), lit(0L)))
+          .as("bits"))
+      .groupBy(col("doc_id"), col("true_source"))
+      .agg(min(struct(col("bits"), col("cls"))).as("best"))
+      .select(col("doc_id"), col("true_source"),
+        col("best.cls").as("pred_source"),
+        col("best.bits").as("total_bits"),
+        (col("best.cls") === col("true_source")).cast("long").as("is_correct"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Nested-object decode — the `object_loads` analog (util.py:40-57):
     * structured extraction from the JSON props payload via JSON-path. */
   def jsonExtract(spark: SparkSession, sf: String): DataFrame =

@@ -204,6 +204,77 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("nb classifier scores every held-out doc once, from the trained class set") {
+    val docs = Tables.load(spark, sf, "documents")
+    val heldOut = docs.filter(expr("doc_id % 5 = 0")).count()
+    val trainClasses = docs.filter(expr("doc_id % 5 != 0"))
+      .select(col("source")).distinct().collect().map(_.getString(0)).toSet
+    val out = Text.nbClassify(spark, sf).collect()
+    assert(out.length == heldOut)
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    out.foreach { r =>
+      assert(trainClasses.contains(r.getString(r.fieldIndex("pred_source"))))
+      assert(r.getLong(r.fieldIndex("total_bits")) > 0L)
+      val expectCorrect =
+        r.getString(r.fieldIndex("pred_source")) ==
+          r.getString(r.fieldIndex("true_source"))
+      assert(r.getLong(r.fieldIndex("is_correct")) == (if (expectCorrect) 1L else 0L))
+    }
+  }
+
+  test("prototypicality ranks are contiguous per label and follow cosine order") {
+    val rows = Similarity.prototypicality(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getDouble(r.fieldIndex("proto_cos"))
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+    rows.groupBy(_.getLong(1)).foreach { case (_, g) =>
+      val byRank = g.sortBy(_.getLong(g.head.fieldIndex("proto_rank")))
+      assert(byRank.map(_.getLong(byRank.head.fieldIndex("proto_rank"))).toSeq
+        == (1L to g.length).toSeq)
+      // descending cosine along the rank order (ties broken by id)
+      byRank.map(_.getDouble(byRank.head.fieldIndex("proto_cos")))
+        .sliding(2).foreach {
+          case Array(a, b) => assert(a >= b)
+          case _ => ()
+        }
+    }
+  }
+
+  test("cluster-balanced curation keeps exactly the best-quality doc per cluster") {
+    val rows = Similarity.clusterBalancedCurate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val idx = rows.head.fieldIndex _
+    rows.groupBy(_.getLong(idx("cluster_id"))).foreach { case (_, g) =>
+      assert(g.count(_.getLong(idx("keep")) == 1L) == 1)
+      val kept = g.find(_.getLong(idx("keep")) == 1L).get
+      val best = g.minBy(r =>
+        (-r.getDouble(idx("quality_score")), r.getLong(idx("vec_id"))))
+      assert(kept.getLong(idx("vec_id")) == best.getLong(idx("vec_id")))
+      assert(g.forall(_.getLong(idx("cluster_size")) == g.length))
+    }
+  }
+
+  test("bpe fertility reconciles with the per-doc encode totals") {
+    val perDoc = Corpus.bpeEncode(spark, sf).collect()
+    val byLangTokens = Corpus.bpeFertility(spark, sf).collect()
+    val idx = byLangTokens.head.fieldIndex _
+    assert(byLangTokens.map(_.getLong(idx("n_docs"))).sum == perDoc.length)
+    assert(byLangTokens.map(_.getLong(idx("n_bpe_tokens"))).sum ==
+      perDoc.map(r => r.getLong(r.fieldIndex("n_bpe_tokens"))).sum)
+    byLangTokens.foreach { r =>
+      val words = r.getLong(idx("n_words"))
+      val toks = r.getLong(idx("n_bpe_tokens"))
+      val chars = r.getLong(idx("n_alpha_chars"))
+      if (words > 0) {
+        // BPE can only merge: tokens per word in [1, chars per word]
+        assert(r.getLong(idx("toks_per_word_pm")) >= 1000L)
+        assert(toks <= chars)
+      }
+    }
+  }
+
   test("multimodal decode round-trips real PNG bytes to exact pixel stats") {
     // the payloads really are decodable PNGs (magic + ImageIO), not
     // text standing in for media
