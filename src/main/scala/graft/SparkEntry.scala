@@ -220,6 +220,7 @@ object SparkEntry {
     "q_cosine_recall" -> ((s: SparkSession, d: String) => Similarity.cosinePlantedRecall(s, d)),
     "q_pq_codes" -> (Similarity.pqCodes _),
     "q_pq_recall" -> (Similarity.pqPlantedRecall _),
+    "q_pq_sampled_recall" -> (Similarity.pqSampledPlantedRecall _),
     "q_ivfpq_recall" -> (Similarity.ivfPqPlantedRecall _),
     "q_sq_codes" -> (Similarity.sqCodes _),
     "q_sq_recall" -> (Similarity.sqPlantedRecall _),
@@ -2416,6 +2417,14 @@ object SparkEntry {
     // 8-byte code index is its own cosine-0.999 twin — the whole PQ
     // train→encode→score loop, end-to-end.
     "q_pq_recall" ->
+      """SELECT CAST(vec_id AS BIGINT) AS query_id,
+         CAST(vec_id + 1000000 AS BIGINT) AS neighbor_id
+         FROM embeddings ORDER BY query_id""",
+
+    // Same planted ground truth through SAMPLE-TRAINED codebooks
+    // (deterministic 1/8 hash sample — the bounded 100 TB trainer):
+    // green iff the cheaper trainer costs zero twin recall.
+    "q_pq_sampled_recall" ->
       """SELECT CAST(vec_id AS BIGINT) AS query_id,
          CAST(vec_id + 1000000 AS BIGINT) AS neighbor_id
          FROM embeddings ORDER BY query_id""",

@@ -812,14 +812,30 @@ object Similarity {
     scala.collection.concurrent.TrieMap.empty[String, (String, Seq[Seq[Seq[Long]]])]
   def clearPqCache(): Unit = pqCache.clear()
 
+  /** Trainer input selection: the 1/[[SampleDenom]] hash sample when
+    * `sampled`, EXCEPT when the sample undershoots the PqK seeds the
+    * trainer requires (a tiny fixture) — then the full set, so the
+    * cheap-trainer path degrades to the exact one instead of crashing.
+    * At any real scale the sample dwarfs PqK. */
+  private[graft] def pqTrainerPool(base: DataFrame,
+      sampled: Boolean): DataFrame =
+    if (!sampled) base
+    else {
+      val s = trainingSample(base)
+      if (s.limit(PqK).count() < PqK) base else s
+    }
+
   private[graft] def pqCodebooksFor(spark: SparkSession,
-      sf: String): Seq[Seq[Seq[Long]]] = {
+      sf: String, sampled: Boolean = false): Seq[Seq[Seq[Long]]] = {
+    val key = if (sampled) s"$sf#sampled" else sf
     val version = datasetVersion(spark, sf)
-    pqCache.get(sf) match {
+    pqCache.get(key) match {
       case Some((v, b)) if v == version => b
       case _ =>
-        val trained = pqCodebooksQ(Tables.load(spark, sf, "embeddings"))
-        pqCache.put(sf, (version, trained))
+        val trained =
+          pqCodebooksQ(pqTrainerPool(Tables.load(spark, sf, "embeddings"),
+            sampled))
+        pqCache.put(key, (version, trained))
         trained
     }
   }
@@ -827,9 +843,11 @@ object Similarity {
   /** PQ encoding: every vector's M codes against the trained
     * codebooks — a shuffle-free map (the codebooks ride the plan as
     * literals), exploded to scalar (vec_id, subspace, code) rows.
-    * No DuckDB twin (the codebooks come from k-means, which SQL
-    * can't re-derive) — pinned by [[pqPlantedRecall]]'s oracle row
-    * plus the determinism/range cases in PqSpec. */
+    * Oracle-exact: the DuckDB twin replays the Lloyd's iterations in
+    * SQL off the same MD5-ordered seeds (integer sums + floor
+    * division make every codebook component engine-reproducible), so
+    * the driver hash-pins every code — plus [[pqPlantedRecall]]'s
+    * end-to-end gate and the determinism/range spec cases. */
   def pqCodes(spark: SparkSession, sf: String): DataFrame = {
     val books = pqCodebooksFor(spark, sf)
     Tables.load(spark, sf, "embeddings")
@@ -863,10 +881,23 @@ object Similarity {
     * the whole train→encode→score loop works end-to-end. The scan is
     * the exact-kernel verification shape (guarded broadcast); at scale
     * ADC scans IVF-cell candidate lists instead of the full index. */
-  def pqPlantedRecall(spark: SparkSession, sf: String): DataFrame = {
+  def pqPlantedRecall(spark: SparkSession, sf: String): DataFrame =
+    pqRecallWith(spark, sf, pqCodebooksFor(spark, sf))
+
+  /** [[pqPlantedRecall]]'s SAMPLED-TRAINER twin — the PQ analog of
+    * [[ivfSampledPlantedRecall]]: codebooks train on the deterministic
+    * 1/[[SampleDenom]] hash sample (the bounded-training-cost path the
+    * trainer's 100 TB note promises; FAISS practice trains PQ on ~1%
+    * of the corpus), encoding and the ADC scan stay full-scale. Green
+    * iff sample-trained codebooks still rank every planted twin first
+    * — a cheaper trainer costs zero recall on the ground truth. */
+  def pqSampledPlantedRecall(spark: SparkSession, sf: String): DataFrame =
+    pqRecallWith(spark, sf, pqCodebooksFor(spark, sf, sampled = true))
+
+  private def pqRecallWith(spark: SparkSession, sf: String,
+      books: Seq[Seq[Seq[Long]]]): DataFrame = {
     val e = Tables.load(spark, sf, "embeddings")
     guardExactKernel(e, "pqPlantedRecall")
-    val books = pqCodebooksFor(spark, sf)
     val index = e.select((col("vec_id") + 1000000L).as("neighbor_id"),
         transform(col("embedding"),
           (x, i) => when(i === 0, x * lit(1.01)).otherwise(x)).as("twin"))

@@ -586,6 +586,24 @@ class OperatorSpec extends AnyFunSuite {
     recovered.foreach(r => assert(r.getLong(1) == r.getLong(0) + 1000000L))
   }
 
+  test("PQ sampled trainer: pool samples when it can, falls back when it can't, recall stays total") {
+    val e = Tables.load(spark, sf, "embeddings")
+    // the 1/8 hash sample of the 500-row fixture clears PqK: the pool
+    // must be the strict sample, and it must hold enough seed rows
+    val pool = Similarity.pqTrainerPool(e, sampled = true)
+    val nPool = pool.count()
+    assert(nPool >= Similarity.PqK && nPool < e.count())
+    // a corpus whose sample undershoots PqK degrades to full-set
+    val tiny = e.limit(30)
+    val tinyPool = Similarity.pqTrainerPool(tiny, sampled = true)
+    assert(tinyPool.count() == 30)
+    // end-to-end: sample-trained codebooks still rank every planted
+    // twin first
+    val recovered = Similarity.pqSampledPlantedRecall(spark, sf).collect()
+    assert(recovered.length == e.count())
+    recovered.foreach(r => assert(r.getLong(1) == r.getLong(0) + 1000000L))
+  }
+
   test("pq_adc stays inside whole-stage codegen") {
     // non-foldable input (parquet scan) so the expression really runs
     // in the generated code path, not constant folding
