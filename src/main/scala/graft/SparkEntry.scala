@@ -118,6 +118,8 @@ object SparkEntry {
     "q_surprisal" -> (Text.surprisal _),
     "q_bigram_surprisal" -> (Text.bigramSurprisal _),
     "q_nb_classify" -> (Text.nbClassify _),
+    "q_stream_nb_classify" -> ((s: SparkSession, d: String) =>
+      graft.streaming.DocStream.nbClassifyViaStream(s, d)),
     "q_outliers" -> (Events.outliers _),
     "q_robust_outliers" -> (Events.robustOutliers _),
     "q_event_paths" -> ((s: SparkSession, d: String) => Events.eventPaths(s, d)),
@@ -394,6 +396,54 @@ object SparkEntry {
          SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
            CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
          FROM labeled
+         ORDER BY doc_id"""
+
+  /** Naive Bayes train-and-score replay — shared by q_nb_classify and
+    * its streaming twin q_stream_nb_classify (per-delivery scoring
+    * against the frozen model must agree with the batch pass
+    * row-for-row). */
+  private val NbClassifySql: String =
+    """WITH docs AS (
+           SELECT doc_id, source,
+             regexp_extract_all(lower(text), '[a-z]+') AS t
+           FROM documents),
+         train AS (SELECT * FROM docs WHERE doc_id % 5 != 0),
+         test AS (SELECT doc_id, source AS true_source, t FROM docs
+                  WHERE doc_id % 5 = 0),
+         tt AS (SELECT source, unnest(t) AS w FROM train),
+         counts AS (SELECT source, w, COUNT(*) AS cnt FROM tt GROUP BY 1, 2),
+         ctok AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS class_tokens
+                  FROM counts GROUP BY 1),
+         voc AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM counts),
+         pri AS (SELECT source, COUNT(*) AS class_docs FROM train GROUP BY 1),
+         tot AS (SELECT COUNT(*) AS total_docs FROM train),
+         classes AS (
+           SELECT ctok.source AS cls, class_tokens,
+             CAST(length(bin(total_docs // class_docs)) AS BIGINT)
+               AS prior_bits, v
+           FROM ctok JOIN pri USING (source) CROSS JOIN tot CROSS JOIN voc),
+         tok AS (SELECT doc_id, unnest(t) AS w FROM test),
+         tb AS (
+           SELECT doc_id, cls,
+             CAST(SUM(length(bin(
+               (class_tokens + v) // (COALESCE(cnt, 0) + 1)))) AS BIGINT)
+               AS token_bits
+           FROM tok CROSS JOIN classes
+           LEFT JOIN counts ON counts.source = classes.cls
+             AND counts.w = tok.w
+           GROUP BY 1, 2),
+         grid AS (SELECT doc_id, true_source, cls, prior_bits
+                  FROM test CROSS JOIN classes),
+         scored AS (
+           SELECT doc_id, true_source, cls,
+             prior_bits + COALESCE(token_bits, 0) AS bits
+           FROM grid LEFT JOIN tb USING (doc_id, cls))
+         SELECT doc_id, true_source, cls AS pred_source,
+           CAST(bits AS BIGINT) AS total_bits,
+           CAST(cls = true_source AS BIGINT) AS is_correct
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY bits, cls) AS rk FROM scored)
+         WHERE rk = 1
          ORDER BY doc_id"""
 
   /** Exact-edge semantic-clustering oracle (recursive CTE transitive
@@ -2721,49 +2771,13 @@ object SparkEntry {
     // train split; scoring is argmin of integer add-one-smoothed bit
     // costs — the same length(bin(a // b)) no-float-log trick as
     // q_surprisal, so the trained model replays bit-for-bit.
-    "q_nb_classify" ->
-      """WITH docs AS (
-           SELECT doc_id, source,
-             regexp_extract_all(lower(text), '[a-z]+') AS t
-           FROM documents),
-         train AS (SELECT * FROM docs WHERE doc_id % 5 != 0),
-         test AS (SELECT doc_id, source AS true_source, t FROM docs
-                  WHERE doc_id % 5 = 0),
-         tt AS (SELECT source, unnest(t) AS w FROM train),
-         counts AS (SELECT source, w, COUNT(*) AS cnt FROM tt GROUP BY 1, 2),
-         ctok AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS class_tokens
-                  FROM counts GROUP BY 1),
-         voc AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM counts),
-         pri AS (SELECT source, COUNT(*) AS class_docs FROM train GROUP BY 1),
-         tot AS (SELECT COUNT(*) AS total_docs FROM train),
-         classes AS (
-           SELECT ctok.source AS cls, class_tokens,
-             CAST(length(bin(total_docs // class_docs)) AS BIGINT)
-               AS prior_bits, v
-           FROM ctok JOIN pri USING (source) CROSS JOIN tot CROSS JOIN voc),
-         tok AS (SELECT doc_id, unnest(t) AS w FROM test),
-         tb AS (
-           SELECT doc_id, cls,
-             CAST(SUM(length(bin(
-               (class_tokens + v) // (COALESCE(cnt, 0) + 1)))) AS BIGINT)
-               AS token_bits
-           FROM tok CROSS JOIN classes
-           LEFT JOIN counts ON counts.source = classes.cls
-             AND counts.w = tok.w
-           GROUP BY 1, 2),
-         grid AS (SELECT doc_id, true_source, cls, prior_bits
-                  FROM test CROSS JOIN classes),
-         scored AS (
-           SELECT doc_id, true_source, cls,
-             prior_bits + COALESCE(token_bits, 0) AS bits
-           FROM grid LEFT JOIN tb USING (doc_id, cls))
-         SELECT doc_id, true_source, cls AS pred_source,
-           CAST(bits AS BIGINT) AS total_bits,
-           CAST(cls = true_source AS BIGINT) AS is_correct
-         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-                 ORDER BY bits, cls) AS rk FROM scored)
-         WHERE rk = 1
-         ORDER BY doc_id""",
+    "q_nb_classify" -> NbClassifySql,
+
+    // The SAME oracle pins the streaming twin: per-delivery scoring
+    // against the frozen model must agree with the batch pass
+    // row-for-row.
+    "q_stream_nb_classify" -> NbClassifySql,
+
 
     // Prototypicality (Sorscher et al. data-pruning metric): cosine of
     // every vector against its class's raw SUM vector (cosine is

@@ -212,13 +212,27 @@ object Text {
     * class grid join is a broadcast of ~10 rows. Nothing iterates,
     * nothing collects. */
   def nbClassify(spark: SparkSession, sf: String): DataFrame = {
-    val docs = Tables.load(spark, sf, "documents")
-      .select(col("doc_id"), col("source"),
-        regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("t"))
-    val train = docs.filter(expr("doc_id % 5 != 0"))
-    val test = docs.filter(expr("doc_id % 5 = 0"))
+    val (classes, counts) = nbModel(spark, sf)
+    nbScore(nbTokenized(Tables.load(spark, sf, "documents"))
+      .filter(expr("doc_id % 5 = 0")), classes, counts)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Tokenized projection shared by the trainer and both scoring
+    * twins — one tokenizer definition, zero drift. */
+  private[graft] def nbTokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("t"))
+
+  /** The trained model as two frames: `classes` (cls, class_tokens,
+    * prior_bits, v — one row per class) and `counts` (cls, w, cnt —
+    * the vocabulary-sized likelihood table). Frozen artifacts: the
+    * streaming twin scores every arriving delivery against them. */
+  private[graft] def nbModel(spark: SparkSession,
+      sf: String): (DataFrame, DataFrame) = {
+    val train = nbTokenized(Tables.load(spark, sf, "documents"))
+      .filter(expr("doc_id % 5 != 0"))
     val trainTok = train.select(col("source"), explode(col("t")).as("w"))
-    // model: per-(class, token) counts + per-class token totals + vocab
     val counts = trainTok.groupBy(col("source"), col("w"))
       .agg(count(lit(1)).as("cnt"))
     val classTok = counts.groupBy(col("source"))
@@ -234,11 +248,20 @@ object Text {
         length(bin(expr("total_docs div class_docs")))
           .cast("long").as("prior_bits"),
         col("v"))
-    // score: every held-out token against every class (grid join is a
-    // broadcast of the class list; the count join keys on (cls, w))
+    (classes, counts.withColumnRenamed("source", "cls"))
+  }
+
+  /** Score a (doc_id, source, t)-shaped frame against a trained model
+    * — every token of every doc against every class (the grid join is
+    * a broadcast of the class list; the likelihood join keys on
+    * (cls, w)), argmin of total bits with ties to the smaller class
+    * name. Unsorted: callers order (the streaming twin scores
+    * per-delivery and sorts once at the end). */
+  private[graft] def nbScore(test: DataFrame, classes: DataFrame,
+      counts: DataFrame): DataFrame = {
     val tokenBits = test.select(col("doc_id"), explode(col("t")).as("w"))
       .crossJoin(broadcast(classes))
-      .join(counts.withColumnRenamed("source", "cls"), Seq("cls", "w"), "left")
+      .join(counts, Seq("cls", "w"), "left")
       .select(col("doc_id"), col("cls"),
         length(bin(expr("(class_tokens + v) div (coalesce(cnt, 0L) + 1)")))
           .cast("long").as("bits"))
@@ -257,7 +280,6 @@ object Text {
         col("best.cls").as("pred_source"),
         col("best.bits").as("total_bits"),
         (col("best.cls") === col("true_source")).cast("long").as("is_correct"))
-      .orderBy(col("doc_id"))
   }
 
   /** Nested-object decode — the `object_loads` analog (util.py:40-57):

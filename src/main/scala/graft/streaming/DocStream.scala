@@ -172,6 +172,62 @@ object DocStream {
       .orderBy(col("doc_id"))
   }
 
+  /** q_nb_classify's STREAMING twin — model scoring at ingest: the
+    * Naive Bayes model trains ONCE in batch (the frozen artifact a
+    * production pipeline ships), then held-out documents arrive as two
+    * file-stream deliveries and each micro-batch is scored against the
+    * frozen model inside foreachBatch — two broadcast/keyed joins and
+    * a per-doc partial agg per delivery, no streaming-state store at
+    * all, which is the correct shape for stateless model inference on
+    * a feed (state lives in the model, not the stream). Same output
+    * and DuckDB oracle as the batch twin: the two paths must agree
+    * row-for-row.
+    *
+    * The model frames are persisted across deliveries — without the
+    * pin, every micro-batch would re-train from the source parquet
+    * (correct but a full corpus re-scan per delivery; at 100 TB the
+    * model is a written artifact read once per executor). */
+  def nbClassifyViaStream(spark: SparkSession, sf: String): DataFrame = {
+    import graft.operators.Text
+    val root = graft.TempDirs.create("graft-nbstream")
+    val landing = s"$root/landing"
+    val outDir = s"$root/out"
+    val (classes, counts) = Text.nbModel(spark, sf)
+    classes.persist(); counts.persist()
+
+    val docs = Tables.load(spark, sf, "documents")
+    val held = docs.filter(expr("doc_id % 5 = 0"))
+    held.filter(expr("doc_id % 10 = 0")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$landing/d0")
+    held.filter(expr("doc_id % 10 = 5")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$landing/d1")
+    Seq("d0" -> 1000000L, "d1" -> 2000000L).foreach { case (d, t) =>
+      Option(new java.io.File(s"$landing/$d").listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet")).foreach(_.setLastModified(t))
+    }
+
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$landing/*")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batchId-keyed overwrite: a retried delivery re-writes its
+        // own subdir (idempotent), same contract as nearDupViaStream
+        Text.nbScore(Text.nbTokenized(batch), classes, counts)
+          .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    classes.unpersist(); counts.unpersist()
+
+    spark.read.option("recursiveFileLookup", "true").parquet(outDir)
+      .orderBy(col("doc_id"))
+  }
+
   /** q_heavy_hitters' STREAMING twin: the exploded token stream flows
     * through a Complete-mode streaming count aggregation — the
     * state-store shape of a LIVE token-frequency monitor (each

@@ -284,6 +284,20 @@ class StreamingSpec extends AnyFunSuite {
     // they run UNCHANGED on a stream — demonstrated end-to-end: the
     // same splitAssignDf over a memory stream emits exactly the batch
     // assignment
+    streamedSplitMatchesBatch()
+  }
+
+  test("streamed NB scoring against the frozen model equals the batch classifier") {
+    val streamed = graft.streaming.DocStream.nbClassifyViaStream(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val batch = graft.operators.Text.nbClassify(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  private def streamedSplitMatchesBatch(): Unit = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
