@@ -203,6 +203,7 @@ object SparkEntry {
       Similarity.semDedupLsh(s, d)),
     "q_label_centroids" -> (Similarity.labelCentroids _),
     "q_prototypicality" -> (Similarity.prototypicality _),
+    "q_mmr_select" -> ((s: SparkSession, d: String) => Similarity.mmrSelect(s, d)),
     "q_cluster_balance" -> ((s: SparkSession, d: String) =>
       Similarity.clusterBalancedCurate(s, d)),
     "q_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
@@ -2809,6 +2810,77 @@ object SparkEntry {
                FROM dots JOIN cnorm USING (label)
                WHERE v_sq > 0 AND c_norm > 0)
          ORDER BY vec_id""",
+
+    // MMR diversified selection: the greedy argmax chain replays as a
+    // recursive CTE — relevance on the 2^13 grid, pairwise cosines on
+    // the 2^26 grid (both exact-long), the mixing weights written as
+    // CAST(0.7 AS DOUBLE) / (1.0 - 0.7) over DOUBLE casts so both
+    // engines compute IDENTICAL doubles (DuckDB parses bare 0.7 as
+    // DECIMAL, making 1.0 - 0.7 exactly 0.3 — one ulp away from the
+    // 0.30000000000000004 the engine's double arithmetic produces).
+    "q_mmr_select" ->
+      """WITH RECURSIVE
+         q13 AS (
+           SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 8192.0) AS BIGINT) AS q
+           FROM embeddings,
+                LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+         qsum AS (SELECT pos, CAST(SUM(q) AS BIGINT) AS q_sum
+                  FROM q13 GROUP BY 1),
+         qn AS (SELECT sqrt(CAST(CAST(SUM(q_sum * q_sum) AS BIGINT) AS DOUBLE))
+                  AS q_norm FROM qsum),
+         relt AS (
+           SELECT vec_id,
+             CAST(CAST(SUM(q * q_sum) AS BIGINT) AS DOUBLE)
+               / (sqrt(CAST(CAST(SUM(q * q) AS BIGINT) AS DOUBLE)) * q_norm)
+               AS rel
+           FROM q13 JOIN qsum USING (pos) CROSS JOIN qn
+           GROUP BY vec_id, q_norm
+           HAVING CAST(SUM(q * q) AS BIGINT) > 0),
+         short AS (SELECT vec_id, rel FROM relt
+                   ORDER BY rel DESC, vec_id LIMIT 64),
+         iv AS (SELECT vec_id, list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 67108864.0) AS BIGINT)) AS iv
+                FROM embeddings
+                WHERE vec_id IN (SELECT vec_id FROM short)),
+         sim AS (
+           SELECT a.vec_id AS va, b.vec_id AS vb,
+             CAST(CAST(list_sum(list_transform(generate_series(1, len(a.iv)),
+               i -> a.iv[i] * b.iv[i])) AS BIGINT) AS DOUBLE)
+             / (sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(a.iv)),
+                 i -> a.iv[i] * a.iv[i])) AS BIGINT) AS DOUBLE))
+                * sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(b.iv)),
+                 i -> b.iv[i] * b.iv[i])) AS BIGINT) AS DOUBLE))) AS cos
+           FROM iv a, iv b WHERE a.vec_id <> b.vec_id),
+         sel(step, ids) AS (
+           SELECT CAST(1 AS BIGINT),
+             [(SELECT vec_id FROM short ORDER BY rel DESC, vec_id LIMIT 1)]
+           UNION ALL
+           SELECT step + 1, list_append(ids, (
+               SELECT s.vec_id FROM short s
+               WHERE NOT list_contains(ids, s.vec_id)
+               ORDER BY CAST(0.7 AS DOUBLE) * s.rel
+                   - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * (
+                   SELECT MAX(m.cos) FROM sim m
+                   WHERE m.va = s.vec_id AND list_contains(ids, m.vb)) DESC,
+                 s.vec_id
+               LIMIT 1))
+           FROM sel WHERE step < 10),
+         fin AS (SELECT ids FROM sel WHERE step = 10),
+         st AS (SELECT CAST(i AS BIGINT) AS step, ids[i] AS vec_id,
+                  list_slice(ids, 1, i - 1) AS prev
+                FROM fin,
+                     LATERAL (SELECT unnest(generate_series(1, len(ids))) AS i) g),
+         ms AS (SELECT st.step, st.vec_id,
+                  COALESCE((SELECT MAX(m.cos) FROM sim m
+                    WHERE m.va = st.vec_id
+                      AND list_contains(st.prev, m.vb)), 0.0) AS max_sim
+                FROM st)
+         SELECT ms.step, ms.vec_id, r.rel, ms.max_sim,
+           CAST(0.7 AS DOUBLE) * r.rel
+             - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * ms.max_sim AS mmr
+         FROM ms JOIN relt r USING (vec_id)
+         ORDER BY ms.step""",
 
     // Cluster-balanced curation: the SAME transitive-closure cluster
     // oracle as q_semantic_clusters, with the survivor picked by the

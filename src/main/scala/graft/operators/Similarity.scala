@@ -124,6 +124,90 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** MMR (Maximal Marginal Relevance) diversified top-k selection —
+    * the rerank step every retrieval-augmented pipeline runs between
+    * ANN shortlist and context window: greedily pick items maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-picked, so the
+    * result covers the query's neighborhood instead of returning k
+    * near-copies of the best hit (Carbonell & Goldstein 1998). The
+    * "query" here is the corpus SUM vector (cosine is scale-invariant,
+    * so the sum stands in for the mean) — fully data-derived, no
+    * free-text parameter.
+    *
+    * Scale shape — three stages with strictly shrinking data:
+    *  1. relevance for every vector: the [[prototypicality]] kernel
+    *     corpus-wide (one (pos)-keyed partial agg + one broadcast
+    *     join; exact-long dots on the [[ProtoQ]] grid),
+    *  2. shortlist: top-`c` by (rel desc, id) — TakeOrdered per-
+    *     partition heaps, never a global sort; at 100 TB the shortlist
+    *     comes from the ANN index instead and `c` stays ~10³,
+    *  3. greedy selection over the COLLECTED shortlist — c quantized
+    *     vectors (c·d longs, the bounded trainer-contract hand-off;
+    *     MMR is inherently sequential in k, so the k·c² driver loop on
+    *     metadata-sized input beats k distributed argmax jobs).
+    *
+    * Engine-exact: relevance doubles come from exact-long dots (one
+    * IEEE division), pairwise similarities from the 2²⁶ grid the exact
+    * kernels share, and the greedy comparison λ·rel − (1−λ)·maxSim is
+    * fixed-order double arithmetic — DuckDB replays the whole greedy
+    * chain (a recursive CTE) bit-for-bit, ties on the smaller id. */
+  def mmrSelect(spark: SparkSession, sf: String, k: Int = 10,
+      c: Int = 64, lambda: Double = 0.7): DataFrame = {
+    val comp = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        posexplode(graft.functions.ArrayOps.quantize_q(col("embedding"), ProtoQ))
+          .as(Seq("pos", "q")))
+    val qsum = comp.groupBy(col("pos")).agg(sum(col("q")).as("q_sum"))
+    val qnorm = qsum.agg(
+      sqrt(sum(col("q_sum") * col("q_sum")).cast("double")).as("q_norm"))
+    val rel = comp.join(broadcast(qsum), "pos")
+      .groupBy(col("vec_id"))
+      .agg(sum(col("q") * col("q_sum")).as("dot_qs"),
+        sum(col("q") * col("q")).as("v_sq"))
+      .crossJoin(broadcast(qnorm))
+      .filter(col("v_sq") > 0L && col("q_norm") > 0.0)
+      .select(col("vec_id"),
+        (col("dot_qs").cast("double") /
+          (sqrt(col("v_sq").cast("double")) * col("q_norm"))).as("rel"))
+    val shortlist = rel.orderBy(col("rel").desc, col("vec_id")).limit(c)
+      .join(Tables.load(spark, sf, "embeddings")
+        .select(col("vec_id"),
+          graft.functions.ArrayOps.quantize_q(col("embedding"), Q).as("iv")),
+        "vec_id")
+      .select(col("vec_id"), col("rel"), col("iv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Long](2).toArray))
+    // pairwise cosines on the 2^26 grid — c² exact doubles
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var d = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double, Double, Double)] // step, id, rel, maxSim, mmr
+    val chosen = scala.collection.mutable.LinkedHashMap.empty[Long, Array[Long]]
+    while (selected.length < math.min(k, shortlist.length)) {
+      val scoredCands = shortlist
+        .filter { case (id, _, _) => !chosen.contains(id) }
+        .map { case (id, r, iv) =>
+          val maxSim =
+            if (chosen.isEmpty) 0.0
+            else chosen.valuesIterator.map(s => cos(iv, s)).max
+          (id, r, maxSim, lambda * r - (1.0 - lambda) * maxSim)
+        }
+      val (id, r, maxSim, mmr) =
+        scoredCands.minBy { case (i, _, _, s) => (-s, i) }
+      chosen.put(id, shortlist.find(_._1 == id).get._3)
+      selected += ((selected.length + 1L, id, r, maxSim, mmr))
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    selected.toSeq.toDF("step", "vec_id", "rel", "max_sim", "mmr")
+      .orderBy(col("step"))
+  }
+
   /** Quantized int vector + norm, computed ONCE per vector —
     * the n·m pair scan then does a single integer dot per pair
     * (3× fewer array passes than naively recomputing norms per pair,

@@ -586,6 +586,26 @@ class OperatorSpec extends AnyFunSuite {
     recovered.foreach(r => assert(r.getLong(1) == r.getLong(0) + 1000000L))
   }
 
+  test("MMR selection: distinct picks, relevance-first seed, consistent scores") {
+    val rows = Similarity.mmrSelect(spark, sf).collect()
+    assert(rows.length == 10)
+    val idx = rows.head.fieldIndex _
+    assert(rows.map(_.getLong(idx("vec_id"))).distinct.length == rows.length)
+    assert(rows.map(_.getLong(idx("step"))).toSeq == (1L to 10L))
+    // step 1 is the pure-relevance argmax: no prior picks, no penalty
+    val first = rows.find(_.getLong(idx("step")) == 1L).get
+    assert(first.getDouble(idx("max_sim")) == 0.0)
+    assert(rows.forall(r => first.getDouble(idx("rel")) >=
+      r.getDouble(idx("rel")) - 1e-12))
+    rows.foreach { r =>
+      val expect = 0.7 * r.getDouble(idx("rel")) -
+        (1.0 - 0.7) * r.getDouble(idx("max_sim"))
+      assert(r.getDouble(idx("mmr")) == expect)
+      assert(r.getDouble(idx("max_sim")) >= -1.0 - 1e-9 &&
+        r.getDouble(idx("max_sim")) <= 1.0 + 1e-9)
+    }
+  }
+
   test("PQ sampled trainer: pool samples when it can, falls back when it can't, recall stays total") {
     val e = Tables.load(spark, sf, "embeddings")
     // the 1/8 hash sample of the 500-row fixture clears PqK: the pool
