@@ -204,6 +204,9 @@ object SparkEntry {
     "q_label_centroids" -> (Similarity.labelCentroids _),
     "q_prototypicality" -> (Similarity.prototypicality _),
     "q_mmr_select" -> ((s: SparkSession, d: String) => Similarity.mmrSelect(s, d)),
+    "q_embed_diag" -> (Similarity.embedDiagnostics _),
+    "q_stream_embed_drift" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EmbedStream.embedDriftViaStream(s, d)),
     "q_cluster_balance" -> ((s: SparkSession, d: String) =>
       Similarity.clusterBalancedCurate(s, d)),
     "q_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
@@ -2810,6 +2813,75 @@ object SparkEntry {
                FROM dots JOIN cnorm USING (label)
                WHERE v_sq > 0 AND c_norm > 0)
          ORDER BY vec_id""",
+
+    // Streaming drift monitor: per-delivery centroid cosine against
+    // the frozen corpus centroid — exact 2^13-grid sums, deliveries
+    // keyed by vec_id parity (data-derived, trigger-invariant).
+    "q_stream_embed_drift" ->
+      """WITH q AS (
+           SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 8192.0) AS BIGINT) AS q
+           FROM embeddings,
+                LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+         ref AS (SELECT pos, CAST(SUM(q) AS BIGINT) AS rs FROM q GROUP BY 1),
+         bat AS (SELECT vec_id % 2 AS delivery, pos,
+                   CAST(SUM(q) AS BIGINT) AS bs
+                 FROM q GROUP BY 1, 2),
+         dots AS (SELECT delivery, CAST(SUM(bs * rs) AS BIGINT) AS d,
+                    CAST(SUM(bs * bs) AS BIGINT) AS bn
+                  FROM bat JOIN ref USING (pos) GROUP BY 1),
+         rn AS (SELECT sqrt(CAST(CAST(SUM(rs * rs) AS BIGINT) AS DOUBLE))
+                  AS rnorm FROM ref),
+         cnt AS (SELECT vec_id % 2 AS delivery,
+                   CAST(COUNT(*) AS BIGINT) AS n_vecs
+                 FROM embeddings GROUP BY 1)
+         SELECT CAST(dots.delivery AS BIGINT) AS delivery, cnt.n_vecs,
+           CAST(d AS DOUBLE) / (sqrt(CAST(bn AS DOUBLE)) * rnorm) AS drift_cos
+         FROM dots JOIN cnt USING (delivery) CROSS JOIN rn
+         ORDER BY delivery""",
+
+    // Embedding-space diagnostics: per-dimension integer moments
+    // (n·Σ-form variance/covariance on the 2^13 grid) plus each
+    // dimension's most-|corr| partner — every aggregate an exact
+    // BIGINT, the one double division IEEE-identical.
+    "q_embed_diag" ->
+      """WITH q AS (
+           SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 8192.0) AS BIGINT) AS q
+           FROM embeddings,
+                LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+         dims AS (SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(q) AS BIGINT) AS s,
+                    CAST(SUM(q * q) AS BIGINT) AS ss
+                  FROM q GROUP BY 1),
+         co AS (SELECT a.pos AS pos, b.pos AS pos_b,
+                  CAST(SUM(a.q * b.q) AS BIGINT) AS sxy
+                FROM q a JOIN q b
+                  ON a.vec_id = b.vec_id AND a.pos < b.pos
+                GROUP BY 1, 2),
+         sc AS (SELECT co.pos, co.pos_b,
+                  CAST(dx.n * sxy - dx.s * dy.s AS BIGINT) AS cov_num,
+                  CAST(dx.n * dx.ss - dx.s * dx.s AS BIGINT) AS var_x,
+                  CAST(dx.n * dy.ss - dy.s * dy.s AS BIGINT) AS var_y
+                FROM co JOIN dims dx ON dx.pos = co.pos
+                  JOIN dims dy ON dy.pos = co.pos_b),
+         sym AS (SELECT pos, pos_b, cov_num, var_x, var_y FROM sc
+                 UNION ALL
+                 SELECT pos_b, pos, cov_num, var_y, var_x FROM sc),
+         corr AS (SELECT pos, pos_b,
+                    CAST(cov_num AS DOUBLE)
+                      / (sqrt(CAST(var_x AS DOUBLE))
+                         * sqrt(CAST(var_y AS DOUBLE))) AS corr
+                  FROM sym),
+         best AS (SELECT pos, pos_b AS top_corr_dim, corr AS top_corr
+                  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY pos
+                          ORDER BY abs(corr) DESC, pos_b) AS rk FROM corr)
+                  WHERE rk = 1)
+         SELECT d.pos, d.n, d.s AS q_sum,
+           CAST(d.n * d.ss - d.s * d.s AS BIGINT) AS var_num,
+           b.top_corr_dim, b.top_corr
+         FROM dims d JOIN best b USING (pos)
+         ORDER BY d.pos""",
 
     // MMR diversified selection: the greedy argmax chain replays as a
     // recursive CTE — relevance on the 2^13 grid, pairwise cosines on

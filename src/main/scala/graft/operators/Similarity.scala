@@ -124,6 +124,72 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Embedding-space health diagnostics — the per-dimension moment
+    * table every embedding pipeline audits before trusting a model:
+    * mean and variance per dimension (dead dimensions: variance ≈ 0),
+    * plus each dimension's most-correlated partner (redundant/
+    * collapsed axes — the anisotropy smell that makes cosine
+    * similarity saturate). All moments are exact-long sums on the
+    * [[ProtoQ]] grid, so the report replays bit-for-bit: variance and
+    * covariance are emitted in the integer form n·Σxy − Σx·Σy (the
+    * textbook scaled-by-n² moment — monotone in the real value, which
+    * is all ranking/zero-tests need), and the one double emitted —
+    * the Pearson correlation with the partner — divides exact
+    * integers once. Range note (the q_pmi_top convention): the n·Σ
+    * products stay inside exact long through n ≈ 3·10⁵ vectors on
+    * this grid; a larger corpus widens the three product expressions
+    * to decimal(38,0) — both engines carry it exactly, same plan,
+    * wider lanes.
+    *
+    * Scale shape: ONE posexplode pass builds per-dim sums (d rows),
+    * one self-join of the exploded stream on vec_id builds pairwise
+    * co-moments (d² rows after the partial agg — 4096 at d = 64; the
+    * shuffle carries (vec_id, pos, q) scalars, never whole vectors).
+    * The argmax partner is a d²-row window. Nothing driver-side. */
+  def embedDiagnostics(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        posexplode(graft.functions.ArrayOps.quantize_q(col("embedding"), ProtoQ))
+          .as(Seq("pos", "q")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"), col("q"))
+    val dims = comp.groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
+        sum(col("q") * col("q")).as("ss"))
+    // pairwise co-moments: join the exploded stream with itself on the
+    // vector id — at d dims each vector contributes d² scalar pairs
+    val co = comp.as("a").join(comp.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.pos") < col("b.pos"))
+      .groupBy(col("a.pos").as("pos"), col("b.pos").as("pos_b"))
+      .agg(sum(col("a.q") * col("b.q")).as("sxy"))
+    val scored = co
+      .join(broadcast(dims.select(col("pos"), col("s").as("sx"),
+        col("ss").as("ssx"), col("n"))), "pos")
+      .join(broadcast(dims.select(col("pos").as("pos_b"), col("s").as("sy"),
+        col("ss").as("ssy"))), "pos_b")
+      .select(col("pos"), col("pos_b"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+        (col("n") * col("ssx") - col("sx") * col("sx")).as("var_x"),
+        (col("n") * col("ssy") - col("sy") * col("sy")).as("var_y"))
+    // symmetric view so every dimension sees every partner
+    val sym = scored.select(col("pos"), col("pos_b"), col("cov_num"),
+        col("var_x"), col("var_y"))
+      .union(scored.select(col("pos_b").as("pos"), col("pos").as("pos_b"),
+        col("cov_num"), col("var_y").as("var_x"), col("var_x").as("var_y")))
+      .withColumn("corr",
+        col("cov_num").cast("double") /
+          (sqrt(col("var_x").cast("double")) * sqrt(col("var_y").cast("double"))))
+    val best = Window.partitionBy(col("pos"))
+      .orderBy(abs(col("corr")).desc, col("pos_b"))
+    sym.withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+      .join(dims, "pos")
+      .select(col("pos"), col("n"), col("s").as("q_sum"),
+        (col("n") * col("ss") - col("s") * col("s")).as("var_num"),
+        col("pos_b").as("top_corr_dim"), col("corr").as("top_corr"))
+      .orderBy(col("pos"))
+  }
+
   /** MMR (Maximal Marginal Relevance) diversified top-k selection —
     * the rerank step every retrieval-augmented pipeline runs between
     * ANN shortlist and context window: greedily pick items maximizing

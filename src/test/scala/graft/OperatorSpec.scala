@@ -586,6 +586,25 @@ class OperatorSpec extends AnyFunSuite {
     recovered.foreach(r => assert(r.getLong(1) == r.getLong(0) + 1000000L))
   }
 
+  test("embedding diagnostics: one row per dimension, live variance, bounded correlation") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val n = e.count()
+    val rows = Similarity.embedDiagnostics(spark, sf).collect()
+    assert(rows.length == dim)
+    val idx = rows.head.fieldIndex _
+    assert(rows.map(_.getLong(idx("pos"))).toSeq == (0L until dim).toSeq)
+    rows.foreach { r =>
+      assert(r.getLong(idx("n")) == n)
+      assert(r.getLong(idx("var_num")) > 0L) // no dead dims in fixtures
+      val c = r.getDouble(idx("top_corr"))
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      assert(r.getLong(idx("top_corr_dim")) != r.getLong(idx("pos")))
+      assert(r.getLong(idx("top_corr_dim")) >= 0L &&
+        r.getLong(idx("top_corr_dim")) < dim)
+    }
+  }
+
   test("MMR selection: distinct picks, relevance-first seed, consistent scores") {
     val rows = Similarity.mmrSelect(spark, sf).collect()
     assert(rows.length == 10)

@@ -287,6 +287,20 @@ class StreamingSpec extends AnyFunSuite {
     streamedSplitMatchesBatch()
   }
 
+  test("streamed embedding drift: both deliveries scored, in-distribution halves stay near the reference") {
+    val rows = graft.streaming.EmbedStream.embedDriftViaStream(spark, sf)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.load(spark, sf, "embeddings").count())
+    rows.foreach { r =>
+      val c = r.getDouble(2)
+      // halves OF the reference distribution must sit near cosine 1;
+      // a sagging value here is exactly the alarm the monitor raises
+      assert(c > 0.5 && c <= 1.0 + 1e-9, s"drift_cos $c")
+    }
+  }
+
   test("streamed NB scoring against the frozen model equals the batch classifier") {
     val streamed = graft.streaming.DocStream.nbClassifyViaStream(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
