@@ -165,7 +165,6 @@ object SparkEntry {
     // --- dedup
     "q_dedup_exact" -> (Dedup.exact _),
     "q_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
-    "q_split_leakage" -> ((s: SparkSession, d: String) => Corpus.splitLeakage(s, d)),
     "q_containment" -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
     "q_allpairs" -> ((s: SparkSession, d: String) => Dedup.allPairsJaccard(s, d)),
     "q_fuzzy_join" -> ((s: SparkSession, d: String) => Relational.fuzzyJoin(s, d)),
@@ -1838,44 +1837,6 @@ object SparkEntry {
          JOIN sizes sa ON sa.doc_id = doc_a
          JOIN sizes sb ON sb.doc_id = doc_b
          WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5
-         ORDER BY doc_a, doc_b""",
-
-    // Cross-split leakage: the exact Jaccard pair kernel joined to the
-    // content-hash split assignment — only boundary-crossing pairs
-    // survive. Same single-division IEEE jaccard as q_ngram_jaccard.
-    "q_split_leakage" ->
-      s"""WITH docs AS (
-           SELECT doc_id,
-             list_distinct(list_transform(generate_series(1, len(ws) - 2),
-               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
-           FROM (SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents) t
-           WHERE len(ws) >= 3),
-         expl AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
-         sizes AS (SELECT doc_id, len(sh) AS n_sh FROM docs),
-         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     COUNT(*) AS common
-                   FROM expl a JOIN expl b
-                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2),
-         jp AS (SELECT doc_a, doc_b,
-                  CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common)
-                    AS jaccard
-                FROM pairs
-                JOIN sizes sa ON sa.doc_id = doc_a
-                JOIN sizes sb ON sb.doc_id = doc_b
-                WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common)
-                  >= 0.5),
-         sp AS (SELECT doc_id,
-                  CASE WHEN ('0x' || substring(md5(text), 1, 8))::BIGINT % 1000 < 800 THEN 'train'
-                       WHEN ('0x' || substring(md5(text), 1, 8))::BIGINT % 1000 < 900 THEN 'val'
-                       ELSE 'test' END AS split
-                FROM documents)
-         SELECT doc_a, doc_b, pa.split AS split_a, pb.split AS split_b,
-           jaccard
-         FROM jp
-         JOIN sp pa ON pa.doc_id = doc_a
-         JOIN sp pb ON pb.doc_id = doc_b
-         WHERE pa.split <> pb.split
          ORDER BY doc_a, doc_b""",
 
     // The VERIFIED MinHash-LSH pipeline (band → margin prune → exact

@@ -65,37 +65,6 @@ object Corpus {
     docs.select(col("doc_id"), splitBucket.as("bucket"),
       splitLabel.as("split"))
 
-  /** Cross-split LEAKAGE report — the eval-integrity audit every
-    * benchmark pipeline runs after splitting: near-duplicate pairs
-    * (exact n-gram Jaccard ≥ threshold, [[Dedup.ngramJaccard]])
-    * whose endpoints landed in DIFFERENT splits. The content-hash
-    * split key sends EXACT duplicates to the same split by
-    * construction, so byte-identical leakage is structurally zero —
-    * but near-duplicates hash independently, and any such pair
-    * crossing the train/val/test boundary inflates eval scores
-    * (Lee et al. 2022: deduplication changes measured perplexity).
-    * Emits the crossing pairs with both split labels, highest-overlap
-    * first in id order.
-    *
-    * Scale shape: the pair kernel is the shared near-dup machinery
-    * (LSH-banded at scale, exact here — the oracle baseline); the
-    * split join is two id-keyed joins against a stateless row-wise
-    * projection. Nothing new shuffles beyond the pair kernel. */
-  def splitLeakage(spark: SparkSession, sf: String,
-      threshold: Double = 0.5): DataFrame = {
-    val pairs = Dedup.ngramJaccard(spark, sf, threshold)
-    val splits = splitAssign(spark, sf).select(col("doc_id"), col("split"))
-    pairs
-      .join(splits.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("split", "split_a"), "doc_a")
-      .join(splits.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("split", "split_b"), "doc_b")
-      .filter(col("split_a") =!= col("split_b"))
-      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
-        col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
-  }
-
   /** Per-domain quota: keep the `k` lowest-doc_id documents of each
     * source domain (dataset balancing / domain capping).
     *

@@ -586,21 +586,6 @@ class OperatorSpec extends AnyFunSuite {
     recovered.foreach(r => assert(r.getLong(1) == r.getLong(0) + 1000000L))
   }
 
-  test("split leakage: exactly the boundary-crossing near-dup pairs") {
-    val leaks = Corpus.splitLeakage(spark, sf).collect()
-    val pairs = Dedup.ngramJaccard(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val splits = Corpus.splitAssign(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
-    // reconstruct the expected crossing set independently
-    val expected = pairs.filter { case (a, b) => splits(a) != splits(b) }
-    assert(leaks.map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
-    leaks.foreach { r =>
-      assert(r.getString(2) != r.getString(3))
-      assert(r.getDouble(4) >= 0.5)
-    }
-  }
-
   test("embedding diagnostics: one row per dimension, live variance, bounded correlation") {
     val e = Tables.load(spark, sf, "embeddings")
     val dim = e.select(size(col("embedding"))).head().getInt(0)
