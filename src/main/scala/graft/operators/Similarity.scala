@@ -1317,10 +1317,13 @@ object Similarity {
     * QUALITY member of each cluster rather than the largest-norm one —
     * what a production curation pass actually does once a quality
     * model exists (near-duplicates differ in boilerplate/noise, and
-    * norm is a proxy; the quality score is the signal). Emits every
-    * document with its cluster, quality, in-cluster quality rank and
-    * the keep flag, so downstream can also widen to keep-top-k or
-    * audit what was dropped.
+    * norm is a proxy; the quality score is the signal). Completes the
+    * survivor-rule matrix: `Dedup.keepBest` applies this quality rule
+    * to SHINGLE clusters and [[semDedup]] applies the norm rule to
+    * these SEMANTIC clusters — this is the quality rule on the
+    * semantic edge source. Emits every document with its cluster,
+    * quality, in-cluster quality rank and the keep flag, so downstream
+    * can also widen to keep-top-k or audit what was dropped.
     *
     * Scale shape: clustering is the [[semanticClusters]] /
     * [[semanticClustersLsh]] machinery (cell-bucketed at scale); the
