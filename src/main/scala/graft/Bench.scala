@@ -125,8 +125,12 @@ object Bench {
       rs.collect { case (t, None) => t }.sum)
     val sweepOk = runsBySweep.map(_.count(_._2.isEmpty))
     val composite = ok.map(_._2).sum
+    // "sweeps" is the TOTAL run count — runs[query] has exactly this
+    // many entries; a consumer iterating runs[query][0 until sweeps]
+    // must see the adaptive extra sweep too. "extra_sweeps" records how
+    // many of those were load-triggered beyond the configured count.
     val base =
-      s""""unit":"sec","sweeps":$sweeps,"extra_sweeps":$extraSweeps,""" +
+      s""""unit":"sec","sweeps":${sweeps + extraSweeps},"extra_sweeps":$extraSweeps,""" +
       s""""load_ratio":${num(loadRatio)},""" +
       s""""total_composite":${num(composite)},""" +
       s""""sweep_totals":${sweepTotals.map(t => num(t)).mkString("[", ",", "]")},""" +

@@ -360,6 +360,47 @@ object SparkEntry {
          ${(0 until graft.operators.Corpus.BpeNMerges)
              .map(bpeStageSql).mkString(",\n         ")}"""
 
+  /** Plain-decimal SQL literal for a shared Double constant —
+    * `toString` would render 67108864.0 as "6.7108864E7"; BigDecimal
+    * of the decimal string keeps 0.7 as "0.7" (not the exact binary
+    * expansion). One formatting path for every oracle that
+    * interpolates an engine-side constant. */
+  private def dlit(x: Double): String = {
+    val s = BigDecimal(x.toString).bigDecimal.stripTrailingZeros.toPlainString
+    if (s.contains('.')) s else s + ".0"
+  }
+  private val QLit = dlit(graft.operators.Similarity.Q)
+  private val ProtoQLit = dlit(graft.operators.Similarity.ProtoQ)
+  private val MmrLambdaLit = dlit(graft.operators.Similarity.MmrLambda)
+
+  /** The q_quality composite score over a `(doc_id, text, t)` scope
+    * (t = whitespace-split lowered tokens) — ONE definition for the
+    * three oracles that rank by it (q_quality, q_quality_gate,
+    * q_cluster_balance), mirroring the single engine-side
+    * `Text.qualityScoredDf`. */
+  private val QualityScoreSql: String =
+    """(CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+             + (CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                / CAST(len(t) AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+             - (CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                / CAST(greatest(length(text), 1) AS DOUBLE)) * CAST(0.2 AS DOUBLE)"""
+
+  /** Shared encode suffix over the replayed chain: end-state per-word
+    * token counts (wt), the exploded corpus word stream (dw), per-doc
+    * sums (pd). One definition for q_bpe_encode and q_bpe_fertility —
+    * an encode-shape tweak cannot desynchronize the two oracles. */
+  private def bpeEncodeCtes: String =
+    s"""wt AS (SELECT w, CAST(len(string_split(trim(s, '|'), '||')) AS BIGINT)
+                  AS n_toks
+                FROM v${graft.operators.Corpus.BpeNMerges}),
+         dw AS (SELECT doc_id,
+                  unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+                FROM documents),
+         pd AS (
+           SELECT doc_id, COUNT(*) AS n_words, SUM(n_toks) AS n_bpe_tokens,
+             SUM(len(w)) AS n_alpha_chars
+           FROM dw JOIN wt USING (w) GROUP BY doc_id)"""
+
   /** Exact-edge connected-components oracle (recursive CTE transitive
     * closure) — shared by q_dup_clusters and q_dup_clusters_lsh, whose
     * Spark sides differ only in how the edge set is derived. */
@@ -1435,18 +1476,14 @@ object SparkEntry {
          GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q_quality" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
          CAST(len(t) AS BIGINT) AS n_tokens,
          CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS distinct_ratio,
          CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
            / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
          CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
            / CAST(len(t) AS DOUBLE) AS stopword_ratio,
-         (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * CAST(0.5 AS DOUBLE)
-           + (CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
-              / CAST(len(t) AS DOUBLE)) * CAST(0.3 AS DOUBLE)
-           - (CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-              / CAST(greatest(length(text), 1) AS DOUBLE)) * CAST(0.2 AS DOUBLE) AS quality_score
+         $QualityScoreSql AS quality_score
          FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents)
          ORDER BY doc_id""",
 
@@ -1465,13 +1502,9 @@ object SparkEntry {
     // (Spark exact `percentile` ↔ DuckDB `quantile_cont` — the
     // interpolation parity q_percentiles already pins).
     "q_quality_gate" ->
-      """WITH s AS (
+      s"""WITH s AS (
            SELECT doc_id,
-             (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * CAST(0.5 AS DOUBLE)
-             + (CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
-                / CAST(len(t) AS DOUBLE)) * CAST(0.3 AS DOUBLE)
-             - (CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-                / CAST(greatest(length(text), 1) AS DOUBLE)) * CAST(0.2 AS DOUBLE) AS quality_score
+             $QualityScoreSql AS quality_score
            FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents))
          SELECT doc_id, quality_score FROM s
          WHERE quality_score > (SELECT quantile_cont(quality_score, 0.25) FROM s)
@@ -2719,16 +2752,7 @@ object SparkEntry {
     // both sides tokenize identical word sets.
     "q_bpe_encode" ->
       s"""$bpeChainSql,
-         wt AS (SELECT w, CAST(len(string_split(trim(s, '|'), '||')) AS BIGINT)
-                  AS n_toks
-                FROM v${graft.operators.Corpus.BpeNMerges}),
-         dw AS (SELECT doc_id,
-                  unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-                FROM documents),
-         pd AS (
-           SELECT doc_id, COUNT(*) AS n_words, SUM(n_toks) AS n_bpe_tokens,
-             SUM(len(w)) AS n_alpha_chars
-           FROM dw JOIN wt USING (w) GROUP BY doc_id)
+         $bpeEncodeCtes
          SELECT d.doc_id,
            CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
            CAST(COALESCE(n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
@@ -2742,16 +2766,7 @@ object SparkEntry {
     // aggregated by lang — integer per-mille ratios, engine-exact.
     "q_bpe_fertility" ->
       s"""$bpeChainSql,
-         wt AS (SELECT w, CAST(len(string_split(trim(s, '|'), '||')) AS BIGINT)
-                  AS n_toks
-                FROM v${graft.operators.Corpus.BpeNMerges}),
-         dw AS (SELECT doc_id,
-                  unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-                FROM documents),
-         pd AS (
-           SELECT doc_id, COUNT(*) AS n_words, SUM(n_toks) AS n_bpe_tokens,
-             SUM(len(w)) AS n_alpha_chars
-           FROM dw JOIN wt USING (w) GROUP BY doc_id),
+         $bpeEncodeCtes,
          pl AS (
            SELECT lang, COUNT(*) AS n_docs,
              SUM(COALESCE(n_words, 0)) AS n_words,
@@ -2788,10 +2803,10 @@ object SparkEntry {
     // scale-invariant) on the 2^13 integer grid — every aggregate is
     // an exact BIGINT, the one double division is IEEE-identical.
     "q_prototypicality" ->
-      """WITH q AS (
+      s"""WITH q AS (
            SELECT vec_id, CAST(label AS BIGINT) AS label,
              CAST(i - 1 AS BIGINT) AS pos,
-             CAST(floor(CAST(embedding[i] AS DOUBLE) * 8192.0) AS BIGINT) AS q
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * $ProtoQLit) AS BIGINT) AS q
            FROM embeddings,
                 LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
          cent AS (SELECT label, pos, CAST(SUM(q) AS BIGINT) AS q_sum
@@ -2818,9 +2833,9 @@ object SparkEntry {
     // the frozen corpus centroid — exact 2^13-grid sums, deliveries
     // keyed by vec_id parity (data-derived, trigger-invariant).
     "q_stream_embed_drift" ->
-      """WITH q AS (
+      s"""WITH q AS (
            SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
-             CAST(floor(CAST(embedding[i] AS DOUBLE) * 8192.0) AS BIGINT) AS q
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * $ProtoQLit) AS BIGINT) AS q
            FROM embeddings,
                 LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
          ref AS (SELECT pos, CAST(SUM(q) AS BIGINT) AS rs FROM q GROUP BY 1),
@@ -2845,9 +2860,9 @@ object SparkEntry {
     // dimension's most-|corr| partner — every aggregate an exact
     // BIGINT, the one double division IEEE-identical.
     "q_embed_diag" ->
-      """WITH q AS (
+      s"""WITH q AS (
            SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
-             CAST(floor(CAST(embedding[i] AS DOUBLE) * 8192.0) AS BIGINT) AS q
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * $ProtoQLit) AS BIGINT) AS q
            FROM embeddings,
                 LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
          dims AS (SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
@@ -2885,16 +2900,17 @@ object SparkEntry {
 
     // MMR diversified selection: the greedy argmax chain replays as a
     // recursive CTE — relevance on the 2^13 grid, pairwise cosines on
-    // the 2^26 grid (both exact-long), the mixing weights written as
-    // CAST(0.7 AS DOUBLE) / (1.0 - 0.7) over DOUBLE casts so both
-    // engines compute IDENTICAL doubles (DuckDB parses bare 0.7 as
-    // DECIMAL, making 1.0 - 0.7 exactly 0.3 — one ulp away from the
-    // 0.30000000000000004 the engine's double arithmetic produces).
+    // the 2^26 grid (both exact-long), the mixing weight interpolated
+    // from Similarity.MmrLambda and written as CAST(λ AS DOUBLE) over
+    // DOUBLE casts so both engines compute IDENTICAL doubles (DuckDB
+    // parses a bare 0.7 as DECIMAL, making 1.0 - 0.7 exactly 0.3 —
+    // one ulp away from the 0.30000000000000004 the engine's double
+    // arithmetic produces). k and c interpolate from MmrK/MmrC.
     "q_mmr_select" ->
-      """WITH RECURSIVE
+      s"""WITH RECURSIVE
          q13 AS (
            SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
-             CAST(floor(CAST(embedding[i] AS DOUBLE) * 8192.0) AS BIGINT) AS q
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * $ProtoQLit) AS BIGINT) AS q
            FROM embeddings,
                 LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
          qsum AS (SELECT pos, CAST(SUM(q) AS BIGINT) AS q_sum
@@ -2910,9 +2926,10 @@ object SparkEntry {
            GROUP BY vec_id, q_norm
            HAVING CAST(SUM(q * q) AS BIGINT) > 0),
          short AS (SELECT vec_id, rel FROM relt
-                   ORDER BY rel DESC, vec_id LIMIT 64),
+                   ORDER BY rel DESC, vec_id
+                   LIMIT ${graft.operators.Similarity.MmrC}),
          iv AS (SELECT vec_id, list_transform(embedding,
-                  x -> CAST(floor(CAST(x AS DOUBLE) * 67108864.0) AS BIGINT)) AS iv
+                  x -> CAST(floor(CAST(x AS DOUBLE) * $QLit) AS BIGINT)) AS iv
                 FROM embeddings
                 WHERE vec_id IN (SELECT vec_id FROM short)),
          sim AS (
@@ -2931,14 +2948,15 @@ object SparkEntry {
            SELECT step + 1, list_append(ids, (
                SELECT s.vec_id FROM short s
                WHERE NOT list_contains(ids, s.vec_id)
-               ORDER BY CAST(0.7 AS DOUBLE) * s.rel
-                   - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * (
+               ORDER BY CAST($MmrLambdaLit AS DOUBLE) * s.rel
+                   - (CAST(1.0 AS DOUBLE) - CAST($MmrLambdaLit AS DOUBLE)) * (
                    SELECT MAX(m.cos) FROM sim m
                    WHERE m.va = s.vec_id AND list_contains(ids, m.vb)) DESC,
                  s.vec_id
                LIMIT 1))
-           FROM sel WHERE step < 10),
-         fin AS (SELECT ids FROM sel WHERE step = 10),
+           FROM sel WHERE step < ${graft.operators.Similarity.MmrK}),
+         fin AS (SELECT ids FROM sel
+                 WHERE step = ${graft.operators.Similarity.MmrK}),
          st AS (SELECT CAST(i AS BIGINT) AS step, ids[i] AS vec_id,
                   list_slice(ids, 1, i - 1) AS prev
                 FROM fin,
@@ -2949,8 +2967,9 @@ object SparkEntry {
                       AND list_contains(st.prev, m.vb)), 0.0) AS max_sim
                 FROM st)
          SELECT ms.step, ms.vec_id, r.rel, ms.max_sim,
-           CAST(0.7 AS DOUBLE) * r.rel
-             - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * ms.max_sim AS mmr
+           CAST($MmrLambdaLit AS DOUBLE) * r.rel
+             - (CAST(1.0 AS DOUBLE) - CAST($MmrLambdaLit AS DOUBLE))
+               * ms.max_sim AS mmr
          FROM ms JOIN relt r USING (vec_id)
          ORDER BY ms.step""",
 
@@ -2962,11 +2981,7 @@ object SparkEntry {
       s"""$SemanticClustersCtes,
          qual AS (
            SELECT doc_id AS vec_id,
-             (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * CAST(0.5 AS DOUBLE)
-               + (CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
-                  / CAST(len(t) AS DOUBLE)) * CAST(0.3 AS DOUBLE)
-               - (CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-                  / CAST(greatest(length(text), 1) AS DOUBLE)) * CAST(0.2 AS DOUBLE) AS quality_score
+             $QualityScoreSql AS quality_score
            FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents)),
          cl AS (
            SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,

@@ -217,8 +217,14 @@ object Similarity {
     * kernels share, and the greedy comparison λ·rel − (1−λ)·maxSim is
     * fixed-order double arithmetic — DuckDB replays the whole greedy
     * chain (a recursive CTE) bit-for-bit, ties on the smaller id. */
-  def mmrSelect(spark: SparkSession, sf: String, k: Int = 10,
-      c: Int = 64, lambda: Double = 0.7): DataFrame = {
+  /** MMR defaults — shared with the q_mmr_select oracle SQL (the
+    * pageRankOracle one-constant pattern): retuning here retunes the
+    * oracle's replayed greedy chain in the same commit. */
+  val MmrK = 10
+  val MmrC = 64
+  val MmrLambda = 0.7
+  def mmrSelect(spark: SparkSession, sf: String, k: Int = MmrK,
+      c: Int = MmrC, lambda: Double = MmrLambda): DataFrame = {
     val comp = Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"),
         posexplode(graft.functions.ArrayOps.quantize_q(col("embedding"), ProtoQ))
@@ -780,7 +786,7 @@ object Similarity {
         val t0 = System.nanoTime()
         val base = Tables.load(spark, sf, "embeddings")
         val trained =
-          kmeansCentroidsQ(if (sampled) trainingSample(base) else base)
+          kmeansCentroidsQ(trainerPool(base, sampled, IvfCells))
         centroidCache.put(key, (version, trained))
         System.err.println(f"[graft] centroid index: retrain ($key, ${
           (System.nanoTime() - t0) / 1e9}%.2f s)")
@@ -963,17 +969,21 @@ object Similarity {
   def clearPqCache(): Unit = pqCache.clear()
 
   /** Trainer input selection: the 1/[[SampleDenom]] hash sample when
-    * `sampled`, EXCEPT when the sample undershoots the PqK seeds the
+    * `sampled`, EXCEPT when the sample undershoots the `minSeeds` the
     * trainer requires (a tiny fixture) — then the full set, so the
-    * cheap-trainer path degrades to the exact one instead of crashing.
-    * At any real scale the sample dwarfs PqK. */
-  private[graft] def pqTrainerPool(base: DataFrame,
-      sampled: Boolean): DataFrame =
+    * cheap-trainer path degrades to the exact one instead of crashing
+    * (PQ) or silently training a smaller index (IVF). At any real
+    * scale the sample dwarfs the seed count. */
+  private[graft] def trainerPool(base: DataFrame,
+      sampled: Boolean, minSeeds: Int): DataFrame =
     if (!sampled) base
     else {
       val s = trainingSample(base)
-      if (s.limit(PqK).count() < PqK) base else s
+      if (s.limit(minSeeds).count() < minSeeds) base else s
     }
+
+  private[graft] def pqTrainerPool(base: DataFrame,
+      sampled: Boolean): DataFrame = trainerPool(base, sampled, PqK)
 
   private[graft] def pqCodebooksFor(spark: SparkSession,
       sf: String, sampled: Boolean = false): Seq[Seq[Seq[Long]]] = {
@@ -1032,7 +1042,7 @@ object Similarity {
     * the exact-kernel verification shape (guarded broadcast); at scale
     * ADC scans IVF-cell candidate lists instead of the full index. */
   def pqPlantedRecall(spark: SparkSession, sf: String): DataFrame =
-    pqRecallWith(spark, sf, pqCodebooksFor(spark, sf))
+    pqRecallWith(spark, sf, pqCodebooksFor(spark, sf), "pqPlantedRecall")
 
   /** [[pqPlantedRecall]]'s SAMPLED-TRAINER twin — the PQ analog of
     * [[ivfSampledPlantedRecall]]: codebooks train on the deterministic
@@ -1042,12 +1052,17 @@ object Similarity {
     * iff sample-trained codebooks still rank every planted twin first
     * — a cheaper trainer costs zero recall on the ground truth. */
   def pqSampledPlantedRecall(spark: SparkSession, sf: String): DataFrame =
-    pqRecallWith(spark, sf, pqCodebooksFor(spark, sf, sampled = true))
+    pqRecallWith(spark, sf, pqCodebooksFor(spark, sf, sampled = true),
+      "pqSampledPlantedRecall")
 
+  // `books` is by-name: the guard must refuse BEFORE the trainer runs
+  // (the trainer is the expensive part), so the codebook expression
+  // passed by the callers is only forced after guardExactKernel.
   private def pqRecallWith(spark: SparkSession, sf: String,
-      books: Seq[Seq[Seq[Long]]]): DataFrame = {
+      booksThunk: => Seq[Seq[Seq[Long]]], op: String): DataFrame = {
     val e = Tables.load(spark, sf, "embeddings")
-    guardExactKernel(e, "pqPlantedRecall")
+    guardExactKernel(e, op)
+    val books = booksThunk
     val index = e.select((col("vec_id") + 1000000L).as("neighbor_id"),
         transform(col("embedding"),
           (x, i) => when(i === 0, x * lit(1.01)).otherwise(x)).as("twin"))

@@ -159,11 +159,7 @@ object LogParser {
     lines.collect { case ErrorRe(code, _) => s"ORA-$code" }
 
   def finalState(lines: Seq[String]): JobState =
-    lines.reverseIterator.collectFirst {
-      case CompletedWithErrorsRe(_, _, _) => JobState.CompletedWithErrors
-      case CompletedRe(_, _) => JobState.Completed
-      case StoppedRe(_, _) => JobState.Stopped
-    }.getOrElse(JobState.Unknown)
+    finalJob(lines).map(_._3).getOrElse(JobState.Unknown)
 
   /** The terminal line WITH its captured `"owner"."name"` — the whole
     * data source of the log-only attach fallback (registry and sidecar

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** The ONE two-delivery file-stream replay harness, shared by every
+  * streaming twin that feeds a bounded corpus through the engine as
+  * ordered deliveries ([[DocStream.nearDupViaStream]],
+  * [[DocStream.nbClassifyViaStream]],
+  * [[EmbedStream.embedDriftViaStream]]): each half lands as one
+  * parquet file, file mtimes are pinned so `maxFilesPerTrigger=1`
+  * replays them in delivery order, and `onBatch` runs per micro-batch
+  * (callers write batchId-keyed subdirs — the retry-idempotence
+  * contract). A delivery-mechanics fix lands here once, not three
+  * times.
+  */
+object DeliveryHarness {
+
+  /** Write one delivery as a single parquet file and pin its mtime.
+    * Listing and timestamping go through the Hadoop FileSystem API,
+    * not java.io.File — the scratch root may carry a non-local scheme
+    * on a real cluster, where File.listFiles() returns null and the
+    * ordering pin would silently become a no-op. */
+  private def writeDelivery(df: DataFrame, dir: String, mtime: Long): Unit = {
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf())
+    fs.listStatus(p)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach(st => fs.setTimes(st.getPath, mtime, -1))
+  }
+
+  /** Land `d0` then `d1` under `root/landing`, stream them back one
+    * file per trigger (AvailableNow), run `onBatch` for each, block
+    * until drained. The caller owns `root` (TempDirs-created) so it
+    * can hang sibling dirs (index, out) off the same lifetime. */
+  def runTwoDeliveries(spark: SparkSession, root: String,
+      d0: DataFrame, d1: DataFrame, schema: StructType,
+      onBatch: (DataFrame, Long) => Unit): Unit = {
+    val landing = s"$root/landing"
+    writeDelivery(d0, s"$landing/d0", 1000000L)
+    writeDelivery(d1, s"$landing/d1", 2000000L)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$landing/*")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(batch, batchId); ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+  }
+}

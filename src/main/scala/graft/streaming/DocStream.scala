@@ -4,7 +4,6 @@ import graft.Tables
 import graft.operators.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Structured Streaming surface over the `documents` table: continuous
@@ -112,38 +111,21 @@ object DocStream {
   def nearDupViaStream(spark: SparkSession, sf: String,
       threshold: Double = 0.5): DataFrame = {
     val root = graft.TempDirs.create("graft-docstream")
-    val landing = s"$root/landing"
     val indexDir = s"$root/index"
     val outDir = s"$root/out"
-    new java.io.File(indexDir).mkdirs()
+    val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+    idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .mkdirs(idxPath)
 
     val docs = Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("text"))
     val w = docs.agg(floor((max(col("doc_id")) + 1) * 0.8).cast("long"))
       .head().getLong(0)
-    // one file per delivery, mtimes spaced so the file source replays
-    // corpus-then-batch deterministically
-    docs.filter(col("doc_id") < w).coalesce(1)
-      .write.mode("overwrite").parquet(s"$landing/d0")
-    docs.filter(col("doc_id") >= w).coalesce(1)
-      .write.mode("overwrite").parquet(s"$landing/d1")
-    val files = Seq("d0", "d1").flatMap { d =>
-      Option(new java.io.File(s"$landing/$d").listFiles()).toSeq.flatten
-        .filter(_.getName.endsWith(".parquet")).map(d -> _)
-    }
-    files.foreach { case (d, f) =>
-      val t = if (d == "d0") 1000000L else 2000000L
-      f.setLastModified(t)
-    }
-
-    val stream = spark.readStream
-      .schema(StructType(Seq(StructField("doc_id", LongType),
-        StructField("text", StringType))))
-      .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", "*.parquet")
-      .parquet(s"$landing/*")
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    DeliveryHarness.runTwoDeliveries(spark, root,
+      docs.filter(col("doc_id") < w), docs.filter(col("doc_id") >= w),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))),
+      { (batch: DataFrame, batchId: Long) =>
         // batchId-keyed overwrite, not append: a micro-batch retried
         // after a transient failure re-writes ITS OWN subdir instead
         // of double-appending rows into the result and the index (the
@@ -154,12 +136,7 @@ object DocStream {
         Dedup.signedBanded(batch)
           .select(col("band"), col("band_key"), col("doc_id"), col("minhash"))
           .write.mode("overwrite").parquet(s"$indexDir/batch-$batchId")
-        ()
-      }
-      .option("checkpointLocation", s"$root/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try { q.processAllAvailable() } finally q.stop()
+      })
 
     // the NEW delivery's classification (delivery 0 bootstrapped the
     // index). Returned parquet-backed, not collected: a real delivery
@@ -190,38 +167,21 @@ object DocStream {
   def nbClassifyViaStream(spark: SparkSession, sf: String): DataFrame = {
     import graft.operators.Text
     val root = graft.TempDirs.create("graft-nbstream")
-    val landing = s"$root/landing"
     val outDir = s"$root/out"
     val (classes, counts) = Text.nbModel(spark, sf)
     classes.persist(); counts.persist()
 
     val docs = Tables.load(spark, sf, "documents")
     val held = docs.filter(expr("doc_id % 5 = 0"))
-    held.filter(expr("doc_id % 10 = 0")).coalesce(1)
-      .write.mode("overwrite").parquet(s"$landing/d0")
-    held.filter(expr("doc_id % 10 = 5")).coalesce(1)
-      .write.mode("overwrite").parquet(s"$landing/d1")
-    Seq("d0" -> 1000000L, "d1" -> 2000000L).foreach { case (d, t) =>
-      Option(new java.io.File(s"$landing/$d").listFiles()).toSeq.flatten
-        .filter(_.getName.endsWith(".parquet")).foreach(_.setLastModified(t))
-    }
-
-    val stream = spark.readStream.schema(docs.schema)
-      .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", "*.parquet")
-      .parquet(s"$landing/*")
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    DeliveryHarness.runTwoDeliveries(spark, root,
+      held.filter(expr("doc_id % 10 = 0")),
+      held.filter(expr("doc_id % 10 = 5")), docs.schema,
+      { (batch: DataFrame, batchId: Long) =>
         // batchId-keyed overwrite: a retried delivery re-writes its
         // own subdir (idempotent), same contract as nearDupViaStream
         Text.nbScore(Text.nbTokenized(batch), classes, counts)
           .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
-        ()
-      }
-      .option("checkpointLocation", s"$root/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try { q.processAllAvailable() } finally q.stop()
+      })
     classes.unpersist(); counts.unpersist()
 
     spark.read.option("recursiveFileLookup", "true").parquet(outDir)

@@ -3,7 +3,6 @@ package graft.streaming
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 
 /** Structured Streaming surface over the `embeddings` table:
   * distribution-drift monitoring at ingest — the embedding-pipeline
@@ -35,7 +34,6 @@ object EmbedStream {
   def embedDriftViaStream(spark: SparkSession, sf: String): DataFrame = {
     import graft.operators.Similarity.ProtoQ
     val root = graft.TempDirs.create("graft-embedstream")
-    val landing = s"$root/landing"
     val outDir = s"$root/out"
 
     val vecs = Tables.load(spark, sf, "embeddings")
@@ -49,21 +47,10 @@ object EmbedStream {
     val refNorm = ref.agg(
       sqrt(sum(col("rs") * col("rs")).cast("double")).as("rnorm"))
 
-    vecs.filter(expr("vec_id % 2 = 0")).coalesce(1)
-      .write.mode("overwrite").parquet(s"$landing/d0")
-    vecs.filter(expr("vec_id % 2 = 1")).coalesce(1)
-      .write.mode("overwrite").parquet(s"$landing/d1")
-    Seq("d0" -> 1000000L, "d1" -> 2000000L).foreach { case (d, t) =>
-      Option(new java.io.File(s"$landing/$d").listFiles()).toSeq.flatten
-        .filter(_.getName.endsWith(".parquet")).foreach(_.setLastModified(t))
-    }
-
-    val stream = spark.readStream.schema(vecs.schema)
-      .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", "*.parquet")
-      .parquet(s"$landing/*")
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    DeliveryHarness.runTwoDeliveries(spark, root,
+      vecs.filter(expr("vec_id % 2 = 0")),
+      vecs.filter(expr("vec_id % 2 = 1")), vecs.schema,
+      { (batch: DataFrame, batchId: Long) =>
         val meta = batch.agg(
           pmod(min(col("vec_id")), lit(2L)).as("delivery"),
           count(lit(1)).as("n_vecs"))
@@ -78,12 +65,7 @@ object EmbedStream {
               (sqrt(col("bn").cast("double")) * col("rnorm")))
               .as("drift_cos"))
           .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
-        ()
-      }
-      .option("checkpointLocation", s"$root/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try { q.processAllAvailable() } finally q.stop()
+      })
     ref.unpersist()
 
     spark.read.option("recursiveFileLookup", "true").parquet(outDir)
