@@ -118,6 +118,8 @@ object SparkEntry {
     "q_surprisal" -> (Text.surprisal _),
     "q_bigram_surprisal" -> (Text.bigramSurprisal _),
     "q_nb_classify" -> (Text.nbClassify _),
+    "q_nb_confusion" -> (Text.nbConfusion _),
+    "q_nb_eval" -> (Text.nbEval _),
     "q_stream_nb_classify" -> ((s: SparkSession, d: String) =>
       graft.streaming.DocStream.nbClassifyViaStream(s, d)),
     "q_outliers" -> (Events.outliers _),
@@ -443,11 +445,11 @@ object SparkEntry {
          FROM labeled
          ORDER BY doc_id"""
 
-  /** Naive Bayes train-and-score replay — shared by q_nb_classify and
-    * its streaming twin q_stream_nb_classify (per-delivery scoring
-    * against the frozen model must agree with the batch pass
-    * row-for-row). */
-  private val NbClassifySql: String =
+  /** Naive Bayes train-and-score replay through the per-doc argmin
+    * (`pred`) — shared by q_nb_classify, its streaming twin
+    * q_stream_nb_classify, and the two eval views q_nb_confusion /
+    * q_nb_eval: one trained-model replay, four oracles. */
+  private val NbPredCtes: String =
     """WITH docs AS (
            SELECT doc_id, source,
              regexp_extract_all(lower(text), '[a-z]+') AS t
@@ -482,14 +484,19 @@ object SparkEntry {
          scored AS (
            SELECT doc_id, true_source, cls,
              prior_bits + COALESCE(token_bits, 0) AS bits
-           FROM grid LEFT JOIN tb USING (doc_id, cls))
-         SELECT doc_id, true_source, cls AS pred_source,
-           CAST(bits AS BIGINT) AS total_bits,
-           CAST(cls = true_source AS BIGINT) AS is_correct
-         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-                 ORDER BY bits, cls) AS rk FROM scored)
-         WHERE rk = 1
-         ORDER BY doc_id"""
+           FROM grid LEFT JOIN tb USING (doc_id, cls)),
+         pred AS (
+           SELECT doc_id, true_source, cls AS pred_source,
+             CAST(bits AS BIGINT) AS total_bits,
+             CAST(cls = true_source AS BIGINT) AS is_correct
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY bits, cls) AS rk FROM scored)
+           WHERE rk = 1)"""
+
+  private val NbClassifySql: String =
+    s"""$NbPredCtes
+         SELECT doc_id, true_source, pred_source, total_bits, is_correct
+         FROM pred ORDER BY doc_id"""
 
   /** Exact-edge semantic-clustering oracle (recursive CTE transitive
     * closure over the 0.35-cosine pair set on the 2²⁶ quantized grid)
@@ -2796,6 +2803,44 @@ object SparkEntry {
     // against the frozen model must agree with the batch pass
     // row-for-row.
     "q_stream_nb_classify" -> NbClassifySql,
+
+    // Confusion matrix over the held-out predictions — the shared
+    // NbPredCtes replay bucketed by (true, predicted).
+    "q_nb_confusion" ->
+      s"""$NbPredCtes
+         SELECT true_source, pred_source, CAST(COUNT(*) AS BIGINT) AS n
+         FROM pred GROUP BY 1, 2
+         ORDER BY true_source, pred_source""",
+
+    // Per-class precision/recall/F1 in integer basis points — F1 in
+    // its exact integer form 2·tp/(support+predicted); every value a
+    // BIGINT on both engines.
+    "q_nb_eval" ->
+      s"""$NbPredCtes,
+         sup AS (SELECT true_source AS cls, CAST(COUNT(*) AS BIGINT)
+                   AS support, CAST(SUM(is_correct) AS BIGINT) AS tp
+                 FROM pred GROUP BY 1),
+         prd AS (SELECT pred_source AS cls, CAST(COUNT(*) AS BIGINT)
+                   AS predicted
+                 FROM pred GROUP BY 1),
+         m AS (SELECT cls,
+                 COALESCE(support, 0) AS support,
+                 COALESCE(predicted, 0) AS predicted,
+                 COALESCE(tp, 0) AS tp
+               FROM sup FULL JOIN prd USING (cls))
+         SELECT cls, CAST(support AS BIGINT) AS support,
+           CAST(predicted AS BIGINT) AS predicted,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(CASE WHEN predicted > 0
+             THEN (tp * 10000) // predicted ELSE 0 END AS BIGINT)
+             AS precision_bp,
+           CAST(CASE WHEN support > 0
+             THEN (tp * 10000) // support ELSE 0 END AS BIGINT)
+             AS recall_bp,
+           CAST(CASE WHEN support + predicted > 0
+             THEN (2 * tp * 10000) // (support + predicted)
+             ELSE 0 END AS BIGINT) AS f1_bp
+         FROM m ORDER BY cls""",
 
 
     // Prototypicality (Sorscher et al. data-pruning metric): cosine of

@@ -211,11 +211,58 @@ object Text {
     * each a partial agg keyed by (class, token) / (doc, class). The
     * class grid join is a broadcast of ~10 rows. Nothing iterates,
     * nothing collects. */
-  def nbClassify(spark: SparkSession, sf: String): DataFrame = {
+  def nbClassify(spark: SparkSession, sf: String): DataFrame =
+    nbHoldoutScored(spark, sf).orderBy(col("doc_id"))
+
+  /** Classifier evaluation, confusion-matrix form: held-out predictions
+    * from [[nbClassify]]'s exact pipeline bucketed by (true, predicted)
+    * — the routing-error map a curation team reads before trusting the
+    * classifier to gate data (WHICH sources bleed into which). One
+    * bounded groupBy over the scored holdout; cardinality ≤ classes².
+    */
+  def nbConfusion(spark: SparkSession, sf: String): DataFrame =
+    nbHoldoutScored(spark, sf)
+      .groupBy(col("true_source"), col("pred_source"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("true_source"), col("pred_source"))
+
+  /** Per-class evaluation metrics over the same held-out predictions:
+    * support (true class size), predicted (rows routed to the class),
+    * true positives, and precision/recall/F1 in integer basis points —
+    * F1 in its integer-exact form 2·tp/(support+predicted), so every
+    * value replays bit-for-bit in SQL (no float division anywhere).
+    * The model-eval report that decides whether the classifier is good
+    * enough to gate a 100 TB curation pass; all aggregation is over
+    * the class-sized confusion marginals, nothing document-sized moves
+    * after the scoring pass. */
+  def nbEval(spark: SparkSession, sf: String): DataFrame = {
+    val pred = nbHoldoutScored(spark, sf)
+    val sup = pred.groupBy(col("true_source").as("cls"))
+      .agg(count(lit(1)).as("support"), sum(col("is_correct")).as("tp"))
+    val prd = pred.groupBy(col("pred_source").as("cls"))
+      .agg(count(lit(1)).as("predicted"))
+    sup.join(prd, Seq("cls"), "full")
+      .select(col("cls"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("predicted"), lit(0L)).as("predicted"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(col("cls"), col("support"), col("predicted"), col("tp"),
+        when(col("predicted") > 0, expr("(tp * 10000) div predicted"))
+          .otherwise(0L).as("precision_bp"),
+        when(col("support") > 0, expr("(tp * 10000) div support"))
+          .otherwise(0L).as("recall_bp"),
+        when(col("support") + col("predicted") > 0,
+          expr("(2 * tp * 10000) div (support + predicted)"))
+          .otherwise(0L).as("f1_bp"))
+      .orderBy(col("cls"))
+  }
+
+  /** The scored holdout both eval views aggregate — exactly
+    * [[nbClassify]] without the final sort. */
+  private def nbHoldoutScored(spark: SparkSession, sf: String): DataFrame = {
     val (classes, counts) = nbModel(spark, sf)
     nbScore(nbTokenized(Tables.load(spark, sf, "documents"))
       .filter(expr("doc_id % 5 = 0")), classes, counts)
-      .orderBy(col("doc_id"))
   }
 
   /** Tokenized projection shared by the trainer and both scoring

@@ -222,6 +222,39 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("nb eval marginals reconcile with the confusion matrix and the scored holdout") {
+    val pred = Text.nbClassify(spark, sf).collect()
+    val conf = Text.nbConfusion(spark, sf).collect()
+    // confusion cells sum to the holdout; diagonal = correct count
+    assert(conf.map(_.getLong(2)).sum == pred.length)
+    val diag = conf.filter(r => r.getString(0) == r.getString(1))
+      .map(_.getLong(2)).sum
+    assert(diag == pred.count(_.getLong(4) == 1L))
+    val eval = Text.nbEval(spark, sf).collect()
+    // per-class marginals: support sums rows, predicted sums columns,
+    // tp is the diagonal; the bp metrics replay by integer division
+    eval.foreach { r =>
+      val cls = r.getString(0)
+      val support = conf.filter(_.getString(0) == cls).map(_.getLong(2)).sum
+      val predicted = conf.filter(_.getString(1) == cls).map(_.getLong(2)).sum
+      val tp = conf.filter(c => c.getString(0) == cls && c.getString(1) == cls)
+        .map(_.getLong(2)).sum
+      assert(r.getLong(r.fieldIndex("support")) == support)
+      assert(r.getLong(r.fieldIndex("predicted")) == predicted)
+      assert(r.getLong(r.fieldIndex("tp")) == tp)
+      assert(r.getLong(r.fieldIndex("precision_bp")) ==
+        (if (predicted > 0) tp * 10000 / predicted else 0L))
+      assert(r.getLong(r.fieldIndex("recall_bp")) ==
+        (if (support > 0) tp * 10000 / support else 0L))
+      assert(r.getLong(r.fieldIndex("f1_bp")) ==
+        (if (support + predicted > 0) 2 * tp * 10000 / (support + predicted)
+         else 0L))
+    }
+    // every class seen in the holdout or the predictions appears
+    assert(eval.map(_.getString(0)).toSet ==
+      (conf.map(_.getString(0)) ++ conf.map(_.getString(1))).toSet)
+  }
+
   test("prototypicality ranks are contiguous per label and follow cosine order") {
     val rows = Similarity.prototypicality(spark, sf).collect()
     assert(rows.nonEmpty)
