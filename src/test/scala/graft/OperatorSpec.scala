@@ -640,21 +640,40 @@ class OperatorSpec extends AnyFunSuite {
 
   test("MMR selection: distinct picks, relevance-first seed, consistent scores") {
     val rows = Similarity.mmrSelect(spark, sf).collect()
-    assert(rows.length == 10)
+    assert(rows.length == Similarity.MmrK)
     val idx = rows.head.fieldIndex _
     assert(rows.map(_.getLong(idx("vec_id"))).distinct.length == rows.length)
-    assert(rows.map(_.getLong(idx("step"))).toSeq == (1L to 10L))
+    assert(rows.map(_.getLong(idx("step"))).toSeq ==
+      (1L to Similarity.MmrK.toLong))
     // step 1 is the pure-relevance argmax: no prior picks, no penalty
     val first = rows.find(_.getLong(idx("step")) == 1L).get
     assert(first.getDouble(idx("max_sim")) == 0.0)
     assert(rows.forall(r => first.getDouble(idx("rel")) >=
       r.getDouble(idx("rel")) - 1e-12))
     rows.foreach { r =>
-      val expect = 0.7 * r.getDouble(idx("rel")) -
-        (1.0 - 0.7) * r.getDouble(idx("max_sim"))
+      val lam = Similarity.MmrLambda
+      val expect = lam * r.getDouble(idx("rel")) -
+        (1.0 - lam) * r.getDouble(idx("max_sim"))
       assert(r.getDouble(idx("mmr")) == expect)
       assert(r.getDouble(idx("max_sim")) >= -1.0 - 1e-9 &&
         r.getDouble(idx("max_sim")) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("r11 broadcast kernels are cartesian-free (prototypicality, embed diag, NB scoring)") {
+    // each claims "per-key partial agg + broadcast join" as its 100 TB
+    // shape: nothing document/vector-sized may meet anything else in a
+    // CartesianProduct. (BroadcastNestedLoopJoin appears ONLY as the
+    // documented broadcast of one-row aggregates / the ~|classes|-row
+    // class list — allowed; an unpinned CartesianProduct is not.)
+    Seq(
+      Similarity.prototypicality(spark, sf),
+      Similarity.embedDiagnostics(spark, sf),
+      graft.operators.Text.nbClassify(spark, sf),
+      graft.operators.Text.nbEval(spark, sf)
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan.take(2000))
     }
   }
 
