@@ -247,6 +247,7 @@ object SparkEntry {
     "q_table_exists_append" -> (JobQueries.appendSemantics _),
     "q_table_exists_skip" -> (JobQueries.skipSemantics _),
     "q_estimate_only" -> (JobQueries.estimateOnly _),
+    "q_snapshot_diff" -> (JobQueries.snapshotDiff _),
     "q_remap_data" -> (JobQueries.remapData _),
     "q_remap_schema" -> (JobQueries.remapSchema _)
   )
@@ -3270,6 +3271,20 @@ object SparkEntry {
 
     "q_estimate_only" ->
       "SELECT COUNT(*) AS n_rows FROM lineitem",
+
+    // Snapshot diff: the oracle replays only the two slice predicates
+    // and the key diff — the ledger append, SCN pin resolution, and
+    // per-version import on the Spark side must reproduce exactly
+    // these key sets or the hash fails.
+    "q_snapshot_diff" ->
+      """WITH v1 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 != 0),
+         v2 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 5 != 0)
+         SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN b.o_orderkey IS NULL THEN 'removed'
+                ELSE 'added' END AS change
+         FROM v1 a FULL JOIN v2 b ON a.o_orderkey = b.o_orderkey
+         WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+         ORDER BY o_orderkey""",
 
     "q_remap_data" ->
       """SELECT c_custkey,

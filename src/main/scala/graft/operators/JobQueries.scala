@@ -109,6 +109,55 @@ object JobQueries {
       .orderBy(col("r_regionkey"))
   }
 
+  /** Snapshot DIFF across two ledger versions — the time-travel op the
+    * version store exists for (what changed between SCN 1 and SCN 2),
+    * driven END-TO-END through the engine: two versioned exports land
+    * `v=1` (orders with `o_orderkey % 3 != 0`, via the pushdown QUERY
+    * directive) and `v=2` (`% 5 != 0`) under ONE ledgered root
+    * (job.py:261-269 auto-pin parity), two FLASHBACK_SCN imports pin
+    * each snapshot back out (database.py:177-181 dt→SCN analog), and a
+    * full-outer join on the key emits the added/removed key set. The
+    * oracle replays only the two slice predicates + the diff join — so
+    * a broken ledger append, a mis-resolved pin, or an import reading
+    * the wrong `v=` dir all surface as a row diff at the driver gate,
+    * which JobSpec's unit cases alone cannot claim.
+    *
+    * Scale: the diff is one full-outer shuffle join on the snapshot
+    * key — at 100 TB both sides arrive partitioned by the same key
+    * from the scan, and the `change` classification is a map-side
+    * null test; nothing wider than (key, side-marker) moves. */
+  def snapshotDiff(spark: SparkSession, sf: String): DataFrame = {
+    val store = tmpDir("graft-snapstore")
+    val t1 = tmpDir("graft-snap-asof1")
+    val t2 = tmpDir("graft-snap-asof2")
+    def export(pred: String) = DataPumpJob(Operation.Export, JobMode.Table,
+      sourceDir = sf, targetDir = store,
+      directives = Seq(IncludeTable(Seq("orders")), Query(pred)),
+      versioned = true).run(spark)
+    val e1 = export("o_orderkey % 3 != 0")
+    require(e1.state == JobState.Completed, s"v1 export failed: ${e1.errors}")
+    val e2 = export("o_orderkey % 5 != 0")
+    require(e2.state == JobState.Completed, s"v2 export failed: ${e2.errors}")
+    val versions = graft.sources.SnapshotStore.readLedger(spark, store)
+      .map(_.version)
+    require(versions == Seq(1L, 2L), s"ledger recorded $versions")
+    def importAsOf(v: Long, tgt: String) = DataPumpJob(Operation.Import,
+      JobMode.Full, sourceDir = store, targetDir = tgt,
+      directives = Seq(FlashbackScn(v))).run(spark)
+    require(importAsOf(1L, t1).state == JobState.Completed)
+    require(importAsOf(2L, t2).state == JobState.Completed)
+    val v1 = spark.read.parquet(s"$t1/main/orders")
+      .select(col("o_orderkey").as("k1"))
+    val v2 = spark.read.parquet(s"$t2/main/orders")
+      .select(col("o_orderkey").as("k2"))
+    v1.join(v2, col("k1") === col("k2"), "full_outer")
+      .filter(col("k1").isNull || col("k2").isNull)
+      .select(coalesce(col("k1"), col("k2")).as("o_orderkey"),
+        when(col("k2").isNull, lit("removed"))
+          .otherwise(lit("added")).as("change"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** REMAP_DATA analog (column-level rewrite on the way in —
     * SURVEY.md §2.3 "Column remap"): anonymize customer names keyed by
     * the row identity. */
