@@ -402,6 +402,27 @@ class JobSpec extends AnyFunSuite {
     assert(imp4.state == JobState.Stopped)
   }
 
+  test("concurrent ledger appends serialize: every version unique and dense") {
+    // the appendVersion contract: read-modify-write is serialized on
+    // the store's monitor, so N racing writers must produce versions
+    // 1..N with no duplicates and no gaps — the claim a concurrent
+    // export scheduler relies on
+    val store = tmp("jobspec-ledger-race")
+    val n = 16
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val got = Await.result(
+      Future.sequence((1 to n).map(i => Future {
+        graft.sources.SnapshotStore.appendVersion(
+          spark, store, s"JOB-$i", java.time.Instant.now())
+      })), 60.seconds)
+    assert(got.sorted == (1L to n.toLong))
+    assert(graft.sources.SnapshotStore.readLedger(spark, store)
+      .map(_.version).sorted == (1L to n.toLong))
+  }
+
   test("sidecar schema entries carry the source version through attach") {
     // reference parity: SchemaHandler.get_version surfaces each
     // schema's migration version into job metadata (database.py:128-
