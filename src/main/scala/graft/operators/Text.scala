@@ -221,10 +221,13 @@ object Text {
     * bounded groupBy over the scored holdout; cardinality ≤ classes².
     */
   def nbConfusion(spark: SparkSession, sf: String): DataFrame =
+    nbConfusionFrame(spark, sf)
+      .orderBy(col("true_source"), col("pred_source"))
+
+  private def nbConfusionFrame(spark: SparkSession, sf: String): DataFrame =
     nbHoldoutScored(spark, sf)
       .groupBy(col("true_source"), col("pred_source"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("true_source"), col("pred_source"))
 
   /** Per-class evaluation metrics over the same held-out predictions:
     * support (true class size), predicted (rows routed to the class),
@@ -236,11 +239,18 @@ object Text {
     * the class-sized confusion marginals, nothing document-sized moves
     * after the scoring pass. */
   def nbEval(spark: SparkSession, sf: String): DataFrame = {
-    val pred = nbHoldoutScored(spark, sf)
-    val sup = pred.groupBy(col("true_source").as("cls"))
-      .agg(count(lit(1)).as("support"), sum(col("is_correct")).as("tp"))
-    val prd = pred.groupBy(col("pred_source").as("cls"))
-      .agg(count(lit(1)).as("predicted"))
+    // ALL metrics are marginals of the confusion matrix, so the
+    // document-sized scoring pass runs ONCE and everything after
+    // aggregates the persisted ≤|classes|²-row matrix — the plan
+    // audit caught the naive two-branch form re-running the whole
+    // train+score pipeline per marginal
+    val conf = nbConfusionFrame(spark, sf).persist()
+    val sup = conf.groupBy(col("true_source").as("cls"))
+      .agg(sum(col("n")).as("support"),
+        sum(when(col("true_source") === col("pred_source"), col("n"))
+          .otherwise(0L)).as("tp"))
+    val prd = conf.groupBy(col("pred_source").as("cls"))
+      .agg(sum(col("n")).as("predicted"))
     sup.join(prd, Seq("cls"), "full")
       .select(col("cls"),
         coalesce(col("support"), lit(0L)).as("support"),
@@ -258,11 +268,15 @@ object Text {
   }
 
   /** The scored holdout both eval views aggregate — exactly
-    * [[nbClassify]] without the final sort. */
+    * [[nbClassify]] without the final sort. The model frames are
+    * persisted (the "frozen artifact" contract the streaming twin
+    * already applies): without the pin, every branch that references
+    * `classes`/`counts` re-derives them from the corpus — the plan
+    * audit measured 44 parquet scans for the naive q_nb_eval. */
   private def nbHoldoutScored(spark: SparkSession, sf: String): DataFrame = {
     val (classes, counts) = nbModel(spark, sf)
     nbScore(nbTokenized(Tables.load(spark, sf, "documents"))
-      .filter(expr("doc_id % 5 = 0")), classes, counts)
+      .filter(expr("doc_id % 5 = 0")), classes.persist(), counts.persist())
   }
 
   /** Tokenized projection shared by the trainer and both scoring
