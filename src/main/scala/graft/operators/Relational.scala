@@ -822,15 +822,19 @@ object Relational {
   def fkAudit(spark: SparkSession, sf: String): DataFrame = {
     def audit(rel: String, child: DataFrame, key: String,
         parent: DataFrame, pkey: String, bcast: Boolean): DataFrame = {
-      val p = parent.select(col(pkey))
-      val orphans = child.select(col(key))
-        .join(if (bcast) broadcast(p) else p,
-          col(key) === col(pkey), "left_anti")
-      val totals = child.agg(count(lit(1)).as("child_rows"))
-      orphans.agg(
-          count(lit(1)).as("orphan_rows"),
-          countDistinct(col(key)).as("distinct_orphan_keys"))
-        .crossJoin(totals)
+      val p = parent.select(col(pkey)).withColumn("parent_hit", lit(1))
+      // ONE pass over the child: totals and orphan stats come off the
+      // same left join — `pkey` is the parent's primary key (unique),
+      // so the join cannot multiply child rows and a missed hit IS
+      // anti-join membership. The previous anti-join + separate
+      // totals form scanned every child table twice; at 100 TB that
+      // doubles the fact-table I/O of the whole audit.
+      child.select(col(key))
+        .join(if (bcast) broadcast(p) else p, col(key) === col(pkey), "left")
+        .agg(count(lit(1)).as("child_rows"),
+          count(when(col("parent_hit").isNull, 1)).as("orphan_rows"),
+          countDistinct(when(col("parent_hit").isNull, col(key)))
+            .as("distinct_orphan_keys"))
         .select(lit(rel).as("relationship"), col("child_rows"),
           col("orphan_rows"), col("distinct_orphan_keys"))
     }

@@ -141,11 +141,14 @@ object Similarity {
     * to decimal(38,0) — both engines carry it exactly, same plan,
     * wider lanes.
     *
-    * Scale shape: ONE posexplode pass builds per-dim sums (d rows),
-    * one self-join of the exploded stream on vec_id builds pairwise
-    * co-moments (d² rows after the partial agg — 4096 at d = 64; the
-    * shuffle carries (vec_id, pos, q) scalars, never whole vectors).
-    * The argmax partner is a d²-row window. Nothing driver-side. */
+    * Scale shape: one posexplode pass builds per-dim sums (d rows,
+    * persisted — three consumers), one self-join of the exploded
+    * stream on vec_id builds pairwise co-moments (d² rows after the
+    * partial agg — 4096 at d = 64; the shuffle carries (vec_id, pos,
+    * q) scalars, never whole vectors; the corpus is scanned once per
+    * join side). The d²-row co-moment table persists before the
+    * symmetric union — its two sides otherwise re-run the self-join —
+    * and the argmax partner is a d²-row window. Nothing driver-side. */
   def embedDiagnostics(spark: SparkSession, sf: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val comp = Tables.load(spark, sf, "embeddings")
@@ -153,9 +156,13 @@ object Similarity {
         posexplode(graft.functions.ArrayOps.quantize_q(col("embedding"), ProtoQ))
           .as(Seq("pos", "q")))
       .select(col("vec_id"), col("pos").cast("long").as("pos"), col("q"))
+    // d rows, referenced three times (two broadcast sides + the final
+    // join) — persist so each reference reads the tiny aggregate
+    // instead of re-deriving it from the corpus
     val dims = comp.groupBy(col("pos"))
       .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
         sum(col("q") * col("q")).as("ss"))
+      .persist()
     // pairwise co-moments: join the exploded stream with itself on the
     // vector id — at d dims each vector contributes d² scalar pairs
     val co = comp.as("a").join(comp.as("b"),
@@ -171,6 +178,10 @@ object Similarity {
         (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
         (col("n") * col("ssx") - col("sx") * col("sx")).as("var_x"),
         (col("n") * col("ssy") - col("sy") * col("sy")).as("var_y"))
+      // d²/2 rows, referenced twice by the symmetric union below —
+      // without the persist each union side re-runs the whole
+      // co-moment self-join (the plan audit measured 18 corpus scans)
+      .persist()
     // symmetric view so every dimension sees every partner
     val sym = scored.select(col("pos"), col("pos_b"), col("cov_num"),
         col("var_x"), col("var_y"))
