@@ -230,9 +230,13 @@ object Corpus {
     val docs = Tables.load(spark, sf, "documents")
       .select(col("doc_id"), words(col("text")).as("ws"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
+    // <= |docs|x|terms| rows after the term filter -- persisted: the
+    // idf derivation and the scoring join both consume it (one corpus
+    // tokenization pass, not two)
     val tf = docs.select(col("doc_id"), explode(col("ws")).as("w"))
       .filter(col("w").isin(terms: _*))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .persist()
     val idf = tf.groupBy(col("w"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .crossJoin(broadcast(n))
@@ -293,6 +297,8 @@ object Corpus {
       .filter(col("w").isin(terms: _*))
       .groupBy(col("doc_id"), col("dl"), col("w"))
       .agg(count(lit(1)).as("tf"))
+      // persisted for the same two-consumer reason as search()'s tf
+      .persist()
     val dfreq = tf.groupBy(col("w"))
       .agg(countDistinct(col("doc_id")).as("df"))
     tf.join(broadcast(dfreq), Seq("w"))
@@ -351,9 +357,13 @@ object Corpus {
     val docs = Tables.load(spark, sf, "documents")
       .select(col("doc_id"), words(col("text")).as("ws"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
+    // <= |docs|x|terms| rows after the term filter -- persisted: the
+    // idf derivation and the scoring join both consume it (one corpus
+    // tokenization pass, not two)
     val tf = docs.select(col("doc_id"), explode(col("ws")).as("w"))
       .filter(col("w").isin(terms: _*))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .persist()
     val idf = tf.groupBy(col("w"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .crossJoin(broadcast(n))
