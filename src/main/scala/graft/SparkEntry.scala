@@ -3277,8 +3277,10 @@ object SparkEntry {
     // per-version import on the Spark side must reproduce exactly
     // these key sets or the hash fails.
     "q_snapshot_diff" ->
-      """WITH v1 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 != 0),
-         v2 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 5 != 0)
+      s"""WITH v1 AS (SELECT o_orderkey FROM orders
+           WHERE ${graft.operators.JobQueries.SnapV1Pred}),
+         v2 AS (SELECT o_orderkey FROM orders
+           WHERE ${graft.operators.JobQueries.SnapV2Pred})
          SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
            CASE WHEN b.o_orderkey IS NULL THEN 'removed'
                 ELSE 'added' END AS change

@@ -23,6 +23,11 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+        // same cache hygiene as Bench: operators persist bounded
+        // intermediates (model frames, rank tables, co-moment grids)
+        // that are correct to drop between queries — without this, a
+        // 170-query run accumulates every persisted frame until LRU
+        spark.catalog.clearCache()
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>

@@ -126,6 +126,14 @@ object JobQueries {
     * key — at 100 TB both sides arrive partitioned by the same key
     * from the scan, and the `change` classification is a map-side
     * null test; nothing wider than (key, side-marker) moves. */
+  /** The two snapshot slice predicates — interpolated into BOTH the
+    * engine's QUERY directives below and the q_snapshot_diff oracle
+    * SQL (the one-constant contract: retuning a slice retunes the
+    * oracle in the same commit). ANSI SQL on purpose — both engines
+    * parse the identical text. */
+  val SnapV1Pred = "o_orderkey % 3 != 0"
+  val SnapV2Pred = "o_orderkey % 5 != 0"
+
   def snapshotDiff(spark: SparkSession, sf: String): DataFrame = {
     val store = tmpDir("graft-snapstore")
     val t1 = tmpDir("graft-snap-asof1")
@@ -134,9 +142,9 @@ object JobQueries {
       sourceDir = sf, targetDir = store,
       directives = Seq(IncludeTable(Seq("orders")), Query(pred)),
       versioned = true).run(spark)
-    val e1 = export("o_orderkey % 3 != 0")
+    val e1 = export(SnapV1Pred)
     require(e1.state == JobState.Completed, s"v1 export failed: ${e1.errors}")
-    val e2 = export("o_orderkey % 5 != 0")
+    val e2 = export(SnapV2Pred)
     require(e2.state == JobState.Completed, s"v2 export failed: ${e2.errors}")
     val versions = graft.sources.SnapshotStore.readLedger(spark, store)
       .map(_.version)

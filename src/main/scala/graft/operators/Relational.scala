@@ -819,31 +819,42 @@ object Relational {
     * silently turns an inner join into a row-dropper, so this is the
     * canary that runs after every load.
     *
-    * Shape: one anti-join + partial agg per relationship; the small
-    * parents (nation/region/supplier/customer) broadcast, so only the
-    * two fact-side audits shuffle, each on its own join key. The
-    * orphan count and the distinct-orphan-key count ride the same
-    * aggregation (no second pass).
+    * Shape: ONE left join + partial agg per relationship (a missed
+    * parent hit is anti-join membership, so totals and orphan stats
+    * come off the same pass); the small parents (nation/region/
+    * supplier/customer) broadcast, so only the two fact-side audits
+    * shuffle, each on its own join key. The child-row total, orphan
+    * count, and distinct-orphan-key count ride the same aggregation —
+    * each child table is scanned exactly once.
     */
+  /** One relationship's audit row — package-visible so the spec can
+    * seed a DANGLING key and assert the orphan path actually fires
+    * (the clean fixture and the oracle both expect zeros, which would
+    * also pass if orphan detection silently broke). */
+  private[graft] def auditRelationship(rel: String, child: DataFrame,
+      key: String, parent: DataFrame, pkey: String,
+      bcast: Boolean): DataFrame = {
+    val p = parent.select(col(pkey)).withColumn("parent_hit", lit(1))
+    // ONE pass over the child: totals and orphan stats come off the
+    // same left join — `pkey` is the parent's primary key (unique),
+    // so the join cannot multiply child rows and a missed hit IS
+    // anti-join membership. The previous anti-join + separate
+    // totals form scanned every child table twice; at 100 TB that
+    // doubles the fact-table I/O of the whole audit.
+    child.select(col(key))
+      .join(if (bcast) broadcast(p) else p, col(key) === col(pkey), "left")
+      .agg(count(lit(1)).as("child_rows"),
+        count(when(col("parent_hit").isNull, 1)).as("orphan_rows"),
+        countDistinct(when(col("parent_hit").isNull, col(key)))
+          .as("distinct_orphan_keys"))
+      .select(lit(rel).as("relationship"), col("child_rows"),
+        col("orphan_rows"), col("distinct_orphan_keys"))
+  }
+
   def fkAudit(spark: SparkSession, sf: String): DataFrame = {
     def audit(rel: String, child: DataFrame, key: String,
-        parent: DataFrame, pkey: String, bcast: Boolean): DataFrame = {
-      val p = parent.select(col(pkey)).withColumn("parent_hit", lit(1))
-      // ONE pass over the child: totals and orphan stats come off the
-      // same left join — `pkey` is the parent's primary key (unique),
-      // so the join cannot multiply child rows and a missed hit IS
-      // anti-join membership. The previous anti-join + separate
-      // totals form scanned every child table twice; at 100 TB that
-      // doubles the fact-table I/O of the whole audit.
-      child.select(col(key))
-        .join(if (bcast) broadcast(p) else p, col(key) === col(pkey), "left")
-        .agg(count(lit(1)).as("child_rows"),
-          count(when(col("parent_hit").isNull, 1)).as("orphan_rows"),
-          countDistinct(when(col("parent_hit").isNull, col(key)))
-            .as("distinct_orphan_keys"))
-        .select(lit(rel).as("relationship"), col("child_rows"),
-          col("orphan_rows"), col("distinct_orphan_keys"))
-    }
+        parent: DataFrame, pkey: String, bcast: Boolean): DataFrame =
+      auditRelationship(rel, child, key, parent, pkey, bcast)
     def t(n: String) = Tables.load(spark, sf, n)
     Seq(
       audit("lineitem.l_orderkey->orders", t("lineitem"), "l_orderkey",

@@ -1263,6 +1263,24 @@ class OperatorSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.pagerank.broadcastMaxNodes")
   }
 
+  test("fk audit detects seeded orphans (the clean-fixture zeros can't pin the mechanism)") {
+    import spark.implicits._
+    // 2 dangling keys (99, 99, 98) among 5 child rows — the left-join
+    // null-flag path must count 3 orphan rows / 2 distinct keys, not
+    // the all-zero answer the clean fixture would also give a broken
+    // detector
+    val child = Seq(1L, 2L, 99L, 99L, 98L).toDF("k")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    for (bcast <- Seq(true, false)) {
+      val r = Relational.auditRelationship("seeded", child, "k",
+        parent, "pk", bcast).collect()
+      assert(r.length == 1)
+      assert(r.head.getLong(r.head.fieldIndex("child_rows")) == 5L)
+      assert(r.head.getLong(r.head.fieldIndex("orphan_rows")) == 3L)
+      assert(r.head.getLong(r.head.fieldIndex("distinct_orphan_keys")) == 2L)
+    }
+  }
+
   test("fk audit: every relationship audited, clean fixture has zero orphans") {
     val rows = Relational.fkAudit(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
