@@ -196,6 +196,7 @@ object SparkEntry {
     "q_systematic_sample" -> ((s: SparkSession, d: String) => Corpus.systematicSample(s, d)),
     "q_vocab_coverage" -> ((s: SparkSession, d: String) => Corpus.vocabCoverage(s, d)),
     "q_dataset_card" -> (Corpus.datasetCard _),
+    "q_delta_card" -> (Corpus.deltaCard _),
     "q_semantic_clusters" -> ((s: SparkSession, d: String) =>
       Similarity.semanticClusters(s, d)),
     "q_semantic_clusters_lsh" -> ((s: SparkSession, d: String) =>
@@ -375,6 +376,39 @@ object SparkEntry {
   private val QLit = dlit(graft.operators.Similarity.Q)
   private val ProtoQLit = dlit(graft.operators.Similarity.ProtoQ)
   private val MmrLambdaLit = dlit(graft.operators.Similarity.MmrLambda)
+
+  /** The full-rescan dataset-card replay — ONE definition for
+    * q_dataset_card and its incremental twin q_delta_card (state
+    * merging must reproduce the full-rescan card exactly). */
+  private val DatasetCardSql: String =
+    """WITH b AS (SELECT
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+               AS n_tokens,
+             CAST(sum(length(text)) AS BIGINT) AS n_chars,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_docs,
+             CAST(max(len(string_split(lower(text), ' '))) AS BIGINT)
+               AS max_tokens,
+             CAST(min(len(string_split(lower(text), ' '))) AS BIGINT)
+               AS min_tokens
+           FROM documents),
+         v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vocab_size
+           FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+             AS w FROM documents))
+         SELECT metric, value FROM (
+           SELECT 'n_docs' AS metric, n_docs AS value FROM b
+           UNION ALL SELECT 'n_tokens', n_tokens FROM b
+           UNION ALL SELECT 'n_chars', n_chars FROM b
+           UNION ALL SELECT 'n_langs', n_langs FROM b
+           UNION ALL SELECT 'n_sources', n_sources FROM b
+           UNION ALL SELECT 'n_unique_docs', n_unique_docs FROM b
+           UNION ALL SELECT 'n_exact_dups', n_docs - n_unique_docs FROM b
+           UNION ALL SELECT 'max_tokens', max_tokens FROM b
+           UNION ALL SELECT 'min_tokens', min_tokens FROM b
+           UNION ALL SELECT 'vocab_size', vocab_size FROM v)
+         ORDER BY metric"""
 
   /** The q_quality composite score over a `(doc_id, text, t)` scope
     * (t = whitespace-split lowered tokens) — ONE definition for the
@@ -2315,36 +2349,12 @@ object SparkEntry {
          ORDER BY doc_id""",
 
     // Dataset card: long-format corpus summary, every metric an
-    // integer count/sum/distinct (no float means — order-dependent)
-    "q_dataset_card" ->
-      """WITH b AS (SELECT
-             CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
-               AS n_tokens,
-             CAST(sum(length(text)) AS BIGINT) AS n_chars,
-             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
-             CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_docs,
-             CAST(max(len(string_split(lower(text), ' '))) AS BIGINT)
-               AS max_tokens,
-             CAST(min(len(string_split(lower(text), ' '))) AS BIGINT)
-               AS min_tokens
-           FROM documents),
-         v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vocab_size
-           FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
-             AS w FROM documents))
-         SELECT metric, value FROM (
-           SELECT 'n_docs' AS metric, n_docs AS value FROM b
-           UNION ALL SELECT 'n_tokens', n_tokens FROM b
-           UNION ALL SELECT 'n_chars', n_chars FROM b
-           UNION ALL SELECT 'n_langs', n_langs FROM b
-           UNION ALL SELECT 'n_sources', n_sources FROM b
-           UNION ALL SELECT 'n_unique_docs', n_unique_docs FROM b
-           UNION ALL SELECT 'n_exact_dups', n_docs - n_unique_docs FROM b
-           UNION ALL SELECT 'max_tokens', max_tokens FROM b
-           UNION ALL SELECT 'min_tokens', min_tokens FROM b
-           UNION ALL SELECT 'vocab_size', vocab_size FROM v)
-         ORDER BY metric""",
+    // integer count/sum/distinct (no float means — order-dependent).
+    // The SAME oracle pins q_delta_card: merging per-delivery state
+    // must land on the full-rescan card bit for bit.
+    "q_dataset_card" -> DatasetCardSql,
+
+    "q_delta_card" -> DatasetCardSql,
 
     // Vocabulary coverage: all-integer basis-point coverage so the
     // table is bit-identical cross-engine; ties in count break by term

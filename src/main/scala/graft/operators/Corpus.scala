@@ -1186,6 +1186,94 @@ object Corpus {
       .orderBy(col("metric"))
   }
 
+  /** INCREMENTAL dataset-card maintenance — [[datasetCard]] computed
+    * the way a continuously-fed pipeline must: the already-ingested
+    * corpus (first 80% of ids, the [[Dedup.deltaDedup]] framing) is
+    * reduced ONCE to mergeable state — five algebraic scalars plus
+    * four per-key count tables (lang, source, text-hash, word) — and
+    * the new delivery's state MERGES into it by key-summing unions.
+    * Every distinct-count metric the card carries (n_langs,
+    * n_unique_docs, vocab_size…) is non-algebraic over raw partials,
+    * which is exactly why the state must be per-KEY counts, not
+    * counts-of-distinct: COUNT over the merged key table recovers the
+    * exact distinct count of the union. Output and oracle are
+    * IDENTICAL to q_dataset_card — merging state must land on the
+    * same card a full rescan produces, bit for bit.
+    *
+    * Scale: updating the card for a delivery costs O(delta) scan +
+    * O(state) merge — never a corpus rescan. The corpus-side key
+    * tables are the stored artifact a real pipeline keeps next to the
+    * data (the band-index pattern in [[graft.streaming.DocStream]]);
+    * persisted here to stand in for that stored table. The widest
+    * state (hash table, one row per unique doc) is columnar-narrow
+    * and key-partitioned — the merge shuffles state-sized data on the
+    * same key it is stored by. */
+  def deltaCard(spark: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val w = docs.agg(floor((max(col("doc_id")) + 1) * 0.8).cast("long").as("w"))
+    val all = docs.crossJoin(broadcast(w))
+    val corpus = all.filter(col("doc_id") < col("w"))
+    val delta = all.filter(col("doc_id") >= col("w"))
+
+    val nTok = size(toks(col("text"))).cast("long")
+    def scalars(d: DataFrame): DataFrame = d.agg(
+      count(lit(1)).as("n_docs"),
+      sum(nTok).as("n_tokens"),
+      sum(length(col("text")).cast("long")).as("n_chars"),
+      max(nTok).as("max_tokens"),
+      min(nTok).as("min_tokens"))
+    def keyCounts(d: DataFrame, k: Column): DataFrame =
+      d.groupBy(k.as("k")).agg(count(lit(1)).as("cnt"))
+    def wordCounts(d: DataFrame): DataFrame =
+      keyCounts(d.select(explode(words(col("text"))).as("wd")), col("wd"))
+
+    val corpusState: Map[String, DataFrame] = Map(
+      "lang" -> keyCounts(corpus, col("lang")),
+      "source" -> keyCounts(corpus, col("source")),
+      "hash" -> keyCounts(corpus, md5(col("text"))),
+      "word" -> wordCounts(corpus)
+    ).map { case (n, d) => n -> d.persist() }
+
+    def mergedDistinct(name: String, deltaTab: DataFrame,
+        alias: String): DataFrame =
+      corpusState(name).unionByName(deltaTab)
+        .groupBy(col("k")).agg(sum(col("cnt")).as("cnt"))
+        .agg(count(lit(1)).as(alias))
+
+    val sc = scalars(corpus).unionByName(scalars(delta))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        max(col("max_tokens")).as("max_tokens"),
+        min(col("min_tokens")).as("min_tokens"))
+    sc.crossJoin(broadcast(
+        mergedDistinct("lang", keyCounts(delta, col("lang")), "n_langs")))
+      .crossJoin(broadcast(
+        mergedDistinct("source", keyCounts(delta, col("source")), "n_sources")))
+      .crossJoin(broadcast(
+        mergedDistinct("hash", keyCounts(delta, md5(col("text"))),
+          "n_unique_docs")))
+      .crossJoin(broadcast(
+        mergedDistinct("word", wordCounts(delta), "vocab_size")))
+      .select(explode(array(
+        struct(lit("n_docs").as("metric"), col("n_docs").as("value")),
+        struct(lit("n_tokens").as("metric"), col("n_tokens").as("value")),
+        struct(lit("n_chars").as("metric"), col("n_chars").as("value")),
+        struct(lit("n_langs").as("metric"), col("n_langs").as("value")),
+        struct(lit("n_sources").as("metric"), col("n_sources").as("value")),
+        struct(lit("n_unique_docs").as("metric"),
+          col("n_unique_docs").as("value")),
+        struct(lit("n_exact_dups").as("metric"),
+          (col("n_docs") - col("n_unique_docs")).as("value")),
+        struct(lit("max_tokens").as("metric"), col("max_tokens").as("value")),
+        struct(lit("min_tokens").as("metric"), col("min_tokens").as("value")),
+        struct(lit("vocab_size").as("metric"), col("vocab_size").as("value"))
+      )).as("m"))
+      .select(col("m.metric").as("metric"), col("m.value").as("value"))
+      .orderBy(col("metric"))
+  }
+
   /** Vocabulary coverage table — the tokenizer-design probe: the top
     * `topN` word types by corpus frequency, each with its rank,
     * count, running count, and cumulative coverage of all token

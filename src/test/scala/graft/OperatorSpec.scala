@@ -1263,6 +1263,18 @@ class OperatorSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.pagerank.broadcastMaxNodes")
   }
 
+  test("incremental card merge reproduces the full-rescan dataset card exactly") {
+    val full = Corpus.datasetCard(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val merged = Corpus.deltaCard(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(merged.toSeq == full.toSeq)
+    // the metrics that make merging non-trivial must be non-degenerate:
+    // distinct counts that actually span both deliveries
+    val m = merged.toMap
+    assert(m("n_langs") > 1L && m("vocab_size") > 10L)
+  }
+
   test("fk audit detects seeded orphans (the clean-fixture zeros can't pin the mechanism)") {
     import spark.implicits._
     // 2 dangling keys (99, 99, 98) among 5 child rows — the left-join
