@@ -184,6 +184,7 @@ object SparkEntry {
     "q_ngram_novelty_bloom" -> ((s: SparkSession, d: String) =>
       Dedup.ngramNoveltyBloomCheck(s, d)),
     "q_dedup_survivors" -> (Dedup.keepBest _),
+    "q_entity_resolution" -> (Linkage.entityResolution _),
     "q_span_dedup" -> ((s: SparkSession, d: String) => Dedup.spanDedup(s, d)),
     "q_stream_neardup" -> ((s: SparkSession, d: String) =>
       graft.streaming.DocStream.nearDupViaStream(s, d)),
@@ -479,6 +480,49 @@ object SparkEntry {
            CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
          FROM labeled
          ORDER BY doc_id"""
+
+  /** Record-linkage replay: the same seeded records (dirty twins,
+    * reversed-name decoys), the same blocking key, the same
+    * levenshtein gate (threshold interpolated from
+    * [[graft.operators.Linkage.NameEditMax]]), and the same
+    * recursive-CTE transitive closure as [[DupClustersCtes]] — an
+    * LSH-style blocking miss, a gate off-by-one, or a CC mislabel all
+    * flip the hash. */
+  private val EntityResolutionSql: String =
+    s"""WITH RECURSIVE c AS (
+           SELECT c_custkey AS k, c_name AS name, c_nationkey AS nat,
+             CAST(floor(c_acctbal) AS BIGINT) AS bal
+           FROM customer),
+         recs AS (
+           SELECT k AS entity_id, name, nat, bal, 'orig' AS kind FROM c
+           UNION ALL
+           SELECT k + ${Linkage.DirtyOffset},
+             concat(substr(name, 1, 3), substr(name, 5, 100)), nat, bal, 'dirty'
+           FROM c WHERE k % 7 = 0
+           UNION ALL
+           SELECT k + ${Linkage.DecoyOffset}, reverse(name), nat, bal, 'decoy'
+           FROM c WHERE k % 13 = 0),
+         p AS (
+           SELECT a.entity_id AS ea, b.entity_id AS eb
+           FROM recs a JOIN recs b
+             ON a.nat = b.nat AND a.bal = b.bal AND a.entity_id < b.entity_id
+           WHERE levenshtein(a.name, b.name) <= ${Linkage.NameEditMax}),
+         e AS (SELECT ea AS a, eb AS b FROM p UNION SELECT eb, ea FROM p),
+         reach(a, b) AS (
+           SELECT a, b FROM e
+           UNION
+           SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+         lab AS (SELECT a AS entity_id, LEAST(a, MIN(b)) AS cluster_id
+                 FROM reach GROUP BY a),
+         labeled AS (SELECT r.entity_id, r.kind,
+                       COALESCE(l.cluster_id, r.entity_id) AS cluster_id
+                     FROM recs r LEFT JOIN lab l USING (entity_id))
+         SELECT CAST(entity_id AS BIGINT) AS entity_id, kind,
+           CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size
+         FROM labeled
+         ORDER BY entity_id"""
 
   /** Naive Bayes train-and-score replay through the per-doc argmin
     * (`pred`) — shared by q_nb_classify, its streaming twin
@@ -2419,6 +2463,12 @@ object SparkEntry {
     // recursive-CTE oracle pins the assignment — an LSH miss or a
     // spurious candidate flips a cluster id and fails the hash.
     "q_dup_clusters_lsh" -> DupClustersSql,
+
+    // Entity resolution: blocking + edit-distance gate + transitive
+    // closure, replayed end to end (seeded dirty/decoy records
+    // included) — see EntityResolutionSql's doc for what a mismatch
+    // catches.
+    "q_entity_resolution" -> EntityResolutionSql,
 
     // LSH-fed leakage screen: pair SET must equal the exact-edge
     // contamination audit (no similarity column — the signature

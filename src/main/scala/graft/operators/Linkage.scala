@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Entity resolution (record linkage): collapse multiple records that
+  * describe the same real-world entity into one canonical cluster —
+  * the structured-data sibling of document near-dup clustering, and a
+  * standard step when a training corpus's metadata joins against
+  * customer/author/source registries ingested from several systems of
+  * record (the reference's import-side story: the same schema arriving
+  * from multiple dumps; see
+  * /root/reference/src/oracledb_datapump/directives.py:340-420 remap +
+  * TABLE_EXISTS_ACTION merge semantics).
+  *
+  * Pipeline shape — the classic three stages, each with an explicit
+  * 100 TB posture:
+  *
+  *   1. BLOCKING: records shuffle once on a cheap, unperturbed
+  *      quasi-identifier (here `(nationkey, floor(acctbal))`). All
+  *      candidate comparison happens inside a block, so the pair
+  *      space is Σ block² instead of n² — the same cost argument as
+  *      MinHash banding, with block cardinality playing the band
+  *      role. A skewed block (one giant key) is the failure mode;
+  *      real deployments cap or salt oversized blocks exactly like
+  *      the domain-cap operator bounds per-domain windows.
+  *   2. MATCHING: a similarity gate evaluated ONLY within blocks —
+  *      `levenshtein(name_a, name_b) <= 2`. Edit distance is a
+  *      per-pair scalar (codegen'd `levenshtein`), never a UDF, and
+  *      never computed across blocks.
+  *   3. CLUSTERING: matched pairs are edges; [[Dedup.clustersFrom]]
+  *      (pointer-jumping connected components over graph nodes only)
+  *      produces the canonical entity id = min record id per
+  *      component. Transitive merges (A~B, B~C) land in one cluster
+  *      even when A and C never compared.
+  *
+  * The fixture's customer names are synthetic-unique, so the operator
+  * seeds its own link structure deterministically (both engines replay
+  * it bit-for-bit, keeping the DuckDB oracle exact):
+  *   - every custkey % 7 == 0 gains a DIRTY twin (id + 10'000'000)
+  *     whose name drops its 4th character — edit distance 1, same
+  *     blocking attributes → MUST link;
+  *   - every custkey % 13 == 0 gains a DECOY (id + 20'000'000) with
+  *     the name reversed — same block, edit distance far above the
+  *     gate → MUST stay a singleton. The decoys pin the gate's
+  *     negative side, so a spec can't pass on an always-link bug.
+  * The two ambient same-block near-name collisions at sf0.01 merge
+  * identically in both engines (the oracle is exact, not clean-only).
+  */
+object Linkage {
+
+  /** Max edit distance for two same-block records to be declared the
+    * same entity — interpolated into BOTH the Spark gate and the
+    * DuckDB oracle (SparkEntry.EntityResolutionSql) from this one val.
+    */
+  val NameEditMax = 2
+
+  /** Offsets that keep seeded record ids disjoint from real custkeys
+    * at any fixture scale (sf1 tops out at 150k). Shared with the
+    * oracle SQL.
+    */
+  val DirtyOffset = 10000000L
+  val DecoyOffset = 20000000L
+
+  /** Seeded record set: originals + dirty twins + decoys, with the
+    * blocking attributes (`nat`, `bal`) carried unperturbed. One
+    * narrow scan of customer, three projections, a union — no
+    * shuffle.
+    */
+  private def records(spark: SparkSession, sf: String): DataFrame = {
+    val c = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey").cast("long").as("k"),
+        col("c_name").as("name"),
+        col("c_nationkey").cast("long").as("nat"),
+        floor(col("c_acctbal")).cast("long").as("bal"))
+    val orig = c.select(col("k").as("entity_id"), col("name"),
+      col("nat"), col("bal"), lit("orig").as("kind"))
+    val dirty = c.filter(col("k") % 7 === 0)
+      .select((col("k") + DirtyOffset).as("entity_id"),
+        concat(substring(col("name"), 1, 3), substring(col("name"), 5, 100))
+          .as("name"),
+        col("nat"), col("bal"), lit("dirty").as("kind"))
+    val decoy = c.filter(col("k") % 13 === 0)
+      .select((col("k") + DecoyOffset).as("entity_id"),
+        reverse(col("name")).as("name"),
+        col("nat"), col("bal"), lit("decoy").as("kind"))
+    orig.unionByName(dirty).unionByName(decoy)
+  }
+
+  /** Blocked candidate pairs that pass the edit-distance gate,
+    * normalized to `entity_id`-ordered (a < b) edges. The join key is
+    * the blocking key, so this is one equality shuffle; the
+    * levenshtein gate runs inside the join's codegen stage on
+    * within-block pairs only.
+    */
+  private def matchedPairs(recs: DataFrame): DataFrame = {
+    val a = recs.select(col("entity_id").as("doc_a"), col("name").as("name_a"),
+      col("nat"), col("bal"))
+    val b = recs.select(col("entity_id").as("doc_b"), col("name").as("name_b"),
+      col("nat"), col("bal"))
+    a.join(b, Seq("nat", "bal"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(levenshtein(col("name_a"), col("name_b")) <= NameEditMax)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** q_entity_resolution: every record labeled with its resolved
+    * entity cluster (canonical id = min member id), cluster size, and
+    * its seeded kind for auditability. Total order on entity_id.
+    */
+  def entityResolution(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // three consumers (both pair-join sides via matchedPairs, the CC
+    // node set, and the final kind re-join) — persist or the customer
+    // scan + seeding re-runs per consumer
+    val recs = records(spark, sf).persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = matchedPairs(recs)
+    val nodes = recs.select(col("entity_id").as("doc_id"))
+    val clusters = Dedup.clustersFrom(nodes, pairs)
+    clusters
+      .join(recs.select(col("entity_id").as("doc_id"), col("kind")), Seq("doc_id"))
+      .select(col("doc_id").as("entity_id"), col("kind"),
+        col("cluster_id").cast("long").as("cluster_id"),
+        col("cluster_size").cast("long").as("cluster_size"))
+      .orderBy(col("entity_id"))
+  }
+}

@@ -1465,4 +1465,35 @@ class OperatorSpec extends AnyFunSuite {
       assert(r.getLong(3) == 1L && r.getLong(4) == 1L, s"${r.getString(0)} flags")
     }
   }
+
+  test("entity resolution: dirty twins link to their originals, decoys stay singletons") {
+    val rows = Linkage.entityResolution(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val nCust = Tables.load(spark, sf, "customer").count()
+    // seeded record census: every original, one dirty twin per k%7==0,
+    // one decoy per k%13==0
+    val byKind = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val cust = Tables.load(spark, sf, "customer")
+    assert(byKind("orig") == nCust)
+    assert(byKind("dirty") == cust.filter(col("c_custkey") % 7 === 0).count())
+    assert(byKind("decoy") == cust.filter(col("c_custkey") % 13 === 0).count())
+    val cluster = rows.map(r => r._1 -> r._3).toMap
+    // RECALL side: every dirty twin resolves into the SAME cluster as
+    // the original it was derived from (edit distance 1, same block)
+    rows.filter(_._2 == "dirty").foreach { case (id, _, cid, size) =>
+      assert(cid == cluster(id - Linkage.DirtyOffset),
+        s"dirty $id not linked to its original")
+      assert(size >= 2L, s"dirty $id cluster size $size")
+    }
+    // PRECISION side: every reversed-name decoy shares a block with its
+    // original but fails the levenshtein gate — must stay a singleton
+    // labeled by its own id (pins the gate against an always-link bug)
+    rows.filter(_._2 == "decoy").foreach { case (id, _, cid, size) =>
+      assert(cid == id && size == 1L, s"decoy $id merged (cid=$cid sz=$size)")
+    }
+    // cluster_size is the census of cluster_id
+    val census = rows.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (id, _, cid, size) =>
+      assert(size == census(cid), s"record $id size") }
+  }
 }
