@@ -120,6 +120,7 @@ object SparkEntry {
     "q_nb_classify" -> (Text.nbClassify _),
     "q_nb_confusion" -> (Text.nbConfusion _),
     "q_nb_eval" -> (Text.nbEval _),
+    "q_nb_reliability" -> (Text.nbReliability _),
     "q_stream_nb_classify" -> ((s: SparkSession, d: String) =>
       graft.streaming.DocStream.nbClassifyViaStream(s, d)),
     "q_outliers" -> (Events.outliers _),
@@ -524,18 +525,21 @@ object SparkEntry {
          FROM labeled
          ORDER BY entity_id"""
 
-  /** Naive Bayes train-and-score replay through the per-doc argmin
-    * (`pred`) — shared by q_nb_classify, its streaming twin
-    * q_stream_nb_classify, and the two eval views q_nb_confusion /
-    * q_nb_eval: one trained-model replay, four oracles. */
-  private val NbPredCtes: String =
-    """WITH docs AS (
+  /** Naive Bayes trained-model replay up to the per-(doc, class) bit
+    * grid (`scored`) — the shared prefix of the argmin oracles
+    * ([[NbPredCtes]]) and the margin-calibration oracle
+    * (q_nb_reliability): one model, six oracles, zero drift. */
+  private val NbScoredCtes: String =
+    s"""WITH docs AS (
            SELECT doc_id, source,
              regexp_extract_all(lower(text), '[a-z]+') AS t
            FROM documents),
-         train AS (SELECT * FROM docs WHERE doc_id % 5 != 0),
+         train AS (SELECT * FROM docs
+                   WHERE (doc_id // ${Text.NbSplitBlock})
+                     % ${Text.NbSplitMod} != 0),
          test AS (SELECT doc_id, source AS true_source, t FROM docs
-                  WHERE doc_id % 5 = 0),
+                  WHERE (doc_id // ${Text.NbSplitBlock})
+                    % ${Text.NbSplitMod} = 0),
          tt AS (SELECT source, unnest(t) AS w FROM train),
          counts AS (SELECT source, w, COUNT(*) AS cnt FROM tt GROUP BY 1, 2),
          ctok AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS class_tokens
@@ -563,7 +567,13 @@ object SparkEntry {
          scored AS (
            SELECT doc_id, true_source, cls,
              prior_bits + COALESCE(token_bits, 0) AS bits
-           FROM grid LEFT JOIN tb USING (doc_id, cls)),
+           FROM grid LEFT JOIN tb USING (doc_id, cls))"""
+
+  /** The per-doc argmin (`pred`) over the shared bit grid — shared by
+    * q_nb_classify, its streaming twin q_stream_nb_classify, and the
+    * two eval views q_nb_confusion / q_nb_eval. */
+  private val NbPredCtes: String =
+    s"""$NbScoredCtes,
          pred AS (
            SELECT doc_id, true_source, cls AS pred_source,
              CAST(bits AS BIGINT) AS total_bits,
@@ -2903,6 +2913,30 @@ object SparkEntry {
              ELSE 0 END AS BIGINT) AS f1_bp
          FROM m ORDER BY cls""",
 
+    // Calibration deciles off the SAME scored bit grid: margin =
+    // runner-up bits − winning bits (integers), NTILE(10) over the
+    // total (margin DESC, doc_id) order, per-decile accuracy in
+    // integer basis points.
+    "q_nb_reliability" ->
+      s"""$NbScoredCtes,
+         ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                      ORDER BY bits, cls) AS rk FROM scored),
+         m AS (SELECT w.doc_id,
+                 CAST(w.cls = w.true_source AS BIGINT) AS is_correct,
+                 CAST(r.bits - w.bits AS BIGINT) AS margin
+               FROM (SELECT * FROM ranked WHERE rk = 1) w
+               JOIN (SELECT doc_id, bits FROM ranked WHERE rk = 2) r
+                 USING (doc_id)),
+         tiles AS (SELECT *, NTILE(10) OVER (ORDER BY margin DESC, doc_id)
+                     AS tile FROM m)
+         SELECT CAST(tile AS BIGINT) AS tile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(is_correct) AS BIGINT) AS n_correct,
+           CAST((SUM(is_correct) * 10000) // COUNT(*) AS BIGINT)
+             AS accuracy_bp,
+           CAST(MIN(margin) AS BIGINT) AS min_margin,
+           CAST(MAX(margin) AS BIGINT) AS max_margin
+         FROM tiles GROUP BY tile ORDER BY tile""",
 
     // Prototypicality (Sorscher et al. data-pruning metric): cosine of
     // every vector against its class's raw SUM vector (cosine is

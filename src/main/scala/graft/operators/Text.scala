@@ -201,9 +201,14 @@ object Text {
     * same no-float-log trick as [[surprisal]], so DuckDB replays the
     * trained model bit-for-bit.
     *
-    * Honest evaluation: train on doc_id % 5 != 0, classify the
-    * held-out 20% — the deterministic split shape of
-    * `Corpus.splitAssign`, keyed on the stable id, not on a seed.
+    * Honest evaluation: a BLOCK-STRATIFIED 20% holdout —
+    * `(doc_id div 20) % 5 == 0` — deterministic and seedless like
+    * `Corpus.splitAssign`, but keyed on the id's block, not its
+    * residue: the fixture's `source` is a pure function of
+    * `doc_id % 20`, so a plain `doc_id % 5` split would hold out four
+    * ENTIRE classes the model never trains on (measured: accuracy
+    * identically 0). Blocks of 20 consecutive ids contain every
+    * source exactly once, so train and test both cover all classes.
     *
     * Scale shape: the model (classes × vocab counts) is vocabulary-
     * sized — millions of rows at web scale, broadcastable — while the
@@ -267,6 +272,79 @@ object Text {
       .orderBy(col("cls"))
   }
 
+  /** Calibration / reliability table for the NB classifier: held-out
+    * docs ranked by the model's own CONFIDENCE — the MDL margin,
+    * runner-up bits minus winning bits (0 = coin flip, large = the
+    * winning class compresses the doc far better) — then cut into 10
+    * equal-count confidence deciles, with per-decile accuracy in
+    * integer basis points. The report answering "can I trust the
+    * score as a gate threshold?": a calibrated classifier shows
+    * accuracy monotone in margin, and the decile where accuracy
+    * collapses is the routing-confidence cutoff a curation pass
+    * should use. Margin is an integer (difference of two exact bit
+    * costs), so the whole table replays bit-for-bit in SQL.
+    *
+    * On the synthetic fixture the corpus is near-signal-free word
+    * soup, and the table says exactly that: margins sit at 0-8 bits
+    * (coin-flip territory) and accuracy hugs the random baseline in
+    * every decile — the "do NOT gate on this model" verdict, which is
+    * the honest calibration read. The operator's value is the exact
+    * replayable mechanism; a real corpus supplies the signal.
+    *
+    * Scale shape: scoring is the same one-pass grid as [[nbClassify]];
+    * the margin reduction is a per-doc aggregate over ≤|classes| rows
+    * (sorted two-smallest, collect bounded by class count). The
+    * NTILE over a global total order is the exact verification form —
+    * at 100 TB the decile edges come from one approx-quantile pass
+    * over margins (the q_equidepth / GK-sketch cut) and the binning
+    * becomes a stateless map against broadcast edges. */
+  def nbReliability(spark: SparkSession, sf: String): DataFrame = {
+    val grid = nbBitsGridHoldout(spark, sf)
+    val perDoc = grid
+      .groupBy(col("doc_id"), col("true_source"))
+      .agg(sort_array(collect_list(struct(col("bits"), col("cls"))))
+        .as("ranked"))
+      .select(col("doc_id"),
+        (col("ranked")(0).getField("cls") === col("true_source"))
+          .cast("long").as("is_correct"),
+        (col("ranked")(1).getField("bits") - col("ranked")(0).getField("bits"))
+          .as("margin"))
+    val byConfidence = org.apache.spark.sql.expressions.Window
+      .orderBy(col("margin").desc, col("doc_id"))
+    perDoc
+      .withColumn("tile", ntile(10).over(byConfidence).cast("long"))
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("is_correct")).as("n_correct"),
+        min(col("margin")).as("min_margin"),
+        max(col("margin")).as("max_margin"))
+      .select(col("tile"), col("n"), col("n_correct"),
+        expr("(n_correct * 10000) div n").as("accuracy_bp"),
+        col("min_margin"), col("max_margin"))
+      .orderBy(col("tile"))
+  }
+
+  /** Block-stratified split shared by trainer, both scoring twins,
+    * the streaming twin, and the oracle SQL (interpolated into
+    * SparkEntry.NbScoredCtes from these vals): ids are cut into
+    * blocks of [[NbSplitBlock]] consecutive ids — one per fixture
+    * source, so every class appears on both sides of the split — and
+    * one block in [[NbSplitMod]] is held out. */
+  private[graft] val NbSplitBlock = 20
+  private[graft] val NbSplitMod = 5
+  private[graft] val NbHoldoutExpr =
+    s"(doc_id div $NbSplitBlock) % $NbSplitMod = 0"
+  private[graft] val NbTrainExpr =
+    s"(doc_id div $NbSplitBlock) % $NbSplitMod != 0"
+
+  /** Holdout bits grid with the same frozen-model persistence as
+    * [[nbHoldoutScored]]. */
+  private def nbBitsGridHoldout(spark: SparkSession, sf: String): DataFrame = {
+    val (classes, counts) = nbModel(spark, sf)
+    nbBitsGrid(nbTokenized(Tables.load(spark, sf, "documents"))
+      .filter(expr(NbHoldoutExpr)), classes.persist(), counts.persist())
+  }
+
   /** The scored holdout both eval views aggregate — exactly
     * [[nbClassify]] without the final sort. The model frames are
     * persisted (the "frozen artifact" contract the streaming twin
@@ -276,7 +354,7 @@ object Text {
   private def nbHoldoutScored(spark: SparkSession, sf: String): DataFrame = {
     val (classes, counts) = nbModel(spark, sf)
     nbScore(nbTokenized(Tables.load(spark, sf, "documents"))
-      .filter(expr("doc_id % 5 = 0")), classes.persist(), counts.persist())
+      .filter(expr(NbHoldoutExpr)), classes.persist(), counts.persist())
   }
 
   /** Tokenized projection shared by the trainer and both scoring
@@ -292,7 +370,7 @@ object Text {
   private[graft] def nbModel(spark: SparkSession,
       sf: String): (DataFrame, DataFrame) = {
     val train = nbTokenized(Tables.load(spark, sf, "documents"))
-      .filter(expr("doc_id % 5 != 0"))
+      .filter(expr(NbTrainExpr))
     val trainTok = train.select(col("source"), explode(col("t")).as("w"))
     val counts = trainTok.groupBy(col("source"), col("w"))
       .agg(count(lit(1)).as("cnt"))
@@ -312,13 +390,12 @@ object Text {
     (classes, counts.withColumnRenamed("source", "cls"))
   }
 
-  /** Score a (doc_id, source, t)-shaped frame against a trained model
-    * — every token of every doc against every class (the grid join is
-    * a broadcast of the class list; the likelihood join keys on
-    * (cls, w)), argmin of total bits with ties to the smaller class
-    * name. Unsorted: callers order (the streaming twin scores
-    * per-delivery and sorts once at the end). */
-  private[graft] def nbScore(test: DataFrame, classes: DataFrame,
+  /** Per-(doc, class) total MDL bits against a trained model — every
+    * token of every doc against every class (the grid join is a
+    * broadcast of the class list; the likelihood join keys on
+    * (cls, w)). The scoring surface [[nbScore]]'s argmin and
+    * [[nbReliability]]'s margin both aggregate. */
+  private[graft] def nbBitsGrid(test: DataFrame, classes: DataFrame,
       counts: DataFrame): DataFrame = {
     val tokenBits = test.select(col("doc_id"), explode(col("t")).as("w"))
       .crossJoin(broadcast(classes))
@@ -335,13 +412,20 @@ object Text {
       .select(col("doc_id"), col("true_source"), col("cls"),
         (col("prior_bits") + coalesce(col("token_bits"), lit(0L)))
           .as("bits"))
+  }
+
+  /** Argmin of total bits with ties to the smaller class name.
+    * Unsorted: callers order (the streaming twin scores per-delivery
+    * and sorts once at the end). */
+  private[graft] def nbScore(test: DataFrame, classes: DataFrame,
+      counts: DataFrame): DataFrame =
+    nbBitsGrid(test, classes, counts)
       .groupBy(col("doc_id"), col("true_source"))
       .agg(min(struct(col("bits"), col("cls"))).as("best"))
       .select(col("doc_id"), col("true_source"),
         col("best.cls").as("pred_source"),
         col("best.bits").as("total_bits"),
         (col("best.cls") === col("true_source")).cast("long").as("is_correct"))
-  }
 
   /** Nested-object decode — the `object_loads` analog (util.py:40-57):
     * structured extraction from the JSON props payload via JSON-path. */

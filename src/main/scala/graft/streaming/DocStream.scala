@@ -172,10 +172,13 @@ object DocStream {
     classes.persist(); counts.persist()
 
     val docs = Tables.load(spark, sf, "documents")
-    val held = docs.filter(expr("doc_id % 5 = 0"))
+    val held = docs.filter(expr(Text.NbHoldoutExpr))
+    // the two deliveries must PARTITION the holdout (their union is
+    // what the shared NbClassifySql oracle scores); parity does that
+    // for any holdout shape
     DeliveryHarness.runTwoDeliveries(spark, root,
-      held.filter(expr("doc_id % 10 = 0")),
-      held.filter(expr("doc_id % 10 = 5")), docs.schema,
+      held.filter(expr("doc_id % 2 = 0")),
+      held.filter(expr("doc_id % 2 = 1")), docs.schema,
       { (batch: DataFrame, batchId: Long) =>
         // batchId-keyed overwrite: a retried delivery re-writes its
         // own subdir (idempotent), same contract as nearDupViaStream

@@ -206,9 +206,16 @@ class OperatorSpec extends AnyFunSuite {
 
   test("nb classifier scores every held-out doc once, from the trained class set") {
     val docs = Tables.load(spark, sf, "documents")
-    val heldOut = docs.filter(expr("doc_id % 5 = 0")).count()
-    val trainClasses = docs.filter(expr("doc_id % 5 != 0"))
+    val heldOut = docs.filter(expr(Text.NbHoldoutExpr)).count()
+    val trainClasses = docs.filter(expr(Text.NbTrainExpr))
       .select(col("source")).distinct().collect().map(_.getString(0)).toSet
+    // the split is block-stratified precisely so the model TRAINS on
+    // every class it will be tested on — the failure mode the old
+    // doc_id%5 split had (4 of 20 classes never trained, accuracy 0)
+    val testClasses = docs.filter(expr(Text.NbHoldoutExpr))
+      .select(col("source")).distinct().collect().map(_.getString(0)).toSet
+    assert(testClasses.subsetOf(trainClasses),
+      s"holdout classes missing from training: ${testClasses -- trainClasses}")
     val out = Text.nbClassify(spark, sf).collect()
     assert(out.length == heldOut)
     assert(out.map(_.getLong(0)).distinct.length == out.length)
