@@ -186,6 +186,8 @@ object SparkEntry {
       Dedup.ngramNoveltyBloomCheck(s, d)),
     "q_dedup_survivors" -> (Dedup.keepBest _),
     "q_entity_resolution" -> (Linkage.entityResolution _),
+    "q_stream_entity_resolution" -> ((s: SparkSession, d: String) =>
+      graft.streaming.LinkStream.entityResolutionViaStream(s, d)),
     "q_span_dedup" -> ((s: SparkSession, d: String) => Dedup.spanDedup(s, d)),
     "q_stream_neardup" -> ((s: SparkSession, d: String) =>
       graft.streaming.DocStream.nearDupViaStream(s, d)),
@@ -2479,6 +2481,11 @@ object SparkEntry {
     // included) — see EntityResolutionSql's doc for what a mismatch
     // catches.
     "q_entity_resolution" -> EntityResolutionSql,
+
+    // The streaming twin's incremental edge emission (within-batch +
+    // batch-vs-index) unions to the one-shot pair set, and CC is
+    // edge-order-insensitive — same oracle, row-for-row.
+    "q_stream_entity_resolution" -> EntityResolutionSql,
 
     // LSH-fed leakage screen: pair SET must equal the exact-edge
     // contamination audit (no similarity column — the signature

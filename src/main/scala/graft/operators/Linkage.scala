@@ -67,9 +67,10 @@ object Linkage {
   /** Seeded record set: originals + dirty twins + decoys, with the
     * blocking attributes (`nat`, `bal`) carried unperturbed. One
     * narrow scan of customer, three projections, a union — no
-    * shuffle.
+    * shuffle. (package-visible: the streaming twin splits this same
+    * set into its two deliveries.)
     */
-  private def records(spark: SparkSession, sf: String): DataFrame = {
+  private[graft] def records(spark: SparkSession, sf: String): DataFrame = {
     val c = Tables.load(spark, sf, "customer")
       .select(col("c_custkey").cast("long").as("k"),
         col("c_name").as("name"),
@@ -89,34 +90,34 @@ object Linkage {
     orig.unionByName(dirty).unionByName(decoy)
   }
 
-  /** Blocked candidate pairs that pass the edit-distance gate,
-    * normalized to `entity_id`-ordered (a < b) edges. The join key is
-    * the blocking key, so this is one equality shuffle; the
-    * levenshtein gate runs inside the join's codegen stage on
-    * within-block pairs only.
+  /** Blocked candidate pairs between two record frames that pass the
+    * edit-distance gate, normalized to `entity_id`-ordered (a < b)
+    * edges. The join key is the blocking key, so this is one equality
+    * shuffle; the levenshtein gate runs inside the join's codegen
+    * stage on within-block pairs only. Self-linkage
+    * (`matchedPairs(r, r)`) keeps the a < b half; cross-frame calls
+    * (the streaming twin's batch-vs-index probe) normalize with
+    * least/greatest so edge identity is frame-order-independent.
     */
-  private def matchedPairs(recs: DataFrame): DataFrame = {
-    val a = recs.select(col("entity_id").as("doc_a"), col("name").as("name_a"),
+  private[graft] def matchedPairs(left: DataFrame, right: DataFrame): DataFrame = {
+    val a = left.select(col("entity_id").as("ea"), col("name").as("name_a"),
       col("nat"), col("bal"))
-    val b = recs.select(col("entity_id").as("doc_b"), col("name").as("name_b"),
+    val b = right.select(col("entity_id").as("eb"), col("name").as("name_b"),
       col("nat"), col("bal"))
     a.join(b, Seq("nat", "bal"))
-      .filter(col("doc_a") < col("doc_b"))
+      .filter(col("ea") =!= col("eb"))
       .filter(levenshtein(col("name_a"), col("name_b")) <= NameEditMax)
-      .select(col("doc_a"), col("doc_b"))
+      .select(least(col("ea"), col("eb")).as("doc_a"),
+        greatest(col("ea"), col("eb")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .distinct()
   }
 
-  /** q_entity_resolution: every record labeled with its resolved
-    * entity cluster (canonical id = min member id), cluster size, and
-    * its seeded kind for auditability. Total order on entity_id.
+  /** Cluster assembly shared by the batch operator and the streaming
+    * twin: CC over (records, edges), canonical id = min member id,
+    * kind re-joined for auditability. Total order on entity_id.
     */
-  def entityResolution(spark: SparkSession, sf: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    // three consumers (both pair-join sides via matchedPairs, the CC
-    // node set, and the final kind re-join) — persist or the customer
-    // scan + seeding re-runs per consumer
-    val recs = records(spark, sf).persist(StorageLevel.MEMORY_AND_DISK)
-    val pairs = matchedPairs(recs)
+  private[graft] def resolve(recs: DataFrame, pairs: DataFrame): DataFrame = {
     val nodes = recs.select(col("entity_id").as("doc_id"))
     val clusters = Dedup.clustersFrom(nodes, pairs)
     clusters
@@ -125,5 +126,18 @@ object Linkage {
         col("cluster_id").cast("long").as("cluster_id"),
         col("cluster_size").cast("long").as("cluster_size"))
       .orderBy(col("entity_id"))
+  }
+
+  /** q_entity_resolution: every record labeled with its resolved
+    * entity cluster (canonical id = min member id), cluster size, and
+    * its seeded kind for auditability.
+    */
+  def entityResolution(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // four consumers (both pair-join sides, the CC node set, and the
+    // final kind re-join) — persist or the customer scan + seeding
+    // re-runs per consumer
+    val recs = records(spark, sf).persist(StorageLevel.MEMORY_AND_DISK)
+    resolve(recs, matchedPairs(recs, recs))
   }
 }

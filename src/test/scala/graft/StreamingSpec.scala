@@ -271,6 +271,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exists(_._2 != "new"))
   }
 
+  test("streaming entity resolution equals the batch linkage row-for-row") {
+    // registry delivery then dirty-feed delivery, edges emitted
+    // incrementally (within-batch + batch-vs-index), one terminal CC —
+    // must land on exactly the batch twin's cluster assignment
+    val streamed = graft.streaming.LinkStream
+      .entityResolutionViaStream(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val batch = graft.operators.Linkage.entityResolution(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // the link structure must actually cross deliveries: some dirty
+    // record clusters with its delivery-0 original
+    assert(streamed.exists(r => r._2 == "dirty" && r._4 >= 2L))
+  }
+
   test("streaming heavy hitters equal the batch Misra-Gries survivors row-for-row") {
     val stream = graft.streaming.DocStream.heavyHittersViaStream(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
