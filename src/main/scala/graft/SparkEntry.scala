@@ -500,11 +500,12 @@ object SparkEntry {
            SELECT k AS entity_id, name, nat, bal, 'orig' AS kind FROM c
            UNION ALL
            SELECT k + ${Linkage.DirtyOffset},
-             concat(substr(name, 1, 3), substr(name, 5, 100)), nat, bal, 'dirty'
-           FROM c WHERE k % 7 = 0
+             ${Linkage.DirtyNameSql}, nat, bal, 'dirty'
+           FROM c WHERE k % ${Linkage.DirtyMod} = 0
            UNION ALL
-           SELECT k + ${Linkage.DecoyOffset}, reverse(name), nat, bal, 'decoy'
-           FROM c WHERE k % 13 = 0),
+           SELECT k + ${Linkage.DecoyOffset},
+             ${Linkage.DecoyNameSql}, nat, bal, 'decoy'
+           FROM c WHERE k % ${Linkage.DecoyMod} = 0),
          p AS (
            SELECT a.entity_id AS ea, b.entity_id AS eb
            FROM recs a JOIN recs b

@@ -1212,7 +1212,10 @@ object Corpus {
     val docs = Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
     val w = docs.agg(floor((max(col("doc_id")) + 1) * 0.8).cast("long").as("w"))
-    val all = docs.crossJoin(broadcast(w))
+    // ten aggregation branches consume the cutoff-tagged scan (two
+    // scalar reductions + eight key tables) — without the pin each
+    // branch re-runs the parquet scan AND the max(doc_id) cutoff agg
+    val all = docs.crossJoin(broadcast(w)).persist()
     val corpus = all.filter(col("doc_id") < col("w"))
     val delta = all.filter(col("doc_id") >= col("w"))
 
@@ -1223,8 +1226,13 @@ object Corpus {
       sum(length(col("text")).cast("long")).as("n_chars"),
       max(nTok).as("max_tokens"),
       min(nTok).as("min_tokens"))
+    // NULL keys are dropped to match countDistinct / the oracle's
+    // count(DISTINCT ...) semantics — a merged key table that kept
+    // NULL as a countable key would read one high on every distinct
+    // metric the moment a table carries a null
     def keyCounts(d: DataFrame, k: Column): DataFrame =
-      d.groupBy(k.as("k")).agg(count(lit(1)).as("cnt"))
+      d.select(k.as("k")).filter(col("k").isNotNull)
+        .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
     def wordCounts(d: DataFrame): DataFrame =
       keyCounts(d.select(explode(words(col("text"))).as("wd")), col("wd"))
 

@@ -64,6 +64,18 @@ object Linkage {
   val DirtyOffset = 10000000L
   val DecoyOffset = 20000000L
 
+  /** Seeding rates and name perturbations, shared with the oracle SQL
+    * and the spec as single sources (the pageRankOracle pattern): the
+    * dirty twin drops the name's 4th character (edit distance 1 —
+    * must pass the gate), the decoy reverses it (far past the gate —
+    * must stay a singleton). Both expressions are parseable by Spark
+    * (`expr`) and DuckDB verbatim.
+    */
+  val DirtyMod = 7
+  val DecoyMod = 13
+  val DirtyNameSql = "concat(substr(name, 1, 3), substr(name, 5, 100))"
+  val DecoyNameSql = "reverse(name)"
+
   /** Seeded record set: originals + dirty twins + decoys, with the
     * blocking attributes (`nat`, `bal`) carried unperturbed. One
     * narrow scan of customer, three projections, a union — no
@@ -78,14 +90,13 @@ object Linkage {
         floor(col("c_acctbal")).cast("long").as("bal"))
     val orig = c.select(col("k").as("entity_id"), col("name"),
       col("nat"), col("bal"), lit("orig").as("kind"))
-    val dirty = c.filter(col("k") % 7 === 0)
+    val dirty = c.filter(col("k") % DirtyMod === 0)
       .select((col("k") + DirtyOffset).as("entity_id"),
-        concat(substring(col("name"), 1, 3), substring(col("name"), 5, 100))
-          .as("name"),
+        expr(DirtyNameSql).as("name"),
         col("nat"), col("bal"), lit("dirty").as("kind"))
-    val decoy = c.filter(col("k") % 13 === 0)
+    val decoy = c.filter(col("k") % DecoyMod === 0)
       .select((col("k") + DecoyOffset).as("entity_id"),
-        reverse(col("name")).as("name"),
+        expr(DecoyNameSql).as("name"),
         col("nat"), col("bal"), lit("decoy").as("kind"))
     orig.unionByName(dirty).unionByName(decoy)
   }
@@ -109,7 +120,6 @@ object Linkage {
       .filter(levenshtein(col("name_a"), col("name_b")) <= NameEditMax)
       .select(least(col("ea"), col("eb")).as("doc_a"),
         greatest(col("ea"), col("eb")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
       .distinct()
   }
 

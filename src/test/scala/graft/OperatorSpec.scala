@@ -1482,8 +1482,10 @@ class OperatorSpec extends AnyFunSuite {
     val byKind = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
     val cust = Tables.load(spark, sf, "customer")
     assert(byKind("orig") == nCust)
-    assert(byKind("dirty") == cust.filter(col("c_custkey") % 7 === 0).count())
-    assert(byKind("decoy") == cust.filter(col("c_custkey") % 13 === 0).count())
+    assert(byKind("dirty") ==
+      cust.filter(col("c_custkey") % Linkage.DirtyMod === 0).count())
+    assert(byKind("decoy") ==
+      cust.filter(col("c_custkey") % Linkage.DecoyMod === 0).count())
     val cluster = rows.map(r => r._1 -> r._3).toMap
     // RECALL side: every dirty twin resolves into the SAME cluster as
     // the original it was derived from (edit distance 1, same block)
