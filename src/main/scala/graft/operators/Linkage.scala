@@ -101,6 +101,19 @@ object Linkage {
     orig.unionByName(dirty).unionByName(decoy)
   }
 
+  /** Conf key for the block-skew guard: blocks whose accumulated
+    * record count exceeds this cap are PURGED from matching entirely
+    * (their records stay singletons) — the Hernández/Stolfo big-block
+    * purge. 0 (the default) disables the guard; the DuckDB oracle
+    * replays the uncapped form. This is the mechanism behind the
+    * SCALING.md claim: one degenerate blocking key (every record
+    * sharing a placeholder phone/balance) re-creates the n² kernel,
+    * and purging it bounds per-block pair work at cap² while touching
+    * nothing else — the oversized-key set is skew-small by
+    * definition, so it rides a broadcast anti-join.
+    */
+  val MaxBlockConf = "spark.graft.linkage.maxBlock"
+
   /** Blocked candidate pairs between two record frames that pass the
     * edit-distance gate, normalized to `entity_id`-ordered (a < b)
     * edges. The join key is the blocking key, so this is one equality
@@ -111,9 +124,23 @@ object Linkage {
     * least/greatest so edge identity is frame-order-independent.
     */
   private[graft] def matchedPairs(left: DataFrame, right: DataFrame): DataFrame = {
-    val a = left.select(col("entity_id").as("ea"), col("name").as("name_a"),
+    val cap = left.sparkSession.conf.get(MaxBlockConf, "0").toInt
+    val (lg, rg) = if (cap <= 0) (left, right) else {
+      // block census over the DISTINCT union of both sides (self-
+      // linkage passes the same frame twice); only the oversized
+      // keys — few, by the definition of skew — leave the aggregation
+      val over = left.select(col("entity_id"), col("nat"), col("bal"))
+        .unionByName(right.select(col("entity_id"), col("nat"), col("bal")))
+        .distinct()
+        .groupBy(col("nat"), col("bal")).agg(count(lit(1)).as("block_n"))
+        .filter(col("block_n") > cap)
+        .select(col("nat"), col("bal"))
+      (left.join(broadcast(over), Seq("nat", "bal"), "left_anti"),
+        right.join(broadcast(over), Seq("nat", "bal"), "left_anti"))
+    }
+    val a = lg.select(col("entity_id").as("ea"), col("name").as("name_a"),
       col("nat"), col("bal"))
-    val b = right.select(col("entity_id").as("eb"), col("name").as("name_b"),
+    val b = rg.select(col("entity_id").as("eb"), col("name").as("name_b"),
       col("nat"), col("bal"))
     a.join(b, Seq("nat", "bal"))
       .filter(col("ea") =!= col("eb"))

@@ -1505,4 +1505,33 @@ class OperatorSpec extends AnyFunSuite {
     rows.foreach { case (id, _, cid, size) =>
       assert(size == census(cid), s"record $id size") }
   }
+
+  test("linkage block-skew guard: oversized blocks purge cleanly, generous cap is a no-op") {
+    val uncapped = Linkage.entityResolution(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    def withCap[A](cap: Int)(f: => A): A =
+      try { spark.conf.set(Linkage.MaxBlockConf, cap.toString); f }
+      finally spark.conf.unset(Linkage.MaxBlockConf)
+    // a cap no block reaches must not change a single assignment
+    val generous = withCap(1000)(Linkage.entityResolution(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq)
+    assert(generous == uncapped)
+    // cap=1 purges every multi-record block: no edges survive, every
+    // record is its own singleton cluster
+    val purgedAll = withCap(1)(Linkage.entityResolution(spark, sf).collect())
+    purgedAll.foreach { r =>
+      assert(r.getLong(2) == r.getLong(0) && r.getLong(3) == 1L,
+        s"record ${r.getLong(0)} linked under cap=1") }
+    assert(purgedAll.length == uncapped.length) // purge drops edges, never records
+    // cap=2: links may only survive inside blocks of total size <= 2
+    val blockSize = Linkage.records(spark, sf).collect()
+      .groupBy(r => (r.getLong(2), r.getLong(3)))
+      .map { case (k, v) => k -> v.length }
+    val byId = Linkage.records(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val capped2 = withCap(2)(Linkage.entityResolution(spark, sf).collect())
+    capped2.filter(_.getLong(3) >= 2L).foreach { r =>
+      assert(blockSize(byId(r.getLong(0))) <= 2,
+        s"record ${r.getLong(0)} linked from an oversized block under cap=2") }
+  }
 }
