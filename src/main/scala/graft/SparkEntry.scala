@@ -121,6 +121,7 @@ object SparkEntry {
     "q_nb_confusion" -> (Text.nbConfusion _),
     "q_nb_eval" -> (Text.nbEval _),
     "q_nb_reliability" -> (Text.nbReliability _),
+    "q_learning_curve" -> (Text.nbLearningCurve _),
     "q_stream_nb_classify" -> ((s: SparkSession, d: String) =>
       graft.streaming.DocStream.nbClassifyViaStream(s, d)),
     "q_outliers" -> (Events.outliers _),
@@ -2945,6 +2946,76 @@ object SparkEntry {
            CAST(MIN(margin) AS BIGINT) AS min_margin,
            CAST(MAX(margin) AS BIGINT) AS max_margin
          FROM tiles GROUP BY tile ORDER BY tile""",
+
+    // Learning curve: the same trainer fit on nested 25/50/75/100%
+    // block-tag prefixes of the train split (fraction as a dimension —
+    // cumulative (k, cls, w) counts — not a retrain loop), each model
+    // scored on the same holdout; all-integer so the curve replays
+    // exactly.
+    "q_learning_curve" ->
+      s"""WITH docs AS (
+           SELECT doc_id, source,
+             regexp_extract_all(lower(text), '[a-z]+') AS t
+           FROM documents),
+         train AS (SELECT *, (doc_id // ${Text.NbSplitBlock}) % 4 AS f
+                   FROM docs
+                   WHERE (doc_id // ${Text.NbSplitBlock})
+                     % ${Text.NbSplitMod} != 0),
+         test AS (SELECT doc_id, source AS true_source, t FROM docs
+                  WHERE (doc_id // ${Text.NbSplitBlock})
+                    % ${Text.NbSplitMod} = 0),
+         ks AS (SELECT unnest(generate_series(1, 4)) AS k),
+         tt AS (SELECT f, source AS cls, unnest(t) AS w FROM train),
+         cntf AS (SELECT f, cls, w, COUNT(*) AS cnt FROM tt GROUP BY 1, 2, 3),
+         cntk AS (SELECT k, cls, w, SUM(cnt) AS cnt
+                  FROM cntf JOIN ks ON f < k GROUP BY 1, 2, 3),
+         ctok AS (SELECT k, cls, CAST(SUM(cnt) AS BIGINT) AS class_tokens
+                  FROM cntk GROUP BY 1, 2),
+         voc AS (SELECT k, CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+                 FROM cntk GROUP BY 1),
+         cd AS (SELECT k, source AS cls, SUM(nd) AS class_docs
+                FROM (SELECT f, source, COUNT(*) AS nd FROM train
+                      GROUP BY 1, 2) d
+                JOIN ks ON f < k GROUP BY 1, 2),
+         tot AS (SELECT k, SUM(class_docs) AS total_docs FROM cd GROUP BY 1),
+         classes AS (
+           SELECT ctok.k, ctok.cls, class_tokens,
+             CAST(length(bin(total_docs // class_docs)) AS BIGINT)
+               AS prior_bits, v
+           FROM ctok JOIN cd USING (k, cls) JOIN voc USING (k)
+           JOIN tot USING (k)),
+         tok AS (SELECT doc_id, unnest(t) AS w FROM test),
+         tb AS (
+           SELECT doc_id, classes.k AS k, classes.cls AS cls,
+             CAST(SUM(length(bin(
+               (class_tokens + v) // (COALESCE(cnt, 0) + 1)))) AS BIGINT)
+               AS token_bits
+           FROM tok CROSS JOIN classes
+           LEFT JOIN cntk ON cntk.k = classes.k
+             AND cntk.cls = classes.cls AND cntk.w = tok.w
+           GROUP BY 1, 2, 3),
+         grid AS (SELECT doc_id, true_source, k, cls, prior_bits
+                  FROM test CROSS JOIN classes),
+         scored AS (
+           SELECT doc_id, true_source, k, cls,
+             prior_bits + COALESCE(token_bits, 0) AS bits
+           FROM grid LEFT JOIN tb USING (doc_id, k, cls)),
+         pred AS (
+           SELECT k, CAST(cls = true_source AS BIGINT) AS is_correct
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, k
+                   ORDER BY bits, cls) AS rk FROM scored)
+           WHERE rk = 1),
+         acc AS (SELECT k, COUNT(*) AS n_test, SUM(is_correct) AS n_correct
+                 FROM pred GROUP BY 1),
+         ttok AS (SELECT k, CAST(SUM(class_tokens) AS BIGINT) AS train_tokens
+                  FROM ctok GROUP BY 1)
+         SELECT CAST(k * 25 AS BIGINT) AS frac_pct,
+           CAST(total_docs AS BIGINT) AS train_docs, train_tokens,
+           v AS vocab_size, CAST(n_test AS BIGINT) AS n_test,
+           CAST(n_correct AS BIGINT) AS n_correct,
+           CAST((n_correct * 10000) // n_test AS BIGINT) AS accuracy_bp
+         FROM acc JOIN tot USING (k) JOIN ttok USING (k) JOIN voc USING (k)
+         ORDER BY frac_pct""",
 
     // Prototypicality (Sorscher et al. data-pruning metric): cosine of
     // every vector against its class's raw SUM vector (cosine is

@@ -337,6 +337,102 @@ object Text {
   private[graft] val NbTrainExpr =
     s"(doc_id div $NbSplitBlock) % $NbSplitMod != 0"
 
+  /** Data-scaling LEARNING CURVE for the NB router: the same
+    * closed-form trainer fit on nested 25/50/75/100% prefixes of the
+    * training split, each model scored on the SAME holdout — the
+    * report behind "do we need more data, or a better model?": a
+    * still-climbing curve says collect, a flat one says the router is
+    * capacity- (or signal-) limited, the call that sizes a 100 TB
+    * ingestion campaign. Fractions nest by block tag
+    * (`(doc_id div block) % 4` is exactly uniform over the train
+    * blocks, 4 of each residue per 20-block cycle), so model k trains
+    * on tags < k and the curve is monotone in DATA, not re-rolled
+    * samples.
+    *
+    * Plan shape — fraction as a DIMENSION, not a loop: token counts
+    * aggregate once per (tag, class, word), the 4-row fraction table
+    * joins in to produce cumulative per-k counts, and scoring is the
+    * one [[nbBitsGrid]] pass widened by k (the broadcast class grid
+    * is 4×|classes| rows). The corpus is scanned once for training
+    * and once for scoring, independent of how many curve points are
+    * asked for — the naive per-fraction retrain loop scans 2k times.
+    * Every output is an exact integer (bit costs, counts, basis
+    * points), so the whole curve replays in SQL.
+    */
+  def nbLearningCurve(spark: SparkSession, sf: String): DataFrame = {
+    val docs = nbTokenized(Tables.load(spark, sf, "documents"))
+    val train = docs.filter(expr(NbTrainExpr))
+      .withColumn("f", expr(s"(doc_id div $NbSplitBlock) % 4"))
+    val test = docs.filter(expr(NbHoldoutExpr))
+    val ks = spark.range(1, 5).select(col("id").as("k"))
+
+    val cntF = train.select(col("f"), col("source").as("cls"),
+        explode(col("t")).as("w"))
+      .groupBy(col("f"), col("cls"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    // cumulative (k, cls, w) counts: model k sees tags < k. Persisted:
+    // the likelihood join, class totals, and vocab all read it.
+    val cntK = cntF.join(broadcast(ks), col("f") < col("k"))
+      .groupBy(col("k"), col("cls"), col("w"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .persist()
+    val classTokK = cntK.groupBy(col("k"), col("cls"))
+      .agg(sum(col("cnt")).as("class_tokens"))
+    val vocabK = cntK.select(col("k"), col("w")).distinct()
+      .groupBy(col("k")).agg(count(lit(1)).as("v"))
+    val classDocsK = train.groupBy(col("f"), col("source"))
+      .agg(count(lit(1)).as("nd"))
+      .join(broadcast(ks), col("f") < col("k"))
+      .groupBy(col("k"), col("source").as("cls"))
+      .agg(sum(col("nd")).as("class_docs"))
+    val totK = classDocsK.groupBy(col("k"))
+      .agg(sum(col("class_docs")).as("total_docs"),
+        count(lit(1)).as("n_classes"))
+    val classesK = classTokK
+      .join(classDocsK, Seq("k", "cls")).join(vocabK, Seq("k"))
+      .join(totK.select(col("k"), col("total_docs")), Seq("k"))
+      .select(col("k"), col("cls"), col("class_tokens"),
+        length(bin(expr("total_docs div class_docs")))
+          .cast("long").as("prior_bits"),
+        col("v"))
+      .persist()
+
+    val tokenBits = test.select(col("doc_id"), explode(col("t")).as("w"))
+      .crossJoin(broadcast(classesK))
+      .join(cntK, Seq("k", "cls", "w"), "left")
+      .select(col("doc_id"), col("k"), col("cls"),
+        length(bin(expr("(class_tokens + v) div (coalesce(cnt, 0L) + 1)")))
+          .cast("long").as("bits"))
+      .groupBy(col("doc_id"), col("k"), col("cls"))
+      .agg(sum(col("bits")).as("token_bits"))
+    val grid = test.select(col("doc_id"), col("source").as("true_source"))
+      .crossJoin(broadcast(classesK.select(col("k"), col("cls"),
+        col("prior_bits"))))
+    val pred = grid.join(tokenBits, Seq("doc_id", "k", "cls"), "left")
+      .select(col("doc_id"), col("true_source"), col("k"), col("cls"),
+        (col("prior_bits") + coalesce(col("token_bits"), lit(0L)))
+          .as("bits"))
+      .groupBy(col("doc_id"), col("true_source"), col("k"))
+      .agg(min(struct(col("bits"), col("cls"))).as("best"))
+      .select(col("k"),
+        (col("best.cls") === col("true_source")).cast("long").as("is_correct"))
+    val acc = pred.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_test"), sum(col("is_correct")).as("n_correct"))
+
+    acc.join(totK.select(col("k"), col("total_docs").as("train_docs")), Seq("k"))
+      .join(classTokK.groupBy(col("k"))
+        .agg(sum(col("class_tokens")).as("train_tokens")), Seq("k"))
+      .join(vocabK.withColumnRenamed("v", "vocab_size"), Seq("k"))
+      .select((col("k") * 25L).as("frac_pct"),
+        col("train_docs").cast("long").as("train_docs"),
+        col("train_tokens").cast("long").as("train_tokens"),
+        col("vocab_size").cast("long").as("vocab_size"),
+        col("n_test").cast("long").as("n_test"),
+        col("n_correct").cast("long").as("n_correct"),
+        expr("(n_correct * 10000) div n_test").as("accuracy_bp"))
+      .orderBy(col("frac_pct"))
+  }
+
   /** Holdout bits grid with the same frozen-model persistence as
     * [[nbHoldoutScored]]. */
   private def nbBitsGridHoldout(spark: SparkSession, sf: String): DataFrame = {

@@ -1506,6 +1506,33 @@ class OperatorSpec extends AnyFunSuite {
       assert(size == census(cid), s"record $id size") }
   }
 
+  test("learning curve: nested fractions grow monotonically and the 100% point IS the full model") {
+    val rows = Text.nbLearningCurve(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(25L, 50L, 75L, 100L))
+    val docs = rows.map(_.getLong(1))
+    val toks = rows.map(_.getLong(2))
+    val vocab = rows.map(_.getLong(3))
+    // nested prefixes: strictly more docs/tokens, never less vocabulary
+    assert(docs.zip(docs.tail).forall { case (a, b) => a < b }, docs.toSeq)
+    assert(toks.zip(toks.tail).forall { case (a, b) => a < b }, toks.toSeq)
+    assert(vocab.zip(vocab.tail).forall { case (a, b) => a <= b }, vocab.toSeq)
+    // every model scores the same holdout
+    val holdout = Tables.load(spark, sf, "documents")
+      .filter(expr(Text.NbHoldoutExpr)).count()
+    rows.foreach(r => assert(r.getLong(4) == holdout))
+    // the 100% curve point and q_nb_classify are the SAME model — the
+    // cumulative-counts dimension form must collapse to the plain
+    // trainer at full fraction
+    val full = Text.nbClassify(spark, sf)
+      .agg(sum(col("is_correct"))).head().getLong(0)
+    assert(rows.last.getLong(5) == full,
+      s"100% point ${rows.last.getLong(5)} != full model $full")
+    // the 100% train stats must equal the full split's
+    val trainDocs = Tables.load(spark, sf, "documents")
+      .filter(expr(Text.NbTrainExpr)).count()
+    assert(rows.last.getLong(1) == trainDocs)
+  }
+
   test("linkage block-skew guard: oversized blocks purge cleanly, generous cap is a no-op") {
     val uncapped = Linkage.entityResolution(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
