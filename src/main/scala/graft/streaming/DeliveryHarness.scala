@@ -55,4 +55,40 @@ object DeliveryHarness {
       .start()
     try { q.processAllAvailable() } finally q.stop()
   }
+
+  /** [[runTwoDeliveries]] with a PROCESS RESTART between the
+    * deliveries: delivery 0 is drained by one query which then stops
+    * (the simulated crash/redeploy — its in-memory state is gone),
+    * delivery 1 lands while nothing is running, and a NEW query
+    * recovers from the same checkpoint. Structured Streaming's
+    * file-source offset log must resume exactly where the first
+    * incarnation committed — delivery 0 is not re-read, delivery 1 is
+    * not skipped, batch ids continue — and because callers write
+    * batchId-keyed subdirs, even a re-delivered batch would overwrite
+    * itself rather than double-count. This is the recovery contract a
+    * long-running 100 TB ingest actually relies on; the spec pins the
+    * restarted run bit-identical to the single-process one.
+    */
+  def runTwoDeliveriesWithRestart(spark: SparkSession, root: String,
+      d0: DataFrame, d1: DataFrame, schema: StructType,
+      onBatch: (DataFrame, Long) => Unit): Unit = {
+    val landing = s"$root/landing"
+    def incarnation() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$landing/*")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(batch, batchId); ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    writeDelivery(d0, s"$landing/d0", 1000000L)
+    val q1 = incarnation()
+    try { q1.processAllAvailable() } finally q1.stop()
+    writeDelivery(d1, s"$landing/d1", 2000000L)
+    val q2 = incarnation()
+    try { q2.processAllAvailable() } finally q2.stop()
+  }
 }

@@ -42,7 +42,14 @@ object LinkStream {
     StructField("bal", LongType),
     StructField("kind", StringType)))
 
-  def entityResolutionViaStream(spark: SparkSession, sf: String): DataFrame = {
+  /** `restart = true` swaps in
+    * [[DeliveryHarness.runTwoDeliveriesWithRestart]]: the query STOPS
+    * after the registry delivery and a fresh incarnation recovers the
+    * dirty feed from the checkpoint — the output must be bit-identical
+    * (spec-pinned), proving the linkage state (record index + edge
+    * store) lives entirely in storage, not in query memory. */
+  def entityResolutionViaStream(spark: SparkSession, sf: String,
+      restart: Boolean = false): DataFrame = {
     val root = graft.TempDirs.create("graft-linkstream")
     val indexDir = s"$root/index"
     val edgeDir = s"$root/edges"
@@ -53,7 +60,11 @@ object LinkStream {
       .mkdirs(idxPath)
 
     val recs = Linkage.records(spark, sf)
-    DeliveryHarness.runTwoDeliveries(spark, root,
+    val run: (SparkSession, String, DataFrame, DataFrame, StructType,
+      (DataFrame, Long) => Unit) => Unit =
+      if (restart) DeliveryHarness.runTwoDeliveriesWithRestart
+      else DeliveryHarness.runTwoDeliveries
+    run(spark, root,
       recs.filter(col("kind") === "orig"),
       recs.filter(col("kind") =!= "orig"), RecordSchema,
       { (batch: DataFrame, batchId: Long) =>

@@ -288,6 +288,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exists(r => r._2 == "dirty" && r._4 >= 2L))
   }
 
+  test("linkage survives a process restart between deliveries bit-identically") {
+    // the query STOPS after the registry delivery; a new incarnation
+    // recovers the dirty feed from the checkpoint. Equality with the
+    // batch twin proves (a) the offset log resumed exactly (delivery 0
+    // not re-read, delivery 1 not skipped) and (b) all linkage state
+    // lives in the index/edge stores, none in query memory
+    val restarted = graft.streaming.LinkStream
+      .entityResolutionViaStream(spark, sf, restart = true)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val batch = graft.operators.Linkage.entityResolution(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(restarted.nonEmpty && restarted == batch)
+    assert(restarted.exists(r => r._2 == "dirty" && r._4 >= 2L))
+  }
+
   test("streaming heavy hitters equal the batch Misra-Gries survivors row-for-row") {
     val stream = graft.streaming.DocStream.heavyHittersViaStream(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
