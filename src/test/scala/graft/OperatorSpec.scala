@@ -1506,6 +1506,34 @@ class OperatorSpec extends AnyFunSuite {
       assert(size == census(cid), s"record $id size") }
   }
 
+  test("partitioning invariance: value-exact outputs are bit-identical under a different shuffle layout") {
+    // the one thing guaranteed to change on a 1000-executor cluster is
+    // the shuffle layout — re-run the float-bearing flagships under a
+    // different partition count (cache cleared so nothing reuses the
+    // old layout) and demand bit equality, the receipt behind the
+    // repo-wide decimal-sum / fixed-shape-IEEE / integer-basis rules
+    val qs = Seq("q_dataset_card", "q_regression", "q_pagerank",
+      "q_quality_gate", "q_prototypicality", "q_learning_curve")
+    def snap(): Map[String, Seq[Seq[Any]]] = {
+      spark.catalog.clearCache()
+      qs.map(q => q ->
+        SparkEntry.queries(q)(spark, sf).collect().map(_.toSeq.toList).toSeq
+      ).toMap
+    }
+    val base = snap()
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try {
+      val relaid = snap()
+      qs.foreach { q =>
+        assert(relaid(q) == base(q), s"$q drifted under repartitioning")
+        assert(base(q).nonEmpty, s"$q empty")
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("learning curve: nested fractions grow monotonically and the 100% point IS the full model") {
     val rows = Text.nbLearningCurve(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(25L, 50L, 75L, 100L))
