@@ -22,7 +22,8 @@ object DeliveryHarness {
     * not java.io.File — the scratch root may carry a non-local scheme
     * on a real cluster, where File.listFiles() returns null and the
     * ordering pin would silently become a no-op. */
-  private def writeDelivery(df: DataFrame, dir: String, mtime: Long): Unit = {
+  private[streaming] def writeDelivery(df: DataFrame, dir: String,
+      mtime: Long): Unit = {
     df.coalesce(1).write.mode("overwrite").parquet(dir)
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(

@@ -397,6 +397,91 @@ object EventStream {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** [[sessionsViaTws]] with a PROCESS RESTART mid-feed — the receipt
+    * that the RocksDB session store actually RECOVERS, not merely
+    * exists: events split into two deliveries at a cut placed inside
+    * the earliest within-session gap (so at least one OPEN session is
+    * guaranteed to span the crash), the first query drains delivery 0
+    * and stops, and a fresh incarnation resumes from the checkpoint.
+    * transformWithState must rebuild every user's ValueState from the
+    * store's checkpointed changelog: a spanning session's continuation
+    * events have to extend the same session id the dead incarnation
+    * opened, and every later session id chains off the recovered
+    * counter — lost state would re-number from 1 and the spec's
+    * equality against the single-process twin would fail. This is the
+    * recovery path a long-running 100 TB session store exercises on
+    * every executor loss and redeploy.
+    */
+  def sessionsViaTwsRestart(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val root = graft.TempDirs.create("graft-twsrestart")
+    val landing = s"$root/landing"
+    val outDir = s"$root/out"
+    val evs = graft.operators.Events.load(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    // deterministic crash point: midpoint of the earliest gap that the
+    // session rule considers WITHIN-session; falls back to the global
+    // time midpoint on a corpus with no multi-event session
+    val uw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val mcol = unix_micros(col("ts"))
+    val pair = evs.withColumn("m", mcol)
+      .withColumn("nm", lead(col("m"), 1).over(uw))
+      .filter(col("nm") - col("m") <= GapMicros)
+      .agg(min(struct(col("m"), col("nm")))).head()
+    val cut =
+      if (pair.isNullAt(0)) {
+        val b = evs.agg(min(mcol), max(mcol)).head()
+        (b.getLong(0) + b.getLong(1)) / 2
+      } else (pair.getStruct(0).getLong(0) + pair.getStruct(0).getLong(1)) / 2
+
+    def incarnation(): StreamingQuery = {
+      val stream = spark.readStream.schema(evs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(s"$landing/*")
+        .as[Ev]
+        .groupByKey(_.user_id)
+        .transformWithState(new SessionProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF()
+      stream.writeStream
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$outDir/batch-$id"); () }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    val prevProv = spark.conf.getOption(ProviderConfKey)
+    val prevShuf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(ProviderConfKey, RocksDbProvider)
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      DeliveryHarness.writeDelivery(
+        evs.filter(mcol <= cut), s"$landing/d0", 1000000L)
+      val q1 = incarnation()
+      try { q1.processAllAvailable() } finally q1.stop()
+      DeliveryHarness.writeDelivery(
+        evs.filter(mcol > cut), s"$landing/d1", 2000000L)
+      val q2 = incarnation()
+      try { q2.processAllAvailable() } finally q2.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuf)
+      prevProv match {
+        case Some(v) => spark.conf.set(ProviderConfKey, v)
+        case None => spark.conf.unset(ProviderConfKey)
+      }
+    }
+    spark.read.option("recursiveFileLookup", "true").parquet(outDir)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   private val ProviderConfKey = "spark.sql.streaming.stateStore.providerClass"
   private val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
