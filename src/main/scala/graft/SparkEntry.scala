@@ -168,6 +168,7 @@ object SparkEntry {
     "q_contamination" -> (Corpus.contamination _),
     // --- dedup
     "q_dedup_exact" -> (Dedup.exact _),
+    "q_dup_rate_by_source" -> (Dedup.dupRateBySource _),
     "q_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "q_containment" -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
     "q_allpairs" -> ((s: SparkSession, d: String) => Dedup.allPairsJaccard(s, d)),
@@ -1891,6 +1892,28 @@ object SparkEntry {
            doc_id <> canonical_id AS is_dup
          FROM d JOIN c USING (fingerprint)
          ORDER BY doc_id""",
+
+    // Per-source dup-mass triage on the RAW text fingerprint (the
+    // dataset-card n_unique_docs basis, not the normalized dedup
+    // fingerprint — the card and this report must reconcile).
+    "q_dup_rate_by_source" ->
+      """WITH d AS (SELECT source, md5(text) AS fp FROM documents),
+         per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique
+                 FROM d GROUP BY 1),
+         multi AS (SELECT fp FROM (
+                     SELECT fp, COUNT(DISTINCT source) AS ns
+                     FROM d GROUP BY 1) WHERE ns > 1),
+         sh AS (SELECT source, CAST(COUNT(DISTINCT d.fp) AS BIGINT)
+                  AS shared_fps
+                FROM d JOIN multi USING (fp) GROUP BY 1)
+         SELECT source, n_docs, n_unique,
+           CAST(n_docs - n_unique AS BIGINT) AS dup_within,
+           CAST(((n_docs - n_unique) * 10000) // n_docs AS BIGINT)
+             AS dup_pct_bp,
+           CAST(COALESCE(shared_fps, 0) AS BIGINT) AS shared_fps
+         FROM per LEFT JOIN sh USING (source)
+         ORDER BY source""",
 
     // Fuzzy join: both engines implement classic unit-cost edit
     // distance, so the residual predicate agrees exactly; the oracle

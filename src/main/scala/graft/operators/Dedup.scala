@@ -374,6 +374,48 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-SOURCE duplicate-mass triage — the report that decides which
+    * FEED gets fixed rather than which documents get dropped: for
+    * every source, its exact-duplicate mass within itself
+    * (docs − distinct fingerprints) and how many of its fingerprints
+    * also arrive from other sources (mirror/syndication detection).
+    * At 100 TB this is two partial-agg groupBys over the md5
+    * projection plus one fingerprint-keyed join against the
+    * multi-source fingerprint set — content never shuffles, only
+    * 16-byte fingerprints; output is |sources| rows of exact
+    * integers.
+    */
+  def dupRateBySource(spark: SparkSession, sf: String): DataFrame =
+    dupRateFrom(Tables.load(spark, sf, "documents"))
+
+  /** [[dupRateBySource]] over any (source, text) frame — split out so
+    * the seeded-failure spec can prove the detection mechanism on a
+    * corpus with KNOWN dup structure (the sf0.01 gate fixture happens
+    * to be dup-free at raw-text granularity, which would otherwise
+    * leave the mechanism pinned only by the all-zero answer). */
+  private[graft] def dupRateFrom(docs: DataFrame): DataFrame = {
+    val d = docs
+      .select(col("source"), md5(col("text")).as("fp"))
+      .persist()
+    val per = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"))
+    val multi = d.groupBy(col("fp"))
+      .agg(countDistinct(col("source")).as("ns"))
+      .filter(col("ns") > 1).select(col("fp"))
+    val shared = d.join(multi, Seq("fp"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("fp")).as("shared_fps"))
+    per.join(shared, Seq("source"), "left")
+      .select(col("source"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_unique").cast("long").as("n_unique"),
+        (col("n_docs") - col("n_unique")).cast("long").as("dup_within"),
+        expr("((n_docs - n_unique) * 10000) div n_docs").as("dup_pct_bp"),
+        coalesce(col("shared_fps"), lit(0L)).cast("long").as("shared_fps"))
+      .orderBy(col("source"))
+  }
+
   // ---- near-dup clustering (connected components) -------------------
 
   /** Near-duplicate CLUSTERS: connected components over the similarity

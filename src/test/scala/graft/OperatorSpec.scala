@@ -1506,6 +1506,28 @@ class OperatorSpec extends AnyFunSuite {
       assert(size == census(cid), s"record $id size") }
   }
 
+  test("dup-rate-by-source detects seeded within-source and cross-source duplication") {
+    import spark.implicits._
+    // known structure: srcA = 3 docs, one within-dup pair; srcB = 2
+    // docs, one mirroring an srcA text (cross-source); srcC clean
+    val docs = Seq(
+      ("srcA", "alpha beta"), ("srcA", "alpha beta"), ("srcA", "gamma"),
+      ("srcB", "gamma"), ("srcB", "delta"),
+      ("srcC", "epsilon")
+    ).toDF("source", "text")
+    val got = Dedup.dupRateFrom(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // srcA: 3 docs, 2 unique, 1 within-dup (3333 bp), 1 shared fp (gamma)
+    assert(got("srcA") == ((3L, 2L, 1L, 3333L, 1L)), got("srcA"))
+    // srcB: clean within itself but shares gamma with srcA
+    assert(got("srcB") == ((2L, 2L, 0L, 0L, 1L)), got("srcB"))
+    // srcC: fully clean — zero row proves no false positives
+    assert(got("srcC") == ((1L, 1L, 0L, 0L, 0L)), got("srcC"))
+    // and the fixture-scale operator still runs end to end
+    assert(Dedup.dupRateBySource(spark, sf).count() > 0)
+  }
+
   test("partitioning invariance: value-exact outputs are bit-identical under a different shuffle layout") {
     // the one thing guaranteed to change on a 1000-executor cluster is
     // the shuffle layout — re-run the float-bearing flagships under a
