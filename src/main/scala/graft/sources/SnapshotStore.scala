@@ -82,8 +82,16 @@ object SnapshotStore {
       at: Instant): Long = synchronized {
     val existing = readLedger(spark, root)
     val next = existing.map(_.version).maxOption.getOrElse(0L) + 1
-    val updated = Ledger(existing :+
-      VersionEntry(next, Util.formatJobDate(at), jobName))
+    writeLedger(spark, root, Ledger(existing :+
+      VersionEntry(next, Util.formatJobDate(at), jobName)))
+    next
+  }
+
+  /** Publish a ledger via write-to-temp + overwriting rename (the
+    * appendVersion atomicity contract, factored for vacuum). Caller
+    * must hold this object's monitor. */
+  private def writeLedger(spark: SparkSession, root: String,
+      updated: Ledger): Unit = {
     val p = ledgerPath(root)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = p.getFileSystem(conf)
@@ -99,7 +107,38 @@ object SnapshotStore {
     try fs.globStatus(new Path(s"$root/.$LedgerFile.tmp-*"))
       .foreach(s => fs.delete(s.getPath, false))
     catch { case NonFatal(_) => () }
-    next
+  }
+
+  /** VACUUM: retire every version except the newest `keepLast`,
+    * returning the dropped version numbers — the retention sweep any
+    * time-travel ledger needs once deliveries accumulate (a 100 TB
+    * store cannot keep every snapshot forever; Delta/Iceberg expose
+    * the same knob as VACUUM / expire_snapshots).
+    *
+    * Ordering is the safety argument: the TRUNCATED ledger publishes
+    * FIRST (same temp+rename as appendVersion), so a concurrent
+    * resolvePin can never be handed a version whose directory is
+    * mid-delete — after the publish, dropped versions fail resolution
+    * with the explicit not-in-ledger error; only then do the retired
+    * `v=<n>` dirs physically delete. Version numbering stays monotone
+    * (the next append continues from the retained max, never reuses a
+    * vacuumed number).
+    */
+  def vacuum(spark: SparkSession, root: String,
+      keepLast: Int): Seq[Long] = synchronized {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val ledger = readLedger(spark, root)
+    val retained = ledger.sortBy(-_.version).take(keepLast)
+    val dropped = ledger.map(_.version).toSet -- retained.map(_.version).toSet
+    if (dropped.isEmpty) return Nil
+    writeLedger(spark, root, Ledger(retained.sortBy(_.version)))
+    val conf = spark.sparkContext.hadoopConfiguration
+    dropped.toSeq.sorted.map { v =>
+      val dir = new Path(versionDir(root, v))
+      val fs = dir.getFileSystem(conf)
+      if (fs.exists(dir)) fs.delete(dir, true)
+      v
+    }
   }
 
   /** dt→SCN analog: greatest version committed at or before `asOf`. */

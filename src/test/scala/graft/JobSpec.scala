@@ -423,6 +423,37 @@ class JobSpec extends AnyFunSuite {
       .map(_.version).sorted == (1L to n.toLong))
   }
 
+  test("vacuum retires old versions: pins fail loudly, latest survives, numbering stays monotone") {
+    val store = tmp("jobspec-vacuum"); val tgt = tmp("jobspec-vacuum-tgt")
+    // three versioned exports: v1 region, v2 region+nation, v3 region
+    for (tabs <- Seq(Seq("region"), Seq("region", "nation"), Seq("region")))
+      assert(DataPumpJob(Operation.Export, JobMode.Table, sf, store,
+        directives = Seq(IncludeTable(tabs)), versioned = true)
+        .run(spark).state == JobState.Completed)
+    // keep the newest 2 → v1 retires; its dir is physically gone
+    val dropped = graft.sources.SnapshotStore.vacuum(spark, store, keepLast = 2)
+    assert(dropped == Seq(1L))
+    assert(graft.sources.SnapshotStore.readLedger(spark, store)
+      .map(_.version) == Seq(2L, 3L))
+    val v1dir = new org.apache.hadoop.fs.Path(
+      graft.sources.SnapshotStore.versionDir(store, 1L))
+    assert(!v1dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(v1dir))
+    // a FLASHBACK pin to the vacuumed version fails loudly, not silently
+    assert(DataPumpJob(Operation.Import, JobMode.Full, store, s"$tgt/a",
+      directives = Seq(FlashbackScn(1))).run(spark).state == JobState.Stopped)
+    // retained versions still import: v2 carries both tables
+    val imp2 = DataPumpJob(Operation.Import, JobMode.Full, store, s"$tgt/b",
+      directives = Seq(FlashbackScn(2))).run(spark)
+    assert(imp2.state == JobState.Completed)
+    assert(imp2.objects.map(_.objectName).toSet == Set("region", "nation"))
+    // numbering continues past the vacuumed range — never reused
+    assert(graft.sources.SnapshotStore.appendVersion(
+      spark, store, "JOB-NEXT", java.time.Instant.now()) == 4L)
+    // vacuum with nothing to drop is a no-op
+    assert(graft.sources.SnapshotStore.vacuum(spark, store, 10).isEmpty)
+  }
+
   test("sidecar schema entries carry the source version through attach") {
     // reference parity: SchemaHandler.get_version surfaces each
     // schema's migration version into job metadata (database.py:128-
