@@ -454,6 +454,41 @@ class JobSpec extends AnyFunSuite {
     assert(graft.sources.SnapshotStore.vacuum(spark, store, 10).isEmpty)
   }
 
+  test("dump audit: intact export passes, a truncated data file is flagged, a deleted table dir reads missing") {
+    val store = tmp("jobspec-audit")
+    assert(DataPumpJob(Operation.Export, JobMode.Table, sf, store,
+      directives = Seq(IncludeTable(Seq("region", "nation"))))
+      .run(spark).state == JobState.Completed)
+    val clean = graft.sources.DumpAudit.verify(spark, store).collect()
+    assert(clean.length == 2 && clean.forall(_.getBoolean(5)), clean.toSeq)
+    assert(clean.forall(r => r.getLong(1) > 0 && r.getLong(2) > 0))
+    // corrupt: truncate one data file mid-body (simulated partial
+    // upload) — the tail magic is gone, the audit must flag it
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val regionDir = clean.map(_.getString(0)).find(_.endsWith("/region")).get
+    val victim = fs.listStatus(new org.apache.hadoop.fs.Path(regionDir))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    val bytes = {
+      val in = fs.open(victim)
+      try { val b = new Array[Byte](fs.getFileStatus(victim).getLen.toInt / 2)
+        in.readFully(0L, b); b } finally in.close()
+    }
+    val out = fs.create(victim, true)
+    try out.write(bytes) finally out.close()
+    val after = graft.sources.DumpAudit.verify(spark, store).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(!after(regionDir).getBoolean(5) &&
+      after(regionDir).getLong(3) >= 1L, after(regionDir))
+    // the untouched table still audits clean
+    assert(after.filterKeys(_ != regionDir).values.forall(_.getBoolean(5)))
+    // deleted table dir → missing, not ok
+    fs.delete(new org.apache.hadoop.fs.Path(regionDir), true)
+    val gone = graft.sources.DumpAudit.verify(spark, store).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(gone(regionDir).getBoolean(4) && !gone(regionDir).getBoolean(5))
+  }
+
   test("sidecar schema entries carry the source version through attach") {
     // reference parity: SchemaHandler.get_version surfaces each
     // schema's migration version into job metadata (database.py:128-
