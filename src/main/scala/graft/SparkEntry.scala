@@ -2980,14 +2980,17 @@ object SparkEntry {
            SELECT doc_id, source,
              regexp_extract_all(lower(text), '[a-z]+') AS t
            FROM documents),
-         train AS (SELECT *, (doc_id // ${Text.NbSplitBlock}) % 4 AS f
+         train AS (SELECT *,
+                     (doc_id // ${Text.NbSplitBlock})
+                       % ${Text.NbCurveFractions} AS f
                    FROM docs
                    WHERE (doc_id // ${Text.NbSplitBlock})
                      % ${Text.NbSplitMod} != 0),
          test AS (SELECT doc_id, source AS true_source, t FROM docs
                   WHERE (doc_id // ${Text.NbSplitBlock})
                     % ${Text.NbSplitMod} = 0),
-         ks AS (SELECT unnest(generate_series(1, 4)) AS k),
+         ks AS (SELECT unnest(generate_series(1, ${Text.NbCurveFractions}))
+                  AS k),
          tt AS (SELECT f, source AS cls, unnest(t) AS w FROM train),
          cntf AS (SELECT f, cls, w, COUNT(*) AS cnt FROM tt GROUP BY 1, 2, 3),
          cntk AS (SELECT k, cls, w, SUM(cnt) AS cnt
@@ -3032,7 +3035,7 @@ object SparkEntry {
                  FROM pred GROUP BY 1),
          ttok AS (SELECT k, CAST(SUM(class_tokens) AS BIGINT) AS train_tokens
                   FROM ctok GROUP BY 1)
-         SELECT CAST(k * 25 AS BIGINT) AS frac_pct,
+         SELECT CAST(k * ${Text.NbCurveStepPct} AS BIGINT) AS frac_pct,
            CAST(total_docs AS BIGINT) AS train_docs, train_tokens,
            v AS vocab_size, CAST(n_test AS BIGINT) AS n_test,
            CAST(n_correct AS BIGINT) AS n_correct,

@@ -122,15 +122,25 @@ object Linkage {
     * (`matchedPairs(r, r)`) keeps the a < b half; cross-frame calls
     * (the streaming twin's batch-vs-index probe) normalize with
     * least/greatest so edge identity is frame-order-independent.
+    *
+    * `censusOver`: the record set the skew guard counts blocks over.
+    * Defaults to left ∪ right — correct for one-shot linkage — but an
+    * INCREMENTAL caller must pass its full accumulated record set:
+    * a per-call census would see only the slice in hand (a delivery's
+    * two dirty records look fine even when their block is giant), and
+    * the streaming twin would diverge from the batch decision under a
+    * cap. The guard's verdict must be a property of the BLOCK, not of
+    * which call first met it.
     */
-  private[graft] def matchedPairs(left: DataFrame, right: DataFrame): DataFrame = {
+  private[graft] def matchedPairs(left: DataFrame, right: DataFrame,
+      censusOver: Option[DataFrame] = None): DataFrame = {
     val cap = left.sparkSession.conf.get(MaxBlockConf, "0").toInt
     val (lg, rg) = if (cap <= 0) (left, right) else {
       // block census over the DISTINCT union of both sides (self-
       // linkage passes the same frame twice); only the oversized
       // keys — few, by the definition of skew — leave the aggregation
-      val over = left.select(col("entity_id"), col("nat"), col("bal"))
-        .unionByName(right.select(col("entity_id"), col("nat"), col("bal")))
+      val basis = censusOver.getOrElse(left.unionByName(right))
+      val over = basis.select(col("entity_id"), col("nat"), col("bal"))
         .distinct()
         .groupBy(col("nat"), col("bal")).agg(count(lit(1)).as("block_n"))
         .filter(col("block_n") > cap)
@@ -148,6 +158,34 @@ object Linkage {
       .select(least(col("ea"), col("eb")).as("doc_a"),
         greatest(col("ea"), col("eb")).as("doc_b"))
       .distinct()
+  }
+
+  /** Terminal block-cap gate for INCREMENTAL linkage: drop every edge
+    * whose block is oversized in the FINAL record census. Incremental
+    * emission is temporally myopic — a block can grow past the cap
+    * AFTER earlier deliveries already emitted its edges — so the
+    * per-call guard bounds work while this terminal gate enforces the
+    * invariant the batch twin computes in one shot: purge is a
+    * property of the block's final size, not of which delivery first
+    * met it. Edges only ever form within a block, so both endpoints
+    * share a block key and the doc_a anti-join is complete. No-op
+    * when the cap conf is unset.
+    */
+  private[graft] def enforceBlockCap(recs: DataFrame,
+      edges: DataFrame): DataFrame = {
+    val cap = recs.sparkSession.conf.get(MaxBlockConf, "0").toInt
+    if (cap <= 0) return edges
+    val over = recs.select(col("entity_id"), col("nat"), col("bal"))
+      .distinct()
+      .groupBy(col("nat"), col("bal")).agg(count(lit(1)).as("block_n"))
+      .filter(col("block_n") > cap)
+      .select(col("nat"), col("bal"))
+    // `over` is skew-small (few oversized KEYS) and broadcasts; the
+    // member-id set may be huge (a degenerate block can be corpus-
+    // sized), so the edge anti-join stays a plain shuffle join
+    val overIds = recs.join(broadcast(over), Seq("nat", "bal"))
+      .select(col("entity_id").as("doc_a"))
+    edges.join(overIds, Seq("doc_a"), "left_anti")
   }
 
   /** Cluster assembly shared by the batch operator and the streaming

@@ -332,6 +332,13 @@ object Text {
     * one block in [[NbSplitMod]] is held out. */
   private[graft] val NbSplitBlock = 20
   private[graft] val NbSplitMod = 5
+
+  /** Learning-curve resolution: the train split is tagged into this
+    * many nested fractions (must divide 100 so frac_pct stays an
+    * integer) — shared with the DuckDB oracle (q_learning_curve) so
+    * the curve's shape cannot desync between engines. */
+  private[graft] val NbCurveFractions = 4
+  private[graft] val NbCurveStepPct: Long = 100L / NbCurveFractions
   private[graft] val NbHoldoutExpr =
     s"(doc_id div $NbSplitBlock) % $NbSplitMod = 0"
   private[graft] val NbTrainExpr =
@@ -350,21 +357,24 @@ object Text {
     * samples.
     *
     * Plan shape — fraction as a DIMENSION, not a loop: token counts
-    * aggregate once per (tag, class, word), the 4-row fraction table
+    * aggregate once per (tag, class, word), the k-row fraction table
     * joins in to produce cumulative per-k counts, and scoring is the
     * one [[nbBitsGrid]] pass widened by k (the broadcast class grid
-    * is 4×|classes| rows). The corpus is scanned once for training
-    * and once for scoring, independent of how many curve points are
-    * asked for — the naive per-fraction retrain loop scans 2k times.
-    * Every output is an exact integer (bit costs, counts, basis
-    * points), so the whole curve replays in SQL.
+    * is k×|classes| rows). Each split's tokenized projection is
+    * PINNED and scanned into it once — train feeds the token AND
+    * doc-count aggregations, test feeds the token-bits AND prior
+    * grids off the pinned copy — so curve resolution never
+    * multiplies corpus passes; the naive per-fraction retrain loop
+    * scans 2k times. Every output is an exact integer (bit costs,
+    * counts, basis points), so the whole curve replays in SQL.
     */
   def nbLearningCurve(spark: SparkSession, sf: String): DataFrame = {
     val docs = nbTokenized(Tables.load(spark, sf, "documents"))
     val train = docs.filter(expr(NbTrainExpr))
-      .withColumn("f", expr(s"(doc_id div $NbSplitBlock) % 4"))
-    val test = docs.filter(expr(NbHoldoutExpr))
-    val ks = spark.range(1, 5).select(col("id").as("k"))
+      .withColumn("f", expr(s"(doc_id div $NbSplitBlock) % $NbCurveFractions"))
+      .persist()
+    val test = docs.filter(expr(NbHoldoutExpr)).persist()
+    val ks = spark.range(1, NbCurveFractions + 1L).select(col("id").as("k"))
 
     val cntF = train.select(col("f"), col("source").as("cls"),
         explode(col("t")).as("w"))
@@ -423,7 +433,7 @@ object Text {
       .join(classTokK.groupBy(col("k"))
         .agg(sum(col("class_tokens")).as("train_tokens")), Seq("k"))
       .join(vocabK.withColumnRenamed("v", "vocab_size"), Seq("k"))
-      .select((col("k") * 25L).as("frac_pct"),
+      .select((col("k") * NbCurveStepPct).as("frac_pct"),
         col("train_docs").cast("long").as("train_docs"),
         col("train_tokens").cast("long").as("train_tokens"),
         col("vocab_size").cast("long").as("vocab_size"),

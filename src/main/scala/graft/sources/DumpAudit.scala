@@ -48,11 +48,23 @@ object DumpAudit {
     * is gone or empty; `n_corrupt` — data files failing the magic
     * check). `ok` folds both. A dump with no sidecar yields an empty
     * frame (nothing to audit against — attach-level recovery applies).
+    *
+    * Paths REBASE onto `dumpDir`: the sidecar records the export-time
+    * absolute target, but the whole point of the audit is checking a
+    * dump WHERE IT LANDED — a set copied to another filesystem must
+    * be checked at its new home, not silently against the (possibly
+    * intact) originals the sidecar still names. Each entry keeps only
+    * its `<schema>/<table>` suffix under the audited root; auditing
+    * in place is the identity rebase.
     */
   def verify(spark: SparkSession, dumpDir: String): DataFrame = {
     import spark.implicits._
+    val base = if (dumpDir.endsWith("/")) dumpDir.dropRight(1) else dumpDir
     val rows = graft.job.DataPumpJob.readSidecar(spark, dumpDir).toSeq
-      .flatMap(_.dumpFiles).map { dir =>
+      .flatMap(_.dumpFiles).map { orig =>
+        val rel = orig.split('/').filter(_.nonEmpty).takeRight(2)
+          .mkString("/")
+        val dir = s"$base/$rel"
         val p = new Path(dir)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(p))

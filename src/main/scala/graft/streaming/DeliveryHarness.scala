@@ -33,6 +33,29 @@ object DeliveryHarness {
       .foreach(st => fs.setTimes(st.getPath, mtime, -1))
   }
 
+  /** THE one reader→(optional transform)→foreachBatch scaffold: every
+    * delivery-replay variant builds its query here, so a mechanics
+    * fix (reader option, glob, trigger, checkpoint wiring) lands
+    * once. `transform` lets a stateful caller ride the stream itself
+    * (e.g. transformWithState before the sink); the default is the
+    * raw batch feed. Drains AvailableNow and stops. */
+  private def runIncarnation(spark: SparkSession, landing: String,
+      ckpt: String, schema: StructType, transform: DataFrame => DataFrame,
+      onBatch: (DataFrame, Long) => Unit): Unit = {
+    val q = transform(spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(s"$landing/*"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(batch, batchId); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+  }
+
   /** Land `d0` then `d1` under `root/landing`, stream them back one
     * file per trigger (AvailableNow), run `onBatch` for each, block
     * until drained. The caller owns `root` (TempDirs-created) so it
@@ -43,18 +66,8 @@ object DeliveryHarness {
     val landing = s"$root/landing"
     writeDelivery(d0, s"$landing/d0", 1000000L)
     writeDelivery(d1, s"$landing/d1", 2000000L)
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", "*.parquet")
-      .parquet(s"$landing/*")
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        onBatch(batch, batchId); ()
-      }
-      .option("checkpointLocation", s"$root/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try { q.processAllAvailable() } finally q.stop()
+    runIncarnation(spark, landing, s"$root/ckpt", schema,
+      identity, onBatch)
   }
 
   /** [[runTwoDeliveries]] with a PROCESS RESTART between the
@@ -67,29 +80,24 @@ object DeliveryHarness {
     * not skipped, batch ids continue — and because callers write
     * batchId-keyed subdirs, even a re-delivered batch would overwrite
     * itself rather than double-count. This is the recovery contract a
-    * long-running 100 TB ingest actually relies on; the spec pins the
+    * long-running 100 TB ingest actually relies on; specs pin the
     * restarted run bit-identical to the single-process one.
+    *
+    * `transform` rides the stream through the restart — a stateful
+    * stage here (transformWithState) must rebuild its store state in
+    * the second incarnation from the checkpoint, which is exactly
+    * what the RocksDB session receipt exercises.
     */
   def runTwoDeliveriesWithRestart(spark: SparkSession, root: String,
       d0: DataFrame, d1: DataFrame, schema: StructType,
-      onBatch: (DataFrame, Long) => Unit): Unit = {
+      onBatch: (DataFrame, Long) => Unit,
+      transform: DataFrame => DataFrame = identity): Unit = {
     val landing = s"$root/landing"
-    def incarnation() = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", "*.parquet")
-      .parquet(s"$landing/*")
-      .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        onBatch(batch, batchId); ()
-      }
-      .option("checkpointLocation", s"$root/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
     writeDelivery(d0, s"$landing/d0", 1000000L)
-    val q1 = incarnation()
-    try { q1.processAllAvailable() } finally q1.stop()
+    runIncarnation(spark, landing, s"$root/ckpt", schema,
+      transform, onBatch)
     writeDelivery(d1, s"$landing/d1", 2000000L)
-    val q2 = incarnation()
-    try { q2.processAllAvailable() } finally q2.stop()
+    runIncarnation(spark, landing, s"$root/ckpt", schema,
+      transform, onBatch)
   }
 }

@@ -378,23 +378,34 @@ object EventStream {
     * The provider conf is set for the bounded run and restored — it is
     * captured by the query at start, the same contract runToCompletion
     * already uses for the state partition count. */
-  def sessionsViaTws(spark: SparkSession, sf: String): DataFrame = {
+  /** The TWS sessionization stage — ONE definition shared by the
+    * single-process twin and the restart receipt, so the processor
+    * wiring (key, time mode, output mode) cannot drift between them. */
+  private def sessionized(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
     import spark.implicits._
-    val assigned = readEvents(spark, sf)
-      .select(col("event_id"), col("ts"), col("user_id"),
-        col("event_type"), col("value"))
-      .as[Ev]
+    df.as[Ev]
       .groupByKey(_.user_id)
       .transformWithState(new SessionProcessor,
         TimeMode.None(), OutputMode.Append())
       .toDF()
-    val perEvent = runBoundedOnRocksDb(spark, assigned)
+  }
+
+  /** The per-session aggregate over the stream's own per-event
+    * output — shared for the same no-drift reason. */
+  private def sessionAggregate(perEvent: DataFrame): DataFrame =
     perEvent
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"))
       .orderBy(col("user_id"), col("session_id"))
+
+  def sessionsViaTws(spark: SparkSession, sf: String): DataFrame = {
+    val assigned = sessionized(readEvents(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")))
+    sessionAggregate(runBoundedOnRocksDb(spark, assigned))
   }
 
   /** [[sessionsViaTws]] with a PROCESS RESTART mid-feed — the receipt
@@ -413,9 +424,7 @@ object EventStream {
     * every executor loss and redeploy.
     */
   def sessionsViaTwsRestart(spark: SparkSession, sf: String): DataFrame = {
-    import spark.implicits._
     val root = graft.TempDirs.create("graft-twsrestart")
-    val landing = s"$root/landing"
     val outDir = s"$root/out"
     val evs = graft.operators.Events.load(spark, sf)
       .select(col("event_id"), col("ts"), col("user_id"),
@@ -428,7 +437,10 @@ object EventStream {
     val mcol = unix_micros(col("ts"))
     val pair = evs.withColumn("m", mcol)
       .withColumn("nm", lead(col("m"), 1).over(uw))
-      .filter(col("nm") - col("m") <= GapMicros)
+      // nm > m: a zero-width gap has no integer midpoint strictly
+      // between the two events, which would silently void the
+      // spanning-session guarantee (both land in delivery 0)
+      .filter(col("nm") > col("m") && col("nm") - col("m") <= GapMicros)
       .agg(min(struct(col("m"), col("nm")))).head()
     val cut =
       if (pair.isNullAt(0)) {
@@ -436,37 +448,19 @@ object EventStream {
         (b.getLong(0) + b.getLong(1)) / 2
       } else (pair.getStruct(0).getLong(0) + pair.getStruct(0).getLong(1)) / 2
 
-    def incarnation(): StreamingQuery = {
-      val stream = spark.readStream.schema(evs.schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(s"$landing/*")
-        .as[Ev]
-        .groupByKey(_.user_id)
-        .transformWithState(new SessionProcessor,
-          TimeMode.None(), OutputMode.Append())
-        .toDF()
-      stream.writeStream
-        .outputMode(OutputMode.Append())
-        .foreachBatch { (b: DataFrame, id: Long) =>
-          b.write.mode("overwrite").parquet(s"$outDir/batch-$id"); () }
-        .option("checkpointLocation", s"$root/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
-    }
     val prevProv = spark.conf.getOption(ProviderConfKey)
     val prevShuf = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(ProviderConfKey, RocksDbProvider)
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      DeliveryHarness.writeDelivery(
-        evs.filter(mcol <= cut), s"$landing/d0", 1000000L)
-      val q1 = incarnation()
-      try { q1.processAllAvailable() } finally q1.stop()
-      DeliveryHarness.writeDelivery(
-        evs.filter(mcol > cut), s"$landing/d1", 2000000L)
-      val q2 = incarnation()
-      try { q2.processAllAvailable() } finally q2.stop()
+      // the shared harness carries the TWS stage through the restart
+      // (transform rides the stream, so the second incarnation must
+      // rebuild the processor's state store from the checkpoint)
+      DeliveryHarness.runTwoDeliveriesWithRestart(spark, root,
+        evs.filter(mcol <= cut), evs.filter(mcol > cut), evs.schema,
+        { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$outDir/batch-$id"); () },
+        transform = sessionized)
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuf)
       prevProv match {
@@ -474,12 +468,8 @@ object EventStream {
         case None => spark.conf.unset(ProviderConfKey)
       }
     }
-    spark.read.option("recursiveFileLookup", "true").parquet(outDir)
-      .groupBy(col("user_id"), col("session_id"))
-      .agg(count(lit(1)).as("n_events"),
-        min(col("ts")).as("session_start"),
-        max(col("ts")).as("session_end"))
-      .orderBy(col("user_id"), col("session_id"))
+    sessionAggregate(
+      spark.read.option("recursiveFileLookup", "true").parquet(outDir))
   }
 
   private val ProviderConfKey = "spark.sql.streaming.stateStore.providerClass"

@@ -62,7 +62,8 @@ object LinkStream {
     val recs = Linkage.records(spark, sf)
     val run: (SparkSession, String, DataFrame, DataFrame, StructType,
       (DataFrame, Long) => Unit) => Unit =
-      if (restart) DeliveryHarness.runTwoDeliveriesWithRestart
+      if (restart)
+        DeliveryHarness.runTwoDeliveriesWithRestart(_, _, _, _, _, _)
       else DeliveryHarness.runTwoDeliveries
     run(spark, root,
       recs.filter(col("kind") === "orig"),
@@ -74,8 +75,14 @@ object LinkStream {
         val idx = spark.read.schema(RecordSchema)
           .option("recursiveFileLookup", "true")
           .option("pathGlobFilter", "*.parquet").parquet(indexDir)
-        val edges = Linkage.matchedPairs(b, b)
-          .unionByName(Linkage.matchedPairs(b, idx))
+        // the skew guard's census must cover the full ACCUMULATED
+        // record set, not the slice each call happens to hold —
+        // otherwise a capped run would purge different blocks than
+        // the batch twin (a delivery's two records look innocent
+        // even when their block is giant)
+        val accumulated = Some(b.unionByName(idx))
+        val edges = Linkage.matchedPairs(b, b, accumulated)
+          .unionByName(Linkage.matchedPairs(b, idx, accumulated))
         // batchId-keyed overwrite, not append: a retried micro-batch
         // re-writes its own subdirs (the foreachBatch exactly-once
         // contract is ours to provide)
@@ -92,6 +99,8 @@ object LinkStream {
         StructField("doc_a", LongType), StructField("doc_b", LongType))))
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", "*.parquet").parquet(edgeDir)
-    Linkage.resolve(allRecs, allEdges)
+    // terminal cap gate: a block can outgrow the cap after earlier
+    // deliveries already emitted its edges — the final census decides
+    Linkage.resolve(allRecs, Linkage.enforceBlockCap(allRecs, allEdges))
   }
 }

@@ -482,6 +482,20 @@ class JobSpec extends AnyFunSuite {
       after(regionDir).getLong(3) >= 1L, after(regionDir))
     // the untouched table still audits clean
     assert(after.filterKeys(_ != regionDir).values.forall(_.getBoolean(5)))
+    // a RELOCATED dump audits at its new home, not against the
+    // (intact) originals the sidecar still names: copy the corrupted
+    // store elsewhere and audit the copy — the flag must follow
+    // a fresh non-existent target: FileUtil.copy would nest the
+    // source INSIDE an existing directory
+    val moved = s"${tmp("jobspec-audit-moved")}/store"
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(store), fs,
+      new org.apache.hadoop.fs.Path(moved), false, true,
+      spark.sparkContext.hadoopConfiguration)
+    val movedRows = graft.sources.DumpAudit.verify(spark, moved).collect()
+    assert(movedRows.forall(_.getString(0).startsWith(moved)), movedRows.toSeq)
+    assert(movedRows.exists(r => r.getString(0).endsWith("/region")
+      && !r.getBoolean(5) && r.getLong(3) >= 1L), movedRows.toSeq)
     // deleted table dir → missing, not ok
     fs.delete(new org.apache.hadoop.fs.Path(regionDir), true)
     val gone = graft.sources.DumpAudit.verify(spark, store).collect()
