@@ -227,6 +227,7 @@ object SparkEntry {
     "q_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "q_cosine_near_dup" -> ((s: SparkSession, d: String) => Similarity.cosineNearDup(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
+    "q_delta_ivf" -> (Similarity.deltaIvfAssign _),
     "q_ann_recall" -> (Similarity.annPlantedRecall _),
     "q_mrl_recall" -> ((s: SparkSession, d: String) =>
       Similarity.mrlPlantedRecall(s, d)),
@@ -2788,6 +2789,42 @@ object SparkEntry {
          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                  ORDER BY cosine DESC, neighbor_id) AS rk FROM cand)
          WHERE rk <= 3 ORDER BY query_id, rk""",
+
+    // Incremental IVF maintenance: the SAME unrolled Lloyd replay as
+    // q_ann_ivf but trained on the indexed 80% slice only; the delta
+    // slice then assigns into the replayed frozen centroids — one
+    // integer argmin per new vector, pinned value for value.
+    "q_delta_ivf" ->
+      s"""WITH av AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 67108864.0) AS BIGINT)) AS iv
+           FROM embeddings),
+         wv AS (SELECT CAST(floor((MAX(vec_id) + 1) * 0.8) AS BIGINT) AS w
+                FROM av),
+         qv AS (SELECT vec_id, iv FROM av, wv WHERE vec_id < w),
+         seeds AS (
+           SELECT vec_id, iv FROM qv
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT ${graft.operators.Similarity.IvfCells}),
+         c0 AS (
+           SELECT ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+             iv AS c
+           FROM seeds),
+         ${(0 until graft.operators.Similarity.KmeansIters)
+             .map(i => lloydIterSql(i, graft.operators.Similarity.Dim))
+             .mkString(",\n         ")},
+         delta AS (SELECT vec_id, iv FROM av, wv WHERE vec_id >= w),
+         assign AS (
+           SELECT vec_id, cell FROM (
+             SELECT d.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+                 ${d2Sql("d.iv", "c.c", graft.operators.Similarity.Dim)},
+                 c.cell) AS rn
+             FROM delta d, c${graft.operators.Similarity.KmeansIters} c) t
+           WHERE rn = 1)
+         SELECT vec_id, CAST(cell AS BIGINT) AS cell
+         FROM assign ORDER BY vec_id""",
 
     // PQ codes, replayed off-engine INCLUDING THE TRAINER — the same
     // Lloyd replay as q_ann_ivf's, run per subspace (pqIterSql keyed

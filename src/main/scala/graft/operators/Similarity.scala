@@ -834,6 +834,36 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** q_delta_ivf: INCREMENTAL index maintenance — the FAISS `add()`
+    * path that completes the delta story (delta_dedup for
+    * fingerprints, delta_card for the release card, this for the ANN
+    * index): the already-indexed corpus (first 80% of vec_ids, the
+    * shared delta framing) trains the centroid artifact ONCE, and a
+    * new embedding delivery assigns into the FROZEN cells with one
+    * integer argmin per vector — no retrain, no touch of the indexed
+    * data, cost O(delta × k). The argmin ties on cell id and every
+    * distance is an exact long, so the DuckDB oracle replays the
+    * restricted trainer (the SAME unrolled Lloyd CTEs as q_ann_ivf,
+    * trained on the base slice only) and pins the delta's cell
+    * assignment value for value — a drifted frozen artifact or a
+    * retrain-on-delta bug moves a vector's cell and fails the hash.
+    * The operational signal: a delivery whose assignment skews into
+    * few cells is distribution drift — retrain time (the monitoring
+    * handoff to q_stream_embed_drift). */
+  def deltaIvfAssign(spark: SparkSession, sf: String): DataFrame = {
+    val e = Tables.load(spark, sf, "embeddings")
+    val w = e.agg(floor((max(col("vec_id")) + 1) * 0.8).cast("long"))
+      .head().getLong(0)
+    val cents = kmeansCentroidsQ(e.filter(col("vec_id") < w))
+    e.filter(col("vec_id") >= w)
+      .select(col("vec_id"),
+        graft.functions.ArrayOps.quantize_q(col("embedding"), Q).as("iv"))
+      .withColumn("cell",
+        element_at(nearestCellsQ(col("iv"), cents, 1), 1).cast("long"))
+      .select(col("vec_id"), col("cell"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Driver-visible IVF recall pin — q_ann_recall's twin for the
     * k-means index: every vector's planted near-identical twin
     * (id + 1e6, first component ×1.01) is indexed into its nearest

@@ -1506,6 +1506,24 @@ class OperatorSpec extends AnyFunSuite {
       assert(size == census(cid), s"record $id size") }
   }
 
+  test("delta IVF assigns exactly the delta slice into frozen in-range cells") {
+    val rows = Similarity.deltaIvfAssign(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val e = Tables.load(spark, sf, "embeddings")
+    val w = e.agg(floor((max(col("vec_id")) + 1) * 0.8).cast("long"))
+      .head().getLong(0)
+    val deltaIds = e.filter(col("vec_id") >= w)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // complete coverage of the delivery, nothing from the indexed side
+    assert(rows.map(_._1).toSet == deltaIds && rows.length == deltaIds.size)
+    // every assignment lands in a frozen cell id
+    rows.foreach { case (id, c) =>
+      assert(c >= 0L && c < Similarity.IvfCells.toLong, s"vec $id cell $c") }
+    // non-degenerate: the delivery spreads over multiple cells (a
+    // one-cell pileup is the drift alarm, not healthy assignment)
+    assert(rows.map(_._2).distinct.length > 1)
+  }
+
   test("dup-rate-by-source detects seeded within-source and cross-source duplication") {
     import spark.implicits._
     // known structure: srcA = 3 docs, one within-dup pair; srcB = 2
