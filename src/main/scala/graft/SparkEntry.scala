@@ -218,6 +218,8 @@ object SparkEntry {
       graft.streaming.EmbedStream.embedDriftViaStream(s, d)),
     "q_cluster_balance" -> ((s: SparkSession, d: String) =>
       Similarity.clusterBalancedCurate(s, d)),
+    "q_cluster_balance_lsh" -> ((s: SparkSession, d: String) =>
+      Similarity.clusterBalancedCurateLsh(s, d)),
     "q_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     // --- similarity search
     "q_embed_norms" -> (Similarity.norms _),
@@ -650,6 +652,30 @@ object SparkEntry {
              CAST(FIRST_VALUE(vec_id) OVER (PARTITION BY cluster_id
                ORDER BY n2 DESC, vec_id) AS BIGINT) AS survivor_id
            FROM labeled) t
+         ORDER BY vec_id"""
+
+  /** The closure plus the quality-argmax curation rule (rank by the
+    * q_quality composite desc, ties to the smaller vec_id) — shared by
+    * q_cluster_balance and q_cluster_balance_lsh, whose Spark sides
+    * differ only in the candidate edge derivation (one shared
+    * clusterBalancedFrom code path engine-side). */
+  private lazy val ClusterBalanceSql: String =
+    s"""$SemanticClustersCtes,
+         qual AS (
+           SELECT doc_id AS vec_id,
+             $QualityScoreSql AS quality_score
+           FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents)),
+         cl AS (
+           SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+             CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+           FROM labeled)
+         SELECT vec_id, cluster_id, cluster_size, quality_score,
+           CAST(qrank AS BIGINT) AS qrank,
+           CAST(qrank <= 1 AS BIGINT) AS keep
+         FROM (SELECT vec_id, cluster_id, cluster_size, quality_score,
+                 ROW_NUMBER() OVER (PARTITION BY cluster_id
+                   ORDER BY quality_score DESC, vec_id) AS qrank
+               FROM cl JOIN qual USING (vec_id))
          ORDER BY vec_id"""
 
   /** Exact-pair near-dup delta classification — shared by the batch
@@ -3259,24 +3285,13 @@ object SparkEntry {
     // oracle as q_semantic_clusters, with the survivor picked by the
     // q_quality composite instead of norm² — rank and keep flag replay
     // through one window.
-    "q_cluster_balance" ->
-      s"""$SemanticClustersCtes,
-         qual AS (
-           SELECT doc_id AS vec_id,
-             $QualityScoreSql AS quality_score
-           FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents)),
-         cl AS (
-           SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
-             CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
-           FROM labeled)
-         SELECT vec_id, cluster_id, cluster_size, quality_score,
-           CAST(qrank AS BIGINT) AS qrank,
-           CAST(qrank <= 1 AS BIGINT) AS keep
-         FROM (SELECT vec_id, cluster_id, cluster_size, quality_score,
-                 ROW_NUMBER() OVER (PARTITION BY cluster_id
-                   ORDER BY quality_score DESC, vec_id) AS qrank
-               FROM cl JOIN qual USING (vec_id))
-         ORDER BY vec_id""",
+    "q_cluster_balance" -> ClusterBalanceSql,
+
+    // Cell-fed curation: same candidate-completeness pinning as
+    // q_semantic_clusters_lsh (SimilaritySpec asserts cellPairs ==
+    // exact edge set edge-for-edge); quality/rank/keep is one shared
+    // clusterBalancedFrom code path with the exact twin.
+    "q_cluster_balance_lsh" -> ClusterBalanceSql,
 
     // Inverse-frequency class weights (the sklearn "balanced"
     // heuristic) in integer basis points

@@ -1386,9 +1386,33 @@ object Similarity {
     * quality join is id-keyed (embedding ids = document ids); the rank
     * window is keyed by cluster_id — nothing global. */
   def clusterBalancedCurate(spark: SparkSession, sf: String,
-      keepPerCluster: Int = 1): DataFrame = {
+      keepPerCluster: Int = 1): DataFrame =
+    clusterBalancedFrom(spark, sf, semanticClusters(spark, sf),
+      keepPerCluster)
+
+  /** [[clusterBalancedCurate]] off the cell-bucketed clustering — the
+    * 100 TB form: the exact twin's [[semanticClusters]] feed rides the
+    * guarded O(n²) kernel and fail-fasts past 10⁶ vectors, while this
+    * variant takes its edges from [[cellPairs]] via
+    * [[semanticClustersLsh]], exactly as [[semDedupLsh]] shadows
+    * [[semDedup]]. Quality rule, rank window and keep flag are ONE
+    * shared code path with the exact twin ([[clusterBalancedFrom]]),
+    * so the two cannot drift; pinned by the SAME exact-edge
+    * recursive-CTE + quality-window oracle under the
+    * candidate-completeness argument on [[semanticClustersLsh]]
+    * (SimilaritySpec pins candidate-edge equality edge-for-edge). */
+  def clusterBalancedCurateLsh(spark: SparkSession, sf: String,
+      keepPerCluster: Int = 1): DataFrame =
+    clusterBalancedFrom(spark, sf, semanticClustersLsh(spark, sf),
+      keepPerCluster)
+
+  /** Shared curation rule over a cluster assignment: join the
+    * [[Text.qualityScoredDf]] composite by id, rank within each
+    * cluster (quality desc, id asc), flag the top `keepPerCluster`.
+    * The window is keyed by cluster_id — nothing global. */
+  private def clusterBalancedFrom(spark: SparkSession, sf: String,
+      clusters: DataFrame, keepPerCluster: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val clusters = semanticClusters(spark, sf)
     val quality = Text.qualityScoredDf(Tables.load(spark, sf, "documents"))
       .select(col("doc_id").as("vec_id"), col("quality_score"))
     clusters.join(quality, "vec_id")

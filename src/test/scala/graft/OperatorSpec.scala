@@ -775,6 +775,18 @@ class OperatorSpec extends AnyFunSuite {
     val sdCell = Similarity.semDedupLsh(spark, sf, threshold).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(sdCell.sameElements(sdExact))
+    // quality-rule curation off the same two feeds: one shared
+    // clusterBalancedFrom code path, so rank + keep must be
+    // bit-identical, and the cell-fed plan must stay cross-join-free.
+    val cbLshDf = Similarity.clusterBalancedCurateLsh(spark, sf)
+    val cbPlan = cbLshDf.queryExecution.executedPlan.toString
+    assert(!cbPlan.contains("CartesianProduct"), cbPlan.take(2000))
+    assert(!cbPlan.contains("BroadcastNestedLoopJoin"), cbPlan.take(2000))
+    val cbExact = Similarity.clusterBalancedCurate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+    val cbCell = cbLshDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+    assert(cbCell.sameElements(cbExact))
   }
 
   test("zero-norm embeddings are excluded from similarity kernels, never NaN-ranked") {
