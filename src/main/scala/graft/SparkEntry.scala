@@ -3262,9 +3262,10 @@ object SparkEntry {
                    WHERE m.va = s.vec_id AND list_contains(ids, m.vb)) DESC,
                  s.vec_id
                LIMIT 1))
-           FROM sel WHERE step < ${graft.operators.Similarity.MmrK}),
-         fin AS (SELECT ids FROM sel
-                 WHERE step = ${graft.operators.Similarity.MmrK}),
+           FROM sel WHERE step < ${graft.operators.Similarity.MmrK}
+             AND EXISTS (SELECT 1 FROM short s
+                         WHERE NOT list_contains(ids, s.vec_id))),
+         fin AS (SELECT ids FROM sel ORDER BY step DESC LIMIT 1),
          st AS (SELECT CAST(i AS BIGINT) AS step, ids[i] AS vec_id,
                   list_slice(ids, 1, i - 1) AS prev
                 FROM fin,

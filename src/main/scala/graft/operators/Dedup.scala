@@ -784,14 +784,22 @@ object Dedup {
     * CONFIRMED against its true shingle sets — |A∩B| / |A∪B| via
     * `array_intersect` on the two bounded per-doc arrays, never by
     * re-exploding the corpus (the candidate set is the small frame
-    * here; two narrow joins re-attach the arrays). The output is
-    * therefore the EXACT near-dup pair set the index recovers, which
-    * is what makes this row DRIVER-CHECKABLE: the DuckDB oracle is
-    * the brute-force exact-pair query (q_ngram_jaccard's), so a
-    * banding miss, estimator drift, or verify bug is a missing or
-    * extra row — red at the gate, not a rows-only shrug. The
-    * est-only candidate stream (what a pipeline would persist as its
-    * index artifact) remains [[minhashLshFrom]]. */
+    * here; two narrow joins re-attach the arrays). The confirm makes
+    * PRECISION exact (no sub-threshold pair can leak), while RECALL
+    * is statistical: a true pair at similarity j survives only if
+    * (a) some band of 4 rows fully agrees — miss prob (1−j⁴)¹⁶,
+    * ≈ 2·10⁻⁵ at j = 0.9 but ≈ 0.34 at j = 0.5 — and (b) its
+    * 64-hash agreement clears the t − 0.15 prune (≈ 2.5σ margin at
+    * j = t, σ ≈ 0.06). On the fixtures every true pair sits at
+    * j ≥ 0.9, so the recovered set EQUALS the brute-force pair set
+    * and the row is DRIVER-CHECKABLE against the exact q_ngram_jaccard
+    * oracle — a banding miss, estimator drift, or verify bug is a
+    * missing or extra row, red at the gate. On corpora whose true
+    * pairs crowd the threshold the index trades that tail of recall
+    * for its O(collisions) cost — the quantified gap above, measured
+    * by [[minhashRecall]]. The est-only candidate stream (what a
+    * pipeline would persist as its index artifact) remains
+    * [[minhashLshFrom]]. */
   def minhashLsh(spark: SparkSession, sf: String, threshold: Double = 0.5): DataFrame = {
     val sh = shingledCached(spark, sf)
     val cand = minhashCandidates(sh)

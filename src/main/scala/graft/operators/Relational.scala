@@ -486,18 +486,21 @@ object Relational {
     val qtyRanks = ranks("l_quantity").persist()
     val priceRanks = ranks("l_extendedprice")
     // the GK contract: some rank of the returned value lies within
-    // tol of the target rank ⌈p·n⌉
+    // tol of the target rank ⌈p·n⌉. LEFT join from approx: a sketch
+    // value absent from the group's rank table (a broken sketch
+    // inventing a value) must surface as an explicit 0 verdict row,
+    // not silently drop the group from the output
     def verdict(rk: DataFrame, vcol: String, p: Double,
         outName: String): DataFrame = {
       val target = ceil(col("n") * p)
       val tol = floor(col("n") / 10000) + 1
       approx.select(col("l_returnflag").as("f"), col("n"),
           col(vcol).as("av"))
-        .join(rk, Seq("f"))
-        .filter(col("v") === col("av"))
+        .join(rk.withColumnRenamed("v", "av"), Seq("f", "av"), "left")
         .select(col("f"),
-          ((col("cum_lt") + 1 <= target + tol) &&
-            (col("cum_le") >= target - tol)).cast("long").as(outName))
+          coalesce(((col("cum_lt") + 1 <= target + tol) &&
+            (col("cum_le") >= target - tol)).cast("long"), lit(0L))
+            .as(outName))
     }
     approx.select(col("l_returnflag").as("f"), col("n"),
         (floor(col("n") / 10000) + 1).cast("long").as("tol"))

@@ -852,8 +852,14 @@ object Similarity {
     * handoff to q_stream_embed_drift). */
   def deltaIvfAssign(spark: SparkSession, sf: String): DataFrame = {
     val e = Tables.load(spark, sf, "embeddings")
-    val w = e.agg(floor((max(col("vec_id")) + 1) * 0.8).cast("long"))
-      .head().getLong(0)
+    val wRow = e.agg(floor((max(col("vec_id")) + 1) * 0.8).cast("long"))
+      .head()
+    // empty table → max() is NULL: no base slice to train on and no
+    // delta to assign — return the empty frame with the right schema
+    // instead of NPEing on the null aggregate
+    if (wRow.isNullAt(0))
+      return e.select(col("vec_id"), lit(0L).as("cell")).limit(0)
+    val w = wRow.getLong(0)
     val cents = kmeansCentroidsQ(e.filter(col("vec_id") < w))
     e.filter(col("vec_id") >= w)
       .select(col("vec_id"),

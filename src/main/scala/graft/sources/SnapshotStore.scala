@@ -115,14 +115,19 @@ object SnapshotStore {
     * store cannot keep every snapshot forever; Delta/Iceberg expose
     * the same knob as VACUUM / expire_snapshots).
     *
-    * Ordering is the safety argument: the TRUNCATED ledger publishes
-    * FIRST (same temp+rename as appendVersion), so a concurrent
-    * resolvePin can never be handed a version whose directory is
-    * mid-delete — after the publish, dropped versions fail resolution
-    * with the explicit not-in-ledger error; only then do the retired
-    * `v=<n>` dirs physically delete. Version numbering stays monotone
-    * (the next append continues from the retained max, never reuses a
-    * vacuumed number).
+    * Ordering is the safety argument, scoped precisely: the TRUNCATED
+    * ledger publishes FIRST (same temp+rename as appendVersion), so a
+    * resolvePin that runs AFTER the publish can never see a vacuumed
+    * version — it fails with the explicit not-in-ledger error; only
+    * then do the retired `v=<n>` dirs physically delete. A pin that
+    * resolved just BEFORE the publish may still read a directory the
+    * sweep is about to delete (the classic expire-snapshots TOCTOU —
+    * Delta/Iceberg have the same window and close it operationally
+    * with a retention grace period ≥ the longest reader); true
+    * reader isolation would need reader registration or such a grace
+    * window, which this store does not implement. Version numbering
+    * stays monotone (the next append continues from the retained max,
+    * never reuses a vacuumed number).
     */
   def vacuum(spark: SparkSession, root: String,
       keepLast: Int): Seq[Long] = synchronized {

@@ -645,6 +645,34 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("MMR + delta-IVF degenerate inputs: short corpus stops early, empty table yields empty frame") {
+    // fewer survivors than MmrK: the greedy chain must stop at the
+    // corpus size (and the oracle's recursive CTE now selects the
+    // max-step row, so both sides emit exactly |corpus| steps)
+    import spark.implicits._
+    val dir = graft.TempDirs.create("degenerate-emb")
+    Seq(
+      (0L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),
+      (1L, Array(0.1f, 0.9f, 0.0f, 0.0f), 1),
+      (2L, Array(0.5f, 0.5f, 0.1f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val short = Similarity.mmrSelect(spark, dir).collect()
+    assert(short.length == 3, s"expected 3 picks, got ${short.length}")
+    assert(short.map(_.getLong(1)).distinct.length == 3)
+    assert(short.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // empty embeddings: deltaIvfAssign has no base slice and no delta
+    // — empty frame with the (vec_id, cell) schema, never an NPE on
+    // the null max() aggregate
+    val empty = graft.TempDirs.create("empty-emb")
+    Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$empty/embeddings.parquet")
+    val delta = Similarity.deltaIvfAssign(spark, empty)
+    assert(delta.columns.toSeq == Seq("vec_id", "cell"))
+    assert(delta.count() == 0L)
+  }
+
   test("MMR selection: distinct picks, relevance-first seed, consistent scores") {
     val rows = Similarity.mmrSelect(spark, sf).collect()
     assert(rows.length == Similarity.MmrK)
