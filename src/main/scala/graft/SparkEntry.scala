@@ -225,6 +225,8 @@ object SparkEntry {
     "q_embed_norms" -> (Similarity.norms _),
     "q_knn_brute" -> ((s: SparkSession, d: String) => Similarity.knnBruteForce(s, d)),
     "q_label_knn" -> ((s: SparkSession, d: String) => Similarity.labelKnn(s, d)),
+    "q_label_knn_ivf" -> ((s: SparkSession, d: String) =>
+      Similarity.labelKnnIvf(s, d)),
     "q_class_weights" -> (Similarity.classWeights _),
     "q_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "q_cosine_near_dup" -> ((s: SparkSession, d: String) => Similarity.cosineNearDup(s, d)),
@@ -245,6 +247,7 @@ object SparkEntry {
     "q_ivfsq_recall" -> (Similarity.ivfSqPlantedRecall _),
     "q_cosine_pairs" -> ((s: SparkSession, d: String) => Similarity.cosinePairsExact(s, d)),
     "q_triplets" -> (Similarity.tripletMine _),
+    "q_triplets_ivf" -> (Similarity.tripletMineIvf _),
     // --- multimodal binary plumbing
     "q_binary_meta" -> (Multimodal.binaryMeta _),
     "q_decode_features" -> (Multimodal.decodeFeatures _),
@@ -326,6 +329,52 @@ object SparkEntry {
          b${i + 1} AS (
            SELECT pr.m, pr.cell, COALESCE(u.c, pr.c) AS c
            FROM b$i pr LEFT JOIN pu$i u ON pr.m = u.m AND pr.cell = u.cell)"""
+
+  /** The replayed IVF candidate chain — quantize, seed from
+    * MD5-of-id order, unroll KmeansIters Lloyd iterations
+    * ([[lloydIterSql]]), index each vector in its argmin cell, probe
+    * the NProbe nearest cells, and score candidates on cell equality
+    * with the shared exact quantized cosine. Ends at CTE `cand`
+    * (query_id, neighbor_id, cosine) — shared prefix of q_ann_ivf,
+    * q_label_knn_ivf and q_triplets_ivf, so the three consumers of
+    * the engine's ivfCandidatePairs replay ONE oracle candidate
+    * definition (they cannot desynchronize). */
+  private val IvfCandCtes: String =
+    s"""WITH qv AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 67108864.0) AS BIGINT)) AS iv
+           FROM embeddings),
+         seeds AS (
+           SELECT vec_id, iv FROM qv
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT ${graft.operators.Similarity.IvfCells}),
+         c0 AS (
+           SELECT ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+             iv AS c
+           FROM seeds),
+         ${(0 until graft.operators.Similarity.KmeansIters)
+             .map(i => lloydIterSql(i, graft.operators.Similarity.Dim))
+             .mkString(",\n         ")},
+         rank_cells AS (
+           SELECT q.vec_id, q.iv, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+               ${d2Sql("q.iv", "c.c", graft.operators.Similarity.Dim)},
+               c.cell) AS rn
+           FROM qv q, c${graft.operators.Similarity.KmeansIters} c),
+         indexed AS (SELECT vec_id, iv, cell FROM rank_cells WHERE rn = 1),
+         probes AS (SELECT vec_id, iv, cell FROM rank_cells
+           WHERE rn <= ${graft.operators.Similarity.NProbe}),
+         cand AS (
+           SELECT pr.vec_id AS query_id, ix.vec_id AS neighbor_id,
+             CAST(CAST(list_sum(list_transform(generate_series(1, len(pr.iv)),
+               i -> pr.iv[i] * ix.iv[i])) AS BIGINT) AS DOUBLE)
+             / (sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(pr.iv)),
+                 i -> pr.iv[i] * pr.iv[i])) AS BIGINT) AS DOUBLE))
+                * sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(ix.iv)),
+                 i -> ix.iv[i] * ix.iv[i])) AS BIGINT) AS DOUBLE))) AS cosine
+           FROM probes pr JOIN indexed ix
+             ON pr.cell = ix.cell AND pr.vec_id <> ix.vec_id)"""
 
   // ---- BPE trainer replay (the q_bpe_merges / q_bpe_encode oracles) --
 
@@ -2776,45 +2825,70 @@ object SparkEntry {
     // truncating division, a tie broken differently — moves a vector
     // across cells and shows as a row diff at the driver gate.
     "q_ann_ivf" ->
-      s"""WITH qv AS (
-           SELECT vec_id, list_transform(embedding,
-             x -> CAST(floor(CAST(x AS DOUBLE) * 67108864.0) AS BIGINT)) AS iv
-           FROM embeddings),
-         seeds AS (
-           SELECT vec_id, iv FROM qv
-           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-           LIMIT ${graft.operators.Similarity.IvfCells}),
-         c0 AS (
-           SELECT ROW_NUMBER() OVER (
-               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
-             iv AS c
-           FROM seeds),
-         ${(0 until graft.operators.Similarity.KmeansIters)
-             .map(i => lloydIterSql(i, graft.operators.Similarity.Dim))
-             .mkString(",\n         ")},
-         rank_cells AS (
-           SELECT q.vec_id, q.iv, c.cell,
-             ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-               ${d2Sql("q.iv", "c.c", graft.operators.Similarity.Dim)},
-               c.cell) AS rn
-           FROM qv q, c${graft.operators.Similarity.KmeansIters} c),
-         indexed AS (SELECT vec_id, iv, cell FROM rank_cells WHERE rn = 1),
-         probes AS (SELECT vec_id, iv, cell FROM rank_cells
-           WHERE rn <= ${graft.operators.Similarity.NProbe}),
-         cand AS (
-           SELECT pr.vec_id AS query_id, ix.vec_id AS neighbor_id,
-             CAST(CAST(list_sum(list_transform(generate_series(1, len(pr.iv)),
-               i -> pr.iv[i] * ix.iv[i])) AS BIGINT) AS DOUBLE)
-             / (sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(pr.iv)),
-                 i -> pr.iv[i] * pr.iv[i])) AS BIGINT) AS DOUBLE))
-                * sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(ix.iv)),
-                 i -> ix.iv[i] * ix.iv[i])) AS BIGINT) AS DOUBLE))) AS cosine
-           FROM probes pr JOIN indexed ix
-             ON pr.cell = ix.cell AND pr.vec_id <> ix.vec_id)
+      s"""$IvfCandCtes
          SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, cosine
          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                  ORDER BY cosine DESC, neighbor_id) AS rk FROM cand)
          WHERE rk <= 3 ORDER BY query_id, rk""",
+
+    // IVF-served leave-one-out kNN classification: the SAME replayed
+    // candidate chain as q_ann_ivf, topped at 5 and majority-voted
+    // (count desc, label asc) — value-exact against the engine's
+    // labelKnnIvf, which shares its vote code path with the exact
+    // q_label_knn. Queries whose probed cells hold no other vector
+    // drop on both sides.
+    "q_label_knn_ivf" ->
+      s"""$IvfCandCtes,
+         knn AS (
+           SELECT query_id, neighbor_id
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rk FROM cand)
+           WHERE rk <= 5),
+         lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+                 FROM embeddings),
+         votes AS (
+           SELECT k.query_id, l.label AS n_label, COUNT(*) AS n_votes
+           FROM knn k JOIN lab l ON l.vec_id = k.neighbor_id
+           GROUP BY 1, 2),
+         pred AS (
+           SELECT query_id AS vec_id, n_label AS pred_label
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY n_votes DESC, n_label) AS vrk FROM votes)
+           WHERE vrk = 1)
+         SELECT p.vec_id, l.label, p.pred_label,
+           CAST(l.label = p.pred_label AS BIGINT) AS correct
+         FROM pred p JOIN lab l ON l.vec_id = p.vec_id
+         ORDER BY p.vec_id""",
+
+    // IVF-served hard-triplet mining: the SAME replayed candidate
+    // chain, arg-maxed per (anchor, same-label) side with ties to the
+    // smaller id — value-exact against tripletMineIvf, which shares
+    // its selection code path with the exact q_triplets. Anchors
+    // lacking a same-label or other-label candidate drop on both
+    // sides.
+    "q_triplets_ivf" ->
+      s"""$IvfCandCtes,
+         lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+                 FROM embeddings),
+         scored AS (
+           SELECT c.query_id AS anchor_id, c.neighbor_id AS cand_id,
+             c.cosine, (la.label = lc.label) AS same
+           FROM cand c JOIN lab la ON la.vec_id = c.query_id
+             JOIN lab lc ON lc.vec_id = c.neighbor_id),
+         pos AS (
+           SELECT anchor_id, cand_id AS pos_id, cosine AS pos_cos
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                   ORDER BY cosine DESC, cand_id) AS rk
+                 FROM scored WHERE same) WHERE rk = 1),
+         neg AS (
+           SELECT anchor_id, cand_id AS neg_id, cosine AS neg_cos
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                   ORDER BY cosine DESC, cand_id) AS rk
+                 FROM scored WHERE NOT same) WHERE rk = 1)
+         SELECT pos.anchor_id, pos_id, pos_cos, neg_id, neg_cos,
+           pos_cos - neg_cos AS margin
+         FROM pos JOIN neg ON pos.anchor_id = neg.anchor_id
+         ORDER BY pos.anchor_id""",
 
     // Incremental IVF maintenance: the SAME unrolled Lloyd replay as
     // q_ann_ivf but trained on the indexed 80% slice only; the delta

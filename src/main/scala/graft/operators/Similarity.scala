@@ -367,10 +367,32 @@ object Similarity {
     * neighbor sets are bit-identical cross-engine); at scale the same
     * majority vote runs over ANN candidates from the IVF/LSH index —
     * the eval inherits whichever retrieval tier serves it. */
-  def labelKnn(spark: SparkSession, sf: String, k: Int = 5): DataFrame = {
+  def labelKnn(spark: SparkSession, sf: String, k: Int = 5): DataFrame =
+    labelVoteFrom(spark, sf, knnBruteForce(spark, sf, k))
+
+  /** [[labelKnn]] served by the IVF index instead of the exact kernel
+    * — the 100 TB form of the embedding-quality eval (the exact twin
+    * rides [[knnBruteForce]]'s guarded broadcast and fail-fasts past
+    * 10⁶ vectors): neighbor candidates come from [[annIvf]]'s
+    * cell-probed top-k, the majority vote is ONE shared code path
+    * with the exact twin ([[labelVoteFrom]]). Driver-checkable value
+    * for value — the DuckDB oracle replays the unrolled-Lloyd IVF
+    * index (the q_ann_ivf CTE chain) and votes over the same top-5,
+    * so a drifted centroid, probe miss, or vote tie-break is a row
+    * diff at the gate, strictly stronger than a recall gate. A query
+    * whose probed cells hold no other vector drops from the output
+    * (no neighbors → no prediction) on both engines alike. */
+  def labelKnnIvf(spark: SparkSession, sf: String, k: Int = 5): DataFrame =
+    labelVoteFrom(spark, sf, annIvf(spark, sf, k))
+
+  /** Shared majority vote over a (query_id, neighbor_id, …) neighbor
+    * feed: join neighbor labels, count votes per (query, label), keep
+    * the (count desc, label asc) winner, compare to truth. */
+  private def labelVoteFrom(spark: SparkSession, sf: String,
+      neighbors: DataFrame): DataFrame = {
     val labels = Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), col("label").cast("long").as("label"))
-    val votes = knnBruteForce(spark, sf, k)
+    val votes = neighbors
       .join(broadcast(labels.select(col("vec_id").as("neighbor_id"),
         col("label").as("n_label"))), Seq("neighbor_id"))
       .groupBy(col("query_id"), col("n_label"))
@@ -805,10 +827,16 @@ object Similarity {
     }
   }
 
-  /** IVF ANN: vectors index into their nearest k-means cell; queries
-    * probe the NProbe nearest cells. Join is cell-equality (shuffle on
-    * a 16-value key); per-cell candidate lists stay small. */
-  def annIvf(spark: SparkSession, sf: String, k: Int = 3): DataFrame = {
+  /** The IVF candidate-pair stream every cell-probed consumer shares:
+    * vectors index into their nearest k-means cell, queries probe the
+    * NProbe nearest cells, candidates meet on CELL EQUALITY (shuffle
+    * on a 16-value key; per-cell lists bounded by occupancy, never a
+    * cross join) and score by the shared exact quantized cosine.
+    * Emits (query_id, neighbor_id, cosine) — [[annIvf]] windows it to
+    * top-k, [[labelKnnIvf]] votes over the top-k labels,
+    * [[tripletMineIvf]] arg-maxes it per (anchor, same-label) side. */
+  private[graft] def ivfCandidatePairs(spark: SparkSession,
+      sf: String): DataFrame = {
     val e = Tables.load(spark, sf, "embeddings")
     val cents = centroidsFor(spark, sf)
     val indexed = quantized(e, "neighbor_id")
@@ -817,18 +845,24 @@ object Similarity {
     val probes = quantized(e, "query_id")
       .withColumn("cell",
         explode(nearestCellsQ(col("iv_query_id"), cents, NProbe)))
-    val pairs = probes.join(indexed, Seq("cell"))
+    probes.join(indexed, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         dot_long(col("iv_query_id"), col("iv_neighbor_id")).cast("double") /
           (col("norm_query_id") * col("norm_neighbor_id")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** IVF ANN: top-k per query over [[ivfCandidatePairs]]. */
+  def annIvf(spark: SparkSession, sf: String, k: Int = 3): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     // No pair dedup: each neighbor is indexed in exactly ONE cell and
     // a query's probe cells are distinct, so a (query, neighbor) pair
     // cannot repeat — a dropDuplicates here would be a pure extra
     // hash-agg exchange over the full top-k result.
-    pairs.withColumn("rk", row_number().over(w).cast("long"))
+    ivfCandidatePairs(spark, sf)
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rk"), col("cosine"))
       .orderBy(col("query_id"), col("rk"))
@@ -1326,6 +1360,42 @@ object Similarity {
           (col("norm_anchor_id") * col("norm_cand_id")))
       .select(col("anchor_id"), col("cand_id"), col("cosine"),
         (col("label_anchor_id") === col("label_cand_id")).as("same"))
+    tripletsFromPairs(pairs)
+  }
+
+  /** [[tripletMine]] fed by the IVF candidate stream — the 100 TB
+    * form of hard-triplet mining (the exact twin rides the guarded
+    * broadcast cross kernel): per anchor, the most-similar same-label
+    * and most-similar other-label CANDIDATE from the cell-probed
+    * [[ivfCandidatePairs]] feed — exactly how FAISS-backed triplet
+    * miners work in production (hard negatives come from the ANN
+    * shortlist, not an exact scan). Selection is ONE shared code path
+    * with the exact twin ([[tripletsFromPairs]]). Driver-checkable
+    * value for value: the DuckDB oracle replays the unrolled-Lloyd
+    * candidate chain (q_ann_ivf's CTEs) and the same two arg-maxes,
+    * so a probe miss or tie-break drift is a row diff at the gate.
+    * Anchors whose probed cells lack a same-label or other-label
+    * candidate drop on both engines alike. */
+  def tripletMineIvf(spark: SparkSession, sf: String): DataFrame = {
+    val labels = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val pairs = ivfCandidatePairs(spark, sf)
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").as("label_a")), Seq("query_id"))
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("label_c")), Seq("neighbor_id"))
+      .select(col("query_id").as("anchor_id"),
+        col("neighbor_id").as("cand_id"), col("cosine"),
+        (col("label_a") === col("label_c")).as("same"))
+    tripletsFromPairs(pairs)
+  }
+
+  /** Shared hard-triplet selection over a scored candidate feed
+    * (anchor_id, cand_id, cosine, same): per anchor the max-cosine
+    * same-label and max-cosine other-label candidate (ties to the
+    * smaller id) as partial-aggregable min(struct(-cos, id)) — one
+    * row per anchor leaves every map task, no per-anchor window. */
+  private def tripletsFromPairs(pairs: DataFrame): DataFrame = {
     val best = pairs
       .groupBy(col("anchor_id"))
       .agg(

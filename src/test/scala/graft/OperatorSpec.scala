@@ -1564,6 +1564,40 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.map(_._2).distinct.length > 1)
   }
 
+  test("IVF-fed labelKnn and triplets: bucketed plans, candidate-subset consistency with exact twins") {
+    // the scale variants ride the cell-equality candidate join — never
+    // a cross join (the exact twins' guarded broadcast kernel is the
+    // thing they exist to replace)
+    val knnIvf = Similarity.labelKnnIvf(spark, sf)
+    val triIvf = Similarity.tripletMineIvf(spark, sf)
+    for (df <- Seq(knnIvf, triIvf)) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan.take(2000))
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    }
+    // vote shape: one prediction per covered query, correct iff equal
+    val kRows = knnIvf.collect()
+    assert(kRows.nonEmpty)
+    assert(kRows.map(_.getLong(0)).distinct.length == kRows.length)
+    kRows.foreach { r =>
+      assert(r.getLong(3) == (if (r.getLong(1) == r.getLong(2)) 1L else 0L)) }
+    // triplet selection is over a SUBSET of the exact candidate set,
+    // so each IVF pos/neg cosine is <= the exact twin's for the same
+    // anchor (the exact arg-max ranges over strictly more candidates)
+    val exact = Similarity.tripletMine(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(4))).toMap
+    val tRows = triIvf.collect()
+    assert(tRows.nonEmpty)
+    tRows.foreach { r =>
+      val (pc, nc) = (r.getDouble(2), r.getDouble(4))
+      assert(r.getDouble(5) == pc - nc, "margin consistency")
+      exact.get(r.getLong(0)).foreach { case (ep, en) =>
+        assert(pc <= ep + 1e-12, s"anchor ${r.getLong(0)} pos above exact")
+        assert(nc <= en + 1e-12, s"anchor ${r.getLong(0)} neg above exact")
+      }
+    }
+  }
+
   test("dup-rate-by-source detects seeded within-source and cross-source duplication") {
     import spark.implicits._
     // known structure: srcA = 3 docs, one within-dup pair; srcB = 2
