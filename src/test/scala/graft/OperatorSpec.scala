@@ -984,10 +984,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(2000))
     assert(!plan.contains("SortMergeJoin") &&
       !plan.contains("ShuffledHashJoin"), plan.take(2000))
-    // exact mode keeps the ranked window — it IS the oracle path
+    // exact mode keeps a ranked window — it IS the oracle path — but
+    // since r12 the key-cardinality side ranks inside BUCKET
+    // partitions (two-phase rank: per-bucket row_number + exclusive
+    // bucket-count offsets); only the ~32-row totals frame sees a
+    // global window, so no full-cardinality single-partition sort
+    // survives anywhere
     val exact = Relational.skewProfile(spark, sf, exact = true)
     exact.collect()
-    assert(exact.queryExecution.executedPlan.toString.contains("Window"))
+    val eplan = exact.queryExecution.executedPlan.toString
+    assert(eplan.contains("Window"))
+    assert(eplan.contains("windowspecdefinition(bucket"), eplan.take(3000))
   }
 
   test("bucketed fact-fact join runs without a shuffle exchange") {
