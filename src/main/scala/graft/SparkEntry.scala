@@ -165,6 +165,7 @@ object SparkEntry {
     // hashed fixed-size feature table is the scale default
     "q_dsir_weights" -> ((s: SparkSession, d: String) => Corpus.dsirWeights(s, d)),
     "q_curate" -> (Corpus.curate _),
+    "q_curate_v2" -> (Corpus.curateV2 _),
     "q_contamination" -> (Corpus.contamination _),
     // --- dedup
     "q_dedup_exact" -> (Dedup.exact _),
@@ -586,17 +587,18 @@ object SparkEntry {
     * grid (`scored`) — the shared prefix of the argmin oracles
     * ([[NbPredCtes]]) and the margin-calibration oracle
     * (q_nb_reliability): one model, six oracles, zero drift. */
-  private val NbScoredCtes: String =
-    s"""WITH docs AS (
+  /** The trained-NB-model CTE block (docs→classes, no WITH prefix) —
+    * shared by [[NbScoredCtes]] (holdout scoring) and the q_curate_v2
+    * oracle (gate-survivor scoring): one model replay, two test
+    * slices, zero drift. */
+  private val NbModelCtes: String =
+    s"""docs AS (
            SELECT doc_id, source,
              regexp_extract_all(lower(text), '[a-z]+') AS t
            FROM documents),
          train AS (SELECT * FROM docs
                    WHERE (doc_id // ${Text.NbSplitBlock})
                      % ${Text.NbSplitMod} != 0),
-         test AS (SELECT doc_id, source AS true_source, t FROM docs
-                  WHERE (doc_id // ${Text.NbSplitBlock})
-                    % ${Text.NbSplitMod} = 0),
          tt AS (SELECT source, unnest(t) AS w FROM train),
          counts AS (SELECT source, w, COUNT(*) AS cnt FROM tt GROUP BY 1, 2),
          ctok AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS class_tokens
@@ -608,7 +610,13 @@ object SparkEntry {
            SELECT ctok.source AS cls, class_tokens,
              CAST(length(bin(total_docs // class_docs)) AS BIGINT)
                AS prior_bits, v
-           FROM ctok JOIN pri USING (source) CROSS JOIN tot CROSS JOIN voc),
+           FROM ctok JOIN pri USING (source) CROSS JOIN tot CROSS JOIN voc)"""
+
+  private val NbScoredCtes: String =
+    s"""WITH $NbModelCtes,
+         test AS (SELECT doc_id, source AS true_source, t FROM docs
+                  WHERE (doc_id // ${Text.NbSplitBlock})
+                    % ${Text.NbSplitMod} = 0),
          tok AS (SELECT doc_id, unnest(t) AS w FROM test),
          tb AS (
            SELECT doc_id, cls,
@@ -726,6 +734,87 @@ object SparkEntry {
                    ORDER BY quality_score DESC, vec_id) AS qrank
                FROM cl JOIN qual USING (vec_id))
          ORDER BY vec_id"""
+
+  /** The mixture CASE expression, generated from
+    * Corpus.MixtureTargets — shared by q_mixture_sample and
+    * q_curate_v2 (one recipe, two oracles). */
+  private lazy val MixtureCaseSql: String =
+    "CASE lang " + graft.operators.Corpus.MixtureTargets
+      .map { case (l, p) => s"WHEN '$l' THEN $p" }.mkString(" ") +
+      " ELSE 0 END"
+
+  /** q_curate_v2: the four verified stage oracles composed in one
+    * statement — semantic closure ([[SemanticClustersCtes]]), NB model
+    * replay ([[NbModelCtes]]), quality scoring ([[QualityScoreSql]])
+    * and the water-filling mixture ([[MixtureCaseSql]]) — so the
+    * composed pipeline is pinned value for value end to end, not
+    * stage by stage. */
+  private lazy val CurateV2Sql: String = {
+    val allow = graft.operators.Corpus.CurateAllowSources
+      .map(s => s"'$s'").mkString(", ")
+    s"""$SemanticClustersCtes,
+         $NbModelCtes,
+         sq AS (
+           SELECT doc_id, lang,
+             ('0x' || substring(md5(text), 1, 8))::BIGINT % 1000 AS bucket,
+             $QualityScoreSql AS quality_score
+           FROM (SELECT doc_id, lang, text,
+                   string_split(lower(text), ' ') AS t FROM documents)),
+         thr AS (SELECT quantile_cont(quality_score, 0.25) AS cut FROM sq),
+         gate AS (SELECT sq.* FROM sq, thr WHERE quality_score > cut),
+         gtest AS (SELECT d.doc_id, d.t FROM docs d JOIN gate USING (doc_id)),
+         gtok AS (SELECT doc_id, unnest(t) AS w FROM gtest),
+         gtb AS (
+           SELECT doc_id, cls,
+             CAST(SUM(length(bin(
+               (class_tokens + v) // (COALESCE(cnt, 0) + 1)))) AS BIGINT)
+               AS token_bits
+           FROM gtok CROSS JOIN classes
+           LEFT JOIN counts ON counts.source = classes.cls
+             AND counts.w = gtok.w
+           GROUP BY 1, 2),
+         ggrid AS (SELECT g.doc_id, cls, prior_bits
+                   FROM gtest g CROSS JOIN classes),
+         gscored AS (
+           SELECT doc_id, cls, prior_bits + COALESCE(token_bits, 0) AS bits
+           FROM ggrid LEFT JOIN gtb USING (doc_id, cls)),
+         gpred AS (
+           SELECT doc_id, cls AS pred_source
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY bits, cls) AS rk FROM gscored)
+           WHERE rk = 1),
+         nbkeep AS (
+           SELECT g.doc_id, g.lang, g.bucket, g.quality_score,
+             p.pred_source
+           FROM gate g JOIN gpred p USING (doc_id)
+           WHERE p.pred_source IN ($allow)),
+         rq AS (SELECT l.vec_id, CAST(l.cluster_id AS BIGINT) AS cluster_id,
+                  s.quality_score
+                FROM labeled l JOIN sq s ON s.doc_id = l.vec_id),
+         surv AS (
+           SELECT vec_id AS doc_id, cluster_id
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                   ORDER BY quality_score DESC, vec_id) AS qrank FROM rq)
+           WHERE qrank = 1),
+         sem AS (SELECT n.*, v.cluster_id
+                 FROM nbkeep n JOIN surv v USING (doc_id)),
+         mc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+                FROM sem GROUP BY 1),
+         mt AS (SELECT lang, n_docs,
+                  CAST($MixtureCaseSql AS BIGINT) AS tp
+                FROM mc),
+         mm AS (SELECT MIN(n_docs * 1000 // tp) AS t_total
+                FROM mt WHERE tp > 0),
+         mr AS (SELECT lang,
+                  LEAST(CAST(1000 AS BIGINT), (tp * t_total) // n_docs)
+                    AS rate_permille
+                FROM mt, mm WHERE tp > 0)
+         SELECT s.doc_id, s.lang, s.quality_score, s.pred_source,
+           s.cluster_id, r.rate_permille
+         FROM sem s JOIN mr r USING (lang)
+         WHERE s.bucket < r.rate_permille
+         ORDER BY s.doc_id"""
+  }
 
   /** Exact-pair near-dup delta classification — shared by the batch
     * twin (q_delta_neardup) and the streaming ingest classifier
@@ -2190,6 +2279,11 @@ object SparkEntry {
          GROUP BY 1, 2
          ORDER BY split, lang""",
 
+    // Composed curation pipeline: quality gate ∘ NB source gate ∘
+    // semantic survivor ∘ mixture rebalance, one end-to-end value-
+    // exact replay (the four stage oracles composed as one statement)
+    "q_curate_v2" -> CurateV2Sql,
+
     "q_delta_dedup" ->
       s"""WITH d AS (SELECT doc_id, md5($Norm) AS fp FROM documents),
          w AS (SELECT CAST(floor((MAX(doc_id) + 1) * 0.8) AS BIGINT) AS w FROM d),
@@ -2389,12 +2483,10 @@ object SparkEntry {
     // multiply/floor-divide, so the derived rates are identical in both
     // engines and the content-hash keep decision matches row-for-row
     "q_mixture_sample" ->
-      """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      s"""WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
                     FROM documents GROUP BY lang),
          t AS (SELECT lang, n_docs,
-                 CAST(CASE lang WHEN 'en' THEN 400 WHEN 'zh' THEN 150
-                   WHEN 'es' THEN 150 WHEN 'de' THEN 150 WHEN 'fr' THEN 150
-                   ELSE 0 END AS BIGINT) AS tp
+                 CAST($MixtureCaseSql AS BIGINT) AS tp
                FROM c),
          tm AS (SELECT MIN(n_docs * 1000 // tp) AS t_total FROM t WHERE tp > 0),
          r AS (SELECT lang, LEAST(CAST(1000 AS BIGINT), (tp * t_total) // n_docs)

@@ -785,6 +785,72 @@ object Corpus {
       .orderBy(col("split"), col("lang"))
   }
 
+  /** Sources the NB gate routes INTO the kept set — one definition
+    * interpolated into the q_curate_v2 oracle's IN list. */
+  private[graft] val CurateAllowSources: Seq[String] =
+    (0 until 10).map("src" + _)
+
+  /** End-to-end curation v2 — the composed pipeline a training-data
+    * team actually ships, gluing four verified stages into ONE plan:
+    *
+    *   1. corpus-relative QUALITY GATE (exact-percentile cut, the
+    *      q_quality_gate rule: score > p25),
+    *   2. NB SOURCE GATE: the frozen q_nb_classify model (trained on
+    *      the standard block-stratified slice) scores the gate
+    *      survivors and keeps docs routed to [[CurateAllowSources]] —
+    *      classifier-based routing, the fastText-style curation step,
+    *   3. SEMANTIC SURVIVOR: intersect with the cell-fed
+    *      cluster-balance artifact's keep set (q_cluster_balance_lsh's
+    *      shared Similarity.clusterQualityRank rule — docs that are
+    *      their semantic cluster's best-quality member),
+    *   4. MIXTURE REBALANCE over what survived: [[mixtureRatesFrom]]
+    *      water-filling rates recomputed on the surviving per-language
+    *      census, keep = content-hash bucket < rate.
+    *
+    * Scan sharing is the point at 100 TB: ONE persisted quality-scored
+    * documents projection serves the gate threshold, the gate filter,
+    * the survivor rank and the output columns; ONE persisted tokenized
+    * projection serves NB training and NB scoring (the two documents
+    * scans — OperatorSpec pins the reuse); the embeddings side rides
+    * the cell-bucketed cluster kernel. Every stage stays a narrow
+    * id-keyed join or broadcast — nothing corpus-sized funnels through
+    * a driver or a single partition. */
+  def curateV2(spark: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.load(spark, sf, "documents")
+    val base = Text.qualityScoredDf(docs,
+        Seq(col("lang"), splitBucket.as("bucket")))
+      .select(col("doc_id"), col("lang"), col("bucket"),
+        col("quality_score"))
+      .persist()
+    val cut = base.agg(expr("percentile(quality_score, 0.25)").as("cut"))
+    val gate = base.crossJoin(broadcast(cut))
+      .filter(col("quality_score") > col("cut"))
+      .select(col("doc_id"), col("lang"), col("bucket"),
+        col("quality_score"))
+    // frozen classifier artifact + survivor scoring off one shared
+    // tokenized scan
+    val tokenized = Text.nbTokenized(docs).persist()
+    val (classes, counts) = Text.nbModelFrom(tokenized)
+    val pred = Text.nbScore(tokenized.join(gate.select(col("doc_id")),
+        Seq("doc_id")), classes.persist(), counts.persist())
+      .select(col("doc_id"), col("pred_source"))
+    val nbKept = gate.join(pred, Seq("doc_id"))
+      .filter(col("pred_source").isin(CurateAllowSources: _*))
+    val surv = Similarity.clusterQualityRank(
+        Similarity.semanticClustersLsh(spark, sf),
+        base.select(col("doc_id").as("vec_id"), col("quality_score")))
+      .filter(col("qrank") <= 1L)
+      .select(col("vec_id").as("doc_id"), col("cluster_id"))
+    val kept = nbKept.join(surv, Seq("doc_id"))
+    val rates = mixtureRatesFrom(
+      kept.groupBy(col("lang")).agg(count(lit(1)).as("n_docs")))
+    kept.join(broadcast(rates), Seq("lang"))
+      .filter(col("bucket") < col("rate_permille"))
+      .select(col("doc_id"), col("lang"), col("quality_score"),
+        col("pred_source"), col("cluster_id"), col("rate_permille"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic per-language stratified sampling — the corpus
     * rebalancing step (downsample a dominant language, keep the tail
     * whole). The keep decision is `content-hash bucket < rate‰` per
@@ -1067,28 +1133,49 @@ object Corpus {
     * shuffled, the rate table is one broadcast of a
     * languages-sized frame built from a partial-aggregated groupBy.
     */
+  /** The default mixture recipe — ONE definition interpolated into
+    * the engine default AND the q_mixture_sample / q_curate_v2 oracle
+    * CASE expressions (the pageRankOracle one-constant pattern), so a
+    * retuned mixture retunes both sides in the same commit. Ordered
+    * for deterministic SQL generation. */
+  private[graft] val MixtureTargets: Seq[(String, Int)] = Seq(
+    "en" -> 400, "zh" -> 150, "es" -> 150, "de" -> 150, "fr" -> 150)
+
   def mixtureSample(spark: SparkSession, sf: String,
-      targetPermille: Map[String, Int] = Map(
-        "en" -> 400, "zh" -> 150, "es" -> 150, "de" -> 150, "fr" -> 150))
+      targetPermille: Map[String, Int] = MixtureTargets.toMap)
       : DataFrame = {
     val docs = Tables.load(spark, sf, "documents")
-    val target = targetPermille.foldLeft(lit(0L)) {
-      case (acc, (l, p)) => when(col("lang") === l, lit(p.toLong)).otherwise(acc)
-    }
-    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-      .withColumn("target_permille", target)
-      .filter(col("target_permille") > 0)
-    val tmin = counts.agg(
-      min(expr("n_docs * 1000 div target_permille")).as("t_total"))
-    val rates = counts.crossJoin(broadcast(tmin))
-      .select(col("lang"),
-        least(lit(1000L), expr("(target_permille * t_total) div n_docs"))
-          .as("rate_permille"))
+    val rates = mixtureRatesFrom(
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs")),
+      targetPermille)
     docs.join(broadcast(rates), "lang")
       .select(col("doc_id"), col("lang"), splitBucket.as("bucket"),
         col("rate_permille"))
       .filter(col("bucket") < col("rate_permille"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Per-language keep rates for the water-filling mixture: the total
+    * corpus size is set by the scarcest language relative to its
+    * target share (t_total = min n_docs·1000/target), every language
+    * keeps `target·t_total div n_docs` per-mille capped at 1000.
+    * Factored over any (lang, n_docs) frame so [[mixtureSample]]
+    * (whole corpus) and [[curateV2]] (the surviving subset) share one
+    * rate definition. */
+  private[graft] def mixtureRatesFrom(byLang: DataFrame,
+      targetPermille: Map[String, Int] = MixtureTargets.toMap): DataFrame = {
+    val target = targetPermille.foldLeft(lit(0L)) {
+      case (acc, (l, p)) => when(col("lang") === l, lit(p.toLong)).otherwise(acc)
+    }
+    val counts = byLang
+      .withColumn("target_permille", target)
+      .filter(col("target_permille") > 0)
+    val tmin = counts.agg(
+      min(expr("n_docs * 1000 div target_permille")).as("t_total"))
+    counts.crossJoin(broadcast(tmin))
+      .select(col("lang"),
+        least(lit(1000L), expr("(target_permille * t_total) div n_docs"))
+          .as("rate_permille"))
   }
 
   /** Token-mass systematic sampling: walk the corpus in content-hash

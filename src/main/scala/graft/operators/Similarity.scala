@@ -1488,17 +1488,27 @@ object Similarity {
     * The window is keyed by cluster_id — nothing global. */
   private def clusterBalancedFrom(spark: SparkSession, sf: String,
       clusters: DataFrame, keepPerCluster: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val quality = Text.qualityScoredDf(Tables.load(spark, sf, "documents"))
       .select(col("doc_id").as("vec_id"), col("quality_score"))
-    clusters.join(quality, "vec_id")
-      .withColumn("qrank", row_number().over(
-        Window.partitionBy(col("cluster_id"))
-          .orderBy(col("quality_score").desc, col("vec_id"))).cast("long"))
+    clusterQualityRank(clusters, quality)
       .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
         col("quality_score"), col("qrank"),
         (col("qrank") <= keepPerCluster).cast("long").as("keep"))
       .orderBy(col("vec_id"))
+  }
+
+  /** The in-cluster quality rank (quality desc, id asc; window keyed
+    * by cluster_id — nothing global) over any cluster assignment +
+    * (vec_id, quality_score) frame — shared by [[clusterBalancedFrom]]
+    * and Corpus.curateV2's survivor stage, so the survivor rule cannot
+    * drift between the standalone artifact and the composed pipeline. */
+  private[graft] def clusterQualityRank(clusters: DataFrame,
+      quality: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    clusters.join(quality, "vec_id")
+      .withColumn("qrank", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("quality_score").desc, col("vec_id"))).cast("long"))
   }
 
   /** Probed cells per endpoint in the cell-bucketed pair kernel.

@@ -83,7 +83,11 @@ object Text {
     * downstream consumers ([[Corpus.qualityGate]], [[Corpus.tokenBudget]])
     * compose over, so their aggregations/windows don't sit on top of a
     * pointless global range sort. Narrow map, zero shuffle. */
-  private[operators] def qualityScoredDf(docs: DataFrame): DataFrame = {
+  /** `extra` columns pass through the scoring projection so a caller
+    * composing the gate with later stages (curateV2's lang/bucket)
+    * rides ONE documents scan instead of re-scanning to re-attach. */
+  private[operators] def qualityScoredDf(docs: DataFrame,
+      extra: Seq[Column] = Nil): DataFrame = {
     val t = toks(col("text"))
     // integer counts → one double division per ratio: deterministic
     // IEEE arithmetic, identical in any engine
@@ -104,7 +108,7 @@ object Text {
     val pr = nPunct / nChars
     val sr = nStop / nTok
     docs
-      .select(col("doc_id"),
+      .select(Seq(col("doc_id"),
         size(t).cast("long").as("n_tokens"),
         dr.as("distinct_ratio"),
         pr.as("punct_ratio"),
@@ -112,6 +116,7 @@ object Text {
         // composite: rewards lexical diversity + moderate stopword use,
         // penalizes punctuation soup
         (dr * lit(0.5) + sr * lit(0.3) - pr * lit(0.2)).as("quality_score"))
+        ++ extra: _*)
   }
 
   /** Unigram-LM surprisal quality scoring: each token costs
@@ -474,9 +479,15 @@ object Text {
     * the vocabulary-sized likelihood table). Frozen artifacts: the
     * streaming twin scores every arriving delivery against them. */
   private[graft] def nbModel(spark: SparkSession,
-      sf: String): (DataFrame, DataFrame) = {
-    val train = nbTokenized(Tables.load(spark, sf, "documents"))
-      .filter(expr(NbTrainExpr))
+      sf: String): (DataFrame, DataFrame) =
+    nbModelFrom(nbTokenized(Tables.load(spark, sf, "documents")))
+
+  /** [[nbModel]] over an already-tokenized corpus frame — split out so
+    * a composing pipeline (curateV2) can train the model and score a
+    * different slice off ONE shared tokenized scan. */
+  private[graft] def nbModelFrom(tokenized: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val train = tokenized.filter(expr(NbTrainExpr))
     val trainTok = train.select(col("source"), explode(col("t")).as("w"))
     val counts = trainTok.groupBy(col("source"), col("w"))
       .agg(count(lit(1)).as("cnt"))

@@ -1210,4 +1210,42 @@ class CorpusSpec extends AnyFunSuite {
     val best = rows.head
     assert(best.getLong(3) >= rows.last.getLong(3))
   }
+
+  test("curate v2: staged subset discipline and shared-scan plan reuse") {
+    val df = Corpus.curateV2(spark, sf)
+    val out = df.collect()
+    assert(out.nonEmpty)
+    // the scan-sharing receipt: the final plan reuses the persisted
+    // quality-scored / tokenized projections instead of re-scanning
+    // documents per stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"), plan.take(2000))
+    // stage 2 discipline: every kept doc was routed to the allowlist
+    val allow = Corpus.CurateAllowSources.toSet
+    out.foreach(r => assert(allow.contains(r.getString(3)),
+      s"doc ${r.getLong(0)} pred ${r.getString(3)} outside allowlist"))
+    // stage 3 discipline: every kept doc is its semantic cluster's
+    // keep=1 survivor under the standalone q_cluster_balance_lsh
+    // artifact (shared clusterQualityRank rule — must agree exactly)
+    val survivors = graft.operators.Similarity
+      .clusterBalancedCurateLsh(spark, sf)
+      .filter(col("keep") === 1L)
+      .select(col("vec_id"), col("cluster_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(survivors.get(r.getLong(0)).contains(r.getLong(4)),
+        s"doc ${r.getLong(0)} not the standalone survivor of cluster ${r.getLong(4)}")
+    }
+    // stage 1 discipline: every kept doc passed the standalone exact
+    // quality gate (same rule, same cut)
+    val gated = Corpus.qualityGate(spark, sf, exact = true)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    out.foreach(r => assert(gated.contains(r.getLong(0)),
+      s"doc ${r.getLong(0)} not in the standalone quality gate"))
+    // stage 4 discipline: per-language kept counts respect the
+    // water-filling rate ordering (en is the downsampled majority)
+    val byLang = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byLang.keySet.subsetOf(
+      Corpus.MixtureTargets.map(_._1).toSet), byLang)
+  }
 }
