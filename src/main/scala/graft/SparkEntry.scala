@@ -189,6 +189,7 @@ object SparkEntry {
       Dedup.ngramNoveltyBloomCheck(s, d)),
     "q_dedup_survivors" -> (Dedup.keepBest _),
     "q_entity_resolution" -> (Linkage.entityResolution _),
+    "q_entity_resolution_skew" -> (Linkage.entityResolutionSkew _),
     "q_stream_entity_resolution" -> ((s: SparkSession, d: String) =>
       graft.streaming.LinkStream.entityResolutionViaStream(s, d)),
     "q_span_dedup" -> ((s: SparkSession, d: String) => Dedup.spanDedup(s, d)),
@@ -547,10 +548,37 @@ object SparkEntry {
     * LSH-style blocking miss, a gate off-by-one, or a CC mislabel all
     * flip the hash. */
   private val EntityResolutionSql: String =
-    s"""WITH RECURSIVE c AS (
-           SELECT c_custkey AS k, c_name AS name, c_nationkey AS nat,
-             CAST(floor(c_acctbal) AS BIGINT) AS bal
-           FROM customer),
+    entityResolutionSqlOver(
+      s"""SELECT c_custkey AS k, c_name AS name,
+           CAST(c_nationkey AS BIGINT) AS nat,
+           CAST(floor(c_acctbal) AS BIGINT) AS bal
+         FROM customer""", cap = 0)
+
+  /** The skew twin: 10% of customers collapse onto the placeholder
+    * blocking key and the purge cap is armed — census + purge replayed
+    * in SQL (blocks strictly over [[graft.operators.Linkage.SkewCap]]
+    * records leave matching; their members resolve as singletons). */
+  private val EntityResolutionSkewSql: String =
+    entityResolutionSqlOver(
+      s"""SELECT c_custkey AS k, c_name AS name,
+           CASE WHEN c_custkey % ${Linkage.SkewMod} = 0
+             THEN ${Linkage.SkewNat}
+             ELSE CAST(c_nationkey AS BIGINT) END AS nat,
+           CASE WHEN c_custkey % ${Linkage.SkewMod} = 0
+             THEN ${Linkage.SkewBal}
+             ELSE CAST(floor(c_acctbal) AS BIGINT) END AS bal
+         FROM customer""", cap = Linkage.SkewCap)
+
+  private def entityResolutionSqlOver(cSelect: String, cap: Int): String = {
+    // cap = 0 replays the unguarded form (m = recs verbatim); cap > 0
+    // replays the Hernández/Stolfo purge: a block census over the full
+    // record set, blocks above the cap excluded from matching entirely
+    val matchable =
+      if (cap <= 0) "SELECT * FROM recs"
+      else s"""SELECT r.* FROM recs r
+               JOIN blocks b ON r.nat = b.nat AND r.bal = b.bal
+               WHERE b.block_n <= $cap"""
+    s"""WITH RECURSIVE c AS ($cSelect),
          recs AS (
            SELECT k AS entity_id, name, nat, bal, 'orig' AS kind FROM c
            UNION ALL
@@ -561,9 +589,12 @@ object SparkEntry {
            SELECT k + ${Linkage.DecoyOffset},
              ${Linkage.DecoyNameSql}, nat, bal, 'decoy'
            FROM c WHERE k % ${Linkage.DecoyMod} = 0),
+         blocks AS (SELECT nat, bal, COUNT(*) AS block_n
+                    FROM recs GROUP BY 1, 2),
+         m AS ($matchable),
          p AS (
            SELECT a.entity_id AS ea, b.entity_id AS eb
-           FROM recs a JOIN recs b
+           FROM m a JOIN m b
              ON a.nat = b.nat AND a.bal = b.bal AND a.entity_id < b.entity_id
            WHERE levenshtein(a.name, b.name) <= ${Linkage.NameEditMax}),
          e AS (SELECT ea AS a, eb AS b FROM p UNION SELECT eb, ea FROM p),
@@ -582,6 +613,7 @@ object SparkEntry {
              AS cluster_size
          FROM labeled
          ORDER BY entity_id"""
+  }
 
   /** Naive Bayes trained-model replay up to the per-(doc, class) bit
     * grid (`scored`) — the shared prefix of the argmin oracles
@@ -2674,6 +2706,12 @@ object SparkEntry {
     // included) — see EntityResolutionSql's doc for what a mismatch
     // catches.
     "q_entity_resolution" -> EntityResolutionSql,
+
+    // Degenerate-block skew + armed purge cap: the census and the
+    // over-cap exclusion replay in SQL, so a guard that purges the
+    // wrong blocks (or silently drops records instead of edges)
+    // flips rows, not just timings.
+    "q_entity_resolution_skew" -> EntityResolutionSkewSql,
 
     // The streaming twin's incremental edge emission (within-batch +
     // batch-vs-index) unions to the one-shot pair set, and CC is

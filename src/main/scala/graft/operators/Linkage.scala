@@ -82,12 +82,17 @@ object Linkage {
     * shuffle. (package-visible: the streaming twin splits this same
     * set into its two deliveries.)
     */
-  private[graft] def records(spark: SparkSession, sf: String): DataFrame = {
-    val c = Tables.load(spark, sf, "customer")
+  private[graft] def records(spark: SparkSession, sf: String): DataFrame =
+    recordsFrom(baseCustomer(spark, sf))
+
+  private def baseCustomer(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "customer")
       .select(col("c_custkey").cast("long").as("k"),
         col("c_name").as("name"),
         col("c_nationkey").cast("long").as("nat"),
         floor(col("c_acctbal")).cast("long").as("bal"))
+
+  private def recordsFrom(c: DataFrame): DataFrame = {
     val orig = c.select(col("k").as("entity_id"), col("name"),
       col("nat"), col("bal"), lit("orig").as("kind"))
     val dirty = c.filter(col("k") % DirtyMod === 0)
@@ -214,5 +219,55 @@ object Linkage {
     // re-runs per consumer
     val recs = records(spark, sf).persist(StorageLevel.MEMORY_AND_DISK)
     resolve(recs, matchedPairs(recs, recs))
+  }
+
+  /** Degenerate-block skew fixture: every `k % SkewMod == 0` customer
+    * (and, because twins inherit the blocking attributes, its dirty
+    * and decoy records) collapses onto ONE placeholder blocking key
+    * `(SkewNat, SkewBal)` — the production failure mode where a
+    * registry ships a sentinel value (phone 000-0000, balance 0) in
+    * the column the blocker trusted. 10% of the corpus in one block
+    * turns Σ block² back into ~(n/10)², which is n²-shaped at any
+    * scale; the purge cap is what keeps blocked linkage honest.
+    */
+  val SkewMod = 10
+  val SkewNat = -1L
+  val SkewBal = -1L
+
+  /** Cap wired into q_entity_resolution_skew (and interpolated into
+    * its DuckDB oracle): generous enough that every REAL block at any
+    * fixture scale sails under it (the widest organic (nat, bal)
+    * block observed at sf1 is < 10 records), tight enough that the
+    * seeded placeholder block (10% of records) exceeds it from sf0.01
+    * up — so the driver-green row exercises the purge, not just the
+    * pass-through. */
+  val SkewCap = 100
+
+  private[graft] def skewRecords(spark: SparkSession, sf: String): DataFrame = {
+    val degenerate = col("k") % SkewMod === 0
+    recordsFrom(baseCustomer(spark, sf)
+      .withColumn("nat", when(degenerate, lit(SkewNat)).otherwise(col("nat")))
+      .withColumn("bal", when(degenerate, lit(SkewBal)).otherwise(col("bal"))))
+  }
+
+  /** q_entity_resolution_skew: [[entityResolution]] under the seeded
+    * degenerate block WITH the purge cap armed. The placeholder block
+    * is purged (its records resolve as singletons — including dirty
+    * twins whose originals fell into it, the price of the cap the
+    * oracle replays exactly); every other block links as usual. The
+    * cap conf is read eagerly by [[matchedPairs]], so scoping it
+    * around plan construction is sound even though execution is lazy.
+    */
+  def entityResolutionSkew(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val prev = spark.conf.getOption(MaxBlockConf)
+    spark.conf.set(MaxBlockConf, SkewCap.toString)
+    try {
+      val recs = skewRecords(spark, sf).persist(StorageLevel.MEMORY_AND_DISK)
+      resolve(recs, matchedPairs(recs, recs))
+    } finally prev match {
+      case Some(v) => spark.conf.set(MaxBlockConf, v)
+      case None => spark.conf.unset(MaxBlockConf)
+    }
   }
 }

@@ -50,6 +50,16 @@ object LinkStream {
     * store) lives entirely in storage, not in query memory. */
   def entityResolutionViaStream(spark: SparkSession, sf: String,
       restart: Boolean = false): DataFrame = {
+    val (indexDir, edgeDir) = runStream(spark, sf, restart)
+    resolveFrom(spark, indexDir, edgeDir)
+  }
+
+  /** Run the two-delivery linkage stream and return its storage-
+    * resident state dirs `(indexDir, edgeDir)` — package-visible so
+    * the compaction receipt (StreamingSpec) can measure and rewrite
+    * the state between stream end and terminal resolution. */
+  private[graft] def runStream(spark: SparkSession, sf: String,
+      restart: Boolean = false): (String, String) = {
     val root = graft.TempDirs.create("graft-linkstream")
     val indexDir = s"$root/index"
     val edgeDir = s"$root/edges"
@@ -92,15 +102,87 @@ object LinkStream {
         ()
       })
 
-    val allRecs = spark.read.schema(RecordSchema)
+    (indexDir, edgeDir)
+  }
+
+  private val EdgeSchema = StructType(Seq(
+    StructField("doc_a", LongType), StructField("doc_b", LongType)))
+
+  private def readState(spark: SparkSession, dir: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema)
       .option("recursiveFileLookup", "true")
-      .option("pathGlobFilter", "*.parquet").parquet(indexDir)
-    val allEdges = spark.read.schema(StructType(Seq(
-        StructField("doc_a", LongType), StructField("doc_b", LongType))))
-      .option("recursiveFileLookup", "true")
-      .option("pathGlobFilter", "*.parquet").parquet(edgeDir)
+      .option("pathGlobFilter", "*.parquet").parquet(dir)
+
+  /** Terminal cluster assembly over the accumulated state dirs. */
+  private[graft] def resolveFrom(spark: SparkSession, indexDir: String,
+      edgeDir: String): DataFrame = {
+    val allRecs = readState(spark, indexDir, RecordSchema)
+    val allEdges = readState(spark, edgeDir, EdgeSchema)
     // terminal cap gate: a block can outgrow the cap after earlier
     // deliveries already emitted its edges — the final census decides
     Linkage.resolve(allRecs, Linkage.enforceBlockCap(allRecs, allEdges))
   }
+
+  /** State COMPACTION for the grow-only record index and edge store:
+    * each delivery appends a `batch-N` subtree of micro-batch-sized
+    * parquet files, so after N deliveries every index probe pays N×
+    * file-listing + footer overhead — the same small-file accretion
+    * [[graft.operators.Maintenance.compact]] exists for, applied to
+    * streaming state. Rewrites the accumulated state into
+    * size-targeted files under `batch--compacted` (the `--` keeps the
+    * name disjoint from any real batch id) and DELETES the consumed
+    * subtrees only after the rewrite is fully published — a probe
+    * racing the swap sees duplicated records at worst, and the index
+    * probe's edge emission is duplicate-insensitive
+    * (`matchedPairs` ends in `.distinct()`).
+    *
+    * The next micro-batch keeps appending `batch-N` subtrees beside
+    * the compacted file — compaction is a recurring maintenance pass,
+    * not a terminal step. Returns (filesBefore, filesAfter) for the
+    * receipt. */
+  private[graft] def compactState(spark: SparkSession, dir: String,
+      schema: StructType, targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetCount(): Int = {
+      val it = fs.listFiles(p, true)
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+        .count(_.getPath.getName.endsWith(".parquet"))
+    }
+    val before = parquetCount()
+    // snapshot the consumed subtrees FIRST: a micro-batch landing a
+    // new batch-N while the rewrite runs is neither read nor deleted —
+    // it simply survives into the next compaction pass
+    val consumed = fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-"))
+      .map(_.getPath)
+    val src = readState(spark, dir, schema)
+    val totalBytes = {
+      val it = fs.listFiles(p, true)
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    }
+    val nOut = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    // rewrite OUTSIDE the state dir (the recursive read must never
+    // race its own output), then rename in under a pass-unique name —
+    // a repeated compaction reads the previous pass's subtree like any
+    // other consumed batch and never overwrites a tree mid-read
+    val pass = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(p.getParent, s"${p.getName}-compacting-$pass")
+    src.repartition(nOut).write.mode("overwrite").parquet(tmp.toString)
+    // publish-before-delete: the compacted subtree lands complete
+    // (rename is atomic per dir) before any consumed subtree goes away
+    fs.rename(tmp, new Path(p, s"batch--compacted-$pass"))
+    consumed.foreach(d => fs.delete(d, true))
+    (before, parquetCount())
+  }
+
+  private[graft] def compactLinkageState(spark: SparkSession,
+      indexDir: String, edgeDir: String,
+      targetFileBytes: Long = 128L << 20): ((Int, Int), (Int, Int)) =
+    (compactState(spark, indexDir, RecordSchema, targetFileBytes),
+      compactState(spark, edgeDir, EdgeSchema, targetFileBytes))
 }

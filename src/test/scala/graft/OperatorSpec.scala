@@ -1710,4 +1710,58 @@ class OperatorSpec extends AnyFunSuite {
       assert(blockSize(byId(r.getLong(0))) <= 2,
         s"record ${r.getLong(0)} linked from an oversized block under cap=2") }
   }
+
+  test("linkage skew fixture: the degenerate block dominates pair mass and the cap removes exactly it") {
+    // the Σ block² MEASUREMENT behind SCALING.md's purge-cap claim:
+    // census the seeded-skew record set, compute candidate-pair mass
+    // n·(n−1)/2 per block, and verify (a) the placeholder block holds
+    // the majority of all pair mass despite holding ~10% of records,
+    // (b) purging blocks over a cap removes exactly the over-cap mass
+    val census = Linkage.skewRecords(spark, sf).collect()
+      .groupBy(r => (r.getLong(2), r.getLong(3)))
+      .map { case (k, v) => k -> v.length.toLong }
+    def mass(n: Long): Long = n * (n - 1) / 2
+    val degKey = (Linkage.SkewNat, Linkage.SkewBal)
+    val total = census.values.map(mass).sum
+    val degN = census(degKey)
+    val nRecs = census.values.sum
+    assert(degN * 10 <= nRecs * 2, s"fixture drifted: $degN of $nRecs")
+    assert(mass(degN) * 2 > total,
+      s"degenerate block mass ${mass(degN)} not dominant in $total")
+    // a cap below the degenerate block size: surviving pair mass must
+    // equal the sum over under-cap blocks — the bound is cap²-shaped
+    // per block, independent of the degenerate block's size
+    val cap = 10
+    val surviving = census.filter(_._2 <= cap).values.map(mass).sum
+    assert(surviving == total - census.filter(_._2 > cap).values.map(mass).sum)
+    assert(census.filter(_._2 > cap).keySet == Set(degKey),
+      "only the seeded block should exceed the spec cap at sf0.001")
+    // semantic side under that cap: purged-block members resolve as
+    // singletons; a dirty twin OUTSIDE the degenerate block still links
+    def withCap[A](c: Int)(f: => A): A =
+      try { spark.conf.set(Linkage.MaxBlockConf, c.toString); f }
+      finally spark.conf.unset(Linkage.MaxBlockConf)
+    val recs = Linkage.skewRecords(spark, sf)
+    val resolved = withCap(cap)(
+      Linkage.resolve(recs, Linkage.matchedPairs(recs, recs)).collect())
+    val degIds = Linkage.skewRecords(spark, sf).collect()
+      .filter(r => (r.getLong(2), r.getLong(3)) == degKey)
+      .map(_.getLong(0)).toSet
+    resolved.filter(r => degIds(r.getLong(0))).foreach { r =>
+      assert(r.getLong(2) == r.getLong(0) && r.getLong(3) == 1L,
+        s"purged-block record ${r.getLong(0)} linked") }
+    val cid = resolved.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val linkedDirty = resolved.filter(r =>
+      r.getString(1) == "dirty" && !degIds(r.getLong(0)))
+    assert(linkedDirty.nonEmpty)
+    linkedDirty.foreach { r =>
+      assert(r.getLong(2) == cid(r.getLong(0) - Linkage.DirtyOffset) &&
+        r.getLong(3) >= 2L,
+        s"clean-block dirty ${r.getLong(0)} failed to link") }
+    // and the WIRED query (SkewCap armed internally) runs end to end
+    // with every record present exactly once
+    val wired = Linkage.entityResolutionSkew(spark, sf).collect()
+    assert(wired.length == nRecs)
+    assert(wired.map(_.getLong(0)).distinct.length == wired.length)
+  }
 }

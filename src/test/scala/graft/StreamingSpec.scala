@@ -311,6 +311,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset(Linkage.MaxBlockConf)
   }
 
+  test("linkage state compaction: fewer files, bit-identical resolution, repeatable") {
+    // the grow-only index/edge stores accrete one subtree per
+    // delivery; the compaction pass must (a) strictly reduce file
+    // count, (b) change NOTHING about the resolved output, and
+    // (c) be safely repeatable (pass-unique subtree names — a second
+    // pass reads the first pass's output like any consumed batch)
+    import graft.streaming.LinkStream
+    val (indexDir, edgeDir) = LinkStream.runStream(spark, sf)
+    val before = LinkStream.resolveFrom(spark, indexDir, edgeDir)
+      .collect().map(_.toSeq.toList).toSeq
+    val ((ib, ia), (eb, ea)) =
+      LinkStream.compactLinkageState(spark, indexDir, edgeDir)
+    assert(ib >= 2, s"fixture lost its per-delivery index subtrees ($ib)")
+    assert(ia < ib, s"index files $ib -> $ia not reduced")
+    // the edge store may land as a single file per delivery at this
+    // scale — require only that compaction never grows it
+    assert(ea <= eb, s"edge files $eb -> $ea grew")
+    val after = LinkStream.resolveFrom(spark, indexDir, edgeDir)
+      .collect().map(_.toSeq.toList).toSeq
+    assert(after == before, "compaction changed the resolved clusters")
+    // second pass: idempotent-safe and still resolution-preserving
+    val ((_, ia2), (_, ea2)) =
+      LinkStream.compactLinkageState(spark, indexDir, edgeDir)
+    assert(ia2 <= ia && ea2 <= ea)
+    val again = LinkStream.resolveFrom(spark, indexDir, edgeDir)
+      .collect().map(_.toSeq.toList).toSeq
+    assert(again == before)
+  }
+
   test("linkage survives a process restart between deliveries bit-identically") {
     // the query STOPS after the registry delivery; a new incarnation
     // recovers the dirty feed from the checkpoint. Equality with the
