@@ -117,6 +117,10 @@ object SparkEntry {
     "q_quality" -> (Text.quality _),
     "q_surprisal" -> (Text.surprisal _),
     "q_bigram_surprisal" -> (Text.bigramSurprisal _),
+    "q_ppl_buckets" -> (Text.pplBuckets _),
+    "q_ngram_diversity" -> (Corpus.ngramDiversity _),
+    "q_hash_embed" -> (FeatureHash.hashEmbed _),
+    "q_hash_embed_neardup" -> (FeatureHash.hashEmbedNearDup _),
     "q_nb_classify" -> (Text.nbClassify _),
     "q_nb_confusion" -> (Text.nbConfusion _),
     "q_nb_eval" -> (Text.nbEval _),
@@ -149,6 +153,7 @@ object SparkEntry {
     "q_bpe_encode" -> ((s: SparkSession, d: String) => Corpus.bpeEncode(s, d)),
     "q_bpe_fertility" -> ((s: SparkSession, d: String) => Corpus.bpeFertility(s, d)),
     "q_pagerank" -> ((s: SparkSession, d: String) => Graph.pageRank(s, d)),
+    "q_triangles" -> (Graph.triangles _),
     "q_search" -> ((s: SparkSession, d: String) => Corpus.search(s, d)),
     "q_bm25" -> ((s: SparkSession, d: String) => Corpus.bm25(s, d)),
     "q_skipgrams" -> ((s: SparkSession, d: String) => Corpus.skipgrams(s, d)),
@@ -1633,6 +1638,42 @@ object SparkEntry {
            CAST((sum(bits) * 1000) // count(*) AS BIGINT) AS mean_millibits
          FROM scored GROUP BY doc_id ORDER BY doc_id""",
 
+    // CCNet head/middle/tail: the bigram model replays as above, then
+    // the per-source tercile is plain ROW_NUMBER + integer arithmetic
+    // — pinning the Spark side's two-phase bucketed rank equal to the
+    // single-window total order (same receipt as exact skewProfile)
+    "q_ppl_buckets" ->
+      """WITH docs AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+           FROM documents),
+         big AS (
+           SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+           FROM docs, unnest(range(1, len(t))) AS u(i)
+           WHERE len(t) >= 2),
+         bi AS (SELECT w1, w2, count(*) AS cnt2 FROM big GROUP BY w1, w2),
+         pre AS (SELECT w1, CAST(sum(cnt2) AS BIGINT) AS cnt1 FROM bi GROUP BY w1),
+         sc AS (
+           SELECT doc_id,
+             CAST((sum(length(bin(cnt1 // cnt2))) * 1000) // count(*) AS BIGINT)
+               AS mean_millibits
+           FROM big JOIN bi USING (w1, w2) JOIN pre USING (w1)
+           GROUP BY doc_id),
+         j AS (
+           SELECT sc.doc_id, d.source, sc.mean_millibits
+           FROM sc JOIN documents d ON d.doc_id = sc.doc_id),
+         n AS (SELECT source, CAST(count(*) AS BIGINT) AS ns FROM j GROUP BY source),
+         r AS (
+           SELECT doc_id, source, mean_millibits,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY mean_millibits, doc_id) AS rk
+           FROM j)
+         SELECT r.doc_id, r.source, r.mean_millibits,
+           CASE (3 * (rk - 1)) // ns
+             WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+           END AS ppl_bucket
+         FROM r JOIN n USING (source)
+         ORDER BY doc_id""",
+
     // Exact heavy hitters: the oracle is the definition (count > n/k);
     // the Spark side reaches the same rows via the two-pass
     // Misra-Gries reduction without shuffling the token stream. The
@@ -1722,6 +1763,24 @@ object SparkEntry {
 
     // Fixed-iteration integer PageRank, unrolled to 10 CTE layers
     "q_pagerank" -> operators.Graph.pageRankOracle(),
+
+    // Triangle census: pair explosion, weight floor, degree-ordered
+    // orientation, wedge close, and the integer ppm clustering
+    // coefficient all replay verbatim — a wrong orientation tie-break
+    // or a double-counted triangle flips rows
+    "q_triangles" -> operators.Graph.trianglesOracle,
+
+    // Feature-hash embeddings: md5-derived dim/sign, integer values —
+    // the whole representation replays bit-for-bit
+    "q_hash_embed" -> operators.FeatureHash.hashEmbedOracle,
+
+    // Per-source n-gram diversity: exact distinct counts + integer
+    // ppm ratio replay directly
+    "q_ngram_diversity" -> operators.Corpus.ngramDiversityOracle,
+
+    // ... and the near-dup screen over them: same top-two-dim
+    // blocking, same integer square-comparison cosine gate
+    "q_hash_embed_neardup" -> operators.FeatureHash.hashEmbedNearDupOracle,
 
     "q_event_paths" ->
       """WITH seq AS (

@@ -1508,4 +1508,71 @@ object Corpus {
       .filter(col("cnt") * k > total)
       .orderBy(col("cnt").desc, col("w"))
   }
+
+  /** q_ngram_diversity: per-source n-gram diversity — the corpus-level
+    * Self-BLEU-style monitor (Zhu et al. 2018) a generation/curation
+    * pipeline tracks to catch mode collapse and template flooding: a
+    * source whose distinct-trigram share collapses is emitting the
+    * same constructions over and over even when exact dedup stays
+    * clean. One row per (source, n) for n ∈ {1,2,3}: total n-grams,
+    * distinct n-grams, and their ratio in ppm (integer div —
+    * engine-exact).
+    *
+    * Scale shape: one token-array scan explodes into a single unioned
+    * (source, n, gram) stream (fan-out ≤ 3× the token count), then
+    * one (source, n, gram) partial-agg groupBy collapses duplicates
+    * BEFORE the per-(source, n) rollup — the gram-keyed shuffle
+    * carries one row per distinct gram per source, not the raw
+    * stream, thanks to map-side combine; the output is sources × 3
+    * rows. At extreme vocabularies the distinct count swaps for HLL
+    * (the q_approx_distinct machinery) — the exact form here IS the
+    * oracle mode.
+    */
+  def ngramDiversity(spark: SparkSession, sf: String): DataFrame = {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("source"), words(col("text")).as("t"))
+    val grams = docs.select(col("source"), lit(1).as("n"),
+        explode(col("t")).as("g"))
+      .unionByName(docs.filter(size(col("t")) >= 2)
+        .select(col("source"), lit(2).as("n"), explode(expr(
+          "transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))"))
+          .as("g")))
+      .unionByName(docs.filter(size(col("t")) >= 3)
+        .select(col("source"), lit(3).as("n"), explode(expr(
+          "transform(sequence(0, size(t)-3)," +
+            " i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).as("g")))
+    grams.groupBy(col("source"), col("n"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"), col("n"))
+      .agg(sum(col("cnt")).cast("long").as("total_ngrams"),
+        count(lit(1)).as("distinct_ngrams"))
+      .select(col("source"), col("n").cast("long").as("n"),
+        col("total_ngrams"), col("distinct_ngrams"),
+        expr("distinct_ngrams * 1000000 div total_ngrams")
+          .as("diversity_ppm"))
+      .orderBy(col("source"), col("n"))
+  }
+
+  /** DuckDB replay of [[ngramDiversity]]. */
+  def ngramDiversityOracle: String =
+    """WITH docs AS (
+         SELECT source, regexp_extract_all(lower(text), '[a-z]+') AS t
+         FROM documents),
+       grams AS (
+         SELECT source, 1 AS n, unnest(t) AS g FROM docs
+         UNION ALL
+         SELECT source, 2, t[i] || ' ' || t[i+1]
+         FROM docs, unnest(range(1, len(t))) AS u(i)
+         WHERE len(t) >= 2
+         UNION ALL
+         SELECT source, 3, t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         FROM docs, unnest(range(1, len(t) - 1)) AS u(i)
+         WHERE len(t) >= 3)
+       SELECT source, CAST(n AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+         CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+         CAST((COUNT(DISTINCT g) * 1000000) // COUNT(*) AS BIGINT)
+           AS diversity_ppm
+       FROM grams GROUP BY source, n
+       ORDER BY source, n"""
 }

@@ -153,4 +153,121 @@ object Graph {
        CAST(node // 2 AS BIGINT) AS entity_id, s AS score_ppb
      FROM pr$iters ORDER BY node"""
   }
+
+  /** Minimum shared orders for a supplier co-occurrence edge — the
+    * edge-weight floor that keeps the co-occurrence graph from
+    * degenerating into a clique of one-off coincidences (the same
+    * role as a minimum co-citation count in a citation graph).
+    * Interpolated into both engines. */
+  val TriMinCoOrders = 2
+
+  /** q_triangles: triangle census + local clustering coefficient over
+    * the supplier CO-OCCURRENCE graph (suppliers joined when they
+    * serve ≥ [[TriMinCoOrders]] common orders) — the community-
+    * structure probe next to [[pageRank]]'s centrality: a supplier
+    * whose neighbors also trade with each other (high clustering)
+    * sits inside a cohesive cluster; a high-degree, low-clustering
+    * node is a hub bridging communities. On a crawl/citation corpus
+    * the same census drives spam-farm detection (artificial link
+    * cliques are triangle-dense).
+    *
+    * Scale shape — the Schank–Wagner / MapReduce-canon construction:
+    *   1. co-occurrence pairs explode per order with fan-out bounded
+    *      by order SIZE (≤ 7 lineitems in this schema — Σ k², the
+    *      blocking-cost argument, never corpus²), then one partial-agg
+    *      groupBy collapses them to weighted edges;
+    *   2. every edge ORIENTS from its lower-(degree, id) endpoint —
+    *      an acyclic total-order orientation, so each triangle is
+    *      emitted by exactly one vertex and, decisively, wedge
+    *      generation fans out from a node's OUT-degree, which the
+    *      orientation caps at O(√m) on heavy nodes (a star's hub has
+    *      huge degree but zero out-edges to lower-ranked nodes);
+    *   3. wedges (two out-edges of one src) close by one equality
+    *      join against the undirected edge set — three shuffles
+    *      total, all on node keys, no window, no driver state.
+    * Integer clustering coefficient: 2·triangles·10⁶ div deg·(deg−1)
+    * ppm — engine-exact, no float division.
+    */
+  def triangles(spark: SparkSession, sf: String): DataFrame = {
+    val so = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").cast("long").as("s"))
+      .distinct()
+    val edges = so.select(col("ok"), col("s").as("sa"))
+      .join(so.select(col("ok"), col("s").as("sb")), "ok")
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("w"))
+      .filter(col("w") >= TriMinCoOrders)
+      .select(col("sa").as("a"), col("sb").as("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.select(col("a").as("v"))
+      .unionByName(edges.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = edges
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tri = oriented.select(col("src"), col("dst").as("x"))
+      .join(oriented.select(col("src"), col("dst").as("y")), "src")
+      .filter(col("x") < col("y"))
+      .join(edges.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"))
+      .select(col("src").as("u"), col("x").as("v"), col("y").as("w"))
+    val perNode = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("v"), "left")
+      .withColumn("tri", coalesce(col("n_tri"), lit(0L)))
+      .select(col("v").as("suppkey"), col("deg"), col("tri").as("triangles"),
+        when(col("deg") >= 2,
+          expr("tri * 2000000 div (deg * (deg - 1))"))
+          .otherwise(lit(0L)).cast("long").as("cc_ppm"))
+      .orderBy(col("suppkey"))
+  }
+
+  /** DuckDB replay of [[triangles]]: identical pair explosion, weight
+    * floor, degree orientation (same (deg, id) tie-break), wedge
+    * close, and integer ppm coefficient. */
+  def trianglesOracle: String =
+    s"""WITH so AS (
+         SELECT DISTINCT l_orderkey AS ok, CAST(l_suppkey AS BIGINT) AS s
+         FROM lineitem),
+       e0 AS (
+         SELECT a.s AS a, b.s AS b, COUNT(*) AS w
+         FROM so a JOIN so b ON a.ok = b.ok AND a.s < b.s
+         GROUP BY 1, 2),
+       edges AS (SELECT a, b FROM e0 WHERE w >= $TriMinCoOrders),
+       deg AS (
+         SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+         FROM (SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)
+         GROUP BY v),
+       orient AS (
+         SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                  THEN e.a ELSE e.b END AS src,
+                CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                  THEN e.b ELSE e.a END AS dst
+         FROM edges e
+         JOIN deg da ON da.v = e.a
+         JOIN deg db ON db.v = e.b),
+       tri AS (
+         SELECT w1.src AS u, w1.dst AS v, w2.dst AS w
+         FROM orient w1
+         JOIN orient w2 ON w1.src = w2.src AND w1.dst < w2.dst
+         JOIN edges c ON c.a = w1.dst AND c.b = w2.dst),
+       pern AS (
+         SELECT v, CAST(COUNT(*) AS BIGINT) AS triangles
+         FROM (SELECT u AS v FROM tri
+               UNION ALL SELECT v FROM tri
+               UNION ALL SELECT w FROM tri)
+         GROUP BY v)
+       SELECT d.v AS suppkey, d.deg,
+         CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles,
+         CAST(CASE WHEN d.deg >= 2
+           THEN (COALESCE(p.triangles, 0) * 2000000) // (d.deg * (d.deg - 1))
+           ELSE 0 END AS BIGINT) AS cc_ppm
+       FROM deg d LEFT JOIN pern p ON p.v = d.v
+       ORDER BY suppkey"""
 }

@@ -192,6 +192,64 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Range-bucket width for [[pplBuckets]]' two-phase per-source rank. */
+  private val PplRankBuckets = 32
+
+  /** q_ppl_buckets — the CCNet head/middle/tail split (Wenzek et al.
+    * 2020): rank every document by its LM score WITHIN its source and
+    * cut the ranking into terciles. CCNet keeps `head` (most fluent
+    * third under the reference LM) as high-quality pretraining data,
+    * uses `middle` selectively, drops `tail`; partitioning by source
+    * (CCNet: by language) keeps the cut relative, so a verbose source
+    * isn't wholesale-dropped for having a different score base. The
+    * LM is [[bigramSurprisal]]'s integer-exact corpus bigram model —
+    * mean millibits per bigram stands in for perplexity (monotone in
+    * it, engine-exact).
+    *
+    * The per-source rank is NOT a per-source global window: a source
+    * at 100 TB is tens of TB, and `Window.partitionBy(source)` puts
+    * each source on one task. It is the same two-phase bucketed rank
+    * as exact skewProfile/packChunks, per source: equal-width score
+    * buckets from broadcast per-source extremes (bucket id monotone
+    * in score, ties confined to one bucket), per-(source, bucket)
+    * windows bounded by bucket population, and a global window only
+    * over the (source × [[PplRankBuckets]])-row offsets table. The
+    * tercile is then integer arithmetic on the rank —
+    * `(3·(rank−1)) div n_source` — which the oracle replays against a
+    * plain ROW_NUMBER, pinning the two-phase construction equal to
+    * the single-window total order.
+    */
+  def pplBuckets(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramSurprisal(spark, sf)
+      .select(col("doc_id"), col("mean_millibits"))
+      .join(Tables.load(spark, sf, "documents")
+        .select(col("doc_id"), col("source")), "doc_id")
+    val ext = scored.groupBy(col("source"))
+      .agg(min(col("mean_millibits")).as("mn"),
+        max(col("mean_millibits")).as("mx"),
+        count(lit(1)).as("ns"))
+    val ranged = scored.join(broadcast(ext), "source")
+      .withColumn("bucket", expr(
+        s"(mean_millibits - mn) div " +
+          s"cast(ceil((mx - mn + 1) / $PplRankBuckets.0) as bigint)"))
+    val offsets = ranged.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("offset",
+        coalesce(sum(col("bn")).over(
+          Window.partitionBy(col("source")).orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("bucket"), col("offset"))
+    ranged.join(broadcast(offsets), Seq("source", "bucket"))
+      .withColumn("rk", col("offset") + row_number().over(
+        Window.partitionBy(col("source"), col("bucket"))
+          .orderBy(col("mean_millibits"), col("doc_id"))))
+      .select(col("doc_id"), col("source"), col("mean_millibits"),
+        expr("case (3 * (rk - 1)) div ns when 0 then 'head'" +
+          " when 1 then 'middle' else 'tail' end").as("ppl_bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multinomial Naive Bayes source classifier, MDL form — the
     * fastText-style bag-of-words classifier every curation pipeline
     * trains to route documents (quality tiers, domains, languages),

@@ -1711,6 +1711,147 @@ class OperatorSpec extends AnyFunSuite {
         s"record ${r.getLong(0)} linked from an oversized block under cap=2") }
   }
 
+  test("triangles: degree-ordered census equals a brute-force recount, cc formula exact") {
+    val rows = Graph.triangles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // brute-force reference: rebuild the weighted co-occurrence edge
+    // set and count triangles by set intersection — independent of
+    // the orientation trick under test
+    val so = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").cast("long").as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val perOrder = so.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val w = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    perOrder.values.foreach { ss =>
+      for (i <- ss.indices; j <- (i + 1) until ss.length)
+        w((ss(i), ss(j))) = w.getOrElse((ss(i), ss(j)), 0) + 1
+    }
+    // NB: iterator first — Map.collect with a pair result rebuilds a
+    // Map and silently dedups edges sharing a lower endpoint
+    val edges = w.iterator.collect {
+      case (e, n) if n >= Graph.TriMinCoOrders => e }.toSet
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) =>
+      adj(a) = adj(a) + b; adj(b) = adj(b) + a }
+    val triOf = adj.keys.map { v =>
+      v -> adj(v).toSeq.combinations(2)
+        .count { case Seq(x, y) =>
+          edges((math.min(x, y), math.max(x, y))) }
+    }.toMap
+    assert(rows.map(_._1).toSet == adj.keySet, "node set drifted")
+    rows.foreach { case (v, deg, tri, cc) =>
+      assert(deg == adj(v).size.toLong, s"supplier $v degree")
+      assert(tri == triOf(v).toLong, s"supplier $v triangles")
+      val expectCc =
+        if (deg >= 2) tri * 2000000L / (deg * (deg - 1)) else 0L
+      assert(cc == expectCc, s"supplier $v cc")
+    }
+    // the census is non-degenerate: some triangle exists at sf0.001
+    assert(rows.exists(_._3 > 0), "no triangles in fixture")
+  }
+
+  test("hash embed: duplicates collide exactly, near-dup gate is the integer cosine") {
+    val emb = FeatureHash.hashEmbed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = emb.groupBy(_._1).view
+      .mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    // pure function of the bag of words: recompute three documents'
+    // embeddings by hand (java MD5, same dim/sign derivation) and
+    // demand bit equality with the Spark side
+    val texts = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    texts.take(3).foreach { case (id, t) =>
+      val tf = "[a-z]+".r.findAllIn(t.toLowerCase).toSeq
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val expect = tf.toSeq.map { case (w, n) =>
+        val h = md5hex(w)
+        val dim = java.lang.Long.parseLong(h.substring(0, 8), 16) %
+          FeatureHash.HashDims
+        val sign = if (java.lang.Long.parseLong(h.substring(8, 9), 16)
+          % 2 == 0) 1L else -1L
+        dim -> sign * n
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      assert(byDoc(id) == expect, s"doc $id embedding drifted")
+    }
+    // |val| per doc is bounded by the doc's token count
+    val toks = texts.map { case (id, t) =>
+      id -> "[a-z]+".r.findAllIn(t.toLowerCase).length }.toMap
+    byDoc.foreach { case (id, dims) =>
+      assert(dims.values.map(math.abs).sum <= toks(id).toLong, s"doc $id mass") }
+    // the near-dup screen: every verdict satisfies the integer gate,
+    // and the fixture's seeded near-dups surface (some pair at
+    // cos ≥ 0.99: 10000·dot² ≥ 9801·n2a·n2b)
+    val nd = FeatureHash.hashEmbedNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(nd.nonEmpty)
+    assert(nd.exists { case (_, _, dot, na, nb) =>
+      dot * dot * 10000 >= na * nb * 9801 }, "no near-identical pair found")
+    def n2(id: Long): Long = byDoc(id).values.map(v => v * v).sum
+    nd.foreach { case (a, b, dot, na, nb) =>
+      assert(na == n2(a) && nb == n2(b), s"pair ($a,$b) norms")
+      val expectDot = byDoc(a).map { case (d, v) =>
+        v * byDoc(b).getOrElse(d, 0L) }.sum
+      assert(dot == expectDot, s"pair ($a,$b) dot")
+      assert(dot > 0 &&
+        dot * dot * (FeatureHash.CosDen * FeatureHash.CosDen) >=
+          na * nb * (FeatureHash.CosNum * FeatureHash.CosNum),
+        s"pair ($a,$b) fails its own gate")
+    }
+  }
+
+  test("ppl buckets: two-phase per-source rank reproduces the single-window terciles") {
+    val rows = Text.pplBuckets(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    // reference: direct per-source sort + integer tercile on the same
+    // scores — what a single ROW_NUMBER window would produce
+    rows.groupBy(_._2).foreach { case (src, docs) =>
+      val ns = docs.length.toLong
+      val ordered = docs.sortBy(d => (d._3, d._1))
+      ordered.zipWithIndex.foreach { case ((id, _, _, bucket), i) =>
+        val expect = (3L * i / ns).toInt match {
+          case 0 => "head"; case 1 => "middle"; case _ => "tail" }
+        assert(bucket == expect, s"$src doc $id rank $i: $bucket != $expect")
+      }
+      // terciles are relative WITHIN source: every source has a head
+      assert(docs.exists(_._4 == "head"), s"$src has no head")
+    }
+    // coverage: exactly the >=2-token docs (bigram-scoreable)
+    val scoreable = Tables.load(spark, sf, "documents")
+      .filter(size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")) >= 2)
+      .count()
+    assert(rows.length.toLong == scoreable)
+  }
+
+  test("ngram diversity: per-source distinct ratios equal a brute-force recount") {
+    val rows = Corpus.ngramDiversity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val texts = Tables.load(spark, sf, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    val bySrc = texts.groupBy(_._1).view.mapValues(_.map(t =>
+      "[a-z]+".r.findAllIn(t._2.toLowerCase).toSeq)).toMap
+    bySrc.foreach { case (src, docs) =>
+      for (n <- 1 to 3) {
+        val grams = docs.flatMap(t => t.sliding(n).filter(_.length == n)
+          .map(_.mkString(" ")))
+        val (tot, dis) = (grams.length.toLong, grams.distinct.length.toLong)
+        assert(rows((src, n.toLong)) == ((tot, dis, dis * 1000000L / tot)),
+          s"$src $n-grams")
+      }
+    }
+    // every (source, n) cell is covered — no silent drop of a short doc
+    assert(rows.size == bySrc.size * 3)
+  }
+
   test("linkage skew fixture: the degenerate block dominates pair mass and the cap removes exactly it") {
     // the Σ block² MEASUREMENT behind SCALING.md's purge-cap claim:
     // census the seeded-skew record set, compute candidate-pair mass
