@@ -133,6 +133,8 @@ object SparkEntry {
     "q_event_paths" -> ((s: SparkSession, d: String) => Events.eventPaths(s, d)),
     "q_fk_audit" -> (Relational.fkAudit _),
     "q_heavy_hitters" -> ((s: SparkSession, d: String) => Corpus.heavyHitters(s, d)),
+    "q_cms_heavy_hitters" -> ((s: SparkSession, d: String) =>
+      Corpus.cmsHeavyHitters(s, d)),
     "q_stream_heavy_hitters" ->
       ((s: SparkSession, d: String) =>
         graft.streaming.DocStream.heavyHittersViaStream(s, d)),
@@ -154,6 +156,7 @@ object SparkEntry {
     "q_bpe_fertility" -> ((s: SparkSession, d: String) => Corpus.bpeFertility(s, d)),
     "q_pagerank" -> ((s: SparkSession, d: String) => Graph.pageRank(s, d)),
     "q_triangles" -> (Graph.triangles _),
+    "q_kcore" -> ((s: SparkSession, d: String) => Graph.kcore(s, d)),
     "q_search" -> ((s: SparkSession, d: String) => Corpus.search(s, d)),
     "q_bm25" -> ((s: SparkSession, d: String) => Corpus.bm25(s, d)),
     "q_skipgrams" -> ((s: SparkSession, d: String) => Corpus.skipgrams(s, d)),
@@ -198,8 +201,11 @@ object SparkEntry {
     "q_stream_entity_resolution" -> ((s: SparkSession, d: String) =>
       graft.streaming.LinkStream.entityResolutionViaStream(s, d)),
     "q_span_dedup" -> ((s: SparkSession, d: String) => Dedup.spanDedup(s, d)),
+    "q_boilerplate" -> ((s: SparkSession, d: String) => Dedup.boilerplate(s, d)),
     "q_stream_neardup" -> ((s: SparkSession, d: String) =>
       graft.streaming.DocStream.nearDupViaStream(s, d)),
+    "q_stream_token_budget" -> ((s: SparkSession, d: String) =>
+      graft.streaming.DocStream.tokenBudgetViaStream(s, d)),
     "q_epoch_shuffle" -> ((s: SparkSession, d: String) => Corpus.epochShuffle(s, d)),
     "q_temperature_sample" -> (Corpus.temperatureSample _),
     "q_token_budget" -> ((s: SparkSession, d: String) => Corpus.tokenBudget(s, d)),
@@ -262,6 +268,7 @@ object SparkEntry {
     "q_resize_pool" -> ((s: SparkSession, d: String) => Multimodal.resizePool(s, d)),
     "q_image_phash" -> (Multimodal.imagePhash _),
     "q_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
+    "q_scene_cuts" -> (Multimodal.sceneCuts _),
     // --- job engine end-to-end (SURVEY §2.1, §2.3, §2.4)
     "q_roundtrip" -> (JobQueries.roundtrip _),
     "q_table_exists_append" -> (JobQueries.appendSemantics _),
@@ -1689,6 +1696,11 @@ object SparkEntry {
          HAVING count(*) * ${Corpus.HeavyHittersK} > total
          ORDER BY cnt DESC, w""",
 
+    // Count-Min Sketch: the md5 row hashes, the depth×width grid,
+    // the min-over-rows estimate, and the overcount flag all replay
+    // deterministically — a ge_flag of 0 anywhere means a broken grid
+    "q_cms_heavy_hitters" -> operators.Corpus.cmsHeavyHittersOracle,
+
     // the streaming Complete-mode aggregation twin shares the exact
     // batch oracle: the state-store counts must equal a one-shot
     // groupBy to the row
@@ -1769,6 +1781,11 @@ object SparkEntry {
     // coefficient all replay verbatim — a wrong orientation tie-break
     // or a double-counted triangle flips rows
     "q_triangles" -> operators.Graph.trianglesOracle,
+
+    // K-core peel: the same co-occurrence graph, the fixed-round
+    // degree-peel unrolled as CTE layers — a wrong degree count or a
+    // non-fixpoint round count splits the engines
+    "q_kcore" -> operators.Graph.kcoreOracle,
 
     // Feature-hash embeddings: md5-derived dim/sign, integer values —
     // the whole representation replays bit-for-bit
@@ -2458,6 +2475,34 @@ object SparkEntry {
            CAST(COALESCE(SUM(CASE WHEN keep THEN 0 ELSE 1 END), 0) AS BIGINT) AS dropped
          FROM j GROUP BY doc_id ORDER BY doc_id""",
 
+    // C4 boilerplate rule: same chunking as q_span_dedup, but the
+    // verdict is a DISTINCT-document frequency floor and removal is
+    // total (first occurrence included) — a drifted df count or an
+    // off-by-one threshold flips kept/dropped rows
+    "q_boilerplate" ->
+      s"""WITH c AS (
+           SELECT doc_id, i // 10 AS pos,
+             string_agg(word, ' ' ORDER BY i) AS chunk
+           FROM (SELECT doc_id, unnest(ws) AS word,
+                        unnest(range(len(ws))) AS i
+                 FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents) t0
+                 WHERE len(ws) > 0) t
+           GROUP BY doc_id, i // 10),
+         df AS (
+           SELECT chunk, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+           FROM c GROUP BY chunk),
+         j AS (
+           SELECT c.doc_id, c.pos, c.chunk,
+             (f.df < ${operators.Dedup.BoilerDocFreq}) AS keep
+           FROM c JOIN df f USING (chunk))
+         SELECT doc_id,
+           COALESCE(string_agg(chunk, ' ' ORDER BY pos)
+             FILTER (WHERE keep), '') AS clean_text,
+           CAST(COALESCE(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS kept,
+           CAST(COALESCE(SUM(CASE WHEN keep THEN 0 ELSE 1 END), 0) AS BIGINT) AS dropped
+         FROM j GROUP BY doc_id ORDER BY doc_id""",
+
     // Batch novelty vs the corpus shingle index (deltaDedup's 80/20
     // framing; docs under the shingle width have no row on either side)
     "q_ngram_novelty" ->
@@ -2556,6 +2601,24 @@ object SparkEntry {
            FROM s)
          SELECT doc_id, n_tokens, quality_score, cum_tokens FROM c
          WHERE cum_tokens <= 10000
+         ORDER BY doc_id""",
+
+    // Streaming budget admission: the oracle is the one-shot prefix
+    // rule over doc_id order — the per-delivery two-phase prefix sums
+    // plus the carried scalar must reproduce the identical running
+    // totals and the identical mid-second-delivery cutoff
+    "q_stream_token_budget" ->
+      s"""WITH s AS (
+           SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+           CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_tokens
+           FROM s)
+         SELECT doc_id, n_tokens, cum_tokens FROM c
+         WHERE cum_tokens <= ${graft.streaming.DocStream.StreamTokenBudget}
          ORDER BY doc_id""",
 
     // Balanced shard layout: oracle is the bare global size rank —
@@ -3661,6 +3724,11 @@ object SparkEntry {
               LATERAL (SELECT unnest(generate_series(0,
                 CAST(floor((nb - 1) / 64) AS BIGINT))) AS i) g
          ORDER BY doc_id, frame_idx""",
+
+    // Scene cuts: integer mean-byte frame features, lag deltas, the
+    // threshold verdict, and the running scene index all replay —
+    // a drifted window boundary or a biased tail frame flips rows
+    "q_scene_cuts" -> operators.Multimodal.sceneCutsOracle,
 
     // REAL-DECODE twin: Spark PNG-encodes a deterministic gray image
     // per doc (gray(x,y) = (doc_id*31 + x*7 + y*13) % 256, w=8+id%8,

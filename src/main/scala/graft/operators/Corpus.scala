@@ -1509,6 +1509,97 @@ object Corpus {
       .orderBy(col("cnt").desc, col("w"))
   }
 
+  /** Count-Min Sketch geometry for [[cmsHeavyHitters]] — interpolated
+    * into both engines. Depth 4 rows × width 512 counters: ε = e/512,
+    * δ = e⁻⁴ in the Cormode–Muthukrishnan bound. */
+  val CmsDepth = 4
+  val CmsWidth = 512
+
+  /** Candidate rows emitted by [[cmsHeavyHitters]]. */
+  val CmsTopN = 30
+
+  /** q_cms_heavy_hitters: Count-Min Sketch frequency estimates
+    * (Cormode & Muthukrishnan 2005) next to [[heavyHitters]]'s exact
+    * Misra–Gries: the sketch build aggregates the token stream into a
+    * fixed [[CmsDepth]]×[[CmsWidth]] counter grid — the shuffle
+    * carries at most depth×width rows PER PARTITION after map-side
+    * combine, regardless of vocabulary size, which is the whole point
+    * of a CMS at 100 TB (a vocabulary-keyed groupBy exchanges one row
+    * per distinct term; the sketch exchanges a constant). Row hashes
+    * are md5-derived (`md5(term || '#' || row)`), so both engines
+    * compute identical grids.
+    *
+    * Output: the exact top-[[CmsTopN]] terms (ties to the term) with
+    * their true count, the sketch estimate (min over the term's
+    * [[CmsDepth]] cells), and the overcount verdict `ge_flag`
+    * (CMS never underestimates — every flag must be 1; a 0 means the
+    * grid drifted). The exact side exists for the VERDICT, like every
+    * *_recall row — a production probe takes its candidates from the
+    * MG pass and reads only the sketch. */
+  def cmsHeavyHitters(spark: SparkSession, sf: String,
+      topN: Int = CmsTopN): DataFrame = {
+    val tok = Tables.load(spark, sf, "documents")
+      .select(explode(words(col("text"))).as("w"))
+    def bucket(wcol: String, r: Int) =
+      expr(s"cast(conv(substring(md5(concat($wcol, '#$r')), 1, 8)" +
+        s", 16, 10) as bigint) % $CmsWidth")
+    // sketch build: 4 (row, bucket) cells per token, then ONE
+    // partial-agg groupBy over depth×width keys
+    val cells = tok
+      .select(explode(array((0 until CmsDepth).map(r =>
+        struct(lit(r).as("r"), bucket("w", r).as("b"))): _*)).as("cell"))
+      .select(col("cell.r").as("r"), col("cell.b").as("b"))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+    // exact verdict side: true counts, top-N candidates
+    val top = tok.groupBy(col("w")).agg(count(lit(1)).as("n_true"))
+      .orderBy(col("n_true").desc, col("w")).limit(topN)
+    // estimate = min over the candidate's depth cells; the cell grid
+    // is ≤ depth×width rows — broadcast side of the probe join
+    val probes = top.select(col("w"), col("n_true"),
+        explode(array((0 until CmsDepth).map(r =>
+          struct(lit(r).as("r"), bucket("w", r).as("b"))): _*)).as("cell"))
+      .select(col("w"), col("n_true"),
+        col("cell.r").as("r"), col("cell.b").as("b"))
+    probes.join(broadcast(cells), Seq("r", "b"))
+      .groupBy(col("w"), col("n_true"))
+      .agg(min(col("c")).as("n_est"))
+      .select(col("w"), col("n_true"), col("n_est"),
+        when(col("n_est") >= col("n_true"), 1L).otherwise(0L).as("ge_flag"))
+      .orderBy(col("n_true").desc, col("w"))
+  }
+
+  /** DuckDB replay of [[cmsHeavyHitters]]: identical md5 row hashes,
+    * grid aggregation, min-over-rows estimate, and overcount flag. */
+  def cmsHeavyHittersOracle: String = {
+    val rows = (0 until CmsDepth)
+      .map(r => s"SELECT $r AS r").mkString(" UNION ALL ")
+    s"""WITH tok AS (
+         SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         FROM documents),
+       rs AS ($rows),
+       cells AS (
+         SELECT r, ('0x' || substring(md5(w || '#' || CAST(r AS VARCHAR)),
+             1, 8))::BIGINT % $CmsWidth AS b,
+           CAST(COUNT(*) AS BIGINT) AS c
+         FROM tok CROSS JOIN rs
+         GROUP BY 1, 2),
+       top AS (
+         SELECT w, CAST(COUNT(*) AS BIGINT) AS n_true
+         FROM tok GROUP BY w
+         ORDER BY n_true DESC, w LIMIT $CmsTopN),
+       est AS (
+         SELECT t.w, t.n_true, MIN(c.c) AS n_est
+         FROM top t CROSS JOIN rs
+         JOIN cells c ON c.r = rs.r
+           AND c.b = ('0x' || substring(md5(t.w || '#' ||
+             CAST(rs.r AS VARCHAR)), 1, 8))::BIGINT % $CmsWidth
+         GROUP BY t.w, t.n_true)
+       SELECT w, n_true, CAST(n_est AS BIGINT) AS n_est,
+         CAST(CASE WHEN n_est >= n_true THEN 1 ELSE 0 END AS BIGINT)
+           AS ge_flag
+       FROM est ORDER BY n_true DESC, w"""
+  }
+
   /** q_ngram_diversity: per-source n-gram diversity — the corpus-level
     * Self-BLEU-style monitor (Zhu et al. 2018) a generation/curation
     * pipeline tracks to catch mode collapse and template flooding: a

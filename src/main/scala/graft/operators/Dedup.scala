@@ -535,6 +535,60 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Document-frequency floor for [[boilerplate]]: a chunk present in
+    * ≥ this many DISTINCT documents is boilerplate (the C4 "line in
+    * ≥3 pages" rule). Interpolated into both engines. */
+  val BoilerDocFreq = 3
+
+  /** Corpus-level BOILERPLATE scrub — the complement of [[spanDedup]]'s
+    * first-occurrence rule: a `span`-word chunk whose DOCUMENT
+    * frequency reaches [[BoilerDocFreq]] is removed from EVERY
+    * document, first occurrence included (C4's "any line shared by
+    * three or more pages is boilerplate" rule, Raffel et al. 2020 —
+    * a chunk that widespread is template/license/navigation text, and
+    * keeping one copy, as spanDedup does, would still train on it).
+    * Non-boilerplate repeats (doc freq 2) survive untouched on BOTH
+    * occurrences — the two rules are different curation tools and the
+    * engine ships both.
+    *
+    * Shape at 100 TB: identical to [[spanDedup]] — shuffle-free
+    * chunking (array slice, no word explode), one partial-agg groupBy
+    * on chunk content (`count distinct doc` collapses map-side via the
+    * (chunk, doc) pre-distinct), one equality join back, one per-doc
+    * regroup with array_sort-local reassembly. The mega-chunk skew
+    * note carries over verbatim (AQE skew-join on the chunk key).
+    */
+  def boilerplate(spark: SparkSession, sf: String, span: Int = 10): DataFrame = {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val chunks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), posexplode(
+        transform(
+          sequence(lit(0L),
+            floor((size(col("ws")) + (span - 1)).cast("long") / span) - 1L),
+          i => array_join(slice(col("ws"), (i * span + 1).cast("int"), lit(span)),
+            " "))).as(Seq("pos", "chunk")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("chunk"))
+    // document frequency per chunk content: pre-distinct on
+    // (chunk, doc) keeps the count partial-aggregable per key
+    val docFreq = chunks.select(col("chunk"), col("doc_id")).distinct()
+      .groupBy(col("chunk")).agg(count(lit(1)).as("df"))
+    chunks.join(docFreq, Seq("chunk"))
+      .withColumn("keep", col("df") < BoilerDocFreq)
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("pos"), col("chunk"))))),
+            s => s.getField("chunk")), " ").as("clean_text"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("dropped"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Distributed connected components by iterative min-label
     * propagation (Pregel shape): each round every vertex takes the min
     * of its own label and its neighbors' labels; converges to the

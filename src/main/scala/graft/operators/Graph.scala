@@ -188,16 +188,24 @@ object Graph {
     * Integer clustering coefficient: 2·triangles·10⁶ div deg·(deg−1)
     * ppm — engine-exact, no float division.
     */
-  def triangles(spark: SparkSession, sf: String): DataFrame = {
+  /** Supplier co-occurrence edge list (a < b, weight floor applied) —
+    * the shared graph under [[triangles]] and [[kcore]]. One bounded
+    * per-order pair explosion (Σ order-size², never corpus²) + one
+    * partial-agg groupBy. */
+  private def coEdges(spark: SparkSession, sf: String): DataFrame = {
     val so = Tables.load(spark, sf, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_suppkey").cast("long").as("s"))
       .distinct()
-    val edges = so.select(col("ok"), col("s").as("sa"))
+    so.select(col("ok"), col("s").as("sa"))
       .join(so.select(col("ok"), col("s").as("sb")), "ok")
       .filter(col("sa") < col("sb"))
       .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("w"))
       .filter(col("w") >= TriMinCoOrders)
       .select(col("sa").as("a"), col("sb").as("b"))
+  }
+
+  def triangles(spark: SparkSession, sf: String): DataFrame = {
+    val edges = coEdges(spark, sf)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = edges.select(col("a").as("v"))
       .unionByName(edges.select(col("b").as("v")))
@@ -270,4 +278,145 @@ object Graph {
            ELSE 0 END AS BIGINT) AS cc_ppm
        FROM deg d LEFT JOIN pern p ON p.v = d.v
        ORDER BY suppkey"""
+
+  /** Core order for [[kcore]] — a node survives while it keeps ≥ K
+    * neighbors that themselves survive. Interpolated into both
+    * engines. */
+  val KcoreK = 3
+
+  /** Peel rounds. The peel is monotone (the alive set only shrinks),
+    * so once a round removes nothing every later round is the
+    * identity; [[KcoreRounds]] is sized above every fixture graph's
+    * measured peel depth (≤ 10 at sf0.001/0.01/0.1) with slack, and
+    * the spec asserts the fixture's true fixpoint depth fits so an
+    * undersized R can never ship silently. */
+  val KcoreRounds = 12
+
+  /** Part co-purchase edge list for [[kcore]] (a < b, weight floor
+    * [[TriMinCoOrders]]): parts that landed in ≥ 2 common orders —
+    * the market-basket graph. Unlike the supplier projection (a
+    * near-clique at every SF — each order touches most suppliers),
+    * the part space grows with the corpus, so this graph keeps the
+    * heavy-tailed sparse structure a k-core is FOR. Same bounded
+    * per-order pair explosion (Σ order-size²). */
+  private def partCoEdges(spark: SparkSession, sf: String): DataFrame = {
+    val po = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").cast("long").as("p"))
+      .distinct()
+    po.select(col("ok"), col("p").as("pa"))
+      .join(po.select(col("ok"), col("p").as("pb")), "ok")
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("w"))
+      .filter(col("w") >= TriMinCoOrders)
+      .select(col("pa").as("a"), col("pb").as("b"))
+  }
+
+  /** q_kcore: K-core membership over the part co-purchase graph
+    * ([[partCoEdges]]): iteratively peel nodes with degree <
+    * [[KcoreK]] until fixpoint; the surviving subgraph is the K-core,
+    * the standard "dense cohesive nucleus" extraction (Seidman 1983)
+    * that a link-quality curation pass uses to separate structurally-
+    * embedded hosts from peripheral one-off nodes (spam tails peel
+    * away in the first rounds).
+    *
+    * Scale shape: each round is ONE partial-agg degree groupBy over
+    * the still-alive edge list plus two semi-joins (`left_semi`) to
+    * drop edges with a peeled endpoint — all equality shuffles on
+    * node keys, no window, no driver-sized state; the driver loop
+    * only orchestrates a FIXED [[KcoreRounds]] rounds (each round
+    * `localCheckpoint`ed, the [[Dedup.clustersFrom]] lineage lesson).
+    * FIXED rounds, not a convergence loop, because the DuckDB oracle
+    * unrolls the same recurrence — both engines agree even on a graph
+    * whose true peel depth exceeds R; production loops on the Pregel
+    * halting test instead (count of removed nodes — a scalar per
+    * round, not a collect). Output is one row per ORIGINAL node:
+    * in_core flag and its degree inside the final core (0 outside) —
+    * deterministic because the fixpoint is unique (the K-core is
+    * order-independent).
+    */
+  def kcore(spark: SparkSession, sf: String,
+      k: Int = KcoreK, rounds: Int = KcoreRounds): DataFrame =
+    kcoreFrom(partCoEdges(spark, sf), k, rounds)
+      .withColumnRenamed("v", "partkey")
+
+  /** The peel kernel over an arbitrary (a, b) edge frame — split out
+    * so the spec can drive it with crafted graphs of known core
+    * structure (clique + pendant chain) in addition to the fixture. */
+  private[graft] def kcoreFrom(edgeFrame: DataFrame,
+      k: Int, rounds: Int): DataFrame = {
+    val edges0 = edgeFrame.persist(StorageLevel.MEMORY_AND_DISK)
+    val allNodes = edges0.select(col("a").as("v"))
+      .unionByName(edges0.select(col("b").as("v")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var edges = edges0
+    var round = 0
+    while (round < rounds) {
+      val deg = edges.select(col("a").as("v"))
+        .unionByName(edges.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val alive = deg.filter(col("deg") >= k).select(col("v"))
+      val next = edges
+        .join(alive.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("v").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      edges = next
+      round += 1
+    }
+    val coreDeg = edges.select(col("a").as("v"))
+      .unionByName(edges.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("core_deg"))
+    allNodes.join(coreDeg, Seq("v"), "left")
+      .select(col("v"),
+        when(col("core_deg").isNotNull, lit(1L)).otherwise(lit(0L))
+          .as("in_core"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"))
+      .orderBy(col("v"))
+  }
+
+  /** DuckDB replay of [[kcore]]: the identical peel unrolled as
+    * [[KcoreRounds]] CTE layers (the [[pageRankOracle]] pattern —
+    * fixed-iteration recurrences are SQL-expressible without
+    * recursive-CTE aggregation). */
+  def kcoreOracle: String = {
+    // every e$r is MATERIALIZED: each layer references its
+    // predecessor three times, and DuckDB's default CTE inlining
+    // would otherwise expand the 12-layer chain exponentially
+    // (3^12 scans of the base table — measured as an fd exhaustion,
+    // not a slowdown)
+    val layers = (1 to KcoreRounds).map { r =>
+      s"""d$r AS MATERIALIZED (
+           SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+           FROM (SELECT a AS v FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1})
+           GROUP BY v),
+         a$r AS MATERIALIZED (SELECT v FROM d$r WHERE deg >= $KcoreK),
+         e$r AS MATERIALIZED (
+           SELECT e.a, e.b FROM e${r - 1} e
+           WHERE e.a IN (SELECT v FROM a$r)
+             AND e.b IN (SELECT v FROM a$r))"""
+    }.mkString(",\n       ")
+    s"""WITH po AS (
+         SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS p
+         FROM lineitem),
+       w0 AS (
+         SELECT a.p AS a, b.p AS b, COUNT(*) AS w
+         FROM po a JOIN po b ON a.ok = b.ok AND a.p < b.p
+         GROUP BY 1, 2),
+       e0 AS MATERIALIZED (SELECT a, b FROM w0 WHERE w >= $TriMinCoOrders),
+       nodes AS (
+         SELECT DISTINCT v
+         FROM (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0)),
+       $layers,
+       cd AS (
+         SELECT v, CAST(COUNT(*) AS BIGINT) AS core_deg
+         FROM (SELECT a AS v FROM e$KcoreRounds
+               UNION ALL SELECT b FROM e$KcoreRounds)
+         GROUP BY v)
+       SELECT n.v AS partkey,
+         CAST(CASE WHEN cd.v IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_core,
+         CAST(COALESCE(cd.core_deg, 0) AS BIGINT) AS core_deg
+       FROM nodes n LEFT JOIN cd ON cd.v = n.v
+       ORDER BY partkey"""
+  }
 }

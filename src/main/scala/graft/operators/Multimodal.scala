@@ -224,6 +224,99 @@ object Multimodal {
         col("frame_digest"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Scene-cut threshold for [[sceneCuts]]: a cut fires where the
+    * inter-frame feature delta reaches this value (features are
+    * mean-byte ×100, so 400 = a 4-point average shift). Interpolated
+    * into both engines. */
+  val SceneCutThresh = 400L
+
+  /** Frame window width in bytes for [[sceneCuts]] (same stride as
+    * [[frameSample]]'s digests). */
+  val SceneFrameBytes = 64
+
+  /** Scene-cut detection + scene segmentation over the binary "video"
+    * payload — the temporal-difference detector every video curation
+    * pipeline runs before frame dedup (cut where consecutive frame
+    * features jump; frames between cuts share a scene_id, and
+    * downstream samplers pick one keyframe per scene instead of one
+    * per stride). Features are deterministic integers — per-frame
+    * mean byte value ×100 (integer div by the frame's true length, so
+    * the short tail frame is not biased) — because [[frameSample]]'s
+    * md5 digests avalanche and carry no distance semantics; a real
+    * deployment swaps the byte-mean for a decoded-luma mean at the
+    * same kernel-swap point as [[decodeFeatures]].
+    *
+    * Shape at 100 TB: feature extraction is a shuffle-free map
+    * (slice + aggregate over the char-code array, all codegen); the
+    * lag/running-sum windows partition BY DOCUMENT — per-key state is
+    * one video's frame count, bounded by clip length, never corpus-
+    * sized, the same per-entity-window argument as q_sessionize. */
+  def sceneCuts(spark: SparkSession, sf: String): DataFrame = {
+    val w = SceneFrameBytes
+    // per-char code array; filter the empty split artifact defensively
+    val codes = filter(
+      transform(split(col("text"), ""), c => ascii(c).cast("long")),
+      c => c > 0L)
+    val feats = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), codes.as("cs"))
+      .filter(size(col("cs")) > 0)
+      .select(col("doc_id"), posexplode(
+        transform(
+          sequence(lit(0L), floor((size(col("cs")) - 1).cast("long") / w)),
+          i => {
+            val win = slice(col("cs"), (i * w + 1).cast("int"), lit(w))
+            // floor(double) is exact here: sum*100 ≤ 64·255·100 ≪ 2⁵³
+            floor(aggregate(win, lit(0L), (a, x) => a + x) * 100L
+              / size(win))
+          })).as(Seq("frame_idx", "feat")))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("feat").cast("long").as("feat"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    feats
+      .withColumn("is_cut",
+        when(col("frame_idx") > 0 &&
+          abs(col("feat") - lag(col("feat"), 1).over(byDoc))
+            >= SceneCutThresh, 1L).otherwise(0L))
+      .withColumn("scene_id",
+        sum(col("is_cut")).over(
+          byDoc.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      .select(col("doc_id"), col("frame_idx"), col("feat"),
+        col("is_cut"), col("scene_id"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** DuckDB replay of [[sceneCuts]]: identical char-code windows,
+    * integer mean-×100 feature, lag delta, threshold, and running
+    * scene index. */
+  def sceneCutsOracle: String =
+    s"""WITH cs AS (
+         SELECT doc_id,
+           list_transform(range(1, len(text) + 1),
+             i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS cs
+         FROM documents WHERE len(text) > 0),
+       f AS (
+         SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+           CAST(list_sum(cs[CAST(i * $SceneFrameBytes + 1 AS INT):
+                            CAST(i * $SceneFrameBytes + $SceneFrameBytes AS INT)])
+             * 100 // len(cs[CAST(i * $SceneFrameBytes + 1 AS INT):
+                             CAST(i * $SceneFrameBytes + $SceneFrameBytes AS INT)])
+             AS BIGINT) AS feat
+         FROM cs, LATERAL (SELECT unnest(generate_series(0,
+           CAST((len(cs) - 1) // $SceneFrameBytes AS BIGINT))) AS i) g),
+       d AS (
+         SELECT doc_id, frame_idx, feat,
+           CASE WHEN frame_idx > 0 AND abs(feat -
+             lag(feat) OVER (PARTITION BY doc_id ORDER BY frame_idx))
+             >= $SceneCutThresh THEN 1 ELSE 0 END AS is_cut
+         FROM f)
+       SELECT doc_id, frame_idx, feat, CAST(is_cut AS BIGINT) AS is_cut,
+         CAST(SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS scene_id
+       FROM d ORDER BY doc_id, frame_idx"""
+
   // ---- audio ---------------------------------------------------------
 
   private val audioSchema: StructType = StructType(Seq(

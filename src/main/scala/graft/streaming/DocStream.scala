@@ -224,4 +224,90 @@ object DocStream {
       .select(col("w"), col("cnt"))
       .orderBy(col("cnt").desc, col("w"))
   }
+
+  /** Budget for [[tokenBudgetViaStream]] — sized so the sf0.001/sf0.01
+    * fixtures exhaust it MID-second-delivery (the carried state is
+    * what's under test; a budget the first delivery exhausts, or one
+    * the whole feed never reaches, would leave the carry unexercised).
+    * Interpolated into the oracle. */
+  val StreamTokenBudget = 20000L
+
+  /** q_stream_token_budget: budget admission AT INGEST — the streaming
+    * complement of [[graft.operators.Corpus.tokenBudget]]'s batch
+    * quality-ranked selection: documents arrive in doc_id order across
+    * deliveries and are admitted while the RUNNING corpus token total
+    * stays within budget (the prefix rule — one overflow closes the
+    * gate for everything after it, so the admitted set is a pure
+    * prefix and replayable by any engine). This is the admission
+    * control a continuously-fed training pipeline runs while a crawl
+    * drains: the decision must be made per delivery, with only a
+    * scalar carried between deliveries.
+    *
+    * State across micro-batches is exactly that scalar — the token
+    * total SEEN so far — persisted batchId-keyed (overwrite, so a
+    * retried micro-batch is idempotent: it re-reads its predecessor's
+    * total and re-derives its own). Within a batch the running total
+    * is the two-phase bucketed prefix sum over doc_id ranges (the
+    * packChunks/epoch_shuffle construction — per-bucket sums,
+    * exclusive cumsum over ≤ `buckets` rows, in-bucket windows), never
+    * a single-partition global window; a 100 TB delivery prefix-sums
+    * the same way. Output: admitted docs from BOTH deliveries with
+    * their running totals — identical to the one-shot batch replay,
+    * which is the oracle. */
+  def tokenBudgetViaStream(spark: SparkSession, sf: String,
+      budget: Long = StreamTokenBudget, buckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val root = graft.TempDirs.create("graft-budgetstream")
+    val outDir = s"$root/out"
+    val stateDir = s"$root/state"
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val w = docs.agg(floor((max(col("doc_id")) + 1) * 0.5).cast("long"))
+      .head().getLong(0)
+    DeliveryHarness.runTwoDeliveries(spark, root,
+      docs.filter(col("doc_id") < w), docs.filter(col("doc_id") >= w),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))),
+      { (batch: DataFrame, batchId: Long) =>
+        val carried =
+          if (batchId == 0L) 0L
+          else spark.read.parquet(s"$stateDir/batch-${batchId - 1}")
+            .head().getLong(0)
+        val toks = batch.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        // two-phase prefix sum in doc_id order, offset by the carry
+        val ext = toks.agg(min(col("doc_id")).as("mn"),
+          max(col("doc_id")).as("mx"))
+        val ranged = toks.crossJoin(broadcast(ext))
+          .withColumn("bucket", expr(
+            s"(doc_id - mn) div cast(ceil((mx - mn + 1) / $buckets.0) as bigint)"))
+        val offsets = ranged.groupBy(col("bucket"))
+          .agg(sum(col("n_tokens")).as("bt"))
+          .withColumn("offset",
+            coalesce(sum(col("bt")).over(
+              Window.orderBy(col("bucket"))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("bucket"), col("offset"))
+        val inB = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ranged.join(broadcast(offsets), "bucket")
+          .withColumn("cum_tokens",
+            col("offset") + sum(col("n_tokens")).over(inB) + carried)
+          .filter(col("cum_tokens") <= budget)
+          .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+          .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+        // the carry: tokens SEEN (admitted or not) — the prefix rule's
+        // denominator; one row, batchId-keyed overwrite
+        val seen = toks.agg(coalesce(sum(col("n_tokens")), lit(0L)))
+          .head().getLong(0)
+        spark.range(1).select(lit(carried + seen).as("total"))
+          .write.mode("overwrite").parquet(s"$stateDir/batch-$batchId")
+      })
+    spark.read.schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("n_tokens", LongType),
+        StructField("cum_tokens", LongType))))
+      .option("recursiveFileLookup", "true").parquet(outDir)
+      .orderBy(col("doc_id"))
+  }
 }

@@ -999,6 +999,36 @@ class CorpusSpec extends AnyFunSuite {
     assert(mg.nonEmpty, "threshold too high: no heavy hitters to check")
   }
 
+  test("cms heavy hitters: estimates re-derive from a reference grid and never undercount") {
+    val got = Corpus.cmsHeavyHitters(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty && got.length <= Corpus.CmsTopN)
+    // reference: rebuild the grid from raw tokens with the same md5
+    // row hashes, independently of the DataFrame plan under test
+    val tok = Tables.load(spark, sf, "documents")
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+        .as("w")).collect().map(_.getString(0))
+    def bucket(w: String, r: Int): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$w#$r".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      (java.lang.Long.parseLong(hex, 16) % Corpus.CmsWidth).toInt
+    }
+    val grid = Array.fill(Corpus.CmsDepth, Corpus.CmsWidth)(0L)
+    tok.foreach { w =>
+      (0 until Corpus.CmsDepth).foreach(r => grid(r)(bucket(w, r)) += 1L) }
+    val counts = tok.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expectTop = counts.toSeq.sortBy { case (w, c) => (-c, w) }
+      .take(Corpus.CmsTopN)
+    assert(got.map(t => (t._1, t._2)).toSeq == expectTop, "top-N drifted")
+    got.foreach { case (w, nTrue, nEst, flag) =>
+      val ref = (0 until Corpus.CmsDepth).map(r => grid(r)(bucket(w, r))).min
+      assert(nEst == ref, s"estimate drifted for '$w'")
+      assert(nEst >= nTrue, s"CMS undercounted '$w': $nEst < $nTrue")
+      assert(flag == 1L, s"ge_flag not set for '$w'")
+    }
+  }
+
   test("heavy hitters: merged MG summary is k-bounded and a candidate superset") {
     import spark.implicits._
     val k = 5

@@ -1115,6 +1115,77 @@ class OperatorSpec extends AnyFunSuite {
     assert(keptChunks.distinct.length == keptChunks.length)
   }
 
+  test("boilerplate: chunks at the C4 doc-frequency floor vanish everywhere, repeats below it survive") {
+    val span = 10
+    val out = Dedup.boilerplate(spark, sf, span).collect()
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.map(_.getLong(0)).toSet == docs.keySet) // total over docs
+    // reference doc frequency per chunk content
+    val dfOf = docs.toSeq
+      .flatMap { case (id, t) =>
+        t.split(" ").grouped(span).map(id -> _.mkString(" ")) }
+      .distinct.groupBy(_._2).view.mapValues(_.size).toMap
+    val boiler = dfOf.filter(_._2 >= Dedup.BoilerDocFreq).keySet
+    assert(boiler.nonEmpty, "fixture has no chunk at the doc-freq floor")
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val chunks = docs(id).split(" ").grouped(span).map(_.mkString(" ")).toSeq
+      // kept + dropped == chunk count; dropped == exactly the boiler hits
+      assert(r.getLong(2) + r.getLong(3) == chunks.size, s"doc $id total")
+      assert(r.getLong(3) == chunks.count(boiler), s"doc $id dropped")
+      // reassembly preserves order of the survivors
+      assert(r.getString(1) == chunks.filterNot(boiler).mkString(" "),
+        s"doc $id text")
+    }
+    // the two rules differ where they should: a doc-freq-2 chunk is
+    // untouched here but loses its second copy under spanDedup
+    val df2 = dfOf.filter(_._2 == 2).keySet
+    assert(df2.nonEmpty, "fixture has no doc-freq-2 chunk")
+    val keptAll = out.flatMap(r =>
+      r.getString(1).split(" ").grouped(span).map(_.mkString(" ")))
+      .filter(_.nonEmpty)
+    df2.foreach { c => assert(keptAll.count(_ == c) == 2, s"df-2 chunk lost: $c") }
+    boiler.foreach { c => assert(!keptAll.contains(c), s"boiler chunk kept: $c") }
+  }
+
+  test("scene cuts: frame features re-derive from the byte formula, cuts and scene ids are consistent") {
+    val got = Multimodal.sceneCuts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val w = Multimodal.SceneFrameBytes
+    // independent reference straight from the text bytes
+    def featsOf(t: String): Seq[Long] =
+      t.grouped(w).map(win =>
+        win.map(_.toLong).sum * 100L / win.length).toSeq
+    got.groupBy(_._1).foreach { case (id, rows) =>
+      val fs = featsOf(docs(id))
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.length == fs.length, s"doc $id frame count")
+      var scene = 0L
+      sorted.zipWithIndex.foreach { case ((_, idx, feat, cut, sid), i) =>
+        assert(idx == i.toLong)
+        assert(feat == fs(i), s"doc $id frame $i feature")
+        val expectCut =
+          if (i == 0) 0L
+          else if (math.abs(fs(i) - fs(i - 1)) >= Multimodal.SceneCutThresh) 1L
+          else 0L
+        assert(cut == expectCut, s"doc $id frame $i cut")
+        scene += expectCut
+        assert(sid == scene, s"doc $id frame $i scene id")
+      }
+    }
+    // non-degenerate: cuts fire somewhere but not everywhere
+    assert(got.exists(_._4 == 1L), "no cut fired in fixture")
+    assert(got.count(_._4 == 1L) < got.length / 2, "cut threshold degenerate")
+    // every doc's scenes start at 0 (frame 0 is never a cut)
+    got.filter(_._2 == 0L).foreach { r => assert(r._4 == 0L && r._5 == 0L) }
+  }
+
   test("image phash re-derives from the pixel formula and groups consistently") {
     val got = Multimodal.imagePhash(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -1750,6 +1821,61 @@ class OperatorSpec extends AnyFunSuite {
     }
     // the census is non-degenerate: some triangle exists at sf0.001
     assert(rows.exists(_._3 > 0), "no triangles in fixture")
+  }
+
+  test("kcore: fixed-round peel matches a brute-force fixpoint peel, kernel verified on a crafted graph") {
+    // (a) crafted graph with known core: a 4-clique (every node degree
+    // 3 = K, mutually supporting) with a pendant 2-chain off node 4 —
+    // the chain peels in two rounds, the clique survives exactly
+    val crafted = spark.createDataFrame(Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), // clique
+      (4L, 5L), (5L, 6L)                                          // chain
+    )).toDF("a", "b")
+    val kern = Graph.kcoreFrom(crafted, Graph.KcoreK, Graph.KcoreRounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(kern == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (4L, 1L, 3L), (5L, 0L, 0L), (6L, 0L, 0L)),
+      s"crafted-graph core drifted: $kern")
+    // (b) fixture: brute-force FIXPOINT peel (unbounded rounds) on the
+    // part co-purchase edges — independent of the unrolling under test
+    val rows = Graph.kcore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val po = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").cast("long").as("p"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val perOrder = po.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val w = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    perOrder.values.foreach { ss =>
+      for (i <- ss.indices; j <- (i + 1) until ss.length)
+        w((ss(i), ss(j))) = w.getOrElse((ss(i), ss(j)), 0) + 1
+    }
+    val edges0 = w.iterator.collect {
+      case (e, n) if n >= Graph.TriMinCoOrders => e }.toSet
+    val allNodes = edges0.flatMap { case (a, b) => Seq(a, b) }
+    var edges = edges0
+    var roundsToFix = 0
+    var changed = true
+    while (changed) {
+      val deg = edges.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val alive = deg.filter(_._2 >= Graph.KcoreK).keySet
+      val next = edges.filter { case (a, b) => alive(a) && alive(b) }
+      changed = next != edges
+      if (changed) roundsToFix += 1
+      edges = next
+    }
+    // the unrolled round count covers the fixture's true peel depth —
+    // an undersized KcoreRounds cannot ship silently
+    assert(roundsToFix < Graph.KcoreRounds,
+      s"peel needs $roundsToFix rounds, KcoreRounds=${Graph.KcoreRounds} leaves no slack")
+    val coreDeg = edges.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.map(_._1).toSet == allNodes, "node set drifted")
+    rows.foreach { case (v, inCore, cd) =>
+      assert(inCore == (if (coreDeg.contains(v)) 1L else 0L), s"part $v membership")
+      assert(cd == coreDeg.getOrElse(v, 0L), s"part $v core degree")
+    }
   }
 
   test("hash embed: duplicates collide exactly, near-dup gate is the integer cosine") {

@@ -271,6 +271,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exists(_._2 != "new"))
   }
 
+  test("streaming token budget: carried state lands the one-shot prefix cutoff mid-second-delivery") {
+    import graft.streaming.DocStream
+    val streamed = DocStream.tokenBudgetViaStream(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // one-shot reference: prefix sum over doc_id order, admit while
+    // within budget — computed directly, independent of the harness
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var cum = 0L
+    val expected = docs.flatMap { case (id, n) =>
+      cum += n
+      if (cum <= DocStream.StreamTokenBudget) Some((id, n, cum)) else None
+    }.toSeq
+    assert(streamed == expected, "stream diverged from the prefix rule")
+    // the receipt: the cutoff falls INSIDE delivery 1 — delivery 0
+    // admitted whole (carry mattered), delivery 1 partially (gate shut)
+    val w = (docs.map(_._1).max + 1) / 2
+    assert(streamed.nonEmpty && streamed.last._1 >= w,
+      "budget exhausted before delivery 1 — carry untested")
+    assert(streamed.length < docs.length,
+      "budget never exhausted — cutoff untested")
+  }
+
   test("streaming entity resolution equals the batch linkage row-for-row") {
     // registry delivery then dirty-feed delivery, edges emitted
     // incrementally (within-batch + batch-vs-index), one terminal CC —
