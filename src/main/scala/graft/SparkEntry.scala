@@ -213,6 +213,8 @@ object SparkEntry {
     "q_mixture_sample" -> ((s: SparkSession, d: String) => Corpus.mixtureSample(s, d)),
     "q_chunk_stride" -> ((s: SparkSession, d: String) => Corpus.chunkStride(s, d)),
     "q_systematic_sample" -> ((s: SparkSession, d: String) => Corpus.systematicSample(s, d)),
+    "q_stratified_kfold" -> ((s: SparkSession, d: String) =>
+      Corpus.stratifiedKfold(s, d)),
     "q_vocab_coverage" -> ((s: SparkSession, d: String) => Corpus.vocabCoverage(s, d)),
     "q_dataset_card" -> (Corpus.datasetCard _),
     "q_delta_card" -> (Corpus.deltaCard _),
@@ -2750,6 +2752,12 @@ object SparkEntry {
          SELECT doc_id, n_tokens FROM c
          WHERE (excl + n_tokens) // 100 > excl // 100
          ORDER BY doc_id""",
+
+    // Stratified k-fold: the oracle is the bare per-stratum
+    // ROW_NUMBER over (content hash, doc_id) round-robin-dealt into
+    // folds; the two-phase hash-range construction must reproduce
+    // the identical per-stratum total order
+    "q_stratified_kfold" -> operators.Corpus.stratifiedKfoldOracle,
 
     // Dataset card: long-format corpus summary, every metric an
     // integer count/sum/distinct (no float means — order-dependent).

@@ -874,6 +874,69 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Fold count for [[stratifiedKfold]]. Interpolated into both
+    * engines. */
+  val KfoldK = 5
+
+  /** Hash-range buckets for the two-phase per-stratum rank in
+    * [[stratifiedKfold]]. */
+  val KfoldRankBuckets = 64
+
+  /** q_stratified_kfold: K-fold cross-validation assignment,
+    * stratified by language — every fold receives ⌊nₗ/K⌋ or ⌈nₗ/K⌉
+    * documents of each language (the class-balance property plain
+    * `hash % K` does NOT give: a residue split's per-fold class counts
+    * are binomial, and a small class can land entirely in one fold).
+    * Documents order within their stratum by CONTENT hash (first 8 md5
+    * hex digits — the [[splitBucket]] family), so the assignment is a
+    * pure function of content: reproducible across engines,
+    * partitionings, and runs, and stable under corpus reordering.
+    * Fold = (per-stratum rank − 1) mod K — the round-robin deal.
+    *
+    * Scale shape: the per-stratum rank is the SAME two-phase bucketed
+    * construction as [[epochShuffle]]/[[Text.pplBuckets]] — a stratum
+    * at 100 TB cannot ride one `Window.partitionBy(lang)` task, so the
+    * hash value range-buckets rows into [[KfoldRankBuckets]] ordered
+    * groups per stratum, per-(stratum, bucket) counts are exclusive-
+    * cumsum'd over a strata×buckets-row table and broadcast back, and
+    * row_number runs only within a (stratum, bucket). */
+  def stratifiedKfold(spark: SparkSession, sf: String,
+      k: Int = KfoldK, buckets: Int = KfoldRankBuckets): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"),
+        expr("cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint)")
+          .as("h"))
+    // equal-width hash ranges: h is uniform in [0, 2^32)
+    val width = (1L << 32) / buckets
+    val ranged = docs.withColumn("bucket", expr(s"h div ${width}L"))
+    val offsets = ranged.groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("offset",
+        coalesce(sum(col("bn")).over(
+          Window.partitionBy(col("lang")).orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("lang"), col("bucket"), col("offset"))
+    ranged.join(broadcast(offsets), Seq("lang", "bucket"))
+      .withColumn("rk", col("offset") + row_number().over(
+        Window.partitionBy(col("lang"), col("bucket"))
+          .orderBy(col("h"), col("doc_id"))))
+      .select(col("doc_id"), col("lang"),
+        ((col("rk") - 1) % k).cast("long").as("fold"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay of [[stratifiedKfold]]: the bare per-stratum
+    * ROW_NUMBER over (hash, doc_id) — the two-phase construction must
+    * reproduce the identical total order per stratum. */
+  def stratifiedKfoldOracle: String =
+    s"""SELECT doc_id, lang,
+         CAST((ROW_NUMBER() OVER (PARTITION BY lang
+           ORDER BY ('0x' || substring(md5(text), 1, 8))::BIGINT, doc_id)
+           - 1) % $KfoldK AS BIGINT) AS fold
+       FROM documents
+       ORDER BY doc_id"""
+
   /** Corpus-relative quality gate: keep documents whose composite
     * [[Text.quality]] score clears the corpus q-quantile — the "drop
     * the worst quartile" curation cut, made against the corpus's own

@@ -999,6 +999,40 @@ class CorpusSpec extends AnyFunSuite {
     assert(mg.nonEmpty, "threshold too high: no heavy hitters to check")
   }
 
+  test("stratified kfold: per-stratum folds balance to within one and re-derive from the hash order") {
+    val got = Corpus.stratifiedKfold(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.map(_._1).toSet == docs.map(_._1).toSet, "not total over docs")
+    // reference: per-stratum rank over (md5-hash, doc_id), round-robin
+    def h(text: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expect = docs.groupBy(_._2).iterator.flatMap { case (_, ds) =>
+      ds.sortBy(d => (h(d._3), d._1)).zipWithIndex.map {
+        case ((id, lang, _), i) => id -> (lang, (i % Corpus.KfoldK).toLong) }
+    }.toMap
+    got.foreach { case (id, lang, fold) =>
+      assert((lang, fold) == expect(id), s"doc $id fold drifted") }
+    // balance: every (lang, fold) census within 1 of its stratum's n/K
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      val byFold = rows.groupBy(_._3).view.mapValues(_.size).toMap
+      assert(byFold.keySet == (0L until Corpus.KfoldK.toLong).toSet,
+        s"$lang missing folds")
+      assert(byFold.values.max - byFold.values.min <= 1,
+        s"$lang unbalanced: $byFold")
+    }
+    // determinism under a re-run
+    val again = Corpus.stratifiedKfold(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.sameElements(again))
+  }
+
   test("cms heavy hitters: estimates re-derive from a reference grid and never undercount") {
     val got = Corpus.cmsHeavyHitters(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
