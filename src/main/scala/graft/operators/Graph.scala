@@ -351,7 +351,15 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var edges = edges0
     var round = 0
-    while (round < rounds) {
+    // Pregel halting test alongside the fixed-round bound: the peel is
+    // MONOTONE (each round's edge set ⊆ the last), so an unchanged
+    // edge COUNT means no edge was removed ⇒ same degrees ⇒ fixpoint,
+    // and every further round — here or in the oracle's remaining
+    // unrolled layers — is the identity. Early exit is therefore
+    // bit-identical to running all `rounds`; the count is one scalar
+    // job over the just-checkpointed frame, never a collect.
+    var prevCount = -1L
+    while (round < rounds && prevCount != 0L) {
       val deg = edges.select(col("a").as("v"))
         .unionByName(edges.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
@@ -361,8 +369,10 @@ object Graph {
         .join(alive.select(col("v").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
         .localCheckpoint()
+      val n = next.count()
+      if (prevCount == n) round = rounds // fixpoint — halt
+      else { prevCount = n; round += 1 }
       edges = next
-      round += 1
     }
     val coreDeg = edges.select(col("a").as("v"))
       .unionByName(edges.select(col("b").as("v")))
