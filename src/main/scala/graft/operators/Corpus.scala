@@ -1613,9 +1613,13 @@ object Corpus {
         struct(lit(r).as("r"), bucket("w", r).as("b"))): _*)).as("cell"))
       .select(col("cell.r").as("r"), col("cell.b").as("b"))
       .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
-    // exact verdict side: true counts, top-N candidates
+    // exact verdict side: true counts, top-N candidates. Persisted:
+    // the ≤ topN-row frame feeds both the probe explode and the final
+    // projection — without the pin each reference recomputes the
+    // vocabulary count (one extra corpus scan)
     val top = tok.groupBy(col("w")).agg(count(lit(1)).as("n_true"))
       .orderBy(col("n_true").desc, col("w")).limit(topN)
+      .persist()
     // estimate = min over the candidate's depth cells; the cell grid
     // is ≤ depth×width rows — broadcast side of the probe join
     val probes = top.select(col("w"), col("n_true"),
@@ -1685,16 +1689,22 @@ object Corpus {
   def ngramDiversity(spark: SparkSession, sf: String): DataFrame = {
     val docs = graft.Tables.load(spark, sf, "documents")
       .select(col("source"), words(col("text")).as("t"))
-    val grams = docs.select(col("source"), lit(1).as("n"),
-        explode(col("t")).as("g"))
-      .unionByName(docs.filter(size(col("t")) >= 2)
-        .select(col("source"), lit(2).as("n"), explode(expr(
-          "transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))"))
-          .as("g")))
-      .unionByName(docs.filter(size(col("t")) >= 3)
-        .select(col("source"), lit(3).as("n"), explode(expr(
-          "transform(sequence(0, size(t)-3)," +
-            " i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).as("g")))
+      .filter(size(col("t")) >= 1)
+    // ONE corpus scan: every position emits its 1/2/3-gram structs in
+    // a single flatten-transform (null-filtered at the tail where the
+    // longer grams run out) — the three-branch union form scanned the
+    // token stream three times for the same multiset (plan-audited)
+    val grams = docs.select(col("source"), explode(expr(
+        "flatten(transform(sequence(0, size(t)-1), i -> filter(array(" +
+          " struct(1 as n, t[i] as g)," +
+          " case when i <= size(t)-2 then" +
+          "   struct(2 as n, concat(t[i], ' ', t[i+1]) as g)" +
+          "   else null end," +
+          " case when i <= size(t)-3 then" +
+          "   struct(3 as n, concat(t[i], ' ', t[i+1], ' ', t[i+2]) as g)" +
+          "   else null end)," +
+          " x -> x is not null)))")).as("x"))
+      .select(col("source"), col("x.n").as("n"), col("x.g").as("g"))
     grams.groupBy(col("source"), col("n"), col("g"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("source"), col("n"))

@@ -221,10 +221,16 @@ object Text {
     */
   def pplBuckets(spark: SparkSession, sf: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // persisted: the scored frame (docs × 3 cols) feeds the extremes
+    // aggregate, the bucket projection, and the final rank join — the
+    // r11 plan-audit lesson; without the pin each reference recomputes
+    // the WHOLE bigram-surprisal pipeline (measured: 32 parquet scans
+    // for a query whose data dependency is 6)
     val scored = bigramSurprisal(spark, sf)
       .select(col("doc_id"), col("mean_millibits"))
       .join(Tables.load(spark, sf, "documents")
         .select(col("doc_id"), col("source")), "doc_id")
+      .persist()
     val ext = scored.groupBy(col("source"))
       .agg(min(col("mean_millibits")).as("mn"),
         max(col("mean_millibits")).as("mx"),
