@@ -112,6 +112,8 @@ object SparkEntry {
     "q_base64" -> (Scalar.base64Envelope _),
     // --- text analysis (north-star training-data ops)
     "q_fingerprint" -> (Text.fingerprint _),
+    "q_winnow" -> (Text.winnow _),
+    "q_winnow_overlap" -> (Text.winnowOverlap _),
     "q_token_count" -> (Text.tokenCount _),
     "q_langid" -> (Text.langId _),
     "q_quality" -> (Text.quality _),
@@ -1582,6 +1584,17 @@ object SparkEntry {
          CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
          FROM documents
          ORDER BY doc_id""",
+
+    // Winnowing fingerprints: the oracle re-derives every rolling
+    // Rabin-Karp gram hash in closed form (Σ ord·Bᵉ mod M), replays
+    // the frame-window minima and the rightmost-tie argmin per window
+    // start — a drifted rolling update, window boundary, or tie-break
+    // flips rows
+    "q_winnow" -> operators.Text.winnowOracle,
+
+    // Overlap verdicts off the same selection CTEs: df-cap purge
+    // (boilerplate AND skew keys) + the shared-count floor
+    "q_winnow_overlap" -> operators.Text.winnowOverlapOracle,
 
     "q_token_count" ->
       """SELECT doc_id,

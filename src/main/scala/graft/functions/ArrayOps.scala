@@ -319,10 +319,115 @@ object SqWdot {
         "codes must be null-free (getLong would silently read 0)")
 }
 
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003
+  * — the MOSS algorithm): a rolling Rabin–Karp polynomial hash over
+  * every k-char gram of the input string, then the ROBUST WINNOWING
+  * selection — each w-wide window of consecutive gram hashes
+  * contributes its minimum (rightmost on ties), consecutive windows
+  * re-selecting the same position collapse to one fingerprint. The
+  * guarantee: any shared substring of length ≥ k+w−1 between two
+  * documents yields at least one SHARED fingerprint, while only
+  * ~2/(w+1) of positions are kept.
+  *
+  * One O(n) primitive loop inside whole-stage codegen (the rolling
+  * update `h' = (h − c·B^{k−1})·B + c_new mod M` — never a per-gram
+  * rescan), emitting `(pos << 31) | hash` packed longs so the output
+  * stays a flat `array<bigint>` (M < 2³¹ keeps the hash in the low
+  * bits; positions are document offsets, far under 2³²). Character
+  * basis is UTF-16 code units == code points on ASCII/BMP text — the
+  * oracle's `ord(substr(…))` agrees on the fixture alphabet.
+  *
+  * Documents shorter than k emit no fingerprints; documents with
+  * fewer than w grams winnow a single window over what exists.
+  */
+case class WinnowPack(child: Expression, k: Int, w: Int, base: Long, mod: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_pack"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType => TypeCheckSuccess
+      case other => TypeCheckFailure(
+        s"winnow_pack requires string, got ${other.simpleString}")
+    }
+  }
+
+  private def compute(s: org.apache.spark.unsafe.types.UTF8String): Array[Long] = {
+    val t = s.toString
+    val n = t.length
+    val m = n - k + 1
+    if (m <= 0) return Array.emptyLongArray
+    // gram hashes by one rolling pass
+    val hs = new Array[Long](m)
+    var bk1 = 1L // B^{k-1} mod M
+    var i = 0
+    while (i < k - 1) { bk1 = (bk1 * base) % mod; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = (h * base + t.charAt(i).toLong) % mod; i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < m) {
+      h = (h - (t.charAt(i - 1).toLong * bk1) % mod + mod) % mod
+      h = (h * base + t.charAt(i + k - 1).toLong) % mod
+      hs(i) = h
+      i += 1
+    }
+    // robust winnowing: rightmost min per window, dedup on position
+    val out = new Array[Long](m)
+    var nOut = 0
+    var lastPos = -1
+    val lastWin = math.max(m - w, 0)
+    var s0 = 0
+    while (s0 <= lastWin) {
+      val end = math.min(s0 + w - 1, m - 1)
+      var best = s0
+      var j = s0 + 1
+      while (j <= end) { if (hs(j) <= hs(best)) best = j; j += 1 }
+      if (best != lastPos) {
+        out(nOut) = (best.toLong << 31) | hs(best)
+        nOut += 1
+        lastPos = best
+      }
+      s0 += 1
+    }
+    java.util.Arrays.copyOf(out, nOut)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("winnowSelf", this, classOf[WinnowPack].getName)
+    nullSafeCodeGen(ctx, ev, s => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $self.computePublic($s));
+       """.stripMargin
+    })
+  }
+
+  /** Codegen entry point. */
+  def computePublic(s: org.apache.spark.unsafe.types.UTF8String): Array[Long] =
+    compute(s)
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowPack =
+    copy(child = newChild)
+}
+
 object ArrayOps {
   /** Column wrapper: exact integer dot product. */
   def dot_long(a: Column, b: Column): Column =
     Bridge.column(DotLong(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column wrapper: winnowing fingerprints, packed (pos<<31)|hash. */
+  def winnow_pack(text: Column, k: Int, w: Int, base: Long, mod: Long): Column =
+    Bridge.column(WinnowPack(Bridge.expression(text), k, w, base, mod))
 
   /** Column wrapper: PQ asymmetric-distance lookup (k = codebook size
     * per subspace). */

@@ -625,6 +625,130 @@ object Text {
         regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"))
       .filter(col("event_type") === "error")
       .orderBy(col("event_id"))
+
+  // ---- winnowing fingerprints (rolling hash) -------------------------
+
+  /** Winnowing geometry — gram width, window width, Rabin–Karp base
+    * and modulus. k+w−1 = 23: any shared 23-char substring guarantees
+    * a shared fingerprint. M = 2³¹−1 keeps every hash in the low 31
+    * bits of the packed output and every oracle-side sum term under
+    * 2⁶³. Interpolated into both engines. */
+  val WinnowK = 16
+  val WinnowW = 8
+  val WinnowBase = 257L
+  val WinnowMod = 2147483647L
+
+  /** Fingerprint document-frequency cap for [[winnowOverlap]]: a
+    * fingerprint present in more documents is corpus boilerplate
+    * (and the pair-join's skew key) — purged before pairing, the
+    * same Hernández/Stolfo big-block argument as the linkage cap. */
+  val WinnowDfCap = 10
+
+  /** Shared-fingerprint floor for an overlap verdict. */
+  val WinnowMinShared = 5
+
+  /** q_winnow: rolling-hash document fingerprints by WINNOWING
+    * (Schleimer–Wilkerson–Aiken 2003, the MOSS kernel): one
+    * [[graft.functions.WinnowPack]] codegen pass per document — an
+    * O(n) rolling Rabin–Karp over k-char grams with the robust
+    * rightmost-min window selection — then a flat posexplode of the
+    * packed (pos << 31 | hash) longs. Fingerprinting is a pure MAP:
+    * zero shuffle at any corpus size; only downstream consumers
+    * (the overlap join) exchange anything, and they exchange the
+    * ~2/(w+1)-density fingerprint set, not text.
+    */
+  def winnow(spark: SparkSession, sf: String): DataFrame =
+    Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.ArrayOps.winnow_pack(col("text"),
+          WinnowK, WinnowW, WinnowBase, WinnowMod)).as("packed"))
+      .select(col("doc_id"),
+        expr(s"packed div ${1L << 31}L").as("pos"),
+        expr(s"packed % ${1L << 31}L").as("fp"))
+      .orderBy(col("doc_id"), col("pos"))
+
+  /** q_winnow_overlap: document pairs sharing ≥ [[WinnowMinShared]]
+    * winnowing fingerprints — the content-overlap detector (MOSS's
+    * plagiarism verdict; in a curation pipeline, the cross-document
+    * substring-reuse audit that catches quote farms and mirrored
+    * passages exact dedup misses). Fingerprints are SET-valued per
+    * document; fingerprints in more than [[WinnowDfCap]] documents
+    * are purged first — they are corpus boilerplate AND the join's
+    * skew keys, so the purge is simultaneously the recall rule and
+    * the Σ block² bound (pair work per fingerprint ≤ cap²).
+    */
+  def winnowOverlap(spark: SparkSession, sf: String): DataFrame = {
+    val fps = winnow(spark, sf).select(col("doc_id"), col("fp")).distinct()
+    val df = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    val kept = fps.join(df.filter(col("df") <= WinnowDfCap)
+      .select(col("fp")), "fp")
+    kept.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB replay of [[winnow]]: per-position polynomial hashes (the
+    * rolling recurrence unrolled to its closed form — Σ ord·Bᵉ mod M),
+    * frame-window minima, rightmost argmin per window start, distinct
+    * selections. Winnowing selections are monotone non-decreasing in
+    * position (the rightmost-tie rule), so DISTINCT equals the
+    * engine's consecutive-window dedup. */
+  def winnowOracle: String = {
+    val terms = (0 until WinnowK).map { j =>
+      val p = (0 until (WinnowK - 1 - j))
+        .foldLeft(1L)((acc, _) => acc * WinnowBase % WinnowMod)
+      s"ord(substr(text, CAST(p + ${j + 1} AS INT), 1)) * ${p}::BIGINT"
+    }.mkString("(", " + ", ")")
+    s"""WITH d AS (
+         SELECT doc_id, text, len(text) AS n FROM documents
+         WHERE len(text) >= $WinnowK),
+       h AS (
+         SELECT doc_id, CAST(p AS BIGINT) AS pos,
+           $terms % $WinnowMod AS fp,
+           n - $WinnowK + 1 AS m
+         FROM d, LATERAL (SELECT unnest(generate_series(0, n - $WinnowK))
+           AS p) g),
+       mn AS (
+         SELECT doc_id, pos AS s, m,
+           MIN(fp) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wmin
+         FROM h),
+       st AS (SELECT doc_id, s, wmin, m FROM mn
+              WHERE s <= greatest(m - $WinnowW, 0)),
+       sel AS (
+         SELECT st.doc_id, MAX(h2.pos) AS pos, st.wmin AS fp
+         FROM st JOIN h h2 ON h2.doc_id = st.doc_id
+           AND h2.pos BETWEEN st.s
+             AND least(st.s + ${WinnowW - 1}, st.m - 1)
+           AND h2.fp = st.wmin
+         GROUP BY st.doc_id, st.s, st.wmin)
+       SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos,
+         CAST(fp AS BIGINT) AS fp
+       FROM sel ORDER BY doc_id, pos"""
+  }
+
+  /** DuckDB replay of [[winnowOverlap]]: the same selection CTEs, the
+    * df-cap purge, and the shared-count floor. */
+  def winnowOverlapOracle: String = {
+    val base = winnowOracle
+    val core = base.substring(0, base.lastIndexOf("SELECT DISTINCT")).trim
+    s"""$core,
+       fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+       dfc AS (SELECT fp FROM fps GROUP BY fp
+               HAVING COUNT(*) <= $WinnowDfCap),
+       kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN dfc USING (fp))
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+       FROM kept a JOIN kept b
+         ON a.fp = b.fp AND a.doc_id < b.doc_id
+       GROUP BY 1, 2
+       HAVING COUNT(*) >= $WinnowMinShared
+       ORDER BY doc_a, doc_b"""
+  }
 }
 
 /** `events` loader, tolerant of either physical timestamp layout the

@@ -1150,6 +1150,74 @@ class OperatorSpec extends AnyFunSuite {
     boiler.foreach { c => assert(!keptAll.contains(c), s"boiler chunk kept: $c") }
   }
 
+  test("winnow: fingerprints re-derive from a brute-force rolling hash + robust winnowing") {
+    import graft.operators.Text
+    val got = Text.winnow(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // brute-force reference: O(n·k) re-hash per gram (no rolling
+    // update — independent of the recurrence under test), then the
+    // window scan with rightmost ties and consecutive dedup
+    def ref(t: String): Seq[(Long, Long)] = {
+      val (k, w, b, m) = (Text.WinnowK, Text.WinnowW, Text.WinnowBase, Text.WinnowMod)
+      val ng = t.length - k + 1
+      if (ng <= 0) return Seq.empty
+      val hs = (0 until ng).map { p =>
+        t.substring(p, p + k).foldLeft(0L)((h, c) => (h * b + c.toLong) % m)
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var last = -1
+      (0 to math.max(ng - w, 0)).foreach { s =>
+        val end = math.min(s + w - 1, ng - 1)
+        var best = s
+        ((s + 1) to end).foreach(j => if (hs(j) <= hs(best)) best = j)
+        if (best != last) { out += ((best.toLong, hs(best))); last = best }
+      }
+      out.toSeq
+    }
+    got.groupBy(_._1).foreach { case (id, rows) =>
+      val expect = ref(docs(id))
+      val gotSeq = rows.sortBy(_._2).map(r => (r._2, r._3)).toSeq
+      assert(gotSeq == expect, s"doc $id fingerprints drifted")
+      // monotone selections => per-doc positions strictly increase —
+      // the property that makes the oracle's DISTINCT equal to the
+      // engine's consecutive-window dedup
+      assert(gotSeq.map(_._1) == gotSeq.map(_._1).sorted.distinct.toSeq,
+        s"doc $id selections not strictly increasing")
+    }
+    // the winnowing density bound holds loosely: far fewer
+    // fingerprints than grams
+    val totalGrams = docs.values.map(t =>
+      math.max(t.length - Text.WinnowK + 1, 0)).sum
+    assert(got.length.toLong * 2 < totalGrams, "no winnowing compression")
+  }
+
+  test("winnow overlap: shared-fingerprint pairs match a brute-force recount and dup docs surface") {
+    import graft.operators.Text
+    val got = Text.winnowOverlap(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty, "no overlapping pair in fixture")
+    // brute force off the (already verified) per-doc fingerprint sets
+    val fps = Text.winnow(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .distinct.groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    val pair = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    fps.values.filter(_.length <= Text.WinnowDfCap).foreach { ds =>
+      for (i <- ds.indices; j <- (i + 1) until ds.length)
+        pair((ds(i), ds(j))) = pair.getOrElse((ds(i), ds(j)), 0L) + 1L
+    }
+    val expect = pair.filter(_._2 >= Text.WinnowMinShared)
+      .map { case ((a, b), n) => (a, b, n) }.toSeq.sorted
+    assert(got.toSeq.sorted == expect, "overlap pairs drifted")
+    // exact duplicate documents (the planted dups) must share
+    // fingerprints heavily: some pair shares well above the floor
+    assert(got.exists(_._3 >= Text.WinnowMinShared * 4),
+      "no strongly-overlapping pair — planted dups missed")
+  }
+
   test("scene cuts: frame features re-derive from the byte formula, cuts and scene ids are consistent") {
     val got = Multimodal.sceneCuts(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
