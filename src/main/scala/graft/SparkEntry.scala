@@ -114,6 +114,7 @@ object SparkEntry {
     "q_fingerprint" -> (Text.fingerprint _),
     "q_winnow" -> (Text.winnow _),
     "q_winnow_overlap" -> (Text.winnowOverlap _),
+    "q_delta_winnow" -> (Text.deltaWinnow _),
     "q_token_count" -> (Text.tokenCount _),
     "q_langid" -> (Text.langId _),
     "q_quality" -> (Text.quality _),
@@ -1595,6 +1596,11 @@ object SparkEntry {
     // Overlap verdicts off the same selection CTEs: df-cap purge
     // (boilerplate AND skew keys) + the shared-count floor
     "q_winnow_overlap" -> operators.Text.winnowOverlapOracle,
+
+    // Incremental ingest classification against the corpus-slice
+    // fingerprint index: corpus-side df purge, fp-equality probe,
+    // best-partner (most shared, ties to smaller id)
+    "q_delta_winnow" -> operators.Text.deltaWinnowOracle,
 
     "q_token_count" ->
       """SELECT doc_id,

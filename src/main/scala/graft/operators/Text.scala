@@ -731,6 +731,93 @@ object Text {
        FROM sel ORDER BY doc_id, pos"""
   }
 
+  /** q_delta_winnow: incremental substring-overlap classification at
+    * ingest — the MOSS analog of [[Dedup.deltaNearDup]], completing
+    * the winnowing family's delta story: the corpus slice (doc_id
+    * below the 80% split) is the fingerprint INDEX — its
+    * [[WinnowDfCap]]-purged (doc, fp) set, the artifact a production
+    * pipeline persists bucketed on fp — and each arriving document
+    * probes it by fingerprint equality. A batch doc sharing ≥
+    * [[WinnowMinShared]] fingerprints with some corpus doc classifies
+    * `overlap_of_corpus` with its best partner (most shared, ties to
+    * the smaller id); anything else is `new`. Purge df is computed on
+    * the CORPUS side only — the index's own statistic; a delivery
+    * cannot retroactively reweight it.
+    *
+    * Scale shape: probing is one fp-equality join against the index
+    * (O(collisions), never a corpus scan), the per-doc best partner
+    * is a partial-aggregable max over a packed (n_shared, −partner)
+    * struct — no window, no driver state. */
+  def deltaWinnow(spark: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.load(spark, sf, "documents").select(col("doc_id"))
+    val w = docs.agg(floor((max(col("doc_id")) + 1) * 0.8).cast("long"))
+      .head().getLong(0)
+    val fps = winnow(spark, sf).select(col("doc_id"), col("fp")).distinct()
+      .persist()
+    val corpus = fps.filter(col("doc_id") < w)
+    val dfc = corpus.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= WinnowDfCap).select(col("fp"))
+    val index = corpus.join(dfc, "fp")
+      .select(col("fp"), col("doc_id").as("corpus_id"))
+    val shared = fps.filter(col("doc_id") >= w)
+      .join(index, "fp")
+      .groupBy(col("doc_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    val best = shared
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("n_shared"), (-col("corpus_id")).as("neg")))
+        .as("b"))
+      .select(col("doc_id"), col("b.n_shared").as("n_shared"),
+        (-col("b.neg")).as("partner"))
+    docs.filter(col("doc_id") >= w)
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("n_shared") >= WinnowMinShared, lit("overlap_of_corpus"))
+          .otherwise(lit("new")).as("status"),
+        when(col("n_shared") >= WinnowMinShared, col("partner"))
+          .otherwise(lit(-1L)).as("matched_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay of [[deltaWinnow]]: the winnow selection CTEs,
+    * corpus-side df purge, fp-equality probe, and the
+    * (n_shared DESC, corpus_id) best-partner rule. */
+  def deltaWinnowOracle: String = {
+    val base = winnowOracle
+    val core = base.substring(0, base.lastIndexOf("SELECT DISTINCT")).trim
+    s"""$core,
+       fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+       wsp AS (SELECT CAST(floor((MAX(doc_id) + 1) * 0.8) AS BIGINT) AS w
+               FROM documents),
+       corpus AS (SELECT f.doc_id, f.fp FROM fps f, wsp WHERE f.doc_id < w),
+       dfc AS (SELECT fp FROM corpus GROUP BY fp
+               HAVING COUNT(*) <= $WinnowDfCap),
+       idx AS (SELECT c.fp, c.doc_id AS corpus_id
+               FROM corpus c JOIN dfc USING (fp)),
+       shared AS (
+         SELECT f.doc_id, i.corpus_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+         FROM fps f
+         JOIN idx i ON i.fp = f.fp
+         CROSS JOIN wsp
+         WHERE f.doc_id >= w
+         GROUP BY f.doc_id, i.corpus_id),
+       best AS (
+         SELECT doc_id, corpus_id, n_shared,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY n_shared DESC, corpus_id) AS rk
+         FROM shared)
+       SELECT d.doc_id,
+         CASE WHEN b.n_shared >= $WinnowMinShared
+           THEN 'overlap_of_corpus' ELSE 'new' END AS status,
+         CAST(CASE WHEN b.n_shared >= $WinnowMinShared
+           THEN b.corpus_id ELSE -1 END AS BIGINT) AS matched_id,
+         CAST(COALESCE(b.n_shared, 0) AS BIGINT) AS n_shared
+       FROM (SELECT doc_id FROM documents, wsp WHERE doc_id >= w) d
+       LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
+       ORDER BY d.doc_id"""
+  }
+
   /** DuckDB replay of [[winnowOverlap]]: the same selection CTEs, the
     * df-cap purge, and the shared-count floor. */
   def winnowOverlapOracle: String = {

@@ -1218,6 +1218,41 @@ class OperatorSpec extends AnyFunSuite {
       "no strongly-overlapping pair — planted dups missed")
   }
 
+  test("delta winnow: ingest classification matches a brute-force probe of the corpus index") {
+    import graft.operators.Text
+    val got = Text.deltaWinnow(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // brute force off the verified fingerprint sets
+    val fps = Text.winnow(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val allIds = Tables.load(spark, sf, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val w = (allIds.max + 1) * 8 / 10
+    val corpusDf = scala.collection.mutable.Map.empty[Long, Int]
+    fps.filter(_._1 < w).values.foreach(_.foreach(f =>
+      corpusDf(f) = corpusDf.getOrElse(f, 0) + 1))
+    val keptFp = corpusDf.filter(_._2 <= Text.WinnowDfCap).keySet
+    val index = fps.collect { case (d, s) if d < w => d -> (s & keptFp) }
+    val batchIds = allIds.filter(_ >= w).sorted
+    assert(got.map(_._1).toSeq == batchIds.toSeq, "not total over the delivery")
+    got.foreach { case (id, status, matched, nShared) =>
+      val mine = fps.getOrElse(id, Set.empty)
+      val bestOpt = index
+        .map { case (cd, cs) => (cd, (mine & cs).size.toLong) }
+        .filter(_._2 > 0)
+        .minByOption { case (cd, n) => (-n, cd) }
+      val (bp, bn) = bestOpt.getOrElse((-1L, 0L))
+      assert(nShared == bn, s"doc $id n_shared")
+      if (bn >= Text.WinnowMinShared) {
+        assert(status == "overlap_of_corpus" && matched == bp, s"doc $id verdict")
+      } else assert(status == "new" && matched == -1L, s"doc $id verdict")
+    }
+    // non-degenerate both ways
+    assert(got.exists(_._2 == "overlap_of_corpus"), "no overlap verdict in fixture")
+    assert(got.exists(_._2 == "new"), "no new verdict in fixture")
+  }
+
   test("scene cuts: frame features re-derive from the byte formula, cuts and scene ids are consistent") {
     val got = Multimodal.sceneCuts(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
