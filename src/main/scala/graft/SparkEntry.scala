@@ -115,6 +115,8 @@ object SparkEntry {
     "q_winnow" -> (Text.winnow _),
     "q_winnow_overlap" -> (Text.winnowOverlap _),
     "q_delta_winnow" -> (Text.deltaWinnow _),
+    "q_stream_winnow" -> ((s: SparkSession, d: String) =>
+      graft.streaming.DocStream.winnowViaStream(s, d)),
     "q_token_count" -> (Text.tokenCount _),
     "q_langid" -> (Text.langId _),
     "q_quality" -> (Text.quality _),
@@ -1601,6 +1603,11 @@ object SparkEntry {
     // fingerprint index: corpus-side df purge, fp-equality probe,
     // best-partner (most shared, ties to smaller id)
     "q_delta_winnow" -> operators.Text.deltaWinnowOracle,
+
+    // the streaming twin shares the batch oracle: a delivery
+    // classified against the persisted index must equal the one-shot
+    // corpus-slice classification row-for-row
+    "q_stream_winnow" -> operators.Text.deltaWinnowOracle,
 
     "q_token_count" ->
       """SELECT doc_id,

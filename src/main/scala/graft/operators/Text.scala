@@ -748,19 +748,29 @@ object Text {
     * (O(collisions), never a corpus scan), the per-doc best partner
     * is a partial-aggregable max over a packed (n_shared, −partner)
     * struct — no window, no driver state. */
-  def deltaWinnow(spark: SparkSession, sf: String): DataFrame = {
-    val docs = Tables.load(spark, sf, "documents").select(col("doc_id"))
-    val w = docs.agg(floor((max(col("doc_id")) + 1) * 0.8).cast("long"))
-      .head().getLong(0)
-    val fps = winnow(spark, sf).select(col("doc_id"), col("fp")).distinct()
-      .persist()
-    val corpus = fps.filter(col("doc_id") < w)
-    val dfc = corpus.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+  /** Distinct (doc_id, fp) winnowing fingerprint set of an arbitrary
+    * (doc_id, text) frame — shared by [[deltaWinnow]] and the
+    * streaming twin ([[graft.streaming.DocStream.winnowViaStream]]),
+    * so the batch and incremental paths can never drift. */
+  private[graft] def winnowFpSet(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(graft.functions.ArrayOps.winnow_pack(col("text"),
+          WinnowK, WinnowW, WinnowBase, WinnowMod)).as("packed"))
+      .select(col("doc_id"), expr(s"packed % ${1L << 31}L").as("fp"))
+      .distinct()
+
+  /** Classification of a batch's fingerprint set against an index
+    * fingerprint set — the probe kernel shared by [[deltaWinnow]]
+    * (index = the corpus slice) and the streaming twin (index = the
+    * persisted store grown per delivery). Returns one row per id in
+    * `batchIds`. */
+  private[graft] def classifyAgainstIndex(batchIds: DataFrame,
+      batchFps: DataFrame, indexFps: DataFrame): DataFrame = {
+    val dfc = indexFps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= WinnowDfCap).select(col("fp"))
-    val index = corpus.join(dfc, "fp")
+    val index = indexFps.join(dfc, "fp")
       .select(col("fp"), col("doc_id").as("corpus_id"))
-    val shared = fps.filter(col("doc_id") >= w)
-      .join(index, "fp")
+    val shared = batchFps.join(index, "fp")
       .groupBy(col("doc_id"), col("corpus_id"))
       .agg(count(lit(1)).as("n_shared"))
     val best = shared
@@ -769,14 +779,24 @@ object Text {
         .as("b"))
       .select(col("doc_id"), col("b.n_shared").as("n_shared"),
         (-col("b.neg")).as("partner"))
-    docs.filter(col("doc_id") >= w)
-      .join(best, Seq("doc_id"), "left")
+    batchIds.join(best, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("n_shared") >= WinnowMinShared, lit("overlap_of_corpus"))
           .otherwise(lit("new")).as("status"),
         when(col("n_shared") >= WinnowMinShared, col("partner"))
           .otherwise(lit(-1L)).as("matched_id"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+  }
+
+  def deltaWinnow(spark: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.load(spark, sf, "documents")
+    val w = docs.agg(floor((max(col("doc_id")) + 1) * 0.8).cast("long"))
+      .head().getLong(0)
+    val fps = winnowFpSet(docs.select(col("doc_id"), col("text"))).persist()
+    classifyAgainstIndex(
+      docs.select(col("doc_id")).filter(col("doc_id") >= w),
+      fps.filter(col("doc_id") >= w),
+      fps.filter(col("doc_id") < w))
       .orderBy(col("doc_id"))
   }
 

@@ -310,4 +310,65 @@ object DocStream {
       .option("recursiveFileLookup", "true").parquet(outDir)
       .orderBy(col("doc_id"))
   }
+
+  private val WinnowIndexSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("fp", LongType)))
+
+  /** q_delta_winnow's STREAMING twin — substring-overlap triage at
+    * ingest over a PERSISTENT winnowing fingerprint index (the same
+    * storage-resident-index shape as [[nearDupViaStream]]'s LSH band
+    * store): the corpus delivery bootstraps the index, each following
+    * micro-batch fingerprints its documents with the shared
+    * `WinnowPack` codegen pass, classifies them against the grown
+    * index through the SAME `Text.classifyAgainstIndex` kernel as the
+    * batch twin (one fp-equality probe — O(collisions), never a
+    * corpus scan), and appends its own batchId-keyed fingerprint
+    * subdir (overwrite — a retried delivery is idempotent). Same
+    * output and DuckDB oracle as q_delta_winnow: the streaming and
+    * batch paths must agree row-for-row. */
+  def winnowViaStream(spark: SparkSession, sf: String): DataFrame = {
+    import graft.operators.Text
+    val root = graft.TempDirs.create("graft-winnowstream")
+    val indexDir = s"$root/index"
+    val outDir = s"$root/out"
+    val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(idxPath)
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val w = docs.agg(floor((max(col("doc_id")) + 1) * 0.8).cast("long"))
+      .head().getLong(0)
+    DeliveryHarness.runTwoDeliveries(spark, root,
+      docs.filter(col("doc_id") < w), docs.filter(col("doc_id") >= w),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))),
+      { (batch: DataFrame, batchId: Long) =>
+        val fps = Text.winnowFpSet(batch)
+        val indexNonEmpty = fs.globStatus(
+          new org.apache.hadoop.fs.Path(idxPath, "batch-*")).nonEmpty
+        val index =
+          if (indexNonEmpty)
+            spark.read.schema(WinnowIndexSchema)
+              .option("recursiveFileLookup", "true").parquet(indexDir)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            WinnowIndexSchema)
+        Text.classifyAgainstIndex(batch.select(col("doc_id")), fps, index)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+        fps.write.mode("overwrite").parquet(s"$indexDir/batch-$batchId")
+      })
+    spark.read.schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("status", StringType),
+        StructField("matched_id", LongType),
+        StructField("n_shared", LongType),
+        StructField("batch_id", LongType))))
+      .option("recursiveFileLookup", "true").parquet(outDir)
+      .filter(col("batch_id") === 1L)
+      .select(col("doc_id"), col("status"), col("matched_id"),
+        col("n_shared"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -295,6 +295,20 @@ class StreamingSpec extends AnyFunSuite {
       "budget never exhausted — cutoff untested")
   }
 
+  test("streaming winnow overlap equals the batch delta classification row-for-row") {
+    // corpus delivery bootstraps the fingerprint index, the second
+    // delivery classifies against it — must land on exactly
+    // deltaWinnow's answer: statuses, partners, shared counts
+    val streamed = graft.streaming.DocStream.winnowViaStream(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val batch = graft.operators.Text.deltaWinnow(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    assert(streamed.exists(_._2 == "overlap_of_corpus"))
+    assert(streamed.exists(_._2 == "new"))
+  }
+
   test("streaming entity resolution equals the batch linkage row-for-row") {
     // registry delivery then dirty-feed delivery, edges emitted
     // incrementally (within-batch + batch-vs-index), one terminal CC —
