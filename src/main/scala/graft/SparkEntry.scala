@@ -117,6 +117,7 @@ object SparkEntry {
     "q_delta_winnow" -> (Text.deltaWinnow _),
     "q_stream_winnow" -> ((s: SparkSession, d: String) =>
       graft.streaming.DocStream.winnowViaStream(s, d)),
+    "q_text_drift" -> (Text.textDrift _),
     "q_token_count" -> (Text.tokenCount _),
     "q_langid" -> (Text.langId _),
     "q_quality" -> (Text.quality _),
@@ -1608,6 +1609,38 @@ object SparkEntry {
     // classified against the persisted index must equal the one-shot
     // corpus-slice classification row-for-row
     "q_stream_winnow" -> operators.Text.deltaWinnowOracle,
+
+    // Text-feature drift: the bit-identical quality composite bucketed
+    // (floor ×20), both sides' counts and integer per-mille shares,
+    // full-outer so one-sided buckets report novel mass explicitly
+    "q_text_drift" ->
+      s"""WITH s AS (
+           SELECT doc_id,
+             CAST(floor(($QualityScoreSql) *
+               ${operators.Text.DriftBucketScale}) AS BIGINT) AS bucket
+           FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t
+                 FROM documents)),
+         wsp AS (SELECT CAST(floor((MAX(doc_id) + 1) * 0.8) AS BIGINT) AS w
+                 FROM documents),
+         ref AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_ref
+                 FROM s, wsp WHERE doc_id < w GROUP BY bucket),
+         nw AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_new
+                FROM s, wsp WHERE doc_id >= w GROUP BY bucket),
+         rt AS (SELECT COALESCE(SUM(n_ref), 1) AS t FROM ref),
+         nt AS (SELECT COALESCE(SUM(n_new), 1) AS t FROM nw)
+         SELECT COALESCE(r.bucket, n.bucket) AS bucket,
+           COALESCE(r.n_ref, 0) AS n_ref,
+           COALESCE(n.n_new, 0) AS n_new,
+           CAST(COALESCE(r.n_ref, 0) * 1000 // greatest(rt.t, 1)
+             AS BIGINT) AS share_ref_pm,
+           CAST(COALESCE(n.n_new, 0) * 1000 // greatest(nt.t, 1)
+             AS BIGINT) AS share_new_pm,
+           CAST(abs(COALESCE(r.n_ref, 0) * 1000 // greatest(rt.t, 1)
+             - COALESCE(n.n_new, 0) * 1000 // greatest(nt.t, 1))
+             AS BIGINT) AS delta_pm
+         FROM ref r FULL OUTER JOIN nw n ON r.bucket = n.bucket
+         CROSS JOIN rt CROSS JOIN nt
+         ORDER BY bucket""",
 
     "q_token_count" ->
       """SELECT doc_id,

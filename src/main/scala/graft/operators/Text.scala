@@ -748,6 +748,56 @@ object Text {
     * (O(collisions), never a corpus scan), the per-doc best partner
     * is a partial-aggregable max over a packed (n_shared, −partner)
     * struct — no window, no driver state. */
+  /** Histogram buckets for [[textDrift]] — quality scores land in
+    * (−0.2, 0.8), so floor(score·20) covers ~(−4, 16) in 20 integer
+    * cells. The composite is bit-identical cross-engine (the
+    * q_quality pin), so bucketing its double is deterministic. */
+  val DriftBucketScale = 20
+
+  /** q_text_drift: distribution-shift report between the corpus slice
+    * (doc_id below the 80% split — the frozen reference) and the new
+    * delivery, over the quality-score histogram — the text-feature
+    * drift monitor next to q_stream_embed_drift's embedding centroid:
+    * a crawl whose quality distribution walks (template flood, spam
+    * wave, encoding regression) shows up as per-bucket share deltas
+    * before any downstream gate moves. One row per occupied bucket:
+    * both counts, both shares in integer PER-MILLE (count·1000 div
+    * total — engine-exact, no float division), and the absolute
+    * share delta; the max delta row is the Kolmogorov-style alarm
+    * statistic, left to the reader/alerting layer.
+    *
+    * Scale shape: two narrow aggregations over one scored projection
+    * (the bucket key is a map); output bounded by the bucket count.
+    * FULL OUTER on bucket so a bucket present on only one side still
+    * reports (share 0 on the other — exactly the novel-mass signal).
+    */
+  def textDrift(spark: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.load(spark, sf, "documents")
+    val w = docs.agg(floor((max(col("doc_id")) + 1) * 0.8).cast("long"))
+      .head().getLong(0)
+    val scored = qualityScoredDf(docs)
+      .select(col("doc_id"),
+        floor(col("quality_score") * DriftBucketScale).cast("long")
+          .as("bucket"))
+    def sideCounts(side: DataFrame, n: String) = {
+      val c = side.groupBy(col("bucket")).agg(count(lit(1)).as(n))
+      val t = c.agg(sum(col(n)).as(s"${n}_total"))
+      c.crossJoin(broadcast(t))
+    }
+    val ref = sideCounts(scored.filter(col("doc_id") < w), "n_ref")
+    val nw = sideCounts(scored.filter(col("doc_id") >= w), "n_new")
+    ref.join(nw, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        expr("coalesce(n_ref, 0) * 1000 div greatest(coalesce(n_ref_total, 1), 1)"),
+        expr("coalesce(n_new, 0) * 1000 div greatest(coalesce(n_new_total, 1), 1)"))
+      .toDF("bucket", "n_ref", "n_new", "share_ref_pm", "share_new_pm")
+      .withColumn("delta_pm",
+        abs(col("share_ref_pm") - col("share_new_pm")))
+      .orderBy(col("bucket"))
+  }
+
   /** Distinct (doc_id, fp) winnowing fingerprint set of an arbitrary
     * (doc_id, text) frame — shared by [[deltaWinnow]] and the
     * streaming twin ([[graft.streaming.DocStream.winnowViaStream]]),

@@ -1218,6 +1218,35 @@ class OperatorSpec extends AnyFunSuite {
       "no strongly-overlapping pair — planted dups missed")
   }
 
+  test("text drift: per-bucket shares re-derive from the quality scores and sum to ~1000pm") {
+    import graft.operators.Text
+    val got = Text.textDrift(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    // reference buckets straight from the verified quality projection
+    val scored = Text.quality(spark, sf)
+      .select(col("doc_id"), col("quality_score")).collect()
+      .map(r => r.getLong(0) -> math.floor(
+        r.getDouble(1) * Text.DriftBucketScale).toLong)
+    val w = (scored.map(_._1).max + 1) * 8 / 10
+    val ref = scored.filter(_._1 < w).groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nw = scored.filter(_._1 >= w).groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val (rt, nt) = (ref.values.sum, nw.values.sum)
+    assert(got.map(_._1).toSet == (ref.keySet ++ nw.keySet), "bucket set drifted")
+    got.foreach { case (b, nRef, nNew, sRef, sNew, d) =>
+      assert(nRef == ref.getOrElse(b, 0L), s"bucket $b n_ref")
+      assert(nNew == nw.getOrElse(b, 0L), s"bucket $b n_new")
+      assert(sRef == nRef * 1000 / rt, s"bucket $b share_ref")
+      assert(sNew == nNew * 1000 / nt, s"bucket $b share_new")
+      assert(d == math.abs(sRef - sNew), s"bucket $b delta")
+    }
+    // integer-floor shares sum to at most 1000 and nearly reach it
+    val sr = got.map(_._4).sum; val sn = got.map(_._5).sum
+    assert(sr <= 1000 && sr > 1000 - got.length, s"ref shares $sr")
+    assert(sn <= 1000 && sn > 1000 - got.length, s"new shares $sn")
+  }
+
   test("delta winnow: ingest classification matches a brute-force probe of the corpus index") {
     import graft.operators.Text
     val got = Text.deltaWinnow(spark, sf).collect()
