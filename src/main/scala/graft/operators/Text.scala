@@ -678,7 +678,11 @@ object Text {
     * the Σ block² bound (pair work per fingerprint ≤ cap²).
     */
   def winnowOverlap(spark: SparkSession, sf: String): DataFrame = {
+    // persisted: the fingerprint set feeds the df census and both
+    // sides of the pair self-join — unpinned, the whole WinnowPack
+    // scan re-ran per reference (plan-audited)
     val fps = winnow(spark, sf).select(col("doc_id"), col("fp")).distinct()
+      .persist()
     val df = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
     val kept = fps.join(df.filter(col("df") <= WinnowDfCap)
       .select(col("fp")), "fp")
@@ -775,17 +779,24 @@ object Text {
     val docs = Tables.load(spark, sf, "documents")
     val w = docs.agg(floor((max(col("doc_id")) + 1) * 0.8).cast("long"))
       .head().getLong(0)
-    val scored = qualityScoredDf(docs)
-      .select(col("doc_id"),
+    // ONE corpus scan: both sides' bucket censuses come out of a
+    // single (side, bucket) partial agg; everything downstream is
+    // bucket-count-sized (plan-audited — the two-filtered-branch form
+    // re-scanned the scored projection four times)
+    val counts = qualityScoredDf(docs)
+      .select((col("doc_id") >= w).as("is_new"),
         floor(col("quality_score") * DriftBucketScale).cast("long")
           .as("bucket"))
-    def sideCounts(side: DataFrame, n: String) = {
-      val c = side.groupBy(col("bucket")).agg(count(lit(1)).as(n))
+      .groupBy(col("is_new"), col("bucket")).agg(count(lit(1)).as("n"))
+      .persist()
+    def sideCounts(isNew: Boolean, n: String) = {
+      val c = counts.filter(col("is_new") === isNew)
+        .select(col("bucket"), col("n").as(n))
       val t = c.agg(sum(col(n)).as(s"${n}_total"))
       c.crossJoin(broadcast(t))
     }
-    val ref = sideCounts(scored.filter(col("doc_id") < w), "n_ref")
-    val nw = sideCounts(scored.filter(col("doc_id") >= w), "n_new")
+    val ref = sideCounts(isNew = false, "n_ref")
+    val nw = sideCounts(isNew = true, "n_new")
     ref.join(nw, Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
