@@ -1837,7 +1837,12 @@ class OperatorSpec extends AnyFunSuite {
     // old layout) and demand bit equality, the receipt behind the
     // repo-wide decimal-sum / fixed-shape-IEEE / integer-basis rules
     val qs = Seq("q_dataset_card", "q_regression", "q_pagerank",
-      "q_quality_gate", "q_prototypicality", "q_learning_curve")
+      "q_quality_gate", "q_prototypicality", "q_learning_curve",
+      // r12 additions: the iterative peel, the sketch grid, the
+      // codegen fingerprint map, and the drift shares all claim
+      // layout-independence — demand the receipt
+      "q_kcore", "q_cms_heavy_hitters", "q_winnow_overlap",
+      "q_text_drift", "q_stratified_kfold")
     def snap(): Map[String, Seq[Seq[Any]]] = {
       spark.catalog.clearCache()
       qs.map(q => q ->
