@@ -329,7 +329,8 @@ object SqWdot {
   * documents yields at least one SHARED fingerprint, while only
   * ~2/(w+1) of positions are kept.
   *
-  * One O(n) primitive loop inside whole-stage codegen (the rolling
+  * One O(n) primitive JVM loop riding the scan — codegen-capable via
+  * doGenCode, and JIT-tight either way, the [[MinHashSig]] note (the rolling
   * update `h' = (h − c·B^{k−1})·B + c_new mod M` — never a per-gram
   * rescan), emitting `(pos << 31) | hash` packed longs so the output
   * stays a flat `array<bigint>` (M < 2³¹ keeps the hash in the low

@@ -1195,6 +1195,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.length.toLong * 2 < totalGrams, "no winnowing compression")
   }
 
+  test("winnow plan: fingerprinting is a shuffle-free map (no Exchange before the sort)") {
+    import graft.operators.Text
+    // the scale claim is structural: WinnowPack + posexplode ride the
+    // scan; the ONLY exchange in q_winnow's plan is the presentation
+    // orderBy's range partitioning — no aggregation/join shuffle exists
+    val plan = Text.winnow(spark, sf).queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 1, s"unexpected shuffles: $exchanges")
+    exchanges.foreach { e =>
+      // the one permitted exchange is the presentation orderBy's range
+      // partitioning, and nothing wide sits beneath it
+      assert(e.outputPartitioning.toString.toLowerCase.contains("range"),
+        s"non-sort exchange in a map-only plan: ${e.outputPartitioning}")
+      assert(e.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.isEmpty, "aggregation found under the sort exchange")
+    }
+    // the map stage is Scan -> Generate(winnow_pack) -> Project:
+    // the fingerprint work rides the scan (the hot loop is the
+    // expression's primitive JVM kernel — JIT-friendly with or
+    // without a whole-stage wrapper, the MinHashSig note)
+    val s = plan.toString
+    assert(s.contains("winnow_pack"), "fingerprint expression missing from plan")
+    assert(!s.contains("SortMergeJoin") && !s.contains("HashAggregate"),
+      "wide operator in a map-only plan")
+  }
+
   test("winnow overlap: shared-fingerprint pairs match a brute-force recount and dup docs surface") {
     import graft.operators.Text
     val got = Text.winnowOverlap(spark, sf).collect()
