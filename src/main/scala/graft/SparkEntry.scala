@@ -114,9 +114,12 @@ object SparkEntry {
     "q_fingerprint" -> (Text.fingerprint _),
     "q_winnow" -> (Text.winnow _),
     "q_winnow_overlap" -> (Text.winnowOverlap _),
+    "q_winnow_skew" -> (Text.winnowOverlapSkew _),
     "q_delta_winnow" -> (Text.deltaWinnow _),
     "q_stream_winnow" -> ((s: SparkSession, d: String) =>
       graft.streaming.DocStream.winnowViaStream(s, d)),
+    "q_stream_winnow_compact" -> ((s: SparkSession, d: String) =>
+      graft.streaming.DocStream.winnowCompactViaStream(s, d)),
     "q_text_drift" -> (Text.textDrift _),
     "q_token_count" -> (Text.tokenCount _),
     "q_langid" -> (Text.langId _),
@@ -163,6 +166,8 @@ object SparkEntry {
     "q_pagerank" -> ((s: SparkSession, d: String) => Graph.pageRank(s, d)),
     "q_triangles" -> (Graph.triangles _),
     "q_kcore" -> ((s: SparkSession, d: String) => Graph.kcore(s, d)),
+    "q_lpa_communities" -> ((s: SparkSession, d: String) =>
+      Graph.lpaCommunities(s, d)),
     "q_search" -> ((s: SparkSession, d: String) => Corpus.search(s, d)),
     "q_bm25" -> ((s: SparkSession, d: String) => Corpus.bm25(s, d)),
     "q_skipgrams" -> ((s: SparkSession, d: String) => Corpus.skipgrams(s, d)),
@@ -179,7 +184,11 @@ object SparkEntry {
     // hashed fixed-size feature table is the scale default
     "q_dsir_weights" -> ((s: SparkSession, d: String) => Corpus.dsirWeights(s, d)),
     "q_curate" -> (Corpus.curate _),
-    "q_curate_v2" -> (Corpus.curateV2 _),
+    // exact mode: the composed oracle replays the stage-1 cut with
+    // DuckDB quantile_cont; the default (approx_percentile t-digest)
+    // is the scale path, pinned plan-level by a CorpusSpec case
+    "q_curate_v2" -> ((s: SparkSession, d: String) =>
+      Corpus.curateV2(s, d, exact = true)),
     "q_contamination" -> (Corpus.contamination _),
     // --- dedup
     "q_dedup_exact" -> (Dedup.exact _),
@@ -277,6 +286,7 @@ object SparkEntry {
     "q_image_phash" -> (Multimodal.imagePhash _),
     "q_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "q_scene_cuts" -> (Multimodal.sceneCuts _),
+    "q_scene_cuts_decoded" -> (Multimodal.sceneCutsDecoded _),
     // --- job engine end-to-end (SURVEY §2.1, §2.3, §2.4)
     "q_roundtrip" -> (JobQueries.roundtrip _),
     "q_table_exists_append" -> (JobQueries.appendSemantics _),
@@ -1598,7 +1608,12 @@ object SparkEntry {
 
     // Overlap verdicts off the same selection CTEs: df-cap purge
     // (boilerplate AND skew keys) + the shared-count floor
-    "q_winnow_overlap" -> operators.Text.winnowOverlapOracle,
+    "q_winnow_overlap" -> operators.Text.winnowOverlapOracle(),
+    // the seeded-boilerplate skew receipt: the SAME overlap oracle
+    // over the seeded corpus (one seeding expression, two engines)
+    "q_winnow_skew" -> operators.Text.winnowOverlapOracle(
+      s"(SELECT doc_id, ${operators.Text.winnowSkewTextSql} AS text " +
+        "FROM documents) sd"),
 
     // Incremental ingest classification against the corpus-slice
     // fingerprint index: corpus-side df purge, fp-equality probe,
@@ -1609,6 +1624,8 @@ object SparkEntry {
     // classified against the persisted index must equal the one-shot
     // corpus-slice classification row-for-row
     "q_stream_winnow" -> operators.Text.deltaWinnowOracle,
+    "q_stream_winnow_compact" ->
+      graft.streaming.DocStream.winnowCompactOracle,
 
     // Text-feature drift: the bit-identical quality composite bucketed
     // (floor ×20), both sides' counts and integer per-mille shares,
@@ -1847,6 +1864,7 @@ object SparkEntry {
     // degree-peel unrolled as CTE layers — a wrong degree count or a
     // non-fixpoint round count splits the engines
     "q_kcore" -> operators.Graph.kcoreOracle,
+    "q_lpa_communities" -> operators.Graph.lpaOracle,
 
     // Feature-hash embeddings: md5-derived dim/sign, integer values —
     // the whole representation replays bit-for-bit
@@ -3796,6 +3814,8 @@ object SparkEntry {
     // threshold verdict, and the running scene index all replay —
     // a drifted window boundary or a biased tail frame flips rows
     "q_scene_cuts" -> operators.Multimodal.sceneCutsOracle,
+    "q_scene_cuts_decoded" ->
+      operators.Multimodal.sceneCutsDecodedOracle,
 
     // REAL-DECODE twin: Spark PNG-encodes a deterministic gray image
     // per doc (gray(x,y) = (doc_id*31 + x*7 + y*13) % 256, w=8+id%8,

@@ -321,13 +321,17 @@ object SqWdot {
 
 /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003
   * — the MOSS algorithm): a rolling Rabin–Karp polynomial hash over
-  * every k-char gram of the input string, then the ROBUST WINNOWING
-  * selection — each w-wide window of consecutive gram hashes
-  * contributes its minimum (rightmost on ties), consecutive windows
-  * re-selecting the same position collapse to one fingerprint. The
-  * guarantee: any shared substring of length ≥ k+w−1 between two
-  * documents yields at least one SHARED fingerprint, while only
-  * ~2/(w+1) of positions are kept.
+  * every k-char gram of the input string, then a RIGHTMOST-MIN
+  * winnowing selection — each w-wide window of consecutive gram
+  * hashes contributes its minimum, ties ALWAYS to the rightmost
+  * position, and consecutive windows re-selecting the same position
+  * collapse to one fingerprint. (This is a deterministic variant of
+  * the paper's "robust winnowing", which re-selects the PREVIOUS
+  * window's hash on ties; on repeated grams the rightmost rule emits
+  * a few extra fingerprints. Engine, oracle, and specs all implement
+  * this same rule.) The guarantee is unchanged: any shared substring
+  * of length ≥ k+w−1 between two documents yields at least one SHARED
+  * fingerprint, while only ~2/(w+1) of positions are kept.
   *
   * One O(n) primitive JVM loop riding the scan — codegen-capable via
   * doGenCode, and JIT-tight either way, the [[MinHashSig]] note (the rolling
@@ -378,7 +382,7 @@ case class WinnowPack(child: Expression, k: Int, w: Int, base: Long, mod: Long)
       hs(i) = h
       i += 1
     }
-    // robust winnowing: rightmost min per window, dedup on position
+    // rightmost-min winnowing: rightmost min per window, dedup on position
     val out = new Array[Long](m)
     var nOut = 0
     var lastPos = -1

@@ -814,15 +814,28 @@ object Corpus {
     * scans — OperatorSpec pins the reuse); the embeddings side rides
     * the cell-bucketed cluster kernel. Every stage stays a narrow
     * id-keyed join or broadcast — nothing corpus-sized funnels through
-    * a driver or a single partition. */
-  def curateV2(spark: SparkSession, sf: String): DataFrame = {
+    * a driver or a single partition.
+    *
+    * `exact` is [[qualityGate]]'s two-mode switch, threaded through so
+    * the composition obeys the same scale rule as the standalone gate:
+    * the DEFAULT (`false`) computes the stage-1 cut with
+    * `approx_percentile` (t-digest — fixed-size mergeable sketch,
+    * constant memory per partition at any corpus size); `true` is the
+    * verification mode the DuckDB oracle replays (Spark's exact
+    * `percentile` buffers every score in ONE final aggregation buffer
+    * — never the 100 TB path). */
+  def curateV2(spark: SparkSession, sf: String,
+      exact: Boolean = false): DataFrame = {
     val docs = Tables.load(spark, sf, "documents")
     val base = Text.qualityScoredDf(docs,
         Seq(col("lang"), splitBucket.as("bucket")))
       .select(col("doc_id"), col("lang"), col("bucket"),
         col("quality_score"))
       .persist()
-    val cut = base.agg(expr("percentile(quality_score, 0.25)").as("cut"))
+    val cutExpr =
+      if (exact) expr("percentile(quality_score, 0.25)")
+      else expr(s"approx_percentile(quality_score, 0.25, $GateAccuracy)")
+    val cut = base.agg(cutExpr.as("cut"))
     val gate = base.crossJoin(broadcast(cut))
       .filter(col("quality_score") > col("cut"))
       .select(col("doc_id"), col("lang"), col("bucket"),
@@ -937,6 +950,10 @@ object Corpus {
        FROM documents
        ORDER BY doc_id"""
 
+  /** t-digest accuracy knob shared by [[qualityGate]] and
+    * [[curateV2]]'s default (approximate) stage-1 cut. */
+  val GateAccuracy = 10000
+
   /** Corpus-relative quality gate: keep documents whose composite
     * [[Text.quality]] score clears the corpus q-quantile — the "drop
     * the worst quartile" curation cut, made against the corpus's own
@@ -956,7 +973,7 @@ object Corpus {
     */
   def qualityGate(spark: SparkSession, sf: String,
       q: Double = 0.25, exact: Boolean = false,
-      accuracy: Int = 10000): DataFrame = {
+      accuracy: Int = GateAccuracy): DataFrame = {
     val scored = Text.qualityScoredDf(Tables.load(spark, sf, "documents"))
       .select(col("doc_id"), col("quality_score"))
     val cutExpr =

@@ -496,8 +496,8 @@ object Dedup {
     *
     * Shape at 100 TB: chunking is a shuffle-free map (array slice on
     * the split word array, never an explode of words); the only wide
-    * ops are one groupBy on chunk text (partial-agg min), one
-    * equality join back on chunk, and the per-doc regroup. A
+    * ops are one groupBy on the chunk fingerprint (partial-agg min),
+    * one hash-equality join back, and the per-doc regroup. A
     * boilerplate mega-chunk (same header in 10⁷ docs) skews the join
     * key — AQE skew-join splits it, and the owner side is one row per
     * distinct chunk so the broadcast-side stays tiny per key.
@@ -518,10 +518,15 @@ object Dedup {
             " "))).as(Seq("pos", "chunk")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("chunk"))
     // global first occurrence per chunk content; (doc_id, pos) packed
-    // into one long so the map side combines to one row per chunk
-    val owners = chunks.groupBy(col("chunk"))
+    // into one long so the map side combines to one row per chunk.
+    // Censused and joined on the 64-bit chunk FINGERPRINT (the
+    // q_dup_rate_by_source pattern — see [[boilerplate]]): the argmin
+    // exchange moves 8-byte hashes, not span-word strings; text only
+    // shuffles on the reassembly regroup below.
+    val hashed = chunks.withColumn("chunk_h", xxhash64(col("chunk")))
+    val owners = hashed.groupBy(col("chunk_h"))
       .agg(min(col("doc_id") * 1000000L + col("pos")).as("first"))
-    chunks.join(owners, Seq("chunk"))
+    hashed.join(owners, Seq("chunk_h"))
       .withColumn("keep", col("doc_id") * 1000000L + col("pos") === col("first"))
       .groupBy(col("doc_id"))
       .agg(
@@ -553,10 +558,11 @@ object Dedup {
     *
     * Shape at 100 TB: identical to [[spanDedup]] — shuffle-free
     * chunking (array slice, no word explode), one partial-agg groupBy
-    * on chunk content (`count distinct doc` collapses map-side via the
-    * (chunk, doc) pre-distinct), one equality join back, one per-doc
-    * regroup with array_sort-local reassembly. The mega-chunk skew
-    * note carries over verbatim (AQE skew-join on the chunk key).
+    * on the 64-bit chunk fingerprint (`count distinct doc` collapses
+    * map-side via the (hash, doc) pre-distinct), one hash-equality
+    * join back, one per-doc regroup with array_sort-local reassembly.
+    * The mega-chunk skew note carries over verbatim (AQE skew-join on
+    * the hash key).
     */
   def boilerplate(spark: SparkSession, sf: String, span: Int = 10): DataFrame = {
     val docs = Tables.load(spark, sf, "documents")
@@ -571,11 +577,18 @@ object Dedup {
           i => array_join(slice(col("ws"), (i * span + 1).cast("int"), lit(span)),
             " "))).as(Seq("pos", "chunk")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("chunk"))
-    // document frequency per chunk content: pre-distinct on
-    // (chunk, doc) keeps the count partial-aggregable per key
-    val docFreq = chunks.select(col("chunk"), col("doc_id")).distinct()
-      .groupBy(col("chunk")).agg(count(lit(1)).as("df"))
-    chunks.join(docFreq, Seq("chunk"))
+    // document frequency per chunk content, censused and joined on a
+    // 64-bit FINGERPRINT of the chunk (the q_dup_rate_by_source
+    // pattern): the census exchange carries 8-byte hashes instead of
+    // 10-word strings — ~an order of magnitude less shuffle at corpus
+    // scale — and only the reassembly groupBy below legitimately moves
+    // text. Pre-distinct on (hash, doc) keeps the count
+    // partial-aggregable per key; a 64-bit collision would conflate
+    // two chunks' df (≈n²/2⁶⁵ — negligible against corpus sizes).
+    val hashed = chunks.withColumn("chunk_h", xxhash64(col("chunk")))
+    val docFreq = hashed.select(col("chunk_h"), col("doc_id")).distinct()
+      .groupBy(col("chunk_h")).agg(count(lit(1)).as("df"))
+    hashed.join(docFreq, Seq("chunk_h"))
       .withColumn("keep", col("df") < BoilerDocFreq)
       .groupBy(col("doc_id"))
       .agg(

@@ -429,4 +429,125 @@ object Graph {
        FROM nodes n LEFT JOIN cd ON cd.v = n.v
        ORDER BY partkey"""
   }
+
+  /** Synchronous rounds for [[lpaCommunities]]. Fixed, because the
+    * DuckDB oracle unrolls the same recurrence; the engine's early
+    * exit (labels unchanged ⇒ every later round is the identity) is
+    * bit-identical to running all of them. Sized above the measured
+    * fixpoint depth of every fixture graph (≤ 7 rounds at
+    * sf0.001/0.01/0.1 under self-inclusive voting) with slack — and
+    * correctness does NOT depend on convergence: on a graph whose
+    * true depth exceeds R, both engines still run exactly R rounds. */
+  val LpaRounds = 8
+
+  /** q_lpa_communities: community detection by synchronous LABEL
+    * PROPAGATION (Raghavan, Albert & Kumara 2007) over the part
+    * co-purchase graph — the near-linear community pass a curation
+    * pipeline runs over a host/link graph to group mirrored sites and
+    * content farms BEFORE per-community caps (q_domain_cap's graph
+    * sibling: cap what the graph says is one community, not just one
+    * hostname). Every node starts as its own label; each round every
+    * node adopts the most frequent label among ITSELF + its
+    * neighbors, ties to the smallest label — the deterministic
+    * SELF-INCLUSIVE sync variant: classic LPA breaks ties randomly
+    * and updates asynchronously, which no two engines replay alike;
+    * deterministic sync + (count DESC, label ASC) makes the fixpoint
+    * reproducible across engines, partitionings, and runs, and the
+    * self vote damps the two-cycle oscillation plain sync LPA is
+    * known for (measured here: neighbor-only voting left ~30% of
+    * labels flipping forever at sf0.1; self-inclusive reached its
+    * fixpoint in ≤ 7 rounds at every SF).
+    *
+    * Scale shape: a round is ONE equality join (symmetric edges ⋈
+    * labels on the neighbor key) + two partial-agg groupBys (label
+    * census per node, then the argmax via one packed `max(struct)` —
+    * never a window) — all shuffles on node keys, Pregel-shaped;
+    * rounds are `localCheckpoint`ed ([[Dedup.clustersFrom]] lineage
+    * lesson) and the driver holds only the changed-count scalar.
+    * Output: one row per graph node with its community label and the
+    * community's size. */
+  def lpaCommunities(spark: SparkSession, sf: String,
+      rounds: Int = LpaRounds): DataFrame =
+    lpaFrom(partCoEdges(spark, sf), rounds)
+      .withColumnRenamed("v", "partkey")
+
+  /** The propagation kernel over an arbitrary (a, b) edge frame —
+    * split out so the spec can drive it with crafted graphs of known
+    * community structure (two cliques + a bridge). */
+  private[graft] def lpaFrom(edgeFrame: DataFrame, rounds: Int): DataFrame = {
+    val edges = edgeFrame.persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = sym.select(col("src").as("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col("v"), col("v").as("label"))
+      .localCheckpoint()
+    var round = 0
+    while (round < rounds) {
+      val next = sym.select(col("src").as("v"), col("dst").as("u"))
+        .join(labels.select(col("v").as("u"), col("label")), "u")
+        .select(col("v"), col("label"))
+        .unionByName(labels.select(col("v"), col("label"))) // the self vote
+        .groupBy(col("v"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("v"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("b"))
+        .select(col("v"), (-col("b.neg")).as("label"))
+        .localCheckpoint()
+      // halting test: unchanged labels ⇒ fixpoint ⇒ all later rounds
+      // (here and in the oracle's remaining layers) are the identity.
+      // One scalar job over two checkpointed node-sized frames.
+      val changed = next
+        .join(labels.withColumnRenamed("label", "old"), "v")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      if (changed == 0L) round = rounds else round += 1
+    }
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "label")
+      .select(col("v"), col("label").as("community"),
+        col("community_size"))
+      .orderBy(col("v"))
+    }
+
+  /** DuckDB replay of [[lpaCommunities]]: the identical deterministic
+    * recurrence unrolled as [[LpaRounds]] MATERIALIZED CTE layers
+    * (each layer references its predecessor through a join — default
+    * inlining would expand the chain exponentially, the kcoreOracle
+    * lesson). */
+  def lpaOracle: String = {
+    val layers = (1 to LpaRounds).map { r =>
+      s"""c$r AS MATERIALIZED (
+           SELECT v, label, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+             SELECT s.src AS v, p.label AS label
+             FROM sym s JOIN l${r - 1} p ON p.v = s.dst
+             UNION ALL SELECT v, label FROM l${r - 1})
+           GROUP BY 1, 2),
+         l$r AS MATERIALIZED (
+           SELECT v, label FROM (
+             SELECT v, label, ROW_NUMBER() OVER (PARTITION BY v
+               ORDER BY cnt DESC, label) AS rk
+             FROM c$r) WHERE rk = 1)"""
+    }.mkString(",\n       ")
+    s"""WITH po AS (
+         SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS p
+         FROM lineitem),
+       w0 AS (
+         SELECT a.p AS a, b.p AS b, COUNT(*) AS w
+         FROM po a JOIN po b ON a.ok = b.ok AND a.p < b.p
+         GROUP BY 1, 2),
+       e0 AS MATERIALIZED (SELECT a, b FROM w0 WHERE w >= $TriMinCoOrders),
+       sym AS MATERIALIZED (
+         SELECT a AS src, b AS dst FROM e0
+         UNION ALL SELECT b, a FROM e0),
+       l0 AS MATERIALIZED (
+         SELECT DISTINCT src AS v, src AS label FROM sym),
+       $layers,
+       sz AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size
+              FROM l$LpaRounds GROUP BY label)
+       SELECT l.v AS partkey, l.label AS community, sz.community_size
+       FROM l$LpaRounds l JOIN sz USING (label)
+       ORDER BY partkey"""
+  }
 }

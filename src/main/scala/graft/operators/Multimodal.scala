@@ -242,9 +242,10 @@ object Multimodal {
     * per stride). Features are deterministic integers — per-frame
     * mean byte value ×100 (integer div by the frame's true length, so
     * the short tail frame is not biased) — because [[frameSample]]'s
-    * md5 digests avalanche and carry no distance semantics; a real
-    * deployment swaps the byte-mean for a decoded-luma mean at the
-    * same kernel-swap point as [[decodeFeatures]].
+    * md5 digests avalanche and carry no distance semantics;
+    * [[sceneCutsDecoded]] IS the kernel swap wired: the same
+    * [[cutsFrom]] segmentation over per-frame luma means read off a
+    * REAL `ImageIO`-decoded raster.
     *
     * Shape at 100 TB: feature extraction is a shuffle-free map
     * (slice + aggregate over the char-code array, all codegen); the
@@ -271,13 +272,25 @@ object Multimodal {
           })).as(Seq("frame_idx", "feat")))
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
         col("feat").cast("long").as("feat"))
+    cutsFrom(feats, SceneCutThresh)
+  }
+
+  /** The cut/segmentation kernel over a (doc_id, frame_idx, feat)
+    * frame — lag delta vs threshold, running cut-sum as scene id —
+    * shared by [[sceneCuts]] (byte-mean features) and
+    * [[sceneCutsDecoded]] (real decoded-luma features), so the two
+    * rows differ ONLY in the feature kernel, which is the documented
+    * swap point. Windows partition per clip: per-key state is one
+    * video's frame count, bounded by clip length, never corpus-sized.
+    */
+  private[graft] def cutsFrom(feats: DataFrame, thresh: Long): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
     feats
       .withColumn("is_cut",
         when(col("frame_idx") > 0 &&
           abs(col("feat") - lag(col("feat"), 1).over(byDoc))
-            >= SceneCutThresh, 1L).otherwise(0L))
+            >= thresh, 1L).otherwise(0L))
       .withColumn("scene_id",
         sum(col("is_cut")).over(
           byDoc.rowsBetween(org.apache.spark.sql.expressions.Window
@@ -311,6 +324,126 @@ object Multimodal {
              lag(feat) OVER (PARTITION BY doc_id ORDER BY frame_idx))
              >= $SceneCutThresh THEN 1 ELSE 0 END AS is_cut
          FROM f)
+       SELECT doc_id, frame_idx, feat, CAST(is_cut AS BIGINT) AS is_cut,
+         CAST(SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS scene_id
+       FROM d ORDER BY doc_id, frame_idx"""
+
+  /** Scene geometry for [[sceneCutsDecoded]]'s synthetic clips —
+    * frames per clip 6 + id%4 (2-3 scenes each), scene length 3,
+    * per-frame gray raster `base + (x·7 + y·13) % 32` with
+    * `base = ((id + frame div 3) % 4) · 64` (≤ 223, never wraps the
+    * byte — the closed form stays exactly recomputable), clip
+    * dimensions the [[imageized]] w/h formulas. Within a scene
+    * consecutive frames are IDENTICAL rasters (luma delta 0); across
+    * a boundary the base jumps ±64 or −192, a mean-×100 delta of
+    * 6400 or 19200 — so the threshold separates the two cases with a
+    * wide deterministic margin. All interpolated into both engines. */
+  val SceneCutDecodedThresh = 3200L
+  val DecodedSceneLen = 3
+
+  private val decodedFeatSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", LongType),
+    StructField("feat", LongType)))
+
+  /** q_scene_cuts_decoded: [[sceneCuts]] with the REAL-DECODE feature
+    * kernel wired — per-document synthetic clips whose frames are
+    * PNG-ENCODED with the JDK codec and decoded back with
+    * `ImageIO.read` (the proven [[decodeFeatures]] path; a decode
+    * failure throws, it cannot fall back to the closed form), the
+    * per-frame feature is the decoded raster's luma mean ×100
+    * (integer div by the true pixel count), and segmentation is the
+    * SAME [[cutsFrom]] kernel as the byte-mean row. The DuckDB oracle
+    * recomputes the features from the closed-form pixel formula
+    * without decoding a PNG — so the driver row pins the whole
+    * encode→decode→mean→cut loop end-to-end.
+    *
+    * Shape at 100 TB: feature extraction is a partition-parallel map
+    * with per-partition codec amortization (the [[decodeFeatures]]
+    * posture); the cut windows partition per clip — bounded state,
+    * never corpus-sized. */
+  def sceneCutsDecoded(spark: SparkSession, sf: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(decodedFeatSchema)
+    val feats = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val w = 8 + (id % 8).toInt
+          val h = 8 + (id % 5).toInt
+          val nf = 6 + (id % 4).toInt
+          (0 until nf).map { fi =>
+            val base = (((id + fi / DecodedSceneLen) % 4) * 64).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                raster.setSample(x, y, 0, base + (x * 7 + y * 13) % 32)
+                x += 1
+              }
+              y += 1
+            }
+            // the real codec round-trip: compressed bytes in the
+            // middle, the feature comes off the DECODED raster
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            val dec = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bos.toByteArray))
+            require(dec != null, s"undecodable frame $fi of doc $id")
+            val dr = dec.getRaster
+            var sum = 0L
+            y = 0
+            while (y < dec.getHeight) {
+              var x = 0
+              while (x < dec.getWidth) {
+                sum += dr.getSample(x, y, 0); x += 1
+              }
+              y += 1
+            }
+            Row(id, fi.toLong,
+              sum * 100L / (dec.getWidth.toLong * dec.getHeight))
+          }
+        }
+      }(enc)
+    cutsFrom(feats, SceneCutDecodedThresh)
+  }
+
+  /** DuckDB replay of [[sceneCutsDecoded]]: the closed-form raster
+    * (never a PNG decode — the cross-engine agreement IS the decode
+    * pin), identical integer luma mean, and the shared lag/threshold/
+    * running-sum segmentation. */
+  def sceneCutsDecodedOracle: String =
+    s"""WITH g AS (
+         SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h,
+           6 + doc_id % 4 AS nf
+         FROM documents),
+       tex AS (
+         SELECT g.doc_id, g.w * g.h AS np,
+           CAST(SUM((xs.x * 7 + ys.y * 13) % 32) AS BIGINT) AS tsum
+         FROM g,
+           LATERAL (SELECT unnest(range(0, g.w)) AS x) xs,
+           LATERAL (SELECT unnest(range(0, g.h)) AS y) ys
+         GROUP BY g.doc_id, g.w * g.h),
+       f AS (
+         SELECT g.doc_id, CAST(fs.fi AS BIGINT) AS frame_idx,
+           ((g.doc_id + (fs.fi // $DecodedSceneLen)) % 4) * 64 AS base
+         FROM g, LATERAL (SELECT unnest(range(0, g.nf)) AS fi) fs),
+       feat AS (
+         SELECT f.doc_id, f.frame_idx,
+           CAST((f.base * t.np + t.tsum) * 100 // t.np AS BIGINT) AS feat
+         FROM f JOIN tex t ON t.doc_id = f.doc_id),
+       d AS (
+         SELECT doc_id, frame_idx, feat,
+           CASE WHEN frame_idx > 0 AND abs(feat -
+             lag(feat) OVER (PARTITION BY doc_id ORDER BY frame_idx))
+             >= $SceneCutDecodedThresh THEN 1 ELSE 0 END AS is_cut
+         FROM feat)
        SELECT doc_id, frame_idx, feat, CAST(is_cut AS BIGINT) AS is_cut,
          CAST(SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)

@@ -650,7 +650,7 @@ object Text {
   /** q_winnow: rolling-hash document fingerprints by WINNOWING
     * (Schleimer–Wilkerson–Aiken 2003, the MOSS kernel): one
     * [[graft.functions.WinnowPack]] codegen pass per document — an
-    * O(n) rolling Rabin–Karp over k-char grams with the robust
+    * O(n) rolling Rabin–Karp over k-char grams with the
     * rightmost-min window selection — then a flat posexplode of the
     * packed (pos << 31 | hash) longs. Fingerprinting is a pure MAP:
     * zero shuffle at any corpus size; only downstream consumers
@@ -677,12 +677,19 @@ object Text {
     * skew keys, so the purge is simultaneously the recall rule and
     * the Σ block² bound (pair work per fingerprint ≤ cap²).
     */
-  def winnowOverlap(spark: SparkSession, sf: String): DataFrame = {
+  def winnowOverlap(spark: SparkSession, sf: String): DataFrame =
+    winnowOverlapFrom(Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")))
+
+  /** The overlap kernel over an arbitrary (doc_id, text) frame —
+    * shared by [[winnowOverlap]] and the seeded-skew receipt
+    * [[winnowOverlapSkew]], so the purge under test is the production
+    * purge, not a test double. */
+  private[graft] def winnowOverlapFrom(docs: DataFrame): DataFrame = {
     // persisted: the fingerprint set feeds the df census and both
     // sides of the pair self-join — unpinned, the whole WinnowPack
     // scan re-ran per reference (plan-audited)
-    val fps = winnow(spark, sf).select(col("doc_id"), col("fp")).distinct()
-      .persist()
+    val fps = winnowFpSet(docs).persist()
     val df = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
     val kept = fps.join(df.filter(col("df") <= WinnowDfCap)
       .select(col("fp")), "fp")
@@ -695,20 +702,67 @@ object Text {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** DuckDB replay of [[winnow]]: per-position polynomial hashes (the
-    * rolling recurrence unrolled to its closed form — Σ ord·Bᵉ mod M),
-    * frame-window minima, rightmost argmin per window start, distinct
-    * selections. Winnowing selections are monotone non-decreasing in
-    * position (the rightmost-tie rule), so DISTINCT equals the
-    * engine's consecutive-window dedup. */
-  def winnowOracle: String = {
+  /** Seeding rate and payload for [[winnowOverlapSkew]]'s degenerate
+    * boilerplate fixture: every `doc_id % WinnowSkewMod == 0` document
+    * gains the SAME appended sentence — at any fixture scale that is
+    * 1/[[WinnowSkewMod]] of the corpus sharing one fingerprint family,
+    * far past [[WinnowDfCap]], the production failure mode where a
+    * template/footer floods the fingerprint index (Hernández/Stolfo's
+    * big-block argument, the linkage-skew receipt's text twin). The
+    * payload is ≥ k+w−1 = 23 chars, so every seeded doc is GUARANTEED
+    * shared fingerprints by the winnowing theorem — the purge is
+    * provably armed, not probabilistically. */
+  val WinnowSkewMod = 5
+  val WinnowSkewBoiler =
+    "subscribe to our newsletter today for free weekly updates"
+
+  /** The seeding expression, parseable by Spark `expr` and DuckDB
+    * verbatim (the Linkage.DirtyNameSql pattern — one source, two
+    * engines). */
+  def winnowSkewTextSql: String =
+    s"CASE WHEN doc_id % $WinnowSkewMod = 0 " +
+      s"THEN text || ' $WinnowSkewBoiler' ELSE text END"
+
+  /** The seeded corpus: (doc_id, text) with the boilerplate appended
+    * at the [[WinnowSkewMod]] rate. */
+  private[graft] def winnowSkewDocs(spark: SparkSession,
+      sf: String): DataFrame =
+    Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), expr(winnowSkewTextSql).as("text"))
+
+  /** q_winnow_skew: [[winnowOverlap]] under the seeded degenerate
+    * boilerplate block, WITH the df-cap purge armed (it always is —
+    * the purge is the operator's standing skew guard, and this row
+    * proves it fires): the boilerplate fingerprints land in ~1/5 of
+    * the corpus (df ≫ [[WinnowDfCap]]) and are purged before pairing,
+    * so the seeded flood contributes ZERO candidate pairs and the
+    * Σ df² pair-join bound holds (per-fingerprint pair work ≤ cap²);
+    * only junction fingerprints (doc-specific, text ∥ payload
+    * boundary) and the corpus's organic overlaps survive, and the
+    * DuckDB oracle replays the seeded corpus exactly. Without the
+    * purge this join is (n/5)²-shaped — n²-shaped at any scale. */
+  def winnowOverlapSkew(spark: SparkSession, sf: String): DataFrame =
+    winnowOverlapFrom(winnowSkewDocs(spark, sf))
+
+  /** The winnow SELECTION CTE chain (d → h → mn → st → sel): per-
+    * position polynomial hashes (the rolling recurrence unrolled to
+    * its closed form — Σ ord·Bᵉ mod M), frame-window minima, rightmost
+    * argmin per window start. Shared STRUCTURALLY by [[winnowOracle]],
+    * [[deltaWinnowOracle]], [[winnowOverlapOracle]] and the seeded
+    * skew variant — composed, never carved out of a finished SQL
+    * string, so an edit here reaches every derived oracle and no
+    * oracle can silently corrupt on a token collision. `docsRel` is
+    * the relation (or parenthesized subquery aliased to nothing)
+    * supplying (doc_id, text). */
+  private[graft] def winnowSelectionCtes(
+      docsRel: String = "documents"): String = {
     val terms = (0 until WinnowK).map { j =>
       val p = (0 until (WinnowK - 1 - j))
         .foldLeft(1L)((acc, _) => acc * WinnowBase % WinnowMod)
       s"ord(substr(text, CAST(p + ${j + 1} AS INT), 1)) * ${p}::BIGINT"
     }.mkString("(", " + ", ")")
     s"""WITH d AS (
-         SELECT doc_id, text, len(text) AS n FROM documents
+         SELECT doc_id, text, len(text) AS n FROM $docsRel
          WHERE len(text) >= $WinnowK),
        h AS (
          SELECT doc_id, CAST(p AS BIGINT) AS pos,
@@ -729,11 +783,18 @@ object Text {
            AND h2.pos BETWEEN st.s
              AND least(st.s + ${WinnowW - 1}, st.m - 1)
            AND h2.fp = st.wmin
-         GROUP BY st.doc_id, st.s, st.wmin)
+         GROUP BY st.doc_id, st.s, st.wmin)"""
+  }
+
+  /** DuckDB replay of [[winnow]]: the selection CTEs, then distinct
+    * selections. Winnowing selections are monotone non-decreasing in
+    * position (the rightmost-tie rule), so DISTINCT equals the
+    * engine's consecutive-window dedup. */
+  def winnowOracle: String =
+    s"""${winnowSelectionCtes()}
        SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos,
          CAST(fp AS BIGINT) AS fp
        FROM sel ORDER BY doc_id, pos"""
-  }
 
   /** q_delta_winnow: incremental substring-overlap classification at
     * ingest — the MOSS analog of [[Dedup.deltaNearDup]], completing
@@ -864,10 +925,8 @@ object Text {
   /** DuckDB replay of [[deltaWinnow]]: the winnow selection CTEs,
     * corpus-side df purge, fp-equality probe, and the
     * (n_shared DESC, corpus_id) best-partner rule. */
-  def deltaWinnowOracle: String = {
-    val base = winnowOracle
-    val core = base.substring(0, base.lastIndexOf("SELECT DISTINCT")).trim
-    s"""$core,
+  def deltaWinnowOracle: String =
+    s"""${winnowSelectionCtes()},
        fps AS (SELECT DISTINCT doc_id, fp FROM sel),
        wsp AS (SELECT CAST(floor((MAX(doc_id) + 1) * 0.8) AS BIGINT) AS w
                FROM documents),
@@ -897,14 +956,13 @@ object Text {
        FROM (SELECT doc_id FROM documents, wsp WHERE doc_id >= w) d
        LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
        ORDER BY d.doc_id"""
-  }
 
   /** DuckDB replay of [[winnowOverlap]]: the same selection CTEs, the
-    * df-cap purge, and the shared-count floor. */
-  def winnowOverlapOracle: String = {
-    val base = winnowOracle
-    val core = base.substring(0, base.lastIndexOf("SELECT DISTINCT")).trim
-    s"""$core,
+    * df-cap purge, and the shared-count floor. `docsRel` threads
+    * through to [[winnowSelectionCtes]] (the seeded skew variant
+    * fingerprints a perturbed corpus). */
+  def winnowOverlapOracle(docsRel: String = "documents"): String =
+    s"""${winnowSelectionCtes(docsRel)},
        fps AS (SELECT DISTINCT doc_id, fp FROM sel),
        dfc AS (SELECT fp FROM fps GROUP BY fp
                HAVING COUNT(*) <= $WinnowDfCap),
@@ -916,7 +974,6 @@ object Text {
        GROUP BY 1, 2
        HAVING COUNT(*) >= $WinnowMinShared
        ORDER BY doc_a, doc_b"""
-  }
 }
 
 /** `events` loader, tolerant of either physical timestamp layout the

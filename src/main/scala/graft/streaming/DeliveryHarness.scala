@@ -56,19 +56,30 @@ object DeliveryHarness {
     try { q.processAllAvailable() } finally q.stop()
   }
 
-  /** Land `d0` then `d1` under `root/landing`, stream them back one
-    * file per trigger (AvailableNow), run `onBatch` for each, block
-    * until drained. The caller owns `root` (TempDirs-created) so it
-    * can hang sibling dirs (index, out) off the same lifetime. */
-  def runTwoDeliveries(spark: SparkSession, root: String,
-      d0: DataFrame, d1: DataFrame, schema: StructType,
+  /** Land each part of `parts` in order under `root/landing`, stream
+    * them back one file per trigger (AvailableNow — delivery i arrives
+    * as micro-batch i), run `onBatch` for each, block until drained.
+    * The caller owns `root` (TempDirs-created) so it can hang sibling
+    * dirs (index, out) off the same lifetime. The long-ingest harness:
+    * the compaction receipts feed ≥5 deliveries through this. */
+  def runDeliveries(spark: SparkSession, root: String,
+      parts: Seq[DataFrame], schema: StructType,
       onBatch: (DataFrame, Long) => Unit): Unit = {
     val landing = s"$root/landing"
-    writeDelivery(d0, s"$landing/d0", 1000000L)
-    writeDelivery(d1, s"$landing/d1", 2000000L)
+    parts.zipWithIndex.foreach { case (d, i) =>
+      writeDelivery(d, s"$landing/d$i", (i + 1) * 1000000L)
+    }
     runIncarnation(spark, landing, s"$root/ckpt", schema,
       identity, onBatch)
   }
+
+  /** Land `d0` then `d1` under `root/landing`, stream them back one
+    * file per trigger (AvailableNow), run `onBatch` for each, block
+    * until drained. */
+  def runTwoDeliveries(spark: SparkSession, root: String,
+      d0: DataFrame, d1: DataFrame, schema: StructType,
+      onBatch: (DataFrame, Long) => Unit): Unit =
+    runDeliveries(spark, root, Seq(d0, d1), schema, onBatch)
 
   /** [[runTwoDeliveries]] with a PROCESS RESTART between the
     * deliveries: delivery 0 is drained by one query which then stops

@@ -37,7 +37,8 @@ object DocStream {
     StructField("band_key", LongType),
     StructField("doc_id", LongType),
     StructField("minhash",
-      org.apache.spark.sql.types.ArrayType(LongType))))
+      org.apache.spark.sql.types.ArrayType(LongType)),
+    StructField("batch_id", LongType)))
 
   private val OutSchema = StructType(Seq(
     StructField("doc_id", LongType),
@@ -47,9 +48,18 @@ object DocStream {
 
   /** Classify one arriving delivery against the persistent index and
     * grow the index — the foreachBatch body, usable directly by a
-    * non-streaming orchestrator ingesting deliveries in a loop. */
+    * non-streaming orchestrator ingesting deliveries in a loop.
+    *
+    * RETRY IDEMPOTENCE: the probe reads only index rows whose stored
+    * `batch_id` is STRICTLY below this batch's — a micro-batch retried
+    * after its own index subdir landed (crash between index write and
+    * checkpoint commit) must not classify against its own
+    * fingerprints, or every retried doc would self-match and the
+    * retry's output would diverge from the first attempt's. A row
+    * predicate, not a subdir-name filter, so it survives
+    * [[StreamState.compactState]] renaming subtrees. */
   def classifyBatch(spark: SparkSession, batch: DataFrame,
-      indexDir: String, threshold: Double): DataFrame = {
+      indexDir: String, threshold: Double, batchId: Long): DataFrame = {
     val banded = Dedup.signedBanded(batch)
     // Hadoop FS, not java.io: the index dir is object storage / HDFS
     // in any real deployment
@@ -63,11 +73,11 @@ object DocStream {
       fs.globStatus(new org.apache.hadoop.fs.Path(idxPath, "batch-*"))
         .nonEmpty
     val index =
-      if (indexNonEmpty)
-        spark.read.schema(IndexSchema)
-          .option("recursiveFileLookup", "true").parquet(indexDir)
+      (if (indexNonEmpty)
+        StreamState.readState(spark, indexDir, IndexSchema)
       else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema))
+        .filter(col("batch_id") < batchId)
 
     val corpusMatch = banded.join(
         index.select(col("band"), col("band_key"),
@@ -107,9 +117,14 @@ object DocStream {
     * delivery's classification — the SAME output, statuses, and DuckDB
     * oracle as the batch twin `q_delta_neardup`: the streaming and
     * batch paths must agree row-for-row.
+    *
+    * `compactIndex = true` runs [[StreamState.compactState]] on the
+    * band index inside the foreachBatch body after each delivery's
+    * index write — the long-ingest maintenance pass; the spec pins the
+    * compacted run bit-identical to the plain one.
     */
   def nearDupViaStream(spark: SparkSession, sf: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, compactIndex: Boolean = false): DataFrame = {
     val root = graft.TempDirs.create("graft-docstream")
     val indexDir = s"$root/index"
     val outDir = s"$root/out"
@@ -130,12 +145,16 @@ object DocStream {
         // after a transient failure re-writes ITS OWN subdir instead
         // of double-appending rows into the result and the index (the
         // foreachBatch exactly-once contract is ours to provide)
-        val out = classifyBatch(spark, batch, indexDir, threshold)
+        val out = classifyBatch(spark, batch, indexDir, threshold, batchId)
           .withColumn("batch_id", lit(batchId))
         out.write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
         Dedup.signedBanded(batch)
           .select(col("band"), col("band_key"), col("doc_id"), col("minhash"))
+          .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").parquet(s"$indexDir/batch-$batchId")
+        if (compactIndex)
+          StreamState.compactState(spark, indexDir, IndexSchema)
+        ()
       })
 
     // the NEW delivery's classification (delivery 0 bootstrapped the
@@ -313,7 +332,22 @@ object DocStream {
 
   private val WinnowIndexSchema = StructType(Seq(
     StructField("doc_id", LongType),
-    StructField("fp", LongType)))
+    StructField("fp", LongType),
+    StructField("batch_id", LongType)))
+
+  /** The winnow fingerprint index visible to batch `batchId`: rows
+    * from STRICTLY EARLIER batches only (the same retry-idempotence
+    * row predicate as [[classifyBatch]] — a retried delivery must not
+    * classify against its own `batch-N` subdir, or every doc would
+    * self-match and the retry's output would diverge from the first
+    * attempt's; a stored-column filter, so it survives compaction).
+    * The `batch_id` column is dropped on the way out — probes see the
+    * logical (doc_id, fp) index. */
+  private[graft] def winnowIndexBefore(spark: SparkSession,
+      indexDir: String, batchId: Long): DataFrame =
+    StreamState.readState(spark, indexDir, WinnowIndexSchema)
+      .filter(col("batch_id") < batchId)
+      .drop("batch_id")
 
   /** q_delta_winnow's STREAMING twin — substring-overlap triage at
     * ingest over a PERSISTENT winnowing fingerprint index (the same
@@ -345,19 +379,12 @@ object DocStream {
         StructField("text", StringType))),
       { (batch: DataFrame, batchId: Long) =>
         val fps = Text.winnowFpSet(batch)
-        val indexNonEmpty = fs.globStatus(
-          new org.apache.hadoop.fs.Path(idxPath, "batch-*")).nonEmpty
-        val index =
-          if (indexNonEmpty)
-            spark.read.schema(WinnowIndexSchema)
-              .option("recursiveFileLookup", "true").parquet(indexDir)
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            WinnowIndexSchema)
-        Text.classifyAgainstIndex(batch.select(col("doc_id")), fps, index)
+        Text.classifyAgainstIndex(batch.select(col("doc_id")), fps,
+            winnowIndexBefore(spark, indexDir, batchId))
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
-        fps.write.mode("overwrite").parquet(s"$indexDir/batch-$batchId")
+        fps.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(s"$indexDir/batch-$batchId")
       })
     spark.read.schema(StructType(Seq(
         StructField("doc_id", LongType),
@@ -370,5 +397,126 @@ object DocStream {
       .select(col("doc_id"), col("status"), col("matched_id"),
         col("n_shared"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Deliveries for [[winnowCompactViaStream]] — enough that the
+    * compacted store is rewritten repeatedly mid-ingest (the
+    * long-ingest shape, not the two-delivery smoke). Interpolated
+    * into the oracle. */
+  val CompactDeliveries = 5
+
+  /** q_stream_winnow_compact: the LONG-INGEST winnowing twin with the
+    * recurring [[StreamState.compactState]] maintenance pass LIVE in
+    * the loop — [[CompactDeliveries]] doc_id-range deliveries stream
+    * through, each micro-batch classifies against the accumulated
+    * fingerprint index (same `Text.classifyAgainstIndex` kernel and
+    * df-cap as the batch twin, df computed over the index as of that
+    * delivery), appends its own batchId-keyed fingerprint subdir, and
+    * then the WHOLE index is compacted into size-targeted files —
+    * so every probe after the first runs against a store that has
+    * been rewritten at least once, and the final index dir holds one
+    * compacted subtree instead of one subtree per delivery. The
+    * batch_id retry/visibility predicate rides a stored COLUMN, which
+    * is exactly why it survives the rename-based rewrite.
+    *
+    * Output: every post-bootstrap document's classification with its
+    * delivery number — replayed exactly by a DuckDB oracle that
+    * recomputes the per-delivery incremental semantics (probe index =
+    * strictly earlier deliveries; df-cap per probe time), so the
+    * driver row pins compaction to be a pure layout change, not a
+    * semantic one. `compactIndex = false` gives the uncompacted run
+    * the spec compares bit-for-bit. */
+  def winnowCompactViaStream(spark: SparkSession, sf: String,
+      compactIndex: Boolean = true): DataFrame = {
+    import graft.operators.Text
+    val parts = CompactDeliveries
+    val root = graft.TempDirs.create("graft-winnowcompact")
+    val indexDir = s"$root/index"
+    val outDir = s"$root/out"
+    val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+    idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .mkdirs(idxPath)
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val wdt = math.max(1L,
+      docs.agg(floor((max(col("doc_id")) + 1) / parts).cast("long"))
+        .head().getLong(0))
+    val delivery = least(expr(s"doc_id div ${wdt}L"), lit(parts - 1L))
+    DeliveryHarness.runDeliveries(spark, root,
+      (0 until parts).map(i => docs.filter(delivery === i)),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))),
+      { (batch: DataFrame, batchId: Long) =>
+        val fps = Text.winnowFpSet(batch)
+        Text.classifyAgainstIndex(batch.select(col("doc_id")), fps,
+            winnowIndexBefore(spark, indexDir, batchId))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+        fps.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(s"$indexDir/batch-$batchId")
+        // the maintenance pass runs INSIDE the delivery loop — the
+        // next micro-batch probes the rewritten store
+        if (compactIndex)
+          StreamState.compactState(spark, indexDir, WinnowIndexSchema)
+        ()
+      })
+    spark.read.schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("status", StringType),
+        StructField("matched_id", LongType),
+        StructField("n_shared", LongType),
+        StructField("batch_id", LongType))))
+      .option("recursiveFileLookup", "true").parquet(outDir)
+      .filter(col("batch_id") >= 1L)
+      .select(col("doc_id"), col("batch_id").as("delivery"),
+        col("status"), col("matched_id"), col("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay of [[winnowCompactViaStream]]'s INCREMENTAL
+    * semantics: the shared winnow selection CTEs, documents assigned
+    * to [[CompactDeliveries]] doc_id-range deliveries, and for every
+    * post-bootstrap delivery d a probe against the fingerprints of
+    * deliveries < d with the df-cap computed over that same
+    * accumulated slice (df is a property of the index AS OF the
+    * probe, exactly what the engine's per-batch census sees).
+    * Compaction must not change a single row of this. */
+  def winnowCompactOracle: String = {
+    import graft.operators.Text
+    val p = CompactDeliveries
+    s"""${Text.winnowSelectionCtes()},
+       fps0 AS (SELECT DISTINCT doc_id, fp FROM sel),
+       wd AS (SELECT greatest((MAX(doc_id) + 1) // $p, 1) AS wdt
+              FROM documents),
+       del AS (SELECT doc_id, least(doc_id // wdt, ${p - 1}) AS d
+               FROM documents, wd),
+       fps AS (SELECT f.doc_id, f.fp, del.d
+               FROM fps0 f JOIN del USING (doc_id)),
+       ds AS (SELECT unnest(generate_series(1, ${p - 1})) AS pd),
+       dfc AS (SELECT i.fp, ds.pd FROM fps i, ds WHERE i.d < ds.pd
+               GROUP BY i.fp, ds.pd
+               HAVING COUNT(*) <= ${Text.WinnowDfCap}),
+       shared AS (
+         SELECT b.doc_id, b.d, i.doc_id AS corpus_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+         FROM fps b
+         JOIN fps i ON i.fp = b.fp AND i.d < b.d
+         JOIN dfc ON dfc.fp = b.fp AND dfc.pd = b.d
+         GROUP BY 1, 2, 3),
+       best AS (
+         SELECT doc_id, corpus_id, n_shared,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY n_shared DESC, corpus_id) AS rk
+         FROM shared)
+       SELECT del.doc_id, CAST(del.d AS BIGINT) AS delivery,
+         CASE WHEN b.n_shared >= ${Text.WinnowMinShared}
+           THEN 'overlap_of_corpus' ELSE 'new' END AS status,
+         CAST(CASE WHEN b.n_shared >= ${Text.WinnowMinShared}
+           THEN b.corpus_id ELSE -1 END AS BIGINT) AS matched_id,
+         CAST(COALESCE(b.n_shared, 0) AS BIGINT) AS n_shared
+       FROM del
+       LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
+       WHERE del.d >= 1
+       ORDER BY del.doc_id"""
   }
 }

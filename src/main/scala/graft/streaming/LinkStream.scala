@@ -42,6 +42,13 @@ object LinkStream {
     StructField("bal", LongType),
     StructField("kind", StringType)))
 
+  /** [[RecordSchema]] plus the `batch_id` lineage column the index
+    * store physically carries (the retry-idempotence filter key).
+    * Terminal reads use the bare [[RecordSchema]] — parquet column
+    * pruning skips the extra column. */
+  private val IndexedRecordSchema =
+    StructType(RecordSchema.fields :+ StructField("batch_id", LongType))
+
   /** `restart = true` swaps in
     * [[DeliveryHarness.runTwoDeliveriesWithRestart]]: the query STOPS
     * after the registry delivery and a fresh incarnation recovers the
@@ -82,9 +89,19 @@ object LinkStream {
         // the batch frame feeds three joins below — pin it or the
         // landing file re-reads per consumer
         val b = batch.persist()
-        val idx = spark.read.schema(RecordSchema)
-          .option("recursiveFileLookup", "true")
-          .option("pathGlobFilter", "*.parquet").parquet(indexDir)
+        // RETRY IDEMPOTENCE: read only rows from STRICTLY EARLIER
+        // batches. A micro-batch retried after its own index subdir
+        // landed (crash between index write and checkpoint commit)
+        // would otherwise probe an index already containing its own
+        // records — the edge set survives that (distinct + the
+        // within-batch arm already emits those pairs), but the skew
+        // census would double-count the batch's block members and
+        // could purge blocks the first attempt kept. The batch_id
+        // lineage column makes the predicate survive compaction,
+        // where subdir names do not.
+        val idx = StreamState.readState(spark, indexDir, IndexedRecordSchema)
+          .filter(col("batch_id") < batchId)
+          .drop("batch_id")
         // the skew guard's census must cover the full ACCUMULATED
         // record set, not the slice each call happens to hold —
         // otherwise a capped run would purge different blocks than
@@ -97,7 +114,8 @@ object LinkStream {
         // re-writes its own subdirs (the foreachBatch exactly-once
         // contract is ours to provide)
         edges.write.mode("overwrite").parquet(s"$edgeDir/batch-$batchId")
-        b.write.mode("overwrite").parquet(s"$indexDir/batch-$batchId")
+        b.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(s"$indexDir/batch-$batchId")
         b.unpersist()
         ()
       })
@@ -110,9 +128,7 @@ object LinkStream {
 
   private def readState(spark: SparkSession, dir: String,
       schema: StructType): DataFrame =
-    spark.read.schema(schema)
-      .option("recursiveFileLookup", "true")
-      .option("pathGlobFilter", "*.parquet").parquet(dir)
+    StreamState.readState(spark, dir, schema)
 
   /** Terminal cluster assembly over the accumulated state dirs. */
   private[graft] def resolveFrom(spark: SparkSession, indexDir: String,
@@ -124,65 +140,12 @@ object LinkStream {
     Linkage.resolve(allRecs, Linkage.enforceBlockCap(allRecs, allEdges))
   }
 
-  /** State COMPACTION for the grow-only record index and edge store:
-    * each delivery appends a `batch-N` subtree of micro-batch-sized
-    * parquet files, so after N deliveries every index probe pays N×
-    * file-listing + footer overhead — the same small-file accretion
-    * [[graft.operators.Maintenance.compact]] exists for, applied to
-    * streaming state. Rewrites the accumulated state into
-    * size-targeted files under `batch--compacted` (the `--` keeps the
-    * name disjoint from any real batch id) and DELETES the consumed
-    * subtrees only after the rewrite is fully published — a probe
-    * racing the swap sees duplicated records at worst, and the index
-    * probe's edge emission is duplicate-insensitive
-    * (`matchedPairs` ends in `.distinct()`).
-    *
-    * The next micro-batch keeps appending `batch-N` subtrees beside
-    * the compacted file — compaction is a recurring maintenance pass,
-    * not a terminal step. Returns (filesBefore, filesAfter) for the
-    * receipt. */
-  private[graft] def compactState(spark: SparkSession, dir: String,
-      schema: StructType, targetFileBytes: Long = 128L << 20): (Int, Int) = {
-    import org.apache.hadoop.fs.Path
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def parquetCount(): Int = {
-      val it = fs.listFiles(p, true)
-      Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
-        .count(_.getPath.getName.endsWith(".parquet"))
-    }
-    val before = parquetCount()
-    // snapshot the consumed subtrees FIRST: a micro-batch landing a
-    // new batch-N while the rewrite runs is neither read nor deleted —
-    // it simply survives into the next compaction pass
-    val consumed = fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-"))
-      .map(_.getPath)
-    val src = readState(spark, dir, schema)
-    val totalBytes = {
-      val it = fs.listFiles(p, true)
-      Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
-        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
-    }
-    val nOut = math.max(1L,
-      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    // rewrite OUTSIDE the state dir (the recursive read must never
-    // race its own output), then rename in under a pass-unique name —
-    // a repeated compaction reads the previous pass's subtree like any
-    // other consumed batch and never overwrites a tree mid-read
-    val pass = java.util.UUID.randomUUID().toString.take(8)
-    val tmp = new Path(p.getParent, s"${p.getName}-compacting-$pass")
-    src.repartition(nOut).write.mode("overwrite").parquet(tmp.toString)
-    // publish-before-delete: the compacted subtree lands complete
-    // (rename is atomic per dir) before any consumed subtree goes away
-    fs.rename(tmp, new Path(p, s"batch--compacted-$pass"))
-    consumed.foreach(d => fs.delete(d, true))
-    (before, parquetCount())
-  }
-
+  /** Compaction for both linkage stores — the machinery lives in
+    * [[StreamState.compactState]] (shared with [[DocStream]]'s band
+    * and fingerprint indexes). */
   private[graft] def compactLinkageState(spark: SparkSession,
       indexDir: String, edgeDir: String,
       targetFileBytes: Long = 128L << 20): ((Int, Int), (Int, Int)) =
-    (compactState(spark, indexDir, RecordSchema, targetFileBytes),
-      compactState(spark, edgeDir, EdgeSchema, targetFileBytes))
+    (StreamState.compactState(spark, indexDir, RecordSchema, targetFileBytes),
+      StreamState.compactState(spark, edgeDir, EdgeSchema, targetFileBytes))
 }

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Storage-resident streaming state shared by every persistent-index
+  * twin ([[LinkStream]]'s record/edge stores, [[DocStream]]'s LSH band
+  * index and winnow fingerprint index): per-delivery `batch-N`
+  * subtrees of parquet files, plus the recurring COMPACTION pass that
+  * keeps a long ingest's probe cost flat.
+  */
+object StreamState {
+
+  /** Schema-pinned recursive read of a grow-only state dir. Extra
+    * physical columns in older files are simply not read (parquet
+    * column pruning), so adding a column to a store's schema stays
+    * backward-compatible with pre-existing subtrees. */
+  private[streaming] def readState(spark: SparkSession, dir: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet").parquet(dir)
+
+  /** State COMPACTION for a grow-only store: each delivery appends a
+    * `batch-N` subtree of micro-batch-sized parquet files, so after N
+    * deliveries every index probe pays N× file-listing + footer
+    * overhead — the same small-file accretion
+    * [[graft.operators.Maintenance.compact]] exists for, applied to
+    * streaming state. Rewrites the accumulated state into
+    * size-targeted files under `batch--compacted-<pass>` (the `--`
+    * keeps the name disjoint from any real batch id) and DELETES the
+    * consumed subtrees only after the rewrite is fully published, so
+    * no row is ever absent. A probe racing the swap can see rows
+    * DUPLICATED (old tree + compacted copy); linkage tolerates that
+    * outright (`matchedPairs` ends in `.distinct()`), while the
+    * dedup/winnow probes count per-(doc, partner) rows, so callers
+    * run compaction BETWEEN deliveries (the foreachBatch body is the
+    * natural slot — nothing probes while it runs), never concurrently
+    * with one.
+    *
+    * Rows are rewritten verbatim — including any `batch_id` lineage
+    * column — so the retry-idempotence filter (`batch_id < current`)
+    * survives compaction unchanged.
+    *
+    * The next micro-batch keeps appending `batch-N` subtrees beside
+    * the compacted file — compaction is a recurring maintenance pass,
+    * not a terminal step. Returns (filesBefore, filesAfter) for the
+    * receipt. */
+  private[graft] def compactState(spark: SparkSession, dir: String,
+      schema: StructType, targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetCount(): Int = {
+      val it = fs.listFiles(p, true)
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+        .count(_.getPath.getName.endsWith(".parquet"))
+    }
+    val before = parquetCount()
+    // snapshot the consumed subtrees FIRST: a micro-batch landing a
+    // new batch-N while the rewrite runs is neither read nor deleted —
+    // it simply survives into the next compaction pass
+    val consumed = fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-"))
+      .map(_.getPath)
+    val src = readState(spark, dir, schema)
+    val totalBytes = {
+      val it = fs.listFiles(p, true)
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    }
+    val nOut = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    // rewrite OUTSIDE the state dir (the recursive read must never
+    // race its own output), then rename in under a pass-unique name —
+    // a repeated compaction reads the previous pass's subtree like any
+    // other consumed batch and never overwrites a tree mid-read
+    val pass = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(p.getParent, s"${p.getName}-compacting-$pass")
+    src.repartition(nOut).write.mode("overwrite").parquet(tmp.toString)
+    // publish-before-delete: the compacted subtree lands complete
+    // (rename is atomic per dir) before any consumed subtree goes away
+    fs.rename(tmp, new Path(p, s"batch--compacted-$pass"))
+    consumed.foreach(d => fs.delete(d, true))
+    (before, parquetCount())
+  }
+}

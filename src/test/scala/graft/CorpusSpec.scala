@@ -1275,8 +1275,39 @@ class CorpusSpec extends AnyFunSuite {
     assert(best.getLong(3) >= rows.last.getLong(3))
   }
 
+  test("curate v2: default stage-1 cut is the t-digest sketch, not the " +
+      "corpus-sized exact percentile buffer") {
+    // the 100 TB claim in Corpus.curateV2's doc: the DEFAULT wiring
+    // must contain no exact single-buffer percentile aggregate —
+    // approx_percentile's t-digest is mergeable / constant-memory
+    val defaultPlan = Corpus.curateV2(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(defaultPlan.contains("approx_percentile"),
+      defaultPlan.take(2000))
+    assert(!"(?<!approx_)percentile\\(".r.findFirstIn(defaultPlan).isDefined,
+      "default curateV2 plan still carries an exact percentile: " +
+        defaultPlan.take(2000))
+    // oracle mode keeps the exact cut (what the DuckDB replay pins)
+    val exactPlan = Corpus.curateV2(spark, sf, exact = true)
+      .queryExecution.optimizedPlan.toString
+    assert("(?<!approx_)percentile\\(".r.findFirstIn(exactPlan).isDefined,
+      exactPlan.take(2000))
+    // the two modes differ only in the stage-1 cut scalar — the same
+    // sketch-tolerance band the standalone quality-gate spec pins (a
+    // handful of boundary docs may flip, never anything far from it)
+    val approxIds = Corpus.curateV2(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val exactIds = Corpus.curateV2(spark, sf, exact = true)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(approxIds.nonEmpty)
+    val n = graft.Tables.load(spark, sf, "documents").count()
+    val symmDiff = (approxIds diff exactIds).size + (exactIds diff approxIds).size
+    assert(symmDiff <= math.max(1L, n / 100),
+      s"curateV2 modes differ by $symmDiff docs of $n")
+  }
+
   test("curate v2: staged subset discipline and shared-scan plan reuse") {
-    val df = Corpus.curateV2(spark, sf)
+    val df = Corpus.curateV2(spark, sf, exact = true)
     val out = df.collect()
     assert(out.nonEmpty)
     // the scan-sharing receipt: the final plan reuses the persisted

@@ -309,6 +309,96 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exists(_._2 == "new"))
   }
 
+  test("retried delivery is idempotent: a batch never classifies against its own index subdir") {
+    // the crash window under test: a micro-batch wrote its index
+    // subdir, then died BEFORE the checkpoint committed — the retry
+    // re-runs the same batchId over an index that already contains the
+    // batch's own fingerprints. The stored batch_id predicate must
+    // make the retry re-derive the first attempt's output exactly —
+    // without it, every retried doc self-matches.
+    import graft.streaming.DocStream
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val w = docs.agg(floor((max(col("doc_id")) + 1) * 0.8).cast("long"))
+      .head().getLong(0)
+    val corpus = docs.filter(col("doc_id") < w)
+    val fresh = docs.filter(col("doc_id") >= w)
+
+    // --- LSH band index (nearDup) ---
+    val root = graft.TempDirs.create("graft-retry-neardup")
+    val idx = s"$root/index"
+    graft.operators.Dedup.signedBanded(corpus)
+      .select(col("band"), col("band_key"), col("doc_id"), col("minhash"))
+      .withColumn("batch_id", lit(0L))
+      .write.parquet(s"$idx/batch-0")
+    val firstAttempt = DocStream
+      .classifyBatch(spark, fresh, idx, 0.5, batchId = 1L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    // the crash: batch 1's own subdir lands, checkpoint does not
+    graft.operators.Dedup.signedBanded(fresh)
+      .select(col("band"), col("band_key"), col("doc_id"), col("minhash"))
+      .withColumn("batch_id", lit(1L))
+      .write.parquet(s"$idx/batch-1")
+    val retry = DocStream
+      .classifyBatch(spark, fresh, idx, 0.5, batchId = 1L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(retry == firstAttempt,
+      "retry diverged after its own index subdir landed")
+    assert(!retry.exists(r => r._3 == r._1 && r._2 == "near_dup_of_corpus"),
+      "a doc corpus-matched itself")
+
+    // --- winnow fingerprint index ---
+    import graft.operators.Text
+    val root2 = graft.TempDirs.create("graft-retry-winnow")
+    val idx2 = s"$root2/index"
+    Text.winnowFpSet(corpus).withColumn("batch_id", lit(0L))
+      .write.parquet(s"$idx2/batch-0")
+    val freshFps = Text.winnowFpSet(fresh)
+    val first2 = Text.classifyAgainstIndex(fresh.select(col("doc_id")),
+        freshFps, DocStream.winnowIndexBefore(spark, idx2, 1L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    freshFps.withColumn("batch_id", lit(1L)).write.parquet(s"$idx2/batch-1")
+    val retry2 = Text.classifyAgainstIndex(fresh.select(col("doc_id")),
+        freshFps, DocStream.winnowIndexBefore(spark, idx2, 1L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(retry2 == first2,
+      "winnow retry diverged after its own index subdir landed")
+    assert(!retry2.exists(r => r._3 == r._1),
+      "a doc overlap-matched itself")
+  }
+
+  test("near-dup band index compaction mid-ingest: classification is bit-identical") {
+    val plain = graft.streaming.DocStream.nearDupViaStream(spark, sf)
+      .collect().map(_.toSeq.toList).toSeq
+    val compacted = graft.streaming.DocStream
+      .nearDupViaStream(spark, sf, compactIndex = true)
+      .collect().map(_.toSeq.toList).toSeq
+    assert(compacted == plain,
+      "compacting the band index between deliveries changed the output")
+  }
+
+  test("winnow long ingest (5 deliveries) with live compaction is bit-identical to the uncompacted run") {
+    import graft.streaming.DocStream
+    val plain = DocStream.winnowCompactViaStream(spark, sf,
+        compactIndex = false)
+      .collect().map(_.toSeq.toList).toSeq
+    val compacted = DocStream.winnowCompactViaStream(spark, sf)
+      .collect().map(_.toSeq.toList).toSeq
+    assert(compacted == plain,
+      "mid-ingest compaction changed the classification stream")
+    // the ingest actually exercised the long shape: every
+    // post-bootstrap delivery produced rows, and both verdicts occur
+    val deliveries = plain.map(_(1).asInstanceOf[Long]).toSet
+    assert(deliveries == (1L until DocStream.CompactDeliveries).toSet,
+      s"deliveries seen: $deliveries")
+    val statuses = plain.map(_(2).asInstanceOf[String]).toSet
+    assert(statuses == Set("overlap_of_corpus", "new"), statuses.toString)
+  }
+
   test("streaming entity resolution equals the batch linkage row-for-row") {
     // registry delivery then dirty-feed delivery, edges emitted
     // incrementally (within-batch + batch-vs-index), one terminal CC —
