@@ -180,6 +180,8 @@ object SparkEntry {
     "q_quality_gate" -> ((s: SparkSession, d: String) =>
       Corpus.qualityGate(s, d, exact = true)),
     "q_repetition" -> (Corpus.repetition _),
+    "q_dup_ngram_frac" -> ((s: SparkSession, d: String) =>
+      Corpus.dupNgramFrac(s, d)),
     // exact gram-keyed mode (buckets = None) for the oracle; the
     // hashed fixed-size feature table is the scale default
     "q_dsir_weights" -> ((s: SparkSession, d: String) => Corpus.dsirWeights(s, d)),
@@ -2235,6 +2237,8 @@ object SparkEntry {
            CAST(MAX(tf) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) AS rep_ratio
          FROM tf GROUP BY doc_id
          ORDER BY doc_id""",
+
+    "q_dup_ngram_frac" -> Corpus.dupNgramFracOracle,
 
     "q_dedup_exact" ->
       s"""WITH d AS (SELECT doc_id, md5($Norm) AS fingerprint FROM documents),

@@ -1056,6 +1056,96 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Gram width for [[dupNgramFrac]]. Gopher (Rae et al. 2021, App. A)
+    * tracks duplicate-n-gram character fractions for n = 5…10 on web
+    * text; this fixture's documents are short streams over a compact
+    * vocabulary where 5-grams never repeat within a doc (measured: 0
+    * duplicated 5-grams at every SF) while 3-grams do — so 3 is the
+    * analogous non-degenerate knob here. Interpolated into both
+    * engines. */
+  val DupGramN = 3
+
+  /** q_dup_ngram_frac: the duplicate-n-gram COVERAGE fraction per
+    * document — what share of a doc's tokens sit inside some
+    * word-[[DupGramN]]-gram that occurs ≥ 2× WITHIN the same doc (the
+    * Gopher repetition family's n-gram member; [[repetition]] covers
+    * only the top-unigram share, and this is the signal that catches
+    * looped phrases and template stutter a unigram census misses).
+    * Coverage is an interval UNION — overlapping duplicated grams
+    * must not double-count a token — computed as count(distinct
+    * covered index). Output in integer per-mille (count·1000 div
+    * n_tokens — engine-exact).
+    *
+    * Scale shape: all wide ops are doc-keyed — one (doc, gram-hash)
+    * partial-agg census (grams census on `xxhash64`, the
+    * q_boilerplate exchange rule: 8-byte keys, never gram strings),
+    * one hash-equality join back, one (doc, idx) distinct — fan-out
+    * bounded by [[DupGramN]]× the token stream; no window, no driver
+    * state. */
+  def dupNgramFrac(spark: SparkSession, sf: String,
+      n: Int = DupGramN): DataFrame = {
+    val base = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), words(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        size(col("t")).cast("long").as("n_tokens"))
+    // sequence(0, k) DESCENDS for k < 0 — short docs must not reach it
+    val grams = base.filter(col("n_tokens") >= n)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0L), col("n_tokens") - n),
+          i => xxhash64(array_join(
+            slice(col("t"), (i + 1).cast("int"), lit(n)), " "))))
+        .as(Seq("pos", "gram_h")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("gram_h"))
+    val dup = grams.groupBy(col("doc_id"), col("gram_h"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col("doc_id"), col("gram_h"))
+    val covered = grams.join(dup, Seq("doc_id", "gram_h"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("idx"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
+    base.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        expr("coalesce(n_covered, 0) * 1000 div greatest(n_tokens, 1)")
+          .cast("long").as("dup_pm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay of [[dupNgramFrac]]: same tokenizer, gram windows
+    * (list slicing is 1-based end-inclusive — matches Spark's
+    * slice(t, pos+1, n)), within-doc dup census, and distinct-index
+    * coverage union. */
+  def dupNgramFracOracle: String = {
+    val n = DupGramN
+    s"""WITH t AS (
+         SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+         FROM documents),
+       b AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens FROM t),
+       g AS (
+         SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           array_to_string(t[CAST(i + 1 AS INT):CAST(i + $n AS INT)], ' ')
+             AS gram
+         FROM b, LATERAL (SELECT unnest(range(0, n_tokens - $n + 1)) AS i) s
+         WHERE n_tokens >= $n),
+       dup AS (SELECT doc_id, gram FROM g GROUP BY 1, 2
+               HAVING COUNT(*) >= 2),
+       cov AS (
+         SELECT doc_id, CAST(COUNT(DISTINCT idx) AS BIGINT) AS n_covered
+         FROM (SELECT gg.doc_id, gg.pos FROM g gg JOIN dup
+                 USING (doc_id, gram)) dp,
+           LATERAL (SELECT unnest(generate_series(pos, pos + ${n - 1}))
+             AS idx) ix
+         GROUP BY doc_id)
+       SELECT b.doc_id, b.n_tokens,
+         CAST(COALESCE(cov.n_covered, 0) AS BIGINT) AS n_covered,
+         CAST(COALESCE(cov.n_covered, 0) * 1000
+           // greatest(b.n_tokens, 1) AS BIGINT) AS dup_pm
+       FROM b LEFT JOIN cov USING (doc_id)
+       ORDER BY b.doc_id"""
+  }
+
   /** Within-document repetition score (Gopher-style quality signal):
     * the most-frequent word's share of all words. Boilerplate and
     * keyword-stuffed spam score high; prose scores low. One shuffle on

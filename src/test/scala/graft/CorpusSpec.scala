@@ -848,6 +848,34 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("dup ngram coverage re-derives from a brute-force interval union") {
+    val rows = Corpus.dupNgramFrac(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val n = Corpus.DupGramN
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        "[a-z]+".r.findAllIn(r.getString(1).toLowerCase).toIndexedSeq).toMap
+    assert(rows.map(_._1).toSet == docs.keySet)
+    rows.foreach { case (id, nTokens, nCovered, dupPm) =>
+      val ws = docs(id)
+      assert(nTokens == ws.length.toLong, s"doc $id token count")
+      // brute force: every n-gram start, census, union of dup intervals
+      val grams = (0 to ws.length - n).map(i => i -> ws.slice(i, i + n))
+      val dupSet = grams.groupBy(_._2).filter(_._2.size >= 2)
+        .values.flatten.map(_._1).toSeq
+      val covered = dupSet.flatMap(p => p until p + n).toSet
+      assert(nCovered == covered.size.toLong, s"doc $id coverage")
+      assert(dupPm == covered.size.toLong * 1000 / math.max(nTokens, 1L),
+        s"doc $id per-mille")
+    }
+    // non-degenerate both ways at sf0.001 (measured: 33 docs carry a
+    // duplicated trigram)
+    assert(rows.exists(_._3 > 0L), "no doc has a duplicated n-gram")
+    assert(rows.exists(_._3 == 0L), "every doc has a duplicated n-gram")
+  }
+
   test("search: scores re-derive from scratch tf/idf and rank correctly") {
     val got = Corpus.search(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
