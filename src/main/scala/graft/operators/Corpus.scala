@@ -1084,17 +1084,23 @@ object Corpus {
     * state. */
   def dupNgramFrac(spark: SparkSession, sf: String,
       n: Int = DupGramN): DataFrame = {
+    // ONE corpus scan: the hashed-gram arrays + token counts persist
+    // together and serve all three consumers (dup census, coverage
+    // join, final per-doc projection) — the naive three-branch form
+    // re-scanned documents per consumer (plan-audited). The cached
+    // projection is hashes + counts, never text.
+    // sequence(0, k) DESCENDS for k < 0 — short docs take the guard.
     val base = Tables.load(spark, sf, "documents")
       .select(col("doc_id"), words(col("text")).as("t"))
-      .select(col("doc_id"), col("t"),
-        size(col("t")).cast("long").as("n_tokens"))
-    // sequence(0, k) DESCENDS for k < 0 — short docs must not reach it
-    val grams = base.filter(col("n_tokens") >= n)
-      .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0L), col("n_tokens") - n),
-          i => xxhash64(array_join(
-            slice(col("t"), (i + 1).cast("int"), lit(n)), " "))))
-        .as(Seq("pos", "gram_h")))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        when(size(col("t")) >= n, transform(
+            sequence(lit(0L), (size(col("t")) - n).cast("long")),
+            i => xxhash64(array_join(
+              slice(col("t"), (i + 1).cast("int"), lit(n)), " "))))
+          .otherwise(typedLit(Seq.empty[Long])).as("gh"))
+      .persist()
+    val grams = base
+      .select(col("doc_id"), posexplode(col("gh")).as(Seq("pos", "gram_h")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("gram_h"))
     val dup = grams.groupBy(col("doc_id"), col("gram_h"))
@@ -1105,7 +1111,8 @@ object Corpus {
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("idx"))
       .distinct()
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
-    base.join(covered, Seq("doc_id"), "left")
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_covered"), lit(0L)).as("n_covered"),
         expr("coalesce(n_covered, 0) * 1000 div greatest(n_tokens, 1)")
