@@ -289,6 +289,8 @@ object SparkEntry {
     "q_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "q_scene_cuts" -> (Multimodal.sceneCuts _),
     "q_scene_cuts_decoded" -> (Multimodal.sceneCutsDecoded _),
+    "q_keyframes" -> (Multimodal.keyframes _),
+    "q_audio_vad" -> (Multimodal.audioVad _),
     // --- job engine end-to-end (SURVEY §2.1, §2.3, §2.4)
     "q_roundtrip" -> (JobQueries.roundtrip _),
     "q_table_exists_append" -> (JobQueries.appendSemantics _),
@@ -3820,6 +3822,8 @@ object SparkEntry {
     "q_scene_cuts" -> operators.Multimodal.sceneCutsOracle,
     "q_scene_cuts_decoded" ->
       operators.Multimodal.sceneCutsDecodedOracle,
+    "q_keyframes" -> operators.Multimodal.keyframesOracle,
+    "q_audio_vad" -> operators.Multimodal.audioVadOracle,
 
     // REAL-DECODE twin: Spark PNG-encodes a deterministic gray image
     // per doc (gray(x,y) = (doc_id*31 + x*7 + y*13) % 256, w=8+id%8,

@@ -330,6 +330,41 @@ object Multimodal {
            AS scene_id
        FROM d ORDER BY doc_id, frame_idx"""
 
+  /** q_keyframes: ONE keyframe per detected scene — the downstream
+    * sampler [[sceneCuts]]'s doc promises ("pick one keyframe per
+    * scene instead of one per stride"): the FIRST frame of each scene
+    * (the I-frame-after-cut rule — deterministic, and the cheapest
+    * defensible choice since intra-scene frames are near-identical by
+    * the cut criterion). Output one row per (clip, scene) with the
+    * keyframe's index + feature and the scene length — this is the
+    * frame list a video curation pipeline actually decodes at full
+    * resolution, typically a ~10× reduction over stride sampling.
+    * Shape: one per-(doc, scene) partial agg on top of the cut pass;
+    * the argmin rides a packed min(struct), no extra window. */
+  def keyframes(spark: SparkSession, sf: String): DataFrame =
+    sceneCuts(spark, sf)
+      .groupBy(col("doc_id"), col("scene_id"))
+      .agg(min(struct(col("frame_idx"), col("feat"))).as("kf"),
+        count(lit(1)).as("n_frames"))
+      .select(col("doc_id"), col("scene_id"),
+        col("kf.frame_idx").as("frame_idx"), col("kf.feat").as("feat"),
+        col("n_frames"))
+      .orderBy(col("doc_id"), col("scene_id"))
+
+  /** DuckDB replay of [[keyframes]]: the scene-cut oracle as a derived
+    * table (composed whole — no string surgery), first frame per
+    * (doc, scene) by ROW_NUMBER, scene length by a window count. */
+  def keyframesOracle: String =
+    s"""SELECT doc_id, scene_id, frame_idx, feat, n_frames
+       FROM (SELECT doc_id, scene_id, frame_idx, feat,
+               CAST(COUNT(*) OVER (PARTITION BY doc_id, scene_id)
+                 AS BIGINT) AS n_frames,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, scene_id
+                 ORDER BY frame_idx) AS rk
+             FROM ($sceneCutsOracle) sc) t
+       WHERE rk = 1
+       ORDER BY doc_id, scene_id"""
+
   /** Scene geometry for [[sceneCutsDecoded]]'s synthetic clips —
     * frames per clip 6 + id%4 (2-3 scenes each), scene length 3,
     * per-frame gray raster `base + (x·7 + y·13) % 32` with
@@ -526,10 +561,18 @@ object Multimodal {
     * the synthesize→WAV-encode→decode→feature loop end-to-end —
     * the audio analog of [[decodeFeatures]]'s PNG pin. */
   def audioFeatures(spark: SparkSession, sf: String,
-      window: Int = 128): DataFrame = {
+      window: Int = 128): DataFrame =
+    wavWindowFeatures(audioized(spark, sf), window)
+      .orderBy(col("doc_id"), col("window_idx"))
+
+  /** The WAV decode + per-window feature extractor over an arbitrary
+    * (doc_id, payload) frame — shared by [[audioFeatures]] and
+    * [[audioVad]] so the VAD's energies come off the same real codec
+    * path the features row pins. Unsorted; callers order. */
+  private def wavWindowFeatures(src: DataFrame, window: Int): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(audioFeatureSchema)
-    audioized(spark, sf)
+    src
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val id = r.getLong(0)
@@ -560,6 +603,113 @@ object Multimodal {
           }
         }
       }(enc)
-      .orderBy(col("doc_id"), col("window_idx"))
   }
+
+  /** Gating period for [[audioVad]]'s fixture: every
+    * [[VadSilentEvery]]-th 128-sample window of the synthetic PCM is
+    * ZEROED before WAV encoding — the seeded silence a VAD has to
+    * find (the plain [[audioized]] triangle never goes quiet, so a
+    * VAD over it would be degenerate-active). Aligned to the analysis
+    * window so each window is wholly silent or wholly voiced, keeping
+    * the segment boundaries closed-form. */
+  val VadSilentEvery = 3
+  val VadWindow = 128
+
+  /** [[audioized]] with the [[VadSilentEvery]] silence gating — same
+    * WAV/RIFF codec round-trip, same triangle params. */
+  private def audioizedGated(spark: SparkSession, sf: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(audioSchema)
+    val format = () => new javax.sound.sampled.AudioFormat(
+      8000f, 16, 1, true, false)
+    Tables.load(spark, sf, "documents")
+      .select(col("doc_id"))
+      .mapPartitions { rows =>
+        val fmt = format()
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (n, p, a) = audioParams(id)
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s =
+              if ((i / VadWindow) % VadSilentEvery == VadSilentEvery - 1) 0
+              else triSample(i, p, a)
+            pcm(2 * i) = (s & 0xFF).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+            i += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          Row(id, bos.toByteArray)
+        }
+      }(enc)
+  }
+
+  /** q_audio_vad: voice-activity segmentation over the gated WAV
+    * corpus — the audio curation stage that drops dead air before
+    * transcription/feature budgets are spent: per-window energies
+    * come off the REAL decoded PCM (the [[audioFeatures]] extractor,
+    * shared verbatim), a window is voiced iff its energy is positive
+    * (the gate zeroes whole windows; a non-gated triangle window
+    * always carries energy — |sample 0| = amplitude), and consecutive
+    * voiced windows merge into segments by the gaps-and-islands rule
+    * (`window_idx − row_number` per clip — the q_sessionize shape,
+    * state bounded by clip length). One row per segment with its
+    * window span and total energy; the DuckDB oracle regenerates the
+    * gated waveform in closed form, so the row pins
+    * synthesize→gate→WAV-encode→decode→segment end-to-end. */
+  def audioVad(spark: SparkSession, sf: String): DataFrame = {
+    val wins = wavWindowFeatures(audioizedGated(spark, sf), VadWindow)
+    val act = wins.filter(col("energy") > 0)
+      .withColumn("island", col("window_idx") -
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("window_idx"))))
+    act.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("window_idx")).as("start_window"),
+        max(col("window_idx")).as("end_window"),
+        count(lit(1)).as("n_windows"),
+        sum(col("energy")).as("total_energy"))
+      .select(col("doc_id"), col("start_window"), col("end_window"),
+        col("n_windows"), col("total_energy"))
+      .orderBy(col("doc_id"), col("start_window"))
+  }
+
+  /** DuckDB replay of [[audioVad]]: the gated triangle in closed form
+    * (the q_audio_features oracle with the window-zeroing CASE), then
+    * the identical islands rule. */
+  def audioVadOracle: String =
+    s"""WITH d AS (
+         SELECT doc_id,
+           512 + (doc_id % 7) * 64 AS n,
+           16 + (doc_id % 32) AS p,
+           8192 + (doc_id % 4) * 4096 AS a
+         FROM documents),
+       s AS (
+         SELECT doc_id,
+           CASE WHEN (i // $VadWindow) % $VadSilentEvery
+                  = ${VadSilentEvery - 1} THEN 0
+                ELSE a - (2 * a * abs(2 * (i % p) - p)) // p END AS smp,
+           i // $VadWindow AS w
+         FROM d,
+              LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) g),
+       wns AS (
+         SELECT doc_id, CAST(w AS BIGINT) AS w,
+           CAST(SUM(smp * smp) AS BIGINT) AS energy
+         FROM s GROUP BY 1, 2),
+       act AS (
+         SELECT doc_id, w, energy,
+           w - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w)
+             AS island
+         FROM wns WHERE energy > 0)
+       SELECT doc_id,
+         CAST(MIN(w) AS BIGINT) AS start_window,
+         CAST(MAX(w) AS BIGINT) AS end_window,
+         CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(SUM(energy) AS BIGINT) AS total_energy
+       FROM act GROUP BY doc_id, island
+       ORDER BY doc_id, start_window"""
 }

@@ -1440,6 +1440,66 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.exists(r => r._2 > 0 && r._4 == 0L), "every frame cut")
   }
 
+  test("keyframes: exactly one per scene, the scene's first frame, lengths partition the clip") {
+    val cuts = Multimodal.sceneCuts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    val kfs = Multimodal.keyframes(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(kfs.nonEmpty)
+    val byScene = cuts.groupBy(r => (r._1, r._4))
+    assert(kfs.map(k => (k._1, k._2)).toSet == byScene.keySet,
+      "keyframe set != scene set")
+    kfs.foreach { case (doc, scene, fi, feat, nf) =>
+      val frames = byScene((doc, scene)).sortBy(_._2)
+      assert(fi == frames.head._2, s"doc $doc scene $scene not first frame")
+      assert(feat == frames.head._3, s"doc $doc scene $scene feat")
+      assert(nf == frames.length.toLong, s"doc $doc scene $scene length")
+    }
+    // scene lengths partition each clip's frames exactly
+    kfs.groupBy(_._1).foreach { case (doc, ss) =>
+      assert(ss.map(_._5).sum == cuts.count(_._1 == doc).toLong, s"doc $doc")
+    }
+    // the reduction is real: fewer keyframes than frames
+    assert(kfs.length < cuts.length)
+  }
+
+  test("audio vad: segments re-derive from the gated closed form, real decode carries the energies") {
+    val segs = Multimodal.audioVad(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(segs.nonEmpty)
+    // closed-form reference: gated triangle energies per 128-window,
+    // islands of consecutive positive-energy windows
+    def ref(id: Long): Seq[(Long, Long, Long, Long)] = {
+      val n = 512 + (id % 7).toInt * 64
+      val p = 16 + (id % 32).toInt
+      val a = 8192 + (id % 4).toInt * 4096
+      def smp(i: Int): Long =
+        if ((i / Multimodal.VadWindow) % Multimodal.VadSilentEvery ==
+          Multimodal.VadSilentEvery - 1) 0L
+        else (a - (2 * a * math.abs(2 * (i % p) - p)) / p).toLong
+      val wins = (0 until n).groupBy(_ / Multimodal.VadWindow).toSeq
+        .map { case (w, is) => w.toLong -> is.map(i => smp(i) * smp(i)).sum }
+        .sortBy(_._1).filter(_._2 > 0)
+      // islands: consecutive window indexes
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      wins.foreach { case (w, e) =>
+        if (out.nonEmpty && out.last._2 == w - 1) {
+          val (s0, _, c, te) = out.remove(out.length - 1)
+          out += ((s0, w, c + 1, te + e))
+        } else out += ((w, w, 1L, e))
+      }
+      out.toSeq
+    }
+    segs.groupBy(_._1).foreach { case (id, ss) =>
+      val want = ref(id)
+      val got = ss.sortBy(_._2).map(s => (s._2, s._3, s._4, s._5)).toSeq
+      assert(got == want, s"doc $id segments: $got vs $want")
+    }
+    // the gate is exercised: every clip has >1 segment (silence between)
+    assert(segs.groupBy(_._1).forall(_._2.length > 1),
+      "some clip never went silent — gating broken")
+  }
+
   test("image phash re-derives from the pixel formula and groups consistently") {
     val got = Multimodal.imagePhash(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
