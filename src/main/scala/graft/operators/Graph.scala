@@ -503,13 +503,17 @@ object Graph {
       labels = next
       if (changed == 0L) round = rounds else round += 1
     }
+    // labels is localCheckpoint'ed (eager) — the returned plan no
+    // longer references the graph frames, so the pins release here
+    // rather than accreting in the session cache
+    edges.unpersist(); sym.unpersist(); nodes.unpersist()
     val sizes = labels.groupBy(col("label"))
       .agg(count(lit(1)).as("community_size"))
     labels.join(sizes, "label")
       .select(col("v"), col("label").as("community"),
         col("community_size"))
       .orderBy(col("v"))
-    }
+  }
 
   /** DuckDB replay of [[lpaCommunities]]: the identical deterministic
     * recurrence unrolled as [[LpaRounds]] MATERIALIZED CTE layers

@@ -2024,7 +2024,12 @@ class OperatorSpec extends AnyFunSuite {
       // codegen fingerprint map, and the drift shares all claim
       // layout-independence — demand the receipt
       "q_kcore", "q_cms_heavy_hitters", "q_winnow_overlap",
-      "q_text_drift", "q_stratified_kfold")
+      "q_text_drift", "q_stratified_kfold",
+      // r13 additions: the LPA fixpoint, the seeded-flood purge, the
+      // coverage union, the decoded cut chain, and the VAD islands
+      // all claim layout-independence — demand the receipt
+      "q_lpa_communities", "q_winnow_skew", "q_dup_ngram_frac",
+      "q_scene_cuts_decoded", "q_keyframes", "q_audio_vad")
     def snap(): Map[String, Seq[Seq[Any]]] = {
       spark.catalog.clearCache()
       qs.map(q => q ->
