@@ -263,6 +263,8 @@ object SparkEntry {
     "q_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "q_cosine_near_dup" -> ((s: SparkSession, d: String) => Similarity.cosineNearDup(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
+    "q_ann_filtered" -> ((s: SparkSession, d: String) =>
+      Similarity.annIvfFiltered(s, d)),
     "q_delta_ivf" -> (Similarity.deltaIvfAssign _),
     "q_ann_recall" -> (Similarity.annPlantedRecall _),
     "q_mrl_recall" -> ((s: SparkSession, d: String) =>
@@ -3172,6 +3174,20 @@ object SparkEntry {
          SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, cosine
          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                  ORDER BY cosine DESC, neighbor_id) AS rk FROM cand)
+         WHERE rk <= 3 ORDER BY query_id, rk""",
+
+    // Filtered vector search: the SAME replayed candidate chain with
+    // the metadata predicate applied before ranking (post-filter form)
+    // — value-exact against the engine's post-filtered IVF stream.
+    "q_ann_filtered" ->
+      s"""$IvfCandCtes,
+         allowed AS (SELECT doc_id FROM documents
+                     WHERE lang = '${operators.Similarity.FilterLang}'),
+         fc AS (SELECT c.query_id, c.neighbor_id, c.cosine
+                FROM cand c JOIN allowed a ON a.doc_id = c.neighbor_id)
+         SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, cosine
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rk FROM fc)
          WHERE rk <= 3 ORDER BY query_id, rk""",
 
     // IVF-served leave-one-out kNN classification: the SAME replayed

@@ -868,6 +868,41 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Metadata predicate for [[annIvfFiltered]] — the filter language,
+    * interpolated into both engines. */
+  val FilterLang = "en"
+
+  /** q_ann_filtered: FILTERED vector search — every production ANN
+    * deployment's second feature request ("nearest neighbors WHERE
+    * lang = 'en'", license = permissive, date > cutoff …): top-k per
+    * query over the IVF candidate stream restricted to documents
+    * passing a metadata predicate (the embeddings table's vec_id
+    * aligns with documents.doc_id). This is the POST-FILTER form —
+    * the one that serves per-query predicates: probe cells as usual,
+    * drop disallowed candidates before ranking. With a predicate this
+    * selective-or-less it costs one broadcast semi-join inside the
+    * candidate stream; a HIGHLY selective predicate starves probed
+    * cells and the production dials are widening NProbe or
+    * PRE-filtering (partition the index by the attribute — the
+    * q_bucketed_join layout argument applied to cells), both of which
+    * compose with this same code path. The DuckDB oracle replays the
+    * shared IVF candidate chain and applies the identical predicate —
+    * value-exact, strictly stronger than a recall gate. */
+  def annIvfFiltered(spark: SparkSession, sf: String,
+      k: Int = 3): DataFrame = {
+    val allowed = Tables.load(spark, sf, "documents")
+      .filter(col("lang") === FilterLang)
+      .select(col("doc_id").as("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    ivfCandidatePairs(spark, sf)
+      .join(broadcast(allowed), Seq("neighbor_id"), "left_semi")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rk"), col("cosine"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** q_delta_ivf: INCREMENTAL index maintenance — the FAISS `add()`
     * path that completes the delta story (delta_dedup for
     * fingerprints, delta_card for the release card, this for the ANN

@@ -496,6 +496,37 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("filtered ann: every neighbor passes the predicate, ranks are dense, and the filter bites") {
+    val rows = Similarity.annIvfFiltered(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val allowed = Tables.load(spark, sf, "documents")
+      .filter(col("lang") === Similarity.FilterLang)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    rows.foreach { case (q, nb, _, cos) =>
+      assert(allowed(nb), s"query $q got disallowed neighbor $nb")
+      assert(q != nb)
+      assert(cos >= -1.0001 && cos <= 1.0001)
+    }
+    // ranks dense 1..k per query, cosine non-increasing within a query
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to sorted.length).toSeq, s"query $q ranks")
+      assert(sorted.map(_._4).sliding(2).forall(p =>
+        p.length < 2 || p(0) >= p(1) - 1e-12), s"query $q order")
+    }
+    // the predicate actually changes answers: some query's unfiltered
+    // top-1 is NOT in the allowed set (so post-filtering replaced it)
+    val unfilteredTop = Similarity.annIvf(spark, sf, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(unfilteredTop.exists { case (_, nb) => !allowed(nb) },
+      "filter never bites — fixture degenerate")
+    // queries themselves are NOT restricted: a non-allowed doc still
+    // searches the allowed slice
+    assert(rows.exists { case (q, _, _, _) => !allowed(q) },
+      "no disallowed query produced results")
+  }
+
   test("k-means centroids are deterministic and IVF recall on planted twins is total") {
     val e = Tables.load(spark, sf, "embeddings")
     val c1 = Similarity.kmeansCentroidsQ(e)
