@@ -196,6 +196,7 @@ object SparkEntry {
     "q_dedup_exact" -> (Dedup.exact _),
     "q_dup_rate_by_source" -> (Dedup.dupRateBySource _),
     "q_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
+    "q_dedup_sweep" -> (Dedup.dedupThresholdSweep _),
     "q_containment" -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
     "q_allpairs" -> ((s: SparkSession, d: String) => Dedup.allPairsJaccard(s, d)),
     "q_fuzzy_join" -> ((s: SparkSession, d: String) => Relational.fuzzyJoin(s, d)),
@@ -2354,6 +2355,51 @@ object SparkEntry {
          JOIN sizes sb ON sb.doc_id = doc_b
          WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5
          ORDER BY doc_a, doc_b""",
+
+    // Threshold-tuning curve over the same exact pair kernel: integer
+    // basis-point jaccard, pairs fanned to the thresholds they clear,
+    // three censuses per threshold, zero-filled spine.
+    "q_dedup_sweep" -> {
+      val ts = operators.Dedup.SweepThresholdsBp
+        .map(t => s"($t)").mkString(", ")
+      s"""WITH docs AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(ws) - 2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+           FROM (SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents) t
+           WHERE len(ws) >= 3),
+         expl AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+         sizes AS (SELECT doc_id, len(sh) AS n_sh FROM docs),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     COUNT(*) AS common
+                   FROM expl a JOIN expl b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pb AS (SELECT doc_a, doc_b,
+                  (common * 10000) // (sa.n_sh + sb.n_sh - common) AS j
+                FROM pairs
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b),
+         ts AS (SELECT CAST(v AS BIGINT) AS threshold_bp
+                FROM (VALUES $ts) x(v)),
+         sw AS (SELECT t.threshold_bp, p.doc_a, p.doc_b
+                FROM pb p, ts t WHERE p.j >= t.threshold_bp)
+         SELECT t.threshold_bp,
+           CAST(COALESCE(np.n, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(nd.n, 0) AS BIGINT) AS n_docs,
+           CAST(COALESCE(dr.n, 0) AS BIGINT) AS n_would_drop
+         FROM ts t
+         LEFT JOIN (SELECT threshold_bp, COUNT(*) AS n FROM sw
+                    GROUP BY 1) np USING (threshold_bp)
+         LEFT JOIN (SELECT threshold_bp, COUNT(*) AS n FROM (
+                      SELECT DISTINCT threshold_bp, d FROM (
+                        SELECT threshold_bp, doc_a AS d FROM sw
+                        UNION ALL SELECT threshold_bp, doc_b FROM sw))
+                    GROUP BY 1) nd USING (threshold_bp)
+         LEFT JOIN (SELECT threshold_bp, COUNT(DISTINCT doc_b) AS n
+                    FROM sw GROUP BY 1) dr USING (threshold_bp)
+         ORDER BY t.threshold_bp"""
+    },
 
     // The VERIFIED MinHash-LSH pipeline (band → margin prune → exact
     // confirm on candidate shingle sets) must emit exactly the exact

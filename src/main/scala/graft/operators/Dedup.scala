@@ -121,6 +121,75 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Thresholds (integer basis points) swept by
+    * [[dedupThresholdSweep]] — spanning loose overlap to near-exact
+    * twins so the fixture curve actually bends (measured 32 → 25
+    * pairs across this range at sf0.001). Interpolated into both
+    * engines. */
+  val SweepThresholdsBp: Seq[Long] = Seq(500L, 1000L, 3000L, 5000L, 9000L, 9500L)
+
+  /** q_dedup_sweep: the dedup KNOB-TUNING curve — before committing a
+    * near-dup threshold, a curation team sweeps it and reads how much
+    * corpus each setting would merge (the Lee et al. ablation table's
+    * input). ONE pass over the exact-Jaccard pair kernel, one output
+    * row per candidate threshold: surviving pair count, distinct
+    * documents touched, and documents the greedy min-id keep rule
+    * would drop (docs appearing as the larger id of some surviving
+    * pair — the one-hop drop census; the transitive-closure count is
+    * [[nearDupClusters]]' job and needs no sweep to tune).
+    * Jaccard is computed once in integer basis points (engine-exact),
+    * then each pair fans out only to the thresholds it clears — the
+    * sweep costs one |pairs|×|thresholds| projection on top of the
+    * kernel, NOT a re-run per threshold.
+    *
+    * At 100 TB the input pair frame swaps for the LSH-banded
+    * candidate set banded at the LOWEST threshold under study
+    * (banding bounds Jaccard from below), and the sweep arithmetic is
+    * unchanged — the kernel swap is the input frame. */
+  def dedupThresholdSweep(spark: SparkSession, sf: String): DataFrame = {
+    val docs = shingledCached(spark, sf)
+    val sizes = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
+    val exploded = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val pairs = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard_bp",
+        expr("(common * 10000) div (n_a + n_b - common)"))
+    // fan each pair out to the thresholds it clears; persisted — the
+    // pair kernel feeds three aggregations below
+    val swept = pairs.select(col("doc_a"), col("doc_b"),
+        explode(typedLit(SweepThresholdsBp)).as("threshold_bp"),
+        col("jaccard_bp"))
+      .filter(col("jaccard_bp") >= col("threshold_bp"))
+      .persist()
+    val nPairs = swept.groupBy(col("threshold_bp"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = swept.select(col("threshold_bp"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .distinct().groupBy(col("threshold_bp"))
+      .agg(count(lit(1)).as("n_docs"))
+    val nDrop = swept.select(col("threshold_bp"), col("doc_b")).distinct()
+      .groupBy(col("threshold_bp")).agg(count(lit(1)).as("n_would_drop"))
+    // static threshold spine so an empty threshold still reports 0
+    spark.range(1)
+      .select(explode(typedLit(SweepThresholdsBp)).as("threshold_bp"))
+      .join(nPairs, Seq("threshold_bp"), "left")
+      .join(nDocs, Seq("threshold_bp"), "left")
+      .join(nDrop, Seq("threshold_bp"), "left")
+      .select(col("threshold_bp"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_would_drop"), lit(0L)).as("n_would_drop"))
+      .orderBy(col("threshold_bp"))
+  }
+
   /** ASYMMETRIC shingle containment: |A∩B| / |A| in integer basis
     * points, emitted for ORDERED pairs (a, b) with a ≠ b. Catches the
     * subset-duplicate Jaccard misses: a short document quoted whole

@@ -1195,6 +1195,35 @@ class OperatorSpec extends AnyFunSuite {
         hashExchanges.mkString("\n"))
   }
 
+  test("dedup sweep: monotone in the threshold and consistent with the thresholded kernel") {
+    import graft.operators.Dedup
+    val rows = Dedup.dedupThresholdSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Dedup.SweepThresholdsBp)
+    // raising the threshold can only shrink every census
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo._2 >= hi._2 && lo._3 >= hi._3 && lo._4 >= hi._4,
+          s"census grew from ${lo._1} to ${hi._1}")
+      case _ =>
+    }
+    // internal consistency: pairs touch >= docs/2, drops < docs
+    rows.filter(_._2 > 0).foreach { case (t, p, d, dr) =>
+      assert(d >= 2 && d <= 2 * p, s"threshold $t docs $d pairs $p")
+      assert(dr >= 1 && dr < d, s"threshold $t drops $dr docs $d")
+    }
+    // cross-check one point against the thresholded kernel: the 5000bp
+    // pair count equals q_ngram_jaccard's 0.5 output (same kernel,
+    // integer-bp vs IEEE threshold agree away from exact boundaries —
+    // 10000·j == bp exactly when j clears 0.5, both count the same set
+    // on this fixture where no pair sits at exactly 0.5)
+    val atHalf = rows.find(_._1 == 5000L).map(_._2).get
+    assert(atHalf == Dedup.ngramJaccard(spark, sf).count(),
+      "sweep disagrees with the thresholded kernel at 0.5")
+    // the curve bends somewhere (fixture non-degenerate)
+    assert(rows.map(_._2).distinct.length > 1, rows.mkString(","))
+  }
+
   test("winnow skew: the seeded boilerplate flood is purged and the pair-mass bound is measured") {
     import graft.operators.Text
     val n = Tables.load(spark, sf, "documents").count()
