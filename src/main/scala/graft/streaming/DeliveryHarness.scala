@@ -81,6 +81,32 @@ object DeliveryHarness {
       onBatch: (DataFrame, Long) => Unit): Unit =
     runDeliveries(spark, root, Seq(d0, d1), schema, onBatch)
 
+  /** [[runDeliveries]] with a PROCESS RESTART after the first
+    * `restartAfter` deliveries drain: the first incarnation stops (its
+    * in-memory state is gone), the remaining parts land while nothing
+    * runs, and a NEW query recovers from the same checkpoint — batch
+    * ids must continue, nothing re-reads, nothing skips (the
+    * [[runTwoDeliveriesWithRestart]] contract on the long-ingest
+    * shape). */
+  def runDeliveriesWithRestart(spark: SparkSession, root: String,
+      parts: Seq[DataFrame], schema: StructType,
+      onBatch: (DataFrame, Long) => Unit, restartAfter: Int): Unit = {
+    require(restartAfter > 0 && restartAfter < parts.length,
+      s"restartAfter $restartAfter outside (0, ${parts.length})")
+    val landing = s"$root/landing"
+    parts.take(restartAfter).zipWithIndex.foreach { case (d, i) =>
+      writeDelivery(d, s"$landing/d$i", (i + 1) * 1000000L)
+    }
+    runIncarnation(spark, landing, s"$root/ckpt", schema,
+      identity, onBatch)
+    parts.drop(restartAfter).zipWithIndex.foreach { case (d, i) =>
+      val j = restartAfter + i
+      writeDelivery(d, s"$landing/d$j", (j + 1) * 1000000L)
+    }
+    runIncarnation(spark, landing, s"$root/ckpt", schema,
+      identity, onBatch)
+  }
+
   /** [[runTwoDeliveries]] with a PROCESS RESTART between the
     * deliveries: delivery 0 is drained by one query which then stops
     * (the simulated crash/redeploy — its in-memory state is gone),

@@ -425,9 +425,16 @@ object DocStream {
     * strictly earlier deliveries; df-cap per probe time), so the
     * driver row pins compaction to be a pure layout change, not a
     * semantic one. `compactIndex = false` gives the uncompacted run
-    * the spec compares bit-for-bit. */
+    * the spec compares bit-for-bit; `restartAfter = Some(m)` stops the
+    * query after m deliveries and recovers the rest in a fresh
+    * incarnation from the checkpoint (the long-ingest crash-recovery
+    * receipt: offset log resumes, batch ids continue, and the
+    * COMPACTED index — whose batch-N subdirs no longer exist — still
+    * serves the batch_id visibility predicate, because it is a stored
+    * column, not a directory name). */
   def winnowCompactViaStream(spark: SparkSession, sf: String,
-      compactIndex: Boolean = true): DataFrame = {
+      compactIndex: Boolean = true,
+      restartAfter: Option[Int] = None): DataFrame = {
     import graft.operators.Text
     val parts = CompactDeliveries
     val root = graft.TempDirs.create("graft-winnowcompact")
@@ -442,7 +449,13 @@ object DocStream {
       docs.agg(floor((max(col("doc_id")) + 1) / parts).cast("long"))
         .head().getLong(0))
     val delivery = least(expr(s"doc_id div ${wdt}L"), lit(parts - 1L))
-    DeliveryHarness.runDeliveries(spark, root,
+    val run: (SparkSession, String, Seq[DataFrame], StructType,
+      (DataFrame, Long) => Unit) => Unit = restartAfter match {
+      case Some(m) =>
+        DeliveryHarness.runDeliveriesWithRestart(_, _, _, _, _, m)
+      case None => DeliveryHarness.runDeliveries
+    }
+    run(spark, root,
       (0 until parts).map(i => docs.filter(delivery === i)),
       StructType(Seq(StructField("doc_id", LongType),
         StructField("text", StringType))),

@@ -390,6 +390,16 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toSeq.toList).toSeq
     assert(compacted == plain,
       "mid-ingest compaction changed the classification stream")
+    // crash-recovery on the long-ingest shape: the query dies after 2
+    // deliveries (in-memory state gone, index already compacted twice
+    // — no batch-N subdirs left), a fresh incarnation recovers the
+    // remaining 3 from the checkpoint. Offset resume + the
+    // stored-column visibility predicate must land bit-identically.
+    val restarted = DocStream.winnowCompactViaStream(spark, sf,
+        restartAfter = Some(2))
+      .collect().map(_.toSeq.toList).toSeq
+    assert(restarted == plain,
+      "restart mid-ingest diverged from the single-process run")
     // the ingest actually exercised the long shape: every
     // post-bootstrap delivery produced rows, and both verdicts occur
     val deliveries = plain.map(_(1).asInstanceOf[Long]).toSet
