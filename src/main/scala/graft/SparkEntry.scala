@@ -197,6 +197,7 @@ object SparkEntry {
     "q_dup_rate_by_source" -> (Dedup.dupRateBySource _),
     "q_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "q_dedup_sweep" -> (Dedup.dedupThresholdSweep _),
+    "q_dup_matrix" -> (Dedup.dupMatrix _),
     "q_containment" -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
     "q_allpairs" -> ((s: SparkSession, d: String) => Dedup.allPairsJaccard(s, d)),
     "q_fuzzy_join" -> ((s: SparkSession, d: String) => Relational.fuzzyJoin(s, d)),
@@ -2400,6 +2401,45 @@ object SparkEntry {
                     FROM sw GROUP BY 1) dr USING (threshold_bp)
          ORDER BY t.threshold_bp"""
     },
+
+    // Source×source near-dup mass matrix over the same exact pair
+    // kernel: least/greatest-normalized source pair, pair count +
+    // distinct docs involved.
+    "q_dup_matrix" ->
+      s"""WITH docs AS (
+           SELECT doc_id, source,
+             list_distinct(list_transform(generate_series(1, len(ws) - 2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+           FROM (SELECT doc_id, source, string_split($Norm, ' ') AS ws
+                 FROM documents) t
+           WHERE len(ws) >= 3),
+         expl AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+         sizes AS (SELECT doc_id, len(sh) AS n_sh FROM docs),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     COUNT(*) AS common
+                   FROM expl a JOIN expl b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         jp AS (SELECT doc_a, doc_b FROM pairs
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE CAST(common AS DOUBLE)
+                  / (sa.n_sh + sb.n_sh - common) >= 0.5),
+         lab AS (SELECT least(da.source, db.source) AS src_a,
+                   greatest(da.source, db.source) AS src_b,
+                   jp.doc_a, jp.doc_b
+                 FROM jp
+                 JOIN docs da ON da.doc_id = jp.doc_a
+                 JOIN docs db ON db.doc_id = jp.doc_b)
+         SELECT np.src_a, np.src_b, np.n_pairs, nd.n_docs
+         FROM (SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+               FROM lab GROUP BY 1, 2) np
+         JOIN (SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM (SELECT DISTINCT src_a, src_b, d FROM (
+                       SELECT src_a, src_b, doc_a AS d FROM lab
+                       UNION ALL SELECT src_a, src_b, doc_b FROM lab))
+               GROUP BY 1, 2) nd USING (src_a, src_b)
+         ORDER BY src_a, src_b""",
 
     // The VERIFIED MinHash-LSH pipeline (band → margin prune → exact
     // confirm on candidate shingle sets) must emit exactly the exact

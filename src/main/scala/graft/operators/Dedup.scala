@@ -485,6 +485,44 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** q_dup_matrix: the SOURCE × SOURCE near-duplication matrix — the
+    * triage view above [[dupRateBySource]]'s per-feed rates: which
+    * feeds MIRROR each other (crawl overlaps, syndication, re-hosted
+    * dumps). One row per unordered source pair joined by ≥ 1 exact
+    * near-dup pair (the q_ngram_jaccard kernel — raw-text exact dups
+    * are absent from this corpus, near-dups are the real mass), with
+    * the pair count and the distinct documents involved. A heavy
+    * off-diagonal cell means one feed should be dropped or
+    * down-weighted wholesale — cheaper than deduping it doc by doc.
+    *
+    * Shape: the pair frame is the (already bounded) near-dup output,
+    * so the matrix costs two broadcast-joined source lookups and two
+    * partial aggs over it; output is ≤ sources² rows. At 100 TB the
+    * pair input swaps for the LSH candidates ([[minhashLsh]]) — the
+    * matrix arithmetic is input-agnostic. */
+  def dupMatrix(spark: SparkSession, sf: String): DataFrame = {
+    val src = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"))
+    val labeled = ngramJaccard(spark, sf)
+      .select(col("doc_a"), col("doc_b"))
+      .join(broadcast(src.select(col("doc_id").as("doc_a"),
+        col("source").as("sa"))), "doc_a")
+      .join(broadcast(src.select(col("doc_id").as("doc_b"),
+        col("source").as("sb"))), "doc_b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"),
+        col("doc_a"), col("doc_b"))
+      .persist()
+    val nPairs = labeled.groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = labeled.select(col("src_a"), col("src_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .distinct()
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_docs"))
+    nPairs.join(nDocs, Seq("src_a", "src_b"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   // ---- near-dup clustering (connected components) -------------------
 
   /** Near-duplicate CLUSTERS: connected components over the similarity

@@ -1224,6 +1224,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.map(_._2).distinct.length > 1, rows.mkString(","))
   }
 
+  test("dup matrix: cells re-derive from the labeled pair set and the mass crosses sources") {
+    import graft.operators.Dedup
+    val cells = Dedup.dupMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(cells.nonEmpty)
+    val srcOf = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // brute-force matrix
+    val want = pairs.groupBy { case (a, b) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.map { case (k, ps) =>
+      (k._1, k._2, ps.length.toLong,
+        ps.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong)
+    }.toSet
+    assert(cells.toSet == want, s"matrix drifted: ${cells.toSet} vs $want")
+    // normalization + conservation + the triage signal is off-diagonal
+    cells.foreach { case (a, b, p, d) =>
+      assert(a <= b && p >= 1 && d >= 2 && d <= 2 * p)
+    }
+    assert(cells.map(_._3).sum == pairs.length.toLong, "pair mass lost")
+    assert(cells.exists(c => c._1 != c._2), "no cross-source cell")
+  }
+
   test("winnow skew: the seeded boilerplate flood is purged and the pair-mass bound is measured") {
     import graft.operators.Text
     val n = Tables.load(spark, sf, "documents").count()
