@@ -1081,7 +1081,16 @@ object Corpus {
     * q_boilerplate exchange rule: 8-byte keys, never gram strings),
     * one hash-equality join back, one (doc, idx) distinct — fan-out
     * bounded by [[DupGramN]]× the token stream; no window, no driver
-    * state. */
+    * state.
+    *
+    * DELIBERATE keying asymmetry (the q_boilerplate caveat, restated
+    * here): the engine's within-doc duplicate census keys on
+    * `xxhash64(gram)` while the DuckDB oracle compares raw gram
+    * strings — a 64-bit collision between two DISTINCT grams inside
+    * one document would mark both as duplicated and split the
+    * engines. With ≤ ~10⁴ grams per document the within-doc birthday
+    * bound is ≤ ~10⁻¹¹ per doc; accepted, because shuffling 8-byte
+    * keys instead of gram strings is the whole exchange-width win. */
   def dupNgramFrac(spark: SparkSession, sf: String,
       n: Int = DupGramN): DataFrame = {
     // ONE corpus scan: the hashed-gram arrays + token counts persist

@@ -152,8 +152,13 @@ object DocStream {
           .select(col("band"), col("band_key"), col("doc_id"), col("minhash"))
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").parquet(s"$indexDir/batch-$batchId")
+        // own subtree EXCLUDED from the consumed set: a retry after
+        // this compaction ran must still overwrite batch-N in place,
+        // never find its rows already folded into the compacted copy
+        // (which would duplicate them for every later probe)
         if (compactIndex)
-          StreamState.compactState(spark, indexDir, IndexSchema)
+          StreamState.compactState(spark, indexDir, IndexSchema,
+            excludeSubdir = Some(s"batch-$batchId"))
         ()
       })
 
@@ -468,9 +473,14 @@ object DocStream {
         fps.withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").parquet(s"$indexDir/batch-$batchId")
         // the maintenance pass runs INSIDE the delivery loop — the
-        // next micro-batch probes the rewritten store
+        // next micro-batch probes the rewritten store. Own subtree
+        // EXCLUDED: a retry after compaction must overwrite batch-N
+        // in place, never find its first attempt's rows already
+        // folded into the compacted copy (duplication for every
+        // later probe's df census)
         if (compactIndex)
-          StreamState.compactState(spark, indexDir, WinnowIndexSchema)
+          StreamState.compactState(spark, indexDir, WinnowIndexSchema,
+            excludeSubdir = Some(s"batch-$batchId"))
         ()
       })
     spark.read.schema(StructType(Seq(

@@ -56,17 +56,27 @@ object LinkStream {
     * (spec-pinned), proving the linkage state (record index + edge
     * store) lives entirely in storage, not in query memory. */
   def entityResolutionViaStream(spark: SparkSession, sf: String,
-      restart: Boolean = false): DataFrame = {
-    val (indexDir, edgeDir) = runStream(spark, sf, restart)
+      restart: Boolean = false, compactIndex: Boolean = false): DataFrame = {
+    val (indexDir, edgeDir) = runStream(spark, sf, restart, compactIndex)
     resolveFrom(spark, indexDir, edgeDir)
   }
 
   /** Run the two-delivery linkage stream and return its storage-
     * resident state dirs `(indexDir, edgeDir)` — package-visible so
     * the compaction receipt (StreamingSpec) can measure and rewrite
-    * the state between stream end and terminal resolution. */
+    * the state between stream end and terminal resolution.
+    *
+    * `compactIndex = true` runs the [[StreamState.compactState]]
+    * maintenance pass LIVE at the start of each foreachBatch body —
+    * so every post-bootstrap probe reads a store that has already
+    * been rewritten at least once. The index store compacts under
+    * [[IndexedRecordSchema]] (NOT the bare [[RecordSchema]]): the
+    * rewrite must carry the `batch_id` lineage column, or the
+    * strictly-less retry filter would read NULL off the compacted
+    * rows and silently drop the whole compacted index from every
+    * later probe. */
   private[graft] def runStream(spark: SparkSession, sf: String,
-      restart: Boolean = false): (String, String) = {
+      restart: Boolean = false, compactIndex: Boolean = false): (String, String) = {
     val root = graft.TempDirs.create("graft-linkstream")
     val indexDir = s"$root/index"
     val edgeDir = s"$root/edges"
@@ -86,6 +96,15 @@ object LinkStream {
       recs.filter(col("kind") === "orig"),
       recs.filter(col("kind") =!= "orig"), RecordSchema,
       { (batch: DataFrame, batchId: Long) =>
+        // the maintenance pass runs BEFORE this batch's own writes and
+        // EXCLUDES its own subtrees — a retried delivery's
+        // mode-overwrite stays idempotent (see compactState's doc)
+        if (compactIndex) {
+          StreamState.compactState(spark, indexDir, IndexedRecordSchema,
+            excludeSubdir = Some(s"batch-$batchId"))
+          StreamState.compactState(spark, edgeDir, EdgeSchema,
+            excludeSubdir = Some(s"batch-$batchId"))
+        }
         // the batch frame feeds three joins below — pin it or the
         // landing file re-reads per consumer
         val b = batch.persist()
@@ -142,10 +161,17 @@ object LinkStream {
 
   /** Compaction for both linkage stores — the machinery lives in
     * [[StreamState.compactState]] (shared with [[DocStream]]'s band
-    * and fingerprint indexes). */
+    * and fingerprint indexes). The index store compacts under
+    * [[IndexedRecordSchema]]: rewriting with the bare [[RecordSchema]]
+    * would strip the stored `batch_id` lineage column, and a
+    * mid-ingest probe's `batch_id < current` filter would then read
+    * NULL and drop the entire compacted index. Terminal reads
+    * ([[resolveFrom]]) still use the bare schema — parquet column
+    * pruning skips the extra column. */
   private[graft] def compactLinkageState(spark: SparkSession,
       indexDir: String, edgeDir: String,
       targetFileBytes: Long = 128L << 20): ((Int, Int), (Int, Int)) =
-    (StreamState.compactState(spark, indexDir, RecordSchema, targetFileBytes),
+    (StreamState.compactState(spark, indexDir, IndexedRecordSchema,
+        targetFileBytes),
       StreamState.compactState(spark, edgeDir, EdgeSchema, targetFileBytes))
 }

@@ -40,17 +40,29 @@ object StreamState {
     *
     * Rows are rewritten verbatim — including any `batch_id` lineage
     * column — so the retry-idempotence filter (`batch_id < current`)
-    * survives compaction unchanged.
+    * survives compaction unchanged. Callers that compact INSIDE a
+    * foreachBatch body pass their own subtree name as
+    * `excludeSubdir`: a micro-batch retried after compaction already
+    * ran (crash between index write and checkpoint commit) would
+    * otherwise find its first attempt's rows folded into the
+    * compacted copy, re-create `batch-N` on the retry's
+    * mode-overwrite, and leave batch N's rows DUPLICATED for every
+    * later probe — excluding the current batch's subtree keeps the
+    * own-subdir overwrite idempotent through the whole crash window.
     *
     * The next micro-batch keeps appending `batch-N` subtrees beside
     * the compacted file — compaction is a recurring maintenance pass,
     * not a terminal step. Returns (filesBefore, filesAfter) for the
     * receipt. */
   private[graft] def compactState(spark: SparkSession, dir: String,
-      schema: StructType, targetFileBytes: Long = 128L << 20): (Int, Int) = {
+      schema: StructType, targetFileBytes: Long = 128L << 20,
+      excludeSubdir: Option[String] = None): (Int, Int) = {
     import org.apache.hadoop.fs.Path
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a store that has never been written (edge dir before the first
+    // delivery lands) has nothing to compact
+    if (!fs.exists(p)) return (0, 0)
     def parquetCount(): Int = {
       val it = fs.listFiles(p, true)
       Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
@@ -61,14 +73,22 @@ object StreamState {
     // new batch-N while the rewrite runs is neither read nor deleted —
     // it simply survives into the next compaction pass
     val consumed = fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-") &&
+        !excludeSubdir.contains(s.getPath.getName))
       .map(_.getPath)
-    val src = readState(spark, dir, schema)
-    val totalBytes = {
-      val it = fs.listFiles(p, true)
+    if (consumed.isEmpty) return (before, before)
+    // read EXACTLY the consumed subtrees (never the whole dir): an
+    // excluded own-subtree or a concurrently-landing batch must not
+    // be rewritten into the compacted copy while its source survives
+    val src = spark.read.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(consumed.map(_.toString): _*)
+    val totalBytes = consumed.map { d =>
+      val it = fs.listFiles(d, true)
       Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
         .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
-    }
+    }.sum
     val nOut = math.max(1L,
       (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     // rewrite OUTSIDE the state dir (the recursive read must never

@@ -391,8 +391,8 @@ class StreamingSpec extends AnyFunSuite {
     assert(compacted == plain,
       "mid-ingest compaction changed the classification stream")
     // crash-recovery on the long-ingest shape: the query dies after 2
-    // deliveries (in-memory state gone, index already compacted twice
-    // — no batch-N subdirs left), a fresh incarnation recovers the
+    // deliveries (in-memory state gone, delivery 0's subtree already
+    // folded into a compacted copy), a fresh incarnation recovers the
     // remaining 3 from the checkpoint. Offset resume + the
     // stored-column visibility predicate must land bit-identically.
     val restarted = DocStream.winnowCompactViaStream(spark, sf,
@@ -476,6 +476,29 @@ class StreamingSpec extends AnyFunSuite {
     val again = LinkStream.resolveFrom(spark, indexDir, edgeDir)
       .collect().map(_.toSeq.toList).toSeq
     assert(again == before)
+  }
+
+  test("mid-ingest linkage compaction: probes read the compacted index through the batch_id filter") {
+    // compaction runs LIVE at the start of each foreachBatch body, so
+    // the dirty delivery's probe reads delivery 0's records out of a
+    // COMPACTED subtree. The probe filters batch_id < current on the
+    // stored lineage column — if the rewrite stripped it (the bare
+    // RecordSchema), compacted rows would read back NULL, the filter
+    // would drop the whole index, and no dirty record could link to
+    // its registry original.
+    val compacted = graft.streaming.LinkStream
+      .entityResolutionViaStream(spark, sf, compactIndex = true)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val batch = graft.operators.Linkage.entityResolution(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(compacted.nonEmpty && compacted == batch,
+      "mid-ingest compaction changed the resolved clusters")
+    // the load-bearing bit: a cross-delivery link exists, which can
+    // only come from probing the compacted delivery-0 index
+    assert(compacted.exists(r => r._2 == "dirty" && r._4 >= 2L),
+      "no dirty record linked across the compacted index")
   }
 
   test("linkage survives a process restart between deliveries bit-identically") {
