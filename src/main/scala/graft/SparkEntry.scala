@@ -124,6 +124,7 @@ object SparkEntry {
     "q_token_count" -> (Text.tokenCount _),
     "q_langid" -> (Text.langId _),
     "q_quality" -> (Text.quality _),
+    "q_gopher_rules" -> (Text.gopherRules _),
     "q_surprisal" -> (Text.surprisal _),
     "q_bigram_surprisal" -> (Text.bigramSurprisal _),
     "q_ppl_buckets" -> (Text.pplBuckets _),
@@ -191,6 +192,15 @@ object SparkEntry {
     // is the scale path, pinned plan-level by a CorpusSpec case
     "q_curate_v2" -> ((s: SparkSession, d: String) =>
       Corpus.curateV2(s, d, exact = true)),
+    // the DEFAULT (approx) path, driver-checked against the SAME
+    // exact-replay oracle: at verification scale the corpus is
+    // smaller than the t-digest accuracy knob, so the sketch cut is
+    // value-identical to the exact percentile and the production
+    // wiring must reproduce the exact kept set bit-for-bit — a
+    // drifted estimator or a boundary-doc flip goes red here, not
+    // just in the spec's tolerance band
+    "q_curate_v2_approx" -> ((s: SparkSession, d: String) =>
+      Corpus.curateV2(s, d)),
     "q_contamination" -> (Corpus.contamination _),
     // --- dedup
     "q_dedup_exact" -> (Dedup.exact _),
@@ -198,6 +208,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "q_dedup_sweep" -> (Dedup.dedupThresholdSweep _),
     "q_dup_matrix" -> (Dedup.dupMatrix _),
+    "q_dup_matrix_lsh" -> (Dedup.dupMatrixLsh _),
     "q_containment" -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
     "q_allpairs" -> ((s: SparkSession, d: String) => Dedup.allPairsJaccard(s, d)),
     "q_fuzzy_join" -> ((s: SparkSession, d: String) => Relational.fuzzyJoin(s, d)),
@@ -570,6 +581,42 @@ object SparkEntry {
          labeled AS (SELECT d.doc_id,
                        COALESCE(l.cluster_id, d.doc_id) AS cluster_id
                      FROM documents d LEFT JOIN lab l USING (doc_id))"""
+
+  private lazy val DupMatrixSql: String =
+    s"""WITH docs AS (
+           SELECT doc_id, source,
+             list_distinct(list_transform(generate_series(1, len(ws) - 2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+           FROM (SELECT doc_id, source, string_split($Norm, ' ') AS ws
+                 FROM documents) t
+           WHERE len(ws) >= 3),
+         expl AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+         sizes AS (SELECT doc_id, len(sh) AS n_sh FROM docs),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     COUNT(*) AS common
+                   FROM expl a JOIN expl b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         jp AS (SELECT doc_a, doc_b FROM pairs
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE CAST(common AS DOUBLE)
+                  / (sa.n_sh + sb.n_sh - common) >= 0.5),
+         lab AS (SELECT least(da.source, db.source) AS src_a,
+                   greatest(da.source, db.source) AS src_b,
+                   jp.doc_a, jp.doc_b
+                 FROM jp
+                 JOIN docs da ON da.doc_id = jp.doc_a
+                 JOIN docs db ON db.doc_id = jp.doc_b)
+         SELECT np.src_a, np.src_b, np.n_pairs, nd.n_docs
+         FROM (SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+               FROM lab GROUP BY 1, 2) np
+         JOIN (SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM (SELECT DISTINCT src_a, src_b, d FROM (
+                       SELECT src_a, src_b, doc_a AS d FROM lab
+                       UNION ALL SELECT src_a, src_b, doc_b FROM lab))
+               GROUP BY 1, 2) nd USING (src_a, src_b)
+         ORDER BY src_a, src_b"""
 
   private val DupClustersSql: String =
     s"""$DupClustersCtes
@@ -1948,6 +1995,50 @@ object SparkEntry {
          FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents)
          ORDER BY doc_id""",
 
+    // Gopher rule battery: every signal an integer count or div ratio
+    // (per-mille / bp), thresholds interpolated from the shared
+    // constants — the composed pass verdict replays BIGINT-exact.
+    "q_gopher_rules" -> {
+      import graft.operators.Text._
+      val stops = GopherStops.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH c AS (
+           SELECT doc_id,
+             len(t) AS n_words, len(l) AS n_lines,
+             length(replace(text, ' ', '')) AS sum_len,
+             (length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) // 3
+               + (length(text) - length(replace(text, '…', ''))) AS n_symbols,
+             len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+             len(list_filter(l, x -> regexp_matches(x, '^\\s*[-•*] ')))
+               AS n_bullet,
+             len(list_filter(l, x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$$')))
+               AS n_ellipsis_end,
+             len(list_filter($stops, s -> list_contains(t, s))) AS stop_hits
+           FROM (SELECT doc_id, text,
+                   string_split(lower(text), ' ') AS t,
+                   string_split(text, chr(10)) AS l FROM documents)),
+         r AS (
+           SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+             CAST((sum_len * 1000) // n_words AS BIGINT) AS word_len_pm,
+             CAST((n_symbols * 10000) // n_words AS BIGINT) AS symbol_bp,
+             CAST((n_alpha * 10000) // n_words AS BIGINT) AS alpha_word_bp,
+             CAST((n_bullet * 10000) // n_lines AS BIGINT) AS bullet_bp,
+             CAST((n_ellipsis_end * 10000) // n_lines AS BIGINT)
+               AS ellipsis_bp,
+             CAST(stop_hits AS BIGINT) AS stop_hits
+           FROM c)
+         SELECT *, CAST((n_words >= $GopherMinWords
+             AND n_words <= $GopherMaxWords
+             AND word_len_pm >= $GopherMinWordLenPm
+             AND word_len_pm <= $GopherMaxWordLenPm
+             AND symbol_bp <= $GopherMaxSymbolBp
+             AND alpha_word_bp >= $GopherMinAlphaBp
+             AND bullet_bp <= $GopherMaxBulletBp
+             AND ellipsis_bp <= $GopherMaxEllipsisBp
+             AND stop_hits >= $GopherMinStops) AS BIGINT) AS gopher_pass
+         FROM r ORDER BY doc_id"""
+    },
+
     // Stratified sampling: same content-hash bucket as q_split_assign,
     // per-language keep rate (en downsampled to 500‰).
     "q_stratified_sample" ->
@@ -2402,44 +2493,14 @@ object SparkEntry {
          ORDER BY t.threshold_bp"""
     },
 
-    // Source×source near-dup mass matrix over the same exact pair
-    // kernel: least/greatest-normalized source pair, pair count +
-    // distinct docs involved.
-    "q_dup_matrix" ->
-      s"""WITH docs AS (
-           SELECT doc_id, source,
-             list_distinct(list_transform(generate_series(1, len(ws) - 2),
-               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
-           FROM (SELECT doc_id, source, string_split($Norm, ' ') AS ws
-                 FROM documents) t
-           WHERE len(ws) >= 3),
-         expl AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
-         sizes AS (SELECT doc_id, len(sh) AS n_sh FROM docs),
-         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     COUNT(*) AS common
-                   FROM expl a JOIN expl b
-                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2),
-         jp AS (SELECT doc_a, doc_b FROM pairs
-                JOIN sizes sa ON sa.doc_id = doc_a
-                JOIN sizes sb ON sb.doc_id = doc_b
-                WHERE CAST(common AS DOUBLE)
-                  / (sa.n_sh + sb.n_sh - common) >= 0.5),
-         lab AS (SELECT least(da.source, db.source) AS src_a,
-                   greatest(da.source, db.source) AS src_b,
-                   jp.doc_a, jp.doc_b
-                 FROM jp
-                 JOIN docs da ON da.doc_id = jp.doc_a
-                 JOIN docs db ON db.doc_id = jp.doc_b)
-         SELECT np.src_a, np.src_b, np.n_pairs, nd.n_docs
-         FROM (SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
-               FROM lab GROUP BY 1, 2) np
-         JOIN (SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_docs
-               FROM (SELECT DISTINCT src_a, src_b, d FROM (
-                       SELECT src_a, src_b, doc_a AS d FROM lab
-                       UNION ALL SELECT src_a, src_b, doc_b FROM lab))
-               GROUP BY 1, 2) nd USING (src_a, src_b)
-         ORDER BY src_a, src_b""",
+    // Source×source near-dup mass matrix: least/greatest-normalized
+    // source pair, pair count + distinct docs involved. The SAME
+    // brute-force oracle pins both the exact-kernel row and the
+    // LSH-fed twin (the two engine pair sets coincide at the
+    // fixtures' j >= 0.9 similarity levels — the q_dup_clusters_lsh
+    // pinning argument).
+    "q_dup_matrix" -> DupMatrixSql,
+    "q_dup_matrix_lsh" -> DupMatrixSql,
 
     // The VERIFIED MinHash-LSH pipeline (band → margin prune → exact
     // confirm on candidate shingle sets) must emit exactly the exact
@@ -2564,6 +2625,7 @@ object SparkEntry {
     // semantic survivor ∘ mixture rebalance, one end-to-end value-
     // exact replay (the four stage oracles composed as one statement)
     "q_curate_v2" -> CurateV2Sql,
+    "q_curate_v2_approx" -> CurateV2Sql,
 
     "q_delta_dedup" ->
       s"""WITH d AS (SELECT doc_id, md5($Norm) AS fp FROM documents),

@@ -99,9 +99,29 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, sf: String, threshold: Double = 0.5): DataFrame =
     ngramJaccardFrom(shingledCached(spark, sf), threshold)
 
-  private[graft] def ngramJaccardFrom(docs: DataFrame, threshold: Double): DataFrame = {
+  /** GUARDED VERIFICATION KERNEL — the exact pair join every LSH-fed
+    * twin is pinned against, not the 100 TB path: the self-join key is
+    * the raw shingle, so one boilerplate shingle with df = 10⁶ yields
+    * 10¹² join rows. `dfCap = Some(c)` arms the standard skew purge
+    * (the [[graft.operators.Text.WinnowDfCap]] / Hernández–Stolfo
+    * big-block rule: a shingle in more than `c` documents is corpus
+    * boilerplate AND the join's skew key — drop it before pairing,
+    * bounding per-shingle pair work at c²; DedupSpec proves the purge
+    * fires on a seeded flood). The DEFAULT is None — exact semantics,
+    * what the DuckDB oracles replay — which is only safe because every
+    * production consumer rides [[minhashLsh]] candidates instead; a
+    * deployment that must run this kernel at scale sets the cap, the
+    * same trade [[graft.operators.Text.winnowOverlapFrom]] hardwires. */
+  private[graft] def ngramJaccardFrom(docs: DataFrame, threshold: Double,
+      dfCap: Option[Long] = None): DataFrame = {
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    val exploded = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val allSh = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val exploded = dfCap match {
+      case Some(c) =>
+        val df = allSh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        allSh.join(df.filter(col("df") <= c).select(col("shingle")), "shingle")
+      case None => allSh
+    }
     val pairs = exploded.as("a")
       .join(exploded.as("b"),
         col("a.shingle") === col("b.shingle") &&
@@ -497,13 +517,35 @@ object Dedup {
     *
     * Shape: the pair frame is the (already bounded) near-dup output,
     * so the matrix costs two broadcast-joined source lookups and two
-    * partial aggs over it; output is ≤ sources² rows. At 100 TB the
-    * pair input swaps for the LSH candidates ([[minhashLsh]]) — the
-    * matrix arithmetic is input-agnostic. */
-  def dupMatrix(spark: SparkSession, sf: String): DataFrame = {
+    * partial aggs over it; output is ≤ sources² rows. This form rides
+    * the exact verification kernel (oracle-checkable); [[dupMatrixLsh]]
+    * is the same [[dupMatrixFrom]] fed by [[minhashLsh]] candidates —
+    * the 100 TB path. */
+  def dupMatrix(spark: SparkSession, sf: String): DataFrame =
+    dupMatrixFrom(spark, sf,
+      ngramJaccard(spark, sf).select(col("doc_a"), col("doc_b")))
+
+  /** [[dupMatrix]] fed by MinHash-LSH candidate edges — the matrix a
+    * 100 TB corpus actually computes: the pair frame is the
+    * O(collisions) banded join ([[minhashLsh]], verified end to end)
+    * instead of the raw-shingle exact self-join, and the matrix
+    * arithmetic is pair-source-agnostic ([[dupMatrixFrom]], the
+    * [[clustersFrom]] convention). At the fixtures' similarity levels
+    * (every exact pair at j ≥ 0.9, banding miss ≈ 4·10⁻⁸) the
+    * candidate pair set equals the exact set, so this row is pinned by
+    * the SAME brute-force matrix oracle as q_dup_matrix. */
+  def dupMatrixLsh(spark: SparkSession, sf: String): DataFrame =
+    dupMatrixFrom(spark, sf,
+      minhashLsh(spark, sf).select(col("doc_a"), col("doc_b")))
+
+  /** The matrix arithmetic over an arbitrary near-dup pair frame:
+    * two broadcast source lookups + two partial aggs; output is
+    * ≤ sources² rows whatever the input. */
+  private[graft] def dupMatrixFrom(spark: SparkSession, sf: String,
+      pairs: DataFrame): DataFrame = {
     val src = Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("source"))
-    val labeled = ngramJaccard(spark, sf)
+    val labeled = pairs
       .select(col("doc_a"), col("doc_b"))
       .join(broadcast(src.select(col("doc_id").as("doc_a"),
         col("source").as("sa"))), "doc_a")

@@ -119,6 +119,96 @@ object Text {
         ++ extra: _*)
   }
 
+  /** Gopher rule battery constants (Rae et al. 2021, Table A1 — the
+    * canonical web-text repetition-free quality rules), interpolated
+    * into both engines. Thresholds in integer per-mille / basis
+    * points so every comparison is BIGINT-exact cross-engine. */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val GopherMinWords = 50L
+  val GopherMaxWords = 100000L
+  val GopherMinWordLenPm = 3000L   // mean word length ≥ 3 chars
+  val GopherMaxWordLenPm = 10000L  // … and ≤ 10 chars
+  val GopherMaxSymbolBp = 1000L    // symbol-to-word ratio ≤ 0.1
+  val GopherMinAlphaBp = 8000L     // ≥ 80% of words contain a letter
+  val GopherMaxBulletBp = 9000L    // ≤ 90% of lines start with a bullet
+  val GopherMaxEllipsisBp = 3000L  // ≤ 30% of lines end with an ellipsis
+  /** Distinct-stopword floor. Gopher's canonical floor is 2, against
+    * real web text; this fixture's synthetic vocabulary contains
+    * exactly ONE member of the canonical list ("the" — measured at
+    * every SF), so 2 fails every document and the verdict degenerates.
+    * 1 is the analogous non-degenerate knob here (the [[Corpus
+    * .DupGramN]] calibration argument); the stopword LIST stays
+    * canonical. */
+  val GopherMinStops = 1L
+
+  /** q_gopher_rules: the Gopher QUALITY-RULE BATTERY (Rae et al.
+    * 2021, App. A) as ONE integer-exact per-document row — word
+    * count bounds, mean word length band, symbol-to-word ratio
+    * (`#`/ellipsis), alphabetic-word share, bullet-start and
+    * ellipsis-end line shares, distinct-stopword floor, and the
+    * composed `gopher_pass` verdict the curation gate consumes
+    * (AND-able with [[quality]]'s composite and
+    * [[Corpus.qualityGate]]'s percentile cut — rules prune the
+    * degenerate tail, the composite ranks what survives).
+    *
+    * Every signal is a count or an integer `div` ratio (per-mille /
+    * basis points), so the row replays bit-for-bit in DuckDB — no
+    * float thresholds to drift. Scale shape: ONE corpus scan, pure
+    * per-row projection — zero shuffle, zero joins; the battery is
+    * free to fuse into any scan that already reads `text`. */
+  def gopherRules(spark: SparkSession, sf: String): DataFrame =
+    gopherRulesFrom(Tables.load(spark, sf, "documents"))
+
+  /** The battery over an arbitrary (doc_id, text) frame — shared with
+    * the spec's seeded degenerate documents, so the flags under test
+    * are the production flags. */
+  private[graft] def gopherRulesFrom(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val lines = split(col("text"), "\n")
+    // Σ word lengths == chars with the separators removed (split(" ")
+    // makes consecutive-space "words" empty, adding zero — consistent)
+    val sumLen = length(regexp_replace(col("text"), " ", "")).cast("long")
+    val nHash = (length(col("text")) -
+      length(regexp_replace(col("text"), "#", ""))).cast("long")
+    val nDots = ((length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3).cast("long")
+    val nUniEllipsis = (length(col("text")) -
+      length(regexp_replace(col("text"), "…", ""))).cast("long")
+    val counts = docs
+      .select(col("doc_id"),
+        size(t).cast("long").as("n_words"),
+        size(lines).cast("long").as("n_lines"),
+        sumLen.as("sum_len"),
+        (nHash + nDots + nUniEllipsis).as("n_symbols"),
+        size(filter(t, w => w.rlike("[a-z]"))).cast("long").as("n_alpha"),
+        size(filter(lines, l => l.rlike("^\\s*[-•*] ")))
+          .cast("long").as("n_bullet"),
+        size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$")))
+          .cast("long").as("n_ellipsis_end"),
+        size(filter(typedLit(GopherStops), s => array_contains(t, s)))
+          .cast("long").as("stop_hits"))
+    counts
+      .select(col("doc_id"), col("n_words"),
+        expr("(sum_len * 1000) div n_words").as("word_len_pm"),
+        expr("(n_symbols * 10000) div n_words").as("symbol_bp"),
+        expr("(n_alpha * 10000) div n_words").as("alpha_word_bp"),
+        expr("(n_bullet * 10000) div n_lines").as("bullet_bp"),
+        expr("(n_ellipsis_end * 10000) div n_lines").as("ellipsis_bp"),
+        col("stop_hits"))
+      .withColumn("gopher_pass",
+        (col("n_words") >= GopherMinWords &&
+          col("n_words") <= GopherMaxWords &&
+          col("word_len_pm") >= GopherMinWordLenPm &&
+          col("word_len_pm") <= GopherMaxWordLenPm &&
+          col("symbol_bp") <= GopherMaxSymbolBp &&
+          col("alpha_word_bp") >= GopherMinAlphaBp &&
+          col("bullet_bp") <= GopherMaxBulletBp &&
+          col("ellipsis_bp") <= GopherMaxEllipsisBp &&
+          col("stop_hits") >= GopherMinStops).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Unigram-LM surprisal quality scoring: each token costs
     * ⌊log2(total/count(w))⌋+1 bits under the corpus's own unigram
     * model — rare-word-heavy documents (typos, boilerplate soup,

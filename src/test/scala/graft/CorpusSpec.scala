@@ -25,6 +25,49 @@ class CorpusSpec extends AnyFunSuite {
     assert(Corpus.splitAssign(spark, sf).collect().sameElements(rows))
   }
 
+  test("gopher rule battery: seeded degenerate docs trip exactly their rule, flags re-derive by hand") {
+    import graft.operators.Text
+    val passing = Seq.fill(6)(
+      "the code and tests run with that have be of good tests").mkString(" ")
+    val bullets = "- the bullet item one with have\n" +
+      "- the bullet item two of\n- more of the bullets and that"
+    val symbols = (Seq.fill(48)("word") ++ Seq.fill(12)("#")).mkString(" ")
+    val ellipsis = "the words trail off... and more of them do too...\n" +
+      "another line that also ends..."
+    val docs = spark.createDataFrame(Seq(
+      (1L, passing), (2L, "tiny doc the of"), (3L, bullets),
+      (4L, symbols), (5L, ellipsis)))
+      .toDF("doc_id", "text")
+    val got = Text.gopherRulesFrom(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    // doc 1 passes everything; its ratios re-derive by hand
+    val ws = passing.split(" ")
+    assert(got(1L).getAs[Long]("n_words") == ws.length)
+    assert(got(1L).getAs[Long]("word_len_pm") ==
+      ws.map(_.length).sum.toLong * 1000 / ws.length)
+    assert(got(1L).getAs[Long]("alpha_word_bp") == 10000L)
+    assert(got(1L).getAs[Long]("stop_hits") >= 2L)
+    assert(got(1L).getAs[Long]("gopher_pass") == 1L)
+
+    // each degenerate doc trips its own rule
+    assert(got(2L).getAs[Long]("n_words") < Text.GopherMinWords &&
+      got(2L).getAs[Long]("gopher_pass") == 0L)
+    assert(got(3L).getAs[Long]("bullet_bp") == 10000L &&
+      got(3L).getAs[Long]("gopher_pass") == 0L)
+    assert(got(4L).getAs[Long]("symbol_bp") == 2000L &&
+      got(4L).getAs[Long]("symbol_bp") > Text.GopherMaxSymbolBp &&
+      got(4L).getAs[Long]("gopher_pass") == 0L)
+    assert(got(5L).getAs[Long]("ellipsis_bp") == 10000L &&
+      got(5L).getAs[Long]("ellipsis_bp") > Text.GopherMaxEllipsisBp &&
+      got(5L).getAs[Long]("gopher_pass") == 0L)
+    // and the real corpus is non-degenerate: both verdicts occur
+    val corpus = Text.gopherRules(spark, sf)
+      .groupBy("gopher_pass").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(corpus.keySet == Set(0L, 1L), corpus.toString)
+  }
+
   test("domain cap bounds every source and keeps the partial group-limit") {
     val capped = Corpus.domainCap(spark, sf, k = 7)
     val perSource = capped.groupBy("source").count().collect()

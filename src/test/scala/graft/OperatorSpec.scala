@@ -72,6 +72,49 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("ngramJaccardFrom df-cap: a seeded boilerplate shingle flood contributes zero pairs") {
+    // 40 docs whose only shared content is one boilerplate sentence:
+    // without the cap the shingle self-join pairs every doc with every
+    // other (the quadratic skew hazard the kernel's doc warns about);
+    // with the cap armed the flood shingles (df = 40 > cap) are purged
+    // before pairing and the join emits nothing
+    val boiler = "subscribe to our newsletter today for updates"
+    val docs = spark.range(0, 40)
+      .select(col("id").as("doc_id"),
+        concat(lit("unique"), col("id"), lit("a word"),
+          lit("unique"), col("id"), lit("b tail "), lit(boiler)).as("text"))
+    val sh = Dedup.shingled(docs).persist()
+    val uncapped = Dedup.ngramJaccardFrom(sh, threshold = 0.0).count()
+    assert(uncapped == 40L * 39 / 2,
+      s"flood did not pair all docs without the cap: $uncapped")
+    val capped = Dedup.ngramJaccardFrom(sh, threshold = 0.0,
+      dfCap = Some(10L)).count()
+    assert(capped == 0L, s"capped run still emitted $capped pairs")
+    // and the cap is inert where df stays under it: the real corpus's
+    // pair set is unchanged under a cap its shingles never hit
+    val organic = Dedup.shingledCached(spark, sf)
+    val plain = Dedup.ngramJaccardFrom(organic, 0.5).collect()
+      .map(_.toSeq.toList).toSet
+    val underCap = Dedup.ngramJaccardFrom(organic, 0.5,
+      dfCap = Some(1000000L)).collect().map(_.toSeq.toList).toSet
+    assert(plain.nonEmpty && underCap == plain)
+    sh.unpersist()
+  }
+
+  test("dup matrix LSH twin equals the exact-kernel matrix and conserves pair mass") {
+    val exact = Dedup.dupMatrix(spark, sf).collect()
+      .map(_.toSeq.toList).toSeq
+    val lsh = Dedup.dupMatrixLsh(spark, sf).collect()
+      .map(_.toSeq.toList).toSeq
+    assert(exact.nonEmpty && lsh == exact,
+      "LSH-fed matrix diverged from the exact-kernel matrix")
+    // pair-mass conservation: the matrix cells partition the pair set
+    val cellMass = exact.map(_(2).asInstanceOf[Long]).sum
+    val pairCount = Dedup.ngramJaccard(spark, sf).count()
+    assert(cellMass == pairCount,
+      s"matrix mass $cellMass != pair count $pairCount")
+  }
+
   test("minhash-LSH candidates approximate true jaccard pairs") {
     val estPairs = Dedup.minhashLsh(spark, sf, threshold = 0.5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
