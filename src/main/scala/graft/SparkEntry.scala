@@ -276,6 +276,8 @@ object SparkEntry {
     "q_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "q_cosine_near_dup" -> ((s: SparkSession, d: String) => Similarity.cosineNearDup(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
+    "q_ann_ivf_saved" -> ((s: SparkSession, d: String) =>
+      Similarity.annIvfSaved(s, d)),
     "q_ann_filtered" -> ((s: SparkSession, d: String) =>
       Similarity.annIvfFiltered(s, d)),
     "q_delta_ivf" -> (Similarity.deltaIvfAssign _),
@@ -305,6 +307,7 @@ object SparkEntry {
     "q_scene_cuts" -> (Multimodal.sceneCuts _),
     "q_scene_cuts_decoded" -> (Multimodal.sceneCutsDecoded _),
     "q_keyframes" -> (Multimodal.keyframes _),
+    "q_video_neardup" -> (Multimodal.videoNearDup _),
     "q_audio_vad" -> (Multimodal.audioVad _),
     // --- job engine end-to-end (SURVEY §2.1, §2.3, §2.4)
     "q_roundtrip" -> (JobQueries.roundtrip _),
@@ -581,6 +584,13 @@ object SparkEntry {
          labeled AS (SELECT d.doc_id,
                        COALESCE(l.cluster_id, d.doc_id) AS cluster_id
                      FROM documents d LEFT JOIN lab l USING (doc_id))"""
+
+  private lazy val AnnIvfSql: String =
+    s"""$IvfCandCtes
+         SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, cosine
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rk FROM cand)
+         WHERE rk <= 3 ORDER BY query_id, rk"""
 
   private lazy val DupMatrixSql: String =
     s"""WITH docs AS (
@@ -3317,12 +3327,11 @@ object SparkEntry {
     // replayed centroids. Any trainer drift — a changed seed order, a
     // truncating division, a tie broken differently — moves a vector
     // across cells and shows as a row diff at the driver gate.
-    "q_ann_ivf" ->
-      s"""$IvfCandCtes
-         SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, cosine
-         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                 ORDER BY cosine DESC, neighbor_id) AS rk FROM cand)
-         WHERE rk <= 3 ORDER BY query_id, rk""",
+    "q_ann_ivf" -> AnnIvfSql,
+    // served from the persisted centroid artifact (train -> publish ->
+    // drop the trainer memo -> load -> serve): the oracle is the SAME
+    // trainer replay, so a save/load bit-flip fails the hash
+    "q_ann_ivf_saved" -> AnnIvfSql,
 
     // Filtered vector search: the SAME replayed candidate chain with
     // the metadata predicate applied before ranking (post-filter form)
@@ -3987,6 +3996,7 @@ object SparkEntry {
     "q_scene_cuts_decoded" ->
       operators.Multimodal.sceneCutsDecodedOracle,
     "q_keyframes" -> operators.Multimodal.keyframesOracle,
+    "q_video_neardup" -> operators.Multimodal.videoNearDupOracle,
     "q_audio_vad" -> operators.Multimodal.audioVadOracle,
 
     // REAL-DECODE twin: Spark PNG-encodes a deterministic gray image

@@ -342,7 +342,14 @@ object Multimodal {
     * Shape: one per-(doc, scene) partial agg on top of the cut pass;
     * the argmin rides a packed min(struct), no extra window. */
   def keyframes(spark: SparkSession, sf: String): DataFrame =
-    sceneCuts(spark, sf)
+    keyframesFrom(sceneCuts(spark, sf))
+
+  /** The keyframe selection over an arbitrary cut pass — shared by
+    * [[keyframes]] (byte-mean cuts) and [[videoNearDup]] (real-decode
+    * cuts), so the sampler under test is the production sampler
+    * whatever feature kernel fed it. */
+  private[graft] def keyframesFrom(cuts: DataFrame): DataFrame =
+    cuts
       .groupBy(col("doc_id"), col("scene_id"))
       .agg(min(struct(col("frame_idx"), col("feat"))).as("kf"),
         count(lit(1)).as("n_frames"))
@@ -484,6 +491,75 @@ object Multimodal {
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
            AS scene_id
        FROM d ORDER BY doc_id, frame_idx"""
+
+  /** q_video_neardup: CONTENT-level video dedup — the three verified
+    * kernels composed end to end: [[sceneCutsDecoded]]'s real
+    * encode→`ImageIO`-decode feature pass segments each clip, the
+    * shared [[keyframesFrom]] sampler picks one keyframe per scene,
+    * and each clip's ordered (scene, keyframe-feature) sequence
+    * hashes into a clip-level fingerprint — clips grouped by
+    * fingerprint with the canonical-min/group-size/is_dup shape of
+    * [[Dedup.exact]]. This is the video analog of text exact-dedup
+    * run ABOVE the codec: two clips whose container bytes differ but
+    * whose decoded keyframe content agrees collapse into one group,
+    * which byte-level md5 can never do. A tolerance variant swaps
+    * the feature equality for per-keyframe dHash hamming distance
+    * ([[imagePhash]]'s kernel) fed through the same fingerprint-join
+    * shape — the documented dial, not a different plan.
+    *
+    * Shape at 100 TB: decode is the partition-parallel map the
+    * decoded-cut row already pays; the signature is one per-clip
+    * ordered agg (state bounded by scenes-per-clip); grouping is one
+    * window over 16-byte fingerprints — never raw frames. The DuckDB
+    * oracle composes the closed-form-raster replay through the same
+    * keyframe + string_agg + md5 chain, so the whole
+    * decode→segment→sample→fingerprint→group loop is hash-pinned. */
+  def videoNearDup(spark: SparkSession, sf: String): DataFrame = {
+    val kf = keyframesFrom(sceneCutsDecoded(spark, sf))
+    val sigs = kf.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("scene_id"), col("feat"))))
+        .as("kfs"))
+      .select(col("doc_id"),
+        md5(array_join(transform(col("kfs"),
+          s => concat(s.getField("scene_id"), lit(":"),
+            s.getField("feat"))), "|")).as("vfp"),
+        size(col("kfs")).cast("long").as("n_scenes"))
+    val byFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vfp"))
+    sigs
+      .withColumn("canonical_id", min(col("doc_id")).over(byFp))
+      .withColumn("group_size", count(lit(1)).over(byFp))
+      .select(col("doc_id"), col("vfp"), col("n_scenes"),
+        col("canonical_id"), col("group_size"),
+        (col("doc_id") =!= col("canonical_id")).cast("long").as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay of [[videoNearDup]]: the decoded-cut oracle as a
+    * derived table, keyframes by ROW_NUMBER, the ordered
+    * `scene:feat` string_agg fingerprint, and the same grouping
+    * windows. */
+  def videoNearDupOracle: String =
+    s"""WITH kf AS (
+         SELECT doc_id, scene_id, frame_idx, feat
+         FROM (SELECT doc_id, scene_id, frame_idx, feat,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id, scene_id
+                   ORDER BY frame_idx) AS rk
+               FROM ($sceneCutsDecodedOracle) sc) t
+         WHERE rk = 1),
+       sig AS (
+         SELECT doc_id,
+           md5(string_agg(scene_id || ':' || feat, '|'
+             ORDER BY scene_id)) AS vfp,
+           CAST(COUNT(*) AS BIGINT) AS n_scenes
+         FROM kf GROUP BY doc_id)
+       SELECT doc_id, vfp, n_scenes,
+         CAST(MIN(doc_id) OVER (PARTITION BY vfp) AS BIGINT)
+           AS canonical_id,
+         CAST(COUNT(*) OVER (PARTITION BY vfp) AS BIGINT) AS group_size,
+         CAST(doc_id != MIN(doc_id) OVER (PARTITION BY vfp) AS BIGINT)
+           AS is_dup
+       FROM sig ORDER BY doc_id"""
 
   // ---- audio ---------------------------------------------------------
 

@@ -836,9 +836,15 @@ object Similarity {
     * top-k, [[labelKnnIvf]] votes over the top-k labels,
     * [[tripletMineIvf]] arg-maxes it per (anchor, same-label) side. */
   private[graft] def ivfCandidatePairs(spark: SparkSession,
-      sf: String): DataFrame = {
+      sf: String): DataFrame =
+    ivfCandidatePairsWith(spark, sf, centroidsFor(spark, sf))
+
+  /** The candidate stream against an EXPLICIT centroid artifact — the
+    * serve path of [[graft.operators.IndexStore]]: a loaded index
+    * must produce the same stream as the in-JVM trainer memo. */
+  private[graft] def ivfCandidatePairsWith(spark: SparkSession,
+      sf: String, cents: Seq[Seq[Long]]): DataFrame = {
     val e = Tables.load(spark, sf, "embeddings")
-    val cents = centroidsFor(spark, sf)
     val indexed = quantized(e, "neighbor_id")
       .withColumn("cell",
         element_at(nearestCellsQ(col("iv_neighbor_id"), cents, 1), 1))
@@ -854,18 +860,42 @@ object Similarity {
   }
 
   /** IVF ANN: top-k per query over [[ivfCandidatePairs]]. */
-  def annIvf(spark: SparkSession, sf: String, k: Int = 3): DataFrame = {
+  def annIvf(spark: SparkSession, sf: String, k: Int = 3): DataFrame =
+    annIvfWith(spark, sf, centroidsFor(spark, sf), k)
+
+  private def annIvfWith(spark: SparkSession, sf: String,
+      cents: Seq[Seq[Long]], k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     // No pair dedup: each neighbor is indexed in exactly ONE cell and
     // a query's probe cells are distinct, so a (query, neighbor) pair
     // cannot repeat — a dropDuplicates here would be a pure extra
     // hash-agg exchange over the full top-k result.
-    ivfCandidatePairs(spark, sf)
+    ivfCandidatePairsWith(spark, sf, cents)
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rk"), col("cosine"))
       .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** q_ann_ivf_saved: IVF search SERVED FROM THE PERSISTED INDEX
+    * ARTIFACT — the [[graft.operators.IndexStore]] round trip run
+    * end-to-end inside one row: train → publish the versioned
+    * centroid artifact → drop the in-JVM trainer memo (so nothing can
+    * leak from training to serving except the artifact bytes) → load
+    * the pinned version → answer the same top-k as [[annIvf]]. The
+    * DuckDB oracle is q_ann_ivf's trainer-replay query, so a
+    * save/load bit-flip, a version mispin, or a stale-memo leak moves
+    * an assignment and fails the hash. This is the FAISS
+    * write_index/read_index contract, and the missing completion of
+    * the delta family: [[deltaIvfAssign]] freezes centroids within a
+    * run, the store freezes them across sessions. */
+  def annIvfSaved(spark: SparkSession, sf: String, k: Int = 3): DataFrame = {
+    val root = graft.TempDirs.create("graft-ivf-store")
+    val v = IndexStore.saveIvf(spark, sf, root)
+    clearCentroidCache()
+    annIvfWith(spark, sf,
+      IndexStore.loadIvfCentroids(spark, root, Some(v)), k)
   }
 
   /** Metadata predicate for [[annIvfFiltered]] — the filter language,

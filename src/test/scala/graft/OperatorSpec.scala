@@ -1593,6 +1593,42 @@ class OperatorSpec extends AnyFunSuite {
     assert(kfs.length < cuts.length)
   }
 
+  test("video near-dup: groups are exactly the identical-keyframe-sequence classes") {
+    val rows = Multimodal.videoNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // duplication is real at this scale, and so are singletons
+    assert(rows.exists(_._5 > 1L), "no dup group formed")
+    // independent re-derivation: a clip's fingerprint classifies with
+    // another's IFF their decoded keyframe (scene, feat) sequences
+    // are identical
+    val seqs = Multimodal
+      .keyframesFrom(Multimodal.sceneCutsDecoded(spark, sf)).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(3))))
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+    val byFp = rows.groupBy(_._2)
+    byFp.values.foreach { g =>
+      val ref = seqs(g.head._1)
+      g.foreach(m => assert(seqs(m._1) == ref,
+        s"clip ${m._1} grouped with a different keyframe sequence"))
+    }
+    assert(byFp.size == seqs.values.map(_.toList).toSet.size,
+      "fingerprint classes != distinct keyframe sequences")
+    // fixture geometry: clips congruent mod 40 (same dims, frame
+    // count, and base progression) must collapse into one group —
+    // though two cohorts whose integer luma means coincide may merge,
+    // so the canonical is the GROUP min, not necessarily the cohort min
+    rows.groupBy(_._1 % 40).foreach { case (c, cohort) =>
+      assert(cohort.map(_._2).toSet.size == 1, s"cohort $c split")
+    }
+    byFp.values.foreach { g =>
+      val mn = g.map(_._1).min
+      assert(g.forall(_._4 == mn), "canonical not the group min")
+    }
+  }
+
   test("audio vad: segments re-derive from the gated closed form, real decode carries the energies") {
     val segs = Multimodal.audioVad(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
