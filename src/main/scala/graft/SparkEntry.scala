@@ -115,6 +115,7 @@ object SparkEntry {
     "q_winnow" -> (Text.winnow _),
     "q_winnow_overlap" -> (Text.winnowOverlap _),
     "q_winnow_skew" -> (Text.winnowOverlapSkew _),
+    "q_substr_dedup" -> (Text.substrDedup _),
     "q_delta_winnow" -> (Text.deltaWinnow _),
     "q_stream_winnow" -> ((s: SparkSession, d: String) =>
       graft.streaming.DocStream.winnowViaStream(s, d)),
@@ -160,6 +161,8 @@ object SparkEntry {
     // iteration no SQL oracle can express; pinned by the CorpusSpec
     // replay case (every merge count re-derived from the raw vocab)
     "q_bpe_merges" -> ((s: SparkSession, d: String) => Corpus.bpeMerges(s, d)),
+    "q_unigram_train" -> (Corpus.unigramTrain _),
+    "q_unigram_encode" -> (Corpus.unigramEncode _),
     // rows-only by design (same contract): pinned by the CorpusSpec
     // case re-encoding the vocabulary against the trainer's end state
     "q_bpe_encode" -> ((s: SparkSession, d: String) => Corpus.bpeEncode(s, d)),
@@ -1676,6 +1679,11 @@ object SparkEntry {
     "q_winnow_overlap" -> operators.Text.winnowOverlapOracle(),
     // the seeded-boilerplate skew receipt: the SAME overlap oracle
     // over the seeded corpus (one seeding expression, two engines)
+    // Exact-substring dedup: the oracle replays the DEFINITION
+    // (brute-force L-gram join + island merge); the engine's
+    // winnow-anchored extend-and-verify must land on the same spans —
+    // the winnowing guarantee, driver-pinned.
+    "q_substr_dedup" -> operators.Text.substrDedupOracle,
     "q_winnow_skew" -> operators.Text.winnowOverlapOracle(
       s"(SELECT doc_id, ${operators.Text.winnowSkewTextSql} AS text " +
         "FROM documents) sd"),
@@ -3497,6 +3505,13 @@ object SparkEntry {
     // so every (rank, left, right, merged, pair_count) row is pinned
     // value for value. A drifted tie-break, an overlap-greedy merge,
     // or a miscounted pair is a row diff at the driver gate.
+    // Unigram-LM tokenizer: the oracle replays the ENTIRE trainer
+    // (seed census, unrolled Viterbi chains, backtrack, recount,
+    // deterministic prune) and the encode replays one more Viterbi
+    // chain under the final table — all integer-exact, hash-pinned.
+    "q_unigram_train" -> operators.Corpus.unigramTrainOracle,
+    "q_unigram_encode" -> operators.Corpus.unigramEncodeOracle,
+
     "q_bpe_merges" ->
       s"""$bpeChainSql
          SELECT CAST(rank AS BIGINT) AS rank, l AS "left", r AS "right",

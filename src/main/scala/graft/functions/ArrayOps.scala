@@ -486,6 +486,13 @@ object ArrayOps {
   /** Column wrapper: per-band LSH bucket keys of a signature array. */
   def band_keys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     Bridge.column(BandKeys(Bridge.expression(sig), bands, rowsPerBand))
+
+  /** Column wrapper: maximal common substring extent around a
+    * k-char anchor collision — `[start_a, start_b, len]`. */
+  def substr_extent(ta: Column, tb: Column, pa: Column, pb: Column,
+      k: Int): Column =
+    Bridge.column(SubstrExtent(Bridge.expression(ta), Bridge.expression(tb),
+      Bridge.expression(pa), Bridge.expression(pb), k))
 }
 
 /** MinHash signature of an array of non-negative base hashes:
@@ -960,4 +967,95 @@ case class Shingles(child: Expression, k: Int, distinct: Boolean = true)
 
   override protected def withNewChildInternal(newChild: Expression): Shingles =
     copy(child = newChild)
+}
+
+/** Maximal common substring extent around a fingerprint-collision
+  * anchor — the EXTEND-AND-VERIFY kernel of exact-substring dedup
+  * (Lee et al. 2022's rule, seeded by winnowing anchors instead of a
+  * suffix array): given two texts and the anchor gram positions
+  * (pa, pb) of a k-char fingerprint collision, verify the anchor
+  * grams char-by-char (a 31-bit rolling-hash collision dies here),
+  * then extend left and right while characters agree. Returns
+  * `[start_a, start_b, len]` of the maximal common run containing
+  * the anchor, or `[0, 0, 0]` for a false-positive anchor. One
+  * primitive loop per anchor, O(match length) — inside whole-stage
+  * codegen, never a boxed lambda per character.
+  */
+case class SubstrExtent(ta: Expression, tb: Expression,
+    pa: Expression, pb: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def first: Expression = ta
+  override def second: Expression = tb
+  override def third: Expression = pa
+  override def fourth: Expression = pb
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "substr_extent"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    (ta.dataType, tb.dataType, pa.dataType, pb.dataType) match {
+      case (org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType, LongType, LongType) =>
+        TypeCheckSuccess
+      case other => TypeCheckFailure(
+        s"substr_extent requires (string, string, bigint, bigint), got $other")
+    }
+  }
+
+  private def compute(a: org.apache.spark.unsafe.types.UTF8String,
+      b: org.apache.spark.unsafe.types.UTF8String,
+      paV: Long, pbV: Long): Array[Long] = {
+    val sa = a.toString
+    val sb = b.toString
+    val ia = paV.toInt
+    val ib = pbV.toInt
+    // verify the anchor gram (hash equality is necessary, not
+    // sufficient)
+    var i = 0
+    while (i < k && ia + i < sa.length && ib + i < sb.length &&
+        sa.charAt(ia + i) == sb.charAt(ib + i)) i += 1
+    if (i < k) return Array(0L, 0L, 0L)
+    // extend right
+    var ra = ia + k
+    var rb = ib + k
+    while (ra < sa.length && rb < sb.length &&
+        sa.charAt(ra) == sb.charAt(rb)) { ra += 1; rb += 1 }
+    // extend left
+    var la = ia
+    var lb = ib
+    while (la > 0 && lb > 0 && sa.charAt(la - 1) == sb.charAt(lb - 1)) {
+      la -= 1; lb -= 1
+    }
+    Array(la.toLong, lb.toLong, (ra - la).toLong)
+  }
+
+  override def nullSafeEval(a: Any, b: Any, p: Any, q: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      compute(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        p.asInstanceOf[Long], q.asInstanceOf[Long]))
+
+  /** Codegen entry point. */
+  def computePublic(a: org.apache.spark.unsafe.types.UTF8String,
+      b: org.apache.spark.unsafe.types.UTF8String,
+      p: Long, q: Long): Array[Long] = compute(a, b, p, q)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("substrExtentSelf", this,
+      classOf[SubstrExtent].getName)
+    nullSafeCodeGen(ctx, ev, (a, b, p, q) => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $self.computePublic($a, $b, $p, $q));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): SubstrExtent =
+    copy(ta = newFirst, tb = newSecond, pa = newThird, pb = newFourth)
 }

@@ -571,6 +571,320 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  // ---- unigram-LM tokenizer (SentencePiece complement to BPE) -------
+
+  /** Unigram trainer geometry, interpolated into both engines:
+    * candidate pieces are word substrings up to this length. */
+  val UnigramMaxPieceLen = 4
+  /** Multi-character pieces retained per pruning pass (single chars
+    * are ALWAYS retained — segmentation must stay total). */
+  val UnigramKeepPieces = 16
+  /** Hard-EM rounds. */
+  val UnigramIters = 2
+  /** DP unroll bound shared with the oracle's generated CTE chain;
+    * the trainer REQUIREs vocabulary words fit it (fixture max is 8 —
+    * measured at every SF; raise both sides together for corpora
+    * with longer alpha runs). */
+  val UnigramMaxWordLen = 16
+
+  /** q_unigram_train: the UNIGRAM-LM TOKENIZER TRAINER (Kudo 2018,
+    * SentencePiece's unigram model) in deterministic INTEGER-EXACT
+    * hard-EM form — the complement of [[bpeMerges]] (BPE grows pieces
+    * bottom-up by merge frequency; unigram seeds ALL substrings and
+    * prunes top-down by usage under the model itself):
+    *
+    *   1. SEED: every substring of length ≤ [[UnigramMaxPieceLen]]
+    *      of the [[trainerVocab]] words, counted by occurrence ×
+    *      word frequency,
+    *   2. E-STEP (hard): Viterbi-segment each vocabulary word under
+    *      integer piece costs — `bits(p) = ⌊log2(T div (c+1))⌋ + 1`
+    *      (the [[graft.operators.Text.surprisal]] `length(bin(·))`
+    *      MDL trick, +1-smoothed so a zero-count piece stays
+    *      finite); ties break lexicographically on (total bits,
+    *      piece count, predecessor) — a packed-long min, so the
+    *      replay is a plain MIN in any engine,
+    *   3. M-STEP + PRUNE: recount pieces from the Viterbi paths,
+    *      keep all single chars (totality) + the top
+    *      [[UnigramKeepPieces]] multi-char pieces by (count desc,
+    *      piece asc) — the deterministic pruning order,
+    *   repeated [[UnigramIters]] times; final costs recomputed from
+    *   the final counts.
+    *
+    * No floating-point log anywhere, so the DuckDB oracle REPLAYS THE
+    * WHOLE TRAINER — seed census, every unrolled Viterbi chain, path
+    * backtrack, recount, prune — and pins every (piece, count, bits)
+    * row by hash. Trainer cost is driver-side over the bounded
+    * [[trainerVocab]] (the BPE contract: corpus-scale work is the
+    * word census; the EM loop touches vocabulary only). */
+  def unigramTrain(spark: SparkSession, sf: String): DataFrame = {
+    val table = unigramTable(spark, sf)
+    val t = table.values.map(_ + 1L).sum
+    val spark2 = spark
+    import spark2.implicits._
+    table.toSeq.sortBy(_._1)
+      .map { case (p, c) => (p, c, bitsOf(t, c)) }
+      .toDF("piece", "cnt", "bits")
+  }
+
+  private def bitsOf(t: Long, c: Long): Long =
+    java.lang.Long.toBinaryString(t / (c + 1)).length.toLong
+
+  /** Viterbi under (piece → bits): (totalBits, nPieces) at word end.
+    * Tie order (bits, np, predecessor) — the packed-min contract the
+    * oracle replays. */
+  private def unigramViterbi(w: String,
+      bits: collection.Map[String, Long]): (Long, Long, Array[Int]) = {
+    val n = w.length
+    val bestBits = new Array[Long](n + 1)
+    val bestNp = new Array[Long](n + 1)
+    val pred = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) {
+      var bb = Long.MaxValue; var bn = Long.MaxValue; var bj = -1
+      var j = math.max(0, i - UnigramMaxPieceLen)
+      while (j < i) {
+        bits.get(w.substring(j, i)) match {
+          case Some(pb) =>
+            val cb = bestBits(j) + pb
+            val cn = bestNp(j) + 1
+            if (cb < bb || (cb == bb && (cn < bn || (cn == bn && j < bj)))) {
+              bb = cb; bn = cn; bj = j
+            }
+          case None => ()
+        }
+        j += 1
+      }
+      bestBits(i) = bb; bestNp(i) = bn; pred(i) = bj
+      i += 1
+    }
+    (bestBits(n), bestNp(n), pred)
+  }
+
+  /** The trained (piece → count) table — shared by train and encode. */
+  private def unigramTable(spark: SparkSession,
+      sf: String): Map[String, Long] = {
+    val vocab = trainerVocab(spark, sf, BpeMinCount, BpeMaxVocab)
+    vocab.foreach { case (w, _) =>
+      require(w.length <= UnigramMaxWordLen,
+        s"word '$w' exceeds UnigramMaxWordLen=$UnigramMaxWordLen — " +
+          "raise the constant (and the oracle unroll) together")
+    }
+    // seed: occurrence-counted substrings, lengths 1..MaxPieceLen
+    val seed = collection.mutable.LinkedHashMap.empty[String, Long]
+    vocab.foreach { case (w, c) =>
+      var s = 0
+      while (s < w.length) {
+        var l = 1
+        while (l <= UnigramMaxPieceLen && s + l <= w.length) {
+          val p = w.substring(s, s + l)
+          seed(p) = seed.getOrElse(p, 0L) + c
+          l += 1
+        }
+        s += 1
+      }
+    }
+    val chars = seed.keysIterator.filter(_.length == 1).toSeq.sorted
+    var table: Map[String, Long] = seed.toMap
+    for (_ <- 1 to UnigramIters) {
+      val t = table.values.map(_ + 1L).sum
+      val bits = table.map { case (p, c) => p -> bitsOf(t, c) }
+      val newc = collection.mutable.HashMap.empty[String, Long]
+      vocab.foreach { case (w, c) =>
+        val (_, _, pred) = unigramViterbi(w, bits)
+        var e = w.length
+        while (e > 0) {
+          val s = pred(e)
+          val p = w.substring(s, e)
+          newc(p) = newc.getOrElse(p, 0L) + c
+          e = s
+        }
+      }
+      val multis = newc.toSeq
+        .filter { case (p, c) => p.length > 1 && c > 0 }
+        .sortBy { case (p, c) => (-c, p) }
+        .take(UnigramKeepPieces)
+      table = (chars.map(ch => ch -> newc.getOrElse(ch, 0L)) ++ multis).toMap
+    }
+    table
+  }
+
+  /** q_unigram_encode: tokenize the corpus with the trained unigram
+    * model and report per-document sizing — [[bpeEncode]]'s exact
+    * shape (Viterbi replaces merge replay): the imperative
+    * segmentation runs over the DISTINCT word vocabulary only, the
+    * corpus pays one word-keyed join plus a per-doc partial agg, and
+    * a doc with no alpha word reports zeros rather than vanishing.
+    * Oracle-exact end to end: the DuckDB twin re-trains the table
+    * (the q_unigram_train replay) and re-runs the unrolled Viterbi
+    * chain per word. */
+  def unigramEncode(spark: SparkSession, sf: String): DataFrame = {
+    val table = unigramTable(spark, sf)
+    val t = table.values.map(_ + 1L).sum
+    val bits = table.map { case (p, c) => p -> bitsOf(t, c) }
+    val bc = spark.sparkContext.broadcast(bits)
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val docWords = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val wordToks = docWords.select(col("w")).distinct().as[String]
+      .map { w =>
+        val (_, np, _) = unigramViterbi(w, bc.value)
+        (w, np)
+      }.toDF("w", "n_toks")
+    val perDoc = docWords.join(wordToks, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_toks")).as("n_unigram_tokens"),
+        sum(length(col("w"))).cast("long").as("n_alpha_chars"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_unigram_tokens"), lit(0L)).as("n_unigram_tokens"),
+        coalesce(col("n_alpha_chars"), lit(0L)).as("n_alpha_chars"),
+        coalesce(expr("(n_alpha_chars * 1000) div n_unigram_tokens"),
+          lit(0L)).as("chars_per_tok_pm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The generated DuckDB replay of the unigram trainer: seed census,
+    * [[UnigramIters]] unrolled (Viterbi DP chain → path backtrack →
+    * recount → prune) rounds, final bits. CTEs are MATERIALIZED — the
+    * DP arms reference the word census dozens of times and plain CTE
+    * inlining re-opens the parquet per reference. The Viterbi min is
+    * the packed `(bits·2¹⁶ + np·2⁸ + pred)` long, whose order equals
+    * the engine's (bits, np, pred) tie order because np ≤ 16 and
+    * pred ≤ 16 stay inside their byte. */
+  private def unigramCtes(): Seq[String] = {
+    val maxw = UnigramMaxWordLen
+    val maxp = UnigramMaxPieceLen
+    def dpChain(tag: String, tbl: String): Seq[String] = {
+      val ctes = collection.mutable.ArrayBuffer.empty[String]
+      ctes += s"b0_$tag AS MATERIALIZED (SELECT word, " +
+        "CAST(0 AS BIGINT) AS bits, 0 AS np, -1 AS pred FROM w)"
+      for (i <- 1 to maxw) {
+        val arms = (math.max(0, i - maxp) until i).map { j =>
+          s"SELECT w.word, b.bits AS pb, b.np AS pnp, $j AS j, " +
+            s"substr(w.word, ${j + 1}, ${i - j}) AS piece " +
+            s"FROM w JOIN b${j}_$tag b USING (word) " +
+            s"WHERE len(w.word) >= $i"
+        }.mkString("\nUNION ALL ")
+        ctes += s"c${i}_$tag AS MATERIALIZED (SELECT u.word, " +
+          "(u.pb + t.bits) * 65536 + (u.pnp + 1) * 256 + u.j AS pk " +
+          s"FROM ($arms) u JOIN $tbl t ON t.piece = u.piece)"
+        ctes += s"b${i}_$tag AS MATERIALIZED (SELECT word, " +
+          "MIN(pk) // 65536 AS bits, (MIN(pk) % 65536) // 256 AS np, " +
+          s"MIN(pk) % 256 AS pred FROM c${i}_$tag GROUP BY word)"
+      }
+      ctes += s"ball_$tag AS MATERIALIZED (" + (1 to maxw).map(i =>
+        s"SELECT word, $i AS i, bits, np, pred FROM b${i}_$tag")
+        .mkString(" UNION ALL ") + ")"
+      ctes += s"p0_$tag AS MATERIALIZED (SELECT b.word, b.i AS e, " +
+        s"b.pred AS s FROM ball_$tag b " +
+        "JOIN w ON w.word = b.word AND len(w.word) = b.i)"
+      for (t <- 1 until maxw)
+        ctes += s"p${t}_$tag AS MATERIALIZED (SELECT p.word, p.s AS e, " +
+          s"b.pred AS s FROM p${t - 1}_$tag p " +
+          s"JOIN ball_$tag b ON b.word = p.word AND b.i = p.s " +
+          "WHERE p.s > 0)"
+      val pall = (0 until maxw).map(t => s"SELECT * FROM p${t}_$tag")
+        .mkString(" UNION ALL ")
+      ctes += s"pieces_$tag AS MATERIALIZED (SELECT word, " +
+        "substr(word, s + 1, CAST(e - s AS INT)) AS piece " +
+        s"FROM ($pall) WHERE e > s)"
+      ctes.toSeq
+    }
+    def tableCtes(tag: String, countsRel: String): Seq[String] = Seq(
+      s"tt_$tag AS MATERIALIZED (SELECT SUM(c + 1) AS T FROM $countsRel)",
+      s"tbl_$tag AS MATERIALIZED (SELECT piece, " +
+        "CAST(length(bin(T // (c + 1))) AS BIGINT) AS bits " +
+        s"FROM $countsRel, tt_$tag)")
+    def recount(tag: String): String =
+      s"nc_$tag AS MATERIALIZED (SELECT p.piece, " +
+        "CAST(SUM(w.cnt) AS BIGINT) AS c " +
+        s"FROM pieces_$tag p JOIN w USING (word) GROUP BY p.piece)"
+    def prune(tag: String, prevNc: String): String =
+      s"keep_$tag AS MATERIALIZED (" +
+        s"SELECT ch.piece, COALESCE(n.c, 0) AS c FROM chars ch " +
+        s"LEFT JOIN $prevNc n USING (piece) UNION ALL " +
+        s"SELECT piece, c FROM (SELECT piece, c FROM $prevNc " +
+        "WHERE len(piece) > 1 AND c > 0 " +
+        s"ORDER BY c DESC, piece LIMIT $UnigramKeepPieces))"
+    val ctes = collection.mutable.ArrayBuffer.empty[String]
+    ctes += "docs0 AS MATERIALIZED (SELECT lower(text) AS t FROM documents)"
+    ctes += "w AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) " +
+      "AS cnt FROM (SELECT unnest(regexp_extract_all(t, '[a-z]+')) " +
+      "AS word FROM docs0) GROUP BY word)"
+    ctes += "seed AS MATERIALIZED (SELECT substr(word, CAST(s AS INT), " +
+      "CAST(l AS INT)) AS piece, CAST(SUM(cnt) AS BIGINT) AS c " +
+      "FROM w, LATERAL (SELECT unnest(generate_series(1, len(word))) " +
+      "AS s) ss, LATERAL (SELECT unnest(generate_series(1, " +
+      s"$maxp)) AS l) ll WHERE s + l - 1 <= len(word) GROUP BY 1)"
+    ctes += "chars AS MATERIALIZED (SELECT piece FROM seed " +
+      "WHERE len(piece) = 1)"
+    var counts = "seed"
+    for (it <- 1 to UnigramIters) {
+      ctes ++= tableCtes(s"i$it", counts)
+      ctes ++= dpChain(s"i$it", s"tbl_i$it")
+      ctes += recount(s"i$it")
+      ctes += prune(s"k$it", s"nc_i$it")
+      counts = s"keep_k$it"
+    }
+    ctes ++= tableCtes("fin", counts)
+    ctes += "final AS MATERIALIZED (SELECT k.piece, k.c AS cnt, t.bits " +
+      s"FROM $counts k JOIN tbl_fin t USING (piece))"
+    ctes.toSeq
+  }
+
+  def unigramTrainOracle: String =
+    "WITH " + unigramCtes().mkString(",\n") +
+      "\nSELECT piece, CAST(cnt AS BIGINT) AS cnt, " +
+      "CAST(bits AS BIGINT) AS bits FROM final ORDER BY piece"
+
+  def unigramEncodeOracle: String = {
+    val maxw = UnigramMaxWordLen
+    val maxp = UnigramMaxPieceLen
+    // one more DP chain under the FINAL table (encode), then per-doc
+    // aggregation with the zero-word LEFT join
+    val enc = collection.mutable.ArrayBuffer.empty[String]
+    enc += s"b0_enc AS MATERIALIZED (SELECT word, " +
+      "CAST(0 AS BIGINT) AS bits, 0 AS np, -1 AS pred FROM w)"
+    for (i <- 1 to maxw) {
+      val arms = (math.max(0, i - maxp) until i).map { j =>
+        s"SELECT w.word, b.bits AS pb, b.np AS pnp, $j AS j, " +
+          s"substr(w.word, ${j + 1}, ${i - j}) AS piece " +
+          s"FROM w JOIN b${j}_enc b USING (word) WHERE len(w.word) >= $i"
+      }.mkString("\nUNION ALL ")
+      enc += s"c${i}_enc AS MATERIALIZED (SELECT u.word, " +
+        "(u.pb + t.bits) * 65536 + (u.pnp + 1) * 256 + u.j AS pk " +
+        s"FROM ($arms) u JOIN tbl_fin t ON t.piece = u.piece)"
+      enc += s"b${i}_enc AS MATERIALIZED (SELECT word, " +
+        "MIN(pk) // 65536 AS bits, (MIN(pk) % 65536) // 256 AS np, " +
+        s"MIN(pk) % 256 AS pred FROM c${i}_enc GROUP BY word)"
+    }
+    enc += "ball_enc AS MATERIALIZED (" + (1 to maxw).map(i =>
+      s"SELECT word, $i AS i, bits, np, pred FROM b${i}_enc")
+      .mkString(" UNION ALL ") + ")"
+    enc += "wnp AS MATERIALIZED (SELECT b.word, b.np FROM ball_enc b " +
+      "JOIN w ON w.word = b.word AND len(w.word) = b.i)"
+    enc += "docw AS MATERIALIZED (SELECT doc_id, " +
+      "unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word " +
+      "FROM documents)"
+    enc += "perdoc AS MATERIALIZED (SELECT d.doc_id, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_words, " +
+      "CAST(SUM(n.np) AS BIGINT) AS n_unigram_tokens, " +
+      "CAST(SUM(len(d.word)) AS BIGINT) AS n_alpha_chars " +
+      "FROM docw d JOIN wnp n USING (word) GROUP BY d.doc_id)"
+    "WITH " + (unigramCtes() ++ enc).mkString(",\n") +
+      """
+      SELECT doc_id, COALESCE(n_words, 0) AS n_words,
+        COALESCE(n_unigram_tokens, 0) AS n_unigram_tokens,
+        COALESCE(n_alpha_chars, 0) AS n_alpha_chars,
+        COALESCE((n_alpha_chars * 1000) // n_unigram_tokens, 0)
+          AS chars_per_tok_pm
+      FROM documents LEFT JOIN perdoc USING (doc_id)
+      ORDER BY doc_id"""
+  }
+
   /** Per-language tokenizer FERTILITY audit — the multilingual-
     * tokenizer health metric (tokens-per-word and chars-per-token by
     * language): a language whose fertility runs far above the corpus

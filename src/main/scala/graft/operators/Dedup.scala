@@ -653,9 +653,15 @@ object Dedup {
     * Reassembly sorts only within one document (array_sort over its
     * own chunk structs), never a global order.
     */
-  def spanDedup(spark: SparkSession, sf: String, span: Int = 10): DataFrame = {
-    val docs = Tables.load(spark, sf, "documents")
-      .select(col("doc_id"), col("text"))
+  def spanDedup(spark: SparkSession, sf: String, span: Int = 10): DataFrame =
+    spanDedupFrom(Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")), span)
+
+  /** The span-dedup kernel over an arbitrary (doc_id, text) frame —
+    * shared with the spec that proves the chunk rule's known blind
+    * spot (a boundary-straddling repeat shorter than any aligned full
+    * chunk), which [[graft.operators.Text.substrDedup]] closes. */
+  private[graft] def spanDedupFrom(docs: DataFrame, span: Int = 10): DataFrame = {
     val chunks = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) > 0)

@@ -834,6 +834,149 @@ object Text {
   def winnowOverlapSkew(spark: SparkSession, sf: String): DataFrame =
     winnowOverlapFrom(winnowSkewDocs(spark, sf))
 
+  /** Minimum repeat length for [[substrDedup]]: k + w − 1 — exactly
+    * the winnowing theorem's guarantee window, so every cross-document
+    * repeat of at least this length is provably anchored by a shared
+    * selected fingerprint in BOTH copies at aligned offsets.
+    * Interpolated into both engines. */
+  val SubstrMinLen: Int = WinnowK + WinnowW - 1
+
+  /** q_substr_dedup: EXACT-SUBSTRING dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * the ≥-L-char cross-document repeat rule) — the fidelity step
+    * past q_span_dedup's fixed 10-word chunk windows: a repeated
+    * substring that straddles chunk boundaries without covering any
+    * full window escapes span dedup and boilerplate removal entirely
+    * (spec-proven on planted straddlers); this operator catches every
+    * cross-document repeat of ≥ [[SubstrMinLen]] chars, reported as
+    * per-document MERGED character spans (the byte ranges a pipeline
+    * actually cuts).
+    *
+    * Semantics: a position is covered iff some [[SubstrMinLen]]-gram
+    * through it occurs in another document — equivalently, the union
+    * of all maximal cross-doc repeats of length ≥ L. The DuckDB
+    * oracle replays that definition literally (brute-force L-gram
+    * equality join + island merge); the ENGINE never materializes
+    * L-grams: WINNOW-ANCHORED EXTEND-AND-VERIFY — fingerprint
+    * collisions from the shared [[winnow]] pass seed (docA, posA,
+    * docB, posB) anchors (the winnowing theorem guarantees every
+    * ≥ L repeat seeds at aligned offsets), one codegen
+    * `substr_extent` loop per anchor verifies chars and extends to
+    * the maximal run (a hash collision dies at the verify), extents
+    * below L are dropped, and per-doc interval union merges by
+    * gaps-and-islands. Equality of the two formulations is exactly
+    * the winnowing guarantee — this row driver-pins it.
+    *
+    * Scale shape: fingerprinting is the winnow map (zero shuffle);
+    * the anchor join exchanges the ~2/(w+1)-density fingerprint set,
+    * never text or grams; extension joins texts for anchor PAIRS only
+    * and runs one O(match) primitive loop each; the island merge
+    * windows per document (bounded state). The anchor join's skew
+    * key is a boilerplate fingerprint — at 100 TB arm the
+    * [[WinnowDfCap]] purge on the anchor census (the q_winnow_skew
+    * pattern; uncapped here so the oracle's literal replay matches),
+    * trading recall on > cap-frequency boilerplate for the Σ df²
+    * bound — that boilerplate is exactly what q_boilerplate already
+    * removes wholesale. */
+  def substrDedup(spark: SparkSession, sf: String): DataFrame =
+    substrDedupFrom(Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")))
+
+  private[graft] def substrDedupFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // winnow fingerprints WITH positions (the anchor seeds); persisted
+    // — both sides of the anchor self-join read it
+    val fps = docs.select(col("doc_id"),
+        explode(graft.functions.ArrayOps.winnow_pack(col("text"),
+          WinnowK, WinnowW, WinnowBase, WinnowMod)).as("packed"))
+      .select(col("doc_id"),
+        expr(s"packed div ${1L << 31}L").as("pos"),
+        expr(s"packed % ${1L << 31}L").as("fp"))
+      .persist()
+    val anchors = fps.select(col("fp"), col("doc_id").as("doc_a"),
+        col("pos").as("pa"))
+      .join(fps.select(col("fp"), col("doc_id").as("doc_b"),
+        col("pos").as("pb")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("pa"), col("doc_b"), col("pb"))
+    val txt = docs.select(col("doc_id"), col("text"))
+    val extents = anchors
+      .join(txt.select(col("doc_id").as("doc_a"), col("text").as("ta")),
+        "doc_a")
+      .join(txt.select(col("doc_id").as("doc_b"), col("text").as("tb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.ArrayOps.substr_extent(col("ta"), col("tb"),
+          col("pa"), col("pb"), WinnowK).as("e"))
+      .filter(element_at(col("e"), 3) >= SubstrMinLen.toLong)
+      .select(col("doc_a"), col("doc_b"),
+        element_at(col("e"), 1).as("sa"),
+        element_at(col("e"), 2).as("sb"),
+        element_at(col("e"), 3).as("len"))
+      // many anchors inside one repeat extend to the same extent
+      .dropDuplicates("doc_a", "doc_b", "sa", "sb", "len")
+    // per-doc intervals from BOTH sides of each extent
+    val intervals = extents
+      .select(col("doc_a").as("doc_id"), col("sa").as("s"),
+        (col("sa") + col("len")).as("e"))
+      .unionByName(extents.select(col("doc_b").as("doc_id"),
+        col("sb").as("s"), (col("sb") + col("len")).as("e")))
+      .distinct()
+    // gaps-and-islands union per document: a new span starts where s
+    // exceeds the running max end of everything before it
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("s"), col("e"))
+    val merged = intervals
+      .withColumn("new_span",
+        when(col("s") > coalesce(
+          max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding,
+            -1)), lit(-1L)), 1L).otherwise(0L))
+      .withColumn("span", sum(col("new_span")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("span"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+    merged
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_chars"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** DuckDB replay of [[substrDedup]]'s DEFINITION (not its
+    * algorithm): brute-force L-gram equality across documents, then
+    * the same island merge — the engine's winnow-anchored extension
+    * must land on exactly these spans. */
+  def substrDedupOracle: String = {
+    val L = SubstrMinLen
+    s"""WITH d AS (
+         SELECT doc_id, text, len(text) AS n FROM documents
+         WHERE len(text) >= $L),
+       g AS (
+         SELECT doc_id, CAST(p AS BIGINT) AS p,
+           substr(text, CAST(p + 1 AS INT), $L) AS gram
+         FROM d, LATERAL (SELECT unnest(generate_series(0, n - $L))
+           AS p) gg),
+       sh AS (
+         SELECT DISTINCT a.doc_id, a.p
+         FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id != b.doc_id),
+       m AS (
+         SELECT doc_id, p,
+           CASE WHEN p > COALESCE(MAX(p + $L) OVER (
+             PARTITION BY doc_id ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+           THEN 1 ELSE 0 END AS ni
+         FROM sh),
+       isl AS (
+         SELECT doc_id, p,
+           SUM(ni) OVER (PARTITION BY doc_id ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         FROM m)
+       SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+         CAST(MAX(p) + $L AS BIGINT) AS span_end,
+         CAST(MAX(p) + $L - MIN(p) AS BIGINT) AS span_chars
+       FROM isl GROUP BY doc_id, island
+       ORDER BY doc_id, span_start"""
+  }
+
   /** The winnow SELECTION CTE chain (d → h → mn → st → sel): per-
     * position polynomial hashes (the rolling recurrence unrolled to
     * its closed form — Σ ord·Bᵉ mod M), frame-window minima, rightmost

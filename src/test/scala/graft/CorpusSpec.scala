@@ -68,6 +68,45 @@ class CorpusSpec extends AnyFunSuite {
     assert(corpus.keySet == Set(0L, 1L), corpus.toString)
   }
 
+  test("unigram tokenizer: total segmentation, real compression, deterministic, coherent with encode") {
+    val table = Corpus.unigramTrain(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(table.nonEmpty)
+    // totality: every character of every corpus word is in the table
+    val words = Tables.load(spark, sf, "documents")
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+        .as("w")).distinct().collect().map(_.getString(0))
+    val pieces = table.map(_._1).toSet
+    val chars = words.flatMap(_.toSeq).map(_.toString).toSet
+    assert(chars.subsetOf(pieces), s"missing chars: ${chars -- pieces}")
+    // the trainer actually learned multi-char pieces that get used
+    val multis = table.filter(t => t._1.length > 1)
+    assert(multis.nonEmpty && multis.forall(_._2 > 0L))
+    assert(multis.size <= Corpus.UnigramKeepPieces)
+    // bits are the MDL costs of the final counts (re-derive)
+    val t = table.map(_._2 + 1L).sum
+    table.foreach { case (p, c, b) =>
+      assert(b == java.lang.Long.toBinaryString(t / (c + 1)).length.toLong,
+        s"piece $p bits")
+    }
+    // encode coherence: tokens per word in [1, len]; compression real
+    val enc = Corpus.unigramEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(enc.nonEmpty)
+    enc.foreach { case (id, nw, nt, nc, _) =>
+      assert(nt >= nw && nt <= nc, s"doc $id tokens $nt outside [$nw,$nc]")
+    }
+    val totChars = enc.map(_._4).sum
+    val totToks = enc.map(_._3).sum
+    assert(totToks * 1000 / totChars < 900,
+      s"no compression: $totToks tokens over $totChars chars")
+    // determinism: a second full run is bit-identical
+    assert(Corpus.unigramTrain(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      table.toSeq)
+  }
+
   test("domain cap bounds every source and keeps the partial group-limit") {
     val capped = Corpus.domainCap(spark, sf, k = 7)
     val perSource = capped.groupBy("source").count().collect()

@@ -1330,6 +1330,105 @@ class OperatorSpec extends AnyFunSuite {
       s"seeded run exploded: $skewPairs vs $plainPairs organic")
   }
 
+  test("substr dedup: catches planted boundary-straddling repeats that span dedup provably misses; spans re-derive brute-force") {
+    import graft.operators.Text
+    import spark.implicits._
+    // the repeat: 8 words (< one 10-word chunk), 38 chars >= L = 23
+    val repeat = "quantum lattice harmonics resonate beyond"
+    assert(repeat.length >= Text.SubstrMinLen)
+    // planted so the repeat STRADDLES doc 1's first 10-word chunk
+    // boundary (words 6-10 + 11-13 territory) and sits at a DIFFERENT
+    // alignment in doc 2 — no 10-word chunk can match
+    val doc1 = "alpha beta gamma delta epsilon " + repeat +
+      " omega psi chi phi upsilon tau"
+    val doc2 = "one two " + repeat + " nine ten eleven twelve " +
+      "thirteen fourteen fifteen sixteen"
+    val doc3 = "totally unrelated content with nothing shared at all here"
+    val docs = Seq((1L, doc1), (2L, doc2), (3L, doc3)).toDF("doc_id", "text")
+
+    // span dedup's chunk rule finds NOTHING to drop on these docs
+    val span = graft.operators.Dedup.spanDedupFrom(docs).collect()
+    assert(span.forall(_.getAs[Long]("dropped") == 0L),
+      "span dedup unexpectedly caught the straddling repeat")
+
+    // substr dedup catches the repeat in BOTH docs, nothing in doc 3
+    val got = Text.substrDedupFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSet == Set(1L, 2L), got.mkString(","))
+
+    // brute-force re-derivation of the DEFINITION (union of shared
+    // L-grams, merged) — independent of both the winnow anchors and
+    // the extension kernel
+    val L = Text.SubstrMinLen
+    val texts = Map(1L -> doc1, 2L -> doc2, 3L -> doc3)
+    def ref(id: Long): Seq[(Long, Long, Long)] = {
+      val t = texts(id)
+      val others = texts.filter(_._1 != id).values
+        .flatMap(o => (0 to o.length - L).map(p => o.substring(p, p + L)))
+        .toSet
+      val covered = (0 to t.length - L)
+        .filter(p => others.contains(t.substring(p, p + L)))
+      if (covered.isEmpty) return Nil
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      covered.foreach { p =>
+        if (spans.nonEmpty && p <= spans.last._2) {
+          val (s0, e0) = spans.last
+          spans(spans.length - 1) = (s0, math.max(e0, p + L))
+        } else spans += ((p, p + L))
+      }
+      spans.map { case (s, e) =>
+        (s.toLong, e.toLong, (e - s).toLong) }.toSeq
+    }
+    Seq(1L, 2L, 3L).foreach { id =>
+      val want = ref(id).map { case (s, e, c) => (id, s, e, c) }
+      assert(got.filter(_._1 == id).sortBy(_._2).toSeq == want,
+        s"doc $id spans diverged from brute force")
+    }
+    // and each planted span really covers the repeat occurrence
+    Seq(1L -> doc1, 2L -> doc2).foreach { case (id, t) =>
+      val at = t.indexOf(repeat).toLong
+      val sp = got.filter(_._1 == id).head
+      assert(sp._2 <= at && sp._3 >= at + repeat.length,
+        s"doc $id span $sp does not cover the planted repeat at $at")
+    }
+  }
+
+  test("substr dedup at corpus scale: spans re-derive from the brute-force L-gram union") {
+    import graft.operators.Text
+    val got = Text.substrDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val L = Text.SubstrMinLen
+    val texts = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // one global gram -> docs index, then per-doc covered positions
+    val gramDocs = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.Set[Long]]
+    texts.foreach { case (id, t) =>
+      (0 to t.length - L).foreach { p =>
+        gramDocs.getOrElseUpdate(t.substring(p, p + L),
+          scala.collection.mutable.Set.empty[Long]) += id
+      }
+    }
+    val want = texts.toSeq.sortBy(_._1).flatMap { case (id, t) =>
+      val covered = (0 to t.length - L).filter { p =>
+        val ds = gramDocs(t.substring(p, p + L))
+        ds.size > 1 || !ds.contains(id)
+      }
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      covered.foreach { p =>
+        if (spans.nonEmpty && p <= spans.last._2) {
+          val (s0, e0) = spans.last
+          spans(spans.length - 1) = (s0, math.max(e0, p + L))
+        } else spans += ((p, p + L))
+      }
+      spans.map { case (s, e) => (id, s.toLong, e.toLong, (e - s).toLong) }
+    }
+    assert(got.sortBy(r => (r._1, r._2)).toSeq == want,
+      s"engine ${got.length} spans vs brute force ${want.length}")
+  }
+
   test("winnow: fingerprints re-derive from a brute-force rolling hash + rightmost-min winnowing") {
     import graft.operators.Text
     val got = Text.winnow(spark, sf).collect()
