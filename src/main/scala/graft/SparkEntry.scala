@@ -116,6 +116,7 @@ object SparkEntry {
     "q_winnow_overlap" -> (Text.winnowOverlap _),
     "q_winnow_skew" -> (Text.winnowOverlapSkew _),
     "q_substr_dedup" -> (Text.substrDedup _),
+    "q_substr_scrub" -> (Text.substrScrub _),
     "q_delta_winnow" -> (Text.deltaWinnow _),
     "q_stream_winnow" -> ((s: SparkSession, d: String) =>
       graft.streaming.DocStream.winnowViaStream(s, d)),
@@ -133,6 +134,7 @@ object SparkEntry {
     "q_hash_embed" -> (FeatureHash.hashEmbed _),
     "q_hash_embed_neardup" -> (FeatureHash.hashEmbedNearDup _),
     "q_nb_classify" -> (Text.nbClassify _),
+    "q_nb_classify_saved" -> (Text.nbClassifySaved _),
     "q_nb_confusion" -> (Text.nbConfusion _),
     "q_nb_eval" -> (Text.nbEval _),
     "q_nb_reliability" -> (Text.nbReliability _),
@@ -163,6 +165,7 @@ object SparkEntry {
     "q_bpe_merges" -> ((s: SparkSession, d: String) => Corpus.bpeMerges(s, d)),
     "q_unigram_train" -> (Corpus.unigramTrain _),
     "q_unigram_encode" -> (Corpus.unigramEncode _),
+    "q_unigram_fertility" -> (Corpus.unigramFertility _),
     // rows-only by design (same contract): pinned by the CorpusSpec
     // case re-encoding the vocabulary against the trainer's end state
     "q_bpe_encode" -> ((s: SparkSession, d: String) => Corpus.bpeEncode(s, d)),
@@ -1684,6 +1687,7 @@ object SparkEntry {
     // winnow-anchored extend-and-verify must land on the same spans —
     // the winnowing guarantee, driver-pinned.
     "q_substr_dedup" -> operators.Text.substrDedupOracle,
+    "q_substr_scrub" -> operators.Text.substrScrubOracle,
     "q_winnow_skew" -> operators.Text.winnowOverlapOracle(
       s"(SELECT doc_id, ${operators.Text.winnowSkewTextSql} AS text " +
         "FROM documents) sd"),
@@ -3511,6 +3515,7 @@ object SparkEntry {
     // chain under the final table — all integer-exact, hash-pinned.
     "q_unigram_train" -> operators.Corpus.unigramTrainOracle,
     "q_unigram_encode" -> operators.Corpus.unigramEncodeOracle,
+    "q_unigram_fertility" -> operators.Corpus.unigramFertilityOracle,
 
     "q_bpe_merges" ->
       s"""$bpeChainSql
@@ -3569,6 +3574,9 @@ object SparkEntry {
     // costs — the same length(bin(a // b)) no-float-log trick as
     // q_surprisal, so the trained model replays bit-for-bit.
     "q_nb_classify" -> NbClassifySql,
+    // scored against the LOADED model artifact (train -> publish ->
+    // load -> score): same oracle, so a round-trip bit-flip fails
+    "q_nb_classify_saved" -> NbClassifySql,
 
     // The SAME oracle pins the streaming twin: per-delivery scoring
     // against the frozen model must agree with the batch pass

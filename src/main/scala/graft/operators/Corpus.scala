@@ -840,7 +840,37 @@ object Corpus {
       "\nSELECT piece, CAST(cnt AS BIGINT) AS cnt, " +
       "CAST(bits AS BIGINT) AS bits FROM final ORDER BY piece"
 
-  def unigramEncodeOracle: String = {
+  def unigramEncodeOracle: String =
+    "WITH " + unigramEncodeCtes().mkString(",\n") +
+      """
+      SELECT doc_id, COALESCE(n_words, 0) AS n_words,
+        COALESCE(n_unigram_tokens, 0) AS n_unigram_tokens,
+        COALESCE(n_alpha_chars, 0) AS n_alpha_chars,
+        COALESCE((n_alpha_chars * 1000) // n_unigram_tokens, 0)
+          AS chars_per_tok_pm
+      FROM documents LEFT JOIN perdoc USING (doc_id)
+      ORDER BY doc_id"""
+
+  /** [[unigramEncodeOracle]]'s per-language aggregation — the unigram
+    * twin of the BPE fertility oracle, composed from the same CTE
+    * chain. */
+  def unigramFertilityOracle: String =
+    "WITH " + unigramEncodeCtes().mkString(",\n") +
+      """
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(COALESCE(n_words, 0)) AS BIGINT) AS n_words,
+        CAST(SUM(COALESCE(n_unigram_tokens, 0)) AS BIGINT)
+          AS n_unigram_tokens,
+        CAST(SUM(COALESCE(n_alpha_chars, 0)) AS BIGINT) AS n_alpha_chars,
+        CAST(COALESCE((SUM(COALESCE(n_unigram_tokens, 0)) * 1000)
+          // SUM(COALESCE(n_words, 0)), 0) AS BIGINT) AS toks_per_word_pm,
+        CAST(COALESCE((SUM(COALESCE(n_alpha_chars, 0)) * 1000)
+          // SUM(COALESCE(n_unigram_tokens, 0)), 0) AS BIGINT)
+          AS chars_per_tok_pm
+      FROM documents LEFT JOIN perdoc USING (doc_id)
+      GROUP BY lang ORDER BY lang"""
+
+  private def unigramEncodeCtes(): Seq[String] = {
     val maxw = UnigramMaxWordLen
     val maxp = UnigramMaxPieceLen
     // one more DP chain under the FINAL table (encode), then per-doc
@@ -874,15 +904,33 @@ object Corpus {
       "CAST(SUM(n.np) AS BIGINT) AS n_unigram_tokens, " +
       "CAST(SUM(len(d.word)) AS BIGINT) AS n_alpha_chars " +
       "FROM docw d JOIN wnp n USING (word) GROUP BY d.doc_id)"
-    "WITH " + (unigramCtes() ++ enc).mkString(",\n") +
-      """
-      SELECT doc_id, COALESCE(n_words, 0) AS n_words,
-        COALESCE(n_unigram_tokens, 0) AS n_unigram_tokens,
-        COALESCE(n_alpha_chars, 0) AS n_alpha_chars,
-        COALESCE((n_alpha_chars * 1000) // n_unigram_tokens, 0)
-          AS chars_per_tok_pm
-      FROM documents LEFT JOIN perdoc USING (doc_id)
-      ORDER BY doc_id"""
+    unigramCtes() ++ enc
+  }
+
+  /** q_unigram_fertility: per-language tokens-per-word and
+    * chars-per-token under the UNIGRAM model — [[bpeFertility]]'s
+    * exact shape over [[unigramEncode]]'s per-doc sizing, which is
+    * what makes the two tokenizers comparable per language (train
+    * both, read the two fertility tables side by side, pick per
+    * corpus). Same scale argument: everything heavy is the encode's;
+    * this adds one language-keyed partial agg. */
+  def unigramFertility(spark: SparkSession, sf: String): DataFrame = {
+    val perDoc = unigramEncode(spark, sf)
+    val langs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"))
+    perDoc.join(langs, "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_unigram_tokens")).as("n_unigram_tokens"),
+        sum(col("n_alpha_chars")).as("n_alpha_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_unigram_tokens"), col("n_alpha_chars"),
+        coalesce(expr("(n_unigram_tokens * 1000) div n_words"), lit(0L))
+          .as("toks_per_word_pm"),
+        coalesce(expr("(n_alpha_chars * 1000) div n_unigram_tokens"),
+          lit(0L)).as("chars_per_tok_pm"))
+      .orderBy(col("lang"))
   }
 
   /** Per-language tokenizer FERTILITY audit — the multilingual-

@@ -378,6 +378,25 @@ object Text {
   def nbClassify(spark: SparkSession, sf: String): DataFrame =
     nbHoldoutScored(spark, sf).orderBy(col("doc_id"))
 
+  /** q_nb_classify_saved: [[nbClassify]] SERVED FROM THE PERSISTED
+    * MODEL ARTIFACT — the model-side twin of q_ann_ivf_saved: train →
+    * publish the versioned classes/counts frames through
+    * [[graft.operators.IndexStore]] → score the holdout against the
+    * LOADED frames. Same output and DuckDB oracle as the in-place
+    * classifier, so a round-trip bit-flip or a version mispin flips a
+    * prediction and fails the hash. This is the deployment shape the
+    * streaming scorer's "frozen artifact" doc promises: the model
+    * trains once, ships as storage, and every scoring job — batch or
+    * per-delivery — reads the same bytes. */
+  def nbClassifySaved(spark: SparkSession, sf: String): DataFrame = {
+    val root = graft.TempDirs.create("graft-nb-artifact")
+    val v = IndexStore.saveNb(spark, sf, root)
+    val (classes, counts) = IndexStore.loadNb(spark, root, Some(v))
+    nbScore(nbTokenized(Tables.load(spark, sf, "documents"))
+        .filter(expr(NbHoldoutExpr)), classes.persist(), counts.persist())
+      .orderBy(col("doc_id"))
+  }
+
   /** Classifier evaluation, confusion-matrix form: held-out predictions
     * from [[nbClassify]]'s exact pipeline bucketed by (true, predicted)
     * — the routing-error map a curation team reads before trusting the
@@ -940,6 +959,90 @@ object Text {
         (col("span_end") - col("span_start")).as("span_chars"))
       .orderBy(col("doc_id"), col("span_start"))
   }
+
+  /** q_substr_scrub: APPLY [[substrDedup]]'s spans — rewrite every
+    * document with its cross-document repeated regions CUT OUT, the
+    * enforcement step the span report exists to feed. This is the
+    * conservative scrub form (every copy removed — the C4
+    * boilerplate posture: content repeated across documents at
+    * ≥ [[SubstrMinLen]] chars is template/license/quote mass whose
+    * every occurrence pollutes training); the keep-one-copy variant
+    * assigns each repeat family a global owner (the
+    * [[Dedup.spanDedup]] first-occurrence rule) over the same spans.
+    * Output is per-document accounting plus `md5(clean_text)` — the
+    * fingerprint pins the REASSEMBLED text byte-for-byte in both
+    * engines without hauling full texts through the compare.
+    *
+    * Shape: spans come from the substr kernel; the rewrite is one
+    * per-doc window (lag over a doc's own spans — bounded state), one
+    * per-doc ordered agg assembling surviving segments, and one
+    * narrow join back to the text. Nothing corpus-sized leaves its
+    * partition unaggregated. */
+  def substrScrub(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val spans = substrDedupFrom(docs)
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("span_start"))
+    // the surviving segment BEFORE each span: (prev span end, start)
+    val segs = spans
+      .withColumn("s0",
+        coalesce(lag(col("span_end"), 1).over(byDoc), lit(0L)))
+      .join(docs, "doc_id")
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("s0"),
+        expr("substring(text, cast(s0 + 1 as int), " +
+          "cast(span_start - s0 as int))").as("seg"))
+    val perDoc = segs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start")).as("cut_chars"),
+        max(col("span_end")).as("last_end"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("s0"), col("seg")))),
+          s => s.getField("seg")), "").as("head_text"))
+    docs.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("cut_chars"), lit(0L)).as("cut_chars"),
+        (length(col("text")) - coalesce(col("cut_chars"), lit(0L)))
+          .cast("long").as("kept_chars"),
+        md5(concat(coalesce(col("head_text"), lit("")),
+          expr("substring(text, cast(coalesce(last_end, 0) + 1 as int), " +
+            "length(text))"))).as("clean_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay of [[substrScrub]]: the span oracle as a derived
+    * table, the same lag-segment reassembly via ordered string_agg,
+    * md5 over the identical byte sequence. */
+  def substrScrubOracle: String =
+    s"""WITH spans AS ($substrDedupOracle),
+       segs AS (
+         SELECT s.doc_id, s.span_start, s.span_end,
+           COALESCE(lag(s.span_end) OVER (PARTITION BY s.doc_id
+             ORDER BY s.span_start), 0) AS s0
+         FROM spans s),
+       perdoc AS (
+         SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(g.span_end - g.span_start) AS BIGINT) AS cut_chars,
+           MAX(g.span_end) AS last_end,
+           string_agg(substr(d.text, CAST(g.s0 + 1 AS INT),
+             CAST(g.span_start - g.s0 AS INT)), '' ORDER BY g.s0)
+             AS head_text
+         FROM segs g JOIN documents d USING (doc_id)
+         GROUP BY g.doc_id)
+       SELECT d.doc_id,
+         COALESCE(p.n_spans, 0) AS n_spans,
+         COALESCE(p.cut_chars, 0) AS cut_chars,
+         CAST(len(d.text) - COALESCE(p.cut_chars, 0) AS BIGINT)
+           AS kept_chars,
+         md5(COALESCE(p.head_text, '') ||
+           substr(d.text, CAST(COALESCE(p.last_end, 0) + 1 AS INT)))
+           AS clean_fp
+       FROM documents d LEFT JOIN perdoc p USING (doc_id)
+       ORDER BY d.doc_id"""
 
   /** DuckDB replay of [[substrDedup]]'s DEFINITION (not its
     * algorithm): brute-force L-gram equality across documents, then

@@ -1393,6 +1393,47 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("substr scrub: accounting reconciles with the spans, clean text re-derives byte-for-byte") {
+    import graft.operators.Text
+    val scrub = Text.substrScrub(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toMap
+    val spans = Text.substrDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val texts = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(scrub.keySet == texts.keySet, "scrub must report every doc")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    scrub.foreach { case (id, (nSpans, cut, kept, fp)) =>
+      val t = texts(id)
+      assert(cut + kept == t.length.toLong, s"doc $id accounting")
+      val ss = spans.getOrElse(id, Array.empty[(Long, Long, Long)])
+        .sortBy(_._2)
+      assert(nSpans == ss.length.toLong, s"doc $id span count")
+      assert(cut == ss.map(s => s._3 - s._2).sum, s"doc $id cut chars")
+      // independent reassembly: drop the span ranges, hash the rest
+      val clean = {
+        val sb = new StringBuilder
+        var pos = 0
+        ss.foreach { case (_, s, e) =>
+          sb.append(t.substring(pos, s.toInt)); pos = e.toInt }
+        sb.append(t.substring(pos)); sb.toString
+      }
+      assert(fp == md5hex(clean), s"doc $id clean_fp mismatch")
+      assert(clean.length.toLong == kept, s"doc $id kept chars")
+    }
+    // the scrub actually bites at this scale
+    assert(scrub.values.exists(_._1 > 0L))
+    // and a scrubbed doc no longer carries its cut content verbatim:
+    // no clean text of a spanned doc equals the original
+    spans.keys.foreach(id =>
+      assert(scrub(id)._4 != md5hex(texts(id)), s"doc $id unchanged"))
+  }
+
   test("substr dedup at corpus scale: spans re-derive from the brute-force L-gram union") {
     import graft.operators.Text
     val got = Text.substrDedup(spark, sf).collect()
