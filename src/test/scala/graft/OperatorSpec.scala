@@ -2335,7 +2335,16 @@ class OperatorSpec extends AnyFunSuite {
       // coverage union, the decoded cut chain, and the VAD islands
       // all claim layout-independence — demand the receipt
       "q_lpa_communities", "q_winnow_skew", "q_dup_ngram_frac",
-      "q_scene_cuts_decoded", "q_keyframes", "q_audio_vad")
+      "q_scene_cuts_decoded", "q_keyframes", "q_audio_vad",
+      // r14 additions: the anchored extension + island merge, the
+      // scrub reassembly fingerprint, the LSH-fed matrix, the
+      // artifact-served search and classifier, the trainer-replay
+      // tokenizer, the production curate path, and the keyframe
+      // fingerprint grouping all claim layout-independence
+      "q_substr_dedup", "q_substr_scrub", "q_dup_matrix_lsh",
+      "q_ann_ivf_saved", "q_nb_classify_saved", "q_unigram_train",
+      "q_unigram_encode", "q_curate_v2_approx", "q_video_neardup",
+      "q_gopher_rules")
     def snap(): Map[String, Seq[Seq[Any]]] = {
       spark.catalog.clearCache()
       qs.map(q => q ->
