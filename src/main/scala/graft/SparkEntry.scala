@@ -117,6 +117,9 @@ object SparkEntry {
     "q_winnow_skew" -> (Text.winnowOverlapSkew _),
     "q_substr_dedup" -> (Text.substrDedup _),
     "q_substr_scrub" -> (Text.substrScrub _),
+    "q_decontaminate" -> (Text.decontaminate _),
+    "q_delta_substr" -> (Text.deltaSubstr _),
+    "q_decontaminate_scrub" -> (Text.decontaminateScrub _),
     "q_delta_winnow" -> (Text.deltaWinnow _),
     "q_stream_winnow" -> ((s: SparkSession, d: String) =>
       graft.streaming.DocStream.winnowViaStream(s, d)),
@@ -1688,6 +1691,12 @@ object SparkEntry {
     // the winnowing guarantee, driver-pinned.
     "q_substr_dedup" -> operators.Text.substrDedupOracle,
     "q_substr_scrub" -> operators.Text.substrScrubOracle,
+    // benchmark decontamination: the same definition restricted to
+    // train x test (the shared content-hash split), spans + applied
+    // scrub both hash-pinned
+    "q_decontaminate" -> operators.Text.decontaminateOracle,
+    "q_delta_substr" -> operators.Text.deltaSubstrOracle,
+    "q_decontaminate_scrub" -> operators.Text.decontaminateScrubOracle,
     "q_winnow_skew" -> operators.Text.winnowOverlapOracle(
       s"(SELECT doc_id, ${operators.Text.winnowSkewTextSql} AS text " +
         "FROM documents) sd"),

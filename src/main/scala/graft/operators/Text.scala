@@ -941,11 +941,18 @@ object Text {
       .unionByName(extents.select(col("doc_b").as("doc_id"),
         col("sb").as("s"), (col("sb") + col("len")).as("e")))
       .distinct()
-    // gaps-and-islands union per document: a new span starts where s
-    // exceeds the running max end of everything before it
+    mergeSpans(intervals)
+  }
+
+  /** Gaps-and-islands union of (doc_id, s, e) intervals per document:
+    * a new span starts where s exceeds the running max end of
+    * everything before it. Windows per document — bounded state.
+    * Shared by [[substrDedupFrom]] and [[substrSpansAcross]]. */
+  private def mergeSpans(intervals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id"))
       .orderBy(col("s"), col("e"))
-    val merged = intervals
+    intervals
       .withColumn("new_span",
         when(col("s") > coalesce(
           max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding,
@@ -954,10 +961,155 @@ object Text {
         byDoc.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("doc_id"), col("span"))
       .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
-    merged
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_chars"))
       .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** CROSS-SET substring spans: regions of `corpus` documents covered
+    * by a ≥ [[SubstrMinLen]]-char substring shared with ANY
+    * `reference` document — [[substrDedupFrom]]'s kernel with the
+    * anchor join restricted to corpus × reference (coverage reported
+    * on the corpus side only). Same winnow-anchored extend-and-verify,
+    * same guarantee: the winnowing theorem is a property of the
+    * matching substring, indifferent to which set each copy lives in. */
+  private[graft] def substrSpansAcross(corpus: DataFrame,
+      reference: DataFrame): DataFrame = {
+    def fps(docs: DataFrame): DataFrame =
+      docs.select(col("doc_id"),
+          explode(graft.functions.ArrayOps.winnow_pack(col("text"),
+            WinnowK, WinnowW, WinnowBase, WinnowMod)).as("packed"))
+        .select(col("doc_id"),
+          expr(s"packed div ${1L << 31}L").as("pos"),
+          expr(s"packed % ${1L << 31}L").as("fp"))
+    val anchors = fps(corpus)
+      .select(col("fp"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+      .join(fps(reference)
+        .select(col("fp"), col("doc_id").as("doc_b"), col("pos").as("pb")),
+        "fp")
+      .select(col("doc_a"), col("pa"), col("doc_b"), col("pb"))
+    val extents = anchors
+      .join(corpus.select(col("doc_id").as("doc_a"), col("text").as("ta")),
+        "doc_a")
+      .join(reference.select(col("doc_id").as("doc_b"),
+        col("text").as("tb")), "doc_b")
+      .select(col("doc_a"),
+        graft.functions.ArrayOps.substr_extent(col("ta"), col("tb"),
+          col("pa"), col("pb"), WinnowK).as("e"))
+      .filter(element_at(col("e"), 3) >= SubstrMinLen.toLong)
+      .select(col("doc_a").as("doc_id"),
+        element_at(col("e"), 1).as("s"),
+        (element_at(col("e"), 1) + element_at(col("e"), 3)).as("e"))
+      .distinct()
+    mergeSpans(extents)
+  }
+
+  /** q_decontaminate: BENCHMARK DECONTAMINATION — the span audit of
+    * train-split documents against the TEST split (the GPT-3/PaLM
+    * "remove eval n-grams from training data" rule, at exact-substring
+    * fidelity): every region of a train document covered by a
+    * ≥ [[SubstrMinLen]]-char substring that also appears in any test
+    * document, as merged character spans. The split is the shared
+    * content-hash 80/10/10 ([[Corpus.splitAssignDf]] — one
+    * definition, so this row, q_contamination's near-dup audit, and
+    * the split itself can never disagree about membership); where
+    * q_contamination flags whole near-dup PAIRS across splits, this
+    * catches the partial leaks — a quoted eval passage inside an
+    * otherwise-novel train doc — that document-level similarity
+    * misses. [[decontaminateScrub]] applies the cut.
+    *
+    * Scale: the reference (eval) side is tiny in any real deployment,
+    * so the anchor join is fingerprints × (small set) — at 100 TB the
+    * eval fingerprint set broadcasts and the whole audit is a
+    * map-side probe of the train scan. */
+  def decontaminate(spark: SparkSession, sf: String): DataFrame = {
+    val (train, test) = decontaminateSides(spark, sf)
+    substrSpansAcross(train, test)
+  }
+
+  private def decontaminateSides(spark: SparkSession,
+      sf: String): (DataFrame, DataFrame) = {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val labeled = docs.join(
+      graft.operators.Corpus.splitAssignDf(docs)
+        .select(col("doc_id"), col("split")), "doc_id")
+    (labeled.filter(col("split") === "train").select(col("doc_id"),
+        col("text")),
+      labeled.filter(col("split") === "test").select(col("doc_id"),
+        col("text")))
+  }
+
+  /** q_delta_substr: INCREMENTAL exact-substring triage — the delta
+    * form that completes the substring family the way
+    * [[deltaWinnow]] completes the winnow family (batch → cross-set →
+    * delta): the corpus slice (doc_id below the shared 80% split) is
+    * the frozen reference, and each ARRIVING document's spans covered
+    * by ≥ [[SubstrMinLen]]-char corpus content are reported — the
+    * audit an ingest pipeline runs per delivery before admitting
+    * documents ("how much of this is verbatim something we already
+    * hold, and exactly WHERE"). Same [[substrSpansAcross]] kernel as
+    * decontamination with the delta framing; at scale the corpus-side
+    * fingerprint index is the persisted artifact the streaming winnow
+    * twins already maintain, and the extension joins the arriving
+    * batch against only the anchor-hit corpus docs. */
+  def deltaSubstr(spark: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val w = docs.agg(floor((max(col("doc_id")) + 1) * 0.8).cast("long"))
+      .head().getLong(0)
+    substrSpansAcross(docs.filter(col("doc_id") >= w),
+      docs.filter(col("doc_id") < w))
+  }
+
+  /** DuckDB replay of [[deltaSubstr]]: the brute-force definition
+    * restricted to delta × corpus under the shared 80% id split. */
+  def deltaSubstrOracle: String = {
+    val L = SubstrMinLen
+    s"""WITH wsp AS (
+         SELECT CAST(floor((MAX(doc_id) + 1) * 0.8) AS BIGINT) AS w
+         FROM documents),
+       d AS (
+         SELECT doc_id, text, len(text) AS n FROM documents
+         WHERE len(text) >= $L),
+       g AS (
+         SELECT doc_id, CAST(p AS BIGINT) AS p,
+           substr(text, CAST(p + 1 AS INT), $L) AS gram
+         FROM d, LATERAL (SELECT unnest(generate_series(0, n - $L))
+           AS p) gg),
+       sh AS (
+         SELECT DISTINCT a.doc_id, a.p
+         FROM g a JOIN g b ON a.gram = b.gram, wsp
+         WHERE a.doc_id >= wsp.w AND b.doc_id < wsp.w),
+       m AS (
+         SELECT doc_id, p,
+           CASE WHEN p > COALESCE(MAX(p + $L) OVER (
+             PARTITION BY doc_id ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+           THEN 1 ELSE 0 END AS ni
+         FROM sh),
+       isl AS (
+         SELECT doc_id, p,
+           SUM(ni) OVER (PARTITION BY doc_id ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         FROM m)
+       SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+         CAST(MAX(p) + $L AS BIGINT) AS span_end,
+         CAST(MAX(p) + $L - MIN(p) AS BIGINT) AS span_chars
+       FROM isl GROUP BY doc_id, island
+       ORDER BY doc_id, span_start"""
+  }
+
+  /** q_decontaminate_scrub: the decontamination APPLIED — the whole
+    * corpus rewritten with [[decontaminate]]'s spans cut from the
+    * train docs (val/test docs pass through untouched, so the output
+    * is the complete post-decontamination corpus), with the same
+    * accounting + md5(clean_text) pin as [[substrScrub]]. */
+  def decontaminateScrub(spark: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    scrubFrom(docs, decontaminate(spark, sf)
+      .select(col("doc_id"), col("span_start"), col("span_end")))
   }
 
   /** q_substr_scrub: APPLY [[substrDedup]]'s spans — rewrite every
@@ -979,11 +1131,18 @@ object Text {
     * narrow join back to the text. Nothing corpus-sized leaves its
     * partition unaggregated. */
   def substrScrub(spark: SparkSession, sf: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("text"))
-    val spans = substrDedupFrom(docs)
-      .select(col("doc_id"), col("span_start"), col("span_end"))
+    scrubFrom(docs, substrDedupFrom(docs)
+      .select(col("doc_id"), col("span_start"), col("span_end")))
+  }
+
+  /** The rewrite kernel: cut `spans` out of `docs` and report the
+    * accounting + reassembled-text fingerprint — shared by
+    * [[substrScrub]] (all cross-doc repeats) and
+    * [[decontaminateScrub]] (eval-shared spans only). */
+  private def scrubFrom(docs: DataFrame, spans: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("span_start"))
     // the surviving segment BEFORE each span: (prev span end, start)
     val segs = spans
@@ -1013,11 +1172,60 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** DuckDB replay of [[decontaminate]]: the same brute-force L-gram
+    * definition restricted to train × test (the interpolated
+    * content-hash split — the q_split_assign expression verbatim),
+    * coverage on the train side, same island merge. */
+  def decontaminateOracle: String = {
+    val L = SubstrMinLen
+    s"""WITH d AS (
+         SELECT doc_id, text, len(text) AS n,
+           CASE WHEN ('0x' || substring(md5(text), 1, 8))::BIGINT % 1000
+                  < 800 THEN 'train'
+                WHEN ('0x' || substring(md5(text), 1, 8))::BIGINT % 1000
+                  < 900 THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents WHERE len(text) >= $L),
+       g AS (
+         SELECT doc_id, split, CAST(p AS BIGINT) AS p,
+           substr(text, CAST(p + 1 AS INT), $L) AS gram
+         FROM d, LATERAL (SELECT unnest(generate_series(0, n - $L))
+           AS p) gg),
+       sh AS (
+         SELECT DISTINCT a.doc_id, a.p
+         FROM g a JOIN g b ON a.gram = b.gram
+           AND a.split = 'train' AND b.split = 'test'),
+       m AS (
+         SELECT doc_id, p,
+           CASE WHEN p > COALESCE(MAX(p + $L) OVER (
+             PARTITION BY doc_id ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+           THEN 1 ELSE 0 END AS ni
+         FROM sh),
+       isl AS (
+         SELECT doc_id, p,
+           SUM(ni) OVER (PARTITION BY doc_id ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         FROM m)
+       SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+         CAST(MAX(p) + $L AS BIGINT) AS span_end,
+         CAST(MAX(p) + $L - MIN(p) AS BIGINT) AS span_chars
+       FROM isl GROUP BY doc_id, island
+       ORDER BY doc_id, span_start"""
+  }
+
   /** DuckDB replay of [[substrScrub]]: the span oracle as a derived
     * table, the same lag-segment reassembly via ordered string_agg,
     * md5 over the identical byte sequence. */
-  def substrScrubOracle: String =
-    s"""WITH spans AS ($substrDedupOracle),
+  def substrScrubOracle: String = scrubOracleOver(substrDedupOracle)
+
+  /** [[decontaminateScrub]]'s replay — the same reassembly over the
+    * decontamination spans. */
+  def decontaminateScrubOracle: String =
+    scrubOracleOver(decontaminateOracle)
+
+  private def scrubOracleOver(spansSql: String): String =
+    s"""WITH spans AS ($spansSql),
        segs AS (
          SELECT s.doc_id, s.span_start, s.span_end,
            COALESCE(lag(s.span_end) OVER (PARTITION BY s.doc_id

@@ -1470,6 +1470,93 @@ class OperatorSpec extends AnyFunSuite {
       s"engine ${got.length} spans vs brute force ${want.length}")
   }
 
+  test("decontamination: train-only spans re-derive brute-force, contained in the all-docs spans, scrub leaves non-train docs untouched") {
+    import graft.operators.{Corpus, Text}
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val splits = Corpus.splitAssignDf(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = Text.decontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty, "no eval-shared spans at this scale")
+    assert(got.forall(s => splits(s._1) == "train"),
+      "a non-train doc appeared in the decontamination report")
+
+    // brute-force re-derivation of the cross-set definition
+    val L = Text.SubstrMinLen
+    val testGrams = texts.collect { case (id, t) if splits(id) == "test" =>
+      (0 to t.length - L).map(p => t.substring(p, p + L)) }
+      .flatten.toSet
+    val want = texts.toSeq.sortBy(_._1)
+      .filter(d => splits(d._1) == "train").flatMap { case (id, t) =>
+        val covered = (0 to t.length - L)
+          .filter(p => testGrams.contains(t.substring(p, p + L)))
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        covered.foreach { p =>
+          if (spans.nonEmpty && p <= spans.last._2) {
+            val (s0, e0) = spans.last
+            spans(spans.length - 1) = (s0, math.max(e0, p + L))
+          } else spans += ((p, p + L))
+        }
+        spans.map { case (s, e) => (id, s.toLong, e.toLong) }
+      }
+    assert(got.sortBy(s => (s._1, s._2)).toSeq == want,
+      s"engine ${got.length} spans vs brute force ${want.length}")
+
+    // containment: eval-shared coverage is a subset of all-docs coverage
+    val all = Text.substrDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    got.foreach { case (id, s, e) =>
+      assert(all(id).exists(a => a._2 <= s && a._3 >= e),
+        s"decon span ($id,$s,$e) not inside any all-docs span")
+    }
+
+    // the applied scrub: non-train docs (and un-spanned train docs)
+    // pass through byte-identical; spanned docs change
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(x: String): String =
+      md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val scrub = Text.decontaminateScrub(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(4))).toMap
+    val spanned = got.map(_._1).toSet
+    texts.keys.foreach { id =>
+      if (spanned(id)) assert(scrub(id)._2 != md5hex(texts(id)), s"doc $id")
+      else assert(scrub(id) == ((0L, md5hex(texts(id)))), s"doc $id")
+    }
+  }
+
+  test("delta substr: arriving-doc spans against the frozen corpus slice re-derive brute-force") {
+    import graft.operators.Text
+    val texts = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val w = (texts.keys.max + 1) * 8 / 10
+    val got = Text.deltaSubstr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty && got.forall(_._1 >= w),
+      "a corpus-slice doc appeared in the delta report")
+    val L = Text.SubstrMinLen
+    val corpusGrams = texts.collect { case (id, t) if id < w =>
+      (0 to t.length - L).map(p => t.substring(p, p + L)) }.flatten.toSet
+    val want = texts.toSeq.sortBy(_._1).filter(_._1 >= w)
+      .flatMap { case (id, t) =>
+        val covered = (0 to t.length - L)
+          .filter(p => corpusGrams.contains(t.substring(p, p + L)))
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        covered.foreach { p =>
+          if (spans.nonEmpty && p <= spans.last._2) {
+            val (s0, e0) = spans.last
+            spans(spans.length - 1) = (s0, math.max(e0, p + L))
+          } else spans += ((p, p + L))
+        }
+        spans.map { case (s, e) => (id, s.toLong, e.toLong) }
+      }
+    assert(got.sortBy(s => (s._1, s._2)).toSeq == want,
+      s"engine ${got.length} spans vs brute force ${want.length}")
+  }
+
   test("winnow: fingerprints re-derive from a brute-force rolling hash + rightmost-min winnowing") {
     import graft.operators.Text
     val got = Text.winnow(spark, sf).collect()
