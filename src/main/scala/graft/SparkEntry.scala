@@ -117,6 +117,8 @@ object SparkEntry {
     "q_winnow_skew" -> (Text.winnowOverlapSkew _),
     "q_substr_dedup" -> (Text.substrDedup _),
     "q_substr_scrub" -> (Text.substrScrub _),
+    "q_substr_keep_first" -> (Text.substrKeepFirst _),
+    "q_substr_scrub_first" -> (Text.substrScrubFirst _),
     "q_decontaminate" -> (Text.decontaminate _),
     "q_delta_substr" -> (Text.deltaSubstr _),
     "q_decontaminate_scrub" -> (Text.decontaminateScrub _),
@@ -1691,6 +1693,10 @@ object SparkEntry {
     // the winnowing guarantee, driver-pinned.
     "q_substr_dedup" -> operators.Text.substrDedupOracle,
     "q_substr_scrub" -> operators.Text.substrScrubOracle,
+    // keep-one-copy semantics: cut-eligible iff a smaller-id doc holds
+    // the substring; the first-occurrence holder stays byte-identical
+    "q_substr_keep_first" -> operators.Text.substrKeepFirstOracle,
+    "q_substr_scrub_first" -> operators.Text.substrScrubFirstOracle,
     // benchmark decontamination: the same definition restricted to
     // train x test (the shared content-hash split), spans + applied
     // scrub both hash-pinned

@@ -974,7 +974,8 @@ object Text {
     * same guarantee: the winnowing theorem is a property of the
     * matching substring, indifferent to which set each copy lives in. */
   private[graft] def substrSpansAcross(corpus: DataFrame,
-      reference: DataFrame): DataFrame = {
+      reference: DataFrame,
+      pairFilter: Column = lit(true)): DataFrame = {
     def fps(docs: DataFrame): DataFrame =
       docs.select(col("doc_id"),
           explode(graft.functions.ArrayOps.winnow_pack(col("text"),
@@ -987,6 +988,7 @@ object Text {
       .join(fps(reference)
         .select(col("fp"), col("doc_id").as("doc_b"), col("pos").as("pb")),
         "fp")
+      .filter(pairFilter)
       .select(col("doc_a"), col("pa"), col("doc_b"), col("pb"))
     val extents = anchors
       .join(corpus.select(col("doc_id").as("doc_a"), col("text").as("ta")),
@@ -1039,6 +1041,76 @@ object Text {
       labeled.filter(col("split") === "test").select(col("doc_id"),
         col("text")))
   }
+
+  /** q_substr_keep_first: the KEEP-ONE-COPY span report — Lee et
+    * al.'s actual dedup semantics, where [[substrDedup]] audits every
+    * copy: a region of document X is cut-eligible iff a ≥
+    * [[SubstrMinLen]]-char substring through it also appears in a
+    * SMALLER-id document (the global first-occurrence rule, the
+    * [[Dedup.spanDedup]] owner convention at exact-substring
+    * fidelity). The minimum-id holder of every repeat keeps its copy
+    * untouched, so scrubbing by these spans removes duplicate mass
+    * while PRESERVING one occurrence of the content corpus-wide —
+    * the transformation a training pipeline actually applies, vs the
+    * conservative all-copies [[substrScrub]]. Same cross-kernel with
+    * the `doc_b < doc_a` pair predicate (which also excludes
+    * self-pairs); within-doc internal repeats are out of scope by the
+    * same cross-doc rule as the audit. */
+  def substrKeepFirst(spark: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    substrSpansAcross(docs, docs,
+      pairFilter = col("doc_b") < col("doc_a"))
+  }
+
+  /** q_substr_scrub_first: [[substrKeepFirst]] APPLIED — the corpus
+    * rewritten with every non-first copy of repeated content cut, the
+    * first-occurrence holder byte-identical. Same accounting +
+    * md5(clean_text) pin as [[substrScrub]]. */
+  def substrScrubFirst(spark: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    scrubFrom(docs, substrKeepFirst(spark, sf)
+      .select(col("doc_id"), col("span_start"), col("span_end")))
+  }
+
+  /** DuckDB replay of [[substrKeepFirst]]: the brute-force definition
+    * with the smaller-id predicate. */
+  def substrKeepFirstOracle: String = {
+    val L = SubstrMinLen
+    s"""WITH d AS (
+         SELECT doc_id, text, len(text) AS n FROM documents
+         WHERE len(text) >= $L),
+       g AS (
+         SELECT doc_id, CAST(p AS BIGINT) AS p,
+           substr(text, CAST(p + 1 AS INT), $L) AS gram
+         FROM d, LATERAL (SELECT unnest(generate_series(0, n - $L))
+           AS p) gg),
+       sh AS (
+         SELECT DISTINCT a.doc_id, a.p
+         FROM g a JOIN g b ON a.gram = b.gram AND b.doc_id < a.doc_id),
+       m AS (
+         SELECT doc_id, p,
+           CASE WHEN p > COALESCE(MAX(p + $L) OVER (
+             PARTITION BY doc_id ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+           THEN 1 ELSE 0 END AS ni
+         FROM sh),
+       isl AS (
+         SELECT doc_id, p,
+           SUM(ni) OVER (PARTITION BY doc_id ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         FROM m)
+       SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+         CAST(MAX(p) + $L AS BIGINT) AS span_end,
+         CAST(MAX(p) + $L - MIN(p) AS BIGINT) AS span_chars
+       FROM isl GROUP BY doc_id, island
+       ORDER BY doc_id, span_start"""
+  }
+
+  /** [[substrScrubFirst]]'s replay. */
+  def substrScrubFirstOracle: String =
+    scrubOracleOver(substrKeepFirstOracle)
 
   /** q_delta_substr: INCREMENTAL exact-substring triage — the delta
     * form that completes the substring family the way

@@ -1527,6 +1527,73 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("substr keep-first: the min-id holder keeps its copy, every repeat survives exactly once, spans re-derive brute-force") {
+    import graft.operators.Text
+    val texts = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = Text.substrKeepFirst(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // brute-force re-derivation under the smaller-id rule
+    val L = Text.SubstrMinLen
+    val gramMinDoc = scala.collection.mutable.HashMap.empty[String, Long]
+    texts.toSeq.sortBy(_._1).foreach { case (id, t) =>
+      (0 to t.length - L).foreach { p =>
+        val g = t.substring(p, p + L)
+        if (!gramMinDoc.contains(g)) gramMinDoc(g) = id
+      }
+    }
+    val want = texts.toSeq.sortBy(_._1).flatMap { case (id, t) =>
+      val covered = (0 to t.length - L)
+        .filter(p => gramMinDoc(t.substring(p, p + L)) < id)
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      covered.foreach { p =>
+        if (spans.nonEmpty && p <= spans.last._2) {
+          val (s0, e0) = spans.last
+          spans(spans.length - 1) = (s0, math.max(e0, p + L))
+        } else spans += ((p, p + L))
+      }
+      spans.map { case (s, e) => (id, s.toLong, e.toLong) }
+    }
+    assert(got.sortBy(s => (s._1, s._2)).toSeq == want,
+      s"engine ${got.length} spans vs brute force ${want.length}")
+    // keep-first ⊆ all-copies coverage, and strictly smaller: the
+    // min-id holders' copies are exactly what the audit has extra
+    val audit = Text.substrDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).groupBy(_._1)
+    got.foreach { case (id, s, e) =>
+      assert(audit(id).exists(a => a._2 <= s && a._3 >= e),
+        s"keep-first span ($id,$s,$e) outside the audit coverage")
+    }
+    assert(got.length < audit.values.map(_.length).sum)
+    // first-occurrence retention, in its provable form: the globally
+    // smallest audit-covered doc shares only with LARGER docs, so
+    // keep-first must leave it entirely untouched — and the scrub
+    // must pass it through byte-identical
+    val firstDoc = audit.keySet.min
+    assert(!got.exists(_._1 == firstDoc),
+      s"keep-first cut the globally first holder $firstDoc")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(x: String): String =
+      md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val scrub = Text.substrScrubFirst(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(4))).toMap
+    assert(scrub(firstDoc) == ((0L, md5hex(texts(firstDoc)))),
+      s"scrub-first touched the first holder $firstDoc")
+    // and it cuts strictly less than the all-copies scrub
+    val conservative = Text.substrScrub(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val cutFirst = scrub.values.map(_._1).sum
+    val cutAll = got.map(s => s._3 - s._2).sum
+    assert(cutAll == Text.substrKeepFirst(spark, sf).collect()
+      .map(r => r.getLong(3)).sum)
+    assert(conservative.values.sum > cutAll,
+      "keep-first did not preserve strictly more than the all-copies scrub")
+    assert(cutFirst == got.length.toLong,
+      "scrub-first span accounting diverged from the span report")
+  }
+
   test("delta substr: arriving-doc spans against the frozen corpus slice re-derive brute-force") {
     import graft.operators.Text
     val texts = Tables.load(spark, sf, "documents")
