@@ -1594,6 +1594,25 @@ class OperatorSpec extends AnyFunSuite {
       "scrub-first span accounting diverged from the span report")
   }
 
+  test("substr family plan hygiene: anchor joins are equality joins, extension is the codegen kernel, no cartesian product") {
+    import graft.operators.Text
+    val frames = Map(
+      "substr_dedup" -> Text.substrDedup(spark, sf),
+      "substr_keep_first" -> Text.substrKeepFirst(spark, sf),
+      "decontaminate" -> Text.decontaminate(spark, sf),
+      "delta_substr" -> Text.deltaSubstr(spark, sf))
+    frames.foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plan degenerated to a cartesian product:\n" +
+          plan.take(1500))
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plan carries a nested-loop join:\n" + plan.take(1500))
+      assert(plan.contains("substr_extent"),
+        s"$name lost the codegen extension kernel:\n" + plan.take(1500))
+    }
+  }
+
   test("delta substr: arriving-doc spans against the frozen corpus slice re-derive brute-force") {
     import graft.operators.Text
     val texts = Tables.load(spark, sf, "documents")
