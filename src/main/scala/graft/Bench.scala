@@ -26,12 +26,31 @@ import org.apache.spark.sql.SparkSession
   * the start), ONE extra sweep runs automatically and the artifact
   * records `extra_sweeps`/`load_ratio` — the r10 "keep the bench
   * honest under load" hardening.
+  *
+  * BUDGET (the r14 lesson — BENCH_r14.json is `rc: 124`, the driver
+  * killed the 3-sweep run mid-stage and the round closed with no
+  * bench artifact at all): the default is now TWO interleaved sweeps
+  * — the cross-sweep-min methodology needs ≥ 2 to reject a load
+  * window, and the third sweep's marginal noise rejection is not
+  * worth losing the artifact. The load-adaptive extra sweep stays,
+  * but gated on the wall-clock budget (`SPARK_GRAFT_BENCH_BUDGET_S`,
+  * default 1500 s): it only runs if the elapsed time plus one more
+  * sweep (estimated at the slowest sweep so far) fits. Output
+  * ordering is part of the contract too: the COMPACT summary line
+  * prints FIRST (every round since r5 recorded `parsed: null`
+  * because the full runs-matrix line outgrew the driver's capture —
+  * the compact line is the de-facto artifact), the full line second,
+  * and per-sweep progress lines go to STDERR so stdout stays a
+  * clean JSON record even when the process is killed mid-run.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val sweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "3").toInt
+    val sweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "2").toInt
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1500").toDouble
+    val wall0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - wall0) / 1e9
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -74,23 +93,46 @@ object Bench {
     // never query-major (that recreates the adjacent-repeat blindspot)
     val sweepBuf =
       scala.collection.mutable.ArrayBuffer.empty[Seq[(Double, Option[String])]]
-    (1 to sweeps).foreach(_ =>
-      sweepBuf += selected.map { case (_, fn) => once(fn) })
     def totalOf(rs: Seq[(Double, Option[String])]): Double =
       rs.collect { case (t, None) => t }.sum
+    // per-sweep progress on STDERR: a killed run still leaves a
+    // human-readable record of how far it got and what each completed
+    // sweep cost, without polluting the stdout JSON contract
+    def progress(tag: String): Unit = {
+      val rs = sweepBuf.last
+      System.err.println(f"[bench] $tag done: sweep_total=${totalOf(rs)}%.1f s, " +
+        f"n_ok=${rs.count(_._2.isEmpty)}/${rs.size}, elapsed=$elapsedS%.1f s")
+    }
+    // budget-aware sweep loop: after sweep 1, a further sweep only
+    // runs if the elapsed time plus one more sweep (estimated at the
+    // slowest sweep so far) fits the budget — a severely loaded host
+    // degrades to a 1-sweep artifact instead of a mid-sweep kill
+    // with no artifact at all (the r14 failure)
+    var i = 1
+    while (i <= sweeps &&
+        (i == 1 || elapsedS + sweepBuf.map(totalOf).max < budgetS)) {
+      sweepBuf += selected.map { case (_, fn) => once(fn) }
+      progress(s"sweep $i/$sweeps")
+      i += 1
+    }
+    val skippedSweeps = sweeps - sweepBuf.size
     // LOAD-ADAPTIVE extra sweep (r10 methodology hardening): when the
     // first sweep ran ≥1.5× the last — the signature of a host-load
     // window overlapping the early sweep — one additional sweep runs
     // so every query still gets ≥3 load-clean shots at its min. Bounded
-    // at one extra; the artifact records it so the composite's
-    // provenance is visible, not argued.
+    // at one extra, and (r15) gated on the wall-clock budget: an extra
+    // sweep that would blow past the driver's kill window trades the
+    // whole artifact for marginal noise rejection — never worth it.
     val loadRatio =
       if (sweepBuf.size >= 2 && totalOf(sweepBuf.last) > 0)
         totalOf(sweepBuf.head) / totalOf(sweepBuf.last)
       else 1.0
+    val worstSweepS = sweepBuf.map(totalOf).max
     val extraSweeps =
-      if (loadRatio > 1.5) {
-        sweepBuf += selected.map { case (_, fn) => once(fn) }; 1
+      if (loadRatio > 1.5 && elapsedS + worstSweepS < budgetS) {
+        sweepBuf += selected.map { case (_, fn) => once(fn) }
+        progress("extra sweep (load-adaptive)")
+        1
       } else 0
     val runsBySweep: Seq[Seq[(Double, Option[String])]] = sweepBuf.toSeq
 
@@ -127,24 +169,29 @@ object Bench {
     val composite = ok.map(_._2).sum
     // "sweeps" is the TOTAL run count — runs[query] has exactly this
     // many entries; a consumer iterating runs[query][0 until sweeps]
-    // must see the adaptive extra sweep too. "extra_sweeps" records how
-    // many of those were load-triggered beyond the configured count.
+    // must see the adaptive extra sweep too. "extra_sweeps" records
+    // load-triggered additions beyond the configured count;
+    // "skipped_sweeps" records configured sweeps the budget guard
+    // dropped (an over-budget host trades sweeps for the artifact).
     val base =
-      s""""unit":"sec","sweeps":${sweeps + extraSweeps},"extra_sweeps":$extraSweeps,""" +
+      s""""unit":"sec","sweeps":${runsBySweep.size},""" +
+      s""""extra_sweeps":$extraSweeps,"skipped_sweeps":$skippedSweeps,""" +
       s""""load_ratio":${num(loadRatio)},""" +
       s""""total_composite":${num(composite)},""" +
       s""""sweep_totals":${sweepTotals.map(t => num(t)).mkString("[", ",", "]")},""" +
       s""""sweep_n_ok":${sweepOk.mkString("[", ",", "]")},""" +
       s""""methodology":"per-query min over $sweeps interleaved full sweeps""" +
       s""" + $extraSweeps load-adaptive (trigger: sweep1/sweepN > 1.5); raw timings in runs[query][sweep]""""
-    println(s"""{"metric":"total","value":${num(composite)},$base,"queries":$qs,"runs":$runsJson,"errors":$errs,"sf":"$sfDir"}""")
-    // Compact second line: the full JSON has outgrown the driver's
-    // tail capture (BENCH_r06 "parsed": null), so the headline — total,
-    // counts, the 10 slowest — must survive on its own short line.
+    // COMPACT line FIRST (r15): every driver artifact since r5 came
+    // back `parsed: null` because the full runs-matrix line outgrew
+    // the capture — the short headline line is the one a parser can
+    // always swallow, so it leads. The full line follows for humans
+    // and post-hoc analysis.
     val top10 = ok.sortBy(-_._2).take(10)
       .map { case (k, v, _, _) => s"\"${esc(k)}\":" + num(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${num(composite)},$base,"n_queries":${ok.size},"n_errors":${perQuery.size - ok.size},"top10":$top10,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(composite)},$base,"queries":$qs,"runs":$runsJson,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (perQuery.exists(_._3.nonEmpty)) sys.exit(1)
   }
