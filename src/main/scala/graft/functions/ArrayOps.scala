@@ -339,8 +339,12 @@ object SqWdot {
   * rescan), emitting `(pos << 31) | hash` packed longs so the output
   * stays a flat `array<bigint>` (M < 2³¹ keeps the hash in the low
   * bits; positions are document offsets, far under 2³²). Character
-  * basis is UTF-16 code units == code points on ASCII/BMP text — the
-  * oracle's `ord(substr(…))` agrees on the fixture alphabet.
+  * basis is UNICODE CODE POINTS (r15): positions and gram hashes are
+  * computed over the codepoint sequence, not UTF-16 code units, so
+  * anchor offsets agree with Spark `substring` and DuckDB
+  * `substr`/`ord(substr(…))` on ALL text — an emoji or supplementary
+  * CJK char before a match shifts both sides identically instead of
+  * silently desyncing the substring family's span arithmetic.
   *
   * Documents shorter than k emit no fingerprints; documents with
   * fewer than w grams winnow a single window over what exists.
@@ -362,8 +366,11 @@ case class WinnowPack(child: Expression, k: Int, w: Int, base: Long, mod: Long)
   }
 
   private def compute(s: org.apache.spark.unsafe.types.UTF8String): Array[Long] = {
-    val t = s.toString
-    val n = t.length
+    // codepoint basis: one int per character as SQL substr counts
+    // them — identical to the old UTF-16 loop on BMP text, correct
+    // (instead of silently desynced) beyond it
+    val cp = s.toString.codePoints().toArray
+    val n = cp.length
     val m = n - k + 1
     if (m <= 0) return Array.emptyLongArray
     // gram hashes by one rolling pass
@@ -373,12 +380,12 @@ case class WinnowPack(child: Expression, k: Int, w: Int, base: Long, mod: Long)
     while (i < k - 1) { bk1 = (bk1 * base) % mod; i += 1 }
     var h = 0L
     i = 0
-    while (i < k) { h = (h * base + t.charAt(i).toLong) % mod; i += 1 }
+    while (i < k) { h = (h * base + cp(i).toLong) % mod; i += 1 }
     hs(0) = h
     i = 1
     while (i < m) {
-      h = (h - (t.charAt(i - 1).toLong * bk1) % mod + mod) % mod
-      h = (h * base + t.charAt(i + k - 1).toLong) % mod
+      h = (h - (cp(i - 1).toLong * bk1) % mod + mod) % mod
+      h = (h * base + cp(i + k - 1).toLong) % mod
       hs(i) = h
       i += 1
     }
@@ -979,7 +986,9 @@ case class Shingles(child: Expression, k: Int, distinct: Boolean = true)
   * `[start_a, start_b, len]` of the maximal common run containing
   * the anchor, or `[0, 0, 0]` for a false-positive anchor. One
   * primitive loop per anchor, O(match length) — inside whole-stage
-  * codegen, never a boxed lambda per character.
+  * codegen, never a boxed lambda per character. Offsets and lengths
+  * are CODE POINTS (the [[WinnowPack]] anchor basis), so they feed
+  * SQL `substring`/`substr` arithmetic exactly on any text.
   */
 case class SubstrExtent(ta: Expression, tb: Expression,
     pa: Expression, pb: Expression, k: Int)
@@ -1007,25 +1016,28 @@ case class SubstrExtent(ta: Expression, tb: Expression,
   private def compute(a: org.apache.spark.unsafe.types.UTF8String,
       b: org.apache.spark.unsafe.types.UTF8String,
       paV: Long, pbV: Long): Array[Long] = {
-    val sa = a.toString
-    val sb = b.toString
+    // codepoint basis, matching WinnowPack's anchor positions and the
+    // SQL substr/substring offset arithmetic downstream (scrub cuts,
+    // oracle replay) — UTF-16 charAt would desync on non-BMP text
+    val sa = a.toString.codePoints().toArray
+    val sb = b.toString.codePoints().toArray
     val ia = paV.toInt
     val ib = pbV.toInt
     // verify the anchor gram (hash equality is necessary, not
     // sufficient)
     var i = 0
     while (i < k && ia + i < sa.length && ib + i < sb.length &&
-        sa.charAt(ia + i) == sb.charAt(ib + i)) i += 1
+        sa(ia + i) == sb(ib + i)) i += 1
     if (i < k) return Array(0L, 0L, 0L)
     // extend right
     var ra = ia + k
     var rb = ib + k
     while (ra < sa.length && rb < sb.length &&
-        sa.charAt(ra) == sb.charAt(rb)) { ra += 1; rb += 1 }
+        sa(ra) == sb(rb)) { ra += 1; rb += 1 }
     // extend left
     var la = ia
     var lb = ib
-    while (la > 0 && lb > 0 && sa.charAt(la - 1) == sb.charAt(lb - 1)) {
+    while (la > 0 && lb > 0 && sa(la - 1) == sb(lb - 1)) {
       la -= 1; lb -= 1
     }
     Array(la.toLong, lb.toLong, (ra - la).toLong)

@@ -392,8 +392,13 @@ object Text {
     val root = graft.TempDirs.create("graft-nb-artifact")
     val v = IndexStore.saveNb(spark, sf, root)
     val (classes, counts) = IndexStore.loadNb(spark, root, Some(v))
+    // generational persist: the model frames feed several scoring
+    // joins, but a long session must not accumulate one cached copy
+    // per invocation
+    val Seq(classesC, countsC) =
+      graft.CachePool.swap("nb-saved-model", classes, counts)
     nbScore(nbTokenized(Tables.load(spark, sf, "documents"))
-        .filter(expr(NbHoldoutExpr)), classes.persist(), counts.persist())
+        .filter(expr(NbHoldoutExpr)), classesC, countsC)
       .orderBy(col("doc_id"))
   }
 
@@ -891,27 +896,51 @@ object Text {
     * never text or grams; extension joins texts for anchor PAIRS only
     * and runs one O(match) primitive loop each; the island merge
     * windows per document (bounded state). The anchor join's skew
-    * key is a boilerplate fingerprint — at 100 TB arm the
-    * [[WinnowDfCap]] purge on the anchor census (the q_winnow_skew
-    * pattern; uncapped here so the oracle's literal replay matches),
-    * trading recall on > cap-frequency boilerplate for the Σ df²
-    * bound — that boilerplate is exactly what q_boilerplate already
-    * removes wholesale. */
+    * key is a boilerplate fingerprint — at 100 TB arm `dfCap` (the
+    * [[WinnowDfCap]]-style purge on the anchor census, the
+    * q_winnow_skew pattern — spec-proven on a seeded boilerplate
+    * flood; the driver row runs uncapped so the oracle's literal
+    * replay matches), trading recall on > cap-frequency boilerplate
+    * for the Σ df² bound — that boilerplate is exactly what
+    * q_boilerplate already removes wholesale. */
   def substrDedup(spark: SparkSession, sf: String): DataFrame =
     substrDedupFrom(Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("text")))
 
-  private[graft] def substrDedupFrom(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // winnow fingerprints WITH positions (the anchor seeds); persisted
-    // — both sides of the anchor self-join read it
-    val fps = docs.select(col("doc_id"),
+  /** Positioned winnow fingerprints — the anchor seeds shared by the
+    * whole substring family (batch, cross-set, delta, streaming). */
+  private[graft] def substrFpSet(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
         explode(graft.functions.ArrayOps.winnow_pack(col("text"),
           WinnowK, WinnowW, WinnowBase, WinnowMod)).as("packed"))
       .select(col("doc_id"),
         expr(s"packed div ${1L << 31}L").as("pos"),
         expr(s"packed % ${1L << 31}L").as("fp"))
-      .persist()
+
+  /** The [[WinnowDfCap]]-style skew purge on an anchor fingerprint
+    * frame: fingerprints present in more than `cap` DISTINCT
+    * documents are corpus boilerplate AND the anchor join's skew
+    * keys — dropping them before pairing bounds per-fingerprint pair
+    * work at cap² (Σ df² with df ≤ cap). `None` keeps exact
+    * semantics — what the DuckDB oracles replay literally. */
+  private def capAnchorFps(fps: DataFrame, cap: Option[Long]): DataFrame =
+    cap match {
+      case Some(c) =>
+        val census = fps.groupBy(col("fp"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        fps.join(census.filter(col("df") <= c).select(col("fp")), "fp")
+      case None => fps
+    }
+
+  private[graft] def substrDedupFrom(docs: DataFrame,
+      dfCap: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // winnow fingerprints WITH positions (the anchor seeds); persisted
+    // through the generational pool — both sides of the anchor
+    // self-join read it, and repeated invocations in a long session
+    // hold one generation of blocks, not one per call
+    val fps = graft.CachePool.swap("substr-anchor-fps",
+      capAnchorFps(substrFpSet(docs), dfCap)).head
     val anchors = fps.select(col("fp"), col("doc_id").as("doc_a"),
         col("pos").as("pa"))
       .join(fps.select(col("fp"), col("doc_id").as("doc_b"),
@@ -972,20 +1001,32 @@ object Text {
     * anchor join restricted to corpus × reference (coverage reported
     * on the corpus side only). Same winnow-anchored extend-and-verify,
     * same guarantee: the winnowing theorem is a property of the
-    * matching substring, indifferent to which set each copy lives in. */
+    * matching substring, indifferent to which set each copy lives in.
+    * `dfCap` arms the [[capAnchorFps]] skew purge on BOTH sides'
+    * censuses (a boilerplate fingerprint must exceed the cap on
+    * either side to flood the join) — None for the driver rows, whose
+    * oracles replay the uncapped semantics literally. */
   private[graft] def substrSpansAcross(corpus: DataFrame,
       reference: DataFrame,
+      pairFilter: Column = lit(true),
+      dfCap: Option[Long] = None): DataFrame =
+    substrSpansAgainstIndex(corpus, capAnchorFps(substrFpSet(corpus), dfCap),
+      capAnchorFps(substrFpSet(reference), dfCap),
+      reference.select(col("doc_id"), col("text")), pairFilter)
+
+  /** The cross-set span kernel with the REFERENCE side handed in as a
+    * prebuilt (doc_id, pos, fp) index + (doc_id, text) store — shared
+    * by [[substrSpansAcross]] (which fingerprints both sides inline)
+    * and the streaming twin's per-delivery probe of its persistent
+    * index ([[graft.streaming.DocStream]]), so stream and batch run
+    * ONE kernel. The extension join touches only anchor-HIT reference
+    * docs (the anchor join's doc_b set), never the whole store. */
+  private[graft] def substrSpansAgainstIndex(corpus: DataFrame,
+      corpusFps: DataFrame, idxFps: DataFrame, idxTexts: DataFrame,
       pairFilter: Column = lit(true)): DataFrame = {
-    def fps(docs: DataFrame): DataFrame =
-      docs.select(col("doc_id"),
-          explode(graft.functions.ArrayOps.winnow_pack(col("text"),
-            WinnowK, WinnowW, WinnowBase, WinnowMod)).as("packed"))
-        .select(col("doc_id"),
-          expr(s"packed div ${1L << 31}L").as("pos"),
-          expr(s"packed % ${1L << 31}L").as("fp"))
-    val anchors = fps(corpus)
+    val anchors = corpusFps
       .select(col("fp"), col("doc_id").as("doc_a"), col("pos").as("pa"))
-      .join(fps(reference)
+      .join(idxFps
         .select(col("fp"), col("doc_id").as("doc_b"), col("pos").as("pb")),
         "fp")
       .filter(pairFilter)
@@ -993,7 +1034,7 @@ object Text {
     val extents = anchors
       .join(corpus.select(col("doc_id").as("doc_a"), col("text").as("ta")),
         "doc_a")
-      .join(reference.select(col("doc_id").as("doc_b"),
+      .join(idxTexts.select(col("doc_id").as("doc_b"),
         col("text").as("tb")), "doc_b")
       .select(col("doc_a"),
         graft.functions.ArrayOps.substr_extent(col("ta"), col("tb"),

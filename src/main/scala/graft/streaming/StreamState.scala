@@ -99,8 +99,16 @@ object StreamState {
     val tmp = new Path(p.getParent, s"${p.getName}-compacting-$pass")
     src.repartition(nOut).write.mode("overwrite").parquet(tmp.toString)
     // publish-before-delete: the compacted subtree lands complete
-    // (rename is atomic per dir) before any consumed subtree goes away
-    fs.rename(tmp, new Path(p, s"batch--compacted-$pass"))
+    // (rename is atomic per dir) before any consumed subtree goes away.
+    // Hadoop FS rename reports some failures as `false` WITHOUT
+    // throwing — deleting the consumed subtrees after a silent rename
+    // failure would lose the whole compacted slice, so an unpublished
+    // rewrite aborts the pass (the orphaned tmp dir is re-consumed by
+    // a later pass or vacuumed; the state dir itself is untouched)
+    if (!fs.rename(tmp, new Path(p, s"batch--compacted-$pass"))) {
+      scala.util.Try(fs.delete(tmp, true))
+      return (before, before)
+    }
     consumed.foreach(d => fs.delete(d, true))
     (before, parquetCount())
   }
