@@ -536,9 +536,42 @@ object Corpus {
     * for the replay spec, not for silence.)
     */
   def bpeEncode(spark: SparkSession, sf: String, nMerges: Int = BpeNMerges,
-      minCount: Long = BpeMinCount, maxVocab: Int = BpeMaxVocab): DataFrame = {
-    val merges = bpeMerges(spark, sf, nMerges, minCount, maxVocab).collect()
-      .map(r => (r.getString(1), r.getString(2)))
+      minCount: Long = BpeMinCount, maxVocab: Int = BpeMaxVocab): DataFrame =
+    bpeEncodeWith(spark, sf,
+      bpeMerges(spark, sf, nMerges, minCount, maxVocab).collect()
+        .map(r => (r.getString(1), r.getString(2))))
+
+  /** q_bpe_encode_saved: [[bpeEncode]] SERVED FROM THE PERSISTED
+    * TOKENIZER ARTIFACT — the q_ann_ivf_saved/q_nb_classify_saved
+    * pattern applied to the pipeline's most-persisted artifact (a
+    * tokenizer trains once and ships as storage; every re-tokenize of
+    * a 100 TB corpus reads the same bytes): train → publish the merge
+    * table through [[graft.operators.IndexStore]] → encode the corpus
+    * with the LOADED table. Same output and DuckDB oracle as the
+    * in-place encode, so a round-trip bit-flip or version mispin
+    * changes a token count and fails the hash. */
+  def bpeEncodeSaved(spark: SparkSession, sf: String): DataFrame = {
+    val root = graft.TempDirs.create("graft-bpe-artifact")
+    val v = IndexStore.saveBpe(spark, sf, root)
+    bpeEncodeWith(spark, sf, IndexStore.loadBpeMerges(spark, root, Some(v)))
+  }
+
+  /** q_unigram_encode_saved: [[unigramEncode]] served from the
+    * persisted piece table — [[bpeEncodeSaved]]'s unigram twin. */
+  def unigramEncodeSaved(spark: SparkSession, sf: String): DataFrame = {
+    val root = graft.TempDirs.create("graft-unigram-artifact")
+    val v = IndexStore.saveUnigram(spark, sf, root)
+    unigramEncodeWith(spark, sf,
+      IndexStore.loadUnigramBits(spark, root, Some(v)))
+  }
+
+  /** The encode pass parameterized by a MERGE TABLE — shared by the
+    * train-in-place [[bpeEncode]] and the artifact-served
+    * q_bpe_encode_saved ([[graft.operators.IndexStore.loadBpeMerges]]),
+    * so "encode with the trained tokenizer" and "encode with the
+    * loaded tokenizer" are one code path whose inputs differ. */
+  private[graft] def bpeEncodeWith(spark: SparkSession, sf: String,
+      merges: Array[(String, String)]): DataFrame = {
     val bc = spark.sparkContext.broadcast(merges)
     import spark.implicits._
     val docs = Tables.load(spark, sf, "documents")
@@ -643,20 +676,32 @@ object Corpus {
       var bb = Long.MaxValue; var bn = Long.MaxValue; var bj = -1
       var j = math.max(0, i - UnigramMaxPieceLen)
       while (j < i) {
-        bits.get(w.substring(j, i)) match {
-          case Some(pb) =>
-            val cb = bestBits(j) + pb
-            val cn = bestNp(j) + 1
-            if (cb < bb || (cb == bb && (cn < bn || (cn == bn && j < bj)))) {
-              bb = cb; bn = cn; bj = j
-            }
-          case None => ()
+        // an UNREACHABLE prefix (bestBits == MaxValue) must not seed a
+        // candidate: MaxValue + pb overflows negative and would win
+        // every min, silently emitting garbage segmentations — the
+        // reachable-under-capped-vocab hazard (minCount > 1 can drop a
+        // character piece, the deployment setting BASELINE recommends)
+        if (bestBits(j) != Long.MaxValue) {
+          bits.get(w.substring(j, i)) match {
+            case Some(pb) =>
+              val cb = bestBits(j) + pb
+              val cn = bestNp(j) + 1
+              if (cb < bb || (cb == bb && (cn < bn || (cn == bn && j < bj)))) {
+                bb = cb; bn = cn; bj = j
+              }
+            case None => ()
+          }
         }
         j += 1
       }
       bestBits(i) = bb; bestNp(i) = bn; pred(i) = bj
       i += 1
     }
+    require(bestBits(n) != Long.MaxValue,
+      s"word '$w' cannot be segmented under the current piece table — " +
+        "a capped/minCount-filtered vocabulary dropped a required " +
+        "character piece; retrain with that character retained (single " +
+        "chars must stay total) rather than emitting garbage tokens")
     (bestBits(n), bestNp(n), pred)
   }
 
@@ -720,7 +765,17 @@ object Corpus {
   def unigramEncode(spark: SparkSession, sf: String): DataFrame = {
     val table = unigramTable(spark, sf)
     val t = table.values.map(_ + 1L).sum
-    val bits = table.map { case (p, c) => p -> bitsOf(t, c) }
+    unigramEncodeWith(spark, sf,
+      table.map { case (p, c) => p -> bitsOf(t, c) })
+  }
+
+  /** The unigram encode pass parameterized by the PIECE-COST TABLE —
+    * the [[bpeEncodeWith]] convention: train-in-place and
+    * artifact-served encodes share one code path. The (piece, cnt,
+    * bits) artifact [[unigramTrain]] publishes carries `bits`
+    * directly, so serving needs no recount. */
+  private[graft] def unigramEncodeWith(spark: SparkSession, sf: String,
+      bits: Map[String, Long]): DataFrame = {
     val bc = spark.sparkContext.broadcast(bits)
     import spark.implicits._
     val docs = Tables.load(spark, sf, "documents")

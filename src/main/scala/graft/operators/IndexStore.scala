@@ -136,6 +136,44 @@ object IndexStore {
     (rows.map(_.getLong(1)).toIndexedSeq, rows.map(_.getLong(2)).toIndexedSeq)
   }
 
+  // ---- tokenizer artifacts ---------------------------------------------
+
+  /** Publish the trained BPE merge table (rank, left, right, merged,
+    * pair_count — [[Corpus.bpeMerges]]'s exact frame) as a versioned
+    * artifact: the SentencePiece-`.model`-file analog, THE
+    * most-persisted artifact of a real training pipeline — the corpus
+    * re-tokenizes on every data refresh, the tokenizer trains once. */
+  def saveBpe(spark: SparkSession, sfDir: String, root: String): Long =
+    publish(spark, root, "bpe-merges", Corpus.bpeMerges(spark, sfDir))
+
+  /** Load a published merge table back into the encoder's shape:
+    * (left, right) pairs in rank order — bit-identical to what the
+    * trainer handed [[Corpus.bpeEncodeWith]], whatever JVM wrote it. */
+  def loadBpeMerges(spark: SparkSession, root: String,
+      version: Option[Long] = None): Array[(String, String)] = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    spark.read.parquet(SnapshotStore.versionDir(root, v))
+      .select(col("rank"), col("left"), col("right")).collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2)))
+  }
+
+  /** Publish the trained unigram-LM piece table (piece, cnt, bits —
+    * [[Corpus.unigramTrain]]'s exact frame). The `bits` column IS the
+    * serving cost table, so a load needs no recount. */
+  def saveUnigram(spark: SparkSession, sfDir: String, root: String): Long =
+    publish(spark, root, "unigram-pieces", Corpus.unigramTrain(spark, sfDir))
+
+  /** Load a published piece table as the (piece → bits) cost map
+    * [[Corpus.unigramEncodeWith]] consumes. */
+  def loadUnigramBits(spark: SparkSession, root: String,
+      version: Option[Long] = None): Map[String, Long] = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    spark.read.parquet(SnapshotStore.versionDir(root, v))
+      .select(col("piece"), col("bits")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
   // ---- NB model ---------------------------------------------------------
 
   /** Publish the trained Naive Bayes router (classes + counts frames —

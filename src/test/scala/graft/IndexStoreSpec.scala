@@ -75,4 +75,39 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(served.nonEmpty && served == inPlace,
       "scoring from the loaded NB artifact diverged")
   }
+
+  test("BPE merge table: save -> load is bit-identical in rank order; encode from the loaded artifact equals train-in-place") {
+    import graft.operators.Corpus
+    val trained = Corpus.bpeMerges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val root = TempDirs.create("graft-bpestore-spec")
+    val v = IndexStore.saveBpe(spark, sf, root)
+    val loaded = IndexStore.loadBpeMerges(spark, root, Some(v))
+    assert(loaded.toSeq == trained.map(m => (m._2, m._3)),
+      "merge-pair round-trip not bit-identical / order-preserving")
+    val served = Corpus.bpeEncodeSaved(spark, sf).collect()
+      .map(_.toSeq.toList).toSeq
+    val inPlace = Corpus.bpeEncode(spark, sf).collect()
+      .map(_.toSeq.toList).toSeq
+    assert(served.nonEmpty && served == inPlace,
+      "encode from the loaded BPE artifact diverged from train-in-place")
+  }
+
+  test("unigram piece table: save -> load is bit-identical; encode from the loaded artifact equals train-in-place") {
+    import graft.operators.Corpus
+    val trained = Corpus.unigramTrain(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val root = TempDirs.create("graft-unigramstore-spec")
+    val v = IndexStore.saveUnigram(spark, sf, root)
+    val loadedBits = IndexStore.loadUnigramBits(spark, root, Some(v))
+    assert(loadedBits == trained.map(t => t._1 -> t._3).toMap,
+      "piece-cost round-trip not bit-identical")
+    val served = Corpus.unigramEncodeSaved(spark, sf).collect()
+      .map(_.toSeq.toList).toSeq
+    val inPlace = Corpus.unigramEncode(spark, sf).collect()
+      .map(_.toSeq.toList).toSeq
+    assert(served.nonEmpty && served == inPlace,
+      "encode from the loaded unigram artifact diverged from train-in-place")
+  }
 }
