@@ -165,7 +165,9 @@ object Dedup {
     * At 100 TB the input pair frame swaps for the LSH-banded
     * candidate set banded at the LOWEST threshold under study
     * (banding bounds Jaccard from below), and the sweep arithmetic is
-    * unchanged — the kernel swap is the input frame. */
+    * unchanged — the kernel swap is the input frame:
+    * [[dedupThresholdSweepLsh]] IS that swap, wired and
+    * driver-checked over [[SweepLshThresholdsBp]]. */
   def dedupThresholdSweep(spark: SparkSession, sf: String): DataFrame = {
     val docs = shingledCached(spark, sf)
     val sizes = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
@@ -182,13 +184,63 @@ object Dedup {
         .withColumnRenamed("n_sh", "n_b"), "doc_b")
       .withColumn("jaccard_bp",
         expr("(common * 10000) div (n_a + n_b - common)"))
-    // fan each pair out to the thresholds it clears; persisted — the
-    // pair kernel feeds three aggregations below
-    val swept = pairs.select(col("doc_a"), col("doc_b"),
-        explode(typedLit(SweepThresholdsBp)).as("threshold_bp"),
-        col("jaccard_bp"))
-      .filter(col("jaccard_bp") >= col("threshold_bp"))
-      .persist()
+    sweepOver(spark, pairs, SweepThresholdsBp)
+  }
+
+  /** Thresholds the LSH-FED sweep studies: the [[SweepThresholdsBp]]
+    * members at or above the banding's reliable-recall regime. The
+    * 16×4 banding's per-pair miss probability is (1−j⁴)¹⁶ — ≈ 2·10⁻⁵
+    * at j = 0.9 but effectively certain misses at j ≈ 0.05 — so an
+    * LSH-fed sweep of sub-banding thresholds would UNDER-COUNT and no
+    * honest deployment runs one: you band at the lowest threshold you
+    * intend to study, and you study thresholds the banding can feed.
+    * Interpolated into the q_dedup_sweep_lsh oracle. */
+  val SweepLshThresholdsBp: Seq[Long] = SweepThresholdsBp.filter(_ >= 5000L)
+
+  /** q_dedup_sweep_lsh: [[dedupThresholdSweep]] fed by the LSH-banded
+    * candidate set — the 100 TB form the exact sweep's doc promises:
+    * banding proposes O(collisions) candidates (never the raw-shingle
+    * self-join), the est-agreement margin prunes, each survivor is
+    * CONFIRMED against its true shingle arrays, and the sweep
+    * arithmetic ([[sweepOver]]) is pair-source-agnostic — the
+    * [[dupMatrixFrom]] convention. Studies [[SweepLshThresholdsBp]]
+    * (banded at the lowest, 0.5); at the fixtures' similarity levels
+    * every exact pair over 0.5 sits at j ≥ 0.88 (banding miss
+    * ≤ 2·10⁻⁷), so the candidate set equals the exact set and the
+    * row is pinned by the SAME brute-force sweep oracle restricted to
+    * these thresholds. */
+  def dedupThresholdSweepLsh(spark: SparkSession, sf: String): DataFrame = {
+    val sh = shingledCached(spark, sf)
+    val minT = SweepLshThresholdsBp.min.toDouble / 10000.0
+    val pairs = minhashCandidates(sh)
+      .filter(agreeAtLeast(col("mh_a"), col("mh_b"),
+        math.max(minT - 0.15, 0.0)))
+      .select(col("doc_a"), col("doc_b"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("common",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_a", size(col("sh_a")).cast("long"))
+      .withColumn("n_b", size(col("sh_b")).cast("long"))
+      .withColumn("jaccard_bp",
+        expr("(common * 10000) div (n_a + n_b - common)"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard_bp"))
+    sweepOver(spark, pairs, SweepLshThresholdsBp)
+  }
+
+  /** The sweep arithmetic over an arbitrary (doc_a, doc_b,
+    * jaccard_bp) pair frame: fan each pair out to the thresholds it
+    * clears (one |pairs|×|thresholds| projection, never a re-run per
+    * threshold), three censuses, zero-filled static spine. */
+  private[graft] def sweepOver(spark: SparkSession, pairs: DataFrame,
+      thresholds: Seq[Long]): DataFrame = {
+    // generational persist: the fanned pair frame feeds three
+    // aggregations; the pool bounds a long session at one generation
+    val swept = graft.CachePool.swap("dedup-sweep-fanout",
+      pairs.select(col("doc_a"), col("doc_b"),
+          explode(typedLit(thresholds)).as("threshold_bp"),
+          col("jaccard_bp"))
+        .filter(col("jaccard_bp") >= col("threshold_bp"))).head
     val nPairs = swept.groupBy(col("threshold_bp"))
       .agg(count(lit(1)).as("n_pairs"))
     val nDocs = swept.select(col("threshold_bp"),
@@ -199,7 +251,7 @@ object Dedup {
       .groupBy(col("threshold_bp")).agg(count(lit(1)).as("n_would_drop"))
     // static threshold spine so an empty threshold still reports 0
     spark.range(1)
-      .select(explode(typedLit(SweepThresholdsBp)).as("threshold_bp"))
+      .select(explode(typedLit(thresholds)).as("threshold_bp"))
       .join(nPairs, Seq("threshold_bp"), "left")
       .join(nDocs, Seq("threshold_bp"), "left")
       .join(nDrop, Seq("threshold_bp"), "left")
