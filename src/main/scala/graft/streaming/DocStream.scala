@@ -404,6 +404,79 @@ object DocStream {
       .orderBy(col("doc_id"))
   }
 
+  private val SubstrIndexSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("pos", LongType),
+    StructField("fp", LongType),
+    StructField("batch_id", LongType)))
+
+  private val SubstrTextSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("batch_id", LongType)))
+
+  /** q_delta_substr's STREAMING twin — EXACT-SUBSTRING span audit at
+    * ingest over a persistent POSITIONED-fingerprint index (the
+    * winnow family's [[winnowViaStream]] shape, at the substring
+    * family's fidelity): the corpus delivery bootstraps two
+    * storage-resident stores — the (doc_id, pos, fp) anchor index and
+    * the (doc_id, text) store the extend-and-verify step reads — and
+    * each following micro-batch fingerprints its documents with the
+    * shared `WinnowPack` pass, probes the index through the SAME
+    * `Text.substrSpansAgainstIndex` kernel as the batch twin (anchor
+    * join = fp equality, O(collisions); the extension join touches
+    * only anchor-HIT corpus docs' texts, never the whole store), and
+    * appends its own batchId-keyed subdirs (overwrite — a retried
+    * delivery is idempotent; the batch_id < current visibility
+    * predicate is a stored column, so it survives compaction).
+    * Same output and DuckDB oracle as q_delta_substr: the streaming
+    * and batch paths must agree row-for-row — the winnowing
+    * guarantee is indifferent to which path found the anchor. */
+  def substrViaStream(spark: SparkSession, sf: String): DataFrame = {
+    import graft.operators.Text
+    val root = graft.TempDirs.create("graft-substrstream")
+    val indexDir = s"$root/index"
+    val textDir = s"$root/texts"
+    val outDir = s"$root/out"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(indexDir, textDir).foreach(d =>
+      fs.mkdirs(new org.apache.hadoop.fs.Path(d)))
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val w = docs.agg(floor((max(col("doc_id")) + 1) * 0.8).cast("long"))
+      .head().getLong(0)
+    DeliveryHarness.runTwoDeliveries(spark, root,
+      docs.filter(col("doc_id") < w), docs.filter(col("doc_id") >= w),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))),
+      { (batch: DataFrame, batchId: Long) =>
+        val fps = Text.substrFpSet(batch)
+        val idxFps = StreamState.readState(spark, indexDir, SubstrIndexSchema)
+          .filter(col("batch_id") < batchId).drop("batch_id")
+        val idxTexts = StreamState.readState(spark, textDir, SubstrTextSchema)
+          .filter(col("batch_id") < batchId).drop("batch_id")
+        Text.substrSpansAgainstIndex(batch, fps, idxFps, idxTexts)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+        fps.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(s"$indexDir/batch-$batchId")
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(s"$textDir/batch-$batchId")
+      })
+    spark.read.schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("span_start", LongType),
+        StructField("span_end", LongType),
+        StructField("span_chars", LongType),
+        StructField("batch_id", LongType))))
+      .option("recursiveFileLookup", "true").parquet(outDir)
+      .filter(col("batch_id") === 1L)
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("span_chars"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   /** Deliveries for [[winnowCompactViaStream]] — enough that the
     * compacted store is rewritten repeatedly mid-ingest (the
     * long-ingest shape, not the two-delivery smoke). Interpolated

@@ -309,6 +309,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exists(_._2 == "new"))
   }
 
+  test("streaming exact-substring audit equals the batch delta spans row-for-row") {
+    // corpus delivery bootstraps the positioned anchor index + text
+    // store, the second delivery probes them — must land on exactly
+    // deltaSubstr's merged spans (the winnowing guarantee is
+    // indifferent to which path found the anchor)
+    val streamed = graft.streaming.DocStream.substrViaStream(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val batch = graft.operators.Text.deltaSubstr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream/batch substring spans diverged: ${streamed.take(5)} vs ${batch.take(5)}")
+  }
+
   test("retried delivery is idempotent: a batch never classifies against its own index subdir") {
     // the crash window under test: a micro-batch wrote its index
     // subdir, then died BEFORE the checkpoint committed — the retry
