@@ -121,6 +121,8 @@ object SparkEntry {
     "q_substr_scrub_first" -> (Text.substrScrubFirst _),
     "q_decontaminate" -> (Text.decontaminate _),
     "q_delta_substr" -> (Text.deltaSubstr _),
+    "q_stream_substr" -> ((s: SparkSession, d: String) =>
+      graft.streaming.DocStream.substrViaStream(s, d)),
     "q_decontaminate_scrub" -> (Text.decontaminateScrub _),
     "q_delta_winnow" -> (Text.deltaWinnow _),
     "q_stream_winnow" -> ((s: SparkSession, d: String) =>
@@ -174,6 +176,8 @@ object SparkEntry {
     // rows-only by design (same contract): pinned by the CorpusSpec
     // case re-encoding the vocabulary against the trainer's end state
     "q_bpe_encode" -> ((s: SparkSession, d: String) => Corpus.bpeEncode(s, d)),
+    "q_bpe_encode_saved" -> (Corpus.bpeEncodeSaved _),
+    "q_unigram_encode_saved" -> (Corpus.unigramEncodeSaved _),
     "q_bpe_fertility" -> ((s: SparkSession, d: String) => Corpus.bpeFertility(s, d)),
     "q_pagerank" -> ((s: SparkSession, d: String) => Graph.pageRank(s, d)),
     "q_triangles" -> (Graph.triangles _),
@@ -218,6 +222,7 @@ object SparkEntry {
     "q_dup_rate_by_source" -> (Dedup.dupRateBySource _),
     "q_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "q_dedup_sweep" -> (Dedup.dedupThresholdSweep _),
+    "q_dedup_sweep_lsh" -> (Dedup.dedupThresholdSweepLsh _),
     "q_dup_matrix" -> (Dedup.dupMatrix _),
     "q_dup_matrix_lsh" -> (Dedup.dupMatrixLsh _),
     "q_containment" -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
@@ -560,6 +565,68 @@ object SparkEntry {
            SELECT doc_id, COUNT(*) AS n_words, SUM(n_toks) AS n_bpe_tokens,
              SUM(len(w)) AS n_alpha_chars
            FROM dw JOIN wt USING (w) GROUP BY doc_id)"""
+
+  /** The BPE corpus-sizing replay — shared verbatim by q_bpe_encode
+    * and its artifact-served twin q_bpe_encode_saved (per-word token
+    * counts are the replay chain's end-state symbol counts; LEFT join
+    * from documents so no-word docs report zero). */
+  private def bpeEncodeSql: String =
+    s"""$bpeChainSql,
+         $bpeEncodeCtes
+         SELECT d.doc_id,
+           CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+           CAST(COALESCE(n_alpha_chars, 0) AS BIGINT) AS n_alpha_chars,
+           CAST(COALESCE(CASE WHEN n_bpe_tokens > 0
+             THEN (n_alpha_chars * 1000) // n_bpe_tokens END, 0) AS BIGINT)
+             AS chars_per_tok_pm
+         FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id"""
+
+  /** The brute-force threshold-sweep replay, parameterized by the
+    * threshold list — one definition for q_dedup_sweep (full
+    * [[operators.Dedup.SweepThresholdsBp]]) and q_dedup_sweep_lsh
+    * (the ≥ banding-regime subset), so the two rows can never
+    * disagree about the curve arithmetic. */
+  private def dedupSweepSql(thresholds: Seq[Long]): String = {
+    val ts = thresholds.map(t => s"($t)").mkString(", ")
+    s"""WITH docs AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(ws) - 2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+           FROM (SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents) t
+           WHERE len(ws) >= 3),
+         expl AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+         sizes AS (SELECT doc_id, len(sh) AS n_sh FROM docs),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     COUNT(*) AS common
+                   FROM expl a JOIN expl b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pb AS (SELECT doc_a, doc_b,
+                  (common * 10000) // (sa.n_sh + sb.n_sh - common) AS j
+                FROM pairs
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b),
+         ts AS (SELECT CAST(v AS BIGINT) AS threshold_bp
+                FROM (VALUES $ts) x(v)),
+         sw AS (SELECT t.threshold_bp, p.doc_a, p.doc_b
+                FROM pb p, ts t WHERE p.j >= t.threshold_bp)
+         SELECT t.threshold_bp,
+           CAST(COALESCE(np.n, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(nd.n, 0) AS BIGINT) AS n_docs,
+           CAST(COALESCE(dr.n, 0) AS BIGINT) AS n_would_drop
+         FROM ts t
+         LEFT JOIN (SELECT threshold_bp, COUNT(*) AS n FROM sw
+                    GROUP BY 1) np USING (threshold_bp)
+         LEFT JOIN (SELECT threshold_bp, COUNT(*) AS n FROM (
+                      SELECT DISTINCT threshold_bp, d FROM (
+                        SELECT threshold_bp, doc_a AS d FROM sw
+                        UNION ALL SELECT threshold_bp, doc_b FROM sw))
+                    GROUP BY 1) nd USING (threshold_bp)
+         LEFT JOIN (SELECT threshold_bp, COUNT(DISTINCT doc_b) AS n
+                    FROM sw GROUP BY 1) dr USING (threshold_bp)
+         ORDER BY t.threshold_bp"""
+  }
 
   /** Exact-edge connected-components oracle (recursive CTE transitive
     * closure) — shared by q_dup_clusters and q_dup_clusters_lsh, whose
@@ -1702,6 +1769,10 @@ object SparkEntry {
     // scrub both hash-pinned
     "q_decontaminate" -> operators.Text.decontaminateOracle,
     "q_delta_substr" -> operators.Text.deltaSubstrOracle,
+    // the SAME oracle pins the streaming twin: per-delivery span
+    // audit against the persistent anchor index must agree with the
+    // batch delta pass row-for-row
+    "q_stream_substr" -> operators.Text.deltaSubstrOracle,
     "q_decontaminate_scrub" -> operators.Text.decontaminateScrubOracle,
     "q_winnow_skew" -> operators.Text.winnowOverlapOracle(
       s"(SELECT doc_id, ${operators.Text.winnowSkewTextSql} AS text " +
@@ -2488,47 +2559,14 @@ object SparkEntry {
     // Threshold-tuning curve over the same exact pair kernel: integer
     // basis-point jaccard, pairs fanned to the thresholds they clear,
     // three censuses per threshold, zero-filled spine.
-    "q_dedup_sweep" -> {
-      val ts = operators.Dedup.SweepThresholdsBp
-        .map(t => s"($t)").mkString(", ")
-      s"""WITH docs AS (
-           SELECT doc_id,
-             list_distinct(list_transform(generate_series(1, len(ws) - 2),
-               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
-           FROM (SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents) t
-           WHERE len(ws) >= 3),
-         expl AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
-         sizes AS (SELECT doc_id, len(sh) AS n_sh FROM docs),
-         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     COUNT(*) AS common
-                   FROM expl a JOIN expl b
-                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2),
-         pb AS (SELECT doc_a, doc_b,
-                  (common * 10000) // (sa.n_sh + sb.n_sh - common) AS j
-                FROM pairs
-                JOIN sizes sa ON sa.doc_id = doc_a
-                JOIN sizes sb ON sb.doc_id = doc_b),
-         ts AS (SELECT CAST(v AS BIGINT) AS threshold_bp
-                FROM (VALUES $ts) x(v)),
-         sw AS (SELECT t.threshold_bp, p.doc_a, p.doc_b
-                FROM pb p, ts t WHERE p.j >= t.threshold_bp)
-         SELECT t.threshold_bp,
-           CAST(COALESCE(np.n, 0) AS BIGINT) AS n_pairs,
-           CAST(COALESCE(nd.n, 0) AS BIGINT) AS n_docs,
-           CAST(COALESCE(dr.n, 0) AS BIGINT) AS n_would_drop
-         FROM ts t
-         LEFT JOIN (SELECT threshold_bp, COUNT(*) AS n FROM sw
-                    GROUP BY 1) np USING (threshold_bp)
-         LEFT JOIN (SELECT threshold_bp, COUNT(*) AS n FROM (
-                      SELECT DISTINCT threshold_bp, d FROM (
-                        SELECT threshold_bp, doc_a AS d FROM sw
-                        UNION ALL SELECT threshold_bp, doc_b FROM sw))
-                    GROUP BY 1) nd USING (threshold_bp)
-         LEFT JOIN (SELECT threshold_bp, COUNT(DISTINCT doc_b) AS n
-                    FROM sw GROUP BY 1) dr USING (threshold_bp)
-         ORDER BY t.threshold_bp"""
-    },
+    "q_dedup_sweep" -> dedupSweepSql(operators.Dedup.SweepThresholdsBp),
+    // The LSH-fed sweep: the SAME brute-force curve restricted to the
+    // thresholds the banding reliably feeds (every fixture pair over
+    // 0.5 sits at j >= 0.88, banding miss <= 2e-7 — the
+    // q_dup_matrix_lsh pinning argument), so candidate-set == exact
+    // and one oracle pins both engines' pair derivations.
+    "q_dedup_sweep_lsh" ->
+      dedupSweepSql(operators.Dedup.SweepLshThresholdsBp),
 
     // Source×source near-dup mass matrix: least/greatest-normalized
     // source pair, pair count + distinct docs involved. The SAME
@@ -3548,17 +3586,13 @@ object SparkEntry {
     // trainer bounds (minCount 1, cap non-binding at fixture scale)
     // the trainer vocabulary IS the corpus's distinct word set, so
     // both sides tokenize identical word sets.
-    "q_bpe_encode" ->
-      s"""$bpeChainSql,
-         $bpeEncodeCtes
-         SELECT d.doc_id,
-           CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
-           CAST(COALESCE(n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
-           CAST(COALESCE(n_alpha_chars, 0) AS BIGINT) AS n_alpha_chars,
-           CAST(COALESCE(CASE WHEN n_bpe_tokens > 0
-             THEN (n_alpha_chars * 1000) // n_bpe_tokens END, 0) AS BIGINT)
-             AS chars_per_tok_pm
-         FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id""",
+    "q_bpe_encode" -> bpeEncodeSql,
+    // encoded with the LOADED merge-table artifact (train -> publish
+    // -> load -> encode): same oracle, so a round-trip bit-flip or a
+    // version mispin changes a token count and fails the hash — the
+    // q_nb_classify_saved pattern for the tokenizer artifact.
+    "q_bpe_encode_saved" -> bpeEncodeSql,
+    "q_unigram_encode_saved" -> operators.Corpus.unigramEncodeOracle,
 
     // Per-language tokenizer fertility: the q_bpe_encode replay
     // aggregated by lang — integer per-mille ratios, engine-exact.

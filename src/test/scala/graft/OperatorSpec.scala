@@ -1267,6 +1267,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.map(_._2).distinct.length > 1, rows.mkString(","))
   }
 
+  test("dedup sweep lsh: the LSH-fed curve equals the exact sweep on the banding-regime thresholds") {
+    import graft.operators.Dedup
+    val exact = Dedup.dedupThresholdSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(t => Dedup.SweepLshThresholdsBp.contains(t._1)).toSeq
+    val lsh = Dedup.dedupThresholdSweepLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(lsh.map(_._1) == Dedup.SweepLshThresholdsBp)
+    assert(lsh == exact,
+      s"LSH-fed sweep diverged from the exact curve:\n lsh=$lsh\n exact=$exact")
+    // and the studied thresholds are exactly the >= 0.5 subset — the
+    // banding-recall contract the oracle interpolates
+    assert(Dedup.SweepLshThresholdsBp ==
+      Dedup.SweepThresholdsBp.filter(_ >= 5000L))
+  }
+
   test("dup matrix: cells re-derive from the labeled pair set and the mass crosses sources") {
     import graft.operators.Dedup
     val cells = Dedup.dupMatrix(spark, sf).collect()
@@ -1592,6 +1609,77 @@ class OperatorSpec extends AnyFunSuite {
       "keep-first did not preserve strictly more than the all-copies scrub")
     assert(cutFirst == got.length.toLong,
       "scrub-first span accounting diverged from the span report")
+  }
+
+  test("substr family df-cap: a seeded boilerplate flood is purged before the anchor join") {
+    import graft.operators.Text
+    // 26 docs whose only cross-doc content is one boilerplate
+    // sentence, padded on both sides by a PER-DOC-UNIQUE letter block
+    // (k = 16 grams: a gram crossing the boiler boundary either
+    // contains a unique letter — df 1 — or is pure space+boiler —
+    // df 26, over the cap — so the purge provably removes EVERY
+    // anchor): uncapped, every pair anchors and every doc reports a
+    // span (the Σ df² skew hazard — one fingerprint with df = 26
+    // drives 26² anchor rows); capped, the report is empty
+    val boiler = "subscribe to our newsletter today for free weekly updates"
+    val docs = spark.createDataFrame(
+      (0 until 26).map { i =>
+        val u = ('a' + i).toChar.toString * 20
+        (i.toLong, s"$u $boiler $u")
+      }).toDF("doc_id", "text").persist()
+    val uncappedDocs = Text.substrDedupFrom(docs)
+      .select(col("doc_id")).distinct().count()
+    assert(uncappedDocs == 26L,
+      s"flood did not span every doc without the cap: $uncappedDocs")
+    assert(Text.substrDedupFrom(docs, dfCap = Some(10L)).count() == 0L,
+      "capped run still emitted spans for the boilerplate flood")
+    // cross-set kernel: same purge, same receipt
+    assert(Text.substrSpansAcross(docs, docs,
+        pairFilter = col("doc_b") < col("doc_a"),
+        dfCap = Some(10L)).count() == 0L,
+      "capped cross-set run still emitted spans")
+    // and the cap is INERT where df stays under it: the organic
+    // corpus's span report is unchanged under a cap it never hits
+    val organic = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val plain = Text.substrDedupFrom(organic).collect()
+      .map(_.toSeq.toList).toSet
+    val underCap = Text.substrDedupFrom(organic, dfCap = Some(1000000L))
+      .collect().map(_.toSeq.toList).toSet
+    assert(plain.nonEmpty && underCap == plain,
+      "an un-binding cap changed the organic span report")
+    docs.unpersist()
+  }
+
+  test("substr family codepoint basis: spans stay aligned with SQL substring on non-BMP text") {
+    import graft.operators.Text
+    // the shared run sits AFTER supplementary characters (emoji are
+    // outside the BMP: 2 UTF-16 code units, 1 codepoint) and differing
+    // adjacent chars bound the extent exactly; a UTF-16 char basis
+    // would report offsets shifted by the surrogate count and the
+    // substring cut below would come back garbled
+    val run = "the quick brown fox jumps over the lazy dog"
+    val docs = spark.createDataFrame(Seq(
+      (0L, s"😀😀 alpha a${run}x tail one"),
+      (1L, s"🚀 beta bravo b${run}y other end")
+    )).toDF("doc_id", "text")
+    val spans = Text.substrDedupFrom(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(spans.length == 2, s"expected one span per doc: ${spans.toSeq}")
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    spans.foreach { case (id, s, e) =>
+      val cp = texts(id).codePoints().toArray
+      val got = new String(cp.slice(s.toInt, e.toInt), 0, (e - s).toInt)
+      assert(got == run,
+        s"doc $id span [$s,$e) extracted '$got' — offsets desynced")
+    }
+    // and the engine-side SQL substring cut (what scrubFrom uses)
+    // agrees with those offsets verbatim
+    val viaSql = docs.join(Text.substrDedupFrom(docs), "doc_id")
+      .select(expr("substring(text, cast(span_start + 1 as int), " +
+        "cast(span_chars as int))").as("cut"))
+      .collect().map(_.getString(0))
+    assert(viaSql.forall(_ == run), s"SQL substring cut diverged: ${viaSql.toSeq}")
   }
 
   test("substr family plan hygiene: anchor joins are equality joins, extension is the codegen kernel, no cartesian product") {
@@ -2517,7 +2605,11 @@ class OperatorSpec extends AnyFunSuite {
       "q_substr_dedup", "q_substr_scrub", "q_dup_matrix_lsh",
       "q_ann_ivf_saved", "q_nb_classify_saved", "q_unigram_train",
       "q_unigram_encode", "q_curate_v2_approx", "q_video_neardup",
-      "q_gopher_rules")
+      "q_gopher_rules",
+      // r15 additions: the LSH-fed sweep curve and the
+      // artifact-served tokenizer encodes all claim
+      // layout-independence — demand the receipt
+      "q_dedup_sweep_lsh", "q_bpe_encode_saved", "q_unigram_encode_saved")
     def snap(): Map[String, Seq[Seq[Any]]] = {
       spark.catalog.clearCache()
       qs.map(q => q ->
