@@ -176,6 +176,7 @@ object SparkEntry {
     // rows-only by design (same contract): pinned by the CorpusSpec
     // case re-encoding the vocabulary against the trainer's end state
     "q_bpe_encode" -> ((s: SparkSession, d: String) => Corpus.bpeEncode(s, d)),
+    "q_bpe_curve" -> (Corpus.bpeCurve _),
     "q_bpe_encode_saved" -> (Corpus.bpeEncodeSaved _),
     "q_unigram_encode_saved" -> (Corpus.unigramEncodeSaved _),
     "q_bpe_fertility" -> ((s: SparkSession, d: String) => Corpus.bpeFertility(s, d)),
@@ -195,6 +196,7 @@ object SparkEntry {
     // CorpusSpec tolerance case against this mode
     "q_quality_gate" -> ((s: SparkSession, d: String) =>
       Corpus.qualityGate(s, d, exact = true)),
+    "q_quality_sweep" -> (Corpus.qualityThresholdSweep _),
     "q_repetition" -> (Corpus.repetition _),
     "q_dup_ngram_frac" -> ((s: SparkSession, d: String) =>
       Corpus.dupNgramFrac(s, d)),
@@ -282,6 +284,7 @@ object SparkEntry {
     "q_cluster_balance_lsh" -> ((s: SparkSession, d: String) =>
       Similarity.clusterBalancedCurateLsh(s, d)),
     "q_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    "q_dup_methods" -> (Dedup.dupMethodAgreement _),
     // --- similarity search
     "q_embed_norms" -> (Similarity.norms _),
     "q_knn_brute" -> ((s: SparkSession, d: String) => Similarity.knnBruteForce(s, d)),
@@ -1059,6 +1062,63 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** The SimHash pair replay — shared by q_simhash_pairs and the
+    * method-agreement triage (one definition, two rows). */
+  private val SimhashPairsSql: String =
+    s"""WITH toks AS (
+           SELECT doc_id, unnest(list_distinct(string_split($Norm, ' '))) AS w
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+             list_reduce(list_transform(generate_series(1, 8),
+               i -> strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1),
+               (a, b) -> a * 16 + b) AS h1,
+             list_reduce(list_transform(generate_series(9, 16),
+               i -> strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1),
+               (a, b) -> a * 16 + b) AS h2
+           FROM toks),
+         votes AS (
+           SELECT doc_id, bits.b,
+             2 * SUM(CASE WHEN bits.b < 32 THEN (h2 >> bits.b) & 1
+                          ELSE (h1 >> (bits.b - 32)) & 1 END) - COUNT(*) AS v
+           FROM h, (SELECT unnest(generate_series(0, 63)) AS b) bits
+           GROUP BY 1, 2),
+         sig AS (
+           SELECT doc_id,
+             string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS s
+           FROM votes GROUP BY 1)
+         SELECT doc_a, doc_b, hamming FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_filter(generate_series(1, 64),
+               i -> substr(a.s, i, 1) <> substr(b.s, i, 1))) AS BIGINT) AS hamming
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+         WHERE hamming <= 3
+         ORDER BY doc_a, doc_b"""
+
+  /** The exact n-gram Jaccard pair replay — shared by
+    * q_ngram_jaccard and the method-agreement triage. */
+  private val NgramJaccardSql: String =
+    s"""WITH docs AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(ws) - 2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+           FROM (SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents) t
+           WHERE len(ws) >= 3),
+         expl AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+         sizes AS (SELECT doc_id, len(sh) AS n_sh FROM docs),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     COUNT(*) AS common
+                   FROM expl a JOIN expl b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+           CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
+         FROM pairs
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5
+         ORDER BY doc_a, doc_b"""
+
   def oracleSql: Map[String, String] = Map(
     "q_project" ->
       "SELECT l_orderkey, l_extendedprice FROM lineitem ORDER BY l_orderkey, l_extendedprice",
@@ -2170,6 +2230,39 @@ object SparkEntry {
          WHERE quality_score > (SELECT quantile_cont(quality_score, 0.25) FROM s)
          ORDER BY doc_id""",
 
+    // Quality-gate knob-tuning curve: one scored scan fanned to the
+    // fixed per-mille thresholds; doc/token keep censuses + integer-bp
+    // shares. The score and the IEEE pm/1000 comparison are the same
+    // expressions q_quality_gate already pins cross-engine.
+    "q_quality_sweep" -> {
+      val ts = operators.Corpus.QualitySweepThresholdsPm
+        .map(t => s"($t)").mkString(", ")
+      s"""WITH s AS (
+           SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             $QualityScoreSql AS q
+           FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t
+                 FROM documents)),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM s),
+         ts AS (SELECT CAST(v AS BIGINT) AS threshold_pm
+                FROM (VALUES $ts) x(v)),
+         k AS (SELECT t.threshold_pm, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                 CAST(SUM(s.n_tokens) AS BIGINT) AS kept_tokens
+               FROM s, ts t
+               WHERE s.q >= CAST(t.threshold_pm AS DOUBLE) / 1000.0
+               GROUP BY 1)
+         SELECT t.threshold_pm,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(tot.total_docs - COALESCE(k.n_kept, 0) AS BIGINT) AS n_dropped,
+           CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           CAST((COALESCE(k.n_kept, 0) * 10000) // tot.total_docs AS BIGINT)
+             AS kept_docs_bp,
+           CAST((COALESCE(k.kept_tokens, 0) * 10000) // tot.total_tokens
+             AS BIGINT) AS kept_tokens_bp
+         FROM ts t CROSS JOIN tot LEFT JOIN k USING (threshold_pm)
+         ORDER BY t.threshold_pm"""
+    },
+
     "q_split_assign" ->
       """SELECT doc_id,
          CAST(('0x' || substring(md5(text), 1, 8))::BIGINT % 1000 AS BIGINT) AS bucket,
@@ -2534,27 +2627,7 @@ object SparkEntry {
          FROM p WHERE inter_size * 2 >= union_size
          ORDER BY doc_a, doc_b""",
 
-    "q_ngram_jaccard" ->
-      s"""WITH docs AS (
-           SELECT doc_id,
-             list_distinct(list_transform(generate_series(1, len(ws) - 2),
-               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
-           FROM (SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents) t
-           WHERE len(ws) >= 3),
-         expl AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
-         sizes AS (SELECT doc_id, len(sh) AS n_sh FROM docs),
-         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     COUNT(*) AS common
-                   FROM expl a JOIN expl b
-                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2)
-         SELECT doc_a, doc_b,
-           CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
-         FROM pairs
-         JOIN sizes sa ON sa.doc_id = doc_a
-         JOIN sizes sb ON sb.doc_id = doc_b
-         WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5
-         ORDER BY doc_a, doc_b""",
+    "q_ngram_jaccard" -> NgramJaccardSql,
 
     // Threshold-tuning curve over the same exact pair kernel: integer
     // basis-point jaccard, pairs fanned to the thresholds they clear,
@@ -2613,36 +2686,35 @@ object SparkEntry {
     // 3 differing bits touch ≤ 3 of the 4 16-bit bands, so ≥ 1 band
     // always collides (the pigeonhole spec) — the emitted set IS the
     // full hamming ball, banding-independent, hence exactly this SQL
-    "q_simhash_pairs" ->
-      s"""WITH toks AS (
-           SELECT doc_id, unnest(list_distinct(string_split($Norm, ' '))) AS w
-           FROM documents),
-         h AS (
-           SELECT doc_id,
-             list_reduce(list_transform(generate_series(1, 8),
-               i -> strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1),
-               (a, b) -> a * 16 + b) AS h1,
-             list_reduce(list_transform(generate_series(9, 16),
-               i -> strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1),
-               (a, b) -> a * 16 + b) AS h2
-           FROM toks),
-         votes AS (
-           SELECT doc_id, bits.b,
-             2 * SUM(CASE WHEN bits.b < 32 THEN (h2 >> bits.b) & 1
-                          ELSE (h1 >> (bits.b - 32)) & 1 END) - COUNT(*) AS v
-           FROM h, (SELECT unnest(generate_series(0, 63)) AS b) bits
-           GROUP BY 1, 2),
-         sig AS (
-           SELECT doc_id,
-             string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS s
-           FROM votes GROUP BY 1)
-         SELECT doc_a, doc_b, hamming FROM (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(len(list_filter(generate_series(1, 64),
-               i -> substr(a.s, i, 1) <> substr(b.s, i, 1))) AS BIGINT) AS hamming
-           FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
-         WHERE hamming <= 3
-         ORDER BY doc_a, doc_b""",
+    "q_simhash_pairs" -> SimhashPairsSql,
+    // Method-agreement triage: the three pair detectors' replays
+    // (each individually pinned above/below) unioned and flagged —
+    // one definition per leg, so a drifted leg fails BOTH its own
+    // row and this one.
+    "q_dup_methods" ->
+      s"""WITH j AS (SELECT doc_a, doc_b FROM ($NgramJaccardSql)),
+         sh AS (SELECT doc_a, doc_b FROM ($SimhashPairsSql)),
+         ce AS (SELECT doc_a, doc_b FROM
+           (${graft.operators.FeatureHash.hashEmbedNearDupOracle})),
+         allp AS (SELECT doc_a, doc_b FROM j
+                  UNION SELECT doc_a, doc_b FROM sh
+                  UNION SELECT doc_a, doc_b FROM ce)
+         SELECT p.doc_a, p.doc_b,
+           CAST(CASE WHEN j.doc_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS by_jaccard,
+           CAST(CASE WHEN sh.doc_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS by_simhash,
+           CAST(CASE WHEN ce.doc_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS by_cosine,
+           CAST((CASE WHEN j.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+             + (CASE WHEN sh.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+             + (CASE WHEN ce.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_methods
+         FROM allp p
+         LEFT JOIN j ON j.doc_a = p.doc_a AND j.doc_b = p.doc_b
+         LEFT JOIN sh ON sh.doc_a = p.doc_a AND sh.doc_b = p.doc_b
+         LEFT JOIN ce ON ce.doc_a = p.doc_a AND ce.doc_b = p.doc_b
+         ORDER BY p.doc_a, p.doc_b""",
 
     "q_contamination" ->
       s"""WITH docs AS (
@@ -3587,6 +3659,30 @@ object SparkEntry {
     // the trainer vocabulary IS the corpus's distinct word set, so
     // both sides tokenize identical word sets.
     "q_bpe_encode" -> bpeEncodeSql,
+    // Merge-count ablation: corpus token mass at each prefix of the
+    // one trained merge table — the oracle reads the SAME
+    // intermediate vK states its trainer-replay chain materializes
+    // (prefix-closure on the engine side, literal stage reuse here).
+    "q_bpe_curve" -> {
+      val arms = operators.Corpus.BpeCurvePoints.map { p =>
+        s"""SELECT CAST($p AS BIGINT) AS n_merges,
+              CAST(COUNT(*) AS BIGINT) AS n_words,
+              CAST(SUM(CAST(len(string_split(trim(s, '|'), '||'))
+                AS BIGINT)) AS BIGINT) AS total_tokens,
+              CAST(SUM(len(w)) AS BIGINT) AS total_alpha_chars
+            FROM dw JOIN v$p USING (w)"""
+      }.mkString("\n            UNION ALL ")
+      s"""$bpeChainSql,
+         dw AS (SELECT doc_id,
+                  unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+                FROM documents),
+         pts AS ($arms)
+         SELECT n_merges, n_words, total_tokens, total_alpha_chars,
+           CAST(COALESCE(CASE WHEN total_tokens > 0
+             THEN (total_alpha_chars * 1000) // total_tokens END, 0)
+             AS BIGINT) AS chars_per_tok_pm
+         FROM pts ORDER BY n_merges"""
+    },
     // encoded with the LOADED merge-table artifact (train -> publish
     // -> load -> encode): same oracle, so a round-trip bit-flip or a
     // version mispin changes a token count and fails the hash — the

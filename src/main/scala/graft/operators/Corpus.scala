@@ -565,6 +565,68 @@ object Corpus {
       IndexStore.loadUnigramBits(spark, root, Some(v)))
   }
 
+  /** Merge-count checkpoints of the ablation curve [[bpeCurve]].
+    * BPE merge tables are PREFIX-CLOSED — the first k merges of an
+    * N-merge train ARE the k-merge tokenizer (training greedily
+    * appends; earlier merges never change) — so one trained table
+    * prices every smaller vocabulary for free. Must end at
+    * [[BpeNMerges]]; interpolated into the oracle, whose replay chain
+    * already materializes every intermediate stage. */
+  val BpeCurvePoints: Seq[Int] = Seq(10, 20, BpeNMerges)
+
+  /** q_bpe_curve: the TOKENIZER MERGE-COUNT ABLATION — the
+    * vocabulary-size knob curve a tokenizer team reads before fixing
+    * merge count (the "compression vs vocab size" trade, Gage's BPE
+    * applied as in Sennrich et al. 2016): corpus token mass and
+    * chars-per-token at each [[BpeCurvePoints]] prefix of ONE trained
+    * merge table. Prefix-closure makes this one trainer pass + one
+    * merge replay per DISTINCT word with counts snapshotted at the
+    * checkpoints — the corpus pays the usual word-keyed join and a
+    * ≤ |points|-row aggregation, never a re-train or re-scan per
+    * point. Oracle-exact: the DuckDB replay reads the SAME
+    * intermediate stages (v10, v20, …) its q_bpe_merges chain
+    * already builds. */
+  def bpeCurve(spark: SparkSession, sf: String): DataFrame = {
+    val merges = bpeMerges(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val bc = spark.sparkContext.broadcast(merges)
+    val pts = BpeCurvePoints
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val docWords = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val wordToks = docWords.select(col("w")).distinct().as[String]
+      .flatMap { w =>
+        var syms = w.map(_.toString).toVector
+        val out = Seq.newBuilder[(String, Int, Long)]
+        var applied = 0
+        bc.value.foreach { case (l, r) =>
+          syms = applyMerge(syms, l, r); applied += 1
+          if (pts.contains(applied)) out += ((w, applied, syms.length.toLong))
+        }
+        // a trainer that ran dry early (no pairs left) serves its end
+        // state at every later checkpoint
+        pts.filter(_ > applied).foreach(p => out += ((w, p, syms.length.toLong)))
+        out.result()
+      }.toDF("w", "n_merges", "n_toks")
+    val perPoint = docWords.join(wordToks, "w")
+      .groupBy(col("n_merges"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_toks")).as("total_tokens"),
+        sum(length(col("w"))).cast("long").as("total_alpha_chars"))
+    spark.range(1)
+      .select(explode(typedLit(pts.map(_.toLong))).as("n_merges"))
+      .join(perPoint.withColumn("n_merges", col("n_merges").cast("long")),
+        Seq("n_merges"), "left")
+      .select(col("n_merges"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),
+        coalesce(col("total_alpha_chars"), lit(0L)).as("total_alpha_chars"),
+        coalesce(expr("(total_alpha_chars * 1000) div total_tokens"),
+          lit(0L)).as("chars_per_tok_pm"))
+      .orderBy(col("n_merges"))
+  }
+
   /** The encode pass parameterized by a MERGE TABLE — shared by the
     * train-in-place [[bpeEncode]] and the artifact-served
     * q_bpe_encode_saved ([[graft.operators.IndexStore.loadBpeMerges]]),
@@ -1401,6 +1463,57 @@ object Corpus {
       .filter(col("quality_score") > col("cut"))
       .select(col("doc_id"), col("quality_score"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Quality thresholds (integer per-mille of the composite score)
+    * swept by [[qualityThresholdSweep]] — spanning the fixture's
+    * score range (measured ≈ [0.15, 0.55] at every SF) so the curve
+    * actually bends. Interpolated into both engines; the comparison
+    * value is `threshold_pm / 1000.0`, a correctly-rounded IEEE
+    * division both engines perform identically. */
+  val QualitySweepThresholdsPm: Seq[Long] =
+    Seq(180L, 220L, 260L, 300L, 350L, 400L)
+
+  /** q_quality_sweep: the quality-gate KNOB-TUNING curve — the
+    * [[graft.operators.Dedup.dedupThresholdSweep]] pattern applied to
+    * the curation gate: before committing an absolute score cutoff, a
+    * curation team sweeps it and reads how much corpus (documents AND
+    * tokens — quality cuts are never token-neutral, low-score docs
+    * skew short or degenerate) each setting keeps. ONE scoring scan
+    * ([[Text.qualityScoredDf]] — the same composite q_quality_gate
+    * ranks by), one |docs|×|thresholds| fan-out projection, bounded
+    * aggregation; kept shares in integer basis points off a
+    * broadcast single-row total.
+    *
+    * Where [[qualityGate]] cuts at a score QUANTILE (drop the worst
+    * quartile wherever it falls), this curve prices ABSOLUTE cuts —
+    * the two compose: the sweep picks the threshold, the gate's
+    * percentile form monitors drift once the threshold is frozen. */
+  def qualityThresholdSweep(spark: SparkSession, sf: String): DataFrame = {
+    val scored = Text.qualityScoredDf(Tables.load(spark, sf, "documents"))
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val totals = scored.agg(count(lit(1)).as("total_docs"),
+      sum(col("n_tokens")).as("total_tokens"))
+    val swept = scored
+      .select(col("n_tokens"), col("quality_score"),
+        explode(typedLit(QualitySweepThresholdsPm)).as("threshold_pm"))
+      .filter(col("quality_score") >=
+        col("threshold_pm").cast("double") / lit(1000.0))
+      .groupBy(col("threshold_pm"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("kept_tokens"))
+    spark.range(1)
+      .select(explode(typedLit(QualitySweepThresholdsPm)).as("threshold_pm"))
+      .join(swept, Seq("threshold_pm"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("threshold_pm"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("total_docs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        expr("(coalesce(n_kept, 0) * 10000) div total_docs")
+          .as("kept_docs_bp"),
+        expr("(coalesce(kept_tokens, 0) * 10000) div total_tokens")
+          .as("kept_tokens_bp"))
+      .orderBy(col("threshold_pm"))
   }
 
   /** Deterministic epoch shuffle: a reproducible pseudo-random total

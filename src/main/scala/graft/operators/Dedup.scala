@@ -1197,6 +1197,42 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q_dup_methods: the near-dup METHOD-AGREEMENT triage — the three
+    * independent pair detectors the repo ships (exact n-gram Jaccard
+    * ≥ 0.5, SimHash hamming ≤ 3, hash-embedding cosine ≥ 0.9) laid
+    * side by side per pair, with the method count. The Venn readout a
+    * curation team reads before trusting any single detector: a pair
+    * only SimHash catches is a token-permutation twin Jaccard keeps
+    * (high bag overlap, different shingles); a pair only the
+    * embedding catches is topical, not textual; 3-of-3 pairs are the
+    * unambiguous mass every method would dedup. Dolma/RefinedWeb-style
+    * pipelines run exactly this comparison when choosing their dedup
+    * stack.
+    *
+    * Shape: each input is its own bounded candidate pipeline (already
+    * driver-pinned individually); this row adds two full-outer joins
+    * over NEAR-DUP PAIR frames — output-sized, tiny at any corpus
+    * scale. At 100 TB the Jaccard leg swaps for [[minhashLsh]]
+    * candidates (the standard kernel swap); the other two legs are
+    * already banded/blocked. */
+  def dupMethodAgreement(spark: SparkSession, sf: String): DataFrame = {
+    val j = ngramJaccard(spark, sf)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("by_jaccard"))
+    val s = simhashPairs(spark, sf)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("by_simhash"))
+    val c = FeatureHash.hashEmbedNearDup(spark, sf)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("by_cosine"))
+    j.join(s, Seq("doc_a", "doc_b"), "full")
+      .join(c, Seq("doc_a", "doc_b"), "full")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("by_jaccard"), lit(0L)).as("by_jaccard"),
+        coalesce(col("by_simhash"), lit(0L)).as("by_simhash"),
+        coalesce(col("by_cosine"), lit(0L)).as("by_cosine"))
+      .withColumn("n_methods",
+        col("by_jaccard") + col("by_simhash") + col("by_cosine"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // ---- AllPairs prefix filtering ------------------------------------
 
   /** EXACT all-pairs Jaccard join over distinct word-TRIGRAM sets via

@@ -1284,6 +1284,79 @@ class OperatorSpec extends AnyFunSuite {
       Dedup.SweepThresholdsBp.filter(_ >= 5000L))
   }
 
+  test("quality sweep: monotone in the threshold, censuses reconcile with the scored corpus") {
+    import graft.operators.{Corpus, Text}
+    val rows = Corpus.qualityThresholdSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == Corpus.QualitySweepThresholdsPm)
+    val total = Tables.load(spark, sf, "documents").count()
+    rows.foreach { case (t, kept, dropped, _, docsBp, _) =>
+      assert(kept + dropped == total, s"threshold $t census tear")
+      assert(docsBp == kept * 10000 / total)
+    }
+    // raising the cut can only shrink what survives
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo._2 >= hi._2 && lo._4 >= hi._4,
+          s"kept mass grew from ${lo._1} to ${hi._1}")
+      case _ =>
+    }
+    // the curve bends and one point re-derives against the raw scores
+    assert(rows.map(_._2).distinct.length > 1, rows.mkString(","))
+    val direct = Text.quality(spark, sf)
+      .filter(col("quality_score") >= lit(260L).cast("double") / lit(1000.0))
+      .count()
+    assert(rows.find(_._1 == 260L).get._2 == direct,
+      "sweep disagrees with a direct threshold count")
+  }
+
+  test("bpe curve: token mass shrinks as merges accumulate and the end point IS the trained encode") {
+    import graft.operators.Corpus
+    val rows = Corpus.bpeCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Corpus.BpeCurvePoints.map(_.toLong))
+    // word occurrences and char mass are merge-count-independent
+    assert(rows.map(_._2).distinct.length == 1, "word census drifted")
+    assert(rows.map(_._4).distinct.length == 1, "char census drifted")
+    // each extra merge block can only shrink the token mass
+    rows.sliding(2).foreach {
+      case Array(lo, hi) => assert(lo._3 >= hi._3,
+        s"token mass grew from ${lo._1} to ${hi._1} merges")
+      case _ =>
+    }
+    assert(rows.head._3 > rows.last._3, "curve did not bend on the fixture")
+    // the final point collapses to the full trained encode
+    val enc = Corpus.bpeEncode(spark, sf)
+      .agg(sum(col("n_bpe_tokens")), sum(col("n_words"))).head()
+    assert(rows.last._3 == enc.getLong(0) && rows.last._2 == enc.getLong(1),
+      "curve end point diverged from q_bpe_encode")
+  }
+
+  test("dup methods: flags re-derive from the three pair detectors and cover their union") {
+    import graft.operators.{Dedup, FeatureHash}
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val j = pairSet(Dedup.ngramJaccard(spark, sf))
+    val s = pairSet(Dedup.simhashPairs(spark, sf))
+    val c = pairSet(FeatureHash.hashEmbedNearDup(spark, sf))
+    val rows = Dedup.dupMethodAgreement(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    assert(rows.map(_._1).toSet == (j ++ s ++ c), "union coverage tear")
+    rows.foreach { case (p, (bj, bs, bc2, n)) =>
+      assert(bj == (if (j(p)) 1L else 0L), s"$p jaccard flag")
+      assert(bs == (if (s(p)) 1L else 0L), s"$p simhash flag")
+      assert(bc2 == (if (c(p)) 1L else 0L), s"$p cosine flag")
+      assert(n == bj + bs + bc2)
+    }
+    // the triage is non-degenerate on the fixture: methods disagree
+    // somewhere (a detector that always agrees adds no information)
+    assert(rows.exists(_._2._4 < 3L), "fixture: all methods always agree")
+  }
+
   test("dup matrix: cells re-derive from the labeled pair set and the mass crosses sources") {
     import graft.operators.Dedup
     val cells = Dedup.dupMatrix(spark, sf).collect()
@@ -2606,10 +2679,11 @@ class OperatorSpec extends AnyFunSuite {
       "q_ann_ivf_saved", "q_nb_classify_saved", "q_unigram_train",
       "q_unigram_encode", "q_curate_v2_approx", "q_video_neardup",
       "q_gopher_rules",
-      // r15 additions: the LSH-fed sweep curve and the
-      // artifact-served tokenizer encodes all claim
+      // r15 additions: the LSH-fed sweep curve, the artifact-served
+      // tokenizer encodes, and the three knob/triage curves all claim
       // layout-independence — demand the receipt
-      "q_dedup_sweep_lsh", "q_bpe_encode_saved", "q_unigram_encode_saved")
+      "q_dedup_sweep_lsh", "q_bpe_encode_saved", "q_unigram_encode_saved",
+      "q_quality_sweep", "q_bpe_curve", "q_dup_methods")
     def snap(): Map[String, Seq[Seq[Any]]] = {
       spark.catalog.clearCache()
       qs.map(q => q ->
