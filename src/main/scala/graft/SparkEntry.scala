@@ -304,6 +304,7 @@ object SparkEntry {
     "q_mrl_recall" -> ((s: SparkSession, d: String) =>
       Similarity.mrlPlantedRecall(s, d)),
     "q_ivf_recall" -> (Similarity.ivfPlantedRecall _),
+    "q_ivf_sweep" -> (Similarity.ivfProbeSweep _),
     "q_ivf_sampled_recall" -> (Similarity.ivfSampledPlantedRecall _),
     "q_cosine_recall" -> ((s: SparkSession, d: String) => Similarity.cosinePlantedRecall(s, d)),
     "q_pq_codes" -> (Similarity.pqCodes _),
@@ -3465,6 +3466,54 @@ object SparkEntry {
     // truncating division, a tie broken differently — moves a vector
     // across cells and shows as a row diff at the driver gate.
     "q_ann_ivf" -> AnnIvfSql,
+    // nprobe recall curve: the shared trainer-replay chain's
+    // rank_cells already orders every cell per query, so each swept
+    // depth is a prefix predicate; truth = the exact brute-force
+    // top-k replay (q_knn_brute's formula at k=3), counts and
+    // integer-bp recall per depth.
+    "q_ivf_sweep" -> {
+      val ts = operators.Similarity.ProbeSweepPoints
+        .map(t => s"($t)").mkString(", ")
+      val maxP = operators.Similarity.ProbeSweepPoints.max
+      val k = operators.Similarity.SweepTrueK
+      s"""$IvfCandCtes,
+         cf AS (SELECT r.vec_id AS query_id, ix.vec_id AS neighbor_id,
+                  CAST(MIN(r.rn) AS BIGINT) AS first_rank
+                FROM rank_cells r JOIN indexed ix
+                  ON r.cell = ix.cell AND r.vec_id <> ix.vec_id
+                WHERE r.rn <= $maxP GROUP BY 1, 2),
+         pc AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(CAST(list_sum(list_transform(generate_series(1, len(a.iv)),
+               i -> a.iv[i] * b.iv[i])) AS BIGINT) AS DOUBLE)
+             / (sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(a.iv)),
+                 i -> a.iv[i] * a.iv[i])) AS BIGINT) AS DOUBLE))
+                * sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(b.iv)),
+                 i -> b.iv[i] * b.iv[i])) AS BIGINT) AS DOUBLE))) AS cosine
+           FROM qv a, qv b WHERE a.vec_id <> b.vec_id),
+         knn AS (SELECT query_id, neighbor_id FROM
+                   (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id) AS rk FROM pc)
+                 WHERE rk <= $k),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_total FROM knn),
+         ts AS (SELECT CAST(v AS BIGINT) AS nprobe FROM (VALUES $ts) x(v)),
+         sw AS (SELECT t.nprobe,
+                  CAST(COUNT(*) AS BIGINT) AS n_candidates,
+                  CAST(SUM(CASE WHEN kn.query_id IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_true_hits
+                FROM cf c
+                JOIN ts t ON c.first_rank <= t.nprobe
+                LEFT JOIN knn kn ON kn.query_id = c.query_id
+                  AND kn.neighbor_id = c.neighbor_id
+                GROUP BY 1)
+         SELECT t.nprobe,
+           CAST(COALESCE(sw.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(sw.n_true_hits, 0) AS BIGINT) AS n_true_hits,
+           CAST((COALESCE(sw.n_true_hits, 0) * 10000) // tot.n_true_total
+             AS BIGINT) AS recall_bp
+         FROM ts t CROSS JOIN tot LEFT JOIN sw USING (nprobe)
+         ORDER BY t.nprobe"""
+    },
     // served from the persisted centroid artifact (train -> publish ->
     // drop the trainer memo -> load -> serve): the oracle is the SAME
     // trainer replay, so a save/load bit-flip fails the hash

@@ -1013,6 +1013,73 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Probe depths swept by [[ivfProbeSweep]] — 1 to half the
+    * [[IvfCells]] cell count, so the curve spans "cheapest possible"
+    * to "half the index scanned". Interpolated into the oracle. */
+  val ProbeSweepPoints: Seq[Long] = Seq(1L, 2L, 4L, 8L)
+
+  /** True-neighbor depth the sweep scores against (recall@k of the
+    * exact brute-force top-k). */
+  val SweepTrueK = 3
+
+  /** q_ivf_sweep: the ANN KNOB-TUNING curve — recall vs probe depth,
+    * the dial every IVF deployment turns (FAISS `nprobe`): for each
+    * [[ProbeSweepPoints]] depth, the candidate mass the index would
+    * score (the cost axis) and how many exact top-[[SweepTrueK]]
+    * neighbors the probed cells contain (the recall axis, in integer
+    * basis points). The [[graft.operators.Dedup.dedupThresholdSweep]]
+    * pattern applied to retrieval: ONE cell-ranking pass per vector
+    * (cells ranked once to the deepest point — a shallower probe is a
+    * PREFIX of a deeper one, the nprobe analog of BPE prefix-closure),
+    * one candidate census keyed by FIRST probe depth that admits the
+    * pair, one fan-out to the swept depths — never a re-probe per
+    * point. Ground truth is the guarded exact kernel
+    * ([[knnBruteForce]] — verification-scale by convention; at 100 TB
+    * the truth set comes from a held-out query SAMPLE, the standard
+    * ANN-bench protocol, and the sweep arithmetic is unchanged). */
+  def ivfProbeSweep(spark: SparkSession, sf: String): DataFrame = {
+    val e = Tables.load(spark, sf, "embeddings")
+    val cents = centroidsFor(spark, sf)
+    val maxP = ProbeSweepPoints.max.toInt
+    val q = quantized(e, "vec_id")
+    val index = q.select(col("vec_id").as("neighbor_id"),
+      element_at(nearestCellsQ(col("iv_vec_id"), cents, 1), 1).as("cell"))
+    val probes = q.select(col("vec_id").as("query_id"),
+        posexplode(nearestCellsQ(col("iv_vec_id"), cents, maxP))
+          .as(Seq("p0", "cell")))
+      .select(col("query_id"), col("cell"),
+        (col("p0") + 1).cast("long").as("cell_rank"))
+    // first probe depth admitting each (query, neighbor) candidate —
+    // cells are disjoint (a vector indexes into exactly one), so this
+    // min is the unique admitting depth
+    val candFirst = probes.join(index, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(min(col("cell_rank")).as("first_rank"))
+    val truth = knnBruteForce(spark, sf, SweepTrueK)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("is_true"))
+    val swept = candFirst
+      .join(truth, Seq("query_id", "neighbor_id"), "left")
+      .select(col("first_rank"),
+        coalesce(col("is_true"), lit(0L)).as("is_true"),
+        explode(typedLit(ProbeSweepPoints)).as("nprobe"))
+      .filter(col("first_rank") <= col("nprobe"))
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(col("is_true")).as("n_true_hits"))
+    val totals = truth.agg(count(lit(1)).as("n_true_total"))
+    spark.range(1)
+      .select(explode(typedLit(ProbeSweepPoints)).as("nprobe"))
+      .join(swept, Seq("nprobe"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("nprobe"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_true_hits"), lit(0L)).as("n_true_hits"),
+        expr("(coalesce(n_true_hits, 0) * 10000) div n_true_total")
+          .as("recall_bp"))
+      .orderBy(col("nprobe"))
+  }
+
   /** Exact brute-force cosine pairs over a threshold — the
     * oracle-checkable twin of the LSH near-dup path. */
   def cosinePairsExact(spark: SparkSession, sf: String,

@@ -1334,6 +1334,30 @@ class OperatorSpec extends AnyFunSuite {
       "curve end point diverged from q_bpe_encode")
   }
 
+  test("ivf probe sweep: recall and cost both rise with depth, deepest point re-derives from the candidate census") {
+    import graft.operators.Similarity
+    val rows = Similarity.ivfProbeSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Similarity.ProbeSweepPoints)
+    // deeper probing can only add candidates and hits (prefix-closure
+    // of the cell ranking), and recall_bp is the integer ratio
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo._2 <= hi._2 && lo._3 <= hi._3,
+          s"census shrank from nprobe ${lo._1} to ${hi._1}")
+      case _ =>
+    }
+    val nTrue = Similarity.knnBruteForce(spark, sf,
+      Similarity.SweepTrueK).count()
+    rows.foreach { case (p, _, hits, bp) =>
+      assert(hits <= nTrue && bp == hits * 10000 / nTrue,
+        s"nprobe $p recall arithmetic tear")
+    }
+    // the curve bends on the fixture: shallow probing misses truth
+    // that deeper probing recovers (otherwise the knob is dead)
+    assert(rows.head._3 < rows.last._3, rows.mkString(","))
+  }
+
   test("dup methods: flags re-derive from the three pair detectors and cover their union") {
     import graft.operators.{Dedup, FeatureHash}
     def pairSet(df: org.apache.spark.sql.DataFrame) = df
@@ -2683,7 +2707,7 @@ class OperatorSpec extends AnyFunSuite {
       // tokenizer encodes, and the three knob/triage curves all claim
       // layout-independence — demand the receipt
       "q_dedup_sweep_lsh", "q_bpe_encode_saved", "q_unigram_encode_saved",
-      "q_quality_sweep", "q_bpe_curve", "q_dup_methods")
+      "q_quality_sweep", "q_bpe_curve", "q_dup_methods", "q_ivf_sweep")
     def snap(): Map[String, Seq[Seq[Any]]] = {
       spark.catalog.clearCache()
       qs.map(q => q ->
