@@ -123,6 +123,8 @@ object SparkEntry {
     "q_delta_substr" -> (Text.deltaSubstr _),
     "q_stream_substr" -> ((s: SparkSession, d: String) =>
       graft.streaming.DocStream.substrViaStream(s, d)),
+    "q_stream_substr_compact" -> ((s: SparkSession, d: String) =>
+      graft.streaming.DocStream.substrCompactViaStream(s, d)),
     "q_decontaminate_scrub" -> (Text.decontaminateScrub _),
     "q_delta_winnow" -> (Text.deltaWinnow _),
     "q_stream_winnow" -> ((s: SparkSession, d: String) =>
@@ -1834,6 +1836,11 @@ object SparkEntry {
     // audit against the persistent anchor index must agree with the
     // batch delta pass row-for-row
     "q_stream_substr" -> operators.Text.deltaSubstrOracle,
+    // the long-ingest twin with live two-store compaction: the oracle
+    // replays the per-delivery incremental semantics brute-force —
+    // compaction must be a pure layout change, bit-for-bit
+    "q_stream_substr_compact" ->
+      graft.streaming.DocStream.substrCompactOracle,
     "q_decontaminate_scrub" -> operators.Text.decontaminateScrubOracle,
     "q_winnow_skew" -> operators.Text.winnowOverlapOracle(
       s"(SELECT doc_id, ${operators.Text.winnowSkewTextSql} AS text " +

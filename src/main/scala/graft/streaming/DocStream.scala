@@ -477,6 +477,131 @@ object DocStream {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** q_stream_substr_compact: the LONG-INGEST substring twin with the
+    * recurring [[StreamState.compactState]] maintenance pass LIVE on
+    * BOTH stores — [[winnowCompactViaStream]]'s receipt at the
+    * substring family's fidelity: [[CompactDeliveries]] doc_id-range
+    * deliveries stream through, each micro-batch audits its documents
+    * against the accumulated positioned-fingerprint index + text
+    * store through the shared `substrSpansAgainstIndex` kernel, then
+    * BOTH stores are rewritten into size-targeted files (own subtree
+    * excluded — the retry-idempotence rule), so every probe after the
+    * first reads stores that have been compacted at least once. The
+    * batch_id visibility predicate rides a stored COLUMN on both
+    * stores, which is exactly why it survives the rename-based
+    * rewrite — the receipt this row exists to pin: compaction is a
+    * pure layout change, bit-identical output, fewer files.
+    *
+    * Output: every post-bootstrap document's merged spans with its
+    * delivery number; the DuckDB oracle replays the per-delivery
+    * incremental semantics brute-force (spans against STRICTLY
+    * earlier deliveries only). */
+  def substrCompactViaStream(spark: SparkSession, sf: String,
+      compactIndex: Boolean = true): DataFrame = {
+    import graft.operators.Text
+    val parts = CompactDeliveries
+    val root = graft.TempDirs.create("graft-substrcompact")
+    val indexDir = s"$root/index"
+    val textDir = s"$root/texts"
+    val outDir = s"$root/out"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(indexDir, textDir).foreach(d =>
+      fs.mkdirs(new org.apache.hadoop.fs.Path(d)))
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val wdt = math.max(1L,
+      docs.agg(floor((max(col("doc_id")) + 1) / parts).cast("long"))
+        .head().getLong(0))
+    val delivery = least(expr(s"doc_id div ${wdt}L"), lit(parts - 1L))
+    DeliveryHarness.runDeliveries(spark, root,
+      (0 until parts).map(i => docs.filter(delivery === i)),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))),
+      { (batch: DataFrame, batchId: Long) =>
+        val fps = Text.substrFpSet(batch)
+        val idxFps = StreamState.readState(spark, indexDir, SubstrIndexSchema)
+          .filter(col("batch_id") < batchId).drop("batch_id")
+        val idxTexts = StreamState.readState(spark, textDir, SubstrTextSchema)
+          .filter(col("batch_id") < batchId).drop("batch_id")
+        Text.substrSpansAgainstIndex(batch, fps, idxFps, idxTexts)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+        fps.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(s"$indexDir/batch-$batchId")
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(s"$textDir/batch-$batchId")
+        if (compactIndex) {
+          StreamState.compactState(spark, indexDir, SubstrIndexSchema,
+            excludeSubdir = Some(s"batch-$batchId"))
+          StreamState.compactState(spark, textDir, SubstrTextSchema,
+            excludeSubdir = Some(s"batch-$batchId"))
+        }
+        ()
+      })
+    spark.read.schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("span_start", LongType),
+        StructField("span_end", LongType),
+        StructField("span_chars", LongType),
+        StructField("batch_id", LongType))))
+      .option("recursiveFileLookup", "true").parquet(outDir)
+      .filter(col("batch_id") >= 1L)
+      .select(col("doc_id"), col("batch_id").as("delivery"),
+        col("span_start"), col("span_end"), col("span_chars"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** DuckDB replay of [[substrCompactViaStream]]'s INCREMENTAL
+    * semantics: the brute-force L-gram definition with the shared
+    * gram restricted to STRICTLY EARLIER deliveries under the
+    * [[CompactDeliveries]] doc_id-range split. Compaction must not
+    * change a single row of this. */
+  def substrCompactOracle: String = {
+    import graft.operators.Text
+    val L = Text.SubstrMinLen
+    val p = CompactDeliveries
+    s"""WITH wd AS (SELECT greatest((MAX(doc_id) + 1) // $p, 1) AS wdt
+              FROM documents),
+       del AS (SELECT doc_id, least(doc_id // wdt, ${p - 1}) AS d
+               FROM documents, wd),
+       d AS (
+         SELECT doc_id, text, len(text) AS n FROM documents
+         WHERE len(text) >= $L),
+       g AS (
+         SELECT doc_id, CAST(p AS BIGINT) AS p,
+           substr(text, CAST(p + 1 AS INT), $L) AS gram
+         FROM d, LATERAL (SELECT unnest(generate_series(0, n - $L))
+           AS p) gg),
+       sh AS (
+         SELECT DISTINCT a.doc_id, a.p
+         FROM g a JOIN g b ON a.gram = b.gram
+         JOIN del da ON da.doc_id = a.doc_id
+         JOIN del db ON db.doc_id = b.doc_id
+         WHERE db.d < da.d),
+       m AS (
+         SELECT doc_id, p,
+           CASE WHEN p > COALESCE(MAX(p + $L) OVER (
+             PARTITION BY doc_id ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+           THEN 1 ELSE 0 END AS ni
+         FROM sh),
+       isl AS (
+         SELECT doc_id, p,
+           SUM(ni) OVER (PARTITION BY doc_id ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         FROM m),
+       spans AS (
+         SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+           CAST(MAX(p) + $L AS BIGINT) AS span_end,
+           CAST(MAX(p) + $L - MIN(p) AS BIGINT) AS span_chars
+         FROM isl GROUP BY doc_id, island)
+       SELECT s.doc_id, CAST(del.d AS BIGINT) AS delivery,
+         s.span_start, s.span_end, s.span_chars
+       FROM spans s JOIN del ON del.doc_id = s.doc_id
+       ORDER BY s.doc_id, s.span_start"""
+  }
+
   /** Deliveries for [[winnowCompactViaStream]] — enough that the
     * compacted store is rewritten repeatedly mid-ingest (the
     * long-ingest shape, not the two-delivery smoke). Interpolated

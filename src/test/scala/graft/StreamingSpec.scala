@@ -423,6 +423,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(statuses == Set("overlap_of_corpus", "new"), statuses.toString)
   }
 
+  test("substring long ingest (5 deliveries) with live two-store compaction is bit-identical to the uncompacted run") {
+    import graft.streaming.DocStream
+    val plain = DocStream.substrCompactViaStream(spark, sf,
+        compactIndex = false)
+      .collect().map(_.toSeq.toList).toSeq
+    val compacted = DocStream.substrCompactViaStream(spark, sf)
+      .collect().map(_.toSeq.toList).toSeq
+    assert(plain.nonEmpty && compacted == plain,
+      "mid-ingest compaction changed the span stream")
+    // the ingest exercised the long shape: spans from more than one
+    // post-bootstrap delivery (a single-delivery result would be the
+    // two-delivery smoke in disguise)
+    val deliveries = plain.map(_(1).asInstanceOf[Long]).toSet
+    assert(deliveries.size > 1 &&
+      deliveries.subsetOf((1L until DocStream.CompactDeliveries).toSet),
+      s"deliveries seen: $deliveries")
+  }
+
   test("streaming entity resolution equals the batch linkage row-for-row") {
     // registry delivery then dirty-feed delivery, edges emitted
     // incrementally (within-batch + batch-vs-index), one terminal CC —
