@@ -138,6 +138,7 @@ object SparkEntry {
     "q_gopher_rules" -> (Text.gopherRules _),
     "q_surprisal" -> (Text.surprisal _),
     "q_bigram_surprisal" -> (Text.bigramSurprisal _),
+    "q_backoff_score" -> (Text.backoffScore _),
     "q_ppl_buckets" -> (Text.pplBuckets _),
     "q_ngram_diversity" -> (Corpus.ngramDiversity _),
     "q_hash_embed" -> (FeatureHash.hashEmbed _),
@@ -1953,6 +1954,11 @@ object SparkEntry {
            CAST(sum(bits) AS BIGINT) AS total_bits,
            CAST((sum(bits) * 1000) // count(*) AS BIGINT) AS mean_millibits
          FROM scored GROUP BY doc_id ORDER BY doc_id""",
+
+    // Trigram Stupid Backoff against the train-split model: the
+    // three-level CASE, integer bit costs, and per-level censuses all
+    // replay off the shared content-hash split definition.
+    "q_backoff_score" -> operators.Text.backoffScoreOracle,
 
     // CCNet head/middle/tail: the bigram model replays as above, then
     // the per-source tercile is plain ROW_NUMBER + integer arithmetic

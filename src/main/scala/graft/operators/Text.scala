@@ -282,6 +282,185 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Backoff penalty in integer bits — the Stupid Backoff α = 0.4
+    * (Brants et al. 2007) costs −log₂ 0.4 ≈ 1.32 bits per backoff
+    * level; 2 is its integer ceiling, keeping every score a plain
+    * BIGINT both engines compute identically. Interpolated into the
+    * oracle. */
+  val BackoffPenaltyBits = 2L
+
+  /** q_backoff_score: TRIGRAM STUPID BACKOFF scoring (Brants et al.
+    * 2007 — the scheme invented FOR MapReduce-scale LMs: count
+    * ratios, no discounting, a fixed per-level penalty) in the
+    * repo's integer-exact MDL form, with the model trained on the
+    * TRAIN split (the shared content-hash 80% —
+    * [[Corpus.splitAssignDf]], so this row, the splits, and
+    * decontamination can never disagree about membership) and EVERY
+    * document scored against it — the CCNet posture (score the crawl
+    * under a reference LM) where held-out documents genuinely back
+    * off on unseen trigrams instead of the dead-code backoff a
+    * self-scored model would have. Per trigram position:
+    *
+    *   - seen trigram:  bits = ⌊log₂(c(w₁w₂·)/c(w₁w₂w₃))⌋+1
+    *   - else seen bigram: [[BackoffPenaltyBits]] +
+    *       ⌊log₂(c(w₂·)/c(w₂w₃))⌋+1
+    *   - else: 2·penalty + ⌊log₂(T/(c(w₃)+1))⌋+1 (add-one, so an
+    *       OOV word stays finite — the NB smoothing posture)
+    *
+    * all via `length(bin(a div b))` — no float log in either engine.
+    * Output carries the per-level hit censuses, so the score is
+    * auditable (a doc scoring high BECAUSE it backs off constantly
+    * is a different curation verdict than one full of rare-but-seen
+    * trigrams).
+    *
+    * Scale shape: the model tables are n-gram-vocabulary-sized
+    * partial aggs over the train slice; scoring is the trigram
+    * stream left-joined against them (each join keyed on its n-gram —
+    * broadcastable when the model fits, shuffle-joined otherwise)
+    * plus one per-doc partial agg. Nothing iterates, nothing
+    * collects. */
+  def backoffScore(spark: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.load(spark, sf, "documents")
+    val withSplit = docs
+      .join(graft.operators.Corpus.splitAssignDf(
+        docs.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("split")), "doc_id")
+    def tris(d: DataFrame): DataFrame = d
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t)-3), i -> " +
+          "struct(t[i] as w1, t[i+1] as w2, t[i+2] as w3))")).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"),
+        col("g.w3").as("w3"))
+    val train = withSplit.filter(col("split") === "train")
+    val trainTri = tris(train)
+    val tri = trainTri.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val triPre = tri.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c3")).as("p2"))
+    // bigram/unigram models from the SAME train token stream (not the
+    // trigram stream — a 2-word train doc must still teach bigrams)
+    val trainTok = train.select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("t"))
+    val trainBi = trainTok.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t)-2), i -> " +
+          "struct(t[i] as wa, t[i+1] as wb))")).as("b"))
+      .select(col("b.wa").as("wa"), col("b.wb").as("wb"))
+      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("c2"))
+    val biPre = trainBi.groupBy(col("wa")).agg(sum(col("c2")).as("p1"))
+    val uni = trainTok.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val total = uni.agg(sum(col("c1")).as("t_total"))
+    val scored = tris(withSplit.select(col("doc_id"), col("text")))
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(triPre, Seq("w1", "w2"), "left")
+      .join(trainBi.select(col("wa").as("w2"), col("wb").as("w3"),
+        col("c2")), Seq("w2", "w3"), "left")
+      .join(biPre.select(col("wa").as("w2"), col("p1")), Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("c1")), Seq("w3"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        when(col("c3").isNotNull, lit(0L))
+          .when(col("c2").isNotNull, lit(1L))
+          .otherwise(lit(2L)).as("level"),
+        when(col("c3").isNotNull,
+            length(bin(expr("p2 div c3"))).cast("long"))
+          .when(col("c2").isNotNull,
+            lit(BackoffPenaltyBits) +
+              length(bin(expr("p1 div c2"))).cast("long"))
+          .otherwise(lit(2L * BackoffPenaltyBits) +
+            length(bin(expr("t_total div (coalesce(c1, 0) + 1)")))
+              .cast("long")).as("bits"))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("level") === 0L, 1L).otherwise(0L)).as("n_tri_hits"),
+        sum(when(col("level") === 1L, 1L).otherwise(0L)).as("n_bi_backoffs"),
+        sum(when(col("level") === 2L, 1L).otherwise(0L)).as("n_uni_backoffs"),
+        sum(col("bits")).as("total_bits"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_tri_hits"), lit(0L)).as("n_tri_hits"),
+        coalesce(col("n_bi_backoffs"), lit(0L)).as("n_bi_backoffs"),
+        coalesce(col("n_uni_backoffs"), lit(0L)).as("n_uni_backoffs"),
+        coalesce(col("total_bits"), lit(0L)).as("total_bits"),
+        coalesce(expr("(total_bits * 1000) div n_trigrams"), lit(0L))
+          .as("mean_millibits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay of [[backoffScore]]: the same train-split model
+    * tables, the same three-level CASE, the same `length(bin(//))`
+    * integer bit costs. */
+  def backoffScoreOracle: String = {
+    val p = BackoffPenaltyBits
+    s"""WITH dt AS (
+         SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t,
+           ('0x' || substring(md5(text), 1, 8))::BIGINT % 1000 < 800
+             AS is_train
+         FROM documents),
+       trig AS (
+         SELECT doc_id, is_train, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+         FROM dt, unnest(range(1, len(t) - 1)) AS u(i)
+         WHERE len(t) >= 3),
+       tri AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3
+               FROM trig WHERE is_train GROUP BY 1, 2, 3),
+       trip AS (SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS p2
+                FROM tri GROUP BY 1, 2),
+       bigr AS (
+         SELECT wa, wb, CAST(COUNT(*) AS BIGINT) AS c2 FROM (
+           SELECT t[i] AS wa, t[i+1] AS wb
+           FROM dt, unnest(range(1, len(t))) AS u(i)
+           WHERE is_train AND len(t) >= 2)
+         GROUP BY 1, 2),
+       bip AS (SELECT wa, CAST(SUM(c2) AS BIGINT) AS p1
+               FROM bigr GROUP BY 1),
+       uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
+                 SELECT unnest(t) AS w FROM dt WHERE is_train)
+               GROUP BY 1),
+       tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t_total FROM uni),
+       sc AS (
+         SELECT g.doc_id,
+           CASE WHEN tri.c3 IS NOT NULL THEN 0
+                WHEN b.c2 IS NOT NULL THEN 1 ELSE 2 END AS lvl,
+           CASE WHEN tri.c3 IS NOT NULL
+                  THEN length(bin(trip.p2 // tri.c3))
+                WHEN b.c2 IS NOT NULL
+                  THEN $p + length(bin(bip.p1 // b.c2))
+                ELSE ${2 * p} + length(bin(tot.t_total
+                  // (COALESCE(u.c1, 0) + 1))) END AS bits
+         FROM trig g
+         LEFT JOIN tri USING (w1, w2, w3)
+         LEFT JOIN trip USING (w1, w2)
+         LEFT JOIN bigr b ON b.wa = g.w2 AND b.wb = g.w3
+         LEFT JOIN bip ON bip.wa = g.w2
+         LEFT JOIN uni u ON u.w = g.w3
+         CROSS JOIN tot),
+       pd AS (
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tri_hits,
+           CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bi_backoffs,
+           CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_uni_backoffs,
+           CAST(SUM(bits) AS BIGINT) AS total_bits
+         FROM sc GROUP BY doc_id)
+       SELECT d.doc_id,
+         CAST(COALESCE(n_trigrams, 0) AS BIGINT) AS n_trigrams,
+         CAST(COALESCE(n_tri_hits, 0) AS BIGINT) AS n_tri_hits,
+         CAST(COALESCE(n_bi_backoffs, 0) AS BIGINT) AS n_bi_backoffs,
+         CAST(COALESCE(n_uni_backoffs, 0) AS BIGINT) AS n_uni_backoffs,
+         CAST(COALESCE(total_bits, 0) AS BIGINT) AS total_bits,
+         CAST(COALESCE((total_bits * 1000) // n_trigrams, 0) AS BIGINT)
+           AS mean_millibits
+       FROM documents d LEFT JOIN pd USING (doc_id)
+       ORDER BY d.doc_id"""
+  }
+
   /** Range-bucket width for [[pplBuckets]]' two-phase per-source rank. */
   private val PplRankBuckets = 32
 

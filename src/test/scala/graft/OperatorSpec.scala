@@ -1334,6 +1334,32 @@ class OperatorSpec extends AnyFunSuite {
       "curve end point diverged from q_bpe_encode")
   }
 
+  test("backoff score: train docs never back off, held-out docs do, censuses reconcile") {
+    import graft.operators.{Corpus, Text}
+    val rows = Text.backoffScore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val split = Corpus.splitAssignDf(docs)
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.count())
+    rows.foreach { case (id, n, tri, bi, un, bits) =>
+      assert(tri + bi + un == n, s"doc $id level census tear")
+      assert(n == 0 || bits >= n, s"doc $id: every trigram costs >= 1 bit")
+      // a train doc's trigrams all trained the model — backoff there
+      // would mean the model and the scorer disagree about the split
+      if (split(id) == "train")
+        assert(bi == 0 && un == 0, s"train doc $id backed off")
+    }
+    // the fixture is non-degenerate: some held-out doc genuinely
+    // backs off (otherwise the operator is the trigram surprisal)
+    assert(rows.exists(r => r._4 + r._5 > 0), "no backoff ever fired")
+    // and scoring covers the whole corpus: non-train docs scored too
+    assert(rows.exists(r => split(r._1) != "train" && r._2 > 0))
+  }
+
   test("ivf probe sweep: recall and cost both rise with depth, deepest point re-derives from the candidate census") {
     import graft.operators.Similarity
     val rows = Similarity.ivfProbeSweep(spark, sf).collect()
@@ -2707,7 +2733,8 @@ class OperatorSpec extends AnyFunSuite {
       // tokenizer encodes, and the three knob/triage curves all claim
       // layout-independence — demand the receipt
       "q_dedup_sweep_lsh", "q_bpe_encode_saved", "q_unigram_encode_saved",
-      "q_quality_sweep", "q_bpe_curve", "q_dup_methods", "q_ivf_sweep")
+      "q_quality_sweep", "q_bpe_curve", "q_dup_methods", "q_ivf_sweep",
+      "q_backoff_score")
     def snap(): Map[String, Seq[Seq[Any]]] = {
       spark.catalog.clearCache()
       qs.map(q => q ->
