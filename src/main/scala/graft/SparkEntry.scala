@@ -139,6 +139,7 @@ object SparkEntry {
     "q_surprisal" -> (Text.surprisal _),
     "q_bigram_surprisal" -> (Text.bigramSurprisal _),
     "q_backoff_score" -> (Text.backoffScore _),
+    "q_backoff_score_saved" -> (Text.backoffScoreSaved _),
     "q_ppl_buckets" -> (Text.pplBuckets _),
     "q_ngram_diversity" -> (Corpus.ngramDiversity _),
     "q_hash_embed" -> (FeatureHash.hashEmbed _),
@@ -1959,6 +1960,9 @@ object SparkEntry {
     // three-level CASE, integer bit costs, and per-level censuses all
     // replay off the shared content-hash split definition.
     "q_backoff_score" -> operators.Text.backoffScoreOracle,
+    // scored from the LOADED count tables (train -> publish -> load
+    // -> score): same oracle, so a round-trip bit-flip fails
+    "q_backoff_score_saved" -> operators.Text.backoffScoreOracle,
 
     // CCNet head/middle/tail: the bigram model replays as above, then
     // the per-source tercile is plain ROW_NUMBER + integer arithmetic

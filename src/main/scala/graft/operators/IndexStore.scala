@@ -174,6 +174,33 @@ object IndexStore {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
+  // ---- backoff LM -------------------------------------------------------
+
+  /** Publish the trained Stupid-Backoff n-gram model (trigram /
+    * bigram / unigram count frames — [[Text.backoffModel]]) as one
+    * versioned dir with three subtrees: the KenLM-model-file analog.
+    * All three frames are n-gram-vocabulary-sized — executor-written,
+    * never collected (the [[saveNb]] posture). */
+  def saveBackoffLm(spark: SparkSession, sfDir: String, root: String): Long = {
+    val (tri, bigr, uni) = Text.backoffModel(spark, sfDir)
+    val v = nextVersion(spark, root)
+    val dir = SnapshotStore.versionDir(root, v)
+    tri.write.mode("overwrite").parquet(s"$dir/tri")
+    bigr.write.mode("overwrite").parquet(s"$dir/bi")
+    uni.write.mode("overwrite").parquet(s"$dir/uni")
+    SnapshotStore.appendVersion(spark, root, "backoff-lm",
+      java.time.Instant.now())
+    v
+  }
+
+  def loadBackoffLm(spark: SparkSession, root: String,
+      version: Option[Long] = None): (DataFrame, DataFrame, DataFrame) = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    val dir = SnapshotStore.versionDir(root, v)
+    (spark.read.parquet(s"$dir/tri"), spark.read.parquet(s"$dir/bi"),
+      spark.read.parquet(s"$dir/uni"))
+  }
+
   // ---- NB model ---------------------------------------------------------
 
   /** Publish the trained Naive Bayes router (classes + counts frames —

@@ -320,41 +320,76 @@ object Text {
     * plus one per-doc partial agg. Nothing iterates, nothing
     * collects. */
   def backoffScore(spark: SparkSession, sf: String): DataFrame = {
+    val (tri, bigr, uni) = backoffModel(spark, sf)
+    backoffScoreWith(spark, sf, tri, bigr, uni)
+  }
+
+  /** q_backoff_score_saved: [[backoffScore]] SERVED FROM THE
+    * PERSISTED MODEL — the KenLM-`.arpa`-file analog completing the
+    * artifact story for the LM scorer (train once on the frozen
+    * split, publish the count tables through
+    * [[graft.operators.IndexStore]], score every later corpus drop
+    * from the same bytes). Same output and oracle as the in-place
+    * scorer — the q_nb_classify_saved pattern. */
+  def backoffScoreSaved(spark: SparkSession, sf: String): DataFrame = {
+    val root = graft.TempDirs.create("graft-backoff-artifact")
+    val v = IndexStore.saveBackoffLm(spark, sf, root)
+    val (tri, bigr, uni) = IndexStore.loadBackoffLm(spark, root, Some(v))
+    backoffScoreWith(spark, sf, tri, bigr, uni)
+  }
+
+  /** The train-split n-gram count tables — (trigram c3, bigram c2,
+    * unigram c1) frames, each an n-gram-vocabulary-sized partial agg
+    * (executor-resident; never collected). The prefix tables and the
+    * scalar total DERIVE from these by exact aggregation, so the
+    * three count frames ARE the whole model artifact. */
+  private[graft] def backoffModel(spark: SparkSession,
+      sf: String): (DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.load(spark, sf, "documents")
-    val withSplit = docs
+    val train = docs
       .join(graft.operators.Corpus.splitAssignDf(
         docs.select(col("doc_id"), col("text")))
         .select(col("doc_id"), col("split")), "doc_id")
-    def tris(d: DataFrame): DataFrame = d
-      .select(col("doc_id"),
-        regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(t)-3), i -> " +
-          "struct(t[i] as w1, t[i+1] as w2, t[i+2] as w3))")).as("g"))
-      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"),
-        col("g.w3").as("w3"))
-    val train = withSplit.filter(col("split") === "train")
-    val trainTri = tris(train)
-    val tri = trainTri.groupBy(col("w1"), col("w2"), col("w3"))
+      .filter(col("split") === "train")
+    val tri = backoffTris(train)
+      .groupBy(col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("c3"))
-    val triPre = tri.groupBy(col("w1"), col("w2"))
-      .agg(sum(col("c3")).as("p2"))
     // bigram/unigram models from the SAME train token stream (not the
     // trigram stream — a 2-word train doc must still teach bigrams)
     val trainTok = train.select(col("doc_id"),
         regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("t"))
-    val trainBi = trainTok.filter(size(col("t")) >= 2)
+    val bigr = trainTok.filter(size(col("t")) >= 2)
       .select(explode(expr(
         "transform(sequence(0, size(t)-2), i -> " +
           "struct(t[i] as wa, t[i+1] as wb))")).as("b"))
       .select(col("b.wa").as("wa"), col("b.wb").as("wb"))
       .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("c2"))
-    val biPre = trainBi.groupBy(col("wa")).agg(sum(col("c2")).as("p1"))
     val uni = trainTok.select(explode(col("t")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    (tri, bigr, uni)
+  }
+
+  private def backoffTris(d: DataFrame): DataFrame = d
+    .select(col("doc_id"),
+      regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("t"))
+    .filter(size(col("t")) >= 3)
+    .select(col("doc_id"), explode(expr(
+      "transform(sequence(0, size(t)-3), i -> " +
+        "struct(t[i] as w1, t[i+1] as w2, t[i+2] as w3))")).as("g"))
+    .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"),
+      col("g.w3").as("w3"))
+
+  /** The scoring pass parameterized by the model count frames —
+    * train-in-place and artifact-served scoring share one code path
+    * (the [[graft.operators.Corpus.bpeEncodeWith]] convention). */
+  private[graft] def backoffScoreWith(spark: SparkSession, sf: String,
+      tri: DataFrame, trainBi: DataFrame, uni: DataFrame): DataFrame = {
+    val docs = Tables.load(spark, sf, "documents")
+    val triPre = tri.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c3")).as("p2"))
+    val biPre = trainBi.groupBy(col("wa")).agg(sum(col("c2")).as("p1"))
     val total = uni.agg(sum(col("c1")).as("t_total"))
-    val scored = tris(withSplit.select(col("doc_id"), col("text")))
+    val scored = backoffTris(docs.select(col("doc_id"), col("text")))
       .join(tri, Seq("w1", "w2", "w3"), "left")
       .join(triPre, Seq("w1", "w2"), "left")
       .join(trainBi.select(col("wa").as("w2"), col("wb").as("w3"),

@@ -94,6 +94,24 @@ class IndexStoreSpec extends AnyFunSuite {
       "encode from the loaded BPE artifact diverged from train-in-place")
   }
 
+  test("backoff LM: count tables round-trip; scoring from the loaded artifact equals train-in-place") {
+    import graft.operators.Text
+    val root = TempDirs.create("graft-backoffstore-spec")
+    val v = IndexStore.saveBackoffLm(spark, sf, root)
+    val (tri, bigr, uni) = IndexStore.loadBackoffLm(spark, root, Some(v))
+    val (tri0, bigr0, uni0) = Text.backoffModel(spark, sf)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toList).toSet
+    assert(rowsOf(tri) == rowsOf(tri0) && rowsOf(bigr) == rowsOf(bigr0) &&
+      rowsOf(uni) == rowsOf(uni0), "count-table round-trip drifted")
+    val served = Text.backoffScoreSaved(spark, sf).collect()
+      .map(_.toSeq.toList).toSeq
+    val inPlace = Text.backoffScore(spark, sf).collect()
+      .map(_.toSeq.toList).toSeq
+    assert(served.nonEmpty && served == inPlace,
+      "scoring from the loaded LM artifact diverged from train-in-place")
+  }
+
   test("unigram piece table: save -> load is bit-identical; encode from the loaded artifact equals train-in-place") {
     import graft.operators.Corpus
     val trained = Corpus.unigramTrain(spark, sf).collect()

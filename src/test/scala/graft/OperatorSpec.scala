@@ -2734,7 +2734,7 @@ class OperatorSpec extends AnyFunSuite {
       // layout-independence — demand the receipt
       "q_dedup_sweep_lsh", "q_bpe_encode_saved", "q_unigram_encode_saved",
       "q_quality_sweep", "q_bpe_curve", "q_dup_methods", "q_ivf_sweep",
-      "q_backoff_score")
+      "q_backoff_score", "q_backoff_score_saved")
     def snap(): Map[String, Seq[Seq[Any]]] = {
       spark.catalog.clearCache()
       qs.map(q => q ->
