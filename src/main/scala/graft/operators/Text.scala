@@ -1314,7 +1314,12 @@ object Text {
   def substrKeepFirst(spark: SparkSession, sf: String): DataFrame = {
     val docs = Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("text"))
-    substrSpansAcross(docs, docs,
+    // WITHIN-corpus cross kernel: both sides are the same set, so one
+    // WinnowPack pass (pool-persisted) serves both sides of the
+    // anchor join instead of fingerprinting the corpus twice
+    val fps = graft.CachePool.swap("substr-anchor-fps",
+      substrFpSet(docs)).head
+    substrSpansAgainstIndex(docs, fps, fps, docs,
       pairFilter = col("doc_b") < col("doc_a"))
   }
 
