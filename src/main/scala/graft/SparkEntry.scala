@@ -140,6 +140,8 @@ object SparkEntry {
     "q_bigram_surprisal" -> (Text.bigramSurprisal _),
     "q_backoff_score" -> (Text.backoffScore _),
     "q_backoff_score_saved" -> (Text.backoffScoreSaved _),
+    "q_stream_backoff" -> ((s: SparkSession, d: String) =>
+      graft.streaming.DocStream.backoffViaStream(s, d)),
     "q_ppl_buckets" -> (Text.pplBuckets _),
     "q_ngram_diversity" -> (Corpus.ngramDiversity _),
     "q_hash_embed" -> (FeatureHash.hashEmbed _),
@@ -1963,6 +1965,9 @@ object SparkEntry {
     // scored from the LOADED count tables (train -> publish -> load
     // -> score): same oracle, so a round-trip bit-flip fails
     "q_backoff_score_saved" -> operators.Text.backoffScoreOracle,
+    // the SAME oracle pins the streaming twin: per-delivery scoring
+    // against the frozen persisted LM must equal the batch pass
+    "q_stream_backoff" -> operators.Text.backoffScoreOracle,
 
     // CCNet head/middle/tail: the bigram model replays as above, then
     // the per-source tercile is plain ROW_NUMBER + integer arithmetic

@@ -383,8 +383,15 @@ object Text {
     * train-in-place and artifact-served scoring share one code path
     * (the [[graft.operators.Corpus.bpeEncodeWith]] convention). */
   private[graft] def backoffScoreWith(spark: SparkSession, sf: String,
+      tri: DataFrame, trainBi: DataFrame, uni: DataFrame): DataFrame =
+    backoffScoreDocs(Tables.load(spark, sf, "documents"), tri, trainBi, uni)
+
+  /** The scorer over an arbitrary (doc_id, text) frame — the form the
+    * streaming twin scores each delivery through (scoring is
+    * per-document given the frozen model, so the per-batch scope IS
+    * the operator). */
+  private[graft] def backoffScoreDocs(docs: DataFrame,
       tri: DataFrame, trainBi: DataFrame, uni: DataFrame): DataFrame = {
-    val docs = Tables.load(spark, sf, "documents")
     val triPre = tri.groupBy(col("w1"), col("w2"))
       .agg(sum(col("c3")).as("p2"))
     val biPre = trainBi.groupBy(col("wa")).agg(sum(col("c2")).as("p1"))

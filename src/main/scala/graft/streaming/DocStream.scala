@@ -215,6 +215,43 @@ object DocStream {
       .orderBy(col("doc_id"))
   }
 
+  /** q_backoff_score's STREAMING twin — per-delivery LM scoring
+    * against the FROZEN PERSISTED artifact: the Stupid-Backoff count
+    * tables publish once through
+    * [[graft.operators.IndexStore.saveBackoffLm]] (the
+    * train-once/ship-as-storage deployment shape the NB scorer
+    * already exercises), the stream loads them ONCE, and each
+    * delivery scores through the same
+    * [[graft.operators.Text.backoffScoreDocs]] kernel as the batch
+    * and artifact-served rows. Scoring is per-document given the
+    * frozen model, so the deliveries partition the corpus (id
+    * parity) and the union must equal the batch scorer row-for-row —
+    * the SAME DuckDB oracle pins stream, batch, and saved forms. */
+  def backoffViaStream(spark: SparkSession, sf: String): DataFrame = {
+    import graft.operators.{IndexStore, Text}
+    val root = graft.TempDirs.create("graft-backoffstream")
+    val outDir = s"$root/out"
+    val artifactRoot = s"$root/artifact"
+    val v = IndexStore.saveBackoffLm(spark, sf, artifactRoot)
+    val (tri, bigr, uni) = IndexStore.loadBackoffLm(spark, artifactRoot,
+      Some(v))
+    val Seq(triC, bigrC, uniC) =
+      graft.CachePool.swap("backoff-stream-model", tri, bigr, uni)
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    DeliveryHarness.runTwoDeliveries(spark, root,
+      docs.filter(expr("doc_id % 2 = 0")),
+      docs.filter(expr("doc_id % 2 = 1")),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))),
+      { (batch: DataFrame, batchId: Long) =>
+        Text.backoffScoreDocs(batch, triC, bigrC, uniC)
+          .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+      })
+    spark.read.option("recursiveFileLookup", "true").parquet(outDir)
+      .orderBy(col("doc_id"))
+  }
+
   /** q_heavy_hitters' STREAMING twin: the exploded token stream flows
     * through a Complete-mode streaming count aggregation — the
     * state-store shape of a LIVE token-frequency monitor (each

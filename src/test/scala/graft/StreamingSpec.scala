@@ -423,6 +423,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(statuses == Set("overlap_of_corpus", "new"), statuses.toString)
   }
 
+  test("streamed backoff scoring against the frozen LM artifact equals the batch scorer") {
+    val streamed = graft.streaming.DocStream.backoffViaStream(spark, sf)
+      .collect().map(_.toSeq.toList).toSeq
+    val batch = graft.operators.Text.backoffScore(spark, sf)
+      .collect().map(_.toSeq.toList).toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      "per-delivery LM scoring diverged from the batch pass")
+  }
+
   test("substring long ingest (5 deliveries) with live two-store compaction is bit-identical to the uncompacted run") {
     import graft.streaming.DocStream
     val plain = DocStream.substrCompactViaStream(spark, sf,
