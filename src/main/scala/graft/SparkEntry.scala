@@ -237,6 +237,8 @@ object SparkEntry {
     "q_allpairs" -> ((s: SparkSession, d: String) => Dedup.allPairsJaccard(s, d)),
     "q_fuzzy_join" -> ((s: SparkSession, d: String) => Relational.fuzzyJoin(s, d)),
     "q_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
+    "q_minhash_lsh_saved" -> ((s: SparkSession, d: String) =>
+      Dedup.minhashLshSaved(s, d)),
     "q_minhash_recall" -> (Dedup.minhashRecall _),
     "q_dup_clusters" -> (Dedup.nearDupClusters _),
     "q_dup_clusters_lsh" -> (Dedup.nearDupClustersLsh _),
@@ -1105,6 +1107,32 @@ object SparkEntry {
   /** The exact n-gram Jaccard pair replay — shared by
     * q_ngram_jaccard and the method-agreement triage. */
   private val NgramJaccardSql: String =
+    s"""WITH docs AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(ws) - 2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+           FROM (SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents) t
+           WHERE len(ws) >= 3),
+         expl AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+         sizes AS (SELECT doc_id, len(sh) AS n_sh FROM docs),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     COUNT(*) AS common
+                   FROM expl a JOIN expl b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+           CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
+         FROM pairs
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5
+         ORDER BY doc_a, doc_b"""
+
+  /** The exact-pair replay pinning the verified MinHash-LSH pipeline
+    * — shared by q_minhash_lsh and its artifact-served twin
+    * q_minhash_lsh_saved (candidates from the persisted signature
+    * index must emit the same exact pair set). */
+  private val MinhashLshSql: String =
     s"""WITH docs AS (
            SELECT doc_id,
              list_distinct(list_transform(generate_series(1, len(ws) - 2),
@@ -2678,27 +2706,8 @@ object SparkEntry {
     // pair set — the oracle IS the brute-force pair query above, so a
     // banding miss or a spurious survivor is a row diff, not a
     // rows-only shrug. Same single-division IEEE jaccard both sides.
-    "q_minhash_lsh" ->
-      s"""WITH docs AS (
-           SELECT doc_id,
-             list_distinct(list_transform(generate_series(1, len(ws) - 2),
-               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
-           FROM (SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents) t
-           WHERE len(ws) >= 3),
-         expl AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
-         sizes AS (SELECT doc_id, len(sh) AS n_sh FROM docs),
-         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     COUNT(*) AS common
-                   FROM expl a JOIN expl b
-                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2)
-         SELECT doc_a, doc_b,
-           CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
-         FROM pairs
-         JOIN sizes sa ON sa.doc_id = doc_a
-         JOIN sizes sb ON sb.doc_id = doc_b
-         WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5
-         ORDER BY doc_a, doc_b""",
+    "q_minhash_lsh" -> MinhashLshSql,
+    "q_minhash_lsh_saved" -> MinhashLshSql,
 
     // SimHash near-dup pairs, replayed OFF-ENGINE end to end: the
     // per-token 64 vote bits come from md5 hex halves (h1 = chars 1-8,

@@ -1094,10 +1094,51 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q_minhash_lsh_saved: [[minhashLsh]] with candidates served from
+    * the PERSISTED SIGNATURE INDEX — the dedup-side artifact story
+    * ([[minhashLshFrom]]'s doc calls the signature frame "what a
+    * pipeline persists as its index artifact"; this row makes that
+    * true of wired code): signatures publish once through
+    * [[IndexStore.saveMinhash]], banding/est-prune run over the
+    * LOADED frame, and the exact confirm re-attaches the shingle
+    * arrays from the corpus (the index holds signatures, not text).
+    * Same output and oracle as q_minhash_lsh, so a signature
+    * round-trip bit-flip surfaces as a pair diff at the gate. */
+  def minhashLshSaved(spark: SparkSession, sf: String,
+      threshold: Double = 0.5): DataFrame = {
+    val root = graft.TempDirs.create("graft-minhash-artifact")
+    val v = IndexStore.saveMinhash(spark, sf, root)
+    val signed = IndexStore.loadMinhash(spark, root, Some(v))
+    val sh = shingledCached(spark, sf)
+    val cand = minhashCandidatesFromSigs(signed)
+      .filter(agreeAtLeast(col("mh_a"), col("mh_b"),
+        math.max(threshold - 0.15, 0.0)))
+      .select(col("doc_a"), col("doc_b"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("common",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") -
+            col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Banded candidate pairs with both signatures attached — the
     * shared first half of the est-filtered and verified LSH paths. */
-  private[graft] def minhashCandidates(docs: DataFrame): DataFrame = {
-    val signed = minhashSignature(docs).select(col("doc_id"), col("minhash"))
+  private[graft] def minhashCandidates(docs: DataFrame): DataFrame =
+    minhashCandidatesFromSigs(
+      minhashSignature(docs).select(col("doc_id"), col("minhash")))
+
+  /** The banding join over a prebuilt (doc_id, minhash) signature
+    * frame — shared by the inline path and the artifact-served
+    * [[minhashLshSaved]]. */
+  private[graft] def minhashCandidatesFromSigs(signed0: DataFrame): DataFrame = {
+    val signed = signed0.select(col("doc_id"), col("minhash"))
     // band key = xxhash64 over (band index, 4-component slice), fused
     // into one codegen'd loop (`band_keys`) — no interpreted
     // transform+slice lambda allocating a sub-array per band per row,

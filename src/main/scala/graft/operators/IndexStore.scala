@@ -174,6 +174,30 @@ object IndexStore {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
+  // ---- MinHash signature index ------------------------------------------
+
+  /** Publish the corpus's MinHash signature frame (doc_id, minhash) —
+    * the dedup index artifact a pipeline persists so later deliveries
+    * band against frozen signatures instead of re-shingling the
+    * indexed corpus. Corpus-sized — executor-written, never
+    * collected (the [[saveNb]] posture). */
+  def saveMinhash(spark: SparkSession, sfDir: String, root: String): Long = {
+    val signed = Dedup.minhashSignature(Dedup.shingledCached(spark, sfDir))
+      .select(col("doc_id"), col("minhash"))
+    val v = nextVersion(spark, root)
+    signed.write.mode("overwrite")
+      .parquet(SnapshotStore.versionDir(root, v))
+    SnapshotStore.appendVersion(spark, root, "minhash-signatures",
+      java.time.Instant.now())
+    v
+  }
+
+  def loadMinhash(spark: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    spark.read.parquet(SnapshotStore.versionDir(root, v))
+  }
+
   // ---- backoff LM -------------------------------------------------------
 
   /** Publish the trained Stupid-Backoff n-gram model (trigram /

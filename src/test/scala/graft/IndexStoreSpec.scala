@@ -94,6 +94,24 @@ class IndexStoreSpec extends AnyFunSuite {
       "encode from the loaded BPE artifact diverged from train-in-place")
   }
 
+  test("minhash signatures: index round-trips; LSH served from the loaded artifact equals the inline pipeline") {
+    import graft.operators.Dedup
+    val root = TempDirs.create("graft-minhashstore-spec")
+    val v = IndexStore.saveMinhash(spark, sf, root)
+    val loaded = IndexStore.loadMinhash(spark, root, Some(v))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toMap
+    val inline = Dedup.minhashSignature(Dedup.shingledCached(spark, sf))
+      .select(col("doc_id"), col("minhash"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toMap
+    assert(loaded == inline, "signature round-trip not bit-identical")
+    val served = Dedup.minhashLshSaved(spark, sf).collect()
+      .map(_.toSeq.toList).toSeq
+    val inPlace = Dedup.minhashLsh(spark, sf).collect()
+      .map(_.toSeq.toList).toSeq
+    assert(served.nonEmpty && served == inPlace,
+      "LSH from the loaded signature index diverged")
+  }
+
   test("backoff LM: count tables round-trip; scoring from the loaded artifact equals train-in-place") {
     import graft.operators.Text
     val root = TempDirs.create("graft-backoffstore-spec")
