@@ -38,6 +38,10 @@ object CachePool {
     frames
   }
 
+  /** Single-frame convenience over [[swap]]. */
+  def swapOne(key: String, frame: DataFrame): DataFrame =
+    swap(key, frame).head
+
   /** Release every generation (test/session hygiene). */
   def clear(): Unit = synchronized {
     pool.valuesIterator.foreach(_.foreach(f =>

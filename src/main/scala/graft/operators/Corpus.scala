@@ -233,10 +233,10 @@ object Corpus {
     // <= |docs|x|terms| rows after the term filter -- persisted: the
     // idf derivation and the scoring join both consume it (one corpus
     // tokenization pass, not two)
-    val tf = docs.select(col("doc_id"), explode(col("ws")).as("w"))
-      .filter(col("w").isin(terms: _*))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-      .persist()
+    val tf = graft.CachePool.swapOne("search-tf",
+      docs.select(col("doc_id"), explode(col("ws")).as("w"))
+        .filter(col("w").isin(terms: _*))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf")))
     val idf = tf.groupBy(col("w"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .crossJoin(broadcast(n))
@@ -293,12 +293,12 @@ object Corpus {
       .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("dl"))
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("total_len"))
-    val tf = docs.select(col("doc_id"), col("dl"), explode(col("ws")).as("w"))
-      .filter(col("w").isin(terms: _*))
-      .groupBy(col("doc_id"), col("dl"), col("w"))
-      .agg(count(lit(1)).as("tf"))
-      // persisted for the same two-consumer reason as search()'s tf
-      .persist()
+    // pooled for the same two-consumer reason as search()'s tf
+    val tf = graft.CachePool.swapOne("bm25-tf",
+      docs.select(col("doc_id"), col("dl"), explode(col("ws")).as("w"))
+        .filter(col("w").isin(terms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("w"))
+        .agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy(col("w"))
       .agg(countDistinct(col("doc_id")).as("df"))
     tf.join(broadcast(dfreq), Seq("w"))
@@ -360,10 +360,10 @@ object Corpus {
     // <= |docs|x|terms| rows after the term filter -- persisted: the
     // idf derivation and the scoring join both consume it (one corpus
     // tokenization pass, not two)
-    val tf = docs.select(col("doc_id"), explode(col("ws")).as("w"))
-      .filter(col("w").isin(terms: _*))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-      .persist()
+    val tf = graft.CachePool.swapOne("tfidf-tf",
+      docs.select(col("doc_id"), explode(col("ws")).as("w"))
+        .filter(col("w").isin(terms: _*))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf")))
     val idf = tf.groupBy(col("w"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .crossJoin(broadcast(n))
@@ -1306,11 +1306,11 @@ object Corpus {
   def curateV2(spark: SparkSession, sf: String,
       exact: Boolean = false): DataFrame = {
     val docs = Tables.load(spark, sf, "documents")
-    val base = Text.qualityScoredDf(docs,
-        Seq(col("lang"), splitBucket.as("bucket")))
-      .select(col("doc_id"), col("lang"), col("bucket"),
-        col("quality_score"))
-      .persist()
+    val base = graft.CachePool.swapOne("curate-base",
+      Text.qualityScoredDf(docs,
+          Seq(col("lang"), splitBucket.as("bucket")))
+        .select(col("doc_id"), col("lang"), col("bucket"),
+          col("quality_score")))
     val cutExpr =
       if (exact) expr("percentile(quality_score, 0.25)")
       else expr(s"approx_percentile(quality_score, 0.25, $GateAccuracy)")
@@ -1321,10 +1321,13 @@ object Corpus {
         col("quality_score"))
     // frozen classifier artifact + survivor scoring off one shared
     // tokenized scan
-    val tokenized = Text.nbTokenized(docs).persist()
-    val (classes, counts) = Text.nbModelFrom(tokenized)
+    val tokenized = graft.CachePool.swapOne("curate-tokenized",
+      Text.nbTokenized(docs))
+    val (classes0, counts0) = Text.nbModelFrom(tokenized)
+    val Seq(classes, counts) =
+      graft.CachePool.swap("curate-nb-model", classes0, counts0)
     val pred = Text.nbScore(tokenized.join(gate.select(col("doc_id")),
-        Seq("doc_id")), classes.persist(), counts.persist())
+        Seq("doc_id")), classes, counts)
       .select(col("doc_id"), col("pred_source"))
     val nbKept = gate.join(pred, Seq("doc_id"))
       .filter(col("pred_source").isin(CurateAllowSources: _*))
@@ -1637,8 +1640,8 @@ object Corpus {
             i => xxhash64(array_join(
               slice(col("t"), (i + 1).cast("int"), lit(n)), " "))))
           .otherwise(typedLit(Seq.empty[Long])).as("gh"))
-      .persist()
-    val grams = base
+    val baseC = graft.CachePool.swapOne("chunk-gram-base", base)
+    val grams = baseC
       .select(col("doc_id"), posexplode(col("gh")).as(Seq("pos", "gram_h")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("gram_h"))
@@ -1650,7 +1653,7 @@ object Corpus {
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("idx"))
       .distinct()
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
-    base.select(col("doc_id"), col("n_tokens"))
+    baseC.select(col("doc_id"), col("n_tokens"))
       .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_covered"), lit(0L)).as("n_covered"),
@@ -2018,7 +2021,8 @@ object Corpus {
     // ten aggregation branches consume the cutoff-tagged scan (two
     // scalar reductions + eight key tables) — without the pin each
     // branch re-runs the parquet scan AND the max(doc_id) cutoff agg
-    val all = docs.crossJoin(broadcast(w)).persist()
+    val all = graft.CachePool.swapOne("delta-card-all",
+      docs.crossJoin(broadcast(w)))
     val corpus = all.filter(col("doc_id") < col("w"))
     val delta = all.filter(col("doc_id") >= col("w"))
 
@@ -2044,7 +2048,8 @@ object Corpus {
       "source" -> keyCounts(corpus, col("source")),
       "hash" -> keyCounts(corpus, md5(col("text"))),
       "word" -> wordCounts(corpus)
-    ).map { case (n, d) => n -> d.persist() }
+    ).map { case (n, d) =>
+      n -> graft.CachePool.swapOne(s"delta-card-state-$n", d) }
 
     def mergedDistinct(name: String, deltaTab: DataFrame,
         alias: String): DataFrame =
@@ -2270,9 +2275,9 @@ object Corpus {
     // the ≤ topN-row frame feeds both the probe explode and the final
     // projection — without the pin each reference recomputes the
     // vocabulary count (one extra corpus scan)
-    val top = tok.groupBy(col("w")).agg(count(lit(1)).as("n_true"))
-      .orderBy(col("n_true").desc, col("w")).limit(topN)
-      .persist()
+    val top = graft.CachePool.swapOne("cms-top",
+      tok.groupBy(col("w")).agg(count(lit(1)).as("n_true"))
+        .orderBy(col("n_true").desc, col("w")).limit(topN))
     // estimate = min over the candidate's depth cells; the cell grid
     // is ≤ depth×width rows — broadcast side of the probe join
     val probes = top.select(col("w"), col("n_true"),

@@ -535,9 +535,8 @@ object Dedup {
     * to be dup-free at raw-text granularity, which would otherwise
     * leave the mechanism pinned only by the all-zero answer). */
   private[graft] def dupRateFrom(docs: DataFrame): DataFrame = {
-    val d = docs
-      .select(col("source"), md5(col("text")).as("fp"))
-      .persist()
+    val d = graft.CachePool.swapOne("dup-rate-fp", docs
+      .select(col("source"), md5(col("text")).as("fp")))
     val per = d.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("fp")).as("n_unique"))
@@ -606,10 +605,10 @@ object Dedup {
       .select(least(col("sa"), col("sb")).as("src_a"),
         greatest(col("sa"), col("sb")).as("src_b"),
         col("doc_a"), col("doc_b"))
-      .persist()
-    val nPairs = labeled.groupBy(col("src_a"), col("src_b"))
+    val labeledC = graft.CachePool.swapOne("dup-matrix-labeled", labeled)
+    val nPairs = labeledC.groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_pairs"))
-    val nDocs = labeled.select(col("src_a"), col("src_b"),
+    val nDocs = labeledC.select(col("src_a"), col("src_b"),
         explode(array(col("doc_a"), col("doc_b"))).as("d"))
       .distinct()
       .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_docs"))

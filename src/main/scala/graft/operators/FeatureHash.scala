@@ -92,8 +92,8 @@ object FeatureHash {
   def hashEmbedNearDup(spark: SparkSession, sf: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     import org.apache.spark.sql.expressions.Window
-    val emb = embedFrom(Tables.load(spark, sf, "documents"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val emb = graft.CachePool.swapOne("hash-embed",
+      embedFrom(Tables.load(spark, sf, "documents")))
     val norms = emb.groupBy(col("doc_id"))
       .agg(sum(col("val") * col("val")).cast("long").as("n2"))
     // per-doc window: bounded at HashDims rows per partition key, the

@@ -205,12 +205,12 @@ object Graph {
   }
 
   def triangles(spark: SparkSession, sf: String): DataFrame = {
-    val edges = coEdges(spark, sf)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = edges.select(col("a").as("v"))
-      .unionByName(edges.select(col("b").as("v")))
-      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = graft.CachePool.swapOne("triangles-edges",
+      coEdges(spark, sf))
+    val deg = graft.CachePool.swapOne("triangles-deg",
+      edges.select(col("a").as("v"))
+        .unionByName(edges.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg")))
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
     val oriented = edges
@@ -218,9 +218,9 @@ object Graph {
       .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
       .select(when(aFirst, col("a")).otherwise(col("b")).as("src"),
         when(aFirst, col("b")).otherwise(col("a")).as("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val tri = oriented.select(col("src"), col("dst").as("x"))
-      .join(oriented.select(col("src"), col("dst").as("y")), "src")
+    val orientedC = graft.CachePool.swapOne("triangles-oriented", oriented)
+    val tri = orientedC.select(col("src"), col("dst").as("x"))
+      .join(orientedC.select(col("src"), col("dst").as("y")), "src")
       .filter(col("x") < col("y"))
       .join(edges.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"))
       .select(col("src").as("u"), col("x").as("v"), col("y").as("w"))
@@ -344,11 +344,11 @@ object Graph {
     * structure (clique + pendant chain) in addition to the fixture. */
   private[graft] def kcoreFrom(edgeFrame: DataFrame,
       k: Int, rounds: Int): DataFrame = {
-    val edges0 = edgeFrame.persist(StorageLevel.MEMORY_AND_DISK)
-    val allNodes = edges0.select(col("a").as("v"))
-      .unionByName(edges0.select(col("b").as("v")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges0 = graft.CachePool.swapOne("kcore-edges", edgeFrame)
+    val allNodes = graft.CachePool.swapOne("kcore-nodes",
+      edges0.select(col("a").as("v"))
+        .unionByName(edges0.select(col("b").as("v")))
+        .distinct())
     var edges = edges0
     var round = 0
     // Pregel halting test alongside the fixed-round bound: the peel is

@@ -217,7 +217,8 @@ object Linkage {
     // four consumers (both pair-join sides, the CC node set, and the
     // final kind re-join) — persist or the customer scan + seeding
     // re-runs per consumer
-    val recs = records(spark, sf).persist(StorageLevel.MEMORY_AND_DISK)
+    val recs = graft.CachePool.swapOne("linkage-records",
+      records(spark, sf))
     resolve(recs, matchedPairs(recs, recs))
   }
 
@@ -263,7 +264,8 @@ object Linkage {
     val prev = spark.conf.getOption(MaxBlockConf)
     spark.conf.set(MaxBlockConf, SkewCap.toString)
     try {
-      val recs = skewRecords(spark, sf).persist(StorageLevel.MEMORY_AND_DISK)
+      val recs = graft.CachePool.swapOne("linkage-skew-records",
+        skewRecords(spark, sf))
       resolve(recs, matchedPairs(recs, recs))
     } finally prev match {
       case Some(v) => spark.conf.set(MaxBlockConf, v)

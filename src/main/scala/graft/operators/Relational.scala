@@ -470,7 +470,7 @@ object Relational {
         expr("percentile_approx(l_quantity, 0.5, 10000)").as("v50"),
         expr("percentile_approx(l_quantity, 0.75, 10000)").as("v75"),
         expr("percentile_approx(l_extendedprice, 0.9, 10000)").as("v90"))
-      .persist()
+    val approxC = graft.CachePool.swapOne("pct-approx", approx)
     // value v occupies ranks (cum_lt, cum_le] within its group
     def ranks(valueCol: String): DataFrame = {
       val w = Window.partitionBy(col("f")).orderBy(col("v"))
@@ -483,7 +483,8 @@ object Relational {
     }
     // ≤ distinct-values rows per group — persisted because the three
     // quantity verdicts share one rank table
-    val qtyRanks = ranks("l_quantity").persist()
+    val qtyRanks = graft.CachePool.swapOne("pct-qty-ranks",
+      ranks("l_quantity"))
     val priceRanks = ranks("l_extendedprice")
     // the GK contract: some rank of the returned value lies within
     // tol of the target rank ⌈p·n⌉. LEFT join from approx: a sketch
@@ -494,7 +495,7 @@ object Relational {
         outName: String): DataFrame = {
       val target = ceil(col("n") * p)
       val tol = floor(col("n") / 10000) + 1
-      approx.select(col("l_returnflag").as("f"), col("n"),
+      approxC.select(col("l_returnflag").as("f"), col("n"),
           col(vcol).as("av"))
         .join(rk.withColumnRenamed("v", "av"), Seq("f", "av"), "left")
         .select(col("f"),
@@ -502,7 +503,7 @@ object Relational {
             (col("cum_le") >= target - tol)).cast("long"), lit(0L))
             .as(outName))
     }
-    approx.select(col("l_returnflag").as("f"), col("n"),
+    approxC.select(col("l_returnflag").as("f"), col("n"),
         (floor(col("n") / 10000) + 1).cast("long").as("tol"))
       .join(verdict(qtyRanks, "v25", 0.25, "p25_ok"), Seq("f"))
       .join(verdict(qtyRanks, "v50", 0.5, "p50_ok"), Seq("f"))

@@ -159,10 +159,10 @@ object Similarity {
     // d rows, referenced three times (two broadcast sides + the final
     // join) — persist so each reference reads the tiny aggregate
     // instead of re-deriving it from the corpus
-    val dims = comp.groupBy(col("pos"))
-      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
-        sum(col("q") * col("q")).as("ss"))
-      .persist()
+    val dims = graft.CachePool.swapOne("embed-diag-dims",
+      comp.groupBy(col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
+          sum(col("q") * col("q")).as("ss")))
     // pairwise co-moments: join the exploded stream with itself on the
     // vector id — at d dims each vector contributes d² scalar pairs
     val co = comp.as("a").join(comp.as("b"),
@@ -181,9 +181,9 @@ object Similarity {
       // d²/2 rows, referenced twice by the symmetric union below —
       // without the persist each union side re-runs the whole
       // co-moment self-join (the plan audit measured 18 corpus scans)
-      .persist()
+    val scoredC = graft.CachePool.swapOne("embed-diag-co", scored)
     // symmetric view so every dimension sees every partner
-    val sym = scored.select(col("pos"), col("pos_b"), col("cov_num"),
+    val sym = scoredC.select(col("pos"), col("pos_b"), col("cov_num"),
         col("var_x"), col("var_y"))
       .union(scored.select(col("pos_b").as("pos"), col("pos").as("pos_b"),
         col("cov_num"), col("var_y").as("var_x"), col("var_x").as("var_y")))

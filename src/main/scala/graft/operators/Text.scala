@@ -537,11 +537,11 @@ object Text {
     // r11 plan-audit lesson; without the pin each reference recomputes
     // the WHOLE bigram-surprisal pipeline (measured: 32 parquet scans
     // for a query whose data dependency is 6)
-    val scored = bigramSurprisal(spark, sf)
-      .select(col("doc_id"), col("mean_millibits"))
-      .join(Tables.load(spark, sf, "documents")
-        .select(col("doc_id"), col("source")), "doc_id")
-      .persist()
+    val scored = graft.CachePool.swapOne("ppl-scored",
+      bigramSurprisal(spark, sf)
+        .select(col("doc_id"), col("mean_millibits"))
+        .join(Tables.load(spark, sf, "documents")
+          .select(col("doc_id"), col("source")), "doc_id"))
     val ext = scored.groupBy(col("source"))
       .agg(min(col("mean_millibits")).as("mn"),
         max(col("mean_millibits")).as("mx"),
@@ -653,7 +653,8 @@ object Text {
     // aggregates the persisted ≤|classes|²-row matrix — the plan
     // audit caught the naive two-branch form re-running the whole
     // train+score pipeline per marginal
-    val conf = nbConfusionFrame(spark, sf).persist()
+    val conf = graft.CachePool.swapOne("nb-eval-confusion",
+      nbConfusionFrame(spark, sf))
     val sup = conf.groupBy(col("true_source").as("cls"))
       .agg(sum(col("n")).as("support"),
         sum(when(col("true_source") === col("pred_source"), col("n"))
@@ -774,10 +775,11 @@ object Text {
     */
   def nbLearningCurve(spark: SparkSession, sf: String): DataFrame = {
     val docs = nbTokenized(Tables.load(spark, sf, "documents"))
-    val train = docs.filter(expr(NbTrainExpr))
-      .withColumn("f", expr(s"(doc_id div $NbSplitBlock) % $NbCurveFractions"))
-      .persist()
-    val test = docs.filter(expr(NbHoldoutExpr)).persist()
+    val Seq(train, test) = graft.CachePool.swap("nb-curve-splits",
+      docs.filter(expr(NbTrainExpr))
+        .withColumn("f",
+          expr(s"(doc_id div $NbSplitBlock) % $NbCurveFractions")),
+      docs.filter(expr(NbHoldoutExpr)))
     val ks = spark.range(1, NbCurveFractions + 1L).select(col("id").as("k"))
 
     val cntF = train.select(col("f"), col("source").as("cls"),
@@ -786,10 +788,10 @@ object Text {
       .agg(count(lit(1)).as("cnt"))
     // cumulative (k, cls, w) counts: model k sees tags < k. Persisted:
     // the likelihood join, class totals, and vocab all read it.
-    val cntK = cntF.join(broadcast(ks), col("f") < col("k"))
-      .groupBy(col("k"), col("cls"), col("w"))
-      .agg(sum(col("cnt")).as("cnt"))
-      .persist()
+    val cntK = graft.CachePool.swapOne("nb-curve-cntk",
+      cntF.join(broadcast(ks), col("f") < col("k"))
+        .groupBy(col("k"), col("cls"), col("w"))
+        .agg(sum(col("cnt")).as("cnt")))
     val classTokK = cntK.groupBy(col("k"), col("cls"))
       .agg(sum(col("cnt")).as("class_tokens"))
     val vocabK = cntK.select(col("k"), col("w")).distinct()
@@ -809,10 +811,10 @@ object Text {
         length(bin(expr("total_docs div class_docs")))
           .cast("long").as("prior_bits"),
         col("v"))
-      .persist()
+    val classesKC = graft.CachePool.swapOne("nb-curve-classes", classesK)
 
     val tokenBits = test.select(col("doc_id"), explode(col("t")).as("w"))
-      .crossJoin(broadcast(classesK))
+      .crossJoin(broadcast(classesKC))
       .join(cntK, Seq("k", "cls", "w"), "left")
       .select(col("doc_id"), col("k"), col("cls"),
         length(bin(expr("(class_tokens + v) div (coalesce(cnt, 0L) + 1)")))
@@ -820,7 +822,7 @@ object Text {
       .groupBy(col("doc_id"), col("k"), col("cls"))
       .agg(sum(col("bits")).as("token_bits"))
     val grid = test.select(col("doc_id"), col("source").as("true_source"))
-      .crossJoin(broadcast(classesK.select(col("k"), col("cls"),
+      .crossJoin(broadcast(classesKC.select(col("k"), col("cls"),
         col("prior_bits"))))
     val pred = grid.join(tokenBits, Seq("doc_id", "k", "cls"), "left")
       .select(col("doc_id"), col("true_source"), col("k"), col("cls"),
@@ -851,8 +853,10 @@ object Text {
     * [[nbHoldoutScored]]. */
   private def nbBitsGridHoldout(spark: SparkSession, sf: String): DataFrame = {
     val (classes, counts) = nbModel(spark, sf)
+    val Seq(c1, c2) =
+      graft.CachePool.swap("nb-bitsgrid-model", classes, counts)
     nbBitsGrid(nbTokenized(Tables.load(spark, sf, "documents"))
-      .filter(expr(NbHoldoutExpr)), classes.persist(), counts.persist())
+      .filter(expr(NbHoldoutExpr)), c1, c2)
   }
 
   /** The scored holdout both eval views aggregate — exactly
@@ -863,8 +867,10 @@ object Text {
     * audit measured 44 parquet scans for the naive q_nb_eval. */
   private def nbHoldoutScored(spark: SparkSession, sf: String): DataFrame = {
     val (classes, counts) = nbModel(spark, sf)
+    val Seq(c1, c2) =
+      graft.CachePool.swap("nb-holdout-model", classes, counts)
     nbScore(nbTokenized(Tables.load(spark, sf, "documents"))
-      .filter(expr(NbHoldoutExpr)), classes.persist(), counts.persist())
+      .filter(expr(NbHoldoutExpr)), c1, c2)
   }
 
   /** Tokenized projection shared by the trainer and both scoring
@@ -1024,7 +1030,8 @@ object Text {
     // persisted: the fingerprint set feeds the df census and both
     // sides of the pair self-join — unpinned, the whole WinnowPack
     // scan re-ran per reference (plan-audited)
-    val fps = winnowFpSet(docs).persist()
+    val fps = graft.CachePool.swapOne("winnow-overlap-fps",
+      winnowFpSet(docs))
     val df = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
     val kept = fps.join(df.filter(col("df") <= WinnowDfCap)
       .select(col("fp")), "fp")
@@ -1727,12 +1734,12 @@ object Text {
     // single (side, bucket) partial agg; everything downstream is
     // bucket-count-sized (plan-audited — the two-filtered-branch form
     // re-scanned the scored projection four times)
-    val counts = qualityScoredDf(docs)
-      .select((col("doc_id") >= w).as("is_new"),
-        floor(col("quality_score") * DriftBucketScale).cast("long")
-          .as("bucket"))
-      .groupBy(col("is_new"), col("bucket")).agg(count(lit(1)).as("n"))
-      .persist()
+    val counts = graft.CachePool.swapOne("text-drift-counts",
+      qualityScoredDf(docs)
+        .select((col("doc_id") >= w).as("is_new"),
+          floor(col("quality_score") * DriftBucketScale).cast("long")
+            .as("bucket"))
+        .groupBy(col("is_new"), col("bucket")).agg(count(lit(1)).as("n")))
     def sideCounts(isNew: Boolean, n: String) = {
       val c = counts.filter(col("is_new") === isNew)
         .select(col("bucket"), col("n").as(n))
@@ -1797,7 +1804,8 @@ object Text {
     val docs = Tables.load(spark, sf, "documents")
     val w = docs.agg(floor((max(col("doc_id")) + 1) * 0.8).cast("long"))
       .head().getLong(0)
-    val fps = winnowFpSet(docs.select(col("doc_id"), col("text"))).persist()
+    val fps = graft.CachePool.swapOne("delta-winnow-fps",
+      winnowFpSet(docs.select(col("doc_id"), col("text"))))
     classifyAgainstIndex(
       docs.select(col("doc_id")).filter(col("doc_id") >= w),
       fps.filter(col("doc_id") >= w),
