@@ -1056,8 +1056,12 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(min(col("cell_rank")).as("first_rank"))
-    val truth = knnBruteForce(spark, sf, SweepTrueK)
-      .select(col("query_id"), col("neighbor_id"), lit(1L).as("is_true"))
+    // pooled: the truth set feeds BOTH the hit join and the recall
+    // denominator — unpinned, the guarded brute-force kernel (the
+    // deliberate broadcast-NL all-pairs scan) runs twice
+    val truth = graft.CachePool.swapOne("ivf-sweep-truth",
+      knnBruteForce(spark, sf, SweepTrueK)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("is_true")))
     val swept = candFirst
       .join(truth, Seq("query_id", "neighbor_id"), "left")
       .select(col("first_rank"),

@@ -1384,6 +1384,40 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.head._3 < rows.last._3, rows.mkString(","))
   }
 
+  test("r15 curve/triage plan hygiene: no cartesian product, nested loops only as broadcast single-row totals") {
+    import graft.operators.{Corpus, Dedup, Similarity, Text}
+    val frames = Map(
+      "quality_sweep" -> Corpus.qualityThresholdSweep(spark, sf),
+      "bpe_curve" -> Corpus.bpeCurve(spark, sf),
+      "dedup_sweep_lsh" -> Dedup.dedupThresholdSweepLsh(spark, sf),
+      "dup_methods" -> Dedup.dupMethodAgreement(spark, sf),
+      "ivf_sweep" -> Similarity.ivfProbeSweep(spark, sf),
+      "backoff_score" -> Text.backoffScore(spark, sf))
+    frames.foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plan degenerated to a cartesian product:\n" + plan.take(1500))
+      // BNLJ is tolerated ONLY as the broadcast of a single-row total
+      // (the house crossJoin(broadcast(agg)) pattern); more than the
+      // expected count means a real join lost its equality keys
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+      // ivf_sweep's 3: the guarded brute-force truth kernel (a
+      // deliberate broadcast-NL all-pairs scan) is POOLED so it
+      // executes once, but the cached subtree PRINTS under each of
+      // its two InMemoryTableScan references, + the single-row
+      // totals broadcast
+      val allowed = Map("quality_sweep" -> 1, "ivf_sweep" -> 3,
+        "backoff_score" -> 1).getOrElse(name, 0)
+      if (name == "ivf_sweep")
+        assert(plan.contains("InMemoryTableScan"),
+          "ivf_sweep's truth kernel lost its cache pin — the " +
+            "brute-force scan would run twice")
+      assert(bnlj <= allowed,
+        s"$name carries $bnlj nested-loop joins (allowed $allowed):\n" +
+          plan.take(1500))
+    }
+  }
+
   test("dup methods: flags re-derive from the three pair detectors and cover their union") {
     import graft.operators.{Dedup, FeatureHash}
     def pairSet(df: org.apache.spark.sql.DataFrame) = df
