@@ -136,6 +136,7 @@ object SparkEntry {
     "q_langid" -> (Text.langId _),
     "q_quality" -> (Text.quality _),
     "q_gopher_rules" -> (Text.gopherRules _),
+    "q_gopher_by_source" -> (Text.gopherBySource _),
     "q_surprisal" -> (Text.surprisal _),
     "q_bigram_surprisal" -> (Text.bigramSurprisal _),
     "q_backoff_score" -> (Text.backoffScore _),
@@ -1153,6 +1154,49 @@ object SparkEntry {
          JOIN sizes sb ON sb.doc_id = doc_b
          WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5
          ORDER BY doc_a, doc_b"""
+
+  /** The per-doc Gopher battery replay — shared by q_gopher_rules
+    * and the per-source triage aggregate q_gopher_by_source. */
+  private def gopherRulesSql: String = {
+      import graft.operators.Text._
+      val stops = GopherStops.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH c AS (
+           SELECT doc_id,
+             len(t) AS n_words, len(l) AS n_lines,
+             length(replace(text, ' ', '')) AS sum_len,
+             (length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) // 3
+               + (length(text) - length(replace(text, '…', ''))) AS n_symbols,
+             len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+             len(list_filter(l, x -> regexp_matches(x, '^\\s*[-•*] ')))
+               AS n_bullet,
+             len(list_filter(l, x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$$')))
+               AS n_ellipsis_end,
+             len(list_filter($stops, s -> list_contains(t, s))) AS stop_hits
+           FROM (SELECT doc_id, text,
+                   string_split(lower(text), ' ') AS t,
+                   string_split(text, chr(10)) AS l FROM documents)),
+         r AS (
+           SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+             CAST((sum_len * 1000) // n_words AS BIGINT) AS word_len_pm,
+             CAST((n_symbols * 10000) // n_words AS BIGINT) AS symbol_bp,
+             CAST((n_alpha * 10000) // n_words AS BIGINT) AS alpha_word_bp,
+             CAST((n_bullet * 10000) // n_lines AS BIGINT) AS bullet_bp,
+             CAST((n_ellipsis_end * 10000) // n_lines AS BIGINT)
+               AS ellipsis_bp,
+             CAST(stop_hits AS BIGINT) AS stop_hits
+           FROM c)
+         SELECT *, CAST((n_words >= $GopherMinWords
+             AND n_words <= $GopherMaxWords
+             AND word_len_pm >= $GopherMinWordLenPm
+             AND word_len_pm <= $GopherMaxWordLenPm
+             AND symbol_bp <= $GopherMaxSymbolBp
+             AND alpha_word_bp >= $GopherMinAlphaBp
+             AND bullet_bp <= $GopherMaxBulletBp
+             AND ellipsis_bp <= $GopherMaxEllipsisBp
+             AND stop_hits >= $GopherMinStops) AS BIGINT) AS gopher_pass
+         FROM r ORDER BY doc_id"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_project" ->
@@ -2217,45 +2261,39 @@ object SparkEntry {
     // Gopher rule battery: every signal an integer count or div ratio
     // (per-mille / bp), thresholds interpolated from the shared
     // constants — the composed pass verdict replays BIGINT-exact.
-    "q_gopher_rules" -> {
+    "q_gopher_rules" -> gopherRulesSql,
+    // Per-source triage: the battery replay aggregated by source with
+    // per-rule fail censuses — every census an integer comparison on
+    // the battery's own columns.
+    "q_gopher_by_source" -> {
       import graft.operators.Text._
-      val stops = GopherStops.map(s => s"'$s'").mkString("[", ", ", "]")
-      s"""WITH c AS (
-           SELECT doc_id,
-             len(t) AS n_words, len(l) AS n_lines,
-             length(replace(text, ' ', '')) AS sum_len,
-             (length(text) - length(replace(text, '#', '')))
-               + (length(text) - length(replace(text, '...', ''))) // 3
-               + (length(text) - length(replace(text, '…', ''))) AS n_symbols,
-             len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
-             len(list_filter(l, x -> regexp_matches(x, '^\\s*[-•*] ')))
-               AS n_bullet,
-             len(list_filter(l, x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$$')))
-               AS n_ellipsis_end,
-             len(list_filter($stops, s -> list_contains(t, s))) AS stop_hits
-           FROM (SELECT doc_id, text,
-                   string_split(lower(text), ' ') AS t,
-                   string_split(text, chr(10)) AS l FROM documents)),
-         r AS (
-           SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-             CAST((sum_len * 1000) // n_words AS BIGINT) AS word_len_pm,
-             CAST((n_symbols * 10000) // n_words AS BIGINT) AS symbol_bp,
-             CAST((n_alpha * 10000) // n_words AS BIGINT) AS alpha_word_bp,
-             CAST((n_bullet * 10000) // n_lines AS BIGINT) AS bullet_bp,
-             CAST((n_ellipsis_end * 10000) // n_lines AS BIGINT)
-               AS ellipsis_bp,
-             CAST(stop_hits AS BIGINT) AS stop_hits
-           FROM c)
-         SELECT *, CAST((n_words >= $GopherMinWords
-             AND n_words <= $GopherMaxWords
-             AND word_len_pm >= $GopherMinWordLenPm
-             AND word_len_pm <= $GopherMaxWordLenPm
-             AND symbol_bp <= $GopherMaxSymbolBp
-             AND alpha_word_bp >= $GopherMinAlphaBp
-             AND bullet_bp <= $GopherMaxBulletBp
-             AND ellipsis_bp <= $GopherMaxEllipsisBp
-             AND stop_hits >= $GopherMinStops) AS BIGINT) AS gopher_pass
-         FROM r ORDER BY doc_id"""
+      s"""WITH g AS (SELECT * FROM ($gopherRulesSql)),
+         d AS (SELECT doc_id, source FROM documents),
+         a AS (
+           SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(g.gopher_pass) AS BIGINT) AS n_pass,
+             CAST(SUM(CASE WHEN g.n_words >= $GopherMinWords
+               AND g.n_words <= $GopherMaxWords THEN 0 ELSE 1 END)
+               AS BIGINT) AS fail_words,
+             CAST(SUM(CASE WHEN g.word_len_pm >= $GopherMinWordLenPm
+               AND g.word_len_pm <= $GopherMaxWordLenPm THEN 0 ELSE 1 END)
+               AS BIGINT) AS fail_word_len,
+             CAST(SUM(CASE WHEN g.symbol_bp <= $GopherMaxSymbolBp
+               THEN 0 ELSE 1 END) AS BIGINT) AS fail_symbol,
+             CAST(SUM(CASE WHEN g.alpha_word_bp >= $GopherMinAlphaBp
+               THEN 0 ELSE 1 END) AS BIGINT) AS fail_alpha,
+             CAST(SUM(CASE WHEN g.bullet_bp <= $GopherMaxBulletBp
+               THEN 0 ELSE 1 END) AS BIGINT) AS fail_bullet,
+             CAST(SUM(CASE WHEN g.ellipsis_bp <= $GopherMaxEllipsisBp
+               THEN 0 ELSE 1 END) AS BIGINT) AS fail_ellipsis,
+             CAST(SUM(CASE WHEN g.stop_hits >= $GopherMinStops
+               THEN 0 ELSE 1 END) AS BIGINT) AS fail_stops
+           FROM g JOIN d USING (doc_id) GROUP BY d.source)
+         SELECT source, n_docs, n_pass,
+           CAST((n_pass * 10000) // n_docs AS BIGINT) AS pass_bp,
+           fail_words, fail_word_len, fail_symbol, fail_alpha,
+           fail_bullet, fail_ellipsis, fail_stops
+         FROM a ORDER BY source"""
     },
 
     // Stratified sampling: same content-hash bucket as q_split_assign,

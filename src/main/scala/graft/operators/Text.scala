@@ -159,6 +159,44 @@ object Text {
     * free to fuse into any scan that already reads `text`. */
   def gopherRules(spark: SparkSession, sf: String): DataFrame =
     gopherRulesFrom(Tables.load(spark, sf, "documents"))
+      .orderBy(col("doc_id"))
+
+  /** q_gopher_by_source: the rule battery's TRIAGE AGGREGATE — per
+    * source, the documents passing the composed verdict and the
+    * per-rule FAIL censuses (which feed fails WHICH rule): the table
+    * a curation team reads before deciding whether a feed needs a
+    * threshold tweak, a cleanup pass, or wholesale dropping — rule
+    * batteries are deployed per-source in practice (Gopher's own
+    * ablations report per-subset pass rates). One broadcast source
+    * lookup over the per-doc battery + one ≤|sources|-row aggregate;
+    * every census is an integer comparison on the battery's own
+    * columns, so the row replays bit-for-bit. */
+  def gopherBySource(spark: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.load(spark, sf, "documents")
+    def failed(c: Column): Column =
+      sum(when(c, 0L).otherwise(1L))
+    gopherRulesFrom(docs.select(col("doc_id"), col("text")))
+      .join(broadcast(docs.select(col("doc_id"), col("source"))), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("gopher_pass")).as("n_pass"),
+        failed(col("n_words") >= GopherMinWords &&
+          col("n_words") <= GopherMaxWords).as("fail_words"),
+        failed(col("word_len_pm") >= GopherMinWordLenPm &&
+          col("word_len_pm") <= GopherMaxWordLenPm).as("fail_word_len"),
+        failed(col("symbol_bp") <= GopherMaxSymbolBp).as("fail_symbol"),
+        failed(col("alpha_word_bp") >= GopherMinAlphaBp).as("fail_alpha"),
+        failed(col("bullet_bp") <= GopherMaxBulletBp).as("fail_bullet"),
+        failed(col("ellipsis_bp") <= GopherMaxEllipsisBp)
+          .as("fail_ellipsis"),
+        failed(col("stop_hits") >= GopherMinStops).as("fail_stops"))
+      .select(col("source"), col("n_docs"), col("n_pass"),
+        expr("(n_pass * 10000) div n_docs").as("pass_bp"),
+        col("fail_words"), col("fail_word_len"), col("fail_symbol"),
+        col("fail_alpha"), col("fail_bullet"), col("fail_ellipsis"),
+        col("fail_stops"))
+      .orderBy(col("source"))
+  }
 
   /** The battery over an arbitrary (doc_id, text) frame — shared with
     * the spec's seeded degenerate documents, so the flags under test
@@ -206,7 +244,6 @@ object Text {
           col("bullet_bp") <= GopherMaxBulletBp &&
           col("ellipsis_bp") <= GopherMaxEllipsisBp &&
           col("stop_hits") >= GopherMinStops).cast("long"))
-      .orderBy(col("doc_id"))
   }
 
   /** Unigram-LM surprisal quality scoring: each token costs

@@ -1334,6 +1334,37 @@ class OperatorSpec extends AnyFunSuite {
       "curve end point diverged from q_bpe_encode")
   }
 
+  test("gopher by source: fail censuses re-derive from the per-doc battery and reconcile with the verdict") {
+    import graft.operators.Text
+    val perDoc = Text.gopherRules(spark, sf)
+      .join(Tables.load(spark, sf, "documents")
+        .select(col("doc_id"), col("source")), "doc_id")
+      .collect()
+    val rows = Text.gopherBySource(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val bySrc = perDoc.groupBy(_.getAs[String]("source"))
+    assert(rows.keySet == bySrc.keySet)
+    bySrc.foreach { case (src, ds) =>
+      val r = rows(src)
+      assert(r.getLong(1) == ds.length, s"$src n_docs")
+      assert(r.getLong(2) == ds.map(_.getAs[Long]("gopher_pass")).sum,
+        s"$src n_pass")
+      assert(r.getLong(3) == r.getLong(2) * 10000 / r.getLong(1))
+      // a doc passes iff it fails NO rule: the verdict must reconcile
+      // with the per-rule censuses doc-by-doc, which the brute recount
+      // of one rule pins (words band)
+      val failWords = ds.count { d =>
+        val n = d.getAs[Long]("n_words")
+        !(n >= Text.GopherMinWords && n <= Text.GopherMaxWords)
+      }
+      assert(r.getLong(4) == failWords, s"$src fail_words")
+    }
+    // the triage is informative on the fixture: pass rates differ
+    // across sources or some rule actually fails somewhere
+    assert(rows.values.map(_.getLong(3)).toSet.size > 1 ||
+      rows.values.exists(r => (4 to 10).exists(i => r.getLong(i) > 0)))
+  }
+
   test("backoff score: train docs never back off, held-out docs do, censuses reconcile") {
     import graft.operators.{Corpus, Text}
     val rows = Text.backoffScore(spark, sf).collect()
@@ -2768,7 +2799,7 @@ class OperatorSpec extends AnyFunSuite {
       // layout-independence — demand the receipt
       "q_dedup_sweep_lsh", "q_bpe_encode_saved", "q_unigram_encode_saved",
       "q_quality_sweep", "q_bpe_curve", "q_dup_methods", "q_ivf_sweep",
-      "q_backoff_score", "q_backoff_score_saved")
+      "q_backoff_score", "q_backoff_score_saved", "q_gopher_by_source")
     def snap(): Map[String, Seq[Seq[Any]]] = {
       spark.catalog.clearCache()
       qs.map(q => q ->
