@@ -16,25 +16,39 @@ import org.apache.spark.storage.StorageLevel
   * and unpersists the PREVIOUS generation under the same key, so a
   * long-lived session (the Bench sweep loop, a notebook) holds at
   * most ONE generation of cached blocks per kernel instead of one
-  * per invocation. Unpersisting a superseded generation is always
-  * safe — Spark recomputes evicted blocks from lineage — so a stale
-  * reader degrades to recompute, never to wrong results.
+  * per invocation.
+  *
+  * CONTRACT (r15 advisory): pooled frames must be DETERMINISTIC —
+  * two call sites may share a key (the substring family does), so
+  * one operator's swap can strip the cache behind another's
+  * still-unevaluated result, which then RECOMPUTES from lineage; a
+  * nondeterministic frame would recompute to different values. The
+  * pool also releases ONLY the frames it persisted itself: a frame
+  * that arrives already persisted (an external memo like
+  * `shingledCached` passed through a pool call) keeps its owner's
+  * pin — the superseding swap must not clobber a cache it never
+  * created.
   */
 object CachePool {
 
+  /** Current generation per key; the Boolean records whether THIS
+    * pool issued the persist (and therefore owns the unpersist). */
   private val pool =
-    scala.collection.mutable.HashMap.empty[String, Seq[DataFrame]]
+    scala.collection.mutable.HashMap.empty[String, Seq[(DataFrame, Boolean)]]
 
   /** Persist `frames` (MEMORY_AND_DISK) as the current generation for
-    * `key`, releasing whatever generation held the key before.
-    * Returns the frames for inline use. */
+    * `key`, releasing whatever generation held the key before —
+    * pool-persisted frames only; externally persisted frames keep
+    * their owner's pin. Returns the frames for inline use. */
   def swap(key: String, frames: DataFrame*): Seq[DataFrame] = synchronized {
-    pool.get(key).foreach(_.foreach(f => scala.util.Try(f.unpersist())))
-    frames.foreach { f =>
-      if (f.storageLevel == StorageLevel.NONE)
-        f.persist(StorageLevel.MEMORY_AND_DISK)
+    pool.get(key).foreach(_.foreach { case (f, ownedHere) =>
+      if (ownedHere) scala.util.Try(f.unpersist())
+    })
+    pool(key) = frames.map { f =>
+      val own = f.storageLevel == StorageLevel.NONE
+      if (own) f.persist(StorageLevel.MEMORY_AND_DISK)
+      (f, own)
     }
-    pool(key) = frames
     frames
   }
 
@@ -42,10 +56,11 @@ object CachePool {
   def swapOne(key: String, frame: DataFrame): DataFrame =
     swap(key, frame).head
 
-  /** Release every generation (test/session hygiene). */
+  /** Release every pool-persisted generation (test/session hygiene). */
   def clear(): Unit = synchronized {
-    pool.valuesIterator.foreach(_.foreach(f =>
-      scala.util.Try(f.unpersist())))
+    pool.valuesIterator.foreach(_.foreach { case (f, ownedHere) =>
+      if (ownedHere) scala.util.Try(f.unpersist())
+    })
     pool.clear()
   }
 }

@@ -216,6 +216,7 @@ object SparkEntry {
     // is the scale path, pinned plan-level by a CorpusSpec case
     "q_curate_v2" -> ((s: SparkSession, d: String) =>
       Corpus.curateV2(s, d, exact = true)),
+    "q_curate_v3" -> (Corpus.curateV3 _),
     // the DEFAULT (approx) path, driver-checked against the SAME
     // exact-replay oracle: at verification scale the corpus is
     // smaller than the t-digest accuracy knob, so the sketch cut is
@@ -294,6 +295,7 @@ object SparkEntry {
       Similarity.clusterBalancedCurateLsh(s, d)),
     "q_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "q_dup_methods" -> (Dedup.dupMethodAgreement _),
+    "q_dup_methods_lsh" -> (Dedup.dupMethodAgreementLsh _),
     // --- similarity search
     "q_embed_norms" -> (Similarity.norms _),
     "q_knn_brute" -> ((s: SparkSession, d: String) => Similarity.knnBruteForce(s, d)),
@@ -1034,6 +1036,56 @@ object SparkEntry {
          ORDER BY s.doc_id"""
   }
 
+  /** q_curate_v3: the r15-stage production stack composed in one
+    * statement — the Gopher battery replay ([[gopherRulesSql]]), the
+    * trigram Stupid-Backoff model + per-doc scores
+    * ([[graft.operators.Text.backoffCtes]] — the IDENTICAL CTEs
+    * q_backoff_score pins), the brute-force exact pair set (which the
+    * verified LSH pipeline must equal — the q_minhash_lsh argument),
+    * and the water-filling mixture ([[MixtureCaseSql]]) — so the
+    * composed pipeline is pinned value for value end to end. */
+  private lazy val CurateV3Sql: String =
+    s"""WITH ${graft.operators.Text.backoffCtes},
+         g AS (SELECT doc_id FROM ($gopherRulesSql) WHERE gopher_pass = 1),
+         bsc AS (
+           SELECT d.doc_id,
+             CAST(COALESCE((total_bits * 1000) // n_trigrams, 0) AS BIGINT)
+               AS mean_millibits
+           FROM documents d LEFT JOIN pd USING (doc_id)),
+         dl AS (SELECT doc_id, lang,
+                  ('0x' || substring(md5(text), 1, 8))::BIGINT % 1000
+                    AS bucket
+                FROM documents),
+         s2pre AS (
+           SELECT g.doc_id, dl.lang, dl.bucket, b.mean_millibits
+           FROM g JOIN bsc b USING (doc_id) JOIN dl USING (doc_id)),
+         cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM s2pre),
+         k2 AS (SELECT doc_id, lang, bucket, mean_millibits FROM (
+                  SELECT s2pre.*, ROW_NUMBER() OVER
+                    (ORDER BY mean_millibits, doc_id) AS rk
+                  FROM s2pre), cnt
+                WHERE rk * 4 <= n_total * 3),
+         jp AS (SELECT doc_a, doc_b FROM ($NgramJaccardSql)),
+         dropd AS (SELECT DISTINCT p.doc_b AS doc_id FROM jp p
+                   JOIN k2 a ON a.doc_id = p.doc_a
+                   JOIN k2 b ON b.doc_id = p.doc_b),
+         s3 AS (SELECT * FROM k2
+                WHERE doc_id NOT IN (SELECT doc_id FROM dropd)),
+         mc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+                FROM s3 GROUP BY 1),
+         mt AS (SELECT lang, n_docs, CAST($MixtureCaseSql AS BIGINT) AS tp
+                FROM mc),
+         mm AS (SELECT MIN(n_docs * 1000 // tp) AS t_total
+                FROM mt WHERE tp > 0),
+         mr AS (SELECT lang,
+                  LEAST(CAST(1000 AS BIGINT), (tp * t_total) // n_docs)
+                    AS rate_permille
+                FROM mt, mm WHERE tp > 0)
+       SELECT s.doc_id, s.lang, s.mean_millibits, r.rate_permille
+       FROM s3 s JOIN mr r USING (lang)
+       WHERE s.bucket < r.rate_permille
+       ORDER BY s.doc_id"""
+
   /** Exact-pair near-dup delta classification — shared by the batch
     * twin (q_delta_neardup) and the streaming ingest classifier
     * (q_stream_neardup), which must land on the identical answer. */
@@ -1154,6 +1206,37 @@ object SparkEntry {
          JOIN sizes sb ON sb.doc_id = doc_b
          WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5
          ORDER BY doc_a, doc_b"""
+
+  /** The method-agreement triage replay — shared by q_dup_methods
+    * (exact Jaccard leg) and q_dup_methods_lsh (minhashLsh-fed leg):
+    * the verified LSH pipeline must land on the identical agreement
+    * table, so both rows pin against the brute-force three-detector
+    * union. One definition per leg — a drifted leg fails its own row
+    * AND both triage rows. */
+  private lazy val DupMethodsSql: String =
+    s"""WITH j AS (SELECT doc_a, doc_b FROM ($NgramJaccardSql)),
+         sh AS (SELECT doc_a, doc_b FROM ($SimhashPairsSql)),
+         ce AS (SELECT doc_a, doc_b FROM
+           (${graft.operators.FeatureHash.hashEmbedNearDupOracle})),
+         allp AS (SELECT doc_a, doc_b FROM j
+                  UNION SELECT doc_a, doc_b FROM sh
+                  UNION SELECT doc_a, doc_b FROM ce)
+         SELECT p.doc_a, p.doc_b,
+           CAST(CASE WHEN j.doc_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS by_jaccard,
+           CAST(CASE WHEN sh.doc_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS by_simhash,
+           CAST(CASE WHEN ce.doc_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS by_cosine,
+           CAST((CASE WHEN j.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+             + (CASE WHEN sh.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+             + (CASE WHEN ce.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_methods
+         FROM allp p
+         LEFT JOIN j ON j.doc_a = p.doc_a AND j.doc_b = p.doc_b
+         LEFT JOIN sh ON sh.doc_a = p.doc_a AND sh.doc_b = p.doc_b
+         LEFT JOIN ce ON ce.doc_a = p.doc_a AND ce.doc_b = p.doc_b
+         ORDER BY p.doc_a, p.doc_b"""
 
   /** The per-doc Gopher battery replay — shared by q_gopher_rules
     * and the per-source triage aggregate q_gopher_by_source. */
@@ -2760,31 +2843,12 @@ object SparkEntry {
     // Method-agreement triage: the three pair detectors' replays
     // (each individually pinned above/below) unioned and flagged —
     // one definition per leg, so a drifted leg fails BOTH its own
-    // row and this one.
-    "q_dup_methods" ->
-      s"""WITH j AS (SELECT doc_a, doc_b FROM ($NgramJaccardSql)),
-         sh AS (SELECT doc_a, doc_b FROM ($SimhashPairsSql)),
-         ce AS (SELECT doc_a, doc_b FROM
-           (${graft.operators.FeatureHash.hashEmbedNearDupOracle})),
-         allp AS (SELECT doc_a, doc_b FROM j
-                  UNION SELECT doc_a, doc_b FROM sh
-                  UNION SELECT doc_a, doc_b FROM ce)
-         SELECT p.doc_a, p.doc_b,
-           CAST(CASE WHEN j.doc_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
-             AS by_jaccard,
-           CAST(CASE WHEN sh.doc_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
-             AS by_simhash,
-           CAST(CASE WHEN ce.doc_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
-             AS by_cosine,
-           CAST((CASE WHEN j.doc_a IS NOT NULL THEN 1 ELSE 0 END)
-             + (CASE WHEN sh.doc_a IS NOT NULL THEN 1 ELSE 0 END)
-             + (CASE WHEN ce.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_methods
-         FROM allp p
-         LEFT JOIN j ON j.doc_a = p.doc_a AND j.doc_b = p.doc_b
-         LEFT JOIN sh ON sh.doc_a = p.doc_a AND sh.doc_b = p.doc_b
-         LEFT JOIN ce ON ce.doc_a = p.doc_a AND ce.doc_b = p.doc_b
-         ORDER BY p.doc_a, p.doc_b""",
+    // row and this one. The LSH-fed twin carries the SAME oracle
+    // (the q_minhash_lsh argument: at the fixtures' similarity
+    // levels the verified banded pipeline emits exactly the exact
+    // pair set, so a banding miss is a row diff here too).
+    "q_dup_methods_lsh" -> DupMethodsSql,
+    "q_dup_methods" -> DupMethodsSql,
 
     "q_contamination" ->
       s"""WITH docs AS (
@@ -2843,6 +2907,11 @@ object SparkEntry {
     // exact replay (the four stage oracles composed as one statement)
     "q_curate_v2" -> CurateV2Sql,
     "q_curate_v2_approx" -> CurateV2Sql,
+    // The composed v3 stack — ONE row, fully integer-exact: the
+    // stage-2 quartile is a RANK rule (no percentile interpolation,
+    // no sketch), so the single row is simultaneously the oracle
+    // replay AND the scale path (two-phase bucketed rank).
+    "q_curate_v3" -> CurateV3Sql,
 
     "q_delta_dedup" ->
       s"""WITH d AS (SELECT doc_id, md5($Norm) AS fp FROM documents),

@@ -235,8 +235,12 @@ object Dedup {
   private[graft] def sweepOver(spark: SparkSession, pairs: DataFrame,
       thresholds: Seq[Long]): DataFrame = {
     // generational persist: the fanned pair frame feeds three
-    // aggregations; the pool bounds a long session at one generation
-    val swept = graft.CachePool.swap("dedup-sweep-fanout",
+    // aggregations; the pool bounds a long session at one generation.
+    // Keyed by the threshold set so the exact and LSH-fed sweeps
+    // (different pair frames) don't churn one shared slot (r15
+    // advisory on cross-operator key sharing).
+    val swept = graft.CachePool.swap(
+      "dedup-sweep-fanout-" + thresholds.mkString("_"),
       pairs.select(col("doc_a"), col("doc_b"),
           explode(typedLit(thresholds)).as("threshold_bp"),
           col("jaccard_bp"))
@@ -1105,8 +1109,8 @@ object Dedup {
     * round-trip bit-flip surfaces as a pair diff at the gate. */
   def minhashLshSaved(spark: SparkSession, sf: String,
       threshold: Double = 0.5): DataFrame = {
-    val root = graft.TempDirs.create("graft-minhash-artifact")
-    val v = IndexStore.saveMinhash(spark, sf, root)
+    val (root, v) = IndexStore.sessionArtifact(sf, "minhash")(
+      IndexStore.saveMinhash(spark, sf, _))
     val signed = IndexStore.loadMinhash(spark, root, Some(v))
     val sh = shingledCached(spark, sf)
     val cand = minhashCandidatesFromSigs(signed)
@@ -1252,11 +1256,38 @@ object Dedup {
     * Shape: each input is its own bounded candidate pipeline (already
     * driver-pinned individually); this row adds two full-outer joins
     * over NEAR-DUP PAIR frames — output-sized, tiny at any corpus
-    * scale. At 100 TB the Jaccard leg swaps for [[minhashLsh]]
-    * candidates (the standard kernel swap); the other two legs are
-    * already banded/blocked. */
-  def dupMethodAgreement(spark: SparkSession, sf: String): DataFrame = {
-    val j = ngramJaccard(spark, sf)
+    * scale. The Jaccard leg is a PARAMETER (the
+    * [[dupMatrixFrom]]/[[sweepOver]] pair-frame-agnostic convention):
+    * the default row feeds the exact verification kernel, and
+    * [[dupMethodAgreementLsh]] IS the documented 100 TB kernel swap —
+    * [[minhashLsh]] candidates in, same agreement arithmetic; the
+    * other two legs are already banded/blocked. */
+  def dupMethodAgreement(spark: SparkSession, sf: String): DataFrame =
+    dupMethodAgreementOver(spark, sf,
+      ngramJaccard(spark, sf).select(col("doc_a"), col("doc_b")))
+
+  /** q_dup_methods_lsh: the method-agreement triage with its Jaccard
+    * leg fed by the VERIFIED MinHash-LSH pipeline — the 100 TB form
+    * the triage's doc promises (banding proposes O(collisions)
+    * candidates, the est-agreement margin prunes, each survivor is
+    * confirmed on its true shingle arrays — never the raw-shingle
+    * self-join). [[minhashLsh]] runs at the same 0.5 threshold as the
+    * exact leg, and on the fixtures every true pair over 0.5 sits at
+    * j ≥ 0.88 (banding miss ≤ 2·10⁻⁷ — the q_minhash_lsh argument),
+    * so the recovered pair set EQUALS the exact set and the row is
+    * pinned by the SAME q_dup_methods oracle: a banding miss, a
+    * spurious survivor, or agreement-arithmetic drift is a row diff
+    * at the gate, not a rows-only shrug. */
+  def dupMethodAgreementLsh(spark: SparkSession, sf: String): DataFrame =
+    dupMethodAgreementOver(spark, sf,
+      minhashLsh(spark, sf).select(col("doc_a"), col("doc_b")))
+
+  /** The agreement arithmetic over an arbitrary (doc_a, doc_b)
+    * Jaccard-leg pair frame — exact and LSH-fed rows share it, so the
+    * two can only differ through their candidate sets. */
+  private[graft] def dupMethodAgreementOver(spark: SparkSession,
+      sf: String, jaccardPairs: DataFrame): DataFrame = {
+    val j = jaccardPairs
       .select(col("doc_a"), col("doc_b"), lit(1L).as("by_jaccard"))
     val s = simhashPairs(spark, sf)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("by_simhash"))

@@ -891,8 +891,8 @@ object Similarity {
     * the delta family: [[deltaIvfAssign]] freezes centroids within a
     * run, the store freezes them across sessions. */
   def annIvfSaved(spark: SparkSession, sf: String, k: Int = 3): DataFrame = {
-    val root = graft.TempDirs.create("graft-ivf-store")
-    val v = IndexStore.saveIvf(spark, sf, root)
+    val (root, v) = IndexStore.sessionArtifact(sf, "ivf")(
+      IndexStore.saveIvf(spark, sf, _))
     clearCentroidCache()
     annIvfWith(spark, sf,
       IndexStore.loadIvfCentroids(spark, root, Some(v)), k)

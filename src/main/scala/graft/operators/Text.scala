@@ -167,16 +167,20 @@ object Text {
     * a curation team reads before deciding whether a feed needs a
     * threshold tweak, a cleanup pass, or wholesale dropping — rule
     * batteries are deployed per-source in practice (Gopher's own
-    * ablations report per-subset pass rates). One broadcast source
-    * lookup over the per-doc battery + one ≤|sources|-row aggregate;
-    * every census is an integer comparison on the battery's own
-    * columns, so the row replays bit-for-bit. */
+    * ablations report per-subset pass rates). `source` rides the
+    * battery's own scan (the [[qualityScoredDf]] extra-column
+    * convention — r15 advisory: the previous broadcast of a
+    * corpus-cardinality (doc_id, source) projection would be a
+    * driver-side collect at 100 TB), so the whole row is ONE scan +
+    * one ≤|sources|-row aggregate, join-free; every census is an
+    * integer comparison on the battery's own columns, so the row
+    * replays bit-for-bit. */
   def gopherBySource(spark: SparkSession, sf: String): DataFrame = {
     val docs = Tables.load(spark, sf, "documents")
     def failed(c: Column): Column =
       sum(when(c, 0L).otherwise(1L))
-    gopherRulesFrom(docs.select(col("doc_id"), col("text")))
-      .join(broadcast(docs.select(col("doc_id"), col("source"))), "doc_id")
+    gopherRulesFrom(docs.select(col("doc_id"), col("text"),
+        col("source")), extra = Seq("source"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("gopher_pass")).as("n_pass"),
@@ -200,8 +204,11 @@ object Text {
 
   /** The battery over an arbitrary (doc_id, text) frame — shared with
     * the spec's seeded degenerate documents, so the flags under test
-    * are the production flags. */
-  private[graft] def gopherRulesFrom(docs: DataFrame): DataFrame = {
+    * are the production flags. `extra` columns pass through both
+    * battery projections so an aggregating caller (the per-source
+    * triage) rides one scan instead of re-joining the corpus. */
+  private[graft] def gopherRulesFrom(docs: DataFrame,
+      extra: Seq[String] = Nil): DataFrame = {
     val t = toks(col("text"))
     val lines = split(col("text"), "\n")
     // Σ word lengths == chars with the separators removed (split(" ")
@@ -214,7 +221,7 @@ object Text {
     val nUniEllipsis = (length(col("text")) -
       length(regexp_replace(col("text"), "…", ""))).cast("long")
     val counts = docs
-      .select(col("doc_id"),
+      .select(Seq(col("doc_id"),
         size(t).cast("long").as("n_words"),
         size(lines).cast("long").as("n_lines"),
         sumLen.as("sum_len"),
@@ -226,14 +233,16 @@ object Text {
           .cast("long").as("n_ellipsis_end"),
         size(filter(typedLit(GopherStops), s => array_contains(t, s)))
           .cast("long").as("stop_hits"))
+        ++ extra.map(col): _*)
     counts
-      .select(col("doc_id"), col("n_words"),
+      .select(Seq(col("doc_id"), col("n_words"),
         expr("(sum_len * 1000) div n_words").as("word_len_pm"),
         expr("(n_symbols * 10000) div n_words").as("symbol_bp"),
         expr("(n_alpha * 10000) div n_words").as("alpha_word_bp"),
         expr("(n_bullet * 10000) div n_lines").as("bullet_bp"),
         expr("(n_ellipsis_end * 10000) div n_lines").as("ellipsis_bp"),
         col("stop_hits"))
+        ++ extra.map(col): _*)
       .withColumn("gopher_pass",
         (col("n_words") >= GopherMinWords &&
           col("n_words") <= GopherMaxWords &&
@@ -369,8 +378,8 @@ object Text {
     * from the same bytes). Same output and oracle as the in-place
     * scorer — the q_nb_classify_saved pattern. */
   def backoffScoreSaved(spark: SparkSession, sf: String): DataFrame = {
-    val root = graft.TempDirs.create("graft-backoff-artifact")
-    val v = IndexStore.saveBackoffLm(spark, sf, root)
+    val (root, v) = IndexStore.sessionArtifact(sf, "backoff")(
+      IndexStore.saveBackoffLm(spark, sf, _))
     val (tri, bigr, uni) = IndexStore.loadBackoffLm(spark, root, Some(v))
     backoffScoreWith(spark, sf, tri, bigr, uni)
   }
@@ -428,6 +437,15 @@ object Text {
     * per-document given the frozen model, so the per-batch scope IS
     * the operator). */
   private[graft] def backoffScoreDocs(docs: DataFrame,
+      tri: DataFrame, trainBi: DataFrame, uni: DataFrame): DataFrame =
+    backoffScoredUnsorted(docs, tri, trainBi, uni)
+      .orderBy(col("doc_id"))
+
+  /** The per-doc scored frame WITHOUT the presentation sort — the
+    * form composing consumers ([[graft.operators.Corpus.curateV3]]'s
+    * stage-2 bucket) build on, so their aggregations don't sit on a
+    * pointless global range sort (the [[qualityScoredDf]] rule). */
+  private[graft] def backoffScoredUnsorted(docs: DataFrame,
       tri: DataFrame, trainBi: DataFrame, uni: DataFrame): DataFrame = {
     val triPre = tri.groupBy(col("w1"), col("w2"))
       .agg(sum(col("c3")).as("p2"))
@@ -468,15 +486,33 @@ object Text {
         coalesce(col("total_bits"), lit(0L)).as("total_bits"),
         coalesce(expr("(total_bits * 1000) div n_trigrams"), lit(0L))
           .as("mean_millibits"))
-      .orderBy(col("doc_id"))
   }
 
   /** DuckDB replay of [[backoffScore]]: the same train-split model
     * tables, the same three-level CASE, the same `length(bin(//))`
-    * integer bit costs. */
-  def backoffScoreOracle: String = {
+    * integer bit costs. Built from [[backoffCtes]] so the composed
+    * q_curate_v3 oracle reuses the IDENTICAL model + scoring CTEs —
+    * one definition, two rows. */
+  def backoffScoreOracle: String =
+    s"""WITH $backoffCtes
+       SELECT d.doc_id,
+         CAST(COALESCE(n_trigrams, 0) AS BIGINT) AS n_trigrams,
+         CAST(COALESCE(n_tri_hits, 0) AS BIGINT) AS n_tri_hits,
+         CAST(COALESCE(n_bi_backoffs, 0) AS BIGINT) AS n_bi_backoffs,
+         CAST(COALESCE(n_uni_backoffs, 0) AS BIGINT) AS n_uni_backoffs,
+         CAST(COALESCE(total_bits, 0) AS BIGINT) AS total_bits,
+         CAST(COALESCE((total_bits * 1000) // n_trigrams, 0) AS BIGINT)
+           AS mean_millibits
+       FROM documents d LEFT JOIN pd USING (doc_id)
+       ORDER BY d.doc_id"""
+
+  /** The backoff model + per-doc scoring CTE block (train-split
+    * count tables `tri`/`bigr`/`uni`, the three-level scored trigram
+    * stream `sc`, and the per-doc aggregate `pd`) — shared by
+    * [[backoffScoreOracle]] and the q_curate_v3 composed oracle. */
+  private[graft] def backoffCtes: String = {
     val p = BackoffPenaltyBits
-    s"""WITH dt AS (
+    s"""dt AS (
          SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t,
            ('0x' || substring(md5(text), 1, 8))::BIGINT % 1000 < 800
              AS is_train
@@ -527,17 +563,7 @@ object Text {
            CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_uni_backoffs,
            CAST(SUM(bits) AS BIGINT) AS total_bits
-         FROM sc GROUP BY doc_id)
-       SELECT d.doc_id,
-         CAST(COALESCE(n_trigrams, 0) AS BIGINT) AS n_trigrams,
-         CAST(COALESCE(n_tri_hits, 0) AS BIGINT) AS n_tri_hits,
-         CAST(COALESCE(n_bi_backoffs, 0) AS BIGINT) AS n_bi_backoffs,
-         CAST(COALESCE(n_uni_backoffs, 0) AS BIGINT) AS n_uni_backoffs,
-         CAST(COALESCE(total_bits, 0) AS BIGINT) AS total_bits,
-         CAST(COALESCE((total_bits * 1000) // n_trigrams, 0) AS BIGINT)
-           AS mean_millibits
-       FROM documents d LEFT JOIN pd USING (doc_id)
-       ORDER BY d.doc_id"""
+         FROM sc GROUP BY doc_id)"""
   }
 
   /** Range-bucket width for [[pplBuckets]]' two-phase per-source rank. */
@@ -647,8 +673,8 @@ object Text {
     * trains once, ships as storage, and every scoring job — batch or
     * per-delivery — reads the same bytes. */
   def nbClassifySaved(spark: SparkSession, sf: String): DataFrame = {
-    val root = graft.TempDirs.create("graft-nb-artifact")
-    val v = IndexStore.saveNb(spark, sf, root)
+    val (root, v) = IndexStore.sessionArtifact(sf, "nb")(
+      IndexStore.saveNb(spark, sf, _))
     val (classes, counts) = IndexStore.loadNb(spark, root, Some(v))
     // generational persist: the model frames feed several scoring
     // joins, but a long session must not accumulate one cached copy
@@ -1203,8 +1229,11 @@ object Text {
     // winnow fingerprints WITH positions (the anchor seeds); persisted
     // through the generational pool — both sides of the anchor
     // self-join read it, and repeated invocations in a long session
-    // hold one generation of blocks, not one per call
-    val fps = graft.CachePool.swap("substr-anchor-fps",
+    // hold one generation of blocks, not one per call. Key is
+    // per-call-site (r15 advisory): sharing a key with the keep-first
+    // kernel made each operator silently strip the cache behind the
+    // other's still-lazy result.
+    val fps = graft.CachePool.swap("substr-dedup-anchor-fps",
       capAnchorFps(substrFpSet(docs), dfCap)).head
     val anchors = fps.select(col("fp"), col("doc_id").as("doc_a"),
         col("pos").as("pa"))
@@ -1366,9 +1395,10 @@ object Text {
     val docs = Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("text"))
     // WITHIN-corpus cross kernel: both sides are the same set, so one
-    // WinnowPack pass (pool-persisted) serves both sides of the
-    // anchor join instead of fingerprinting the corpus twice
-    val fps = graft.CachePool.swap("substr-anchor-fps",
+    // WinnowPack pass (pool-persisted, per-call-site key — r15
+    // advisory) serves both sides of the anchor join instead of
+    // fingerprinting the corpus twice
+    val fps = graft.CachePool.swap("substr-keepfirst-anchor-fps",
       substrFpSet(docs)).head
     substrSpansAgainstIndex(docs, fps, fps, docs,
       pairFilter = col("doc_b") < col("doc_a"))

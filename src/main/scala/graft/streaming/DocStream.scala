@@ -489,13 +489,20 @@ object DocStream {
         StructField("text", StringType))),
       { (batch: DataFrame, batchId: Long) =>
         val fps = Text.substrFpSet(batch)
-        val idxFps = StreamState.readState(spark, indexDir, SubstrIndexSchema)
-          .filter(col("batch_id") < batchId).drop("batch_id")
-        val idxTexts = StreamState.readState(spark, textDir, SubstrTextSchema)
-          .filter(col("batch_id") < batchId).drop("batch_id")
-        Text.substrSpansAgainstIndex(batch, fps, idxFps, idxTexts)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+        // bootstrap (batch 0) only seeds the two stores: the final
+        // read filters to batch 1, so probing the still-empty index
+        // and writing a discarded span output would pay a full
+        // WinnowPack fingerprint + join pass for nothing (r15
+        // advisory)
+        if (batchId > 0) {
+          val idxFps = StreamState.readState(spark, indexDir, SubstrIndexSchema)
+            .filter(col("batch_id") < batchId).drop("batch_id")
+          val idxTexts = StreamState.readState(spark, textDir, SubstrTextSchema)
+            .filter(col("batch_id") < batchId).drop("batch_id")
+          Text.substrSpansAgainstIndex(batch, fps, idxFps, idxTexts)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+        }
         fps.withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").parquet(s"$indexDir/batch-$batchId")
         batch.withColumn("batch_id", lit(batchId))
@@ -557,13 +564,19 @@ object DocStream {
         StructField("text", StringType))),
       { (batch: DataFrame, batchId: Long) =>
         val fps = Text.substrFpSet(batch)
-        val idxFps = StreamState.readState(spark, indexDir, SubstrIndexSchema)
-          .filter(col("batch_id") < batchId).drop("batch_id")
-        val idxTexts = StreamState.readState(spark, textDir, SubstrTextSchema)
-          .filter(col("batch_id") < batchId).drop("batch_id")
-        Text.substrSpansAgainstIndex(batch, fps, idxFps, idxTexts)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+        // bootstrap delivery seeds the stores only — its span output
+        // is filtered out below (batch_id >= 1), so the empty-index
+        // probe is skipped (the substrViaStream rule); compaction
+        // still runs so delivery 1 already reads a compacted store
+        if (batchId > 0) {
+          val idxFps = StreamState.readState(spark, indexDir, SubstrIndexSchema)
+            .filter(col("batch_id") < batchId).drop("batch_id")
+          val idxTexts = StreamState.readState(spark, textDir, SubstrTextSchema)
+            .filter(col("batch_id") < batchId).drop("batch_id")
+          Text.substrSpansAgainstIndex(batch, fps, idxFps, idxTexts)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+        }
         fps.withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").parquet(s"$indexDir/batch-$batchId")
         batch.withColumn("batch_id", lit(batchId))

@@ -103,8 +103,12 @@ object StreamState {
     // Hadoop FS rename reports some failures as `false` WITHOUT
     // throwing — deleting the consumed subtrees after a silent rename
     // failure would lose the whole compacted slice, so an unpublished
-    // rewrite aborts the pass (the orphaned tmp dir is re-consumed by
-    // a later pass or vacuumed; the state dir itself is untouched)
+    // rewrite aborts the pass: the tmp tree is deleted here and the
+    // state dir is untouched (every consumed batch survives). A crash
+    // BETWEEN the failed rename and this delete leaves an inert
+    // orphan OUTSIDE the state dir — it matches neither the batch-*
+    // glob nor any reader's path, so it wastes bytes until manually
+    // swept but can never corrupt a read.
     if (!fs.rename(tmp, new Path(p, s"batch--compacted-$pass"))) {
       scala.util.Try(fs.delete(tmp, true))
       return (before, before)

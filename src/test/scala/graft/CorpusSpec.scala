@@ -1420,11 +1420,17 @@ class CorpusSpec extends AnyFunSuite {
     val df = Corpus.curateV2(spark, sf, exact = true)
     val out = df.collect()
     assert(out.nonEmpty)
-    // the scan-sharing receipt: the final plan reuses the persisted
-    // quality-scored / tokenized projections instead of re-scanning
-    // documents per stage
+    // the scan-sharing receipt (r16 form): the cut-independent
+    // upstream (scored base, tokenized scan, NB model, semantic
+    // survivors) is locally CHECKPOINTED once per session and shared
+    // by both gate modes, so the final plan reads materialized RDDs
+    // and re-scans the documents parquet ZERO times — the strongest
+    // form of "one scan serves every stage"
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("InMemoryTableScan"), plan.take(2000))
+    assert(plan.contains("Scan ExistingRDD"), plan.take(2000))
+    assert(!plan.contains("FileScan parquet"),
+      "curateV2 re-scans parquet despite the checkpointed upstream:\n" +
+        plan.take(2000))
     // stage 2 discipline: every kept doc was routed to the allowlist
     val allow = Corpus.CurateAllowSources.toSet
     out.foreach(r => assert(allow.contains(r.getString(3)),
@@ -1452,5 +1458,46 @@ class CorpusSpec extends AnyFunSuite {
     val byLang = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
     assert(byLang.keySet.subsetOf(
       Corpus.MixtureTargets.map(_._1).toSet), byLang)
+  }
+
+  test("curate v3: staged discipline — gopher battery, LM rank quartile, LSH survivor, mixture") {
+    import graft.operators.{Dedup, Text}
+    val out = Corpus.curateV3(spark, sf).collect()
+    assert(out.nonEmpty)
+    val keptIds = out.map(_.getLong(0)).toSet
+    // stage 1: every kept doc passed the standalone Gopher battery
+    val passers = Text.gopherRules(spark, sf)
+      .filter(col("gopher_pass") === 1L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(keptIds.subsetOf(passers), "kept doc failed the battery")
+    // stage 2: carried scores equal the standalone q_backoff_score
+    // values, and the rank quartile actually cut (strictly fewer
+    // survivors than battery ∩ corpus — the knob is not dead)
+    val scores = Text.backoffScore(spark, sf)
+      .select(col("doc_id"), col("mean_millibits")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach(r => assert(scores(r.getLong(0)) == r.getLong(2),
+      s"doc ${r.getLong(0)} carries a drifted LM score"))
+    val s2Kept = {
+      val ranked = passers.toSeq.map(id => (scores(id), id)).sorted
+      ranked.take(3 * ranked.size / 4).map(_._2).toSet
+    }
+    assert(s2Kept.size < passers.size, "stage-2 quartile cut nothing")
+    assert(keptIds.subsetOf(s2Kept),
+      "kept doc outside the brute-force rank quartile")
+    // stage 3: no verified LSH pair survives with BOTH endpoints kept
+    // (the larger id would have been dropped by the keep-first rule)
+    Dedup.minhashLsh(spark, sf).select(col("doc_a"), col("doc_b"))
+      .collect().foreach { r =>
+        assert(!(keptIds(r.getLong(0)) && keptIds(r.getLong(1))),
+          s"near-dup pair (${r.getLong(0)}, ${r.getLong(1)}) fully kept")
+      }
+    // stage 4: mixture discipline — languages from the target map,
+    // and the keep decision replays from the carried rate
+    val targets = Corpus.MixtureTargets.map(_._1).toSet
+    out.foreach { r =>
+      assert(targets.contains(r.getString(1)), r.getString(1))
+      assert(r.getLong(3) >= 1L && r.getLong(3) <= 1000L)
+    }
   }
 }

@@ -1422,8 +1422,10 @@ class OperatorSpec extends AnyFunSuite {
       "bpe_curve" -> Corpus.bpeCurve(spark, sf),
       "dedup_sweep_lsh" -> Dedup.dedupThresholdSweepLsh(spark, sf),
       "dup_methods" -> Dedup.dupMethodAgreement(spark, sf),
+      "dup_methods_lsh" -> Dedup.dupMethodAgreementLsh(spark, sf),
       "ivf_sweep" -> Similarity.ivfProbeSweep(spark, sf),
-      "backoff_score" -> Text.backoffScore(spark, sf))
+      "backoff_score" -> Text.backoffScore(spark, sf),
+      "curate_v3" -> Corpus.curateV3(spark, sf))
     frames.foreach { case (name, df) =>
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -1437,8 +1439,10 @@ class OperatorSpec extends AnyFunSuite {
       // executes once, but the cached subtree PRINTS under each of
       // its two InMemoryTableScan references, + the single-row
       // totals broadcast
+      // curate_v3's 1: the mixture's broadcast single-row t_total
+      // (the rank stage's extremes are a bounded head(), not a join)
       val allowed = Map("quality_sweep" -> 1, "ivf_sweep" -> 3,
-        "backoff_score" -> 1).getOrElse(name, 0)
+        "backoff_score" -> 1, "curate_v3" -> 1).getOrElse(name, 0)
       if (name == "ivf_sweep")
         assert(plan.contains("InMemoryTableScan"),
           "ivf_sweep's truth kernel lost its cache pin — the " +
@@ -1470,6 +1474,21 @@ class OperatorSpec extends AnyFunSuite {
     // the triage is non-degenerate on the fixture: methods disagree
     // somewhere (a detector that always agrees adds no information)
     assert(rows.exists(_._2._4 < 3L), "fixture: all methods always agree")
+  }
+
+  test("dup methods LSH twin: banded-candidate agreement table equals the exact table on the studied band") {
+    import graft.operators.Dedup
+    // the r16 kernel swap: the LSH-fed Jaccard leg (banding → margin
+    // prune → exact confirm) must reproduce the exact triage
+    // row-for-row at the fixtures' similarity levels — a banding
+    // miss, a spurious survivor, or agreement-arithmetic drift is a
+    // row diff here before it is one at the driver gate
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toList).toSeq
+    val exact = snap(Dedup.dupMethodAgreement(spark, sf))
+    val lsh = snap(Dedup.dupMethodAgreementLsh(spark, sf))
+    assert(exact.nonEmpty)
+    assert(lsh == exact, "LSH-fed triage drifted from the exact triage")
   }
 
   test("dup matrix: cells re-derive from the labeled pair set and the mass crosses sources") {
@@ -2799,7 +2818,11 @@ class OperatorSpec extends AnyFunSuite {
       // layout-independence — demand the receipt
       "q_dedup_sweep_lsh", "q_bpe_encode_saved", "q_unigram_encode_saved",
       "q_quality_sweep", "q_bpe_curve", "q_dup_methods", "q_ivf_sweep",
-      "q_backoff_score", "q_backoff_score_saved", "q_gopher_by_source")
+      "q_backoff_score", "q_backoff_score_saved", "q_gopher_by_source",
+      // r16 additions: the LSH-fed triage swap and the composed v3
+      // stack (bucketed-rank quartile + LSH survivor + mixture) claim
+      // layout-independence — demand the receipt
+      "q_dup_methods_lsh", "q_curate_v3")
     def snap(): Map[String, Seq[Seq[Any]]] = {
       spark.catalog.clearCache()
       qs.map(q => q ->
