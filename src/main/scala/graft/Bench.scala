@@ -75,9 +75,6 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val sweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "2").toInt
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1500").toDouble
-    // seconds reserved at the tail for flushing the JSON artifact +
-    // spark.stop(); also the mid-sweep hard-stop line
-    val flushMarginS = 15.0
     BenchMode.fast = sys.env.getOrElse("SPARK_GRAFT_BENCH_FAST", "1") != "0"
     val wall0 = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - wall0) / 1e9
@@ -148,8 +145,7 @@ object Bench {
     def runSweep(first: Boolean): Boolean = {
       val order =
         if (first) selected.map(_._1)
-        else selected.map(_._1)
-          .sortBy(n => -bestOf(n).getOrElse(Double.MaxValue))
+        else BenchSchedule.rescueOrder(selected.map(_._1), bestOf)
       val t0 = elapsedS
       val buf = scala.collection.mutable.LinkedHashMap
         .empty[String, (Double, Option[String])]
@@ -157,15 +153,12 @@ object Bench {
       val it = order.iterator
       while (it.hasNext && !cut) {
         val name = it.next()
-        val deadline = budgetS - flushMarginS
-        if (elapsedS >= deadline) cut = true
-        else {
-          // skip a query that predictably won't fit; cheaper ones
-          // later in the rescue order may still fit, so keep walking
-          val fits = first ||
-            bestOf(name).forall(b => elapsedS + 1.5 * b < deadline)
-          if (fits) buf(name) = once(fnByName(name))
-        }
+        if (elapsedS >= budgetS - BenchSchedule.FlushMarginS) cut = true
+        // skip a query that predictably won't fit; cheaper ones
+        // later in the rescue order may still fit, so keep walking
+        else if (BenchSchedule.fitsQuery(first, bestOf(name),
+            budgetS, elapsedS))
+          buf(name) = once(fnByName(name))
       }
       sweepBuf += scala.collection.immutable.ListMap(buf.toSeq: _*)
       sweepWalls += elapsedS - t0
@@ -174,7 +167,8 @@ object Bench {
       complete
     }
     var i = 1
-    while (i <= sweeps && (i == 1 || budgetS - elapsedS >= 60.0)) {
+    while (i <= sweeps &&
+        (i == 1 || BenchSchedule.startSweep(budgetS, elapsedS))) {
       runSweep(first = i == 1)
       progress(s"sweep $i/$sweeps")
       i += 1
@@ -193,7 +187,8 @@ object Bench {
         totalOf(completeSweeps.head.values) / totalOf(completeSweeps.last.values)
       else 1.0
     val extraSweeps =
-      if (loadRatio > 1.5 && elapsedS + sweepWalls.min < budgetS - flushMarginS) {
+      if (BenchSchedule.extraSweep(loadRatio, sweepWalls.min,
+          budgetS, elapsedS)) {
         runSweep(first = false)
         progress("extra sweep (load-adaptive)")
         1

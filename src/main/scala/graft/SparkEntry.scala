@@ -217,6 +217,7 @@ object SparkEntry {
     "q_curate_v2" -> ((s: SparkSession, d: String) =>
       Corpus.curateV2(s, d, exact = true)),
     "q_curate_v3" -> (Corpus.curateV3 _),
+    "q_curate_v3_funnel" -> (Corpus.curateV3Funnel _),
     // the DEFAULT (approx) path, driver-checked against the SAME
     // exact-replay oracle: at verification scale the corpus is
     // smaller than the t-digest accuracy knob, so the sketch cut is
@@ -1045,7 +1046,34 @@ object SparkEntry {
     * and the water-filling mixture ([[MixtureCaseSql]]) — so the
     * composed pipeline is pinned value for value end to end. */
   private lazy val CurateV3Sql: String =
-    s"""WITH ${graft.operators.Text.backoffCtes},
+    s"""WITH $CurateV3Ctes
+       SELECT s.doc_id, s.lang, s.mean_millibits, r.rate_permille
+       FROM s3 s JOIN mr r USING (lang)
+       WHERE s.bucket < r.rate_permille
+       ORDER BY s.doc_id"""
+
+  /** q_curate_v3_funnel: the same stage CTEs counted per stage — the
+    * attrition table cannot drift from the pipeline it describes. */
+  private lazy val CurateV3FunnelSql: String =
+    s"""WITH $CurateV3Ctes,
+         fin AS (SELECT s.doc_id
+                 FROM s3 s JOIN mr r USING (lang)
+                 WHERE s.bucket < r.rate_permille),
+         f AS (
+           SELECT 0 AS i, 'corpus' AS stage,
+             (SELECT COUNT(*) FROM documents) AS n
+           UNION ALL SELECT 1, 'gopher_pass', COUNT(*) FROM s2pre
+           UNION ALL SELECT 2, 'lm_quartile', COUNT(*) FROM k2
+           UNION ALL SELECT 3, 'neardup_survivor', COUNT(*) FROM s3
+           UNION ALL SELECT 4, 'mixture', COUNT(*) FROM fin)
+       SELECT CAST(i AS BIGINT) AS stage_idx, stage,
+         CAST(n AS BIGINT) AS n_docs,
+         CAST(COALESCE(lag(n) OVER (ORDER BY i) - n, 0) AS BIGINT)
+           AS n_dropped_here
+       FROM f ORDER BY stage_idx"""
+
+  private lazy val CurateV3Ctes: String =
+    s"""${graft.operators.Text.backoffCtes},
          g AS (SELECT doc_id FROM ($gopherRulesSql) WHERE gopher_pass = 1),
          bsc AS (
            SELECT d.doc_id,
@@ -1080,11 +1108,7 @@ object SparkEntry {
          mr AS (SELECT lang,
                   LEAST(CAST(1000 AS BIGINT), (tp * t_total) // n_docs)
                     AS rate_permille
-                FROM mt, mm WHERE tp > 0)
-       SELECT s.doc_id, s.lang, s.mean_millibits, r.rate_permille
-       FROM s3 s JOIN mr r USING (lang)
-       WHERE s.bucket < r.rate_permille
-       ORDER BY s.doc_id"""
+                FROM mt, mm WHERE tp > 0)"""
 
   /** Exact-pair near-dup delta classification — shared by the batch
     * twin (q_delta_neardup) and the streaming ingest classifier
@@ -2910,8 +2934,10 @@ object SparkEntry {
     // The composed v3 stack — ONE row, fully integer-exact: the
     // stage-2 quartile is a RANK rule (no percentile interpolation,
     // no sketch), so the single row is simultaneously the oracle
-    // replay AND the scale path (two-phase bucketed rank).
+    // replay AND the scale path (two-phase bucketed rank). The
+    // funnel census counts the SAME stage CTEs.
     "q_curate_v3" -> CurateV3Sql,
+    "q_curate_v3_funnel" -> CurateV3FunnelSql,
 
     "q_delta_dedup" ->
       s"""WITH d AS (SELECT doc_id, md5($Norm) AS fp FROM documents),

@@ -1471,7 +1471,41 @@ object Corpus {
     * are scans + model joins, the rank is bucket-local windows over
     * broadcast offsets, the dedup drop is an output-sized anti-join,
     * the rates a languages-sized broadcast. */
-  def curateV3(spark: SparkSession, sf: String): DataFrame = {
+  def curateV3(spark: SparkSession, sf: String): DataFrame =
+    curateV3Frames(spark, sf)._4.orderBy(col("doc_id"))
+
+  /** q_curate_v3_funnel: the composed stack's STAGE-ATTRITION census
+    * — one row per stage with the surviving document count and the
+    * docs the stage dropped, the funnel table a curation team reads
+    * next to any composed pipeline (every ablation section of the
+    * Gopher/RefinedWeb/Dolma line opens with exactly this table).
+    * Derived from the SAME stage frames as q_curate_v3 (one
+    * definition — the census cannot drift from the pipeline), five
+    * single-row aggregates + a 5-row lag window. */
+  def curateV3Funnel(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (s2pre, kept2, s3, fin) = curateV3Frames(spark, sf)
+    val corpus = Tables.load(spark, sf, "documents").select(col("doc_id"))
+    def cnt(df: DataFrame, idx: Long, stage: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(idx).as("stage_idx"), lit(stage).as("stage"),
+          col("n_docs"))
+    cnt(corpus, 0L, "corpus")
+      .unionAll(cnt(s2pre, 1L, "gopher_pass"))
+      .unionAll(cnt(kept2, 2L, "lm_quartile"))
+      .unionAll(cnt(s3, 3L, "neardup_survivor"))
+      .unionAll(cnt(fin, 4L, "mixture"))
+      .withColumn("n_dropped_here",
+        coalesce(lag(col("n_docs"), 1).over(
+          Window.orderBy(col("stage_idx"))) - col("n_docs"), lit(0L)))
+      .orderBy(col("stage_idx"))
+  }
+
+  /** The four stage frames of [[curateV3]] — (gopher-passed scored
+    * set, rank-quartile survivors, near-dup survivors, mixture-kept
+    * output) — shared by the pipeline row and its funnel census. */
+  private[graft] def curateV3Frames(spark: SparkSession, sf: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val up = curateV3Upstream(spark, sf)
     // two-phase global rank by (mean_millibits, doc_id): equal-width
@@ -1517,11 +1551,11 @@ object Corpus {
     val s3 = kept2.join(dropIds, Seq("doc_id"), "left_anti")
     val rates = mixtureRatesFrom(
       s3.groupBy(col("lang")).agg(count(lit(1)).as("n_docs")))
-    s3.join(broadcast(rates), Seq("lang"))
+    val fin = s3.join(broadcast(rates), Seq("lang"))
       .filter(col("bucket") < col("rate_permille"))
       .select(col("doc_id"), col("lang"), col("mean_millibits"),
         col("rate_permille"))
-      .orderBy(col("doc_id"))
+    (up.s2pre, kept2, s3, fin)
   }
 
   /** Drop the shared curate-v3 upstream (test/session hygiene). */

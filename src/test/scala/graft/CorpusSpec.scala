@@ -1500,4 +1500,29 @@ class CorpusSpec extends AnyFunSuite {
       assert(r.getLong(3) >= 1L && r.getLong(3) <= 1000L)
     }
   }
+
+  test("curate v3 funnel: stage censuses are monotone and re-derive from the pipeline") {
+    import graft.operators.Text
+    val rows = Corpus.curateV3Funnel(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(t => (t._1, t._2)).toSeq == Seq(
+      0L -> "corpus", 1L -> "gopher_pass", 2L -> "lm_quartile",
+      3L -> "neardup_survivor", 4L -> "mixture"))
+    // counts never increase down the funnel, drops reconcile exactly
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3, s"${b._2} grew")
+      assert(b._4 == a._3 - b._3, s"${b._2} drop census tear")
+    }
+    assert(rows.head._4 == 0L)
+    // endpoints re-derive from the standalone rows: corpus size,
+    // battery pass count, and the composed pipeline's own output
+    assert(rows(0)._3 == graft.Tables.load(spark, sf, "documents").count())
+    assert(rows(1)._3 == Text.gopherRules(spark, sf)
+      .filter(col("gopher_pass") === 1L).count())
+    assert(rows(2)._3 == 3 * rows(1)._3 / 4, "rank quartile count")
+    assert(rows(4)._3 == Corpus.curateV3(spark, sf).count())
+    // the funnel is non-degenerate on the fixture: the battery and
+    // the quartile both actually cut
+    assert(rows(1)._3 < rows(0)._3 && rows(2)._3 < rows(1)._3)
+  }
 }

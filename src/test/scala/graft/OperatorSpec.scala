@@ -2822,7 +2822,7 @@ class OperatorSpec extends AnyFunSuite {
       // r16 additions: the LSH-fed triage swap and the composed v3
       // stack (bucketed-rank quartile + LSH survivor + mixture) claim
       // layout-independence — demand the receipt
-      "q_dup_methods_lsh", "q_curate_v3")
+      "q_dup_methods_lsh", "q_curate_v3", "q_curate_v3_funnel")
     def snap(): Map[String, Seq[Seq[Any]]] = {
       spark.catalog.clearCache()
       qs.map(q => q ->

@@ -84,4 +84,46 @@ class UtilSpec extends AnyFunSuite {
     assert(Util.parseColonDelimited("HR:HR2") == ("HR", "HR2"))
     intercept[IllegalArgumentException](Util.parseColonDelimited("HRonly"))
   }
+
+  // ---- bench budget scheduler (the r16 "always try, stop
+  // gracefully" contract, unit-pinned on the two disaster replays) --
+
+  test("r15 replay: a loaded first sweep no longer cancels the rescue sweep") {
+    // budget 1500, sweep 1 took 1250 s (loaded window): r15's guard
+    // estimated sweep 2 at the slowest sweep and skipped it; the r16
+    // contract starts the sweep (250 s remain) and walks the
+    // descending-cost order, skipping only what predictably won't fit
+    assert(BenchSchedule.startSweep(1500, 1250))
+    // deep into the rescue sweep (1290 s elapsed), the 140 s
+    // cosine-family query is skipped (1290 + 1.5×140 > 1485)...
+    assert(!BenchSchedule.fitsQuery(first = false, Some(140.0), 1500, 1290))
+    // ...but the sub-second tail still re-measures
+    assert(BenchSchedule.fitsQuery(first = false, Some(0.5), 1500, 1290))
+    // and a first sweep never self-censors on estimates
+    assert(BenchSchedule.fitsQuery(first = true, Some(140.0), 1500, 1290))
+  }
+
+  test("r14 replay: everything stops at the flush margin") {
+    val atMargin = 1500 - BenchSchedule.FlushMarginS
+    assert(!BenchSchedule.fitsQuery(first = true, None, 1500, atMargin))
+    assert(!BenchSchedule.startSweep(1500, 1460))
+    assert(!BenchSchedule.extraSweep(2.0, 100.0, 1500, atMargin))
+  }
+
+  test("extra sweep estimates at the fastest wall, not the slowest") {
+    // loaded sweep 1250 s + quiet sweep 600 s: the r15 guard's
+    // max-estimate (1250) would veto; the fastest-wall estimate
+    // admits the extra sweep when a quiet sweep fits
+    assert(BenchSchedule.extraSweep(2.0, 600.0, 2000, 800))
+    assert(!BenchSchedule.extraSweep(2.0, 1250.0, 2000, 800))
+    // no load-window signature → no extra sweep
+    assert(!BenchSchedule.extraSweep(1.1, 600.0, 2000, 800))
+  }
+
+  test("rescue order walks descending best-time, never-measured first") {
+    val best = Map("a" -> 2.0, "b" -> 9.0, "c" -> 0.1)
+    val order = BenchSchedule.rescueOrder(Seq("a", "b", "c", "new"),
+      best.get)
+    assert(order == Seq("new", "b", "a", "c"))
+  }
 }
