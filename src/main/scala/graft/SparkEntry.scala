@@ -136,6 +136,9 @@ object SparkEntry {
     "q_langid" -> (Text.langId _),
     "q_quality" -> (Text.quality _),
     "q_gopher_rules" -> (Text.gopherRules _),
+    "q_lm_gate" -> (Text.lmQualityGate _),
+    "q_stream_lm_gate" -> ((s: SparkSession, d: String) =>
+      graft.streaming.DocStream.lmGateViaStream(s, d)),
     "q_gopher_by_source" -> (Text.gopherBySource _),
     "q_surprisal" -> (Text.surprisal _),
     "q_bigram_surprisal" -> (Text.bigramSurprisal _),
@@ -218,6 +221,7 @@ object SparkEntry {
       Corpus.curateV2(s, d, exact = true)),
     "q_curate_v3" -> (Corpus.curateV3 _),
     "q_curate_v3_funnel" -> (Corpus.curateV3Funnel _),
+    "q_curate_v3_by_source" -> (Corpus.curateV3BySource _),
     // the DEFAULT (approx) path, driver-checked against the SAME
     // exact-replay oracle: at verification scale the corpus is
     // smaller than the t-digest accuracy knob, so the sketch cut is
@@ -270,6 +274,7 @@ object SparkEntry {
     "q_token_budget" -> ((s: SparkSession, d: String) => Corpus.tokenBudget(s, d)),
     "q_shard_assign" -> ((s: SparkSession, d: String) => Corpus.shardAssign(s, d)),
     "q_mixture_sample" -> ((s: SparkSession, d: String) => Corpus.mixtureSample(s, d)),
+    "q_token_mixture" -> ((s: SparkSession, d: String) => Corpus.tokenMixture(s, d)),
     "q_chunk_stride" -> ((s: SparkSession, d: String) => Corpus.chunkStride(s, d)),
     "q_systematic_sample" -> ((s: SparkSession, d: String) => Corpus.systematicSample(s, d)),
     "q_stratified_kfold" -> ((s: SparkSession, d: String) =>
@@ -1075,11 +1080,6 @@ object SparkEntry {
   private lazy val CurateV3Ctes: String =
     s"""${graft.operators.Text.backoffCtes},
          g AS (SELECT doc_id FROM ($gopherRulesSql) WHERE gopher_pass = 1),
-         bsc AS (
-           SELECT d.doc_id,
-             CAST(COALESCE((total_bits * 1000) // n_trigrams, 0) AS BIGINT)
-               AS mean_millibits
-           FROM documents d LEFT JOIN pd USING (doc_id)),
          dl AS (SELECT doc_id, lang,
                   ('0x' || substring(md5(text), 1, 8))::BIGINT % 1000
                     AS bucket
@@ -2141,6 +2141,11 @@ object SparkEntry {
     // three-level CASE, integer bit costs, and per-level censuses all
     // replay off the shared content-hash split definition.
     "q_backoff_score" -> operators.Text.backoffScoreOracle,
+    // The frozen-artifact LM gate: ONE oracle pins the batch gate and
+    // its streaming twin (model + cut ship together; the two paths
+    // must admit the identical set).
+    "q_lm_gate" -> operators.Text.lmGateOracle,
+    "q_stream_lm_gate" -> operators.Text.lmGateOracle,
     // scored from the LOADED count tables (train -> publish -> load
     // -> score): same oracle, so a round-trip bit-flip fails
     "q_backoff_score_saved" -> operators.Text.backoffScoreOracle,
@@ -2938,6 +2943,33 @@ object SparkEntry {
     // funnel census counts the SAME stage CTEs.
     "q_curate_v3" -> CurateV3Sql,
     "q_curate_v3_funnel" -> CurateV3FunnelSql,
+    // Per-feed attrition: the same stage CTEs censused by source.
+    "q_curate_v3_by_source" ->
+      s"""WITH $CurateV3Ctes,
+         fin AS (SELECT s.doc_id
+                 FROM s3 s JOIN mr r USING (lang)
+                 WHERE s.bucket < r.rate_permille),
+         ds AS (SELECT doc_id, source FROM documents),
+         base AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+                  FROM ds GROUP BY 1),
+         c1 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_gopher
+                FROM s2pre JOIN ds USING (doc_id) GROUP BY 1),
+         c2 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_quartile
+                FROM k2 JOIN ds USING (doc_id) GROUP BY 1),
+         c3 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_neardup
+                FROM s3 JOIN ds USING (doc_id) GROUP BY 1),
+         c4 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
+                FROM fin JOIN ds USING (doc_id) GROUP BY 1)
+       SELECT base.source, n_docs,
+         CAST(COALESCE(n_gopher, 0) AS BIGINT) AS n_gopher,
+         CAST(COALESCE(n_quartile, 0) AS BIGINT) AS n_quartile,
+         CAST(COALESCE(n_neardup, 0) AS BIGINT) AS n_neardup,
+         CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+         CAST((COALESCE(n_kept, 0) * 10000) // n_docs AS BIGINT) AS kept_bp
+       FROM base
+       LEFT JOIN c1 USING (source) LEFT JOIN c2 USING (source)
+       LEFT JOIN c3 USING (source) LEFT JOIN c4 USING (source)
+       ORDER BY base.source""",
 
     "q_delta_dedup" ->
       s"""WITH d AS (SELECT doc_id, md5($Norm) AS fp FROM documents),
@@ -3198,6 +3230,28 @@ object SparkEntry {
            rate_permille
          FROM documents d JOIN r ON d.lang = r.lang
          WHERE ('0x' || substring(md5(text), 1, 8))::BIGINT % 1000 < rate_permille
+         ORDER BY doc_id""",
+
+    // Token-mass mixture: the same integer water-filling over the
+    // per-language TOKEN census (the mass a training run budgets);
+    // same content-hash keep decision, row-for-row.
+    "q_token_mixture" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+             ('0x' || substring(md5(text), 1, 8))::BIGINT % 1000 AS bucket,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS tt
+               FROM d GROUP BY lang),
+         t AS (SELECT lang, tt, CAST($MixtureCaseSql AS BIGINT) AS tp
+               FROM c),
+         tm AS (SELECT MIN(tt * 1000 // tp) AS t_total FROM t WHERE tp > 0),
+         r AS (SELECT lang, LEAST(CAST(1000 AS BIGINT), (tp * t_total) // tt)
+                 AS rate_permille
+               FROM t, tm WHERE tp > 0)
+         SELECT doc_id, d.lang, n_tokens,
+           CAST(bucket AS BIGINT) AS bucket, rate_permille
+         FROM d JOIN r ON d.lang = r.lang
+         WHERE bucket < rate_permille
          ORDER BY doc_id""",
 
     // Sliding-window chunking: pure integer span arithmetic — the

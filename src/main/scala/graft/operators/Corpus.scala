@@ -1501,6 +1501,36 @@ object Corpus {
       .orderBy(col("stage_idx"))
   }
 
+  /** q_curate_v3_by_source: the composed stack's attrition PER FEED —
+    * [[curateV3Funnel]] sliced by `source` (the
+    * [[Text.gopherBySource]] posture: batteries and gates are
+    * deployed per-source in practice, and the table a team reads
+    * before dropping or rescuing a feed is "where does each source's
+    * mass die in MY pipeline"). Same stage frames as the pipeline
+    * row; four narrow id-keyed joins against the (doc_id, source)
+    * projection + ≤|sources|-row aggregates; kept share in integer
+    * basis points. */
+  def curateV3BySource(spark: SparkSession, sf: String): DataFrame = {
+    val (s2pre, kept2, s3, fin) = curateV3Frames(spark, sf)
+    val src = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"))
+    def census(df: DataFrame, name: String): DataFrame =
+      df.select(col("doc_id")).join(src, "doc_id")
+        .groupBy(col("source")).agg(count(lit(1)).as(name))
+    src.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(census(s2pre, "n_gopher"), Seq("source"), "left")
+      .join(census(kept2, "n_quartile"), Seq("source"), "left")
+      .join(census(s3, "n_neardup"), Seq("source"), "left")
+      .join(census(fin, "n_kept"), Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_gopher"), lit(0L)).as("n_gopher"),
+        coalesce(col("n_quartile"), lit(0L)).as("n_quartile"),
+        coalesce(col("n_neardup"), lit(0L)).as("n_neardup"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        expr("(coalesce(n_kept, 0) * 10000) div n_docs").as("kept_bp"))
+      .orderBy(col("source"))
+  }
+
   /** The four stage frames of [[curateV3]] — (gopher-passed scored
     * set, rank-quartile survivors, near-dup survivors, mixture-kept
     * output) — shared by the pipeline row and its funnel census. */
@@ -2097,7 +2127,8 @@ object Corpus {
     * (whole corpus) and [[curateV2]] (the surviving subset) share one
     * rate definition. */
   private[graft] def mixtureRatesFrom(byLang: DataFrame,
-      targetPermille: Map[String, Int] = MixtureTargets.toMap): DataFrame = {
+      targetPermille: Map[String, Int] = MixtureTargets.toMap,
+      massCol: String = "n_docs"): DataFrame = {
     val target = targetPermille.foldLeft(lit(0L)) {
       case (acc, (l, p)) => when(col("lang") === l, lit(p.toLong)).otherwise(acc)
     }
@@ -2105,11 +2136,41 @@ object Corpus {
       .withColumn("target_permille", target)
       .filter(col("target_permille") > 0)
     val tmin = counts.agg(
-      min(expr("n_docs * 1000 div target_permille")).as("t_total"))
+      min(expr(s"$massCol * 1000 div target_permille")).as("t_total"))
     counts.crossJoin(broadcast(tmin))
       .select(col("lang"),
-        least(lit(1000L), expr("(target_permille * t_total) div n_docs"))
+        least(lit(1000L),
+          expr(s"(target_permille * t_total) div $massCol"))
           .as("rate_permille"))
+  }
+
+  /** q_token_mixture: the water-filling mixture computed on TOKEN
+    * MASS — what a training run actually budgets ([[mixtureSample]]
+    * rebalances document COUNTS; two corpora with identical doc
+    * counts but 10× different mean lengths are not the same mixture
+    * to a token-budgeted run). Identical integer water-filling
+    * arithmetic over the per-language token census
+    * ([[mixtureRatesFrom]] with the mass column swapped — one rate
+    * definition, two census units): the binding language is the one
+    * whose TOKEN pool exhausts first, and the keep decision stays the
+    * shared content-hash bucket, i.e. doc-level thinning whose kept
+    * token share converges to rate‰ because the hash is decorrelated
+    * from length. Zero extra shuffle over the census groupBy; rates
+    * broadcast. */
+  def tokenMixture(spark: SparkSession, sf: String,
+      targetPermille: Map[String, Int] = MixtureTargets.toMap)
+      : DataFrame = {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), splitBucket.as("bucket"),
+        size(toks(col("text"))).cast("long").as("n_tokens"))
+    val rates = mixtureRatesFrom(
+      docs.groupBy(col("lang")).agg(sum(col("n_tokens")).as("total_tokens")),
+      targetPermille, massCol = "total_tokens")
+    docs.join(broadcast(rates), "lang")
+      .filter(col("bucket") < col("rate_permille"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("bucket"),
+        col("rate_permille"))
+      .orderBy(col("doc_id"))
   }
 
   /** Token-mass systematic sampling: walk the corpus in content-hash

@@ -384,6 +384,98 @@ object Text {
     backoffScoreWith(spark, sf, tri, bigr, uni)
   }
 
+  /** q_lm_gate: the CCNet ONLINE-GATE form of the LM scorer — freeze
+    * the reference model AND its cut, then admit documents by an
+    * absolute integer threshold. The cut is TRAINED once: the
+    * ⌊3n/4⌋-th smallest mean_millibits over the TRAIN split's own
+    * scores (drop the most-surprising quartile of the reference
+    * corpus — the same quartile posture as [[Corpus.curateV3]]'s
+    * stage 2, but frozen as a VALUE so a stream can apply it to
+    * documents the corpus has never seen); every document then keeps
+    * iff `mean_millibits ≤ cut`. Where [[Corpus.qualityGate]] is
+    * corpus-relative (the cut moves with each corpus),
+    * this gate is artifact-relative: model + cut ship together and
+    * batch, saved, and streaming deployments MUST agree — which is
+    * exactly what the shared oracle checks.
+    *
+    * Scale shape: scoring is the q_backoff_score plan; the cut is
+    * the [[pplBuckets]] two-phase bucketed rank over the train
+    * scores (no single-task window) collapsed to ONE collected
+    * scalar — trainer-bounded, the same rule as the IVF/PQ
+    * trainers. */
+  def lmQualityGate(spark: SparkSession, sf: String): DataFrame = {
+    val (tri, bigr, uni) = backoffModel(spark, sf)
+    val cut = lmGateCut(spark, sf, tri, bigr, uni)
+    backoffScoredUnsorted(
+        Tables.load(spark, sf, "documents")
+          .select(col("doc_id"), col("text")), tri, bigr, uni)
+      .select(col("doc_id"), col("mean_millibits"))
+      .filter(col("mean_millibits") <= lit(cut))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The frozen-gate threshold: the ⌊3n/4⌋-th order statistic of the
+    * TRAIN split's mean_millibits under the (value, doc_id) total
+    * order — shared by the batch row and the streaming twin so the
+    * two cannot disagree about the artifact they ship. Two-phase
+    * bucketed rank (the pplBuckets construction), one scalar
+    * collected. */
+  private[graft] def lmGateCut(spark: SparkSession, sf: String,
+      tri: DataFrame, bigr: DataFrame, uni: DataFrame): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val train = docs.join(
+      graft.operators.Corpus.splitAssignDf(docs)
+        .filter(col("split") === "train").select(col("doc_id")), "doc_id")
+    // pooled: the scored train frame feeds the extremes aggregate,
+    // the bucket projection, and the rank join
+    val scored = graft.CachePool.swapOne("lm-gate-train-scored",
+      backoffScoredUnsorted(train, tri, bigr, uni)
+        .select(col("doc_id"), col("mean_millibits")))
+    val ext = scored.agg(min(col("mean_millibits")),
+      max(col("mean_millibits")), count(lit(1))).head()
+    val (mn, mx, n) = (ext.getLong(0), ext.getLong(1), ext.getLong(2))
+    require(n > 0, "empty train split — no gate cut to freeze")
+    val k = math.max(1L, 3L * n / 4L)
+    val width = math.max(1L, math.ceil((mx - mn + 1).toDouble / 32).toLong)
+    val ranged = scored.withColumn("vb",
+      expr(s"(mean_millibits - ${mn}L) div ${width}L"))
+    val offsets = ranged.groupBy(col("vb"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("offset",
+        coalesce(sum(col("bn")).over(
+          Window.orderBy(col("vb"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("vb"), col("offset"))
+    ranged.join(broadcast(offsets), "vb")
+      .withColumn("rk", col("offset") + row_number().over(
+        Window.partitionBy(col("vb"))
+          .orderBy(col("mean_millibits"), col("doc_id"))))
+      .filter(col("rk") === lit(k))
+      .select(col("mean_millibits"))
+      .head().getLong(0)
+  }
+
+  /** DuckDB replay of [[lmQualityGate]] — shared with the streaming
+    * twin: the same train-split model CTEs, the same ⌊3n/4⌋ order
+    * statistic, the same `≤ cut` admission. */
+  def lmGateOracle: String =
+    s"""WITH $backoffCtes,
+       tr AS (SELECT b.doc_id, b.mean_millibits
+              FROM bsc b JOIN dt USING (doc_id) WHERE dt.is_train),
+       nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM tr),
+       cutv AS (
+         SELECT mean_millibits AS cut FROM (
+           SELECT mean_millibits,
+             ROW_NUMBER() OVER (ORDER BY mean_millibits, doc_id) AS rk
+           FROM tr), nn
+         WHERE rk = GREATEST(1, 3 * c // 4))
+       SELECT b.doc_id, b.mean_millibits
+       FROM bsc b, cutv
+       WHERE b.mean_millibits <= cut
+       ORDER BY b.doc_id"""
+
   /** The train-split n-gram count tables — (trigram c3, bigram c2,
     * unigram c1) frames, each an n-gram-vocabulary-sized partial agg
     * (executor-resident; never collected). The prefix tables and the
@@ -563,7 +655,12 @@ object Text {
            CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_uni_backoffs,
            CAST(SUM(bits) AS BIGINT) AS total_bits
-         FROM sc GROUP BY doc_id)"""
+         FROM sc GROUP BY doc_id),
+       bsc AS (
+         SELECT d.doc_id,
+           CAST(COALESCE((total_bits * 1000) // n_trigrams, 0) AS BIGINT)
+             AS mean_millibits
+         FROM documents d LEFT JOIN pd USING (doc_id))"""
   }
 
   /** Range-bucket width for [[pplBuckets]]' two-phase per-source rank. */

@@ -252,6 +252,45 @@ object DocStream {
       .orderBy(col("doc_id"))
   }
 
+  /** q_lm_gate's STREAMING twin — the CCNet online filter: model AND
+    * cut freeze as one artifact (count tables through
+    * [[graft.operators.IndexStore.saveBackoffLm]], the cut re-derived
+    * from the LOADED tables by the same
+    * [[graft.operators.Text.lmGateCut]] rule — ship-together
+    * semantics), then each delivery scores through the shared
+    * [[graft.operators.Text.backoffScoreDocs]] kernel and admits by
+    * the frozen `≤ cut` threshold. Stateless per delivery (state
+    * lives in the artifact — the nbClassifyViaStream shape); the
+    * deliveries partition the corpus by id parity and the union must
+    * equal the batch gate row-for-row — the SAME oracle pins both. */
+  def lmGateViaStream(spark: SparkSession, sf: String): DataFrame = {
+    import graft.operators.{IndexStore, Text}
+    val root = graft.TempDirs.create("graft-lmgatestream")
+    val outDir = s"$root/out"
+    val artifactRoot = s"$root/artifact"
+    val v = IndexStore.saveBackoffLm(spark, sf, artifactRoot)
+    val (tri, bigr, uni) = IndexStore.loadBackoffLm(spark, artifactRoot,
+      Some(v))
+    val Seq(triC, bigrC, uniC) =
+      graft.CachePool.swap("lmgate-stream-model", tri, bigr, uni)
+    val cut = Text.lmGateCut(spark, sf, triC, bigrC, uniC)
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    DeliveryHarness.runTwoDeliveries(spark, root,
+      docs.filter(expr("doc_id % 2 = 0")),
+      docs.filter(expr("doc_id % 2 = 1")),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))),
+      { (batch: DataFrame, batchId: Long) =>
+        Text.backoffScoreDocs(batch, triC, bigrC, uniC)
+          .select(col("doc_id"), col("mean_millibits"))
+          .filter(col("mean_millibits") <= lit(cut))
+          .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+      })
+    spark.read.option("recursiveFileLookup", "true").parquet(outDir)
+      .orderBy(col("doc_id"))
+  }
+
   /** q_heavy_hitters' STREAMING twin: the exploded token stream flows
     * through a Complete-mode streaming count aggregation — the
     * state-store shape of a LIVE token-frequency monitor (each

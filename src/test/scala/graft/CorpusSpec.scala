@@ -778,6 +778,46 @@ class CorpusSpec extends AnyFunSuite {
     assert(Corpus.mixtureSample(spark, sf).collect().length == rows.length)
   }
 
+  test("token mixture: water-filling replays on the TOKEN census, bucket keep rule holds") {
+    val tp = Map("en" -> 400L, "zh" -> 150L, "es" -> 150L, "de" -> 150L,
+      "fr" -> 150L)
+    // brute-force the per-language token census the rates must derive
+    // from (same whitespace tokenizer as the operator)
+    val tok = graft.Tables.load(spark, sf, "documents")
+      .select(col("lang"),
+        size(split(lower(col("text")), " ")).cast("long").as("n"))
+      .groupBy("lang").agg(org.apache.spark.sql.functions.sum("n").as("tt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tTotal = tp.map { case (l, p) => tok(l) * 1000L / p }.min
+    val rows = Corpus.tokenMixture(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val expectRate = math.min(1000L, tp(lang) * tTotal / tok(lang))
+      assert(rs.forall(_._5 == expectRate), s"lang $lang rate")
+      assert(rs.forall(_._4 < expectRate), s"lang $lang bucket")
+    }
+    // the TOKEN-binding language is kept near-whole, all targets appear
+    val binding = tp.minBy { case (l, p) => tok(l) * 1000L / p }._1
+    assert(rows.filter(_._2 == binding).forall(_._5 >= 990L))
+    assert(rows.map(_._2).toSet == tp.keySet)
+    // nests with the doc-count mixture's keep policy: same bucket
+    // function, so a doc kept by the stricter rate set is kept by the
+    // looser one per language (subset discipline under rate ordering)
+    val docRates = Corpus.mixtureSample(spark, sf).collect()
+      .map(r => r.getString(1) -> r.getLong(3)).toMap
+    val tokKept = rows.map(r => (r._1, r._2)).toSet
+    Corpus.mixtureSample(spark, sf).collect().foreach { r =>
+      val (id, lang, bucket) = (r.getLong(0), r.getString(1), r.getLong(2))
+      val tokRate = rows.find(_._2 == lang).map(_._5)
+      tokRate.foreach { tr =>
+        if (tr >= docRates(lang)) assert(bucket >= tr || tokKept((id, lang)),
+          s"doc $id kept at doc-rate ${docRates(lang)} but lost at looser token-rate $tr")
+      }
+    }
+  }
+
   test("temperature sample: sqrt-share rates, tail kept whole, deterministic") {
     val docs = graft.Tables.load(spark, sf, "documents")
     val counts = docs.groupBy("lang").count().collect()
@@ -1524,5 +1564,25 @@ class CorpusSpec extends AnyFunSuite {
     // the funnel is non-degenerate on the fixture: the battery and
     // the quartile both actually cut
     assert(rows(1)._3 < rows(0)._3 && rows(2)._3 < rows(1)._3)
+  }
+
+  test("curate v3 by source: per-feed censuses sum to the funnel and stay monotone per row") {
+    val rows = Corpus.curateV3BySource(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    // per source the stage counts never increase, kept_bp re-derives
+    rows.foreach { case (s, n, g, q, d, k, bp) =>
+      assert(n >= g && g >= q && q >= d && d >= k, s"$s not monotone")
+      assert(bp == k * 10000 / n, s"$s kept_bp tear")
+    }
+    // column sums equal the corpus-wide funnel censuses exactly
+    val funnel = Corpus.curateV3Funnel(spark, sf).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(rows.map(_._2).sum == funnel("corpus"))
+    assert(rows.map(_._3).sum == funnel("gopher_pass"))
+    assert(rows.map(_._4).sum == funnel("lm_quartile"))
+    assert(rows.map(_._5).sum == funnel("neardup_survivor"))
+    assert(rows.map(_._6).sum == funnel("mixture"))
   }
 }

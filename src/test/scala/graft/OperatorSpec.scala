@@ -2822,7 +2822,8 @@ class OperatorSpec extends AnyFunSuite {
       // r16 additions: the LSH-fed triage swap and the composed v3
       // stack (bucketed-rank quartile + LSH survivor + mixture) claim
       // layout-independence — demand the receipt
-      "q_dup_methods_lsh", "q_curate_v3", "q_curate_v3_funnel")
+      "q_dup_methods_lsh", "q_curate_v3", "q_curate_v3_funnel",
+      "q_curate_v3_by_source", "q_token_mixture", "q_lm_gate")
     def snap(): Map[String, Seq[Seq[Any]]] = {
       spark.catalog.clearCache()
       qs.map(q => q ->

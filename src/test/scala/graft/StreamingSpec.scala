@@ -432,6 +432,31 @@ class StreamingSpec extends AnyFunSuite {
       "per-delivery LM scoring diverged from the batch pass")
   }
 
+  test("streamed LM gate admits exactly the batch gate's set under the frozen cut") {
+    val streamed = graft.streaming.DocStream.lmGateViaStream(spark, sf)
+      .collect().map(_.toSeq.toList).toSeq
+    val batch = graft.operators.Text.lmQualityGate(spark, sf)
+      .collect().map(_.toSeq.toList).toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      "online gate diverged from the batch gate")
+    // the gate is real: it drops the most-surprising quartile's worth
+    val total = graft.Tables.load(spark, sf, "documents").count()
+    assert(batch.size < total, "gate admitted everything — dead cut")
+    // cut re-derives brute-force: the ⌊3n/4⌋-th smallest train score
+    val scores = graft.operators.Text.backoffScore(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("mean_millibits"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trainIds = graft.operators.Corpus
+      .splitAssign(spark, sf).collect()
+      .filter(_.getString(2) == "train").map(_.getLong(0))
+    val ranked = trainIds.map(id => (scores(id), id)).sorted
+    val cut = ranked(math.max(1, 3 * ranked.length / 4).toInt - 1)._1
+    val expect = scores.filter(_._2 <= cut).keys.toSet
+    assert(batch.map(_.head.asInstanceOf[Long]).toSet == expect,
+      "admitted set is not the brute-force frozen-cut set")
+  }
+
   test("substring long ingest (5 deliveries) with live two-store compaction is bit-identical to the uncompacted run") {
     import graft.streaming.DocStream
     val plain = DocStream.substrCompactViaStream(spark, sf,
