@@ -241,6 +241,8 @@ object SparkEntry {
     "q_dup_matrix" -> (Dedup.dupMatrix _),
     "q_dup_matrix_lsh" -> (Dedup.dupMatrixLsh _),
     "q_containment" -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
+    "q_containment_prefix" -> ((s: SparkSession, d: String) =>
+      Dedup.containmentPrefixPairs(s, d)),
     "q_allpairs" -> ((s: SparkSession, d: String) => Dedup.allPairsJaccard(s, d)),
     "q_fuzzy_join" -> ((s: SparkSession, d: String) => Relational.fuzzyJoin(s, d)),
     "q_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
@@ -1229,6 +1231,31 @@ object SparkEntry {
          JOIN sizes sa ON sa.doc_id = doc_a
          JOIN sizes sb ON sb.doc_id = doc_b
          WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5
+         ORDER BY doc_a, doc_b"""
+
+  /** The brute-force asymmetric-containment replay — shared by
+    * q_containment and its prefix-filtered twin q_containment_prefix
+    * (candidate completeness is the theorem under test, so the
+    * oracle deliberately skips the filter). */
+  private lazy val ContainmentSql: String =
+    s"""WITH docs AS (
+           SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(ws) - 2),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+           FROM (SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents) t
+           WHERE len(ws) >= 3),
+         expl AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+         sizes AS (SELECT doc_id, len(sh) AS n_a FROM docs),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     COUNT(*) AS common
+                   FROM expl a JOIN expl b
+                     ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+                   GROUP BY 1, 2)
+         SELECT doc_a, doc_b, CAST(common AS BIGINT) AS common,
+           CAST(s.n_a AS BIGINT) AS n_a,
+           CAST((common * 10000) // s.n_a AS BIGINT) AS containment_bp
+         FROM pairs p JOIN sizes s ON s.doc_id = p.doc_a
+         WHERE (common * 10000) // s.n_a >= 6000
          ORDER BY doc_a, doc_b"""
 
   /** The method-agreement triage replay — shared by q_dup_methods
@@ -2782,27 +2809,13 @@ object SparkEntry {
          ORDER BY name_a, name_b""",
 
     // Asymmetric containment |A∩B|/|A| in integer basis points over
-    // ORDERED pairs — the subset-duplicate direction Jaccard misses
-    "q_containment" ->
-      s"""WITH docs AS (
-           SELECT doc_id,
-             list_distinct(list_transform(generate_series(1, len(ws) - 2),
-               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
-           FROM (SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents) t
-           WHERE len(ws) >= 3),
-         expl AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
-         sizes AS (SELECT doc_id, len(sh) AS n_a FROM docs),
-         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     COUNT(*) AS common
-                   FROM expl a JOIN expl b
-                     ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
-                   GROUP BY 1, 2)
-         SELECT doc_a, doc_b, CAST(common AS BIGINT) AS common,
-           CAST(s.n_a AS BIGINT) AS n_a,
-           CAST((common * 10000) // s.n_a AS BIGINT) AS containment_bp
-         FROM pairs p JOIN sizes s ON s.doc_id = p.doc_a
-         WHERE (common * 10000) // s.n_a >= 6000
-         ORDER BY doc_a, doc_b""",
+    // ORDERED pairs — the subset-duplicate direction Jaccard misses.
+    // The prefix-filtered twin must reproduce the SAME brute-force
+    // pair set verbatim (one-sided prefix completeness is a theorem,
+    // so the oracle deliberately skips the filter — the q_allpairs
+    // convention).
+    "q_containment" -> ContainmentSql,
+    "q_containment_prefix" -> ContainmentSql,
 
     // Prefix-filtered AllPairs exact bigram-set Jaccard (t = 1/2); the
     // oracle is the brute-force quadratic join the prefix filter must

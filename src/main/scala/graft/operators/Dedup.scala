@@ -1304,6 +1304,77 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q_containment_prefix: [[containmentPairs]] computed through a
+    * ONE-SIDED PREFIX FILTER (SSJoin, Chaudhuri et al. ICDE'06 — the
+    * containment-threshold member of the AllPairs family): for
+    * containment ≥ tNum/tDen a qualifying pair needs
+    * |A∩B| ≥ c = ⌈t·|A|⌉ shared shingles, so A's
+    * `|A| − c + 1` RAREST shingles (global df order — the same
+    * rarest-first discipline as [[allPairsJaccard]]) must intersect B
+    * by pigeonhole: candidate completeness is a THEOREM, which is
+    * what containment needs at scale — MinHash banding bounds
+    * JACCARD, and the subset-duplicate pairs containment exists to
+    * catch (short doc quoted whole inside a long one) are exactly
+    * the low-Jaccard pairs banding misses. Only A-side prefixes
+    * enter the join (the B side stays full — B's required overlap
+    * depends on |A|, so no B prefix can be precomputed), cutting the
+    * exploded join volume by ≈ t on the probe side and keeping the
+    * join keys the rarest shingles (the frequent-token hot buckets
+    * never enter from the A side). Every candidate is then verified
+    * on its true shingle arrays — same exact output, same DuckDB
+    * oracle as q_containment, spec-pinned equal row-for-row. */
+  def containmentPrefixPairs(spark: SparkSession, sf: String,
+      tNum: Int = 3, tDen: Int = 5): DataFrame = {
+    val docs = shingledCached(spark, sf)
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val dfCounts = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // per-doc shingles in global rarity order (df asc, shingle asc —
+    // deterministic ties), one vocabulary-sized join + one groupBy
+    val ranked = ex.join(dfCounts, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
+        .as("fs"))
+      .select(col("doc_id"),
+        expr("transform(fs, x -> x.shingle)").as("fs"),
+        size(col("fs")).cast("long").as("n"))
+    // c = ceil(t·n); prefix = first n − c + 1 rarest (≥ 1 always)
+    val prefixed = ranked.select(col("doc_id"), col("fs"), col("n"),
+      expr(s"slice(fs, 1, cast(n - (($tNum * n + ${tDen - 1}) div $tDen) + 1 as int))")
+        .as("prefix"))
+    val cand = prefixed
+      .select(col("doc_id").as("doc_a"), explode(col("prefix")).as("shingle"))
+      .join(ex.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sets = prefixed.select(col("doc_id"), col("fs"), col("n"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("fs").as("fs_a"),
+        col("n").as("n_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("fs").as("fs_b")),
+        "doc_b")
+      .withColumn("common",
+        size(array_intersect(col("fs_a"), col("fs_b"))).cast("long"))
+      .withColumn("containment_bp", expr("(common * 10000) div n_a"))
+      .filter(col("containment_bp") >=
+        lit(Math.round(tNum.toDouble / tDen * 10000)))
+      .select(col("doc_a"), col("doc_b"), col("common"), col("n_a"),
+        col("containment_bp"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Spec receipt for [[containmentPrefixPairs]]: (Σ prefix lengths,
+    * Σ shingle-set sizes) — the probe-side join volume the one-sided
+    * filter admits vs. what the brute-force kernel explodes. */
+  private[graft] def containmentPrefixMass(spark: SparkSession,
+      sf: String, tNum: Int = 3, tDen: Int = 5): (Long, Long) = {
+    val n = shingledCached(spark, sf)
+      .select(size(col("sh")).cast("long").as("n"))
+    val row = n.agg(
+      sum(expr(s"n - (($tNum * n + ${tDen - 1}) div $tDen) + 1")),
+      sum(col("n"))).head()
+    (row.getLong(0), row.getLong(1))
+  }
+
   // ---- AllPairs prefix filtering ------------------------------------
 
   /** EXACT all-pairs Jaccard join over distinct word-TRIGRAM sets via

@@ -1476,6 +1476,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.exists(_._2._4 < 3L), "fixture: all methods always agree")
   }
 
+  test("containment prefix twin: one-sided prefix filter reproduces the exact ordered pair set") {
+    import graft.operators.Dedup
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toList).toSeq
+    val exact = snap(Dedup.containmentPairs(spark, sf))
+    val pref = snap(Dedup.containmentPrefixPairs(spark, sf))
+    assert(exact.nonEmpty)
+    assert(pref == exact,
+      "prefix-filtered containment drifted from the brute-force kernel")
+    // the filter actually prunes: total exploded prefix mass is
+    // strictly below the full shingle mass (≈ 1 − t of it), so the
+    // twin is not just the exact join renamed
+    val (prefixMass, fullMass) = Dedup.containmentPrefixMass(spark, sf)
+    assert(prefixMass < fullMass,
+      s"prefix mass $prefixMass not below full mass $fullMass")
+    assert(prefixMass * 2 < fullMass,
+      "prefix mass should be well under half the full mass at t = 3/5")
+  }
+
   test("dup methods LSH twin: banded-candidate agreement table equals the exact table on the studied band") {
     import graft.operators.Dedup
     // the r16 kernel swap: the LSH-fed Jaccard leg (banding → margin
@@ -2823,7 +2842,8 @@ class OperatorSpec extends AnyFunSuite {
       // stack (bucketed-rank quartile + LSH survivor + mixture) claim
       // layout-independence — demand the receipt
       "q_dup_methods_lsh", "q_curate_v3", "q_curate_v3_funnel",
-      "q_curate_v3_by_source", "q_token_mixture", "q_lm_gate")
+      "q_curate_v3_by_source", "q_token_mixture", "q_lm_gate",
+      "q_containment_prefix")
     def snap(): Map[String, Seq[Seq[Any]]] = {
       spark.catalog.clearCache()
       qs.map(q => q ->
