@@ -17,48 +17,56 @@ import org.apache.spark.sql.SparkSession
   * Σ per-query min — the number a quiet host reproduces.
   *
   * The artifact is self-defending: `runs` carries every raw timing
-  * (per sweep, -1 for an errored run; a query a budget stop never
-  * reached in some sweep simply has fewer entries) and `sweep_totals`
-  * the raw per-sweep sums, so a reader can see host-load windows (one
-  * sweep elevated, composite unaffected) without any prose appendix.
-  * A query is an error only if it fails in EVERY sweep that reached
-  * it — and errors are excluded from every total (a crash must not
-  * register as fast).
+  * (per sweep, -1 for an errored or watchdog-cancelled run; a query a
+  * budget stop never reached in some sweep simply has fewer entries)
+  * and `sweep_totals` the raw per-sweep sums, so a reader can see
+  * host-load windows (one sweep elevated, composite unaffected)
+  * without any prose appendix. A query is an error only if it fails
+  * in EVERY sweep that reached it — and errors are excluded from
+  * every total (a crash must not register as fast).
   *
-  * BUDGET (the r14/r15 lessons — r14's 3-sweep run was killed
-  * mid-stage leaving NO artifact; r15's guard then estimated sweep 2
-  * at the SLOWEST sweep so far, so one loaded first sweep cancelled
-  * the quiet second sweep that would have rescued the composite, and
-  * the round closed with a 1-sweep loaded-window artifact no
-  * methodology can use). The r16 contract inverts the posture —
-  * always try, stop gracefully:
+  * BUDGET (r14: killed mid-stage, no artifact; r15: one loaded sweep
+  * cancelled the quiet rescue sweep; r16: the graceful-stop contract
+  * held but the ALPHABETICAL first sweep burned the whole budget on
+  * 113/247 queries under the worst load window yet measured, so no
+  * query got two runs). The r17 contract adds the committed
+  * REFERENCE-TIME table (`bench_reference.json`, regenerated each
+  * round from the last quiet artifact; `SPARK_GRAFT_BENCH_REF` to
+  * point elsewhere) so a DEGRADED window still yields gateable mins:
   *
   *   - a configured sweep STARTS whenever ≥ 60 s of budget remain
-  *     (`SPARK_GRAFT_BENCH_BUDGET_S`, default 1500 s) — a partial
-  *     quiet sweep rescues more per-query mins than no sweep;
-  *   - sweeps after the first run in DESCENDING best-time order, so
-  *     the queries a load window inflates the most (the biggest
-  *     composite contributors) are re-measured FIRST if the sweep
-  *     gets cut;
-  *   - a MID-SWEEP guard skips any query that would not fit
-  *     (elapsed + 1.5 × its best time so far vs. the budget minus a
-  *     15 s flush margin — rescue sweeps walk down the cost order,
-  *     so later, cheaper queries may still fit) and hard-stops the
-  *     sweep at the flush margin; whatever ran is flushed into the
-  *     artifact (`partial_sweeps` counts cut sweeps);
+  *     (`SPARK_GRAFT_BENCH_BUDGET_S`, default 1500 s);
+  *   - the FIRST sweep walks ASCENDING reference cost — a slow
+  *     window completes the broad cheap surface instead of an
+  *     alphabetical prefix; rescue sweeps walk DESCENDING best-time
+  *     (reference as fallback), so the biggest composite
+  *     contributors re-measure first if the sweep gets cut;
+  *   - a MID-SWEEP guard skips any query that predictably won't fit:
+  *     elapsed + 1.5 × estimate vs. budget minus a 15 s flush
+  *     margin, where estimate = in-run best, else reference × the
+  *     running load factor (median observed/reference this sweep) —
+  *     so even the first sweep self-censors once the window's
+  *     degradation is measured; the sweep hard-stops at the flush
+  *     margin and whatever ran is flushed (`partial_sweeps` counts
+  *     cut sweeps);
+  *   - a PER-QUERY WATCHDOG (`SPARK_GRAFT_WATCHDOG_K`, default 8,
+  *     `0` disables) cancels the query's Spark job group after
+  *     max(45 s, k × reference) — one 381 s pathology cannot eat a
+  *     quarter of the budget. Watchdog kills are recorded as
+  *     `watchdog_timeout` runs (`n_watchdog` in the artifact), never
+  *     crash-fast times, and do not fail the process;
   *   - the load-adaptive EXTRA sweep (sweep1/sweepN > 1.5) runs only
-  *     if a FULL sweep fits, estimated at the FASTEST completed
-  *     sweep's wall-clock (not the slowest — the r15 inversion), and
-  *     wall-clock includes cache-clear/harness overhead that summed
-  *     query seconds miss.
+  *     if a FULL sweep fits, estimated at the fastest COMPLETE
+  *     sweep's wall-clock (partial-sweep walls excluded — the r16
+  *     advisory; no complete sweep → no extra sweep).
   *
   * Harness-cost trim: Bench (and only Bench) sets [[BenchMode.fast]]
   * (`SPARK_GRAFT_BENCH_FAST=0` to disable; `bench_fast` recorded in
-  * the artifact), which lets the `*_saved` rows publish their
-  * trained artifact once per JVM and serve later sweeps from the
-  * same bytes — per-sweep cost becomes the load+serve path those
-  * rows exist to measure. Verify never sets it; outputs are
-  * identical either way.
+  * the artifact), which lets the `*_saved` rows and the in-place LM
+  * family publish their trained artifact once per JVM and serve
+  * later sweeps from the same bytes — per-sweep cost becomes the
+  * load+serve path those rows exist to measure. Verify never sets
+  * it; outputs are identical either way.
   *
   * Output ordering: the COMPACT summary line prints FIRST AND LAST
   * (every round since r5 recorded `parsed: null` because the full
@@ -75,7 +83,20 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val sweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "2").toInt
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1500").toDouble
+    val watchdogK = sys.env.getOrElse("SPARK_GRAFT_WATCHDOG_K",
+      BenchSchedule.WatchdogK.toString).toDouble
     BenchMode.fast = sys.env.getOrElse("SPARK_GRAFT_BENCH_FAST", "1") != "0"
+    // committed per-query reference times (seconds, last quiet
+    // artifact); missing/malformed file → empty map → r16 behavior
+    val refTimes: Map[String, Double] = {
+      val cands = sys.env.get("SPARK_GRAFT_BENCH_REF").toSeq ++
+        Seq("bench_reference.json", "/root/repo/bench_reference.json")
+      cands.iterator.flatMap { p =>
+        scala.util.Try(new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+          java.nio.charset.StandardCharsets.UTF_8)).toOption
+      }.nextOption().map(BenchSchedule.parseReference).getOrElse(Map.empty)
+    }
     val wall0 = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - wall0) / 1e9
     val spark = SparkSession.builder()
@@ -104,17 +125,53 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val fnByName = selected.toMap
+    val names = selected.map(_._1)
+    def refOf(name: String): Option[Double] = refTimes.get(name)
 
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Option[String]) = {
+    var nWatchdog = 0
+    def once(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        wdS: Option[Double]): (Double, Option[String]) = {
       spark.catalog.clearCache()
+      val gid = s"bench-$name"
+      @volatile var fired = false
+      // repeating timer: cancelJobGroup only kills ACTIVE jobs, and a
+      // multi-stage query submits many — re-fire until the query's
+      // thread returns so later jobs in the group die too
+      val timer = wdS.map { w =>
+        val t = new java.util.Timer("bench-watchdog", true)
+        t.scheduleAtFixedRate(new java.util.TimerTask {
+          override def run(): Unit = {
+            fired = true
+            scala.util.Try(spark.sparkContext.cancelJobGroup(gid))
+            ()
+          }
+        }, math.max(1L, (w * 1000).toLong), 2000L)
+        t
+      }
+      spark.sparkContext.setJobGroup(gid, s"bench $name",
+        interruptOnCancel = true)
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable =>
           Some(Option(e.getMessage).getOrElse(e.getClass.getName)
             .takeWhile(_ != '\n').take(200)) }
-      ((System.nanoTime() - t0) / 1e9, err)
+        finally {
+          timer.foreach(_.cancel())
+          spark.sparkContext.clearJobGroup()
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // a watchdog kill is its own category: never a crash-fast time,
+      // never a process failure — the artifact records the cancel
+      val tagged =
+        if (fired && err.nonEmpty) {
+          nWatchdog += 1
+          Some(f"watchdog_timeout after $dt%.0f s " +
+            f"(> ${watchdogK}%.0f x ref ${refOf(name).getOrElse(0.0)}%.2f s): " +
+            err.get.take(120))
+        } else err
+      (dt, tagged)
     }
 
     // sweep-major loop: run EVERY query once, then start sweep 2 —
@@ -138,27 +195,37 @@ object Bench {
         f"elapsed=$elapsedS%.1f s")
     }
     var partialSweeps = 0
-    // One sweep: sweep 1 walks the alphabetical list; rescue sweeps
-    // walk DESCENDING best-time, so a cut sweep re-measures the
-    // biggest composite contributors first. Returns whether the sweep
-    // completed.
+    // One sweep: sweep 1 walks ASCENDING reference cost; rescue
+    // sweeps walk DESCENDING best-time (reference fallback), so a cut
+    // sweep re-measures the biggest composite contributors first.
+    // Returns whether the sweep completed.
     def runSweep(first: Boolean): Boolean = {
       val order =
-        if (first) selected.map(_._1)
-        else BenchSchedule.rescueOrder(selected.map(_._1), bestOf)
+        if (first) BenchSchedule.firstOrder(names, refOf)
+        else BenchSchedule.rescueOrder(names, bestOf, refOf)
       val t0 = elapsedS
       val buf = scala.collection.mutable.LinkedHashMap
         .empty[String, (Double, Option[String])]
+      // this sweep's (observed, reference) samples drive the running
+      // load factor — the current window's degradation, not history's
+      val samples = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
       var cut = false
       val it = order.iterator
       while (it.hasNext && !cut) {
         val name = it.next()
         if (elapsedS >= budgetS - BenchSchedule.FlushMarginS) cut = true
-        // skip a query that predictably won't fit; cheaper ones
-        // later in the rescue order may still fit, so keep walking
-        else if (BenchSchedule.fitsQuery(first, bestOf(name),
-            budgetS, elapsedS))
-          buf(name) = once(fnByName(name))
+        else {
+          // skip a query that predictably won't fit; cheaper ones
+          // later in the walk may still fit, so keep walking
+          val est = BenchSchedule.estimate(bestOf(name), refOf(name),
+            BenchSchedule.loadFactor(samples.toSeq))
+          if (BenchSchedule.fitsQuery(est, budgetS, elapsedS)) {
+            val r = once(name, fnByName(name),
+              BenchSchedule.watchdogS(refOf(name), watchdogK))
+            buf(name) = r
+            refOf(name).foreach(ref => samples += ((r._1, ref)))
+          }
+        }
       }
       sweepBuf += scala.collection.immutable.ListMap(buf.toSeq: _*)
       sweepWalls += elapsedS - t0
@@ -179,15 +246,19 @@ object Bench {
     // window overlapping the early sweep — one additional sweep runs
     // so every query still gets ≥3 load-clean shots at its min.
     // Bounded at one extra, and gated on the wall-clock budget at the
-    // FASTEST completed sweep's wall time (a loaded sweep must not
-    // inflate the estimate and veto the quiet sweep — the r15 bug).
+    // fastest COMPLETE sweep's wall time (a loaded sweep must not
+    // inflate the estimate and veto the quiet sweep — the r15 bug; a
+    // cut partial sweep's tiny wall must not deflate it — the r16
+    // advisory).
     val completeSweeps = sweepBuf.filter(_.size == selected.size)
+    val completeWalls = sweepBuf.indices
+      .filter(j => sweepBuf(j).size == selected.size).map(sweepWalls)
     val loadRatio =
       if (completeSweeps.size >= 2 && totalOf(completeSweeps.last.values) > 0)
         totalOf(completeSweeps.head.values) / totalOf(completeSweeps.last.values)
       else 1.0
     val extraSweeps =
-      if (BenchSchedule.extraSweep(loadRatio, sweepWalls.min,
+      if (BenchSchedule.extraSweep(loadRatio, completeWalls.minOption,
           budgetS, elapsedS)) {
         runSweep(first = false)
         progress("extra sweep (load-adaptive)")
@@ -236,6 +307,7 @@ object Bench {
       s""""extra_sweeps":$extraSweeps,"skipped_sweeps":$skippedSweeps,""" +
       s""""partial_sweeps":$partialSweeps,""" +
       s""""bench_fast":${if (BenchMode.fast) 1 else 0},""" +
+      s""""ref_n":${refTimes.size},"n_watchdog":$nWatchdog,""" +
       s""""load_ratio":${num(loadRatio)},""" +
       s""""total_composite":${num(composite)},""" +
       s""""sweep_totals":${sweepTotals.map(t => num(t)).mkString("[", ",", "]")},""" +
@@ -243,7 +315,9 @@ object Bench {
       s""""sweep_walls":${sweepWalls.map(t => num(t)).mkString("[", ",", "]")},""" +
       s""""methodology":"per-query min over ${sweepBuf.size} interleaved sweeps""" +
       s""" ($sweeps configured, $extraSweeps load-adaptive, $partialSweeps cut by the budget's""" +
-      s""" graceful mid-sweep stop; rescue sweeps walk descending best-time); raw timings in runs[query][attempt]""""
+      s""" graceful mid-sweep stop; sweep 1 ascends reference cost, rescue sweeps descend best-time;""" +
+      s""" estimates = best | ref x running load factor; watchdog cancels at max(45s, ${watchdogK}x ref));""" +
+      s""" raw timings in runs[query][attempt]""""
     // COMPACT line FIRST and LAST (r16): every driver artifact since
     // r5 came back `parsed: null` because the full runs-matrix line
     // outgrew the capture, and capture direction has varied by round —
@@ -257,6 +331,9 @@ object Bench {
     println(s"""{"metric":"total","value":${num(composite)},$base,"queries":$qs,"runs":$runsJson,"errors":$errs,"sf":"$sfDir"}""")
     println(compact)
     spark.stop()
-    if (errored.nonEmpty) sys.exit(1)
+    // watchdog timeouts are the budget contract working, not a crash —
+    // only a genuine every-sweep failure fails the process
+    if (errored.exists(!_._3.get.startsWith("watchdog_timeout")))
+      sys.exit(1)
   }
 }

@@ -114,10 +114,14 @@ object Relational {
 
   // ---- joins -------------------------------------------------------
 
-  /** Multi-way star join: revenue by region. Dimensions (customer→
-    * nation→region) are broadcast — no shuffle for them even at 100 TB
-    * of fact data; the lineitem⋈orders fact join shuffles on orderkey.
-    */
+  /** Multi-way star join: revenue by region. The FIXED-cardinality
+    * dimensions (nation: 25 rows, region: 5) are broadcast — no
+    * shuffle for them even at 100 TB of fact data. Customer is NOT
+    * hinted: it scales with SF (≈ fact/40 — multi-TB at the 100 TB
+    * posture), so a forced broadcast would die loudly at scale; AQE
+    * picks broadcast at fixture scale from its own statistics and a
+    * shuffle join at scale. The lineitem⋈orders fact join shuffles
+    * on orderkey. */
   def joinRevenueByRegion(spark: SparkSession, sf: String): DataFrame = {
     val li = Tables.load(spark, sf, "lineitem")
     val o = Tables.load(spark, sf, "orders")
@@ -125,7 +129,7 @@ object Relational {
     val n = Tables.load(spark, sf, "nation")
     val r = Tables.load(spark, sf, "region")
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
@@ -851,9 +855,11 @@ object Relational {
     *
     * Shape: ONE left join + partial agg per relationship (a missed
     * parent hit is anti-join membership, so totals and orphan stats
-    * come off the same pass); the small parents (nation/region/
-    * supplier/customer) broadcast, so only the two fact-side audits
-    * shuffle, each on its own join key. The child-row total, orphan
+    * come off the same pass); the FIXED-cardinality parents (nation/
+    * region) broadcast by hint, the SF-scaling parents (supplier/
+    * customer) by the planner's own statistics at fixture scale —
+    * at 100 TB those audits shuffle on their keys instead of
+    * OOMing the driver. The child-row total, orphan
     * count, and distinct-orphan-key count ride the same aggregation —
     * each child table is scanned exactly once.
     */
@@ -889,10 +895,14 @@ object Relational {
     Seq(
       audit("lineitem.l_orderkey->orders", t("lineitem"), "l_orderkey",
         t("orders"), "o_orderkey", bcast = false),
+      // supplier/customer SCALE with SF (multi-TB at the 100 TB
+      // posture) — no forced hint; the planner broadcasts them at
+      // fixture scale from its own statistics (the joinRevenueByRegion
+      // rule). Only FIXED-cardinality nation/region keep the hint.
       audit("lineitem.l_suppkey->supplier", t("lineitem"), "l_suppkey",
-        t("supplier"), "s_suppkey", bcast = true),
+        t("supplier"), "s_suppkey", bcast = false),
       audit("orders.o_custkey->customer", t("orders"), "o_custkey",
-        t("customer"), "c_custkey", bcast = true),
+        t("customer"), "c_custkey", bcast = false),
       audit("customer.c_nationkey->nation", t("customer"), "c_nationkey",
         t("nation"), "n_nationkey", bcast = true),
       audit("supplier.s_nationkey->nation", t("supplier"), "s_nationkey",

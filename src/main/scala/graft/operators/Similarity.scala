@@ -392,9 +392,13 @@ object Similarity {
       neighbors: DataFrame): DataFrame = {
     val labels = Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), col("label").cast("long").as("label"))
+    // the label lookup is CORPUS-cardinality (one row per vector) —
+    // no broadcast hint: the neighbor feed is output-bounded, so an
+    // id-keyed shuffle join is fine at 100 TB and the planner still
+    // picks broadcast at fixture scale from its own statistics
     val votes = neighbors
-      .join(broadcast(labels.select(col("vec_id").as("neighbor_id"),
-        col("label").as("n_label"))), Seq("neighbor_id"))
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), Seq("neighbor_id"))
       .groupBy(col("query_id"), col("n_label"))
       .agg(count(lit(1)).as("n_votes"))
     val wVote = Window.partitionBy(col("query_id"))
@@ -604,12 +608,15 @@ object Similarity {
       .filter(col("crk") <= shortlist)
       .select(col("query_id"), col("neighbor_id"))
     // fine stage re-joins full vectors onto the |queries|·shortlist
-    // survivors only — both sides of the rescore are shortlist-sized
+    // survivors only. The survivor frame is shortlist-bounded but the
+    // INDEX side is corpus-cardinality — no broadcast hint (the
+    // id-keyed shuffle join is the 100 TB shape; fixture-scale stats
+    // still pick broadcast on their own)
     coarse
       .join(probes.select(col("query_id"), col("iv_query_id"),
         col("norm_query_id")), Seq("query_id"))
-      .join(broadcast(index.select(col("neighbor_id"), col("iv_n"),
-        col("norm_n"))), Seq("neighbor_id"))
+      .join(index.select(col("neighbor_id"), col("iv_n"),
+        col("norm_n")), Seq("neighbor_id"))
       .withColumn("cos_f",
         dot_long(col("iv_query_id"), col("iv_n")).cast("double") /
           (col("norm_query_id") * col("norm_n")))
@@ -925,8 +932,10 @@ object Similarity {
       .select(col("doc_id").as("neighbor_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
+    // `allowed` is a FILTERED documents projection — still
+    // corpus-cardinality, so no broadcast hint on the semi probe
     ivfCandidatePairs(spark, sf)
-      .join(broadcast(allowed), Seq("neighbor_id"), "left_semi")
+      .join(allowed, Seq("neighbor_id"), "left_semi")
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rk"), col("cosine"))

@@ -128,16 +128,19 @@ object EventStream {
       .orderBy(sortCols.map(col): _*)
   }
 
-  /** Stream-static enrichment: the event stream joins a broadcast
-    * static dimension (customer) and aggregates per segment — the
-    * standard streaming-ingest enrichment shape (the static side is
-    * re-read per micro-batch by the engine; broadcast keeps it off the
-    * shuffle path). Deterministic aggregate output, DuckDB-checkable. */
+  /** Stream-static enrichment: the event stream joins a static
+    * dimension (customer) and aggregates per segment — the standard
+    * streaming-ingest enrichment shape (the static side is re-read
+    * per micro-batch by the engine). Customer SCALES with SF
+    * (multi-TB at the 100 TB posture), so it is NOT broadcast-hinted:
+    * the planner picks broadcast at fixture scale from the parquet
+    * size statistics and a shuffled stream-static join at scale.
+    * Deterministic aggregate output, DuckDB-checkable. */
   def enrichViaStream(spark: SparkSession, sf: String): DataFrame = {
     val customers = Tables.load(spark, sf, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
     val agg = readEvents(spark, sf)
-      .join(broadcast(customers), col("user_id") === col("c_custkey"))
+      .join(customers, col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
