@@ -56,6 +56,26 @@ object CachePool {
   def swapOne(key: String, frame: DataFrame): DataFrame =
     swap(key, frame).head
 
+  /** Release the MEMORY_AND_DISK blocks behind LOCALLY-CHECKPOINTED
+    * frames (the session-memo discipline: curate upstreams, pooled
+    * pair legs). A localCheckpoint's blocks sit OUTSIDE the catalog
+    * cache — that is why the memos use it — so `df.unpersist()`
+    * cannot reach them; the checkpointed RDD hanging off the
+    * `LogicalRDD` leaf holds the only handle. Without this, a long
+    * session alternating datasets keeps superseded generations alive
+    * until GC + ContextCleaner get around to them (the r16 advisory). */
+  def freeLocalCheckpoint(frames: DataFrame*): Unit =
+    frames.foreach { df =>
+      scala.util.Try {
+        df.queryExecution.analyzed.foreach {
+          case r: org.apache.spark.sql.execution.LogicalRDD =>
+            r.rdd.unpersist(blocking = false)
+          case _ => ()
+        }
+      }
+      ()
+    }
+
   /** Release every pool-persisted generation (test/session hygiene). */
   def clear(): Unit = synchronized {
     pool.valuesIterator.foreach(_.foreach { case (f, ownedHere) =>

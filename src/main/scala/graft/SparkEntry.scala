@@ -114,6 +114,7 @@ object SparkEntry {
     "q_fingerprint" -> (Text.fingerprint _),
     "q_winnow" -> (Text.winnow _),
     "q_winnow_overlap" -> (Text.winnowOverlap _),
+    "q_winnow_overlap_saved" -> (Text.winnowOverlapSaved _),
     "q_winnow_skew" -> (Text.winnowOverlapSkew _),
     "q_substr_dedup" -> (Text.substrDedup _),
     "q_substr_scrub" -> (Text.substrScrub _),
@@ -137,6 +138,7 @@ object SparkEntry {
     "q_quality" -> (Text.quality _),
     "q_gopher_rules" -> (Text.gopherRules _),
     "q_lm_gate" -> (Text.lmQualityGate _),
+    "q_lm_gate_by_source" -> (Text.lmGateBySource _),
     "q_stream_lm_gate" -> ((s: SparkSession, d: String) =>
       graft.streaming.DocStream.lmGateViaStream(s, d)),
     "q_gopher_by_source" -> (Text.gopherBySource _),
@@ -222,6 +224,7 @@ object SparkEntry {
     "q_curate_v3" -> (Corpus.curateV3 _),
     "q_curate_v3_funnel" -> (Corpus.curateV3Funnel _),
     "q_curate_v3_by_source" -> (Corpus.curateV3BySource _),
+    "q_curate_v3_sweep" -> (Corpus.curateV3Sweep _),
     // the DEFAULT (approx) path, driver-checked against the SAME
     // exact-replay oracle: at verification scale the corpus is
     // smaller than the t-digest accuracy knob, so the sketch cut is
@@ -251,6 +254,7 @@ object SparkEntry {
     "q_minhash_recall" -> (Dedup.minhashRecall _),
     "q_dup_clusters" -> (Dedup.nearDupClusters _),
     "q_dup_clusters_lsh" -> (Dedup.nearDupClustersLsh _),
+    "q_cluster_sizes" -> (Dedup.clusterSizes _),
     "q_contamination_lsh" -> (Corpus.contaminationLsh _),
     "q_delta_dedup" -> (Dedup.deltaDedup _),
     "q_delta_neardup" -> ((s: SparkSession, d: String) => Dedup.deltaNearDup(s, d)),
@@ -273,6 +277,7 @@ object SparkEntry {
       graft.streaming.DocStream.tokenBudgetViaStream(s, d)),
     "q_epoch_shuffle" -> ((s: SparkSession, d: String) => Corpus.epochShuffle(s, d)),
     "q_temperature_sample" -> (Corpus.temperatureSample _),
+    "q_temperature_sweep" -> (Corpus.temperatureSweep _),
     "q_token_budget" -> ((s: SparkSession, d: String) => Corpus.tokenBudget(s, d)),
     "q_shard_assign" -> ((s: SparkSession, d: String) => Corpus.shardAssign(s, d)),
     "q_mixture_sample" -> ((s: SparkSession, d: String) => Corpus.mixtureSample(s, d)),
@@ -2025,6 +2030,10 @@ object SparkEntry {
     // Overlap verdicts off the same selection CTEs: df-cap purge
     // (boilerplate AND skew keys) + the shared-count floor
     "q_winnow_overlap" -> operators.Text.winnowOverlapOracle(),
+    // the artifact-served twin: the overlap join over the LOADED
+    // fingerprint index must equal the in-place kernel bit-for-bit
+    // (exact-integer round-trip) — SAME oracle
+    "q_winnow_overlap_saved" -> operators.Text.winnowOverlapOracle(),
     // the seeded-boilerplate skew receipt: the SAME overlap oracle
     // over the seeded corpus (one seeding expression, two engines)
     // Exact-substring dedup: the oracle replays the DEFINITION
@@ -2173,6 +2182,8 @@ object SparkEntry {
     // must admit the identical set).
     "q_lm_gate" -> operators.Text.lmGateOracle,
     "q_stream_lm_gate" -> operators.Text.lmGateOracle,
+    // the same model + frozen cut grouped per feed — admission census
+    "q_lm_gate_by_source" -> operators.Text.lmGateBySourceOracle,
     // scored from the LOADED count tables (train -> publish -> load
     // -> score): same oracle, so a round-trip bit-flip fails
     "q_backoff_score_saved" -> operators.Text.backoffScoreOracle,
@@ -2984,6 +2995,38 @@ object SparkEntry {
        LEFT JOIN c3 USING (source) LEFT JOIN c4 USING (source)
        ORDER BY base.source""",
 
+    // The rank-cut knob curve off the same stage CTEs: the global
+    // (mean_millibits, doc_id) rank crossed with the candidate cuts,
+    // keep-first drops recounted per cut over the exact pair set —
+    // the engine's one-rank-pass fan-out must agree knob for knob.
+    "q_curate_v3_sweep" ->
+      s"""WITH $CurateV3Ctes,
+         cuts(cut_bp) AS (VALUES (CAST(5000 AS BIGINT)), (6250), (7500), (8750)),
+         rkt AS (SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER
+                     (ORDER BY mean_millibits, doc_id) AS BIGINT) AS rk
+                 FROM s2pre),
+         n2 AS (SELECT cut_bp, CAST(COUNT(*) AS BIGINT) AS n_rank_kept
+                FROM rkt CROSS JOIN cnt CROSS JOIN cuts
+                WHERE rk * 10000 <= cut_bp * n_total GROUP BY 1),
+         dr AS (SELECT cut_bp, CAST(COUNT(DISTINCT p.doc_b) AS BIGINT)
+                  AS n_dup_dropped
+                FROM jp p
+                JOIN rkt a ON a.doc_id = p.doc_a
+                JOIN rkt b ON b.doc_id = p.doc_b
+                CROSS JOIN cnt CROSS JOIN cuts
+                WHERE a.rk * 10000 <= cut_bp * n_total
+                  AND b.rk * 10000 <= cut_bp * n_total
+                GROUP BY 1)
+       SELECT cuts.cut_bp,
+         CAST(COALESCE(n_rank_kept, 0) AS BIGINT) AS n_rank_kept,
+         CAST(COALESCE(n_dup_dropped, 0) AS BIGINT) AS n_dup_dropped,
+         CAST(COALESCE(n_rank_kept, 0) - COALESCE(n_dup_dropped, 0)
+           AS BIGINT) AS n_survivors
+       FROM cuts
+       LEFT JOIN n2 USING (cut_bp) LEFT JOIN dr USING (cut_bp)
+       ORDER BY cuts.cut_bp""",
+
     "q_delta_dedup" ->
       s"""WITH d AS (SELECT doc_id, md5($Norm) AS fp FROM documents),
          w AS (SELECT CAST(floor((MAX(doc_id) + 1) * 0.8) AS BIGINT) AS w FROM d),
@@ -3172,6 +3215,37 @@ object SparkEntry {
          FROM documents d JOIN r ON d.lang = r.lang
          WHERE ('0x' || substring(md5(text), 1, 8))::BIGINT % 1000 < rate_permille
          ORDER BY doc_id""",
+
+    // The temperature knob curve: alpha in {0, 1/4, 1/2, 1} expressed
+    // through correctly-rounded IEEE primitives only (keep-all,
+    // sqrt-of-sqrt, sqrt, integer ratio) — rates and kept censuses
+    // must agree knob for knob, language for language
+    "q_temperature_sweep" ->
+      """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+                    FROM documents GROUP BY lang),
+         m AS (SELECT MAX(n_docs) AS mx FROM c),
+         a(alpha_bp) AS (VALUES (CAST(0 AS BIGINT)), (2500), (5000), (10000)),
+         r AS (SELECT alpha_bp, lang,
+                 CASE WHEN alpha_bp = 0 THEN CAST(1000 AS BIGINT)
+                   WHEN alpha_bp = 2500 THEN LEAST(CAST(1000 AS BIGINT),
+                     CAST(floor(1000.0 * sqrt(sqrt(CAST(n_docs AS DOUBLE)))
+                       / sqrt(sqrt(CAST(mx AS DOUBLE)))) AS BIGINT))
+                   WHEN alpha_bp = 5000 THEN LEAST(CAST(1000 AS BIGINT),
+                     CAST(floor(1000.0 * sqrt(CAST(n_docs AS DOUBLE))
+                       / sqrt(CAST(mx AS DOUBLE))) AS BIGINT))
+                   ELSE (n_docs * 1000) // mx END AS rate_permille
+               FROM c, m, a),
+         k AS (SELECT r.alpha_bp, d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+               FROM documents d
+               JOIN r ON d.lang = r.lang
+               WHERE ('0x' || substring(md5(text), 1, 8))::BIGINT % 1000
+                 < r.rate_permille
+               GROUP BY 1, 2)
+         SELECT r.alpha_bp, r.lang, r.rate_permille,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+         FROM r
+         LEFT JOIN k ON r.alpha_bp = k.alpha_bp AND r.lang = k.lang
+         ORDER BY r.alpha_bp, r.lang""",
 
     // Token-budget curation: oracle is the bare global ordered cumsum
     // over (quality DESC, doc_id) — the two-phase quality-range
@@ -3442,6 +3516,17 @@ object SparkEntry {
     // recursive-CTE oracle pins the assignment — an LSH miss or a
     // spurious candidate flips a cluster id and fails the hash.
     "q_dup_clusters_lsh" -> DupClustersSql,
+
+    // The cluster-size census off the LSH-fed labels, pinned by the
+    // same recursive-CTE closure aggregated twice: a single drifted
+    // component assignment changes a size bucket and fails the hash.
+    "q_cluster_sizes" ->
+      s"""$DupClustersCtes
+         SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+         FROM (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+               FROM labeled GROUP BY cluster_id)
+         GROUP BY cluster_size
+         ORDER BY cluster_size""",
 
     // Entity resolution: blocking + edit-distance gate + transitive
     // closure, replayed end to end (seeded dirty/decoy records

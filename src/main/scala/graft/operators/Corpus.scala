@@ -1333,6 +1333,11 @@ object Corpus {
     curateMemo match {
       case Some((k, u)) if k == sf && (u.base.sparkSession eq spark) => u
       case _ =>
+        // superseded generation's checkpoint blocks are released NOW,
+        // not left to GC + ContextCleaner (the shingledCached rule)
+        curateMemo.foreach { case (_, old) =>
+          graft.CachePool.freeLocalCheckpoint(old.base, old.tokenized,
+            old.classes, old.counts, old.surv) }
         val docs = Tables.load(spark, sf, "documents")
         val base = Text.qualityScoredDf(docs,
             Seq(col("lang"), splitBucket.as("bucket")))
@@ -1355,7 +1360,12 @@ object Corpus {
   }
 
   /** Drop the shared curate upstream (test/session hygiene). */
-  def clearCurateCache(): Unit = synchronized { curateMemo = None }
+  def clearCurateCache(): Unit = synchronized {
+    curateMemo.foreach { case (_, old) =>
+      graft.CachePool.freeLocalCheckpoint(old.base, old.tokenized,
+        old.classes, old.counts, old.surv) }
+    curateMemo = None
+  }
 
   def curateV2(spark: SparkSession, sf: String,
       exact: Boolean = false): DataFrame = {
@@ -1397,6 +1407,8 @@ object Corpus {
     curateV3Memo match {
       case Some((k, u)) if k == sf && (u.s2pre.sparkSession eq spark) => u
       case _ =>
+        curateV3Memo.foreach { case (_, old) =>
+          graft.CachePool.freeLocalCheckpoint(old.s2pre, old.pairs) }
         val docs = Tables.load(spark, sf, "documents")
         // stage 1: the Gopher rule battery — absolute degenerate-tail
         // pruning, a pure projection-filter on the scan
@@ -1407,7 +1419,7 @@ object Corpus {
         // stage 2 scores: every document under the frozen train-split
         // trigram Stupid-Backoff model (the CCNet posture — the same
         // q_backoff_score plan, unsorted form)
-        val (tri, bigr, uni) = Text.backoffModel(spark, sf)
+        val (tri, bigr, uni) = Text.backoffModelShared(spark, sf)
         val scored = Text.backoffScoredUnsorted(
             docs.select(col("doc_id"), col("text")), tri, bigr, uni)
           .select(col("doc_id"), col("mean_millibits"))
@@ -1589,7 +1601,135 @@ object Corpus {
   }
 
   /** Drop the shared curate-v3 upstream (test/session hygiene). */
-  def clearCurateV3Cache(): Unit = synchronized { curateV3Memo = None }
+  def clearCurateV3Cache(): Unit = synchronized {
+    curateV3Memo.foreach { case (_, old) =>
+      graft.CachePool.freeLocalCheckpoint(old.s2pre, old.pairs) }
+    curateV3Memo = None
+  }
+
+  /** Rank-cut fractions swept by [[curateV3Sweep]], in basis points
+    * of the kept LM-rank mass: half to seven-eighths around the
+    * production 3/4. Interpolated into both engines. */
+  val CurateV3SweepCutsBp: Seq[Long] = Seq(5000L, 6250L, 7500L, 8750L)
+
+  /** q_curate_v3_sweep: the LM-rank-cut KNOB-TUNING curve for the
+    * composed curation stack — before freezing the production 3/4
+    * quartile, a curation team sweeps the cut and reads how much
+    * corpus each setting keeps and how much of the kept mass the
+    * near-dup keep-first rule then removes (the
+    * [[graft.operators.Dedup.dedupThresholdSweep]] convention applied
+    * to [[curateV3]]'s stage-2 knob). One row per candidate cut:
+    * stage-2 survivors, keep-first near-dup drops among them, and the
+    * post-dedup survivor count.
+    *
+    * Shape: the global rank is computed ONCE off the session-shared
+    * checkpointed upstream (the [[curateV3Frames]] two-phase bucketed
+    * construction — no single-task window), then every cut is
+    * arithmetic over (a) the pooled rank frame (one |cuts|-row
+    * broadcast fan-out + partial agg) and (b) the rank-joined pair
+    * frame (output-bounded — near-dup pairs, not the corpus). The
+    * sweep costs ONE rank pass + |pairs|·|cuts| projection, never a
+    * pipeline re-run per knob. */
+  def curateV3Sweep(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val up = curateV3Upstream(spark, sf)
+    val ext = up.s2pre.agg(min(col("mean_millibits")),
+      max(col("mean_millibits")), count(lit(1))).head()
+    val (mn, mx, nTotal) = (ext.getLong(0), ext.getLong(1), ext.getLong(2))
+    val width = math.max(1L,
+      math.ceil((mx - mn + 1).toDouble / CurateV3RankBuckets).toLong)
+    val ranged = up.s2pre
+      .withColumn("vb", expr(s"(mean_millibits - ${mn}L) div ${width}L"))
+    val offsets = ranged.groupBy(col("vb"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("offset",
+        coalesce(sum(col("bn")).over(
+          Window.orderBy(col("vb"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("vb"), col("offset"))
+    // pooled: the rank frame feeds the per-cut census AND both sides
+    // of the pair-rank join
+    val ranked = graft.CachePool.swapOne("curate-v3-sweep-ranked",
+      ranged.join(broadcast(offsets), "vb")
+        .withColumn("rk", col("offset") + row_number().over(
+          Window.partitionBy(col("vb"))
+            .orderBy(col("mean_millibits"), col("doc_id"))))
+        .select(col("doc_id"), col("rk")))
+    val cuts = spark.range(1)
+      .select(explode(typedLit(CurateV3SweepCutsBp)).as("cut_bp"))
+    val n2 = ranked.crossJoin(broadcast(cuts))
+      .filter(col("rk") * 10000 <= col("cut_bp") * lit(nTotal))
+      .groupBy(col("cut_bp")).agg(count(lit(1)).as("n_rank_kept"))
+    val pairRk = up.pairs
+      .join(ranked.select(col("doc_id").as("doc_a"), col("rk").as("rk_a")),
+        "doc_a")
+      .join(ranked.select(col("doc_id").as("doc_b"), col("rk").as("rk_b")),
+        "doc_b")
+    val drops = pairRk.crossJoin(broadcast(cuts))
+      .filter(col("rk_a") * 10000 <= col("cut_bp") * lit(nTotal) &&
+        col("rk_b") * 10000 <= col("cut_bp") * lit(nTotal))
+      .select(col("cut_bp"), col("doc_b")).distinct()
+      .groupBy(col("cut_bp")).agg(count(lit(1)).as("n_dup_dropped"))
+    cuts.join(n2, Seq("cut_bp"), "left")
+      .join(drops, Seq("cut_bp"), "left")
+      .select(col("cut_bp"),
+        coalesce(col("n_rank_kept"), lit(0L)).as("n_rank_kept"),
+        coalesce(col("n_dup_dropped"), lit(0L)).as("n_dup_dropped"),
+        (coalesce(col("n_rank_kept"), lit(0L)) -
+          coalesce(col("n_dup_dropped"), lit(0L))).as("n_survivors"))
+      .orderBy(col("cut_bp"))
+  }
+
+  /** Sampling-exponent points for [[temperatureSweep]] in basis
+    * points: α ∈ {0, 1/4, 1/2, 1}. Restricted ON PURPOSE to exponents
+    * expressible through correctly-rounded IEEE primitives (keep-all,
+    * sqrt∘sqrt, sqrt, integer ratio) — arbitrary-α `pow` carries no
+    * cross-engine bit guarantee (the [[temperatureSample]] rule). */
+  val TemperatureAlphasBp: Seq[Long] = Seq(0L, 2500L, 5000L, 10000L)
+
+  /** q_temperature_sweep: the sampling-TEMPERATURE knob curve — the
+    * per-language keep rate and kept-document census at each α, the
+    * table a multilingual-corpus team reads before committing a
+    * temperature (the mBERT/XLM-R α ablation): α=0 keeps everything,
+    * α=1 samples proportional to share (maximum downsampling of the
+    * head), the production α=1/2 sits between.
+    *
+    * Shape: the corpus is scanned ONCE for a (lang, bucket) census
+    * (≤ languages × 1000 aggregated rows); every α's rate AND kept
+    * count are arithmetic over that census — the
+    * [[graft.operators.Dedup.dedupThresholdSweep]] fan-out
+    * convention (sweep cost = |langs·buckets| × |alphas| projection,
+    * never a corpus rescan per knob). */
+  def temperatureSweep(spark: SparkSession, sf: String): DataFrame = {
+    val docs = Tables.load(spark, sf, "documents")
+    val census = docs.groupBy(col("lang"), splitBucket.as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val counts = census.groupBy(col("lang")).agg(sum(col("cnt")).as("n_docs"))
+    val mx = counts.agg(max(col("n_docs")).as("mx"))
+    val alphas = spark.range(1)
+      .select(explode(typedLit(TemperatureAlphasBp)).as("alpha_bp"))
+    val rates = counts.crossJoin(broadcast(mx)).crossJoin(broadcast(alphas))
+      .select(col("alpha_bp"), col("lang"),
+        when(col("alpha_bp") === 0L, lit(1000L))
+          .when(col("alpha_bp") === 2500L,
+            least(lit(1000L), floor(lit(1000.0) *
+              sqrt(sqrt(col("n_docs").cast("double"))) /
+              sqrt(sqrt(col("mx").cast("double")))).cast("long")))
+          .when(col("alpha_bp") === 5000L,
+            least(lit(1000L), floor(lit(1000.0) *
+              sqrt(col("n_docs").cast("double")) /
+              sqrt(col("mx").cast("double"))).cast("long")))
+          .otherwise(expr("n_docs * 1000 div mx"))
+          .as("rate_permille"))
+    val kept = rates.join(census, Seq("lang"))
+      .filter(col("bucket") < col("rate_permille"))
+      .groupBy(col("alpha_bp"), col("lang"))
+      .agg(sum(col("cnt")).as("n_kept"))
+    rates.join(kept, Seq("alpha_bp", "lang"), "left")
+      .select(col("alpha_bp"), col("lang"), col("rate_permille"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("alpha_bp"), col("lang"))
+  }
 
   /** Deterministic per-language stratified sampling — the corpus
     * rebalancing step (downsample a dominant language, keep the tail

@@ -228,6 +228,32 @@ object IndexStore {
     spark.read.parquet(SnapshotStore.versionDir(root, v))
   }
 
+  // ---- winnowing fingerprint index --------------------------------------
+
+  /** Publish the corpus's winnowing fingerprint SET (doc_id, fp) —
+    * the MOSS-index analog for the substring-overlap family: later
+    * audits and deliveries probe the frozen index instead of
+    * re-fingerprinting the corpus. Corpus-sized — executor-written,
+    * never collected (the [[saveMinhash]] posture); the packed
+    * fingerprints are exact integers, so the round-trip is
+    * bit-identical. */
+  def saveWinnow(spark: SparkSession, sfDir: String, root: String): Long = {
+    val fps = Text.winnowFpSet(graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")))
+    val v = nextVersion(spark, root)
+    fps.write.mode("overwrite")
+      .parquet(SnapshotStore.versionDir(root, v))
+    SnapshotStore.appendVersion(spark, root, "winnow-fps",
+      java.time.Instant.now())
+    v
+  }
+
+  def loadWinnow(spark: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    spark.read.parquet(SnapshotStore.versionDir(root, v))
+  }
+
   // ---- backoff LM -------------------------------------------------------
 
   /** Publish the trained Stupid-Backoff n-gram model (trigram /

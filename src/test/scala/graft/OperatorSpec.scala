@@ -1425,7 +1425,9 @@ class OperatorSpec extends AnyFunSuite {
       "dup_methods_lsh" -> Dedup.dupMethodAgreementLsh(spark, sf),
       "ivf_sweep" -> Similarity.ivfProbeSweep(spark, sf),
       "backoff_score" -> Text.backoffScore(spark, sf),
-      "curate_v3" -> Corpus.curateV3(spark, sf))
+      "curate_v3" -> Corpus.curateV3(spark, sf),
+      "curate_v3_sweep" -> Corpus.curateV3Sweep(spark, sf),
+      "temperature_sweep" -> Corpus.temperatureSweep(spark, sf))
     frames.foreach { case (name, df) =>
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -1441,8 +1443,15 @@ class OperatorSpec extends AnyFunSuite {
       // totals broadcast
       // curate_v3's 1: the mixture's broadcast single-row t_total
       // (the rank stage's extremes are a bounded head(), not a join)
+      // curate_v3_sweep's 2: the |cuts|-row knob table broadcast into
+      // both fan-outs. temperature_sweep's 4: the (1-row max ×
+      // |alphas|-row) rate subtree is REFERENCED twice (kept census +
+      // final left join) and the unpinned aggregated subtree prints
+      // under each reference — all four are bounded literal/aggregate
+      // frames, never a corpus side
       val allowed = Map("quality_sweep" -> 1, "ivf_sweep" -> 3,
-        "backoff_score" -> 1, "curate_v3" -> 1).getOrElse(name, 0)
+        "backoff_score" -> 1, "curate_v3" -> 1, "curate_v3_sweep" -> 2,
+        "temperature_sweep" -> 4).getOrElse(name, 0)
       if (name == "ivf_sweep")
         assert(plan.contains("InMemoryTableScan"),
           "ivf_sweep's truth kernel lost its cache pin — the " +
@@ -1451,6 +1460,171 @@ class OperatorSpec extends AnyFunSuite {
         s"$name carries $bnlj nested-loop joins (allowed $allowed):\n" +
           plan.take(1500))
     }
+  }
+
+  test("r17 no-corpus-broadcast audit: no BROADCAST hint builds on an unaggregated corpus-scale scan") {
+    // The mechanical form of the r16 verdict's two findings (forced
+    // broadcast(customer) in joinRevenueByRegion, corpus-cardinality
+    // broadcasts in dupMatrixFrom): walk EVERY registered query's
+    // optimized plan and fail if a join carries a BROADCAST hint
+    // whose hinted side scans an SF-SCALING table with no Aggregate/
+    // Limit bounding it — the shape that OOMs the driver at the
+    // 100 TB posture where AQE would have picked a shuffle join.
+    // Stats-chosen broadcasts (no hint) are exactly what we want at
+    // fixture scale and are NOT flagged.
+    // Scope: hinted EQUI-joins only. The guarded brute-force kernels
+    // (knn_brute, cosine_pairs, the MRL/PQ/SQ truth legs) are
+    // `crossJoin(broadcast(…))` — no equality key exists, so the only
+    // alternative to broadcast is a CartesianProduct (which the r15
+    // hygiene test forbids), and `guardExactKernel` bounds them to
+    // verification scale by construction. Where an equality key
+    // EXISTS, a shuffle join is always available and a forced
+    // broadcast of a corpus-scale side is pure downside.
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe,
+      EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST,
+      GlobalLimit, HintInfo, Join, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+      LogicalRelation}
+    val corpusTables = Seq("documents", "lineitem", "orders", "events",
+      "embeddings", "customer", "part", "supplier")
+    // q_dpp_join's dim side derives from the fact's PARTITION VALUES
+    // (≤ date-cardinality rows after the 7-day filter) and the
+    // broadcast IS the dynamic-pruning mechanism — bounded by
+    // construction, invisible to the aggregate-based detector below
+    val allowed = Set("q_dpp_join")
+    def corpusLeaf(p: LogicalPlan): Boolean = p.collectLeaves().exists {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.exists { rp =>
+          val s = rp.toString
+          corpusTables.exists(t =>
+            s.contains(s"/$t.parquet") || s.endsWith(s"/$t"))
+        }
+        case _ => false
+      }
+      case _ => false
+    }
+    def bounded(p: LogicalPlan): Boolean = p.exists {
+      case _: Aggregate => true
+      case _: GlobalLimit => true
+      case _ => false
+    }
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    // q_stream_* rows RUN their pipeline at construction and return a
+    // parquet read of the output — nothing hintable survives in the
+    // returned frame, so auditing them is vacuous cost
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if !name.startsWith("q_stream_") && !allowed(name)) {
+      val df = fn(spark, sf)
+      // a join is shuffle-able only when a TOP-LEVEL conjunct is an
+      // equality (the join key); a nested EqualTo inside e.g.
+      // Not(EqualTo(query, neighbor)) — the brute-force kernels'
+      // self-pair filter — is not a key
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+      df.queryExecution.optimizedPlan.foreach {
+        case j: Join if j.condition.exists(c => conjuncts(c).exists {
+              case _: EqualTo => true
+              case _: EqualNullSafe => true
+              case _ => false
+            }) =>
+          def check(side: Option[HintInfo], plan: LogicalPlan): Unit =
+            if (side.exists(_.strategy.contains(BROADCAST)) &&
+                corpusLeaf(plan) && !bounded(plan))
+              offenders += s"$name (${plan.nodeName} side)"
+          check(j.hint.leftHint, j.left)
+          check(j.hint.rightHint, j.right)
+        case _ => ()
+      }
+    }
+    assert(offenders.isEmpty,
+      s"corpus-scale broadcast hints (driver OOM at 100 TB): " +
+        offenders.distinct.mkString(", "))
+  }
+
+  test("fixture invariant: no exact near-dup pair sits in the LSH banding-risk band") {
+    // q_dup_methods_lsh, q_dup_matrix_lsh, and q_curate_v3's stage 3
+    // pin LSH-fed candidate sets against EXACT-Jaccard oracles. That
+    // is sound only while every true pair at j >= 0.5 sits at
+    // j >= 0.88, where the 16x4 banding miss probability is <= 2e-7
+    // (the q_minhash_lsh argument). A fixture regen that plants
+    // borderline pairs would fail those rows spuriously with BOTH
+    // engines correct — this test surfaces the assumption at the
+    // fixture edit, not at the driver gate (r16 advisory). Checked at
+    // the spec fixture AND the driver's correctness fixture.
+    import graft.operators.Dedup
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val risky = Dedup.ngramJaccard(spark, dir)
+        .filter(col("jaccard") < 0.88)
+        .collect()
+      assert(risky.isEmpty,
+        s"$dir: exact pairs inside the banding-risk band [0.5, 0.88): " +
+          risky.map(r => s"(${r.getLong(0)},${r.getLong(1)}," +
+            f"j=${r.getDouble(2)}%.3f)").mkString(", "))
+    }
+  }
+
+  test("r17 additions: sweep monotonicity, census consistency, artifact-served equality") {
+    import graft.operators.{Corpus, Dedup, Text}
+    // curate_v3_sweep: monotone in the cut, and the production 7500
+    // point must equal the funnel's stage counts — the knob curve
+    // cannot drift from the pipeline it tunes
+    val sw = Corpus.curateV3Sweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(sw.map(_._1).toSeq == Corpus.CurateV3SweepCutsBp)
+    sw.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo._2 <= hi._2 && lo._3 <= hi._3,
+          s"sweep not monotone: $lo -> $hi")
+      case _ =>
+    }
+    val funnel = Corpus.curateV3Funnel(spark, sf).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val at75 = sw.find(_._1 == 7500L).get
+    assert(at75._2 == funnel("lm_quartile"),
+      "7500 bp rank census != the production quartile stage")
+    assert(at75._4 == funnel("neardup_survivor"),
+      "7500 bp survivor census != the production dedup stage")
+    // temperature_sweep: alpha=0 keeps every document; per-language
+    // kept mass never grows with alpha
+    val ts = Corpus.temperatureSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val langTotals = graft.Tables.load(spark, sf, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    ts.groupBy(_._2).foreach { case (lang, rows) =>
+      val sorted = rows.sortBy(_._1)
+      assert(sorted.head._4 == langTotals(lang),
+        s"alpha=0 must keep all of $lang")
+      sorted.sliding(2).foreach {
+        case Array(lo, hi) =>
+          assert(hi._4 <= lo._4, s"$lang kept mass grew with alpha")
+        case _ =>
+      }
+    }
+    // cluster_sizes: the census must account for every document
+    val cs = Dedup.clusterSizes(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nDocs = graft.Tables.load(spark, sf, "documents").count()
+    assert(cs.map { case (s, n) => s * n }.sum == nDocs,
+      "cluster-size census does not cover the corpus")
+    // winnow_overlap_saved: the artifact-served row equals the
+    // in-place kernel bit-for-bit (exact-integer round-trip)
+    val inPlace = Text.winnowOverlap(spark, sf).collect()
+      .map(_.toSeq.toList).toSeq
+    val served = Text.winnowOverlapSaved(spark, sf).collect()
+      .map(_.toSeq.toList).toSeq
+    assert(served == inPlace, "served overlap drifted from in-place")
+    // lm_gate_by_source: the per-feed admissions sum to the gate's
+    // own row count, and shares stay inside [0, 10000]
+    val bySrc = Text.lmGateBySource(spark, sf).collect()
+    val gateRows = Text.lmQualityGate(spark, sf).count()
+    assert(bySrc.map(_.getLong(2)).sum == gateRows,
+      "per-source admissions != gate output")
+    assert(bySrc.forall(r =>
+      r.getLong(2) <= r.getLong(1) && r.getLong(3) <= 10000L))
   }
 
   test("dup methods: flags re-derive from the three pair detectors and cover their union") {
@@ -2843,7 +3017,13 @@ class OperatorSpec extends AnyFunSuite {
       // layout-independence — demand the receipt
       "q_dup_methods_lsh", "q_curate_v3", "q_curate_v3_funnel",
       "q_curate_v3_by_source", "q_token_mixture", "q_lm_gate",
-      "q_containment_prefix")
+      "q_containment_prefix",
+      // r17 additions: the two knob curves (rank-cut, temperature),
+      // the per-feed gate census, the artifact-served overlap, and
+      // the cluster-size census all claim layout-independence —
+      // demand the receipt
+      "q_curate_v3_sweep", "q_temperature_sweep", "q_lm_gate_by_source",
+      "q_winnow_overlap_saved", "q_cluster_sizes")
     def snap(): Map[String, Seq[Seq[Any]]] = {
       spark.catalog.clearCache()
       qs.map(q => q ->
