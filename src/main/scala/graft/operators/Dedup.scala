@@ -97,7 +97,14 @@ object Dedup {
     * on ultra-common shingles is the known hazard; the LSH variant
     * below is the scale answer. */
   def ngramJaccard(spark: SparkSession, sf: String, threshold: Double = 0.5): DataFrame =
-    ngramJaccardFrom(shingledCached(spark, sf), threshold)
+    // SESSION-POOLED (r17): the exact verification pair set feeds
+    // q_ngram_jaccard, q_dup_matrix, q_dup_clusters, q_dup_methods and
+    // q_contamination — one guarded self-join per (dataset, session),
+    // downstream rows read the checkpointed output-bounded pair frame.
+    graft.CachePool.sessionCheckpoint(s"ngram-jaccard-pairs:$threshold",
+        spark, sf) {
+      ngramJaccardFrom(shingledCached(spark, sf), threshold)
+    }
 
   /** GUARDED VERIFICATION KERNEL — the exact pair join every LSH-fed
     * twin is pinned against, not the 100 TB path: the self-join key is
@@ -634,11 +641,16 @@ object Dedup {
     * [[nearDupClustersLsh]] is the same [[clustersFrom]] fed by
     * [[minhashLsh]] candidates — the 100 TB path.
     */
-  def nearDupClusters(spark: SparkSession, sf: String): DataFrame = {
-    val docs = Tables.load(spark, sf, "documents").select(col("doc_id"))
-    val pairs = ngramJaccard(spark, sf).select(col("doc_a"), col("doc_b"))
-    clustersFrom(docs, pairs)
-  }
+  def nearDupClusters(spark: SparkSession, sf: String): DataFrame =
+    // SESSION-POOLED (r17): the iterative CC loop (checkpoint-per-round
+    // pointer jumping — many Spark jobs per run) is the expensive part
+    // HERE even with pooled pairs; the label frame is corpus-node-sized
+    // and shared by every exact-edge cluster consumer.
+    graft.CachePool.sessionCheckpoint("dup-clusters-exact", spark, sf) {
+      val docs = Tables.load(spark, sf, "documents").select(col("doc_id"))
+      val pairs = ngramJaccard(spark, sf).select(col("doc_a"), col("doc_b"))
+      clustersFrom(docs, pairs)
+    }
 
   /** [[nearDupClusters]] fed by MinHash-LSH candidate edges — the
     * operator a 100 TB corpus actually runs: the edge derivation is the
@@ -650,11 +662,15 @@ object Dedup {
     * set equals the exact edge set, so the cluster assignment matches
     * the exact-edge form bit-for-bit — pinned by the same DuckDB
     * recursive-CTE oracle as q_dup_clusters. */
-  def nearDupClustersLsh(spark: SparkSession, sf: String): DataFrame = {
-    val docs = Tables.load(spark, sf, "documents").select(col("doc_id"))
-    val pairs = minhashLsh(spark, sf).select(col("doc_a"), col("doc_b"))
-    clustersFrom(docs, pairs)
-  }
+  def nearDupClustersLsh(spark: SparkSession, sf: String): DataFrame =
+    // SESSION-POOLED (r17): shared by q_dup_clusters_lsh,
+    // q_cluster_sizes and q_dedup_survivors — the CC loop runs once per
+    // (dataset, session), not once per consuming row.
+    graft.CachePool.sessionCheckpoint("dup-clusters-lsh", spark, sf) {
+      val docs = Tables.load(spark, sf, "documents").select(col("doc_id"))
+      val pairs = minhashLsh(spark, sf).select(col("doc_a"), col("doc_b"))
+      clustersFrom(docs, pairs)
+    }
 
   /** Near-dup SURVIVORSHIP: the curation decision [[nearDupClustersLsh]]
     * exists to feed — keep the highest-[[Text.quality]] document per
@@ -1081,7 +1097,20 @@ object Dedup {
     * by [[minhashRecall]]. The est-only candidate stream (what a
     * pipeline would persist as its index artifact) remains
     * [[minhashLshFrom]]. */
-  def minhashLsh(spark: SparkSession, sf: String, threshold: Double = 0.5): DataFrame = {
+  def minhashLsh(spark: SparkSession, sf: String, threshold: Double = 0.5): DataFrame =
+    // SESSION-POOLED (r17): five declared rows consume this verified
+    // pair set (q_minhash_lsh, q_dup_matrix_lsh, the LSH clustering
+    // family via nearDupClustersLsh, q_dup_methods_lsh,
+    // q_contamination_lsh, curate_v3's survivor stage) — one build per
+    // (dataset, session), every later consumer reads the checkpointed
+    // pair frame (near-dup-bounded, tiny at any corpus scale).
+    graft.CachePool.sessionCheckpoint(s"minhash-lsh-pairs:$threshold",
+        spark, sf) {
+      minhashLshBuild(spark, sf, threshold)
+    }
+
+  private[graft] def minhashLshBuild(spark: SparkSession, sf: String,
+      threshold: Double): DataFrame = {
     val sh = shingledCached(spark, sf)
     val cand = minhashCandidates(sh)
       .filter(agreeAtLeast(col("mh_a"), col("mh_b"),
@@ -1222,7 +1251,16 @@ object Dedup {
   def simhash(tokens: Column): Column =
     graft.functions.ArrayOps.simhash_sig_md5(tokens)
 
-  def simhashPairs(spark: SparkSession, sf: String, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(spark: SparkSession, sf: String, maxHamming: Int = 3): DataFrame =
+    // SESSION-POOLED (r17): q_simhash_pairs and both dup-method triage
+    // rows consume this detector's pair set.
+    graft.CachePool.sessionCheckpoint(s"simhash-pairs:$maxHamming",
+        spark, sf) {
+      simhashPairsBuild(spark, sf, maxHamming)
+    }
+
+  private def simhashPairsBuild(spark: SparkSession, sf: String,
+      maxHamming: Int): DataFrame = {
     val docs = Tables.load(spark, sf, "documents")
       .select(col("doc_id"),
         simhash(array_distinct(split(Text.normalized(col("text")), " ")))
@@ -1314,30 +1352,21 @@ object Dedup {
     * blocks survive the bench harness's per-query
     * `catalog.clearCache()`; superseded generations release their
     * blocks immediately (the [[shingledCached]] rule). */
-  private var dupLegsMemo: Option[(String, (DataFrame, DataFrame))] = None
   private def dupMethodLegs(spark: SparkSession,
-      sf: String): (DataFrame, DataFrame) = synchronized {
-    dupLegsMemo match {
-      case Some((k, legs)) if k == sf && (legs._1.sparkSession eq spark) =>
-        legs
-      case _ =>
-        dupLegsMemo.foreach { case (_, (s, c)) =>
-          graft.CachePool.freeLocalCheckpoint(s, c) }
-        val s = simhashPairs(spark, sf)
-          .select(col("doc_a"), col("doc_b")).localCheckpoint()
-        val c = FeatureHash.hashEmbedNearDup(spark, sf)
-          .select(col("doc_a"), col("doc_b")).localCheckpoint()
-        dupLegsMemo = Some(sf -> (s, c))
-        (s, c)
-    }
-  }
+      sf: String): (DataFrame, DataFrame) =
+    // r17: the detectors themselves are session-pooled now
+    // ([[simhashPairs]], [[FeatureHash.hashEmbedNearDup]]), so the
+    // legs are plain projections over the shared checkpointed frames —
+    // the standalone q_simhash_pairs / q_hash_embed_neardup rows and
+    // both triage rows read the same bytes.
+    (simhashPairs(spark, sf).select(col("doc_a"), col("doc_b")),
+      FeatureHash.hashEmbedNearDup(spark, sf)
+        .select(col("doc_a"), col("doc_b")))
 
-  /** Drop the shared method-agreement legs (test/session hygiene). */
-  def clearDupMethodLegs(): Unit = synchronized {
-    dupLegsMemo.foreach { case (_, (s, c)) =>
-      graft.CachePool.freeLocalCheckpoint(s, c) }
-    dupLegsMemo = None
-  }
+  /** Drop the shared method-agreement legs (test/session hygiene) —
+    * now an alias for the pooled-kernel release. */
+  def clearDupMethodLegs(): Unit =
+    graft.CachePool.clearSessionCheckpoints()
 
   /** The agreement arithmetic over an arbitrary (doc_a, doc_b)
     * Jaccard-leg pair frame — exact and LSH-fed rows share it, so the

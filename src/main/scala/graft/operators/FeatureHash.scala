@@ -89,7 +89,14 @@ object FeatureHash {
     * not approximated). Output carries the exact integer evidence
     * (dot, both squared norms) so the verdict is auditable.
     */
-  def hashEmbedNearDup(spark: SparkSession, sf: String): DataFrame = {
+  def hashEmbedNearDup(spark: SparkSession, sf: String): DataFrame =
+    // SESSION-POOLED (r17): q_hash_embed_neardup and both dup-method
+    // triage rows consume this detector's pair set.
+    graft.CachePool.sessionCheckpoint("hash-embed-neardup", spark, sf) {
+      hashEmbedNearDupBuild(spark, sf)
+    }
+
+  private def hashEmbedNearDupBuild(spark: SparkSession, sf: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     import org.apache.spark.sql.expressions.Window
     val emb = graft.CachePool.swapOne("hash-embed",

@@ -406,7 +406,16 @@ object Multimodal {
     * with per-partition codec amortization (the [[decodeFeatures]]
     * posture); the cut windows partition per clip — bounded state,
     * never corpus-sized. */
-  def sceneCutsDecoded(spark: SparkSession, sf: String): DataFrame = {
+  def sceneCutsDecoded(spark: SparkSession, sf: String): DataFrame =
+    // SESSION-POOLED (r17): q_scene_cuts_decoded and q_video_neardup
+    // both pay the full PNG encode→decode pass; one codec pass per
+    // (dataset, session), the dup row reads the checkpointed per-frame
+    // cut assignment (3 longs/frame — never raw rasters).
+    graft.CachePool.sessionCheckpoint("scene-cuts-decoded", spark, sf) {
+      sceneCutsDecodedBuild(spark, sf)
+    }
+
+  private def sceneCutsDecodedBuild(spark: SparkSession, sf: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(decodedFeatSchema)
     val feats = Tables.load(spark, sf, "documents")

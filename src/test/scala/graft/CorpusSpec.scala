@@ -318,17 +318,26 @@ class CorpusSpec extends AnyFunSuite {
       Dedup.clearShingleCache()
       Dedup.shingledCached(spark, sf) // populate
       // structural sharing, not CacheManager plan-matching luck: each
-      // consumer's executed plan must scan the in-memory relation, not
-      // re-derive scan→normalize→split→shingle from parquet
+      // kernel BUILD's executed plan must scan the in-memory relation,
+      // not re-derive scan→normalize→split→shingle from parquet.
+      // (r17: the pair kernels themselves are session-pooled, so the
+      // public entry points return a checkpointed frame — the shingle-
+      // cache contract now binds their build functions.)
       Seq(
-        "ngramJaccard" -> Dedup.ngramJaccard(spark, sf),
-        "minhashLsh" -> Dedup.minhashLsh(spark, sf),
+        "ngramJaccardFrom" ->
+          Dedup.ngramJaccardFrom(Dedup.shingledCached(spark, sf), 0.5),
+        "minhashLshBuild" -> Dedup.minhashLshBuild(spark, sf, 0.5),
         "minhashRecall" -> Dedup.minhashRecall(spark, sf)
       ).foreach { case (name, df) =>
         val plan = df.queryExecution.executedPlan.toString
         assert(plan.contains("InMemoryTableScan"),
           s"$name does not read the shingle cache")
       }
+      // and the pooled entry points hand every consumer the SAME
+      // checkpointed instance per (dataset, session) — the sharing the
+      // pool exists to provide
+      assert(Dedup.ngramJaccard(spark, sf) eq Dedup.ngramJaccard(spark, sf))
+      assert(Dedup.minhashLsh(spark, sf) eq Dedup.minhashLsh(spark, sf))
     } finally Dedup.clearShingleCache()
   }
 
@@ -476,7 +485,13 @@ class CorpusSpec extends AnyFunSuite {
       def anyFile(f: java.io.File): Boolean =
         f.isFile || Option(f.listFiles).exists(_.exists(anyFile))
       assert(anyFile(new java.io.File(dir)), s"no checkpoint data under $dir")
-    } finally Dedup.clearShingleCache() // sf0.1 blocks must not outlive this test
+    } finally {
+      // sf0.1 blocks must not outlive this test — shingle persist AND
+      // the r17 session-pooled kernel checkpoints (minhash pairs,
+      // cluster labels) all hold sf0.1-sized generations here
+      Dedup.clearShingleCache()
+      graft.CachePool.clearSessionCheckpoints()
+    }
   }
 
   test("delta dedup classifies the batch consistently with the corpus split") {
