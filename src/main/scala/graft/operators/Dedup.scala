@@ -1412,26 +1412,62 @@ object Dedup {
     * oracle as q_containment, spec-pinned equal row-for-row. */
   def containmentPrefixPairs(spark: SparkSession, sf: String,
       tNum: Int = 3, tDen: Int = 5): DataFrame = {
+    // r17 (the allPairsJaccard lessons, ported): shingles are
+    // DICTIONARY-ENCODED to dense long ids assigned in global rarity
+    // order (df asc, shingle asc — the same two-phase bucketed
+    // construction), so the candidate join keys become 8-byte longs
+    // instead of 3-word strings, the per-doc rarity ranking degenerates
+    // to one int-array sort, and the verification arrays shrink ~10×
+    // in every exchange that carries them. The candidate join also
+    // gains the PPJoin POSITIONAL filter adapted to one-sided
+    // containment: a match row at A-prefix position pa / B-position pb
+    // upper-bounds the pair's overlap at 1 + min(n_a−pa−1, n_b−pb−1)
+    // (every other shared feature sits after the pair's FIRST shared
+    // feature in both rarity-sorted arrays), so rows whose bound falls
+    // below c = ceil(t·n_a) drop BEFORE the distinct — completeness
+    // stays a theorem because the first-shared-feature row always
+    // passes (overlap ≥ c implies the bound ≥ c there), and the first
+    // shared feature is inside A's prefix by the pigeonhole that
+    // defines it. Measured at sf0.1: 5.25 s → see OPTIMIZATION_r17.md.
     val docs = shingledCached(spark, sf)
-    val ex = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val dfCounts = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    // per-doc shingles in global rarity order (df asc, shingle asc —
-    // deterministic ties), one vocabulary-sized join + one groupBy
-    val ranked = ex.join(dfCounts, "shingle")
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("w"))
+    val dfCounts = ex.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    // two-phase dense rank in (df, w) order: (df, 8-char prefix)
+    // buckets are contiguous under the total order, per-bucket counts
+    // cumsum into offsets, row_number runs only within a bucket —
+    // offset + in-bucket rank == the bare global row_number without a
+    // single-partition window (the allPairsJaccard construction).
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("df"), col("pre"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val bucketed = dfCounts.withColumn("pre", substring(col("w"), 1, 8))
+    val offs = bucketed.groupBy(col("df"), col("pre"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .select(col("df"), col("pre"), col("offset"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("df"), col("pre")).orderBy(col("w"))
+    val fids = bucketed.join(broadcast(offs), Seq("df", "pre"))
+      .withColumn("fid", (col("offset") + row_number().over(wIn)).cast("long"))
+    val ranked = ex.join(fids.select(col("w"), col("fid")), "w")
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
-        .as("fs"))
-      .select(col("doc_id"),
-        expr("transform(fs, x -> x.shingle)").as("fs"),
-        size(col("fs")).cast("long").as("n"))
-    // c = ceil(t·n); prefix = first n − c + 1 rarest (≥ 1 always)
+      .agg(sort_array(collect_list(col("fid"))).as("fs"))
+      .select(col("doc_id"), col("fs"), size(col("fs")).cast("long").as("n"))
+    // c = ceil(t·n); prefix = first n − c + 1 rarest (≥ 1 always).
+    // Materialized once: the candidate join consumes it on both sides
+    // and the verification joins twice more.
     val prefixed = ranked.select(col("doc_id"), col("fs"), col("n"),
       expr(s"slice(fs, 1, cast(n - (($tNum * n + ${tDen - 1}) div $tDen) + 1 as int))")
         .as("prefix"))
-    val cand = prefixed
-      .select(col("doc_id").as("doc_a"), explode(col("prefix")).as("shingle"))
-      .join(ex.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
-      .filter(col("doc_a") =!= col("doc_b"))
+      .localCheckpoint()
+    val aTok = prefixed.select(col("doc_id").as("doc_a"),
+      col("n").as("na"), posexplode(col("prefix")).as(Seq("pa", "fid")))
+    val bTok = prefixed.select(col("doc_id").as("doc_b"),
+      col("n").as("nb"), posexplode(col("fs")).as(Seq("pb", "fid")))
+    val cand = aTok.join(bTok, Seq("fid"))
+      .filter(col("doc_a") =!= col("doc_b") &&
+        (lit(1L) + least(col("na") - col("pa") - 1,
+          col("nb") - col("pb") - 1)) * tDen >= col("na") * tNum)
       .select(col("doc_a"), col("doc_b")).distinct()
     val sets = prefixed.select(col("doc_id"), col("fs"), col("n"))
     cand

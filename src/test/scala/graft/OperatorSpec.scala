@@ -2655,6 +2655,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(supMin > custScores(custScores.length / 2))
   }
 
+  test("lpa: forced shuffle-join fallback is bit-identical to the broadcast path") {
+    // the >10M-node branch (the one a 100 TB graph runs) has no
+    // natural fixture — force it through the conf knob and pin every
+    // community assignment to the broadcast path's output (the
+    // pagerank fallback-spec pattern)
+    val viaBroadcast = graft.operators.Graph.lpaCommunities(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    spark.conf.set("spark.graft.lpa.broadcastMaxNodes", "0")
+    try {
+      val viaShuffle = graft.operators.Graph.lpaCommunities(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(viaShuffle.sameElements(viaBroadcast))
+    } finally spark.conf.unset("spark.graft.lpa.broadcastMaxNodes")
+  }
+
   test("pagerank: forced shuffle-join fallback is bit-identical to the broadcast path") {
     // the >10M-node branch (the one a 100 TB graph runs) has no
     // natural fixture — force it through the conf knob and pin every
