@@ -299,17 +299,22 @@ object Graph {
     * the part space grows with the corpus, so this graph keeps the
     * heavy-tailed sparse structure a k-core is FOR. Same bounded
     * per-order pair explosion (Σ order-size²). */
-  private def partCoEdges(spark: SparkSession, sf: String): DataFrame = {
-    val po = Tables.load(spark, sf, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").cast("long").as("p"))
-      .distinct()
-    po.select(col("ok"), col("p").as("pa"))
-      .join(po.select(col("ok"), col("p").as("pb")), "ok")
-      .filter(col("pa") < col("pb"))
-      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("w"))
-      .filter(col("w") >= TriMinCoOrders)
-      .select(col("pa").as("a"), col("pb").as("b"))
-  }
+  private def partCoEdges(spark: SparkSession, sf: String): DataFrame =
+    // SESSION-POOLED (r17): q_kcore and q_lpa_communities both derive
+    // this graph — the lineitem self-join is the corpus-scale stage
+    // of both rows; one derivation per (dataset, session), the edge
+    // list itself is graph-sized (thresholded pairs).
+    graft.CachePool.sessionCheckpoint("part-co-edges", spark, sf) {
+      val po = Tables.load(spark, sf, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").cast("long").as("p"))
+        .distinct()
+      po.select(col("ok"), col("p").as("pa"))
+        .join(po.select(col("ok"), col("p").as("pb")), "ok")
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("w"))
+        .filter(col("w") >= TriMinCoOrders)
+        .select(col("pa").as("a"), col("pb").as("b"))
+    }
 
   /** q_kcore: K-core membership over the part co-purchase graph
     * ([[partCoEdges]]): iteratively peel nodes with degree <
