@@ -120,6 +120,11 @@ object CachePool {
       case Some((k, df)) if k == sf && (df.sparkSession eq spark) => df
       case prev =>
         prev.foreach { case (_, old) => freeLocalCheckpoint(old) }
+        // drop the superseded entry BEFORE building: a build that
+        // throws (the guarded exact kernels fail fast past their
+        // broadcast bound) must not leave a stale mapping to a frame
+        // whose checkpoint blocks were just freed
+        ckMemo.remove(kernel)
         val df = build.localCheckpoint()
         ckMemo(kernel) = (sf, df)
         df

@@ -238,8 +238,9 @@ object IndexStore {
     * fingerprints are exact integers, so the round-trip is
     * bit-identical. */
   def saveWinnow(spark: SparkSession, sfDir: String, root: String): Long = {
-    val fps = Text.winnowFpSet(graft.Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"), col("text")))
+    // pooled census (r17): the publish writes the same session-pooled
+    // fingerprint set the in-place rows read — one corpus pass
+    val fps = Text.winnowFpSetCached(spark, sfDir)
     val v = nextVersion(spark, root)
     fps.write.mode("overwrite")
       .parquet(SnapshotStore.versionDir(root, v))
@@ -288,7 +289,9 @@ object IndexStore {
     * immutable) as one versioned dir with two subtrees. The counts
     * frame is vocabulary-sized — executor-written, never collected. */
   def saveNb(spark: SparkSession, sfDir: String, root: String): Long = {
-    val (classes, counts) = Text.nbModel(spark, sfDir)
+    // pooled trainer (r17): publishing and in-JVM scoring share one
+    // deterministic train per (dataset, session)
+    val (classes, counts) = Text.nbModelShared(spark, sfDir)
     val v = nextVersion(spark, root)
     val dir = SnapshotStore.versionDir(root, v)
     classes.write.mode("overwrite").parquet(s"$dir/classes")

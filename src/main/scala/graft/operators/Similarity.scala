@@ -335,23 +335,36 @@ object Similarity {
     * self). The probe side is broadcast; at scale this is the
     * per-query-batch scoring kernel that LSH/IVF candidate sets feed. */
   def knnBruteForce(spark: SparkSession, sf: String, k: Int = 5): DataFrame = {
-    val e = Tables.load(spark, sf, "embeddings")
-    guardExactKernel(e, "knnBruteForce")
-    val a = quantized(e, "query_id")
-    val b = quantized(e, "neighbor_id")
-    // broadcast the probe side: every partition of `a` scores against
-    // an in-memory copy of `b` — no shuffle of the big side at scale
-    val pairs = a.crossJoin(broadcast(b))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine",
-        dot_long(col("iv_query_id"), col("iv_neighbor_id")).cast("double") /
-          (col("norm_query_id") * col("norm_neighbor_id")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    pairs.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rk"),
-        col("cosine"))
+    // SESSION-POOLED (r17): the guarded O(n·m) broadcast-NL scan is
+    // the session's single most re-derived exact kernel — q_knn_brute
+    // (k=5), q_label_knn's vote feed (k=5) and q_ivf_sweep's truth set
+    // (k=3) each paid it in full. Pool the top-max(k,5) frame once per
+    // (dataset, session); any k ≤ pooled depth is a PREFIX of it
+    // (row_number over the same deterministic (cosine desc, id) order),
+    // so serving k from the pooled frame is bit-identical to computing
+    // it directly. A caller past the pooled depth builds its own entry.
+    val kPool = math.max(k, 5)
+    val top = graft.CachePool.sessionCheckpoint(s"knn-brute-top:$kPool",
+        spark, sf) {
+      val e = Tables.load(spark, sf, "embeddings")
+      guardExactKernel(e, "knnBruteForce")
+      val a = quantized(e, "query_id")
+      val b = quantized(e, "neighbor_id")
+      // broadcast the probe side: every partition of `a` scores against
+      // an in-memory copy of `b` — no shuffle of the big side at scale
+      val pairs = a.crossJoin(broadcast(b))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cosine",
+          dot_long(col("iv_query_id"), col("iv_neighbor_id")).cast("double") /
+            (col("norm_query_id") * col("norm_neighbor_id")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      pairs.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= kPool)
+        .select(col("query_id"), col("neighbor_id"), col("rk"),
+          col("cosine"))
+    }
+    top.filter(col("rk") <= k)
       .orderBy(col("query_id"), col("rk"))
   }
 

@@ -192,8 +192,12 @@ object DocStream {
     import graft.operators.Text
     val root = graft.TempDirs.create("graft-nbstream")
     val outDir = s"$root/out"
-    val (classes, counts) = Text.nbModel(spark, sf)
-    classes.persist(); counts.persist()
+    // SESSION-POOLED (r17): the frozen model is the SAME artifact the
+    // batch rows score against — serve it from the nbModelShared
+    // checkpoint instead of re-running the tokenize→train per stream
+    // replay (checkpointed frames are already executor-resident
+    // across deliveries, so the per-delivery persist pin is inherited)
+    val (classes, counts) = Text.nbModelShared(spark, sf)
 
     val docs = Tables.load(spark, sf, "documents")
     val held = docs.filter(expr(Text.NbHoldoutExpr))
@@ -209,7 +213,6 @@ object DocStream {
         Text.nbScore(Text.nbTokenized(batch), classes, counts)
           .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
       })
-    classes.unpersist(); counts.unpersist()
 
     spark.read.option("recursiveFileLookup", "true").parquet(outDir)
       .orderBy(col("doc_id"))

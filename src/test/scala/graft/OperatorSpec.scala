@@ -970,8 +970,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(a.getLong(5) <= a.getLong(6) && a.getLong(6) <= a.getLong(7))
   }
 
+  test("knn kernel pool: any k <= pooled depth is the exact rk-prefix; warm serve bit-identical") {
+    graft.CachePool.clearSessionCheckpoints()
+    val k5 = Similarity.knnBruteForce(spark, sf, k = 5).collect() // cold build
+    val k3 = Similarity.knnBruteForce(spark, sf, k = 3).collect() // warm serve
+    assert(k3.map(_.toString).toSeq ==
+      k5.filter(_.getLong(2) <= 3L).map(_.toString).toSeq)
+    // a warm re-serve of the pooled depth reproduces the cold build
+    val k5b = Similarity.knnBruteForce(spark, sf, k = 5).collect()
+    assert(k5b.map(_.toString).toSeq == k5.map(_.toString).toSeq)
+  }
+
   test("exact kernels fail fast when the broadcast side exceeds the configured bound") {
     val key = "spark.graft.exact.maxBroadcastRows"
+    // the knn kernel is session-pooled (r17): the guard runs inside
+    // the build closure, so drop any pooled frame first — a warm
+    // serve never re-scans and correctly skips the guard
+    graft.CachePool.clearSessionCheckpoints()
     spark.conf.set(key, "10") // fixture has 50+ vectors
     try {
       val e1 = intercept[IllegalArgumentException] {
@@ -1709,6 +1724,17 @@ class OperatorSpec extends AnyFunSuite {
     }
     assert(cells.map(_._3).sum == pairs.length.toLong, "pair mass lost")
     assert(cells.exists(c => c._1 != c._2), "no cross-source cell")
+  }
+
+  test("pooled winnow fp set equals the direct census (shared substr-census derivation)") {
+    graft.CachePool.clearSessionCheckpoints()
+    val direct = Text.winnowFpSet(graft.Tables.load(spark, sf, "documents")
+        .select(col("doc_id"), col("text"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pooled = Text.winnowFpSetCached(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pooled == direct,
+      "fp projection of the positioned census drifted from the direct set")
   }
 
   test("winnow skew: the seeded boilerplate flood is purged and the pair-mass bound is measured") {
