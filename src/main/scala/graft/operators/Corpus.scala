@@ -1418,10 +1418,9 @@ object Corpus {
           .select(col("doc_id"))
         // stage 2 scores: every document under the frozen train-split
         // trigram Stupid-Backoff model (the CCNet posture — the same
-        // q_backoff_score plan, unsorted form)
-        val (tri, bigr, uni) = Text.backoffModelShared(spark, sf)
-        val scored = Text.backoffScoredUnsorted(
-            docs.select(col("doc_id"), col("text")), tri, bigr, uni)
+        // q_backoff_score plan, served from the session-pooled
+        // full-corpus scored frame, r17)
+        val scored = Text.backoffScoredAll(spark, sf)
           .select(col("doc_id"), col("mean_millibits"))
         val meta = docs.select(col("doc_id"), col("lang"),
           splitBucket.as("bucket"))

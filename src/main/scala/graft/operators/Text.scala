@@ -373,10 +373,25 @@ object Text {
     * broadcastable when the model fits, shuffle-joined otherwise)
     * plus one per-doc partial agg. Nothing iterates, nothing
     * collects. */
-  def backoffScore(spark: SparkSession, sf: String): DataFrame = {
-    val (tri, bigr, uni) = backoffModelShared(spark, sf)
-    backoffScoreWith(spark, sf, tri, bigr, uni)
-  }
+  def backoffScore(spark: SparkSession, sf: String): DataFrame =
+    backoffScoredAll(spark, sf).orderBy(col("doc_id"))
+
+  /** Full-corpus per-doc scored frame, SESSION-POOLED (r17): the
+    * corpus trigram scoring joins are the LM family's dominant stage
+    * and were re-run by q_backoff_score, q_lm_gate,
+    * q_lm_gate_by_source, the gate-cut trainer and curate_v3's
+    * stage-2 scorer; one pass per (dataset, session) against the
+    * shared model. Scoring is per-document under a frozen model (the
+    * streaming twin's contract, [[backoffScoreDocs]]), so a doc-slice
+    * consumer (the cut's train slice, curate_v3's survivors) projects
+    * from this frame bit-identically to scoring its slice directly. */
+  private[graft] def backoffScoredAll(spark: SparkSession,
+      sf: String): DataFrame =
+    graft.CachePool.sessionCheckpoint("backoff-scored-all", spark, sf) {
+      val (tri, bigr, uni) = backoffModelShared(spark, sf)
+      backoffScoredUnsorted(Tables.load(spark, sf, "documents")
+        .select(col("doc_id"), col("text")), tri, bigr, uni)
+    }
 
   /** q_backoff_score_saved: [[backoffScore]] SERVED FROM THE
     * PERSISTED MODEL — the KenLM-`.arpa`-file analog completing the
@@ -412,11 +427,8 @@ object Text {
     * scalar — trainer-bounded, the same rule as the IVF/PQ
     * trainers. */
   def lmQualityGate(spark: SparkSession, sf: String): DataFrame = {
-    val (tri, bigr, uni) = backoffModelShared(spark, sf)
-    val cut = lmGateCut(spark, sf, tri, bigr, uni)
-    backoffScoredUnsorted(
-        Tables.load(spark, sf, "documents")
-          .select(col("doc_id"), col("text")), tri, bigr, uni)
+    val cut = lmGateCut(spark, sf)
+    backoffScoredAll(spark, sf)
       .select(col("doc_id"), col("mean_millibits"))
       .filter(col("mean_millibits") <= lit(cut))
       .orderBy(col("doc_id"))
@@ -428,19 +440,25 @@ object Text {
     * two cannot disagree about the artifact they ship. Two-phase
     * bucketed rank (the pplBuckets construction), one scalar
     * collected. */
-  private[graft] def lmGateCut(spark: SparkSession, sf: String,
-      tri: DataFrame, bigr: DataFrame, uni: DataFrame): Long = {
+  private[graft] def lmGateCut(spark: SparkSession, sf: String): Long = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("text"))
-    val train = docs.join(
-      graft.operators.Corpus.splitAssignDf(docs)
-        .filter(col("split") === "train").select(col("doc_id")), "doc_id")
-    // pooled: the scored train frame feeds the extremes aggregate,
-    // the bucket projection, and the rank join
-    val scored = graft.CachePool.swapOne("lm-gate-train-scored",
-      backoffScoredUnsorted(train, tri, bigr, uni)
-        .select(col("doc_id"), col("mean_millibits")))
+    // SESSION-POOLED (r17): the train slice PROJECTS from the pooled
+    // full-corpus scored frame (scoring is per-document under the
+    // frozen model, so the slice of the whole equals scoring the
+    // slice) — the cut trainer no longer re-runs the scoring joins,
+    // and every serve path (in-place, artifact-loaded, streaming)
+    // freezes the same value because the artifact round-trip is
+    // exact-integer. The checkpointed frame feeds the extremes
+    // aggregate, the bucket projection, and the rank join.
+    val scored = graft.CachePool.sessionCheckpoint("lm-gate-train-scored",
+        spark, sf) {
+      backoffScoredAll(spark, sf).join(
+        graft.operators.Corpus.splitAssignDf(docs)
+          .filter(col("split") === "train").select(col("doc_id")), "doc_id")
+        .select(col("doc_id"), col("mean_millibits"))
+    }
     val ext = scored.agg(min(col("mean_millibits")),
       max(col("mean_millibits")), count(lit(1))).head()
     val (mn, mx, n) = (ext.getLong(0), ext.getLong(1), ext.getLong(2))
@@ -498,11 +516,8 @@ object Text {
     * ≤|sources|-row partial agg; admission shares in integer basis
     * points. */
   def lmGateBySource(spark: SparkSession, sf: String): DataFrame = {
-    val (tri, bigr, uni) = backoffModelShared(spark, sf)
-    val cut = lmGateCut(spark, sf, tri, bigr, uni)
-    val scored = backoffScoredUnsorted(
-        Tables.load(spark, sf, "documents")
-          .select(col("doc_id"), col("text")), tri, bigr, uni)
+    val cut = lmGateCut(spark, sf)
+    val scored = backoffScoredAll(spark, sf)
       .select(col("doc_id"), col("mean_millibits"))
     scored
       .join(Tables.load(spark, sf, "documents")

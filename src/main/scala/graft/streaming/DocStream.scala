@@ -282,7 +282,10 @@ object DocStream {
       Some(v))
     val Seq(triC, bigrC, uniC) =
       graft.CachePool.swap("lmgate-stream-model", tri, bigr, uni)
-    val cut = Text.lmGateCut(spark, sf, triC, bigrC, uniC)
+    // the cut value is a pure function of the dataset — identical
+    // whichever serve path scored the train slice (exact-integer
+    // artifact round-trip), so the twin shares the pooled cut trainer
+    val cut = Text.lmGateCut(spark, sf)
     val docs = Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("text"))
     DeliveryHarness.runTwoDeliveries(spark, root,

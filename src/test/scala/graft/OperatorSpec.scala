@@ -1726,6 +1726,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(cells.exists(c => c._1 != c._2), "no cross-source cell")
   }
 
+  test("pooled corpus LM scores: the train-slice projection equals scoring the slice directly") {
+    graft.CachePool.clearSessionCheckpoints()
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val trainIds = Corpus.splitAssignDf(docs)
+      .filter(col("split") === "train").select(col("doc_id"))
+    val viaPool = Text.backoffScoredAll(spark, sf)
+      .join(trainIds, "doc_id").collect()
+      .map(_.toSeq.toList).sortBy(_.head.asInstanceOf[Long].toString)
+    val (tri, bigr, uni) = Text.backoffModel(spark, sf)
+    val direct = Text.backoffScoredUnsorted(
+        docs.join(trainIds, "doc_id"), tri, bigr, uni).collect()
+      .map(_.toSeq.toList).sortBy(_.head.asInstanceOf[Long].toString)
+    assert(viaPool.nonEmpty && viaPool.toSeq == direct.toSeq,
+      "train-slice projection of the pooled scores drifted from direct slice scoring")
+  }
+
   test("pooled winnow fp set equals the direct census (shared substr-census derivation)") {
     graft.CachePool.clearSessionCheckpoints()
     val direct = Text.winnowFpSet(graft.Tables.load(spark, sf, "documents")
