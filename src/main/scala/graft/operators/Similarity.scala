@@ -556,9 +556,13 @@ object Similarity {
           (x, i) => when(i === 0, x * lit(1.01)).otherwise(x)).as("twin"))
       .select(col("neighbor_id"),
         graft.functions.ArrayOps.quantize_q(col("twin"), Q).as("iv_n"))
-    val q = quantized(e, "query_id")
+    // pinned (r17): both frames feed BOTH hash tables — unpinned, the
+    // parquet scan + twin transform + quantize ran once per table
+    val Seq(twinsC, qC) = graft.CachePool.swap("ann-recall-sides",
+      twins, quantized(e, "query_id"))
+    val q = qC
     val perTable = (0 until 2).map { t =>
-      val index = twins.withColumn("bucket", lshBucketT(col("iv_n"), t))
+      val index = twinsC.withColumn("bucket", lshBucketT(col("iv_n"), t))
       val probes = q.select(col("query_id"),
         explode(multiProbeBucketsT(col("iv_query_id"), t)).as("bucket"))
       probes.join(index, Seq("bucket"))
@@ -673,8 +677,10 @@ object Similarity {
     * recovers. Input: (vec_id, embedding). */
   private[graft] def nearDupPairsLsh(vecs: DataFrame,
       threshold: Double): DataFrame = {
-    val a = quantized(vecs, "vec_a")
-    val b = quantized(vecs, "vec_b")
+    // pinned (r17): each side feeds BOTH hash tables — unpinned, the
+    // source scan + quantize ran once per (side, table), 4× per call
+    val Seq(a, b) = graft.CachePool.swap("neardup-lsh-sides",
+      quantized(vecs, "vec_a"), quantized(vecs, "vec_b"))
     val perTable = (0 until 2).map { t =>
       val probes = a.select(col("vec_a"), col("iv_vec_a"), col("norm_vec_a"),
         explode(multiProbeBucketsT(col("iv_vec_a"), t)).as("bucket"))
