@@ -1421,9 +1421,20 @@ object Text {
     * for the Σ df² bound — that boilerplate is exactly what
     * q_boilerplate already removes wholesale. */
   def substrDedup(spark: SparkSession, sf: String): DataFrame =
-    substrDedupFrom(Tables.load(spark, sf, "documents")
-      .select(col("doc_id"), col("text")),
-      fps = Some(substrFpSetCached(spark, sf)))
+    substrDedupSpansCached(spark, sf)
+      .orderBy(col("doc_id"), col("span_start"))
+
+  /** The all-copies span frame, SESSION-POOLED (r17): q_substr_scrub
+    * rewrites the corpus by EXACTLY the spans q_substr_dedup reports —
+    * one anchor-join + extend-and-verify pass per (dataset, session)
+    * serves both the audit row and the rewrite row. */
+  private def substrDedupSpansCached(spark: SparkSession,
+      sf: String): DataFrame =
+    graft.CachePool.sessionCheckpoint("substr-dedup-spans", spark, sf) {
+      substrDedupFrom(Tables.load(spark, sf, "documents")
+        .select(col("doc_id"), col("text")),
+        fps = Some(substrFpSetCached(spark, sf)))
+    }
 
   /** Corpus-level positioned fingerprint census, SESSION-POOLED
     * (r17): q_substr_dedup, q_substr_scrub, q_substr_keep_first and
@@ -1602,10 +1613,20 @@ object Text {
     * so the anchor join is fingerprints × (small set) — at 100 TB the
     * eval fingerprint set broadcasts and the whole audit is a
     * map-side probe of the train scan. */
-  def decontaminate(spark: SparkSession, sf: String): DataFrame = {
-    val (train, test) = decontaminateSides(spark, sf)
-    substrSpansAcross(train, test)
-  }
+  def decontaminate(spark: SparkSession, sf: String): DataFrame =
+    decontaminateSpansCached(spark, sf)
+      .orderBy(col("doc_id"), col("span_start"))
+
+  /** The contaminated-span frame, SESSION-POOLED (r17):
+    * q_decontaminate_scrub rewrites by EXACTLY the spans
+    * q_decontaminate reports — one train×eval cross-kernel pass per
+    * (dataset, session) serves the audit and the rewrite. */
+  private def decontaminateSpansCached(spark: SparkSession,
+      sf: String): DataFrame =
+    graft.CachePool.sessionCheckpoint("decontaminate-spans", spark, sf) {
+      val (train, test) = decontaminateSides(spark, sf)
+      substrSpansAcross(train, test)
+    }
 
   private def decontaminateSides(spark: SparkSession,
       sf: String): (DataFrame, DataFrame) = {
@@ -1634,20 +1655,25 @@ object Text {
     * the `doc_b < doc_a` pair predicate (which also excludes
     * self-pairs); within-doc internal repeats are out of scope by the
     * same cross-doc rule as the audit. */
-  def substrKeepFirst(spark: SparkSession, sf: String): DataFrame = {
-    val docs = Tables.load(spark, sf, "documents")
-      .select(col("doc_id"), col("text"))
-    // WITHIN-corpus cross kernel: both sides are the same set, so one
-    // WinnowPack pass (pool-persisted, per-call-site key — r15
-    // advisory) serves both sides of the anchor join instead of
-    // fingerprinting the corpus twice
-    // r17: the census is the session-pooled corpus pass — safe to
-    // share with the dedup kernel (the session memo never unpersists
-    // on re-request, unlike the swap-key hazard the r15 advisory hit)
-    val fps = substrFpSetCached(spark, sf)
-    substrSpansAgainstIndex(docs, fps, fps, docs,
-      pairFilter = col("doc_b") < col("doc_a"))
-  }
+  def substrKeepFirst(spark: SparkSession, sf: String): DataFrame =
+    substrKeepFirstSpansCached(spark, sf)
+      .orderBy(col("doc_id"), col("span_start"))
+
+  /** The keep-first span frame, SESSION-POOLED (r17):
+    * q_substr_scrub_first rewrites by EXACTLY the spans
+    * q_substr_keep_first reports — one cross-kernel pass per
+    * (dataset, session) serves both rows. Census side: one
+    * WinnowPack pass ([[substrFpSetCached]]) serves both sides of
+    * the anchor join instead of fingerprinting the corpus twice. */
+  private def substrKeepFirstSpansCached(spark: SparkSession,
+      sf: String): DataFrame =
+    graft.CachePool.sessionCheckpoint("substr-keepfirst-spans", spark, sf) {
+      val docs = Tables.load(spark, sf, "documents")
+        .select(col("doc_id"), col("text"))
+      val fps = substrFpSetCached(spark, sf)
+      substrSpansAgainstIndex(docs, fps, fps, docs,
+        pairFilter = col("doc_b") < col("doc_a"))
+    }
 
   /** q_substr_scrub_first: [[substrKeepFirst]] APPLIED — the corpus
     * rewritten with every non-first copy of repeated content cut, the
@@ -1656,7 +1682,7 @@ object Text {
   def substrScrubFirst(spark: SparkSession, sf: String): DataFrame = {
     val docs = Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("text"))
-    scrubFrom(docs, substrKeepFirst(spark, sf)
+    scrubFrom(docs, substrKeepFirstSpansCached(spark, sf)
       .select(col("doc_id"), col("span_start"), col("span_end")))
   }
 
@@ -1766,7 +1792,7 @@ object Text {
   def decontaminateScrub(spark: SparkSession, sf: String): DataFrame = {
     val docs = Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("text"))
-    scrubFrom(docs, decontaminate(spark, sf)
+    scrubFrom(docs, decontaminateSpansCached(spark, sf)
       .select(col("doc_id"), col("span_start"), col("span_end")))
   }
 
@@ -1791,8 +1817,9 @@ object Text {
   def substrScrub(spark: SparkSession, sf: String): DataFrame = {
     val docs = Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("text"))
-    scrubFrom(docs, substrDedupFrom(docs,
-        fps = Some(substrFpSetCached(spark, sf)))
+    // pooled spans (r17): the rewrite cuts exactly the audit row's
+    // span frame — served from the session checkpoint, not re-derived
+    scrubFrom(docs, substrDedupSpansCached(spark, sf)
       .select(col("doc_id"), col("span_start"), col("span_end")))
   }
 

@@ -2127,10 +2127,24 @@ class OperatorSpec extends AnyFunSuite {
 
   test("substr family plan hygiene: anchor joins are equality joins, extension is the codegen kernel, no cartesian product") {
     import graft.operators.Text
+    // r17: the declared rows serve session-checkpointed span frames
+    // (their executed plan is a checkpoint scan), so the hygiene
+    // audit runs on the UNDERLYING kernel builds — the same code
+    // paths the pooled builds invoke
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val fps = Text.substrFpSet(docs)
+    val labeled = docs.join(graft.operators.Corpus.splitAssignDf(docs)
+      .select(col("doc_id"), col("split")), "doc_id")
     val frames = Map(
-      "substr_dedup" -> Text.substrDedup(spark, sf),
-      "substr_keep_first" -> Text.substrKeepFirst(spark, sf),
-      "decontaminate" -> Text.decontaminate(spark, sf),
+      "substr_dedup" -> Text.substrDedupFrom(docs),
+      "substr_keep_first" -> Text.substrSpansAgainstIndex(docs, fps, fps,
+        docs, pairFilter = col("doc_b") < col("doc_a")),
+      "decontaminate" -> Text.substrSpansAcross(
+        labeled.filter(col("split") === "train")
+          .select(col("doc_id"), col("text")),
+        labeled.filter(col("split") === "test")
+          .select(col("doc_id"), col("text"))),
       "delta_substr" -> Text.deltaSubstr(spark, sf))
     frames.foreach { case (name, df) =>
       val plan = df.queryExecution.executedPlan.toString
