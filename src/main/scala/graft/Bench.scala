@@ -75,9 +75,52 @@ import org.apache.spark.sql.SparkSession
   * AND trailing compact lines make either capture direction
   * parseable), the full line sits between them, and per-sweep
   * progress goes to STDERR so stdout stays a clean JSON record even
-  * when the process is killed mid-run.
+  * when the process is killed mid-run. BELT-AND-SUSPENDERS (r18, the
+  * four-rounds-of-`parsed: null` fix): the same two lines are ALSO
+  * written to a file (`SPARK_GRAFT_BENCH_OUT`, default
+  * `bench_last.json` in the working dir — compact line, then full
+  * line, JSONL) so per-query data never depends on stdout capture.
+  *
+  * PER-OPERATOR SIGNAL (r18, the r17 verdict's top item — session
+  * pooling made ~45 rows' mins warm checkpoint serves, so the
+  * artifact could no longer attribute a regression in any pooled
+  * kernel):
+  *
+  *   - every [[CachePool.sessionCheckpoint]] BUILD is timed and
+  *     charged to the query whose timed run paid it; the full
+  *     artifact line carries `pool_builds` (kernel, seconds,
+  *     charging query@sweep) and the compact line carries
+  *     `n_pool_builds` / `pool_build_sec`, so sweep-1 totals
+  *     decompose into serve cost + build cost per kernel;
+  *   - COLD mode (`SPARK_GRAFT_BENCH_COLD=1`, `bench_cold` in the
+  *     artifact): every cross-query memo — the CachePool session
+  *     checkpoints and generational pins, the fast-mode artifact
+  *     memo, the shingle / dup-method-leg / curate upstreams, the
+  *     IVF-PQ-SQ trainer content caches — is cleared BEFORE EVERY
+  *     QUERY, so each row's time is its full from-parquet operator
+  *     cost. The driver never sets it; the builder runs it once per
+  *     round and commits the artifact (plans/r18/) so pooled-kernel
+  *     regressions stay attributable. (The bucketing / partition-
+  *     pruning written-layout memos are NOT cleared: write-once IS
+  *     the semantics those rows measure, unchanged since their build
+  *     rounds.)
   */
 object Bench {
+
+  /** COLD-mode per-query reset: drop every cross-query memo so the
+    * next query computes from the fixture parquet alone. */
+  private def coldReset(): Unit = {
+    CachePool.clearSessionCheckpoints()
+    CachePool.clear()
+    operators.IndexStore.clearArtifactMemo()
+    operators.Dedup.clearShingleCache()
+    operators.Dedup.clearDupMethodLegs()
+    operators.Corpus.clearCurateCache()
+    operators.Corpus.clearCurateV3Cache()
+    operators.Similarity.clearCentroidCache()
+    operators.Similarity.clearPqCache()
+    operators.Similarity.clearSqGridCache()
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -86,6 +129,7 @@ object Bench {
     val watchdogK = sys.env.getOrElse("SPARK_GRAFT_WATCHDOG_K",
       BenchSchedule.WatchdogK.toString).toDouble
     BenchMode.fast = sys.env.getOrElse("SPARK_GRAFT_BENCH_FAST", "1") != "0"
+    val cold = sys.env.getOrElse("SPARK_GRAFT_BENCH_COLD", "0") == "1"
     // committed per-query reference times (seconds, last quiet
     // artifact); missing/malformed file → empty map → r16 behavior
     val refTimes: Map[String, Double] = {
@@ -131,8 +175,12 @@ object Bench {
     var nWatchdog = 0
     def once(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        wdS: Option[Double]): (Double, Option[String]) = {
+        wdS: Option[Double], sweepTag: String): (Double, Option[String]) = {
       spark.catalog.clearCache()
+      if (cold) coldReset()
+      // pooled builds that run inside this timed region are charged
+      // to this query in the artifact's pool_builds map
+      CachePool.setChargeContext(s"$name@$sweepTag")
       val gid = s"bench-$name"
       @volatile var fired = false
       // repeating timer: cancelJobGroup only kills ACTIVE jobs, and a
@@ -221,7 +269,8 @@ object Bench {
             BenchSchedule.loadFactor(samples.toSeq))
           if (BenchSchedule.fitsQuery(est, budgetS, elapsedS)) {
             val r = once(name, fnByName(name),
-              BenchSchedule.watchdogS(refOf(name), watchdogK))
+              BenchSchedule.watchdogS(refOf(name), watchdogK),
+              s"s${sweepBuf.size + 1}")
             buf(name) = r
             refOf(name).foreach(ref => samples += ((r._1, ref)))
           }
@@ -302,11 +351,24 @@ object Bench {
     // budget-skipped); "partial_sweeps" counts sweeps a budget stop
     // cut short (their completed runs still feed every min);
     // "skipped_sweeps" counts configured sweeps never started.
+    // per-kernel pooled build cost, charged to the query whose timed
+    // run paid it — the r17 verdict's per-operator-signal restoration:
+    // a reader decomposes any sweep total into serve + build cost, and
+    // a pooled-kernel regression shows up HERE even when every min is
+    // a warm serve
+    val poolBuilds = CachePool.drainBuildLog()
+    val poolBuildSec = poolBuilds.map(_._2).sum
+    val poolJson = poolBuilds.map { case (k, s, q) =>
+      s"""{"kernel":"${esc(k)}","sec":${num(s)},"charge":"${esc(q)}"}"""
+    }.mkString("[", ",", "]")
     val base =
       s""""unit":"sec","sweeps":${sweepBuf.size},""" +
       s""""extra_sweeps":$extraSweeps,"skipped_sweeps":$skippedSweeps,""" +
       s""""partial_sweeps":$partialSweeps,""" +
       s""""bench_fast":${if (BenchMode.fast) 1 else 0},""" +
+      s""""bench_cold":${if (cold) 1 else 0},""" +
+      s""""n_pool_builds":${poolBuilds.size},""" +
+      s""""pool_build_sec":${num(poolBuildSec)},""" +
       s""""ref_n":${refTimes.size},"n_watchdog":$nWatchdog,""" +
       s""""load_ratio":${num(loadRatio)},""" +
       s""""total_composite":${num(composite)},""" +
@@ -327,9 +389,22 @@ object Bench {
       .map { case (k, v, _, _) => s"\"${esc(k)}\":" + num(v) }
       .mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":${num(composite)},$base,"n_queries":${ok.size},"n_errors":${errored.size},"n_not_run":${notRun.size},"top10":$top10,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${num(composite)},$base,"queries":$qs,"runs":$runsJson,"pool_builds":$poolJson,"errors":$errs,"sf":"$sfDir"}"""
     println(compact)
-    println(s"""{"metric":"total","value":${num(composite)},$base,"queries":$qs,"runs":$runsJson,"errors":$errs,"sf":"$sfDir"}""")
+    println(full)
     println(compact)
+    // stdout-independent channel (r18): the driver recorded
+    // `parsed: null` for four consecutive rounds because the stdout
+    // capture truncated — the same two lines land in a stable file
+    // (compact first, then full; JSONL) so per-query data survives any
+    // capture failure. Best-effort: an unwritable path must not fail
+    // the run that just produced a good stdout record.
+    scala.util.Try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (compact + "\n" + full + "\n").getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
     // watchdog timeouts are the budget contract working, not a crash —
     // only a genuine every-sweep failure fails the process

@@ -84,10 +84,10 @@ object CachePool {
     pool.clear()
   }
 
-  // ---- keyed session memos of locally-checkpointed kernels ----------
+  // ---- keyed session memos of materialized kernels -------------------
 
-  /** One locally-checkpointed frame per (kernel, dataset, session) —
-    * the [[graft.operators.Corpus]] curateUpstream / dupMethodLegs
+  /** One materialized frame per (kernel, dataset, session) — the
+    * [[graft.operators.Corpus]] curateUpstream / dupMethodLegs
     * discipline as ONE shared helper instead of a per-operator memo
     * copy: several declared queries consume the SAME expensive kernel
     * output (the MinHash-LSH verified pair set feeds the matrix,
@@ -99,42 +99,170 @@ object CachePool {
     * artifact once to scratch storage and runs every downstream
     * analysis off the same bytes.
     *
+    * MATERIALIZATION (r18, the scale-honesty fix): the primitive is
+    * conf-gated via `spark.graft.pool.materialize`:
+    *
+    *   - `localCheckpoint` (default, right for local mode): eager
+    *     MEMORY_AND_DISK RDD blocks. Failure semantics AT SCALE: the
+    *     blocks are NOT replicated and the lineage is truncated — on a
+    *     real cluster, losing ONE executor after the build makes every
+    *     later consumer of the pooled frame fail (there is nothing to
+    *     recompute from). That is acceptable on local[n] (executor ==
+    *     driver) and wrong for production.
+    *   - `parquet`: write-through to scratch storage
+    *     ([[TempDirs]]-registered dir) and re-read — the reliable
+    *     production shape: consumers survive executor loss (the bytes
+    *     live in storage, re-readable by any executor) at the cost of
+    *     one write+read round trip. Every pooled frame is exact
+    *     (longs / strings / IEEE754 doubles, all parquet-round-trip
+    *     bit-exact), so the served frame is bit-identical on either
+    *     path — pinned by OperatorSpec's materialize-parity spec.
+    *
+    * RESIDENCY BOUND (r18): `spark.graft.pool.maxResident` (default
+    * 64) caps the number of resident pooled kernels; past it the
+    * least-recently-SERVED entry is freed. Eviction has the same
+    * failure semantics as dataset supersession: a consumer that still
+    * holds a lazy, unevaluated reference to the evicted frame fails on
+    * evaluation (localCheckpoint) or recomputes from scratch storage
+    * until the dir is deleted (parquet) — safe between queries, which
+    * is when the pool is quiescent; the default is sized above the
+    * repo's whole kernel surface (~25) so local runs never evict.
+    *
     * Semantics: single entry per kernel key; requesting a different
     * dataset (or the same one from a NEW session) rebuilds and
-    * releases the superseded generation's checkpoint blocks
-    * IMMEDIATELY ([[freeLocalCheckpoint]], the r16 advisory rule).
-    * localCheckpoint (eager, MEMORY_AND_DISK RDD blocks) sits outside
-    * the catalog cache, so the bench harness's per-query
-    * `catalog.clearCache()` hygiene cannot strip it. Frames must be
-    * pure functions of the immutable fixture parquet (the
-    * shingledCached contract). The FIRST consumer pays the build
-    * inside its own timed run; Verify and the specs share the same
-    * memo, and outputs are bit-identical either way because the
-    * checkpoint is a materialization boundary, not a plan change. */
-  private val ckMemo =
-    scala.collection.mutable.HashMap.empty[String, (String, DataFrame)]
+    * releases the superseded generation's blocks IMMEDIATELY
+    * ([[freeLocalCheckpoint]] / scratch-dir delete, the r16 advisory
+    * rule). Materialized frames sit outside the catalog cache, so the
+    * bench harness's per-query `catalog.clearCache()` hygiene cannot
+    * strip them. Frames must be pure functions of the immutable
+    * fixture parquet (the shingledCached contract). The FIRST consumer
+    * pays the build inside its own timed run — and r18 makes that
+    * visible: every build is timed and logged ([[drainBuildLog]]), and
+    * the bench artifact carries the per-kernel build cost plus a COLD
+    * mode that clears the pool between queries, so the per-operator
+    * signal survives pooling (the r17 verdict's top item). Verify and
+    * the specs share the same memo, and outputs are bit-identical
+    * either way because the checkpoint is a materialization boundary,
+    * not a plan change.
+    *
+    * LOCKING (r17 advisory): the Spark build job runs OUTSIDE the
+    * pool's monitor — the key is reserved under the lock (per-key
+    * in-flight latch), built unlocked, published under the lock — so
+    * one long-running build no longer serializes every unrelated
+    * pooled kernel in concurrent sessions/notebooks. */
+  private val ckMemo = scala.collection.mutable.HashMap
+    .empty[String, Entry]
+  private val inFlight = scala.collection.mutable.HashMap
+    .empty[String, java.util.concurrent.CountDownLatch]
+  private case class Entry(sf: String, df: DataFrame,
+      scratchDir: Option[String], var lastServed: Long)
+  private var serveTick = 0L
 
-  def sessionCheckpoint(kernel: String, spark: SparkSession, sf: String)(
-      build: => DataFrame): DataFrame = synchronized {
-    ckMemo.get(kernel) match {
-      case Some((k, df)) if k == sf && (df.sparkSession eq spark) => df
-      case prev =>
-        prev.foreach { case (_, old) => freeLocalCheckpoint(old) }
-        // drop the superseded entry BEFORE building: a build that
-        // throws (the guarded exact kernels fail fast past their
-        // broadcast bound) must not leave a stale mapping to a frame
-        // whose checkpoint blocks were just freed
-        ckMemo.remove(kernel)
-        val df = build.localCheckpoint()
-        ckMemo(kernel) = (sf, df)
-        df
+  /** Every pooled build this JVM has run: (kernel, build seconds,
+    * charge label). The charge label is whatever the harness set via
+    * [[setChargeContext]] — the bench sets "query@sweep" around each
+    * timed run, so the artifact can attribute each build to the query
+    * whose timed run paid for it. */
+  private val buildLog =
+    scala.collection.mutable.ArrayBuffer.empty[(String, Double, String)]
+  @volatile private var charge: String = ""
+
+  /** Label the current timed region; pooled builds that run inside it
+    * are charged to this label in [[drainBuildLog]]. */
+  def setChargeContext(label: String): Unit = { charge = label }
+
+  /** Drain the build log (bench artifact emission). */
+  def drainBuildLog(): Seq[(String, Double, String)] = synchronized {
+    val out = buildLog.toList
+    buildLog.clear()
+    out
+  }
+
+  private def freeEntry(e: Entry): Unit = {
+    e.scratchDir match {
+      case Some(dir) => TempDirs.delete(dir)
+      case None => freeLocalCheckpoint(e.df)
     }
   }
 
-  /** Release every kernel session memo (test/session hygiene). */
+  /** Materialize per the conf (see the memo doc above). */
+  private def materialize(df: DataFrame): (DataFrame, Option[String]) = {
+    val spark = df.sparkSession
+    spark.conf.get("spark.graft.pool.materialize", "localCheckpoint") match {
+      case "parquet" =>
+        val dir = TempDirs.create("graft-pool")
+        df.write.mode("overwrite").parquet(dir)
+        (spark.read.parquet(dir), Some(dir))
+      case _ => (df.localCheckpoint(), None)
+    }
+  }
+
+  def sessionCheckpoint(kernel: String, spark: SparkSession, sf: String)(
+      build: => DataFrame): DataFrame = {
+    while (true) {
+      // reserve-or-serve under the lock; never run a Spark job here
+      val decision: Either[DataFrame,
+          Option[java.util.concurrent.CountDownLatch]] = synchronized {
+        ckMemo.get(kernel) match {
+          case Some(e) if e.sf == sf && (e.df.sparkSession eq spark) =>
+            serveTick += 1; e.lastServed = serveTick
+            Left(e.df)
+          case stale =>
+            inFlight.get(kernel) match {
+              case Some(latch) => Right(Some(latch))
+              case None =>
+                // drop the superseded entry BEFORE building: a build
+                // that throws (the guarded exact kernels fail fast
+                // past their broadcast bound) must not leave a stale
+                // mapping to a frame whose blocks were just freed
+                stale.foreach(freeEntry)
+                ckMemo.remove(kernel)
+                val l = new java.util.concurrent.CountDownLatch(1)
+                inFlight(kernel) = l
+                Right(None)
+            }
+        }
+      }
+      decision match {
+        case Left(df) => return df
+        case Right(Some(latch)) =>
+          latch.await() // another thread is building this key — wait,
+                        // then re-enter (serves the publish, or takes
+                        // over the build if that thread's build threw)
+        case Right(None) =>
+          try {
+            val t0 = System.nanoTime()
+            val (df, dir) = materialize(build) // Spark job, UNLOCKED
+            val dt = (System.nanoTime() - t0) / 1e9
+            synchronized {
+              serveTick += 1
+              ckMemo(kernel) = Entry(sf, df, dir, serveTick)
+              buildLog += ((kernel, dt, charge))
+              evictPast(spark.conf
+                .get("spark.graft.pool.maxResident", "64").toInt)
+            }
+            return df
+          } finally {
+            synchronized { inFlight.remove(kernel).foreach(_.countDown()) }
+          }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Free least-recently-served entries past the residency bound —
+    * caller holds the monitor. */
+  private def evictPast(maxResident: Int): Unit =
+    if (ckMemo.size > maxResident) {
+      ckMemo.toSeq.sortBy(_._2.lastServed)
+        .take(ckMemo.size - maxResident)
+        .foreach { case (k, e) => freeEntry(e); ckMemo.remove(k) }
+    }
+
+  /** Release every kernel session memo (test/session hygiene, and the
+    * bench COLD mode's per-query reset). */
   def clearSessionCheckpoints(): Unit = synchronized {
-    ckMemo.valuesIterator.foreach { case (_, df) =>
-      freeLocalCheckpoint(df) }
+    ckMemo.valuesIterator.foreach(freeEntry)
     ckMemo.clear()
   }
 }
