@@ -17,9 +17,13 @@ object Explain {
     val names =
       if (args.length > 1) args.tail.toSeq
       else SparkEntry.queries.keys.toSeq.sorted
+    // honors $SPARK_GRAFT_CPUS (r18) so captures can show the
+    // parallelism-DERIVED plan shapes (the IVF salt fan-out) at the
+    // bench's core count, not the audit default
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config(graft.Sessions.NanosAsLongKey, "true")
       .getOrCreate()

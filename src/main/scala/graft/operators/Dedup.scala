@@ -60,7 +60,21 @@ object Dedup {
           cached
         case prev =>
           prev.foreach(p => scala.util.Try(p._2.unpersist()))
+          // repartition to the SESSION's parallelism before the pin
+          // (r18): the cached frame otherwise inherits the SCAN's
+          // partitioning — a fixture table is one parquet file under
+          // maxPartitionBytes, i.e. ONE partition — and the exact
+          // pair kernels' expensive stage (broadcast pair join +
+          // partial agg) runs map-side over these cached partitions
+          // with NO exchange to re-parallelize it: measured at the 8×
+          // scaling fixture as one task holding ~136 s of CPU while
+          // 31 cores idle (core-count-independent wall-clock, the
+          // signature that exposed it). Hash on doc_id (no sort-
+          // before-repartition cost, deterministic); N derives from
+          // defaultParallelism — scale-adaptive, never a constant.
+          val n = math.max(1, spark.sparkContext.defaultParallelism)
           val fresh = shingled(Tables.load(spark, sf, "documents"))
+            .repartition(n, col("doc_id"))
           shingleMemo = Some(sf -> fresh)
           fresh
       }
@@ -129,6 +143,14 @@ object Dedup {
         allSh.join(df.filter(col("df") <= c).select(col("shingle")), "shingle")
       case None => allSh
     }
+    // NOT salted (r18, measured): with the shingled cache
+    // repartitioned to session parallelism (see [[shingledCached]] —
+    // the actual fix for this kernel's single-task pathology), a
+    // b-side doc-hash salt was tried and measured WORSE at the 8×
+    // scaling fixture (35.2 s salted ×4 vs 28.5 s unsalted at c32):
+    // the a-side ×S explode volume costs more than the residual
+    // hot-shingle spread saves. The skew answer of record stays
+    // dfCap (the Hernández–Stolfo purge above) + the LSH twin.
     val pairs = exploded.as("a")
       .join(exploded.as("b"),
         col("a.shingle") === col("b.shingle") &&

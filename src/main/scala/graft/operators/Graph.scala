@@ -92,20 +92,27 @@ object Graph {
     val s0 = G / nn
     val base = (G * (DampDen - DampNum) / DampDen) / nn
     var score = nodes.select(col("node"), lit(s0).as("s")).localCheckpoint()
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       // the teleport term rides a zero-contribution row per node
       // through the SAME aggregation, so nodes without in-edges need
       // no second join to be re-materialized
       val renamed = score.withColumnRenamed("node", "src")
         .withColumnRenamed("s", "src_s")
-      score = edgesDeg
+      val next = edgesDeg
         .join(if (broadcastScore) broadcast(renamed) else renamed, "src")
         .select(col("dst").as("node"), expr("src_s div outdeg").as("c"))
         .union(nodes.select(col("node"), lit(0L).as("c")))
         .groupBy(col("node")).agg(sum(col("c")).as("s_in"))
         .select(col("node"),
           (lit(base) + expr(s"($DampNum * s_in) div $DampDen")).as("s"))
-        .localCheckpoint()
+      // checkpoint every OTHER round (r18): the checkpoint is a pure
+      // materialization boundary (bit-identical output), so halving
+      // the eager jobs halves per-round scheduling overhead at a
+      // bounded cost — lineage depth never exceeds two rounds, far
+      // under the compounding that motivated per-round checkpoints
+      // (the Dedup.clustersFrom lesson was unbounded depth)
+      score =
+        if (i % 2 == 0 || i == iters) next.localCheckpoint() else next
     }
     edgesDeg.unpersist(); nodes.unpersist()
     score.select(col("node"),
@@ -507,6 +514,13 @@ object Graph {
     var round = 0
     while (round < rounds) {
       val renamed = labels.select(col("v").as("u"), col("label"))
+      // the old label rides INTO the checkpointed frame (r18): the
+      // halting test used to run a separate join of two checkpointed
+      // frames per round — folding the comparison into the round's
+      // own materialization job makes the halting count a plain
+      // filter-scan of the in-memory checkpoint, one shuffle fewer
+      // per round, and bit-identical (the chg column is projected
+      // away before the next round reads the labels)
       val next = sym.select(col("src").as("v"), col("dst").as("u"))
         .join(if (broadcastLabels) broadcast(renamed) else renamed, "u")
         .select(col("v"), col("label"))
@@ -515,14 +529,12 @@ object Graph {
         .groupBy(col("v"))
         .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("b"))
         .select(col("v"), (-col("b.neg")).as("label"))
+        .join(labels.select(col("v"), col("label").as("old")), "v")
+        .select(col("v"), col("label"),
+          (col("label") =!= col("old")).as("chg"))
         .localCheckpoint()
-      // halting test: unchanged labels ⇒ fixpoint ⇒ all later rounds
-      // (here and in the oracle's remaining layers) are the identity.
-      // One scalar job over two checkpointed node-sized frames.
-      val changed = next
-        .join(labels.withColumnRenamed("label", "old"), "v")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      val changed = next.filter(col("chg")).count()
+      labels = next.select(col("v"), col("label"))
       if (changed == 0L) round = rounds else round += 1
     }
     // labels is localCheckpoint'ed (eager) — the returned plan no

@@ -266,7 +266,10 @@ object Linkage {
     try {
       val recs = graft.CachePool.swapOne("linkage-skew-records",
         skewRecords(spark, sf))
-      resolve(recs, matchedPairs(recs, recs))
+      // self-linkage: the census basis is the record set itself (r18)
+      // — the default left ∪ right would scan-and-distinct the same
+      // frame twice for the same block counts
+      resolve(recs, matchedPairs(recs, recs, censusOver = Some(recs)))
     } finally prev match {
       case Some(v) => spark.conf.set(MaxBlockConf, v)
       case None => spark.conf.unset(MaxBlockConf)

@@ -22,6 +22,24 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // r18 (guide §1.2 per-task work): ImageIO's default stream cache is
+  // DISK-backed — every ImageIO.read/write over a byte-array stream
+  // creates (and deletes) a temp FILE per image, so the codec passes
+  // paid one filesystem round-trip per frame on top of the actual
+  // encode/decode. In-memory payloads this small (8×8-ish rasters,
+  // ~100 B compressed) belong in the memory-backed stream cache.
+  // Process-wide, pixel-exact: the codec and the decoded rasters are
+  // unchanged, only the stream plumbing stops touching disk. Each
+  // codec mapPartitions calls [[memCachedImageIO]] first — object
+  // initialization alone would not reach a remote executor whose
+  // closure never touches this object's fields.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Idempotent per-task switch to the memory-backed ImageIO stream
+    * cache (see the object-level note). */
+  private def memCachedImageIO(): Unit =
+    if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
+
   /** Synthesize a binary "media" column from document text (the
     * harness has no media tables; payload bytes are UTF-8 text, which
     * keeps every downstream byte-level op real). */
@@ -79,7 +97,12 @@ object Multimodal {
       .encoderFor(imageSchema)
     Tables.load(spark, sf, "documents")
       .select(col("doc_id"))
+      // one partition per fixture file otherwise — the PNG encode
+      // pass would run single-task (r18, the shingledCached finding)
+      .repartition(math.max(1, spark.sparkContext.defaultParallelism),
+        col("doc_id"))
       .mapPartitions { rows =>
+        memCachedImageIO()
         rows.map { r =>
           val id = r.getLong(0)
           val w = 8 + (id % 8).toInt
@@ -127,6 +150,7 @@ object Multimodal {
       .mapPartitions { rows =>
         // codec init amortized per partition (ImageIO reader registry
         // lookup happens once per JVM; stream wrappers per image)
+        memCachedImageIO()
         rows.map { r =>
           val id = r.getLong(0)
           val img = javax.imageio.ImageIO.read(
@@ -174,6 +198,7 @@ object Multimodal {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(hashSchema)
     val hashes = imageized(spark, sf).mapPartitions { rows =>
+      memCachedImageIO()
       rows.map { r =>
         val id = r.getLong(0)
         val img = javax.imageio.ImageIO.read(
@@ -439,7 +464,12 @@ object Multimodal {
       .encoderFor(decodedFeatSchema)
     val feats = Tables.load(spark, sf, "documents")
       .select(col("doc_id"))
+      // the per-frame encode→decode round trip is the expensive map
+      // stage — never leave it on the scan's one-partition layout
+      .repartition(math.max(1, spark.sparkContext.defaultParallelism),
+        col("doc_id"))
       .mapPartitions { rows =>
+        memCachedImageIO()
         rows.flatMap { r =>
           val id = r.getLong(0)
           val w = 8 + (id % 8).toInt

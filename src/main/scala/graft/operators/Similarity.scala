@@ -333,7 +333,15 @@ object Similarity {
 
   /** Brute-force cosine top-k neighbors per vector (k=5, excluding
     * self). The probe side is broadcast; at scale this is the
-    * per-query-batch scoring kernel that LSH/IVF candidate sets feed. */
+    * per-query-batch scoring kernel that LSH/IVF candidate sets feed.
+    *
+    * GUARD SEMANTICS (r17 advisory): the
+    * `spark.graft.exact.maxBroadcastRows` fail-fast runs PER BUILD,
+    * not per call — a warm serve from the session pool re-reads the
+    * already-materialized top-k frame and never re-scans the source,
+    * so it correctly skips the guard; lowering the bound mid-session
+    * takes effect at the next cold build
+    * ([[graft.CachePool.clearSessionCheckpoints]] forces one). */
   def knnBruteForce(spark: SparkSession, sf: String, k: Int = 5): DataFrame = {
     // SESSION-POOLED (r17): the guarded O(n·m) broadcast-NL scan is
     // the session's single most re-derived exact kernel — q_knn_brute
@@ -348,7 +356,13 @@ object Similarity {
         spark, sf) {
       val e = Tables.load(spark, sf, "embeddings")
       guardExactKernel(e, "knnBruteForce")
-      val a = quantized(e, "query_id")
+      // probe side repartitioned to session parallelism (r18): the
+      // embeddings scan is one partition per fixture file, and the
+      // n·m scoring below is MAP-side against the broadcast — with no
+      // exchange to re-parallelize it, the whole O(n·m) stage
+      // otherwise runs on a single task (the shingledCached finding)
+      val n = math.max(1, spark.sparkContext.defaultParallelism)
+      val a = quantized(e, "query_id").repartition(n, col("query_id"))
       val b = quantized(e, "neighbor_id")
       // broadcast the probe side: every partition of `a` scores against
       // an in-memory copy of `b` — no shuffle of the big side at scale
@@ -677,27 +691,45 @@ object Similarity {
     * recovers. Input: (vec_id, embedding). */
   private[graft] def nearDupPairsLsh(vecs: DataFrame,
       threshold: Double): DataFrame = {
-    // pinned (r17): each side feeds BOTH hash tables — unpinned, the
-    // source scan + quantize ran once per (side, table), 4× per call
-    val Seq(a, b) = graft.CachePool.swap("neardup-lsh-sides",
-      quantized(vecs, "vec_a"), quantized(vecs, "vec_b"))
+    // pinned (r17, narrowed r18): ONE quantized frame feeds both hash
+    // tables AND both sides of the candidate join — unpinned, the
+    // source scan + quantize ran once per (side, table), 4× per call;
+    // the r17 two-frame pin still paid the scan+quantize twice.
+    // Repartitioned to session parallelism before the pin: the pinned
+    // frame otherwise inherits the scan's one-partition-per-fixture-
+    // file layout and the per-table probe stages (26 bucket dot
+    // products per vector) run single-task off the cache.
+    val base = graft.CachePool.swapOne("neardup-lsh-base",
+      quantized(vecs, "vid").repartition(
+        math.max(1, vecs.sparkSession.sparkContext.defaultParallelism),
+        col("vid")))
+    // Candidate discovery on (id, bucket) LONGS only (r18, guide §8
+    // "decide with small rows, move big rows once"): the r17 shape
+    // carried both 64-long quantized vectors and both norms through
+    // the probe explode (13×), the bucket-join exchange AND the
+    // pair-dedup exchange — ~1 KB/row where 16 bytes decide. The
+    // candidate pair set is identical; payloads attach ONCE, after
+    // the dedup, by two id-keyed joins against the same pinned frame.
     val perTable = (0 until 2).map { t =>
-      val probes = a.select(col("vec_a"), col("iv_vec_a"), col("norm_vec_a"),
-        explode(multiProbeBucketsT(col("iv_vec_a"), t)).as("bucket"))
-      val index = b.withColumn("bucket", lshBucketT(col("iv_vec_b"), t))
+      val probes = base.select(col("vid").as("vec_a"),
+        explode(multiProbeBucketsT(col("iv_vid"), t)).as("bucket"))
+      val index = base.select(col("vid").as("vec_b"),
+        lshBucketT(col("iv_vid"), t).as("bucket"))
       probes.join(index, Seq("bucket"))
         .filter(col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"),
-          col("iv_vec_a"), col("iv_vec_b"),
-          col("norm_vec_a"), col("norm_vec_b"))
+        .select(col("vec_a"), col("vec_b"))
     }
     // dedup BEFORE the dot product: a pair found by both tables (the
     // common case for true near-dups) scores once, not twice
     perTable.reduce(_ union _)
       .dropDuplicates("vec_a", "vec_b")
+      .join(base.select(col("vid").as("vec_a"),
+        col("iv_vid").as("iv_a"), col("norm_vid").as("norm_a")), "vec_a")
+      .join(base.select(col("vid").as("vec_b"),
+        col("iv_vid").as("iv_b"), col("norm_vid").as("norm_b")), "vec_b")
       .withColumn("cosine",
-        dot_long(col("iv_vec_a"), col("iv_vec_b")).cast("double") /
-          (col("norm_vec_a") * col("norm_vec_b")))
+        dot_long(col("iv_a"), col("iv_b")).cast("double") /
+          (col("norm_a") * col("norm_b")))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
@@ -869,6 +901,33 @@ object Similarity {
     }
   }
 
+  /** SALTED cell join (r18, guide §2.5), shared by every cell-probed
+    * scoring kernel: the bare join key has only [[IvfCells]] (16)
+    * distinct values, so at most 16 tasks ever score candidates — a
+    * structural parallelism cap — and one hot cell bounds the stage at
+    * its own occupancy², which AQE skew-join cannot split (one key =
+    * one indivisible partition). The salt is DETERMINISTIC (xxhash64
+    * of the index-side id — never rand(): a retried map task would
+    * re-draw and lose/duplicate rows, SPARK-38388): each cell's index
+    * list splits S ways, probes explode all S salt values, so every
+    * (query, neighbor) candidate still meets EXACTLY once and the
+    * output is independent of S (spec-pinned). S derives from the
+    * session's parallelism — scale-adaptive, never a local constant;
+    * S=1 reproduces the unsalted plan. `spark.graft.ivf.salts`
+    * overrides for specs/tuning. */
+  private def ivfSalts(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.ivf.salts",
+      math.max(1, spark.sparkContext.defaultParallelism * 2 / IvfCells)
+        .toString).toInt
+
+  private def saltIndexSide(df: DataFrame, idCol: String,
+      salts: Int): DataFrame =
+    df.withColumn("salt", pmod(xxhash64(col(idCol)), lit(salts.toLong)))
+
+  private def saltProbeSide(df: DataFrame, salts: Int): DataFrame =
+    df.withColumn("salt",
+      explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
+
   /** The IVF candidate-pair stream every cell-probed consumer shares:
     * vectors index into their nearest k-means cell, queries probe the
     * NProbe nearest cells, candidates meet on CELL EQUALITY (shuffle
@@ -887,13 +946,16 @@ object Similarity {
   private[graft] def ivfCandidatePairsWith(spark: SparkSession,
       sf: String, cents: Seq[Seq[Long]]): DataFrame = {
     val e = Tables.load(spark, sf, "embeddings")
-    val indexed = quantized(e, "neighbor_id")
+    val salts = ivfSalts(spark)
+    val indexed = saltIndexSide(quantized(e, "neighbor_id")
       .withColumn("cell",
-        element_at(nearestCellsQ(col("iv_neighbor_id"), cents, 1), 1))
-    val probes = quantized(e, "query_id")
+        element_at(nearestCellsQ(col("iv_neighbor_id"), cents, 1), 1)),
+      "neighbor_id", salts)
+    val probes = saltProbeSide(quantized(e, "query_id")
       .withColumn("cell",
-        explode(nearestCellsQ(col("iv_query_id"), cents, NProbe)))
-    probes.join(indexed, Seq("cell"))
+        explode(nearestCellsQ(col("iv_query_id"), cents, NProbe))),
+      salts)
+    probes.join(indexed, Seq("cell", "salt"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         dot_long(col("iv_query_id"), col("iv_neighbor_id")).cast("double") /
@@ -1893,8 +1955,13 @@ object Similarity {
         pqLut(col("iv"), books).as("lut"))
     // the cell-equality shuffle join doubles as the stage split that
     // keeps the (huge, JIT-ineligible) LUT/probe codegen out of the
-    // per-candidate ADC stage — the pqPlantedRecall lesson for free
-    probes.join(index, Seq("cell"))
+    // per-candidate ADC stage — the pqPlantedRecall lesson for free.
+    // Salted (r18, see [[ivfSalts]]): the per-candidate ADC stage is
+    // otherwise capped at 16 tasks with hot-cell skew.
+    val salts = ivfSalts(spark)
+    saltProbeSide(probes, salts)
+      .join(saltIndexSide(index, "neighbor_id", salts),
+        Seq("cell", "salt"))
       .select(col("query_id"),
         struct(graft.functions.ArrayOps.pq_adc(col("lut"), col("codes"), PqK)
             .as("adc"),
@@ -1935,7 +2002,12 @@ object Similarity {
         explode(nearestCellsQ(col("iv"), cents, NProbe)).as("cell"),
         array((0 until Dim).map(i =>
           element_at(col("iv"), i + 1) * lit(step(i))): _*).as("w"))
-    probes.join(index, Seq("cell"))
+    // salted cell join (r18, see [[ivfSalts]]): the per-candidate
+    // sq_wdot scoring stage is otherwise capped at 16 tasks
+    val salts = ivfSalts(spark)
+    saltProbeSide(probes, salts)
+      .join(saltIndexSide(index, "neighbor_id", salts),
+        Seq("cell", "salt"))
       .select(col("query_id"),
         struct((-graft.functions.ArrayOps.sq_wdot(col("w"), col("packed")))
             .as("neg_score"),

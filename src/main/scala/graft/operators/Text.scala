@@ -1447,8 +1447,15 @@ object Text {
     * cannot strip the frame behind another's still-lazy result). */
   private def substrFpSetCached(spark: SparkSession, sf: String): DataFrame =
     graft.CachePool.sessionCheckpoint("substr-fpset", spark, sf) {
+      // repartition to session parallelism BEFORE the winnow_pack
+      // explode (r18): the documents scan is one partition per fixture
+      // file, so the census's per-char fingerprint hashing — the
+      // expensive map stage — otherwise runs on a single task (the
+      // shingledCached finding; see the 8× scaling artifact)
+      val n = math.max(1, spark.sparkContext.defaultParallelism)
       substrFpSet(Tables.load(spark, sf, "documents")
-        .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("text"))
+        .repartition(n, col("doc_id")))
     }
 
   /** Positioned winnow fingerprints — the anchor seeds shared by the

@@ -196,7 +196,14 @@ object DocStream {
     // batch rows score against — serve it from the nbModelShared
     // checkpoint instead of re-running the tokenize→train per stream
     // replay (checkpointed frames are already executor-resident
-    // across deliveries, so the per-delivery persist pin is inherited)
+    // across deliveries, so the per-delivery persist pin is inherited).
+    // SINGLE-DATASET-PER-SESSION ASSUMPTION (r17 advisory): the pool
+    // owns these blocks — a concurrent nbModelShared request for a
+    // DIFFERENT dataset would free them mid-stream and fail the
+    // in-flight deliveries. Every harness surface (Bench, Verify,
+    // specs) sweeps one dataset per JVM, which is the contract; a
+    // multi-dataset caller must hold its own persist for the stream's
+    // lifetime.
     val (classes, counts) = Text.nbModelShared(spark, sf)
 
     val docs = Tables.load(spark, sf, "documents")
@@ -633,10 +640,14 @@ object DocStream {
         batch.withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").parquet(s"$textDir/batch-$batchId")
         if (compactIndex) {
+          // tiered (r18): fold raw subtrees per delivery, existing
+          // compacted trees only at the CompactTiers bound
           StreamState.compactState(spark, indexDir, SubstrIndexSchema,
-            excludeSubdir = Some(s"batch-$batchId"))
+            excludeSubdir = Some(s"batch-$batchId"),
+            maxCompactedTrees = CompactTiers)
           StreamState.compactState(spark, textDir, SubstrTextSchema,
-            excludeSubdir = Some(s"batch-$batchId"))
+            excludeSubdir = Some(s"batch-$batchId"),
+            maxCompactedTrees = CompactTiers)
         }
         ()
       })
@@ -709,6 +720,18 @@ object DocStream {
     * into the oracle. */
   val CompactDeliveries = 5
 
+  /** Tier bound for the long-ingest compact twins (r18, see
+    * [[StreamState.compactState]]'s tiered consumption): each
+    * per-delivery pass folds only the RAW batch subtrees — prior
+    * compacted trees are already size-targeted and stay put until
+    * their count reaches this bound, when one pass folds them all.
+    * Rewrite volume per ingest drops from O(deliveries²) to
+    * O(deliveries) batch-sizes while probe-side file count stays
+    * bounded; output is bit-identical for any bound (visibility is
+    * the stored batch_id column; spec-pinned against the untiered
+    * pass and the compactIndex=false run). */
+  val CompactTiers = 4
+
   /** q_stream_winnow_compact: the LONG-INGEST winnowing twin with the
     * recurring [[StreamState.compactState]] maintenance pass LIVE in
     * the loop — [[CompactDeliveries]] doc_id-range deliveries stream
@@ -716,10 +739,12 @@ object DocStream {
     * fingerprint index (same `Text.classifyAgainstIndex` kernel and
     * df-cap as the batch twin, df computed over the index as of that
     * delivery), appends its own batchId-keyed fingerprint subdir, and
-    * then the WHOLE index is compacted into size-targeted files —
-    * so every probe after the first runs against a store that has
-    * been rewritten at least once, and the final index dir holds one
-    * compacted subtree instead of one subtree per delivery. The
+    * then the accumulated RAW subtrees are compacted into
+    * size-targeted files ([[CompactTiers]]-tiered, r18: prior
+    * compacted trees fold only at the tier bound) — so every probe
+    * after the first runs against a store that has been rewritten at
+    * least once, and the index dir's subtree count stays bounded by
+    * the tier bound instead of growing one per delivery. The
     * batch_id retry/visibility predicate rides a stored COLUMN, which
     * is exactly why it survives the rename-based rewrite.
     *
@@ -779,7 +804,8 @@ object DocStream {
         // later probe's df census)
         if (compactIndex)
           StreamState.compactState(spark, indexDir, WinnowIndexSchema,
-            excludeSubdir = Some(s"batch-$batchId"))
+            excludeSubdir = Some(s"batch-$batchId"),
+            maxCompactedTrees = CompactTiers)
         ()
       })
     spark.read.schema(StructType(Seq(

@@ -54,9 +54,27 @@ object StreamState {
     * the compacted file — compaction is a recurring maintenance pass,
     * not a terminal step. Returns (filesBefore, filesAfter) for the
     * receipt. */
+  /** TIERED consumption (r18, the LSM/size-tiered posture): with
+    * `maxCompactedTrees = 1` (the default — every pre-r18 caller's
+    * exact behavior) each pass consumes EVERYTHING, previous
+    * compacted output included, so a long ingest rewrites the whole
+    * accumulated store once per pass — O(N²) bytes over N deliveries.
+    * A caller that compacts once per delivery (the long-ingest
+    * compact twins) passes a higher bound: raw `batch-N` subtrees are
+    * always consumed (the small-file accretion compaction exists
+    * for), but prior `batch--compacted-*` trees are left in place —
+    * already size-targeted, nothing to gain from re-copying them —
+    * until their COUNT reaches the bound, at which point one pass
+    * folds them all (the tier merge), so probe-side file count stays
+    * bounded by `maxCompactedTrees + in-flight batches` while total
+    * rewrite volume drops from O(N²) to O(N) per ingest. Pure layout
+    * policy: visibility rides the stored `batch_id` column and every
+    * row is still rewritten verbatim exactly once per fold, so output
+    * is bit-identical for any bound (spec-pinned). */
   private[graft] def compactState(spark: SparkSession, dir: String,
       schema: StructType, targetFileBytes: Long = 128L << 20,
-      excludeSubdir: Option[String] = None): (Int, Int) = {
+      excludeSubdir: Option[String] = None,
+      maxCompactedTrees: Int = 1): (Int, Int) = {
     import org.apache.hadoop.fs.Path
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -72,10 +90,15 @@ object StreamState {
     // snapshot the consumed subtrees FIRST: a micro-batch landing a
     // new batch-N while the rewrite runs is neither read nor deleted —
     // it simply survives into the next compaction pass
-    val consumed = fs.listStatus(p).toSeq
+    val all = fs.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-") &&
         !excludeSubdir.contains(s.getPath.getName))
       .map(_.getPath)
+    val (compactedTrees, rawTrees) =
+      all.partition(_.getName.startsWith("batch--compacted-"))
+    val consumed =
+      if (compactedTrees.size >= maxCompactedTrees) all
+      else rawTrees
     if (consumed.isEmpty) return (before, before)
     // read EXACTLY the consumed subtrees (never the whole dir): an
     // excluded own-subtree or a concurrently-landing batch must not

@@ -981,6 +981,69 @@ class OperatorSpec extends AnyFunSuite {
     assert(k5b.map(_.toString).toSeq == k5.map(_.toString).toSeq)
   }
 
+  test("ivf salted cell join: output independent of the salt count") {
+    // r18, guide §2.5: the deterministic index-side salt splits each
+    // cell's candidate list S ways and probes explode all S values —
+    // every (query, neighbor) candidate meets exactly once for ANY S,
+    // so the scored output must be bit-identical between the unsalted
+    // plan (S=1) and a salted one (S=5, coprime with nothing relevant)
+    def at(s: Int): (Seq[String], Seq[String], Seq[String]) = {
+      spark.conf.set("spark.graft.ivf.salts", s.toString)
+      try (
+        Similarity.annIvf(spark, sf, k = 3).collect().map(_.toString).toSeq,
+        Similarity.ivfPqPlantedRecall(spark, sf).collect()
+          .map(_.toString).toSeq,
+        Similarity.ivfSqPlantedRecall(spark, sf).collect()
+          .map(_.toString).toSeq)
+      finally spark.conf.unset("spark.graft.ivf.salts")
+    }
+    assert(at(1) == at(5))
+  }
+
+  test("pool parquet write-through (scale-honest materialization) is bit-identical to localCheckpoint") {
+    // r18: spark.graft.pool.materialize=parquet is the production
+    // shape (consumers survive executor loss — localCheckpoint blocks
+    // are non-replicated and lineage-truncated); every pooled frame is
+    // exact longs/strings/IEEE754 doubles, so the round trip must be
+    // bit-identical to the default path
+    graft.CachePool.clearSessionCheckpoints()
+    val viaCk = Similarity.knnBruteForce(spark, sf, k = 5).collect()
+    graft.CachePool.clearSessionCheckpoints()
+    spark.conf.set("spark.graft.pool.materialize", "parquet")
+    try {
+      val viaPq = Similarity.knnBruteForce(spark, sf, k = 5).collect()
+      assert(viaPq.map(_.toString).toSeq == viaCk.map(_.toString).toSeq)
+      // warm serves read the scratch parquet — still the exact prefix
+      val k3 = Similarity.knnBruteForce(spark, sf, k = 3).collect()
+      assert(k3.map(_.toString).toSeq ==
+        viaCk.filter(_.getLong(2) <= 3L).map(_.toString).toSeq)
+    } finally {
+      spark.conf.unset("spark.graft.pool.materialize")
+      graft.CachePool.clearSessionCheckpoints()
+    }
+  }
+
+  test("pool residency bound evicts the least-recently-served kernel; build log charges rebuilds") {
+    graft.CachePool.clearSessionCheckpoints()
+    graft.CachePool.drainBuildLog()
+    spark.conf.set("spark.graft.pool.maxResident", "1")
+    try {
+      Similarity.knnBruteForce(spark, sf, k = 5).count() // build knn
+      Graph.kcore(spark, sf).count() // builds part-co-edges, evicts knn
+      Similarity.knnBruteForce(spark, sf, k = 5).count() // must rebuild
+      val builds = graft.CachePool.drainBuildLog().map(_._1)
+      assert(builds.count(_.startsWith("knn-brute-top")) == 2,
+        s"expected an eviction-forced knn rebuild, got $builds")
+      assert(builds.count(_ == "part-co-edges") == 1)
+      // the rebuilt kernel is resident — a warm serve adds no entry
+      Similarity.knnBruteForce(spark, sf, k = 5).count()
+      assert(graft.CachePool.drainBuildLog().isEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.pool.maxResident")
+      graft.CachePool.clearSessionCheckpoints()
+    }
+  }
+
   test("exact kernels fail fast when the broadcast side exceeds the configured bound") {
     val key = "spark.graft.exact.maxBroadcastRows"
     // the knn kernel is session-pooled (r17): the guard runs inside
@@ -2137,7 +2200,12 @@ class OperatorSpec extends AnyFunSuite {
     val labeled = docs.join(graft.operators.Corpus.splitAssignDf(docs)
       .select(col("doc_id"), col("split")), "doc_id")
     val frames = Map(
-      "substr_dedup" -> Text.substrDedupFrom(docs),
+      // fps passed explicitly (r17 advisory): the production pooled
+      // build runs the precomputed-census join shape, so that is the
+      // anchor-join plan the audit must check — not the default
+      // self-derived path
+      "substr_dedup" -> Text.substrDedupFrom(docs,
+        fps = Some(Text.substrFpSet(docs))),
       "substr_keep_first" -> Text.substrSpansAgainstIndex(docs, fps, fps,
         docs, pairFilter = col("doc_b") < col("doc_a")),
       "decontaminate" -> Text.substrSpansAcross(

@@ -515,6 +515,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset(Linkage.MaxBlockConf)
   }
 
+  test("tiered state compaction: exactly-once rows per pass, bounded trees, fold at the tier bound") {
+    // r18 storage contract for the tiered pass: after EVERY pass the
+    // recursive read returns every written row exactly once (no loss,
+    // no duplication — a fold rewrites verbatim, a delta pass leaves
+    // compacted trees untouched), and the compacted-tree count never
+    // exceeds the bound (the pass at the bound folds them all)
+    import graft.streaming.StreamState
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("batch_id", LongType)))
+    val root = graft.TempDirs.create("graft-tiertest")
+    val dir = s"$root/state"
+    def readAll(): Seq[(Long, Long)] = spark.read.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet").parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    def compactedTrees(): Int = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).count(s => s.isDirectory &&
+        s.getPath.getName.startsWith("batch--compacted-"))
+    }
+    val want = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var sawFold = false
+    (0L until 5L).foreach { b =>
+      spark.range(b * 10, b * 10 + 10).toDF("id")
+        .withColumn("batch_id", lit(b))
+        .write.mode("overwrite").parquet(s"$dir/batch-$b")
+      want ++= (b * 10 until b * 10 + 10).map(i => (i, b))
+      val beforeTrees = compactedTrees()
+      StreamState.compactState(spark, dir, schema, maxCompactedTrees = 3)
+      if (beforeTrees >= 3) {
+        sawFold = true
+        assert(compactedTrees() == 1,
+          "the at-bound pass must fold every compacted tree into one")
+      }
+      assert(compactedTrees() <= 3, "tier bound exceeded")
+      assert(readAll() == want.sorted.toSeq, s"rows drifted after pass $b")
+    }
+    assert(sawFold, "5 passes at bound 3 never exercised the fold")
+  }
+
   test("linkage state compaction: fewer files, bit-identical resolution, repeatable") {
     // the grow-only index/edge stores accrete one subtree per
     // delivery; the compaction pass must (a) strictly reduce file
