@@ -1195,7 +1195,14 @@ object Similarity {
   def cosinePairsExact(spark: SparkSession, sf: String,
       threshold: Double = 0.25): DataFrame = {
     guardExactKernel(Tables.load(spark, sf, "embeddings"), "cosinePairsExact")
+    // probe side repartitioned to session parallelism (r18): the
+    // O(n·m) broadcast scoring below is map-side — on a one-file scan
+    // it otherwise runs single-task (the knnBruteForce fix applied to
+    // its pair-kernel sibling; feeds the pooled semantic-clusters
+    // build)
     val a = quantized(Tables.load(spark, sf, "embeddings"), "vec_a")
+      .repartition(math.max(1, spark.sparkContext.defaultParallelism),
+        col("vec_a"))
     val b = quantized(Tables.load(spark, sf, "embeddings"), "vec_b")
     a.crossJoin(broadcast(b))
       .filter(col("vec_a") < col("vec_b"))
